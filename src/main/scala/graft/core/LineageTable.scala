@@ -1,0 +1,134 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Spark-native L-Store table: a versioned, append-only lineage of records.
+ *
+ * The reference engine (reference: lstore/table.py:26) keeps base pages plus
+ * tail pages of updates, an indirection pointer per record, and a
+ * schema-encoding bitmask; reads chase indirection to materialize the latest
+ * version, and a background merge (reference: lstore/table.py:186) folds
+ * tails into base pages.
+ *
+ * Here the same contract is declarative and distributed:
+ *
+ *   - `lineage` is one DataFrame of full records stamped with `_ver`
+ *     (monotonic per key; 0 = base) and `_del` (tombstone flag). Partial
+ *     updates are coalesced against the current snapshot at WRITE time
+ *     (write-time merge), so reads never chase pointers — the reference does
+ *     the equivalent merge in its page directory (lstore/query.py:160-168).
+ *   - Snapshot reconstruction is a single window:
+ *     `row_number() over (partition by key order by _ver desc) = 1`.
+ *     One shuffle on the table key; key predicates are pushed below it to
+ *     the parquet scan, so point/range reads prune before shuffling.
+ *   - `compact` is the reference's merge: rewrite base := snapshot. It is a
+ *     pure transformation here; [[Catalog]] persists it.
+ *
+ * At 100 TB the tail stays small relative to base (compaction keeps it so),
+ * so snapshot cost is dominated by the base scan; the window shuffle is
+ * AQE-coalesced and can be avoided entirely when the base is bucketed by
+ * the key (the snapshot window partitions by the same key).
+ */
+final class LineageTable private (
+    val keyCol: String,
+    val dataCols: Seq[String],
+    val lineage: DataFrame) {
+
+  import LineageTable.{DEL, VER}
+
+  /** Current version of every live record, metadata retained (for chaining). */
+  private[core] def snapshotMeta: DataFrame = asOfMeta(0)
+
+  private def asOfMeta(relativeVersion: Int): DataFrame = {
+    require(relativeVersion <= 0, s"relative version must be <= 0, got $relativeVersion")
+    val byKey = Window.partitionBy(col(keyCol))
+    val ranked = lineage
+      .withColumn("_rn", row_number().over(byKey.orderBy(col(VER).desc)))
+      .withColumn("_cnt", count(lit(1)).over(byKey))
+    // Version addressing is relative to latest, clamped at base — the
+    // reference's select_version falls back to the oldest record when the
+    // lineage is shorter than |relative_version| (lstore/query.py:118).
+    ranked
+      .where(col("_rn") === least(lit(1 - relativeVersion), col("_cnt")))
+      .where(col(DEL) === 0)
+      .drop("_rn", "_cnt")
+  }
+
+  /** Latest live version of every record (reference: Query.select semantics). */
+  def snapshot: DataFrame = snapshotMeta.select(dataCols.map(col): _*)
+
+  /** Record state `relativeVersion` steps back (reference: Query.select_version). */
+  def asOfRelative(relativeVersion: Int): DataFrame =
+    asOfMeta(relativeVersion).select(dataCols.map(col): _*)
+
+  /** Append new base records (reference: Query.insert, lstore/query.py:57). */
+  def insert(rows: DataFrame): LineageTable = {
+    val stamped = rows
+      .select(dataCols.map(col): _*)
+      .withColumn(VER, lit(0))
+      .withColumn(DEL, lit(0))
+    withLineage(lineage.unionByName(stamped))
+  }
+
+  /**
+   * Partial update (reference: Query.update, lstore/query.py:131). Columns
+   * absent from `set` carry forward — the schema-encoding semantics of the
+   * reference, resolved at write time. `set` expressions may reference
+   * current column values (so `increment` is `c -> col(c) + 1`).
+   */
+  def update(predicate: Column, set: Map[String, Column]): LineageTable = {
+    val current = snapshotMeta.where(predicate)
+    val updated = set.foldLeft(current) { case (df, (c, e)) => df.withColumn(c, e) }
+      .withColumn(VER, col(VER) + 1)
+      .withColumn(DEL, lit(0))
+    withLineage(lineage.unionByName(updated.select(lineage.columns.map(col): _*)))
+  }
+
+  /** Tombstone matching records (reference: Query.delete, lstore/query.py:27). */
+  def delete(predicate: Column): LineageTable = {
+    val tomb = snapshotMeta.where(predicate)
+      .withColumn(VER, col(VER) + 1)
+      .withColumn(DEL, lit(1))
+    withLineage(lineage.unionByName(tomb.select(lineage.columns.map(col): _*)))
+  }
+
+  /** Increment one column of matching records (reference: Query.increment). */
+  def increment(predicate: Column, column: String): LineageTable =
+    update(predicate, Map(column -> (col(column) + lit(1))))
+
+  /**
+   * The reference's merge (lstore/table.py:186) as compaction: the lineage
+   * collapses to the current snapshot re-stamped as base. Persisting the
+   * result (and truncating the tail) is [[Catalog.compact]].
+   */
+  def compact: LineageTable =
+    withLineage(snapshotMeta.withColumn(VER, lit(0)).withColumn(DEL, lit(0)))
+
+  /** Key-range scan of the current snapshot (reference aggregates iterate
+    * keys in [start, end]; here it is a pushed-down range predicate). */
+  def keyRange(lo: Long, hi: Long): DataFrame =
+    snapshot.where(col(keyCol).between(lo, hi))
+
+  /** Range scan at a relative version (reference: Query.sum_version). */
+  def keyRangeAsOf(lo: Long, hi: Long, relativeVersion: Int): DataFrame =
+    asOfRelative(relativeVersion).where(col(keyCol).between(lo, hi))
+
+  private def withLineage(df: DataFrame): LineageTable =
+    new LineageTable(keyCol, dataCols, df)
+}
+
+object LineageTable {
+  private[core] val VER = "_ver"
+  private[core] val DEL = "_del"
+
+  /** Bootstrap a lineage table from plain rows (all base, version 0). */
+  def fromBase(keyCol: String, rows: DataFrame): LineageTable = {
+    val dataCols = rows.columns.toSeq
+    require(dataCols.contains(keyCol), s"key column $keyCol not in ${dataCols.mkString(",")}")
+    new LineageTable(keyCol, dataCols,
+      rows.withColumn(VER, lit(0)).withColumn(DEL, lit(0)))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.core
+
+import scala.util.{Failure, Success, Try}
+
+/**
+ * Atomic multi-operation batch over a [[LineageTable]] (reference:
+ * lstore/transaction.py — Transaction.add_query / run / commit / abort).
+ *
+ * The reference executes queued queries one by one and aborts the whole
+ * transaction when any returns False. Spark's execution model makes the
+ * atomic version natural: each op is a pure LineageTable => LineageTable,
+ * the composition is built lazily, and nothing is visible until the caller
+ * adopts (or [[Catalog]] persists) the returned table — all-or-nothing by
+ * construction, no record locks needed (reference: lstore/table.py:57's 2PL
+ * lock table becomes a single-writer append discipline per table).
+ */
+final class Txn private (ops: Vector[LineageTable => LineageTable]) {
+
+  /** Queue an operation (reference: Transaction.add_query). */
+  def add(op: LineageTable => LineageTable): Txn = new Txn(ops :+ op)
+
+  def insert(rows: org.apache.spark.sql.DataFrame): Txn = add(_.insert(rows))
+
+  def update(pred: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column]): Txn = add(_.update(pred, set))
+
+  def delete(pred: org.apache.spark.sql.Column): Txn = add(_.delete(pred))
+
+  /** Apply all queued ops; the input table is untouched (commit = adopt result). */
+  def commit(table: LineageTable): LineageTable = ops.foldLeft(table)((t, op) => op(t))
+
+  /**
+   * Reference Transaction.run semantics: Right(new state) on commit,
+   * Left(error) on abort — the original table stands (rollback is free,
+   * nothing was mutated).
+   */
+  def run(table: LineageTable): Either[Throwable, LineageTable] =
+    Try(commit(table)) match {
+      case Success(t) => Right(t)
+      case Failure(e) => Left(e)
+    }
+}
+
+object Txn {
+  val empty: Txn = new Txn(Vector.empty)
+
+  /** Run many transactions sequentially against one table (reference:
+    * lstore/transaction_worker.py — TransactionWorker.run), returning the
+    * final state plus per-transaction commit flags. */
+  def runAll(table: LineageTable, txns: Seq[Txn]): (LineageTable, Seq[Boolean]) =
+    txns.foldLeft((table, Vector.empty[Boolean])) { case ((t, stats), txn) =>
+      txn.run(t) match {
+        case Right(next) => (next, stats :+ true)
+        case Left(_)     => (t, stats :+ false)
+      }
+    }
+}

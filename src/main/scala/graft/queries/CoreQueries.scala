@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{LineageTable, Txn}
+import graft.functions.Exact
+
+/**
+ * The reference's query surface (reference: lstore/query.py) as Spark
+ * queries over a deterministic lineage fixture derived from `orders`:
+ *
+ *   base  = orders (k, custkey, status, totalprice)
+ *   v1    = full update where k % 3 = 0  (totalprice + 10.0, status 'U1')
+ *   v2    = partial update where k % 9 = 0 (status 'U2' only — totalprice
+ *           carries forward, exercising schema-encoding semantics)
+ *   tomb  = delete where k % 17 = 0
+ *
+ * The DuckDB oracles replicate the same lineage with UNION ALL CTEs and the
+ * same window reconstruction, so results hash-match exactly (additive-only
+ * double arithmetic; decimal-exact sums — see graft.functions.Exact).
+ */
+object CoreQueries {
+
+  /** The standard fixture, built through the public LineageTable API. */
+  def ordersLineage(spark: SparkSession, sfDir: String): LineageTable = {
+    val base = Tables(spark, sfDir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_custkey").as("custkey"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("totalprice"))
+    LineageTable.fromBase("k", base)
+      .update(col("k") % 3 === 0,
+        Map("totalprice" -> (col("totalprice") + lit(10.0)), "status" -> lit("U1")))
+      .update(col("k") % 9 === 0, Map("status" -> lit("U2")))
+      .delete(col("k") % 17 === 0)
+  }
+
+  private def baseOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_custkey").as("custkey"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("totalprice"))
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ls_insert" -> { (s, d) =>
+      val base = baseOrders(s, d)
+      val inserted = base.where(col("k") % 500 === 0).select(
+        (col("k") + 1000000L).as("k"), col("custkey"),
+        lit("NEW").as("status"), col("totalprice"))
+      LineageTable.fromBase("k", base).insert(inserted)
+        .snapshot.where(col("k") % 250 === 0)
+    },
+
+    "ls_select_point" -> { (s, d) =>
+      // Point lookup: the key predicate is pushed below the snapshot window
+      // to the parquet scan (the distributed analog of Index.locate).
+      ordersLineage(s, d).snapshot
+        .where(col("k").isin(42L, 45L, 100L, 4211L, 34L))
+        .select(col("k"), col("status"), col("totalprice"))
+    },
+
+    "ls_select_secondary" -> { (s, d) =>
+      ordersLineage(s, d).snapshot
+        .where(col("custkey") === 77L)
+        .select(col("k"), col("custkey"), col("totalprice"))
+    },
+
+    "ls_select_version_latest" -> { (s, d) =>
+      ordersLineage(s, d).snapshot.where(col("k").between(0L, 2000L))
+    },
+
+    "ls_select_version_prev" -> { (s, d) =>
+      ordersLineage(s, d).asOfRelative(-1).where(col("k").between(0L, 2000L))
+    },
+
+    "ls_select_version_base" -> { (s, d) =>
+      ordersLineage(s, d).asOfRelative(-5).where(col("k").between(0L, 2000L))
+    },
+
+    "ls_update" -> { (s, d) =>
+      // Partial-update proof: status is 'U2' (v2) while totalprice still
+      // reflects v1's +10.0 — untouched columns carried forward.
+      ordersLineage(s, d).snapshot
+        .where(col("k") % 9 === 0 && col("k") <= 3000L)
+        .select(col("k"), col("status"), col("totalprice"))
+    },
+
+    "ls_delete" -> { (s, d) =>
+      val lt = ordersLineage(s, d)
+      baseOrders(s, d).select("k")
+        .join(lt.snapshot.select("k"), Seq("k"), "left_anti")
+    },
+
+    "ls_sum_range" -> { (s, d) =>
+      ordersLineage(s, d).keyRange(0L, 5000L)
+        .agg(Exact.sumMoney(col("totalprice")).as("sum_price"))
+    },
+
+    "ls_sum_version" -> { (s, d) =>
+      ordersLineage(s, d).keyRangeAsOf(0L, 5000L, -1)
+        .agg(Exact.sumMoney(col("totalprice")).as("sum_price"))
+    },
+
+    "ls_avg_range" -> { (s, d) =>
+      ordersLineage(s, d).keyRange(0L, 5000L)
+        .agg(Exact.avgMoney(col("totalprice")).as("avg_price"))
+    },
+
+    "ls_min_max_range" -> { (s, d) =>
+      ordersLineage(s, d).keyRange(0L, 5000L)
+        .agg(min(col("totalprice")).as("min_price"),
+             max(col("totalprice")).as("max_price"))
+    },
+
+    "ls_count_range" -> { (s, d) =>
+      ordersLineage(s, d).keyRange(0L, 5000L).agg(count(lit(1)).as("n"))
+    },
+
+    "ls_increment" -> { (s, d) =>
+      ordersLineage(s, d).increment(col("k") % 7 === 0, "custkey")
+        .snapshot
+        .where(col("k") % 7 === 0 && col("k") <= 2000L)
+        .select(col("k"), col("custkey"), col("status"))
+    },
+
+    "ls_select_distinct" -> { (s, d) =>
+      ordersLineage(s, d).snapshot
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("first_k"))
+    },
+
+    "ls_order_by" -> { (s, d) =>
+      val top = ordersLineage(s, d).snapshot
+        .orderBy(col("totalprice").desc, col("k").asc)
+        .limit(100)
+      top.withColumn("rnk",
+          row_number().over(Window.orderBy(col("totalprice").desc, col("k").asc))
+            .cast("bigint"))
+        .select(col("rnk"), col("k"), col("totalprice"))
+    },
+
+    "ls_merge" -> { (s, d) =>
+      // Compaction invariant: the merged base equals the live snapshot.
+      ordersLineage(s, d).compact.snapshot.agg(
+        count(lit(1)).as("n"),
+        Exact.sumMoney(col("totalprice")).as("sum_price"),
+        countDistinct(col("status")).as("n_status"))
+    },
+
+    "idx_locate" -> { (s, d) =>
+      ordersLineage(s, d).snapshot
+        .where(col("status") === "U2" && col("k") <= 1000L)
+        .select(col("k"))
+    },
+
+    "idx_locate_range" -> { (s, d) =>
+      ordersLineage(s, d).snapshot
+        .where(col("totalprice").between(50000.0, 60000.0) && col("k") <= 3000L)
+        .select(col("k"), col("totalprice"))
+    },
+
+    "txn_batch" -> { (s, d) =>
+      val base = baseOrders(s, d)
+      val insertRows = base.where(col("k") % 400 === 0).select(
+        (col("k") + 2000000L).as("k"), col("custkey"),
+        lit("T").as("status"), col("totalprice"))
+      val txn = Txn.empty
+        .insert(insertRows)
+        .update(col("k") % 5 === 0,
+          Map("totalprice" -> (col("totalprice") + lit(5.0))))
+        .delete(col("k") % 13 === 0)
+      txn.commit(ordersLineage(s, d))
+        .snapshot.where(col("k") % 100 === 0)
+    },
+
+    "cat_tables" -> { (s, d) =>
+      // Database.create_table / get_table surface: the catalog inventory.
+      Tables.names.map { name =>
+        val t = Tables(s, d, name)
+        t.agg(count(lit(1)).as("n_rows"))
+          .select(lit(name).as("tbl"), col("n_rows"),
+                  lit(t.columns.length).as("n_cols"))
+      }.reduce(_ unionByName _)
+    }
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Shared DuckDB CTE prefix replicating the lineage fixture. */
+  private val fixture: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_custkey AS custkey, o_orderstatus AS status,
+      |         o_totalprice AS totalprice, 0 AS _ver, 0 AS _del FROM orders),
+      |v1 AS (SELECT k, custkey, 'U1' AS status, totalprice + 10.0 AS totalprice,
+      |       1 AS _ver, 0 AS _del FROM base WHERE k % 3 = 0),
+      |v2 AS (SELECT k, custkey, 'U2' AS status, totalprice,
+      |       2 AS _ver, 0 AS _del FROM v1 WHERE k % 9 = 0),
+      |tomb AS (SELECT k, custkey, status, totalprice, 9 AS _ver, 1 AS _del
+      |         FROM base WHERE k % 17 = 0),
+      |lineage AS (SELECT * FROM base UNION ALL SELECT * FROM v1
+      |            UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM tomb),
+      |ranked AS (SELECT *,
+      |    row_number() OVER (PARTITION BY k ORDER BY _ver DESC) AS _rn,
+      |    count(*) OVER (PARTITION BY k) AS _cnt FROM lineage),
+      |snap AS (SELECT k, custkey, status, totalprice FROM ranked
+      |         WHERE _rn = 1 AND _del = 0)""".stripMargin
+
+  /** Snapshot at relative version `rel` (clamped at base), as a CTE body. */
+  private def asOfSql(rel: Int): String =
+    s"SELECT k, custkey, status, totalprice FROM ranked " +
+      s"WHERE _rn = least(${1 - rel}, _cnt) AND _del = 0"
+
+  val oracleSql: Map[String, String] = Map(
+    "ls_insert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey, o_orderstatus AS status,
+        |         o_totalprice AS totalprice FROM orders),
+        |ins AS (SELECT k + 1000000 AS k, custkey, 'NEW' AS status, totalprice
+        |        FROM base WHERE k % 500 = 0),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        |SELECT k, custkey, status, totalprice FROM allr WHERE k % 250 = 0""".stripMargin,
+
+    "ls_select_point" ->
+      s"""$fixture
+         |SELECT k, status, totalprice FROM snap
+         |WHERE k IN (42, 45, 100, 4211, 34)""".stripMargin,
+
+    "ls_select_secondary" ->
+      s"""$fixture
+         |SELECT k, custkey, totalprice FROM snap WHERE custkey = 77""".stripMargin,
+
+    "ls_select_version_latest" ->
+      s"""$fixture
+         |SELECT k, custkey, status, totalprice FROM snap
+         |WHERE k BETWEEN 0 AND 2000""".stripMargin,
+
+    "ls_select_version_prev" ->
+      s"""$fixture, prev AS (${asOfSql(-1)})
+         |SELECT k, custkey, status, totalprice FROM prev
+         |WHERE k BETWEEN 0 AND 2000""".stripMargin,
+
+    "ls_select_version_base" ->
+      s"""$fixture, old AS (${asOfSql(-5)})
+         |SELECT k, custkey, status, totalprice FROM old
+         |WHERE k BETWEEN 0 AND 2000""".stripMargin,
+
+    "ls_update" ->
+      s"""$fixture
+         |SELECT k, status, totalprice FROM snap
+         |WHERE k % 9 = 0 AND k <= 3000""".stripMargin,
+
+    "ls_delete" ->
+      s"""$fixture
+         |SELECT k FROM base WHERE k NOT IN (SELECT k FROM snap)""".stripMargin,
+
+    "ls_sum_range" ->
+      s"""$fixture
+         |SELECT CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM snap WHERE k BETWEEN 0 AND 5000""".stripMargin,
+
+    "ls_sum_version" ->
+      s"""$fixture, prev AS (${asOfSql(-1)})
+         |SELECT CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM prev WHERE k BETWEEN 0 AND 5000""".stripMargin,
+
+    "ls_avg_range" ->
+      s"""$fixture
+         |SELECT CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(totalprice)
+         |  AS avg_price
+         |FROM snap WHERE k BETWEEN 0 AND 5000""".stripMargin,
+
+    "ls_min_max_range" ->
+      s"""$fixture
+         |SELECT MIN(totalprice) AS min_price, MAX(totalprice) AS max_price
+         |FROM snap WHERE k BETWEEN 0 AND 5000""".stripMargin,
+
+    "ls_count_range" ->
+      s"""$fixture
+         |SELECT COUNT(*) AS n FROM snap WHERE k BETWEEN 0 AND 5000""".stripMargin,
+
+    "ls_increment" ->
+      s"""$fixture
+         |SELECT k, custkey + 1 AS custkey, status FROM snap
+         |WHERE k % 7 = 0 AND k <= 2000""".stripMargin,
+
+    "ls_select_distinct" ->
+      s"""$fixture
+         |SELECT status, COUNT(*) AS n, MIN(k) AS first_k FROM snap
+         |GROUP BY status""".stripMargin,
+
+    "ls_order_by" ->
+      s"""$fixture
+         |SELECT * FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY totalprice DESC, k) AS BIGINT) AS rnk,
+         |         k, totalprice FROM snap)
+         |WHERE rnk <= 100""".stripMargin,
+
+    "ls_merge" ->
+      s"""$fixture
+         |SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         |  COUNT(DISTINCT status) AS n_status
+         |FROM snap""".stripMargin,
+
+    "idx_locate" ->
+      s"""$fixture
+         |SELECT k FROM snap WHERE status = 'U2' AND k <= 1000""".stripMargin,
+
+    "idx_locate_range" ->
+      s"""$fixture
+         |SELECT k, totalprice FROM snap
+         |WHERE totalprice BETWEEN 50000.0 AND 60000.0 AND k <= 3000""".stripMargin,
+
+    "txn_batch" ->
+      s"""$fixture,
+         |ins AS (SELECT k + 2000000 AS k, custkey, 'T' AS status, totalprice
+         |        FROM base WHERE k % 400 = 0),
+         |s1 AS (SELECT * FROM snap UNION ALL SELECT * FROM ins),
+         |s2 AS (SELECT k, custkey, status,
+         |         CASE WHEN k % 5 = 0 THEN totalprice + 5.0 ELSE totalprice END
+         |           AS totalprice FROM s1),
+         |s3 AS (SELECT * FROM s2 WHERE k % 13 <> 0)
+         |SELECT k, custkey, status, totalprice FROM s3 WHERE k % 100 = 0""".stripMargin,
+
+    "cat_tables" -> {
+      val cols = Map(
+        "region" -> 2, "nation" -> 3, "customer" -> 5, "supplier" -> 4,
+        "part" -> 6, "orders" -> 6, "lineitem" -> 11, "events" -> 6,
+        "documents" -> 5, "embeddings" -> 3)
+      Tables.names.map { n =>
+        s"SELECT '$n' AS tbl, (SELECT COUNT(*) FROM $n) AS n_rows, ${cols(n)} AS n_cols"
+      }.mkString("\nUNION ALL\n")
+    }
+  )
+}
