@@ -116,6 +116,14 @@ final class LineageTable private (
   def keyRangeAsOf(lo: Long, hi: Long, relativeVersion: Int): DataFrame =
     asOfRelative(relativeVersion).where(col(keyCol).between(lo, hi))
 
+  /** Pin the lineage in executor memory/disk (reference: bufferpool pinning,
+    * lstore/db.py — Spark's block manager plays that role). Lazy: the first
+    * action materializes; later reads skip re-executing the write DAG. */
+  def persisted: LineageTable = {
+    lineage.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    this
+  }
+
   private def withLineage(df: DataFrame): LineageTable =
     new LineageTable(keyCol, dataCols, df)
 }

@@ -23,19 +23,32 @@ import graft.functions.Exact
  */
 object CoreQueries {
 
-  /** The standard fixture, built through the public LineageTable API. */
-  def ordersLineage(spark: SparkSession, sfDir: String): LineageTable = {
-    val base = Tables(spark, sfDir, "orders").select(
-      col("o_orderkey").as("k"),
-      col("o_custkey").as("custkey"),
-      col("o_orderstatus").as("status"),
-      col("o_totalprice").as("totalprice"))
-    LineageTable.fromBase("k", base)
-      .update(col("k") % 3 === 0,
-        Map("totalprice" -> (col("totalprice") + lit(10.0)), "status" -> lit("U1")))
-      .update(col("k") % 9 === 0, Map("status" -> lit("U2")))
-      .delete(col("k") % 17 === 0)
-  }
+  /**
+   * The standard fixture, built through the public LineageTable API.
+   *
+   * Memoized per sf dir with the lineage persisted: the lineage table IS the
+   * database — every query runs against the same table state, so rebuilding
+   * the write DAG (three stacked snapshot windows) per query would bench the
+   * fixture construction, not the read path. Mirrors the reference, where
+   * pages are written once and queries read them (lstore/db.py bufferpool).
+   */
+  def ordersLineage(spark: SparkSession, sfDir: String): LineageTable =
+    fixtureCache.getOrElseUpdate(sfDir, {
+      val base = Tables(spark, sfDir, "orders").select(
+        col("o_orderkey").as("k"),
+        col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("totalprice"))
+      val t = LineageTable.fromBase("k", base)
+        .update(col("k") % 3 === 0,
+          Map("totalprice" -> (col("totalprice") + lit(10.0)), "status" -> lit("U1")))
+        .update(col("k") % 9 === 0, Map("status" -> lit("U2")))
+        .delete(col("k") % 17 === 0)
+      t.persisted
+    })
+
+  private val fixtureCache =
+    scala.collection.concurrent.TrieMap.empty[String, LineageTable]
 
   private def baseOrders(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "orders").select(

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.functions.Exact
+
+/**
+ * OLAP query surface (SURVEY.md §2 #22–28): the analytics workloads the
+ * engine must run beyond the reference's point/range L-Store API.
+ *
+ * Determinism: every double aggregate goes through exact decimal arithmetic
+ * (see [[graft.functions.Exact]]) so distributed Spark sums hash-match the
+ * single-node DuckDB oracle bit-for-bit. Revenue terms multiply
+ * DECIMAL(12,2) money by DECIMAL(10,6) factors — exact in both engines
+ * (precision stays < 38), identical to the double product only in intent,
+ * identical to EACH OTHER in value.
+ *
+ * Scale: dimension sides of joins are explicitly `broadcast(...)`; fact-fact
+ * joins shuffle on their join key and rely on AQE for skew/coalesce. Window
+ * queries partition by a real key (never a global window over big data).
+ */
+object OlapQueries {
+
+  private val Money = DecimalType(12, 2)
+  private val Factor = DecimalType(10, 6)
+
+  /** Exact revenue term: extendedprice * (1 - discount). */
+  private def revenueTerm: Column =
+    col("l_extendedprice").cast(Money) * (lit(1) - col("l_discount")).cast(Factor)
+
+  private def chargeTerm: Column =
+    revenueTerm * (lit(1) + col("l_tax")).cast(Factor)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: single scan, map-side partial agg, 4-group result.
+    "q1_agg" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(Money)).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(Money)).cast(DoubleType).as("sum_base_price"),
+          sum(revenueTerm).cast(DoubleType).as("sum_disc_price"),
+          // charge's true scale is ≤6 (2dp money × 2dp factors); keep it
+          // decimal — decimal→double at scale 14 is 1-ulp engine-dependent,
+          // and rounding to 2dp hits exact half-cent ties engines break
+          // differently. DECIMAL(38,6) is exact and identical in both.
+          sum(chargeTerm).cast(DecimalType(38, 6)).as("sum_charge"),
+          (sum(col("l_quantity").cast(Money)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast(Money)).cast(DoubleType) / count(lit(1))).as("avg_price"),
+          (sum(col("l_discount").cast(Factor)).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // TPC-H Q3 shape: broadcast the filtered customer dim, shuffle-join the
+    // two facts on orderkey, top-10 with a full deterministic tiebreak.
+    "q3_join_topn" -> { (s, d) =>
+      val cust = Tables(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = Tables(s, d, "orders").where(col("o_orderdate") < lit("1998-06-01"))
+      val li = Tables(s, d, "lineitem").where(col("l_shipdate") > lit("1998-06-01"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(revenueTerm).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey").as("orderkey"),
+                col("o_orderdate").cast("date").as("orderdate"),
+                col("revenue"))
+    },
+
+    // TPC-H Q5 shape: 6-way join; region/nation/supplier broadcast (true
+    // dims at any SF), customer/orders/lineitem shuffle on their keys.
+    "q5_join_multi" -> { (s, d) =>
+      val asia = broadcast(
+        Tables(s, d, "nation").join(
+          broadcast(Tables(s, d, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey")))
+      val ord = Tables(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+               col("o_orderdate") < lit("1997-01-01"))
+      Tables(s, d, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(asia, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revenueTerm).cast(DoubleType).as("revenue"))
+    },
+
+    // Rank + running sum per customer — window partitioned by a real key.
+    "q_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables(s, d, "orders")
+        .where(col("o_custkey") < 200)
+        .select(
+          col("o_custkey").as("custkey"),
+          col("o_orderkey").as("orderkey"),
+          row_number().over(w).cast("bigint").as("rnk"),
+          sum(col("o_totalprice").cast(Money))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType).as("run_sum"))
+    },
+
+    // Exact distinct aggregation (the approximate twin — HLL++ via
+    // approx_count_distinct — is asserted in ScalaTest, not oracled:
+    // sketches are engine-specific by construction).
+    "q_distinct_agg" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+             countDistinct(col("o_orderstatus")).as("n_status"),
+             count(lit(1)).as("n_orders"))
+    },
+
+    // As-of join: for each sampled event, the latest order of that user at
+    // or before the event date (events carry 2024 timestamps; a
+    // deterministic event_id→1995-2001 date remap puts them in orders'
+    // era). Equi-join on user, then per-event window keeps row 1 —
+    // the compose-from-existing-ops form; partitioning is by event, so the
+    // heavy side shuffles once on the equi key.
+    "q_asof_join" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .where(col("event_id") % 20 === 0)
+        .select(col("event_id"), col("user_id"),
+          date_add(lit("1995-01-01").cast("date"),
+                   (col("event_id") % 2400).cast("int")).as("event_date"))
+      val ord = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+                col("o_orderdate").cast("date").as("o_date"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_date").desc, col("o_orderkey").desc)
+      ev.join(ord, col("user_id") === col("o_custkey") &&
+                   col("o_date") <= col("event_date"))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_date"),
+                col("o_orderkey").as("matched_order"),
+                col("o_date").as("matched_date"))
+    },
+
+    // Tumbling 1h windows over the event stream's batch view — the exact
+    // plan Structured Streaming runs incrementally (see graft.streaming).
+    // ts is nanos-since-epoch (long); window start = integer floor.
+    "q_events_window" -> { (s, d) =>
+      val hour = 3600L * 1000 * 1000 * 1000
+      Tables(s, d, "events")
+        .groupBy((col("ts") - (col("ts") % hour)).as("window_start_ns"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast(Money)).cast(DoubleType).as("sum_value"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(10,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(10,6)) AS DECIMAL(25,8)) * CAST(1+l_tax AS DECIMAL(10,6))) AS DECIMAL(38,6)) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join_topn" ->
+      """SELECT l_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(10,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q5_join_multi" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(10,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS rnk,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+        |FROM orders
+        |WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(DISTINCT o_orderstatus) AS n_status,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |         DATE '1995-01-01' + CAST(event_id % 2400 AS INTEGER) AS event_date
+        |  FROM events WHERE event_id % 20 = 0),
+        |j AS (
+        |  SELECT ev.*, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |    row_number() OVER (PARTITION BY event_id
+        |                       ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS _rn
+        |  FROM ev JOIN orders ON user_id = o_custkey
+        |                      AND CAST(o_orderdate AS DATE) <= event_date)
+        |SELECT event_id, user_id, event_date,
+        |       o_orderkey AS matched_order, o_date AS matched_date
+        |FROM j WHERE _rn = 1""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS window_start_ns,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}
