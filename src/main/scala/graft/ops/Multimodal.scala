@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column plumbing: media payloads ride through the pipeline as
+ * opaque `binary` columns with typed metadata extracted by a per-partition
+ * decode pass. The Spark-side mechanics — schema, partition-parallel decode,
+ * typed Dataset boundary — are real; only the codec call itself is a
+ * deterministic stub (image/audio libraries are not in this container).
+ * On a real cluster `decodeStub` is the only line that changes.
+ */
+object Multimodal {
+
+  /** A media record as stored: id, declared format, opaque payload. */
+  case class MmRecord(doc_id: Long, fmt: String, payload: Array[Byte])
+
+  /** Typed metadata produced by the decode pass. */
+  case class MmMeta(doc_id: Long, fmt: String, size_bytes: Long,
+                    width: Long, height: Long, duration_ms: Long)
+
+  /**
+   * STUB codec: deterministic fake dimensions derived from payload size and
+   * id — stands in for an image/audio decode. Deliberately pure so the SQL
+   * oracle can replicate it.
+   */
+  def decodeStub(r: MmRecord): MmMeta = {
+    val size = r.payload.length.toLong
+    r.fmt match {
+      case "wav" => MmMeta(r.doc_id, r.fmt, size, 0L, 0L, size * 1000L / 16L)
+      case _     => MmMeta(r.doc_id, r.fmt, size, size % 640L, (r.doc_id * 7L) % 480L, 0L)
+    }
+  }
+
+  /** Partition-parallel decode: binary in, typed metadata out. The decode
+    * runs inside the executors via mapPartitions (the Scala analog of a
+    * Pandas-UDF `mapInPandas` batch decode); no data visits the driver. */
+  def extractMeta(records: Dataset[MmRecord]): Dataset[MmMeta] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Build the media table from the documents corpus: payload = utf-8 bytes
+    * of the text (a deterministic opaque blob), format assigned round-robin. */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MmRecord] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id"),
+        element_at(array(lit("jpg"), lit("png"), lit("wav")),
+          (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MmRecord]
+  }
+}

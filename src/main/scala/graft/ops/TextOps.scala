@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis building blocks for LLM-data pipelines: tokenization,
+ * shingling, and the deterministic hash family shared by the dedup
+ * operators. Everything is a Catalyst column expression (codegen'd,
+ * no UDFs) and has an exact SQL twin runnable in DuckDB — see
+ * PipelineQueries for the paired oracles.
+ */
+object TextOps {
+
+  /** Single-space tokenization (corpus is single-spaced lowercase). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /**
+   * Distinct word n-gram shingles; documents shorter than n collapse to one
+   * whole-text shingle (so every doc has ≥1 shingle and tiny docs can still
+   * be near-dup candidates).
+   */
+  def shingles(toks: Column, n: Int = 5): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+
+  /**
+   * Deterministic 60-bit hash family over strings: member `i` is the first
+   * 15 hex digits of md5("i:" + s) read base-16. Identical in DuckDB as
+   * `CAST(('0x'||substr(md5(i||':'||s),1,15)) AS BIGINT)` — md5 is the one
+   * hash both engines compute bit-identically. 15 hex digits keep the value
+   * positive in a signed 64-bit long.
+   */
+  def hashMember(i: Int, s: Column): Column =
+    conv(substr(md5(concat(lit(s"$i:"), s)), lit(1), lit(15)), 16, 10).cast("long")
+
+  /** 60-bit token hash (no family index) for simhash. */
+  def tokenHash(s: Column): Column =
+    conv(substr(md5(s), lit(1), lit(15)), 16, 10).cast("long")
+
+  /** Canonical content fingerprint: md5 of the sorted distinct token set.
+    * Word order and repetition are erased; exact-content clusters share it. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+}

@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/**
+ * LLM-data-pipeline query surface (SURVEY.md §2 #29–40): dedup families,
+ * similarity search, text analysis, multimodal plumbing — over the
+ * `documents` and `embeddings` tables.
+ *
+ * The test corpus has no natural duplicates, so dedup queries run over a
+ * deterministic augmented corpus: exact copies of every 10th doc and
+ * near copies (3 appended tokens) of every 7th — replicated identically in
+ * the DuckDB oracle CTE, so the operators provably find exactly the planted
+ * structure.
+ */
+object PipelineQueries {
+
+  /** documents + planted exact/near duplicates. */
+  private def docCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+    docs
+      .unionByName(docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" near dup tail")).as("text")))
+  }
+
+  /** embeddings + planted exact copies of every 10th vector. */
+  private def embCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = Tables(s, d, "embeddings")
+    e.unionByName(e.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label")))
+  }
+
+  private def annQueries(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings").where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              col("label").as("qlabel"))
+
+  private val stopwords = Seq("the", "a", "and", "of", "to")
+
+  private def hits(toks: Column, lex: Seq[String]): Column =
+    size(filter(toks, t => t.isin(lex: _*))).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dedup_exact" -> { (s, d) => Dedup.exactClusters(docCorpus(s, d)) },
+
+    "dedup_ngram_jaccard" -> { (s, d) => Dedup.jaccardPairs(docCorpus(s, d), 0.6) },
+
+    "dedup_minhash" -> { (s, d) => Dedup.minhashCandidates(docCorpus(s, d)) },
+
+    "dedup_simhash" -> { (s, d) => Dedup.simhashPairs(docCorpus(s, d)) },
+
+    "dedup_embedding" -> { (s, d) => Dedup.embeddingPairs(embCorpus(s, d), 0.95) },
+
+    "ann_topk" -> { (s, d) =>
+      Similarity.bruteTopK(Tables(s, d, "embeddings"),
+        annQueries(s, d).drop("qlabel"), 5)
+    },
+
+    "ann_ivf" -> { (s, d) =>
+      Similarity.ivfTopK(Tables(s, d, "embeddings"), annQueries(s, d), 5)
+    },
+
+    "text_stats" -> { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+          .cast("long").as("n_alpha"),
+        (aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+          .cast("double") / size(toks)).as("avg_word_len"))
+    },
+
+    "text_quality" -> { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      val nTokens = size(toks).cast("long")
+      val stopHits = hits(toks, stopwords)
+      val ratio = stopHits.cast("double") / nTokens
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        stopHits.as("stop_hits"),
+        ratio.as("stop_ratio"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+          .cast("long").as("clean_chars"),
+        when(nTokens >= 20 && ratio <= 0.3, "good")
+          .when(nTokens >= 8, "fair")
+          .otherwise("poor").as("quality"))
+    },
+
+    "text_langid" -> { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      val en = hits(toks, Seq("the", "a", "and"))
+      val es = hits(toks, Seq("el", "la", "y"))
+      val fr = hits(toks, Seq("le", "les", "et"))
+      val de = hits(toks, Seq("der", "die", "und"))
+      Tables(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        en.as("en_hits"), es.as("es_hits"), fr.as("fr_hits"), de.as("de_hits"),
+        when(en > 0 && en >= greatest(es, fr, de), "en")
+          .when(es > 0 && es >= greatest(fr, de), "es")
+          .when(fr > 0 && fr >= de, "fr")
+          .when(de > 0, "de")
+          .otherwise("und").as("lang_pred"))
+    },
+
+    "text_fingerprint" -> { (s, d) =>
+      val byFp = Window.partitionBy(col("fp"))
+      docCorpus(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .withColumn("cluster_id", min(col("doc_id")).over(byFp))
+        .withColumn("cluster_size", count(lit(1)).over(byFp))
+    },
+
+    "mm_binary_meta" -> { (s, d) =>
+      Multimodal.extractMeta(
+        Multimodal.mediaFromDocuments(s, Tables(s, d, "documents"))).toDF()
+    },
+
+    "stream_events_window" -> { (s, d) =>
+      graft.streaming.EventStream.runBatchParity(s, d)
+    }
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000 AS doc_id, text
+      |    FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' near dup tail' AS text
+      |    FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  private val shingleCtes =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS toks FROM corpus),
+      |sh0 AS (SELECT doc_id,
+      |  CASE WHEN len(toks) < 5 THEN [array_to_string(toks,' ')]
+      |       ELSE list_distinct(list_transform(range(1, len(toks)-3),
+      |              i -> array_to_string(toks[i:i+4],' ')))
+      |  END AS shingles FROM toks),
+      |sh AS (SELECT doc_id, unnest(shingles) AS sh FROM sh0)""".stripMargin
+
+  private def duckHash(i: Int): String =
+    s"MIN(CAST(('0x'||substr(md5('$i:'||sh),1,15)) AS BIGINT)) AS mh$i"
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH $corpusCte
+         |SELECT md5(text) AS h, COUNT(*) AS sz, MIN(doc_id) AS keeper
+         |FROM corpus GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $corpusCte,
+         |$shingleCtes,
+         |szs AS (SELECT doc_id, len(shingles) AS n FROM sh0),
+         |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT p.a, p.b, p.inter, na.n AS na, nb.n AS nb,
+         |       p.inter / (na.n + nb.n - p.inter) AS jac
+         |FROM pairs p
+         |JOIN szs na ON p.a = na.doc_id
+         |JOIN szs nb ON p.b = nb.doc_id
+         |WHERE p.inter / (na.n + nb.n - p.inter) >= 0.6""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $corpusCte,
+         |$shingleCtes,
+         |mh AS (SELECT doc_id, ${(0 until 8).map(duckHash).mkString(", ")}
+         |       FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR)||'_'||CAST(mh1 AS VARCHAR) AS bucket FROM mh
+         |  UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR)||'_'||CAST(mh3 AS VARCHAR) FROM mh
+         |  UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR)||'_'||CAST(mh5 AS VARCHAR) FROM mh
+         |  UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR)||'_'||CAST(mh7 AS VARCHAR) FROM mh)
+         |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+
+    // The dot is a fixed-order left fold in double: list_reduce folds the
+    // element products in the same order Spark's `aggregate` does, so the
+    // IEEE result is bit-identical (see graft.ops.Similarity).
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |dots AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(q.qe) + 1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dot
+        |  FROM q, embeddings e),
+        |rk AS (SELECT qid, vec_id, dot,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+        |       FROM dots)
+        |SELECT qid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS len_chars,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct,
+        |  len(regexp_extract_all(text,'[a-z]+')) AS n_alpha,
+        |  CAST(list_sum(list_transform(string_split(text,' '), t -> length(t))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS avg_word_len
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_filter(string_split(text,' '),
+        |      t -> t IN ('the','a','and','of','to'))) AS stop_hits,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |      t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stop_ratio,
+        |  length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS clean_chars,
+        |  CASE
+        |    WHEN len(string_split(text,' ')) >= 20
+        |     AND CAST(len(list_filter(string_split(text,' '),
+        |           t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+        |         / len(string_split(text,' ')) <= 0.3 THEN 'good'
+        |    WHEN len(string_split(text,' ')) >= 8 THEN 'fair'
+        |    ELSE 'poor' END AS quality
+        |FROM documents""".stripMargin,
+
+    "text_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','and'))) AS en_hits,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('el','la','y'))) AS es_hits,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('le','les','et'))) AS fr_hits,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','und'))) AS de_hits
+        |  FROM documents)
+        |SELECT doc_id, lang, en_hits, es_hits, fr_hits, de_hits,
+        |  CASE
+        |    WHEN en_hits > 0 AND en_hits >= greatest(es_hits, fr_hits, de_hits) THEN 'en'
+        |    WHEN es_hits > 0 AND es_hits >= greatest(fr_hits, de_hits) THEN 'es'
+        |    WHEN fr_hits > 0 AND fr_hits >= de_hits THEN 'fr'
+        |    WHEN de_hits > 0 THEN 'de'
+        |    ELSE 'und' END AS lang_pred
+        |FROM h""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH $corpusCte,
+         |fp AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
+         |  FROM corpus)
+         |SELECT doc_id, fp,
+         |  MIN(doc_id) OVER (PARTITION BY fp) AS cluster_id,
+         |  COUNT(*) OVER (PARTITION BY fp) AS cluster_size
+         |FROM fp""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
+        |  octet_length(encode(text)) AS size_bytes,
+        |  CASE WHEN doc_id % 3 = 2 THEN 0 ELSE octet_length(encode(text)) % 640 END AS width,
+        |  CASE WHEN doc_id % 3 = 2 THEN 0 ELSE (doc_id * 7) % 480 END AS height,
+        |  CASE WHEN doc_id % 3 = 2 THEN (octet_length(encode(text)) * 1000) // 16 ELSE 0 END AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "stream_events_window" ->
+      """SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS window_start_ns,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

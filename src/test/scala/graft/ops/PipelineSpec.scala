@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.PipelineQueries
+
+/** Semantic oracles for the rows-only pipeline operators (SURVEY.md §2:
+  * dedup_simhash, dedup_embedding, ann_ivf have no SQL twin) plus
+  * stream/batch parity for the windowed event aggregation. */
+class PipelineSpec extends SparkSpec {
+
+  private def run(name: String) = PipelineQueries.queries(name)(spark, sfDir)
+
+  test("dedup_simhash finds every planted exact copy at hamming 0") {
+    val pairs = run("dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // planted: doc_id % 10 == 0 cloned as doc_id + 100000 → identical text
+    // → identical simhash → hamming 0.
+    val docIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 10 == 0)
+    assert(docIds.nonEmpty)
+    docIds.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 100000 && p._3 == 0),
+        s"missing exact-copy pair for doc $id")
+    }
+    assert(pairs.forall(_._3 <= 3), "pair above hamming threshold")
+  }
+
+  test("dedup_embedding finds every planted vector copy at cosine ~1") {
+    val pairs = run("dedup_embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecIds = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).filter(_ % 10 == 0)
+    assert(vecIds.nonEmpty)
+    vecIds.foreach { id =>
+      val hit = pairs.find(p => p._1 == id && p._2 == id + 100000)
+      assert(hit.isDefined, s"missing copy pair for vec $id")
+      assert(math.abs(hit.get._3 - 1.0) < 1e-6, s"self-cosine not ~1: ${hit.get._3}")
+    }
+    assert(pairs.forall(_._3 >= 0.95))
+  }
+
+  test("ann_ivf probes only the query's bucket and ranks itself first") {
+    val rows = run("ann_ivf").collect()
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(rows.nonEmpty)
+    // every result row stays in the query's own bucket
+    rows.foreach { r =>
+      assert(r.getInt(r.fieldIndex("label")) == labels(r.getLong(r.fieldIndex("qid"))))
+    }
+    // rank 1 of each query is the query vector itself (unit self-dot = max)
+    labels.keys.foreach { qid =>
+      val top = rows.find(r => r.getLong(r.fieldIndex("qid")) == qid &&
+        r.getLong(r.fieldIndex("rnk")) == 1L).get
+      assert(top.getLong(top.fieldIndex("vec_id")) == qid)
+    }
+  }
+
+  test("ann_ivf results are consistent with brute-force within the bucket") {
+    import spark.implicits._
+    val brute = run("ann_topk").select("qid", "vec_id", "dot")
+      .as[(Long, Long, Double)].collect().toSet
+    val ivf = run("ann_ivf").select("qid", "vec_id", "dot")
+      .as[(Long, Long, Double)].collect()
+    // every IVF hit that brute-force also surfaced must carry the same dot
+    ivf.filter(t => brute.exists(b => b._1 == t._1 && b._2 == t._2))
+      .foreach(t => assert(brute.contains(t), s"dot mismatch for $t"))
+  }
+
+  test("streaming window agg equals the batch plan (stream/batch parity)") {
+    import spark.implicits._
+    val streamed = graft.streaming.EventStream.runBatchParity(spark, sfDir)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = graft.queries.OlapQueries.queries("q_events_window")(spark, sfDir)
+      .select(col("window_start_ns"), col("event_type"), col("n"), col("sum_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+}
