@@ -132,6 +132,12 @@ object LineageTable {
   private[core] val VER = "_ver"
   private[core] val DEL = "_del"
 
+  /** Re-attach a persisted lineage (already carries _ver/_del) — used by
+    * [[Catalog]] when reopening a warehouse table. */
+  private[core] def fromPersisted(keyCol: String, dataCols: Seq[String],
+                                  lineage: DataFrame): LineageTable =
+    new LineageTable(keyCol, dataCols, lineage)
+
   /** Bootstrap a lineage table from plain rows (all base, version 0). */
   def fromBase(keyCol: String, rows: DataFrame): LineageTable = {
     val dataCols = rows.columns.toSeq
