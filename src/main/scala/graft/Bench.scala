@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main: one JSON line with steady-state seconds per query.
+ *
+ * Each query runs twice with a FRESH DataFrame each time (a new logical
+ * plan re-executes every shuffle — no stage reuse), and the second time is
+ * reported: the first run absorbs JIT + codegen compilation, which
+ * otherwise dominates small-SF timings and varies 5–20× with JVM state.
+ * Queries run in sorted name order so numbers are comparable across rounds.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,17 +21,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // toRdd.count() materializes every column of every result row —
+    // count() alone would let Catalyst prune the query down to a row count.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // toRdd.count() materializes every column of every result row —
-      // count() alone would let Catalyst prune the query down to a row count.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn(spark, sfDir).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t = try { once(fn); once(fn) } catch { case _: Throwable => -1.0 }
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -20,11 +20,18 @@ object TextOps {
    * whole-text shingle (so every doc has ≥1 shingle and tiny docs can still
    * be near-dup candidates).
    */
-  def shingles(toks: Column, n: Int = 5): Column =
+  def shingles(toks: Column, n: Int = 5): Column = {
+    // Built from n shifted slices zipped elementwise — O(tokens) per doc.
+    // (The obvious transform(sequence(1, L-n+1), i => slice(toks, i, n))
+    // re-slices per position: O(tokens²) per doc in the interpreted HOF
+    // path, which dominated the whole dedup pipeline on long docs.)
+    val m = size(toks) - (n - 1) // shingle count
+    val shifted = (0 until n).map(o => slice(toks, lit(o + 1), m))
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
+        arrays_zip(shifted: _*),
+        s => concat_ws(" ", (0 until n).map(o => s.getField(o.toString)): _*))))
+  }
 
   /**
    * Deterministic 60-bit hash family over strings: member `i` is the first
