@@ -18,6 +18,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 41 queries x ~10 codegen stages blow through the default 100-entry
+      // generated-class cache, forcing recompilation of warm queries.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // even with the UI off, the SQL status listener retains plan graphs
+      // for up to 1000 executions; the deep lineage plans are MBs each and
+      // the async listener backlog degrades late-running queries ~10x.
+      .config("spark.sql.ui.retainedExecutions", "5")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -41,9 +41,12 @@ object Dedup {
    */
   def jaccardPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val sh = docShingles(corpus)
-    val sizes = corpus.select(col("doc_id"),
-      size(shingles(tokens(col("text")))).cast("long").as("n"))
-    sh.as("a").join(sh.as("b"),
+    // set sizes come from the exploded shingle rows (distinct already), so
+    // the shingle expression is NOT re-evaluated per consumer; and the
+    // merge hint forces identical shuffle subplans on both self-join sides,
+    // which ReuseExchange computes once.
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.hint("merge").as("a").join(sh.hint("merge").as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
