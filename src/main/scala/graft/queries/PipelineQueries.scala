@@ -129,6 +129,13 @@ object PipelineQueries {
 
     "stream_events_window" -> { (s, d) =>
       graft.streaming.EventStream.runBatchParity(s, d)
+    },
+
+    // Batch twin of the flatMapGroupsWithState sessionizer (streaming
+    // parity is SessionizeSpec); gap-based sessions are the canonical
+    // "state the built-in windows can't express" workload.
+    "q_sessionize" -> { (s, d) =>
+      graft.streaming.Sessionize.sessionsBatch(s, d, microsPrecision = true).toDF()
     }
   )
 
@@ -274,6 +281,17 @@ object PipelineQueries {
       """SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS window_start_ns,
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),
+        |f AS (SELECT user_id, ts,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |       > 1800000000000 THEN 1 ELSE 0 END AS _new FROM e),
+        |s AS (SELECT user_id, ts,
+        |  SUM(_new) OVER (PARTITION BY user_id ORDER BY ts) AS _sid FROM f)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, _sid""".stripMargin
   )
 }
