@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
  * get_table, page persistence) re-expressed as a parquet warehouse:
  *
  *   warehouse/
- *     <table>/_graft.json       key column + data columns + schema
+ *     <table>/_graft.json       key column, data columns, index, op_seq
  *     <table>/base/             compacted base records (parquet)
  *     <table>/tail/             appended lineage since last compaction
  *
@@ -21,15 +21,26 @@ import org.apache.spark.sql.functions._
  * reference's bufferpool (pin/unpin/dirty/evict) maps onto Spark's block
  * manager — `LineageTable.persisted` pins, eviction is automatic.
  *
+ * Commit durability is DELTA-native: each [[LineageTable]] op constructs
+ * exactly its appended rows and the table accumulates them in `delta`, so
+ * `commit` writes that delta and nothing else — the reference's tail-page
+ * append. (No diff of full lineages: an r1 `exceptAll` cost a two-sided
+ * shuffle of the whole table per commit.)
+ *
+ * Index lifecycle (reference: lstore/index.py:59,66 create_index/
+ * drop_index): an "index" here is a physical re-layout of the base —
+ * range-partitioned and sorted by the indexed column, recorded in
+ * `_graft.json` — so parquet file- and row-group-level min-max pruning
+ * serves secondary-column probes the way the reference's per-column hash
+ * index serves `locate`. Distributed, no side structure to maintain;
+ * compaction preserves the layout.
+ *
  * Concurrency model (replaces record-level 2PL, lstore/table.py:57):
  * single writer per table, atomic adopt-on-commit — a [[Txn]] builds the
- * next table state functionally and `save` makes it durable; readers always
- * see a consistent snapshot because parquet files are immutable.
- *
- * At 100 TB: base is written sorted by key (`sortWithinPartitions`) so
- * min-max row-group pruning serves point/range probes (the distributed
- * analog of the reference's per-column hash index); tail stays small
- * relative to base between compactions, so snapshot cost ≈ base scan cost.
+ * next table state functionally and `commit` makes it durable; readers
+ * always see a consistent snapshot because parquet files are immutable.
+ * Cross-TABLE parallelism is free under this discipline: [[Txn.runBatches]]
+ * drives independent tables' batches concurrently.
  */
 final class Catalog(spark: SparkSession, warehouse: String) {
 
@@ -63,7 +74,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     require(!Files.exists(metaPath(name)), s"table $name already exists")
     val t = LineageTable.fromBase(keyCol, rows)
     Files.createDirectories(Paths.get(dir(name)))
-    writeMeta(name, keyCol, rows.columns.toSeq)
+    writeMeta(name, Meta(keyCol, rows.columns.toSeq, index = None, opSeq = 0))
     t.lineage.write.mode(SaveMode.Overwrite)
       .parquet(s"${dir(name)}/base")
     getTable(name)
@@ -72,14 +83,29 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   /** Load a table (reference: Database.get_table). Reading base ∪ tail
     * reconstructs exactly the state last saved. */
   def getTable(name: String): LineageTable = {
-    val (keyCol, dataCols) = readMeta(name)
-    val base = spark.read.parquet(s"${dir(name)}/base")
+    val meta = readMeta(name)
+    val base = spark.read.parquet(baseDir(name).toString)
     val tailDir = Paths.get(dir(name), "tail")
+    val hasTail = Files.isDirectory(tailDir) && hasParquet(tailDir)
     val lineage =
-      if (Files.isDirectory(tailDir) && hasParquet(tailDir))
-        base.unionByName(spark.read.parquet(tailDir.toString))
+      if (hasTail) base.unionByName(spark.read.parquet(tailDir.toString))
       else base
-    LineageTable.fromPersisted(keyCol, dataCols, lineage)
+    // With no tail, every record has exactly one version: snapshot ≡ base
+    // scan (no window/shuffle) — the property that makes an indexed layout
+    // answer secondary probes by pruning alone.
+    LineageTable.fromPersisted(meta.key, meta.columns, lineage, meta.opSeq,
+      tailEmpty = !hasTail)
+  }
+
+  /** Recover-aware base dir: if a crash interrupted [[saveCompacted]]
+    * between retiring the old base and adopting the staged one, the data
+    * is intact under base_old — fall back to it. */
+  private def baseDir(name: String): java.nio.file.Path = {
+    val base = Paths.get(dir(name), "base")
+    val old = Paths.get(dir(name), "base_old")
+    if (Files.isDirectory(base)) base
+    else if (Files.isDirectory(old)) old
+    else { require(Files.exists(metaPath(name)), s"no such table: $name"); base }
   }
 
   /** Append new lineage rows to the table's tail (reference: tail-page
@@ -87,60 +113,122 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   def appendTail(name: String, newRows: org.apache.spark.sql.DataFrame): Unit =
     newRows.write.mode(SaveMode.Append).parquet(s"${dir(name)}/tail")
 
-  /** Apply a [[Txn]] to the stored table and make it durable: the new
-    * lineage rows (and only those) are appended to the tail. All-or-
-    * nothing — a failing op aborts before anything is written. */
+  /** Apply a [[Txn]] to the stored table and make it durable: the rows the
+    * ops appended — and ONLY those — are written to the tail (the delta
+    * accumulated by the ops themselves; nothing is recomputed by diffing).
+    * All-or-nothing — a failing op aborts before anything is written. */
   def commit(name: String, txn: Txn): LineageTable = {
     val before = getTable(name)
     val after = txn.commit(before)
-    appendTail(name, after.lineage.exceptAll(before.lineage))
+    after.delta.foreach(appendTail(name, _))
+    writeMeta(name, readMeta(name).copy(opSeq = after.opSeq))
     getTable(name)
   }
 
   /** Persist a full table state: compacted base, empty tail (reference:
-    * Table.__merge + Database.close persistence in one step). */
+    * Table.__merge + Database.close persistence in one step). The base is
+    * range-partitioned + sorted by the indexed column (or the key), so
+    * min-max pruning serves probes on that column. The swap is
+    * crash-tolerant: base retires to base_old before the staged base is
+    * adopted, and [[getTable]] falls back to base_old if a crash lands
+    * between the two renames. */
   def saveCompacted(name: String, t: LineageTable): Unit = {
+    val meta = readMeta(name)
+    val layoutCol = meta.index.getOrElse(t.keyCol)
     val staged = s"${dir(name)}/base_staged"
     t.compact.lineage
-      .repartition(col(t.keyCol))
-      .sortWithinPartitions(col(t.keyCol))
+      .repartitionByRange(col(layoutCol))
+      .sortWithinPartitions(col(layoutCol))
       .write.mode(SaveMode.Overwrite).parquet(staged)
-    // swap: staged base replaces base, tail truncates — readers of the old
-    // files are unaffected (immutable parquet), new readers see the merge.
-    val baseDir = Paths.get(dir(name), "base")
-    deleteRecursively(baseDir)
-    Files.move(Paths.get(staged), baseDir)
+    val base = Paths.get(dir(name), "base")
+    val old = Paths.get(dir(name), "base_old")
+    deleteRecursively(old)
+    Files.move(base, old)                   // retire (data still readable)
+    Files.move(Paths.get(staged), base)     // adopt
+    deleteRecursively(old)
     deleteRecursively(Paths.get(dir(name), "tail"))
+    writeMeta(name, meta.copy(opSeq = 0))
   }
+
+  /**
+   * Build a physical index on `column` (reference: Index.create_index,
+   * lstore/index.py:59): re-layout the base range-partitioned + sorted by
+   * that column and record it in the metadata, so secondary probes prune
+   * at file/row-group level instead of scanning the snapshot.
+   */
+  def createIndex(name: String, column: String): LineageTable = {
+    val t = getTable(name)
+    require(t.dataCols.contains(column), s"no such column: $column")
+    writeMeta(name, readMeta(name).copy(index = Some(column)))
+    saveCompacted(name, t)
+    getTable(name)
+  }
+
+  /** Drop the index (reference: Index.drop_index, lstore/index.py:66):
+    * forget the metadata and restore the default key layout. */
+  def dropIndex(name: String): LineageTable = {
+    writeMeta(name, readMeta(name).copy(index = None))
+    saveCompacted(name, getTable(name))
+    getTable(name)
+  }
+
+  /** The indexed column, if an index exists (reference: Index surface). */
+  def indexOf(name: String): Option[String] = readMeta(name).index
 
   /** Drop a table and its files (reference: Database.drop_table). */
   def dropTable(name: String): Unit = deleteRecursively(Paths.get(dir(name)))
 
-  /** Catalog inventory: name, live-row count, column count. */
+  /** Catalog inventory: name, live-row count, column count. Empty
+    * warehouse → empty result (not an error). */
   def inventory(): org.apache.spark.sql.DataFrame =
     tableNames.map { n =>
       val t = getTable(n)
       t.snapshot.agg(count(lit(1)).as("n_rows"))
         .select(lit(n).as("tbl"), col("n_rows"),
           lit(t.dataCols.length).as("n_cols"))
-    }.reduce(_ unionByName _)
+    }.reduceOption(_ unionByName _)
+      .getOrElse(spark.range(0)
+        .select(lit("").as("tbl"), lit(0L).as("n_rows"), lit(0).as("n_cols")))
 
-  private def writeMeta(name: String, keyCol: String, cols: Seq[String]): Unit = {
-    val json =
-      s"""{"key": "$keyCol", "columns": [${cols.map("\"" + _ + "\"").mkString(", ")}]}"""
+  // ------------------------------------------------------------- metadata
+
+  private case class Meta(key: String, columns: Seq[String],
+                          index: Option[String], opSeq: Int)
+
+  // Metadata names are restricted to identifier characters at write time,
+  // so the flat JSON below round-trips through the regex reader with no
+  // escaping ambiguity (a quote/backslash/']' in a name would otherwise
+  // silently corrupt it).
+  private val ident = "^[A-Za-z0-9_]+$".r
+
+  private def checked(s: String): String = {
+    require(ident.matches(s), s"identifier must be [A-Za-z0-9_]+: '$s'")
+    s
+  }
+
+  private def writeMeta(name: String, m: Meta): Unit = {
+    val cols = m.columns.map(c => "\"" + checked(c) + "\"").mkString(", ")
+    val idx = m.index.map(i => "\"" + checked(i) + "\"").getOrElse("null")
+    val json = s"""{"key": "${checked(m.key)}", "columns": [$cols], """ +
+      s""""index": $idx, "op_seq": ${m.opSeq}}"""
     Files.writeString(metaPath(name), json)
   }
 
-  private def readMeta(name: String): (String, Seq[String]) = {
+  private def readMeta(name: String): Meta = {
     require(Files.exists(metaPath(name)), s"no such table: $name")
     val json = Files.readString(metaPath(name))
-    // metadata is written by writeMeta above — a flat two-field object.
+    // metadata is written by writeMeta above — a flat object of checked
+    // identifiers and an int; regexes are unambiguous here.
     val key = "\"key\"\\s*:\\s*\"([^\"]+)\"".r
       .findFirstMatchIn(json).get.group(1)
     val cols = "\"columns\"\\s*:\\s*\\[([^\\]]*)\\]".r
       .findFirstMatchIn(json).get.group(1)
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-    (key, cols)
+    val idx = "\"index\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(json).map(_.group(1))
+    val seq = "\"op_seq\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
+    Meta(key, cols, idx, seq)
   }
 
   private def hasParquet(p: java.nio.file.Path): Boolean = {

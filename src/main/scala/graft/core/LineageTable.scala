@@ -35,7 +35,28 @@ import org.apache.spark.sql.functions._
 final class LineageTable private (
     val keyCol: String,
     val dataCols: Seq[String],
-    val lineage: DataFrame) {
+    val lineage: DataFrame,
+    /** Number of write ops applied since base/compaction. Every op stamps
+      * `_ver = opSeq + 1` — a TABLE-level monotonic version, so any later
+      * op's rows shadow any earlier op's rows for the same key. In
+      * particular an insert after a delete becomes visible again (the
+      * reference removes deleted RIDs from the page directory so re-insert
+      * reads back live — same observable behavior), and re-inserting a live
+      * key is a deterministic upsert. Within ONE op each key must appear at
+      * most once (the reference's primary index rejects duplicate-key
+      * inserts); predicate-driven ops satisfy this by construction. */
+    private[core] val opSeq: Int,
+    /** Rows appended by ops since this table was loaded (None = none):
+      * exactly what a durable commit must write. [[Catalog.commit]] appends
+      * this delta — never a diff of full lineages. */
+    private[core] val delta: Option[DataFrame],
+    /** True when every record provably has exactly one (live) version — a
+      * fresh base or a compacted table with an empty tail and no ops since.
+      * Then snapshot ≡ the lineage itself: no window, no key shuffle — a
+      * probe is a pure pushed-down parquet scan, which is what makes
+      * [[Catalog.createIndex]]'s sorted layout a real index (min-max
+      * pruning with zero reconstruction overhead). Any write op clears it. */
+    private val compactedOnly: Boolean) {
 
   import LineageTable.{DEL, VER}
 
@@ -44,6 +65,10 @@ final class LineageTable private (
 
   private def asOfMeta(relativeVersion: Int): DataFrame = {
     require(relativeVersion <= 0, s"relative version must be <= 0, got $relativeVersion")
+    // Single-version fast path: version addressing clamps at base, so every
+    // relative version IS the lineage. The _del filter is kept (pushed to
+    // the scan, free) as a guard; compacted bases hold live rows only.
+    if (compactedOnly) return lineage.where(col(DEL) === 0)
     val byKey = Window.partitionBy(col(keyCol))
     val ranked = lineage
       .withColumn("_rn", row_number().over(byKey.orderBy(col(VER).desc)))
@@ -64,13 +89,15 @@ final class LineageTable private (
   def asOfRelative(relativeVersion: Int): DataFrame =
     asOfMeta(relativeVersion).select(dataCols.map(col): _*)
 
-  /** Append new base records (reference: Query.insert, lstore/query.py:57). */
+  /** Append new records (reference: Query.insert, lstore/query.py:57).
+    * Stamped with the next table version — NOT 0 — so inserting a key that
+    * was previously deleted resurrects it (see opSeq doc above). */
   def insert(rows: DataFrame): LineageTable = {
     val stamped = rows
       .select(dataCols.map(col): _*)
-      .withColumn(VER, lit(0))
+      .withColumn(VER, lit(opSeq + 1))
       .withColumn(DEL, lit(0))
-    withLineage(lineage.unionByName(stamped))
+    withAppend(stamped.select(lineage.columns.map(col): _*))
   }
 
   /**
@@ -82,17 +109,17 @@ final class LineageTable private (
   def update(predicate: Column, set: Map[String, Column]): LineageTable = {
     val current = snapshotMeta.where(predicate)
     val updated = set.foldLeft(current) { case (df, (c, e)) => df.withColumn(c, e) }
-      .withColumn(VER, col(VER) + 1)
+      .withColumn(VER, lit(opSeq + 1))
       .withColumn(DEL, lit(0))
-    withLineage(lineage.unionByName(updated.select(lineage.columns.map(col): _*)))
+    withAppend(updated.select(lineage.columns.map(col): _*))
   }
 
   /** Tombstone matching records (reference: Query.delete, lstore/query.py:27). */
   def delete(predicate: Column): LineageTable = {
     val tomb = snapshotMeta.where(predicate)
-      .withColumn(VER, col(VER) + 1)
+      .withColumn(VER, lit(opSeq + 1))
       .withColumn(DEL, lit(1))
-    withLineage(lineage.unionByName(tomb.select(lineage.columns.map(col): _*)))
+    withAppend(tomb.select(lineage.columns.map(col): _*))
   }
 
   /** Increment one column of matching records (reference: Query.increment). */
@@ -105,7 +132,9 @@ final class LineageTable private (
    * result (and truncating the tail) is [[Catalog.compact]].
    */
   def compact: LineageTable =
-    withLineage(snapshotMeta.withColumn(VER, lit(0)).withColumn(DEL, lit(0)))
+    new LineageTable(keyCol, dataCols,
+      snapshotMeta.withColumn(VER, lit(0)).withColumn(DEL, lit(0)),
+      opSeq = 0, delta = None, compactedOnly = true)
 
   /** Key-range scan of the current snapshot (reference aggregates iterate
     * keys in [start, end]; here it is a pushed-down range predicate). */
@@ -124,8 +153,10 @@ final class LineageTable private (
     this
   }
 
-  private def withLineage(df: DataFrame): LineageTable =
-    new LineageTable(keyCol, dataCols, df)
+  /** Chain an op: append its rows to the lineage AND to the pending delta. */
+  private def withAppend(rows: DataFrame): LineageTable =
+    new LineageTable(keyCol, dataCols, lineage.unionByName(rows), opSeq + 1,
+      Some(delta.fold(rows)(_.unionByName(rows))), compactedOnly = false)
 }
 
 object LineageTable {
@@ -135,14 +166,17 @@ object LineageTable {
   /** Re-attach a persisted lineage (already carries _ver/_del) — used by
     * [[Catalog]] when reopening a warehouse table. */
   private[core] def fromPersisted(keyCol: String, dataCols: Seq[String],
-                                  lineage: DataFrame): LineageTable =
-    new LineageTable(keyCol, dataCols, lineage)
+                                  lineage: DataFrame, maxVer: Int,
+                                  tailEmpty: Boolean): LineageTable =
+    new LineageTable(keyCol, dataCols, lineage, maxVer, delta = None,
+      compactedOnly = tailEmpty)
 
   /** Bootstrap a lineage table from plain rows (all base, version 0). */
   def fromBase(keyCol: String, rows: DataFrame): LineageTable = {
     val dataCols = rows.columns.toSeq
     require(dataCols.contains(keyCol), s"key column $keyCol not in ${dataCols.mkString(",")}")
     new LineageTable(keyCol, dataCols,
-      rows.withColumn(VER, lit(0)).withColumn(DEL, lit(0)))
+      rows.withColumn(VER, lit(0)).withColumn(DEL, lit(0)), opSeq = 0,
+      delta = None, compactedOnly = true)
   }
 }

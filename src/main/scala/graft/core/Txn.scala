@@ -54,4 +54,27 @@ object Txn {
         case Left(_)     => (t, stats :+ false)
       }
     }
+
+  /**
+   * Parallel transaction workers (reference: lstore/transaction_worker.py —
+   * multiple TransactionWorkers run batches concurrently): each TABLE's
+   * batch runs on its own thread against the shared [[Catalog]], every
+   * transaction durably committed in batch order — concurrency across
+   * tables, single-writer discipline within one (the documented model that
+   * replaces the reference's record-level 2PL). Spark's scheduler accepts
+   * concurrent job submission from multiple driver threads, so the tables'
+   * write jobs genuinely overlap. Returns per-table commit flags.
+   */
+  def runBatches(catalog: Catalog,
+                 batches: Map[String, Seq[Txn]]): Map[String, Seq[Boolean]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = batches.toSeq.map { case (table, txns) =>
+      Future {
+        table -> txns.map(txn => Try(catalog.commit(table, txn)).isSuccess)
+      }
+    }
+    Await.result(Future.sequence(fs), Duration.Inf).toMap
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{LineageTable, Txn}
+import graft.core.{Catalog, LineageTable, Txn}
 import graft.functions.Exact
 
 /**
@@ -48,6 +48,31 @@ object CoreQueries {
     })
 
   private val fixtureCache =
+    scala.collection.concurrent.TrieMap.empty[String, LineageTable]
+
+  /**
+   * Warehouse-backed twin of [[ordersLineage]] exercising the full index
+   * lifecycle (reference: lstore/index.py:59,66): the same fixture lineage
+   * committed durably through the [[Catalog]] (delta-native tail append),
+   * then `createIndex("custkey")` re-lays the base out range-partitioned +
+   * sorted by the secondary column. Queries against it prune to the
+   * matching custkey files/row-groups instead of scanning the snapshot —
+   * the lever `ls_select_secondary` (deliberately index-less) lacks.
+   */
+  def indexedOrders(spark: SparkSession, sfDir: String): LineageTable =
+    indexedCache.getOrElseUpdate(sfDir, {
+      val wh = java.nio.file.Files.createTempDirectory("graft_idx_wh_").toString
+      val cat = new Catalog(spark, wh)
+      cat.createTable("orders_ls", "k", baseOrders(spark, sfDir))
+      cat.commit("orders_ls", Txn.empty
+        .update(col("k") % 3 === 0,
+          Map("totalprice" -> (col("totalprice") + lit(10.0)), "status" -> lit("U1")))
+        .update(col("k") % 9 === 0, Map("status" -> lit("U2")))
+        .delete(col("k") % 17 === 0))
+      cat.createIndex("orders_ls", "custkey")
+    })
+
+  private val indexedCache =
     scala.collection.concurrent.TrieMap.empty[String, LineageTable]
 
   private def baseOrders(spark: SparkSession, sfDir: String): DataFrame =
@@ -175,6 +200,15 @@ object CoreQueries {
       ordersLineage(s, d).snapshot
         .where(col("totalprice").between(50000.0, 60000.0) && col("k") <= 3000L)
         .select(col("k"), col("totalprice"))
+    },
+
+    "idx_secondary" -> { (s, d) =>
+      // Post-createIndex secondary range probe: same answer as a snapshot
+      // filter, but the scan prunes on custkey min-max stats (PlanAuditSpec
+      // pins the pushed filter + the indexed layout).
+      indexedOrders(s, d).snapshot
+        .where(col("custkey").between(100L, 120L))
+        .select(col("k"), col("custkey"), col("status"), col("totalprice"))
     },
 
     "txn_batch" -> { (s, d) =>
@@ -328,6 +362,11 @@ object CoreQueries {
       s"""$fixture
          |SELECT k, totalprice FROM snap
          |WHERE totalprice BETWEEN 50000.0 AND 60000.0 AND k <= 3000""".stripMargin,
+
+    "idx_secondary" ->
+      s"""$fixture
+         |SELECT k, custkey, status, totalprice FROM snap
+         |WHERE custkey BETWEEN 100 AND 120""".stripMargin,
 
     "txn_batch" ->
       s"""$fixture,

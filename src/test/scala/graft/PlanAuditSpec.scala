@@ -62,15 +62,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LessThanOrEqual(l_shipdate"), plan)
   }
 
-  test("snapshot window induces exactly one shuffle on the table key") {
+  test("snapshot: zero shuffles when compacted, exactly one with a tail") {
     val wh = Files.createTempDirectory("graft_audit2_").toString
     val cat = new Catalog(spark, wh)
     val rows = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
     cat.createTable("t", "k", rows)
-    val plan = executedPlan(cat.getTable("t").snapshot)
-    val shuffles = "Exchange hashpartitioning\\(k#".r.findAllIn(plan).size
-    assert(shuffles == 1, s"expected exactly 1 key shuffle, plan:\n$plan")
+    // no tail → snapshot ≡ base: a pure scan, no window, no shuffle
+    val p0 = executedPlan(cat.getTable("t").snapshot)
+    assert(!p0.contains("Exchange") && !p0.contains("Window"),
+      s"compacted snapshot should be a bare scan:\n$p0")
+    // with a tail → version reconstruction costs exactly one key shuffle
+    cat.commit("t", graft.core.Txn.empty
+      .update(col("k") % 2 === 0, Map("price" -> (col("price") + 1.0))))
+    val p1 = executedPlan(cat.getTable("t").snapshot)
+    val shuffles = "Exchange hashpartitioning\\(k#".r.findAllIn(p1).size
+    assert(shuffles == 1, s"expected exactly 1 key shuffle, plan:\n$p1")
+  }
+
+  test("idx_secondary probe pushes the indexed-column predicate to the scan") {
+    val q = SparkEntry.queries("idx_secondary")(spark, sfDir)
+    val plan = executedPlan(q)
+    // the index is a physical layout: the base is range-partitioned +
+    // sorted by custkey, so this pushed filter prunes files/row-groups
+    // instead of scanning the snapshot (distributed Index.locate_range).
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(custkey,100\\)".r
+      .findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("Exchange hashpartitioning(custkey"),
+      s"probe should not reshuffle on the indexed column:\n$plan")
+  }
+
+  test("jaccard blocking carries the hot-shingle df cap as an anti-join") {
+    // boilerplate shingles (df > cap) are removed by broadcast anti-join
+    // against the tiny hot set — the subplan that keeps one hot shingle
+    // from generating C(m,2) candidate pairs at corpus scale. Asserted on
+    // the optimized LOGICAL plan: at test SF the hot set is empty and AQE
+    // rightly elides the executed join (the cap costs nothing when idle).
+    val plan = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected df-cap anti-join:\n$plan")
   }
 
   test("dedup/minhash pipelines contain no cartesian products") {

@@ -44,6 +44,101 @@ class CatalogSpec extends SparkSpec {
     assert(reopened.lineage.count() === 5)
   }
 
+  test("commit writes the ops' own delta — never a diff of full lineages") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.createTable("t", "k", base)
+    val before = cat.getTable("t")
+    // insert-only: the delta is the literal new rows — its plan must not
+    // scan ANY parquet (r1 diffed whole lineages with exceptAll: a
+    // two-sided full-table shuffle per commit).
+    val ins = Txn.empty.insert(Seq((9L, 90L, "I")).toDF("k", "v", "s"))
+    val insDelta = ins.commit(before).delta.get
+    val insPlan = insDelta.queryExecution.optimizedPlan.toString
+    assert(!insPlan.contains("parquet") && !insPlan.contains("Except"),
+      s"insert delta should be scan-free:\n$insPlan")
+    // update: the delta must read the table (write-time coalesce) but
+    // never diff it — no Except anywhere.
+    val upd = Txn.empty.update(col("k") === 1L, Map("v" -> lit(5L)))
+    val updPlan = upd.commit(before).delta.get.queryExecution.optimizedPlan.toString
+    assert(!updPlan.contains("Except"), updPlan)
+    // and the durable path applies the delta correctly end-to-end
+    cat.commit("t", ins)
+    assert(cat.getTable("t").snapshot.count() === 4)
+  }
+
+  test("re-insert after durable delete is visible on reopen") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    cat.createTable("t", "k", base)
+    cat.commit("t", Txn.empty.delete(col("k") === 2L))
+    // op_seq persists across commits, so the later insert outranks the
+    // tombstone even though the commits are separate
+    cat.commit("t", Txn.empty.insert(Seq((2L, 200L, "R")).toDF("k", "v", "s")))
+    val snap = new Catalog(spark, wh).getTable("t")
+      .snapshot.where(col("k") === 2L).collect().map(_.toSeq)
+    assert(snap.toSet === Set(Seq(2L, 200L, "R")))
+  }
+
+  test("index lifecycle: create re-lays out by the column, drop restores") {
+    val (cat, _) = freshCatalog()
+    cat.createTable("t", "k", base)
+    val want = cat.getTable("t").snapshot.collect().map(_.toSeq).toSet
+    cat.createIndex("t", "v")
+    assert(cat.indexOf("t") === Some("v"))
+    assert(cat.getTable("t").snapshot.collect().map(_.toSeq).toSet === want)
+    cat.dropIndex("t")
+    assert(cat.indexOf("t") === None)
+    assert(cat.getTable("t").snapshot.collect().map(_.toSeq).toSet === want)
+    intercept[IllegalArgumentException](cat.createIndex("t", "nope"))
+  }
+
+  test("getTable survives a crash between saveCompacted's two renames") {
+    val (cat, wh) = freshCatalog()
+    cat.createTable("t", "k", base)
+    val want = cat.getTable("t").snapshot.collect().map(_.toSeq).toSet
+    // simulate the crash window: base retired to base_old, staged not yet
+    // adopted
+    val t = java.nio.file.Paths.get(wh, "t")
+    Files.move(t.resolve("base"), t.resolve("base_old"))
+    assert(new Catalog(spark, wh).getTable("t")
+      .snapshot.collect().map(_.toSeq).toSet === want)
+  }
+
+  test("parallel per-table batches commit concurrently with correct finals") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.createTable("ta", "k", base)
+    cat.createTable("tb", "k", base)
+    val flags = Txn.runBatches(cat, Map(
+      "ta" -> Seq(
+        Txn.empty.update(col("k") === 1L, Map("v" -> (col("v") + 1L))),
+        Txn.empty.insert(Seq((4L, 40L, "D")).toDF("k", "v", "s")),
+        Txn.empty.add(_ => throw new RuntimeException("abort me"))),
+      "tb" -> Seq(
+        Txn.empty.delete(col("k") === 3L),
+        Txn.empty.update(col("k") === 2L, Map("s" -> lit("Z"))))))
+    assert(flags("ta") === Seq(true, true, false))
+    assert(flags("tb") === Seq(true, true))
+    val ta = cat.getTable("ta").snapshot.collect().map(_.toSeq).toSet
+    assert(ta === Set(Seq(1L, 11L, "A"), Seq(2L, 20L, "B"), Seq(3L, 30L, "C"),
+      Seq(4L, 40L, "D")))
+    val tb = cat.getTable("tb").snapshot.collect().map(_.toSeq).toSet
+    assert(tb === Set(Seq(1L, 10L, "A"), Seq(2L, 20L, "Z")))
+  }
+
+  test("inventory of an empty warehouse is empty, not an error") {
+    val (cat, _) = freshCatalog()
+    assert(cat.inventory().count() === 0)
+  }
+
+  test("metadata rejects non-identifier column names instead of corrupting") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val evil = Seq((1L, "x")).toDF("k", "a\"b]c")
+    intercept[IllegalArgumentException](cat.createTable("t", "k", evil))
+  }
+
   test("saveCompacted folds tail into base and truncates it (merge)") {
     val (cat, wh) = freshCatalog()
     cat.createTable("t", "k", base)

@@ -54,6 +54,24 @@ class LineageTableSpec extends SparkSpec {
     assert(t.snapshot.count() === 4)
   }
 
+  test("insert after delete resurrects the key (reference drops deleted RIDs)") {
+    import spark.implicits._
+    val t = fixture
+      .delete(col("k") === 2L)
+      .insert(Seq((2L, 200L, "B2")).toDF("k", "v", "s"))
+    // the re-insert outranks the tombstone: table-level monotonic _ver
+    assert(rows(t.snapshot.where(col("k") === 2L)) === Set(Seq(2L, 200L, "B2")))
+    assert(t.snapshot.count() === 3)
+  }
+
+  test("re-inserting a live key is a deterministic upsert (latest op wins)") {
+    import spark.implicits._
+    val t = fixture
+      .insert(Seq((1L, 111L, "X")).toDF("k", "v", "s"))
+      .insert(Seq((1L, 222L, "Y")).toDF("k", "v", "s"))
+    assert(rows(t.snapshot.where(col("k") === 1L)) === Set(Seq(1L, 222L, "Y")))
+  }
+
   test("increment is a declarative +1 update version") {
     val t = fixture.increment(col("k") === 3L, "v")
     assert(rows(t.snapshot.where(col("k") === 3L)) === Set(Seq(3L, 31L, "C")))
