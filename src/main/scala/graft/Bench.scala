@@ -38,14 +38,21 @@ object Bench {
       fn(spark, sfDir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
+    // Per-query cold AND steady timings: a single n=1 sample in a noisy
+    // environment is uninterpretable round-over-round; the (cold, steady)
+    // pair separates JIT/codegen/page-cache warmup from the plan's real
+    // cost. "value" remains the steady total (comparable across rounds).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try { once(fn); once(fn) } catch { case _: Throwable => -1.0 }
-      name -> t
+      val (cold, steady) =
+        try { val c = once(fn); (c, once(fn)) }
+        catch { case _: Throwable => (-1.0, -1.0) }
+      name -> ((cold, steady))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, (c, s)) =>
+      s""""$k":{"cold":$c,"steady":$s}""" }.mkString("{", ",", "}")
+    val total = results.map(_._2._2).sum
+    val coldTotal = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,10 +38,15 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dot"
 
+  override def nullable: Boolean = true
+
+  // Length mismatch → NULL, matching the declarative twin exactly:
+  // zip_with null-pads the shorter side and the null poisons the fold.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -57,12 +62,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($xs.numElements(), $ys.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $xs.getFloat($i)) * ((double) $ys.getFloat($i));
+         |if ($xs.numElements() != $ys.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $xs.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $xs.getFloat($i)) * ((double) $ys.getFloat($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

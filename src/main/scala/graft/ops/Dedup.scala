@@ -129,7 +129,11 @@ object Dedup {
     val chunks = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("(simhash >> (15 * c)) & 32767"))
-    chunks.as("a").join(chunks.as("b"),
+    // merge hint (as in jaccardPairs): both self-join sides shuffle with
+    // IDENTICAL subplans, so ReuseExchange computes the signature pipeline
+    // once — without it AQE broadcasts one side and the whole scan→explode→
+    // 60-sum aggregation runs twice per execution.
+    chunks.hint("merge").as("a").join(chunks.hint("merge").as("b"),
         col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),

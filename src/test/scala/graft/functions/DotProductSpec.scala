@@ -33,6 +33,15 @@ class DotProductSpec extends SparkSpec {
     assert(withNull.select(DotProduct(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
+  test("length mismatch yields NULL, matching the zip_with twin") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f))).toDF("a", "b")
+    // both forms agree: zip_with null-pads and the null poisons the fold
+    val r = df.select(DotProduct(col("a"), col("b")).as("native"),
+                      Similarity.dotHof(col("a"), col("b")).as("hof")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("codegen dot participates in whole-stage codegen") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.limit(1).select(col("embedding").as("qe"))
