@@ -82,6 +82,20 @@ object CoreQueries {
       col("o_orderstatus").as("status"),
       col("o_totalprice").as("totalprice"))
 
+  /** Shared order_by body (reference: Query.order_by, lstore/query.py:341
+    * — parameterized ascending). Global sort is a range-partitioned
+    * exchange at scale; the rank column carries the order into the hash. */
+  private def orderBySnapshot(s: SparkSession, d: String,
+                              ascending: Boolean): DataFrame = {
+    val keys =
+      if (ascending) Seq(col("totalprice").asc, col("k").asc)
+      else Seq(col("totalprice").desc, col("k").asc)
+    val top = ordersLineage(s, d).snapshot.orderBy(keys: _*).limit(100)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(keys: _*)).cast("bigint"))
+      .select(col("rnk"), col("k"), col("totalprice"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -172,15 +186,11 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), min(col("k")).as("first_k"))
     },
 
-    "ls_order_by" -> { (s, d) =>
-      val top = ordersLineage(s, d).snapshot
-        .orderBy(col("totalprice").desc, col("k").asc)
-        .limit(100)
-      top.withColumn("rnk",
-          row_number().over(Window.orderBy(col("totalprice").desc, col("k").asc))
-            .cast("bigint"))
-        .select(col("rnk"), col("k"), col("totalprice"))
-    },
+    "ls_order_by" -> { (s, d) => orderBySnapshot(s, d, ascending = false) },
+
+    // reference Query.order_by(column_index, ascending=True) — the
+    // parameterized direction (query.py:344); same plan, flipped sort.
+    "ls_order_by_asc" -> { (s, d) => orderBySnapshot(s, d, ascending = true) },
 
     "ls_merge" -> { (s, d) =>
       // Compaction invariant: the merged base equals the live snapshot.
@@ -344,6 +354,13 @@ object CoreQueries {
       s"""$fixture
          |SELECT * FROM (
          |  SELECT CAST(row_number() OVER (ORDER BY totalprice DESC, k) AS BIGINT) AS rnk,
+         |         k, totalprice FROM snap)
+         |WHERE rnk <= 100""".stripMargin,
+
+    "ls_order_by_asc" ->
+      s"""$fixture
+         |SELECT * FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY totalprice ASC, k) AS BIGINT) AS rnk,
          |         k, totalprice FROM snap)
          |WHERE rnk <= 100""".stripMargin,
 

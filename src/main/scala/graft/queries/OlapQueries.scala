@@ -156,6 +156,36 @@ object OlapQueries {
                 col("o_date").as("matched_date"))
     },
 
+    // ROLLUP grouping sets: subtotal + grand-total rows in one pass —
+    // Spark expands the sets map-side, still a single shuffle.
+    "q_rollup" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_quantity").cast(Money)).cast(DecimalType(38, 2)).as("sum_qty"))
+    },
+
+    // Anti join: customers with no order in the window — broadcast the
+    // filtered orders keys if small, else shuffled hash anti join (no
+    // NOT-IN subquery materialization).
+    "q_anti_join" -> { (s, d) =>
+      val ord = Tables(s, d, "orders")
+        .where(col("o_orderdate") >= lit("2001-01-01"))
+      Tables(s, d, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    },
+
+    // Semi join: suppliers with at least one late-shipped lineitem; the
+    // probe side never duplicates (EXISTS semantics, one output per match).
+    "q_semi_join" -> { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+        .where(col("l_shipdate") > lit("1998-09-02"))
+      Tables(s, d, "supplier")
+        .join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_nationkey"))
+    },
+
     // Tumbling 1h windows over the event stream's batch view — the exact
     // plan Structured Streaming runs incrementally (see graft.streaming).
     // ts is nanos-since-epoch (long); window start = integer floor.
@@ -241,6 +271,26 @@ object OlapQueries {
         |SELECT event_id, user_id, event_date,
         |       o_orderkey AS matched_order, o_date AS matched_date
         |FROM j WHERE _rn = 1""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_nationkey FROM supplier
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey
+        |    AND l_shipdate > TIMESTAMP '1998-09-02')""".stripMargin,
 
     "q_events_window" ->
       """SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS window_start_ns,

@@ -131,6 +131,16 @@ object PipelineQueries {
       graft.streaming.EventStream.runBatchParity(s, d)
     },
 
+    // Streaming dedup: the SAME exactClusters operator as dedup_exact,
+    // maintained incrementally over a file stream — clusters update as new
+    // documents arrive (state = one row per distinct hash, the minimum
+    // possible). At-scale shape for continuous corpus ingestion.
+    "stream_dedup" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      StreamOps.drainComplete(s, Dedup.exactClusters(
+        StreamOps.fileSource(s, d, "documents").select(col("doc_id"), col("text"))))
+    },
+
     // Batch twin of the flatMapGroupsWithState sessionizer (streaming
     // parity is SessionizeSpec); gap-based sessions are the canonical
     // "state the built-in windows can't express" workload.
@@ -333,6 +343,11 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 3 = 2 THEN 0 ELSE (doc_id * 7) % 480 END AS height,
         |  CASE WHEN doc_id % 3 = 2 THEN (octet_length(encode(text)) * 1000) // 16 ELSE 0 END AS duration_ms
         |FROM documents""".stripMargin,
+
+    // raw documents (no planted corpus): the stream reads the file as-is
+    "stream_dedup" ->
+      """SELECT md5(text) AS h, COUNT(*) AS sz, MIN(doc_id) AS keeper
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "stream_events_window" ->
       """SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS window_start_ns,

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /**
@@ -14,8 +13,6 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
  * what changes, not the query.
  */
 object EventStream {
-
-  private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /**
    * Watermark + 1h tumbling window + exact-decimal aggregation. `ts` is
@@ -48,20 +45,8 @@ object EventStream {
    * and stops — the streaming analog of a bounded batch run.
    */
   def runBatchParity(spark: SparkSession, sfDir: String): DataFrame = {
-    // Stream the sf DIRECTORY with a glob filter for the events file: the
-    // FileStreamSource needs a directory basePath, and a directory watch is
-    // exactly the production shape (new files appear → new micro-batches).
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val source = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val source = StreamOps.fileSource(spark, sfDir, "events")
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-    val name = s"graft_stream_${sinkId.incrementAndGet()}"
-    val query = windowAgg(source)
-      .writeStream.format("memory").queryName(name).outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try query.awaitTermination() finally query.stop()
-    spark.table(name)
+    StreamOps.drainComplete(spark, windowAgg(source))
   }
 }

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Shared Structured-Streaming harness: a file source over one table of the
+ * sf directory, and a drain-to-table runner. The point of the engine's
+ * streaming surface is that the SAME operator plan runs batch or
+ * incremental — these helpers supply the incremental halves.
+ *
+ * Scale: the file source lists and reads parquet incrementally (a
+ * directory watch in production — new files become micro-batches); nothing
+ * is ever materialized on the driver. Trigger.AvailableNow drains what is
+ * currently visible, checkpoints, and stops — the streaming analog of a
+ * bounded batch run, and exactly how periodic incremental jobs deploy.
+ */
+object StreamOps {
+
+  private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Incremental source over `<sfDir>/<table>.parquet` (schema inferred
+    * from a batch peek — production would pass it explicitly). */
+  def fileSource(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet")
+      .parquet(sfDir)
+  }
+
+  /** Run a streaming aggregation to completion over the currently-visible
+    * input and return the result table (memory sink, complete mode). */
+  def drainComplete(spark: SparkSession, plan: DataFrame): DataFrame = {
+    val name = s"graft_stream_${sinkId.incrementAndGet()}"
+    val query = plan.writeStream
+      .format("memory").queryName(name).outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination() finally query.stop()
+    spark.table(name)
+  }
+}
