@@ -161,17 +161,12 @@ object Dedup {
   def embeddingPairs(corpus: DataFrame, threshold: Double, nBands: Int = 8,
                      bitsPerBand: Int = 16, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val rng = new scala.util.Random(seed)
-    val bandCols = (0 until nBands).map { j =>
-      val bucket = (0 until bitsPerBand).map { r =>
-        val plane = Array.fill(dim)(rng.nextGaussian().toFloat).toSeq
-        when(Similarity.dot(col("embedding"), typedLit(plane)) >= 0, lit(1L << r))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(j).as("band"), bucket.as("bucket"))
-    }
+    val planes = Array.fill(nBands * bitsPerBand)(
+      Array.fill(dim)(rng.nextGaussian().toFloat))
     val banded = corpus
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("vec_id"),
+        posexplode(graft.functions.HyperplaneBuckets(
+          col("embedding"), planes, nBands, bitsPerBand)).as(Seq("band", "bucket")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))

@@ -34,14 +34,19 @@ object TextOps {
   }
 
   /**
-   * Deterministic 60-bit hash family over strings: member `i` is the first
-   * 15 hex digits of md5("i:" + s) read base-16. Identical in DuckDB as
-   * `CAST(('0x'||substr(md5(i||':'||s),1,15)) AS BIGINT)` — md5 is the one
-   * hash both engines compute bit-identically. 15 hex digits keep the value
-   * positive in a signed 64-bit long.
+   * Deterministic 32-bit hash family over strings: four members per md5
+   * digest — member `i` is hex digits [1+8·(i%4), 8] of md5((i/4)+":"+s)
+   * read base-16. One digest yields members 4i..4i+3, so a K=8 MinHash
+   * signature costs TWO md5 evaluations per shingle instead of eight (md5
+   * dominates the signature stage; the min-of-32-bit statistics are
+   * unaffected — collisions within a document's shingle set are ~|S|²/2³³,
+   * negligible at any real document size). Identical in DuckDB as
+   * `CAST(('0x'||substr(md5((i//4)||':'||s), 1+8*(i%4), 8)) AS BIGINT)` —
+   * md5 is the one hash both engines compute bit-identically.
    */
   def hashMember(i: Int, s: Column): Column =
-    conv(substr(md5(concat(lit(s"$i:"), s)), lit(1), lit(15)), 16, 10).cast("long")
+    conv(substr(md5(concat(lit(s"${i / 4}:"), s)), lit(1 + 8 * (i % 4)), lit(8)),
+      16, 10).cast("long")
 
   /** 60-bit token hash (no family index) for simhash. */
   def tokenHash(s: Column): Column =

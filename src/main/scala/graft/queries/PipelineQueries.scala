@@ -168,8 +168,9 @@ object PipelineQueries {
       |  END AS shingles FROM toks),
       |sh AS (SELECT doc_id, unnest(shingles) AS sh FROM sh0)""".stripMargin
 
+  // twin of TextOps.hashMember: four 8-hex members per digest
   private def duckHash(i: Int): String =
-    s"MIN(CAST(('0x'||substr(md5('$i:'||sh),1,15)) AS BIGINT)) AS mh$i"
+    s"MIN(CAST(('0x'||substr(md5('${i / 4}:'||sh),${1 + 8 * (i % 4)},8)) AS BIGINT)) AS mh$i"
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
