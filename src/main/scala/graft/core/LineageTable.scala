@@ -63,14 +63,17 @@ final class LineageTable private (
   /** Current version of every live record, metadata retained (for chaining). */
   private[core] def snapshotMeta: DataFrame = asOfMeta(0)
 
-  private def asOfMeta(relativeVersion: Int): DataFrame = {
+  private def asOfMeta(relativeVersion: Int): DataFrame =
+    asOfMetaOver(lineage, relativeVersion)
+
+  private def asOfMetaOver(rows: DataFrame, relativeVersion: Int): DataFrame = {
     require(relativeVersion <= 0, s"relative version must be <= 0, got $relativeVersion")
     // Single-version fast path: version addressing clamps at base, so every
     // relative version IS the lineage. The _del filter is kept (pushed to
     // the scan, free) as a guard; compacted bases hold live rows only.
-    if (compactedOnly) return lineage.where(col(DEL) === 0)
+    if (compactedOnly) return rows.where(col(DEL) === 0)
     val byKey = Window.partitionBy(col(keyCol))
-    val ranked = lineage
+    val ranked = rows
       .withColumn("_rn", row_number().over(byKey.orderBy(col(VER).desc)))
       .withColumn("_cnt", count(lit(1)).over(byKey))
     // Version addressing is relative to latest, clamped at base — the
@@ -80,6 +83,31 @@ final class LineageTable private (
       .where(col("_rn") === least(lit(1 - relativeVersion), col("_cnt")))
       .where(col(DEL) === 0)
       .drop("_rn", "_cnt")
+  }
+
+  /**
+   * Secondary-predicate probe (reference: Index.locate on a non-key column
+   * feeding Query.select, lstore/query.py:85): find candidate KEYS first —
+   * any lineage row matching the predicate, a column-pruned scan with the
+   * predicate pushed to parquet — semi-join the lineage down to those keys,
+   * window only the candidates, then re-apply the predicate to the
+   * reconstructed rows.
+   *
+   * Equivalent to `snapshot.where(predicate)`: a record whose latest
+   * version matches has ≥1 matching version, so its key survives the
+   * candidate scan. The win at scale: the window shuffle+sort shrinks from
+   * the WHOLE table to the candidate keys (the scan cost itself is the
+   * floor either way; Catalyst cannot push a non-key predicate below the
+   * key-partitioned window, because an old version's value must not decide
+   * the record's fate).
+   */
+  def probe(predicate: Column): DataFrame = {
+    if (compactedOnly)
+      return lineage.where(col(DEL) === 0).where(predicate)
+        .select(dataCols.map(col): _*)
+    val keys = lineage.where(predicate).select(col(keyCol)).distinct()
+    val candidates = lineage.join(keys, Seq(keyCol), "left_semi")
+    asOfMetaOver(candidates, 0).where(predicate).select(dataCols.map(col): _*)
   }
 
   /** Latest live version of every record (reference: Query.select semantics). */

@@ -117,8 +117,9 @@ object CoreQueries {
     },
 
     "ls_select_secondary" -> { (s, d) =>
-      ordersLineage(s, d).snapshot
-        .where(col("custkey") === 77L)
+      // probe(): candidate keys via pushed-down scan, window only those —
+      // the Index.locate → select composition (see LineageTable.probe).
+      ordersLineage(s, d).probe(col("custkey") === 77L)
         .select(col("k"), col("custkey"), col("totalprice"))
     },
 

@@ -80,6 +80,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles == 1, s"expected exactly 1 key shuffle, plan:\n$p1")
   }
 
+  test("secondary probe windows only semi-joined candidate keys") {
+    val wh = Files.createTempDirectory("graft_audit3_").toString
+    val cat = new Catalog(spark, wh)
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+              col("o_totalprice").as("price"))
+    cat.createTable("t", "k", rows)
+    cat.commit("t", graft.core.Txn.empty
+      .update(col("k") % 2 === 0, Map("price" -> (col("price") + 1.0))))
+    val t = cat.getTable("t")
+    val probed = t.probe(col("ck") === 77L)
+    // correctness: identical to filtering the full snapshot
+    val want = t.snapshot.where(col("ck") === 77L).collect().map(_.toSeq).toSet
+    assert(probed.collect().map(_.toSeq).toSet === want)
+    val plan = executedPlan(probed)
+    // the candidate scan carries the pushed secondary predicate, and the
+    // lineage is semi-joined down to candidate keys BEFORE the window
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(ck,77\\)".r
+      .findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("idx_secondary probe pushes the indexed-column predicate to the scan") {
     val q = SparkEntry.queries("idx_secondary")(spark, sfDir)
     val plan = executedPlan(q)
