@@ -122,6 +122,46 @@ object PipelineQueries {
         .withColumn("cluster_size", count(lit(1)).over(byFp))
     },
 
+    // Deterministic hash sampling: md5(doc_id) mod N — stable across
+    // engines, reruns, and partitionings (never rand(): a training-data
+    // sample must be reproducible and join-able against itself later).
+    "pipe_sample" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .where(conv(substr(md5(col("doc_id").cast("string")), lit(1), lit(8)),
+          16, 10).cast("long") % 10 === 0)
+        .select(col("doc_id"), col("lang"))
+    },
+
+    // Composite curation: quality gate + exact-dedup keeper in one
+    // pipeline — the minimal end-to-end "raw corpus → training set" pass.
+    // One scan, one hash aggregation (keeper), one semi-join back.
+    "pipe_curate" -> { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      val scored = docCorpus(s, d).select(
+        col("doc_id"), col("text"),
+        size(toks).cast("long").as("n_tokens"),
+        (hits(toks, stopwords).cast("double") / size(toks)).as("stop_ratio"))
+        .where(col("n_tokens") >= 8 && col("stop_ratio") <= 0.5)
+      val keepers = scored
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      scored.join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("n_tokens"))
+    },
+
+    // Corpus n-gram statistics: top-100 bigrams with deterministic
+    // tiebreak — one explode + one count shuffle, rank carries order.
+    "text_ngrams" -> { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      val bigrams = Tables(s, d, "documents")
+        .select(explode(TextOps.shingles(toks, 2)).as("bg"))
+      bigrams.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n").desc, col("bg").asc)).cast("bigint"))
+        .where(col("rnk") <= 100)
+    },
+
     "mm_binary_meta" -> { (s, d) =>
       Multimodal.extractMeta(
         Multimodal.mediaFromDocuments(s, Tables(s, d, "documents"))).toDF()
@@ -335,6 +375,36 @@ object PipelineQueries {
          |  MIN(doc_id) OVER (PARTITION BY fp) AS cluster_id,
          |  COUNT(*) OVER (PARTITION BY fp) AS cluster_size
          |FROM fp""".stripMargin,
+
+    "pipe_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 10 = 0""".stripMargin,
+
+    "pipe_curate" ->
+      s"""WITH $corpusCte,
+         |s AS (SELECT doc_id, text,
+         |        len(string_split(text,' ')) AS n_tokens,
+         |        CAST(len(list_filter(string_split(text,' '),
+         |            t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+         |          / len(string_split(text,' ')) AS stop_ratio
+         |      FROM corpus),
+         |f AS (SELECT * FROM s WHERE n_tokens >= 8 AND stop_ratio <= 0.5),
+         |k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text))
+         |SELECT f.doc_id, f.n_tokens FROM f JOIN k USING (doc_id)""".stripMargin,
+
+    // bigram df (shingles are distinct per doc, like the dedup family)
+    "text_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |bg0 AS (SELECT doc_id,
+        |  CASE WHEN len(toks) < 2 THEN [array_to_string(toks,' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(toks)),
+        |              i -> toks[i]||' '||toks[i+1]))
+        |  END AS bgs FROM toks),
+        |bg AS (SELECT unnest(bgs) AS bg FROM bg0),
+        |c AS (SELECT bg, COUNT(*) AS n FROM bg GROUP BY bg)
+        |SELECT bg, n,
+        |       CAST(row_number() OVER (ORDER BY n DESC, bg ASC) AS BIGINT) AS rnk
+        |FROM c QUALIFY rnk <= 100""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,
