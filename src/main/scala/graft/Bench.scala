@@ -18,6 +18,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // 41 queries x ~10 codegen stages blow through the default 100-entry
       // generated-class cache, forcing recompilation of warm queries.
       .config("spark.sql.codegen.cache.maxEntries", "5000")

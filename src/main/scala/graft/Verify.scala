@@ -14,6 +14,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as nanos-since-epoch
       // long (deterministic integer arithmetic; DuckDB oracle uses epoch_ns).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.ui.retainedExecutions", "5")
       .config("spark.ui.enabled", "false")

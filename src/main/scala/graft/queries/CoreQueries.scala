@@ -117,9 +117,11 @@ object CoreQueries {
     },
 
     "ls_select_secondary" -> { (s, d) =>
-      // probe(): candidate keys via pushed-down scan, window only those —
-      // the Index.locate → select composition (see LineageTable.probe).
-      ordersLineage(s, d).probe(col("custkey") === 77L)
+      // Plain filter on the snapshot: WindowProbeRule (GraftExtensions)
+      // rewrites it automatically into the candidate-key semi-join probe —
+      // the explicit API twin is LineageTable.probe (same plan).
+      ordersLineage(s, d).snapshot
+        .where(col("custkey") === 77L)
         .select(col("k"), col("custkey"), col("totalprice"))
     },
 

@@ -102,6 +102,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("WindowProbeRule rewrites a plain snapshot filter into the probe shape") {
+    // no explicit probe() call — the extension rule must inject the
+    // candidate-key semi-join under the window on its own
+    val wh = Files.createTempDirectory("graft_audit4_").toString
+    val cat = new Catalog(spark, wh)
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+              col("o_totalprice").as("price"))
+    cat.createTable("t", "k", rows)
+    cat.commit("t", graft.core.Txn.empty
+      .update(col("k") % 2 === 0, Map("price" -> (col("price") + 1.0))))
+    val t = cat.getTable("t")
+    val q = t.snapshot.where(col("ck") === 77L)
+    assert(q.collect().map(_.toSeq).toSet ===
+      t.probe(col("ck") === 77L).collect().map(_.toSeq).toSet)
+    val plan = executedPlan(q)
+    assert(plan.contains("LeftSemi"), s"rule did not fire:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(ck,77\\)".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("idx_secondary probe pushes the indexed-column predicate to the scan") {
     val q = SparkEntry.queries("idx_secondary")(spark, sfDir)
     val plan = executedPlan(q)
