@@ -29,8 +29,11 @@ object Explain {
       val t0 = System.nanoTime()
       val n = df.queryExecution.toRdd.count()
       println(f"[explain] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // fresh DataFrame for the steady run — same protocol as Bench (no
+      // stage/plan reuse; cache hits only via CacheManager plan matching)
+      val df2 = SparkEntry.queries(name)(spark, sfDir)
       val t1 = System.nanoTime()
-      df.queryExecution.toRdd.count()
+      df2.queryExecution.toRdd.count()
       println(f"[explain] $name: second run ${(System.nanoTime() - t1) / 1e9}%.2fs")
     }
     spark.stop()

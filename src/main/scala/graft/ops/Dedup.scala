@@ -35,35 +35,43 @@ object Dedup {
       explode(shingles(tokens(col("text")))).as("sh"))
 
   /**
-   * N-gram Jaccard near-dup pairs. Candidate generation is the shingle
-   * join itself (blocking key = shingle): only pairs sharing ≥1 shingle are
-   * ever materialized, and the per-pair intersection count falls out of the
-   * same join — one shuffle on shingle, one on the pair.
+   * N-gram Jaccard near-dup pairs. Blocking key = shingle: ONE aggregation
+   * groups each shingle's (sorted) document list via
+   * [[graft.functions.CollectCapped]], pairs explode from each list
+   * in-place (bounded by the cap, so never C(corpus,2)), and the per-pair
+   * intersection count is a count over the exploded pairs. Shuffles:
+   * shingle-group, pair-count, doc-sizes — no self-join, no sort.
    *
-   * Boilerplate guard: a shingle occurring in m documents yields C(m,2)
-   * join rows, so one hot boilerplate shingle could go quadratic on a real
-   * corpus. Shingles with document frequency > `maxShingleDf` are dropped
-   * from the representation (the standard stop-shingle trick): the hot set
-   * is tiny by definition, so the removal is a broadcast anti-join, and
-   * Jaccard stays a true Jaccard over the filtered shingle universe (sizes
-   * and intersections use the same filtered sets). The default cap is far
-   * above any test-SF df (max 8 at sf0.1), so planted-dup recall — and the
-   * oracle hash — are unchanged.
+   * Boilerplate guard: a shingle occurring in m documents would yield
+   * C(m,2) pairs, so one hot boilerplate shingle could go quadratic on a
+   * real corpus. `collect_capped` saturates its buffer at `maxShingleDf`+1
+   * elements and evals to NULL past the cap, so hot shingles cost O(cap)
+   * memory and are dropped from the representation (the standard
+   * stop-shingle trick) in the SAME pass that builds the groups — no
+   * separate df-count shuffle. Jaccard stays a true Jaccard over the
+   * filtered shingle universe (sizes and intersections use the same
+   * filtered sets). The default cap is far above any test-SF df (max 8 at
+   * sf0.1), so planted-dup recall — and the oracle hash — are unchanged.
    */
   def jaccardPairs(corpus: DataFrame, threshold: Double,
                    maxShingleDf: Int = 128): DataFrame = {
-    val sh0 = docShingles(corpus)
-    val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxShingleDf).select("sh")
-    val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
-    // set sizes come from the exploded shingle rows (distinct already), so
-    // the shingle expression is NOT re-evaluated per consumer; and the
-    // merge hint forces identical shuffle subplans on both self-join sides,
-    // which ReuseExchange computes once.
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    sh.hint("merge").as("a").join(sh.hint("merge").as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+    import graft.functions.CollectCapped.collectCapped
+    val groups = docShingles(corpus)
+      .groupBy(col("sh"))
+      .agg(collectCapped(col("doc_id"), maxShingleDf).as("docs"))
+      .where(col("docs").isNotNull)
+      .select(col("docs"))
+    // both consumers share the shingle-group exchange (ReuseExchange)
+    val sizes = groups.select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // docs is sorted ascending (CollectCapped.eval), so (docs[i], docs[j])
+    // with i < j enumerates exactly the a < b pairs
+    val pairsOf = flatten(transform(col("docs"), (x, i) =>
+      transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+        y => struct(x.as("a"), y.as("b")))))
+    groups.where(size(col("docs")) >= 2)
+      .select(explode(pairsOf).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")

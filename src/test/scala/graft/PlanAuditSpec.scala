@@ -135,15 +135,15 @@ class PlanAuditSpec extends SparkSpec {
       s"probe should not reshuffle on the indexed column:\n$plan")
   }
 
-  test("jaccard blocking carries the hot-shingle df cap as an anti-join") {
-    // boilerplate shingles (df > cap) are removed by broadcast anti-join
-    // against the tiny hot set — the subplan that keeps one hot shingle
-    // from generating C(m,2) candidate pairs at corpus scale. Asserted on
-    // the optimized LOGICAL plan: at test SF the hot set is empty and AQE
-    // rightly elides the executed join (the cap costs nothing when idle).
-    val plan = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
-      .queryExecution.optimizedPlan.toString
-    assert(plan.contains("LeftAnti"), s"expected df-cap anti-join:\n$plan")
+  test("jaccard blocks via capped shingle groups — no self-join, no sort") {
+    // the hot-shingle df cap lives INSIDE the single shingle aggregation
+    // (collect_capped saturates its buffer and NULLs groups past the cap),
+    // so the plan has no shingle self-join, no sort-merge, and no separate
+    // df-count subplan — one grouping pass bounds both memory and the
+    // candidate-pair count at corpus scale.
+    val plan = executedPlan(SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir))
+    assert(plan.contains("collect_capped"), s"expected capped grouping:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"expected no self-join:\n$plan")
   }
 
   test("dedup/minhash pipelines contain no cartesian products") {
