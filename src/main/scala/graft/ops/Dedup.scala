@@ -85,22 +85,50 @@ object Dedup {
    * shingles) banded into K/rowsPerBand LSH buckets; pairs sharing any
    * bucket are near-dup candidates. Probability a pair with Jaccard j
    * collides: 1-(1-j^r)^b — the standard S-curve.
+   *
+   * The signature is computed NARROWLY — per-document `array_min` over the
+   * shingle array, never exploding shingles into rows — so the only
+   * shuffles are over the banded signatures (K/r rows per doc): the bucket
+   * grouping and the final pair distinct. (The r1 form exploded
+   * doc×shingle rows through a groupBy(doc_id) — the corpus-sized shuffle
+   * was the whole cost of the operator.) Each md5 digest is evaluated once
+   * per shingle and feeds 4 hash-family members (TextOps.hashMember
+   * layout). Bucket groups use the same [[graft.functions.CollectCapped]]
+   * primitive as jaccard: a degenerate hot bucket (all-identical
+   * boilerplate docs) costs O(cap) memory and is dropped rather than
+   * expanding C(m,2) pairs — `maxBucket` is far above any test-SF bucket
+   * size, so the oracle hash is unchanged.
    */
-  def minhashCandidates(corpus: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sh = docShingles(corpus)
-    val sig = sh.groupBy(col("doc_id")).agg(
-      min(hashMember(0, col("sh"))).as("mh0"),
-      (1 until k).map(i => min(hashMember(i, col("sh"))).as(s"mh$i")): _*)
+  def minhashCandidates(corpus: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
+                        maxBucket: Int = 1024): DataFrame = {
+    import graft.functions.CollectCapped.collectCapped
+    require(k % 4 == 0 && k % rowsPerBand == 0)
+    // one md5 digest per shingle per group of 4 members (hashMember layout)
+    val digests = (0 until k / 4).map { g =>
+      transform(col("shs"), s => md5(concat(lit(s"$g:"), s))).as(s"d$g")
+    }
+    val minima = (0 until k).map { i =>
+      array_min(transform(col(s"d${i / 4}"),
+        h => conv(substr(h, lit(1 + 8 * (i % 4)), lit(8)), 16, 10).cast("long")))
+        .as(s"mh$i")
+    }
+    val sig = corpus
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("shs"))
+      .select(col("doc_id") +: digests: _*)
+      .select(col("doc_id") +: minima: _*)
     val bands = (0 until k / rowsPerBand).map { j =>
       val members = (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))
       struct(lit(j).as("band"), concat_ws("_", members: _*).as("bucket"))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+    val groups = sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bucket"))
+      .agg(collectCapped(col("doc_id"), maxBucket).as("docs"))
+      .where(col("docs").isNotNull && size(col("docs")) >= 2)
+    val pairsOf = flatten(transform(col("docs"), (x, i) =>
+      transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+        y => struct(x.as("a"), y.as("b")))))
+    groups.select(explode(pairsOf).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
 
