@@ -181,6 +181,25 @@ final class LineageTable private (
     this
   }
 
+  /**
+   * Materialize the lineage into the block store and truncate its write
+   * DAG to a leaf (the bufferpool analog for a DERIVED in-memory table —
+   * committed tables get the same property from their parquet base).
+   *
+   * Why not just [[persisted]]: plan-cache substitution matches SUBTREES,
+   * and `unionByName` eagerly flattens nested Unions (CombineUnions), so
+   * the moment a chained write op unions new rows onto a persisted
+   * lineage that is itself a union, the persisted subtree stops existing
+   * as a node in the new plan — every op then re-derives the whole prior
+   * state, exponentially for a chain (a 3-op txn over the persisted
+   * fixture re-executed its three snapshot windows ~8x). A leaf plan
+   * cannot be flattened apart, so chained ops reference the materialized
+   * blocks no matter how the plan above them is rewritten.
+   */
+  def materialized: LineageTable =
+    new LineageTable(keyCol, dataCols, lineage.localCheckpoint(), opSeq,
+      delta, compactedOnly)
+
   /** Chain an op: append its rows to the lineage AND to the pending delta. */
   private def withAppend(rows: DataFrame): LineageTable =
     new LineageTable(keyCol, dataCols, lineage.unionByName(rows), opSeq + 1,

@@ -26,7 +26,7 @@ object CoreQueries {
   /**
    * The standard fixture, built through the public LineageTable API.
    *
-   * Memoized per sf dir with the lineage persisted: the lineage table IS the
+   * Memoized per sf dir with the lineage materialized to a leaf: the lineage table IS the
    * database — every query runs against the same table state, so rebuilding
    * the write DAG (three stacked snapshot windows) per query would bench the
    * fixture construction, not the read path. Mirrors the reference, where
@@ -44,7 +44,7 @@ object CoreQueries {
           Map("totalprice" -> (col("totalprice") + lit(10.0)), "status" -> lit("U1")))
         .update(col("k") % 9 === 0, Map("status" -> lit("U2")))
         .delete(col("k") % 17 === 0)
-      t.persisted
+      t.materialized
     })
 
   private val fixtureCache =
