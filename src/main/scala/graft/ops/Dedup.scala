@@ -102,20 +102,13 @@ object Dedup {
   def minhashCandidates(corpus: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
                         maxBucket: Int = 1024): DataFrame = {
     import graft.functions.CollectCapped.collectCapped
+    import graft.functions.MinhashSignature.minhashSignature
     require(k % 4 == 0 && k % rowsPerBand == 0)
-    // one md5 digest per shingle per group of 4 members (hashMember layout)
-    val digests = (0 until k / 4).map { g =>
-      transform(col("shs"), s => md5(concat(lit(s"$g:"), s))).as(s"d$g")
-    }
-    val minima = (0 until k).map { i =>
-      array_min(transform(col(s"d${i / 4}"),
-        h => conv(substr(h, lit(1 + 8 * (i % 4)), lit(8)), 16, 10).cast("long")))
-        .as(s"mh$i")
-    }
     val sig = corpus
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("shs"))
-      .select(col("doc_id") +: digests: _*)
-      .select(col("doc_id") +: minima: _*)
+      .select(col("doc_id"),
+        minhashSignature(shingles(tokens(col("text"))), k).as("mhs"))
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
     val bands = (0 until k / rowsPerBand).map { j =>
       val members = (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))
       struct(lit(j).as("band"), concat_ws("_", members: _*).as("bucket"))

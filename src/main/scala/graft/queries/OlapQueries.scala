@@ -196,6 +196,26 @@ object OlapQueries {
                  col("event_type"))
         .agg(count(lit(1)).as("n"),
              sum(col("value").cast(Money)).cast(DoubleType).as("sum_value"))
+    },
+
+    // Interval (range) join: events against overlapping campaign periods
+    // via graft.ops.RangeJoin — bucketized equi-join + exact refine, never
+    // a BroadcastNestedLoopJoin (PlanAuditSpec pins this). Periods are a
+    // deterministic arithmetic fixture: 40 periods, 17h stride, 3-38h
+    // length, overlapping by construction.
+    "q_range_join" -> { (s, d) =>
+      val hour = 3600L * 1000 * 1000 * 1000
+      val t0 = 1704067200L * 1000000000L // 2024-01-01 00:00:00 UTC, ns
+      val periods = s.range(0, 40).toDF("period_id")
+        .withColumn("lo_ns", lit(t0) + col("period_id") * lit(17L * hour))
+        .withColumn("hi_ns",
+          col("lo_ns") + (lit(3L * hour) + (col("period_id") % 5) * lit(7L * hour)) - 1L)
+      graft.ops.RangeJoin.intervalJoin(
+          Tables(s, d, "events").select(col("ts"), col("value")), "ts",
+          periods, "lo_ns", "hi_ns", bucket = 6L * hour)
+        .groupBy(col("period_id"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast(Money)).cast(DoubleType).as("sum_value"))
     }
   )
 
@@ -296,6 +316,19 @@ object OlapQueries {
       """SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS window_start_ns,
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_range_join" ->
+      """WITH periods AS (
+        |  SELECT i AS period_id,
+        |         1704067200000000000 + i * 61200000000000 AS lo_ns,
+        |         1704067200000000000 + i * 61200000000000
+        |           + (10800000000000 + (i % 5) * 25200000000000) - 1 AS hi_ns
+        |  FROM range(0, 40) t(i))
+        |SELECT p.period_id, COUNT(*) AS n,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM periods p JOIN events e
+        |  ON epoch_ns(e.ts) BETWEEN p.lo_ns AND p.hi_ns
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -146,6 +146,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"expected no self-join:\n$plan")
   }
 
+  test("range join is a bucketed equi-join, not a nested-loop join") {
+    // without the manufactured bucket key, `ts BETWEEN lo AND hi` has no
+    // equality conjunct and Spark must plan BroadcastNestedLoopJoin —
+    // broadcast-bound and quadratic. The bucketized form hash-joins.
+    val plan = executedPlan(SparkEntry.queries("q_range_join")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Join"), plan)
+  }
+
   test("dedup/minhash pipelines contain no cartesian products") {
     Seq("dedup_ngram_jaccard", "dedup_minhash", "dedup_exact").foreach { q =>
       val plan = executedPlan(SparkEntry.queries(q)(spark, sfDir))
