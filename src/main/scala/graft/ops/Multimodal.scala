@@ -41,6 +41,40 @@ object Multimodal {
     records.mapPartitions(_.map(decodeStub))
   }
 
+  /** One sampled frame: byte window of the payload + content hash (the
+    * stand-in for a decoded-frame feature vector). */
+  case class MmFrame(doc_id: Long, fmt: String, frame_idx: Long,
+                     off: Long, frame_len: Long, frame_md5: String)
+
+  /**
+   * Frame sampling (the video/audio analog of `extractMeta`): each media
+   * payload yields `n` evenly-spaced frames — frame k covers bytes
+   * [k·size/n, (k+1)·size/n) — whose feature is the md5 of the window
+   * bytes. A real decoder would seek+decode at those offsets; the byte
+   * windows and the per-frame feature hash stand in deterministically so
+   * the SQL oracle can replicate the output exactly. Runs per-partition
+   * in the executors (mapPartitions typed boundary, like extractMeta);
+   * frames-per-record is constant, so output scales linearly and the
+   * operator never shuffles.
+   */
+  def sampleFrames(records: Dataset[MmRecord], n: Int = 4): Dataset[MmFrame] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val size = r.payload.length.toLong
+        (0 until n).iterator.map { k =>
+          val off = k * size / n
+          val end = (k + 1) * size / n
+          md.reset()
+          md.update(r.payload, off.toInt, (end - off).toInt)
+          val hex = md.digest().map("%02x".format(_)).mkString
+          MmFrame(r.doc_id, r.fmt, k.toLong, off, end - off, hex)
+        }
+      }
+    }
+  }
+
   /** Build the media table from the documents corpus: payload = utf-8 bytes
     * of the text (a deterministic opaque blob), format assigned round-robin. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MmRecord] = {

@@ -216,6 +216,26 @@ object OlapQueries {
         .groupBy(col("period_id"))
         .agg(count(lit(1)).as("n"),
              sum(col("value").cast(Money)).cast(DoubleType).as("sum_value"))
+    },
+
+    // Skew-salted fact⋈dim join (graft.ops.Layout.saltedJoin): lineitem
+    // rows spread over 8 salt sub-keys, supplier replicated per salt — a
+    // pathological hot supplier's rows land on 8 partitions instead of 1.
+    // Result-identical to the plain join (the oracle IS the plain join);
+    // LayoutSpec proves equality, this makes it driver-visible.
+    "q_skew_join" -> { (s, d) =>
+      graft.ops.Layout.saltedJoin(
+          Tables(s, d, "lineitem")
+            .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+                    col("l_extendedprice"), col("l_discount")),
+          Tables(s, d, "supplier")
+            .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+          key = "l_suppkey",
+          saltBy = col("l_orderkey") * lit(8L) + col("l_linenumber"),
+          nSalts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+             sum(revenueTerm).cast(DecimalType(38, 8)).as("revenue"))
     }
   )
 
@@ -329,6 +349,12 @@ object OlapQueries {
         |       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM periods p JOIN events e
         |  ON epoch_ns(e.ts) BETWEEN p.lo_ns AND p.hi_ns
+        |GROUP BY 1""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(10,6))) AS DECIMAL(38,8)) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1""".stripMargin
   )
 }

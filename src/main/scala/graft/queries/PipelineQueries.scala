@@ -167,6 +167,11 @@ object PipelineQueries {
         Multimodal.mediaFromDocuments(s, Tables(s, d, "documents"))).toDF()
     },
 
+    "mm_frame_sample" -> { (s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(s, Tables(s, d, "documents"))).toDF()
+    },
+
     "stream_events_window" -> { (s, d) =>
       graft.streaming.EventStream.runBatchParity(s, d)
     },
@@ -186,6 +191,14 @@ object PipelineQueries {
     // "state the built-in windows can't express" workload.
     "q_sessionize" -> { (s, d) =>
       graft.streaming.Sessionize.sessionsBatch(s, d, microsPrecision = true).toDF()
+    },
+
+    // The flatMapGroupsWithState sessionizer run INCREMENTALLY over the
+    // events file stream; append mode emits only closed sessions (the
+    // oracle drops each user's final open session accordingly).
+    "stream_sessionize" -> { (s, d) =>
+      import graft.streaming.{Sessionize, StreamOps}
+      StreamOps.drainAppend(s, Sessionize.sessionsStream(s, d).toDF())
     }
   )
 
@@ -415,6 +428,20 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 3 = 2 THEN (octet_length(encode(text)) * 1000) // 16 ELSE 0 END AS duration_ms
         |FROM documents""".stripMargin,
 
+    // text is pure ASCII (verified over the corpus), so the char-substring
+    // md5 below equals the byte-window md5 the Spark decoder computes
+    "mm_frame_sample" ->
+      """WITH media AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
+        |    text, octet_length(encode(text)) AS size FROM documents)
+        |SELECT doc_id, fmt, i AS frame_idx,
+        |  (i * size) // 4 AS off,
+        |  ((i + 1) * size) // 4 - (i * size) // 4 AS frame_len,
+        |  md5(substr(text, CAST((i * size) // 4 + 1 AS INTEGER),
+        |             CAST(((i + 1) * size) // 4 - (i * size) // 4 AS INTEGER))) AS frame_md5
+        |FROM media, range(0, 4) t(i)""".stripMargin,
+
     // raw documents (no planted corpus): the stream reads the file as-is
     "stream_dedup" ->
       """SELECT md5(text) AS h, COUNT(*) AS sz, MIN(doc_id) AS keeper
@@ -435,6 +462,20 @@ object PipelineQueries {
         |  SUM(_new) OVER (PARTITION BY user_id ORDER BY ts) AS _sid FROM f)
         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
         |       COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, _sid""".stripMargin
+        |FROM s GROUP BY user_id, _sid""".stripMargin,
+
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),
+        |f AS (SELECT user_id, ts,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |       > 1800000000000 THEN 1 ELSE 0 END AS _new FROM e),
+        |s AS (SELECT user_id, ts,
+        |  SUM(_new) OVER (PARTITION BY user_id ORDER BY ts) AS _sid FROM f),
+        |g AS (SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |      COUNT(*) AS n_events FROM s GROUP BY user_id, _sid)
+        |SELECT user_id, session_start, session_end, n_events FROM (
+        |  SELECT g.*, ROW_NUMBER() OVER (PARTITION BY user_id
+        |         ORDER BY session_start DESC) AS rn FROM g)
+        |WHERE rn > 1""".stripMargin
   )
 }

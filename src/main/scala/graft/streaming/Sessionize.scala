@@ -65,6 +65,23 @@ object Sessionize {
       }
   }
 
+  /**
+   * Incremental sessionization over the events FILE stream (driver entry
+   * `stream_sessionize`): the [[sessions]] operator on a readStream
+   * source, µs-truncated timestamps for oracle parity. Append mode emits
+   * a session only when a LATER event of the same user closes it, so the
+   * result is exactly the batch sessionization minus each user's final
+   * (still-open) session — which is what the SQL oracle computes.
+   */
+  def sessionsStream(spark: SparkSession, sfDir: String,
+                     gapNs: Long = DefaultGapNs): Dataset[Session] = {
+    import spark.implicits._
+    val src = StreamOps.fileSource(spark, sfDir, "events")
+      .select(col("user_id"), expr("(ts div 1000) * 1000").as("ts"))
+      .as[Ev]
+    sessions(src, gapNs)
+  }
+
   /** Batch twin: the same sessionization computed declaratively — gap
     * flags via lag(), session ids via a running sum — for parity checks
     * and for running the operator over the batch table. One shuffle on

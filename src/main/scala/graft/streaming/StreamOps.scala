@@ -30,10 +30,18 @@ object StreamOps {
 
   /** Run a streaming aggregation to completion over the currently-visible
     * input and return the result table (memory sink, complete mode). */
-  def drainComplete(spark: SparkSession, plan: DataFrame): DataFrame = {
+  def drainComplete(spark: SparkSession, plan: DataFrame): DataFrame =
+    drain(spark, plan, "complete")
+
+  /** Same, append mode — for stateful operators (flatMapGroupsWithState)
+    * that emit rows incrementally rather than maintaining a result table. */
+  def drainAppend(spark: SparkSession, plan: DataFrame): DataFrame =
+    drain(spark, plan, "append")
+
+  private def drain(spark: SparkSession, plan: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${sinkId.incrementAndGet()}"
     val query = plan.writeStream
-      .format("memory").queryName(name).outputMode("complete")
+      .format("memory").queryName(name).outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     try query.awaitTermination() finally query.stop()
