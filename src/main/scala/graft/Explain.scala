@@ -35,6 +35,11 @@ object Explain {
       val t1 = System.nanoTime()
       df2.queryExecution.toRdd.count()
       println(f"[explain] $name: second run ${(System.nanoTime() - t1) / 1e9}%.2fs")
+      // post-execution plan: AQE has finalized stages, so runtime reuse
+      // (ReusedExchange/ReusedQueryStage) is visible here and not above
+      val post = df2.queryExecution.executedPlan.toString
+      println(s"[explain] reused-exchange nodes: " +
+        "ReusedExchange|ReusedQueryStage|table cache".r.findAllIn(post).size)
     }
     spark.stop()
   }

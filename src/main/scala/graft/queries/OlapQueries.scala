@@ -236,6 +236,28 @@ object OlapQueries {
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"),
              sum(revenueTerm).cast(DecimalType(38, 8)).as("revenue"))
+    },
+
+    // Exact distributed quantiles: element at rank ceil(q*n) per group,
+    // rank from a deterministic tie-broken sort — the same formulation the
+    // oracle runs, so values hash-match (interpolating `percentile`
+    // definitions differ between engines; picking a real element doesn't).
+    // One shuffle on the group key; each group sorts within its partition.
+    // At 100 TB with huge groups this is the exact-quantile cost —
+    // approx_percentile is the constant-memory fallback when ±ε is fine.
+    "q_percentile" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wAll = Window.partitionBy(col("o_orderstatus"))
+      Tables(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("o_orderstatus"))
+        .agg(max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),
+               col("o_totalprice"))).as("p50"),
+             max(when(col("rn") === ceil(lit(0.95) * col("n")).cast("long"),
+               col("o_totalprice"))).as("p95"))
     }
   )
 
@@ -355,6 +377,18 @@ object OlapQueries {
       """SELECT s_nationkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(10,6))) AS DECIMAL(38,8)) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q_percentile" ->
+      """WITH r AS (SELECT o_orderstatus, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |                     ORDER BY o_totalprice, o_orderkey) AS rn,
+        |  COUNT(*) OVER (PARTITION BY o_orderstatus) AS n FROM orders)
+        |SELECT o_orderstatus,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |      THEN o_totalprice END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |      THEN o_totalprice END) AS p95
+        |FROM r GROUP BY 1""".stripMargin
   )
 }
