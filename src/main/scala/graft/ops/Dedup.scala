@@ -129,24 +129,17 @@ object Dedup {
     * token-hash bit b over all token OCCURRENCES is positive (an occurrence
     * contributes ±1, so the sum equals the classic count-weighted form).
     *
-    * ONE shuffle: explode tokens → groupBy(doc_id) with 60 conditional-sum
-    * columns, map-side partial, then the signature folds the 60 signs into
-    * a long in the same projection. (The r1 form exploded tokens×60 bit
-    * rows through two extra shuffled groupBys — the slowest query in the
-    * round-1 bench at 60× the row volume.) */
-  def simhash(corpus: DataFrame): DataFrame = {
-    val bitSums = (0 until 60).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"s$b")
-    }
-    corpus
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), tokenHash(col("tok")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+    * ZERO shuffles: the signature is a narrow per-row expression
+    * ([[graft.functions.SimhashSignature]], whole-stage codegen) over the
+    * token array. (The r1 form exploded tokens×60 bit rows through two
+    * shuffled groupBys — the slowest query in the round-1 bench; the r2
+    * interim form still shuffled the exploded tokens through a 60-column
+    * conditional-sum aggregation. SimhashSignatureSpec proves the
+    * expression identical to that declarative form.) */
+  def simhash(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      graft.functions.SimhashSignature.simhashSignature(tokens(col("text")))
+        .as("simhash"))
 
   /**
    * Near-dup pairs with hamming distance ≤ maxHamming (≤ 3 with the default
