@@ -56,8 +56,14 @@ object Dedup {
   def jaccardPairs(corpus: DataFrame, threshold: Double,
                    maxShingleDf: Int = 128): DataFrame = {
     import graft.functions.CollectCapped.collectCapped
+    // group on the 60-bit md5 shingle hash, not the shingle string: the
+    // grouping shuffle ships 8-byte keys instead of ~30-byte 5-grams. The
+    // oracle mirrors the SAME hash (md5 is bit-identical in DuckDB), so
+    // even a hash collision — which would merge two shingle groups —
+    // affects both engines identically instead of breaking parity.
     val groups = docShingles(corpus)
-      .groupBy(col("sh"))
+      .select(tokenHash(col("sh")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
       .agg(collectCapped(col("doc_id"), maxShingleDf).as("docs"))
       .where(col("docs").isNotNull)
       .select(col("docs"))
@@ -71,6 +77,9 @@ object Dedup {
         y => struct(x.as("a"), y.as("b")))))
     groups.where(size(col("docs")) >= 2)
       .select(explode(pairsOf).as("p"))
+      // under a collision one doc can appear twice in a group's list;
+      // keep the strict a < b pairs exactly as the oracle's join does
+      .where(col("p.a") < col("p.b"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")

@@ -235,8 +235,10 @@ object PipelineQueries {
       s"""WITH $corpusCte,
          |$shingleCtes,
          |szs AS (SELECT doc_id, len(shingles) AS n FROM sh0),
+         |sh2 AS (SELECT doc_id,
+         |        CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
          |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
-         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          FROM sh2 a JOIN sh2 b ON a.h = b.h AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT p.a, p.b, p.inter, na.n AS na, nb.n AS nb,
          |       p.inter / (na.n + nb.n - p.inter) AS jac
