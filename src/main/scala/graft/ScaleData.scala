@@ -31,15 +31,39 @@ object ScaleData {
 
     def table(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
 
-    /** Union `factor` shifted copies; `shifts` maps column → per-replica stride. */
-    def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame = {
+    /** Union `factor` shifted copies; `shifts` maps column → per-replica
+      * stride; `mutate` diversifies content per replica index. */
+    def replicate(df: DataFrame, shifts: Map[String, Long],
+                  mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
       val replicas = (0 until factor).map { i =>
-        shifts.foldLeft(df) { case (d, (c, stride)) =>
+        mutate(shifts.foldLeft(df) { case (d, (c, stride)) =>
           d.withColumn(c, col(c) + lit(i * stride))
-        }
+        }, i)
       }
       replicas.reduce(_ unionByName _)
     }
+
+    // Content diversification — without it every document/vector has
+    // `factor` exact copies, and the near-dup operators' TRUE answer (all
+    // C(copies,2) pairs) is quadratic in the factor: the first 100× run
+    // measured output explosion, not plan scaling. A per-replica alphabet
+    // rotation destroys shingle/token overlap across rotation classes
+    // (dup-group size drops from `factor` to ceil(factor/25)); a circular
+    // embedding shift preserves the norm but breaks cosine alignment.
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rotText(d: DataFrame, i: Int): DataFrame =
+      if (i % 25 == 0) d
+      else {
+        val r = i % 25
+        d.withColumn("text", translate(col("text"), alpha, alpha.drop(r) + alpha.take(r)))
+      }
+    def rotVec(d: DataFrame, i: Int): DataFrame =
+      if (i % 63 == 0) d
+      else {
+        val r = i % 63
+        d.withColumn("embedding",
+          concat(slice(col("embedding"), r + 1, 100000), slice(col("embedding"), 1, r)))
+      }
 
     // strides: clear of each source table's max id so replicas never
     // collide. documents/embeddings stride 300k: the planted-dup fixtures
@@ -60,8 +84,8 @@ object ScaleData {
       ("customer", replicate(table("customer"), Map("c_custkey" -> custStride))),
       ("events", replicate(table("events"),
         Map("event_id" -> nEvents, "user_id" -> userStride))),
-      ("documents", replicate(table("documents"), Map("doc_id" -> docStride))),
-      ("embeddings", replicate(table("embeddings"), Map("vec_id" -> docStride))),
+      ("documents", replicate(table("documents"), Map("doc_id" -> docStride), rotText)),
+      ("embeddings", replicate(table("embeddings"), Map("vec_id" -> docStride), rotVec)),
       ("region", table("region")),
       ("nation", table("nation")),
       ("supplier", table("supplier")),
