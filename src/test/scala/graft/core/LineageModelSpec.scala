@@ -1,0 +1,83 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Model check: random-but-seeded op sequences applied BOTH to a
+ * LineageTable and to a trivial driver-side model (a Map of key → value,
+ * applied in order) must agree on the final snapshot — for interleavings
+ * of insert / update / delete / re-insert-after-delete / increment,
+ * including the shadowing rules the fixed fixtures never vary (duplicate
+ * insert = deterministic upsert, delete-then-insert resurrects, update of
+ * a deleted key is a no-op). Seeded generation keeps failures
+ * reproducible; the op list prints on mismatch.
+ */
+class LineageModelSpec extends SparkSpec {
+
+  sealed trait Op
+  case class Insert(k: Long, v: Long) extends Op
+  case class Update(kMod: Long, dv: Long) extends Op // v += dv where k % 3 == kMod
+  case class Delete(kMod: Long) extends Op           // delete where k % 4 == kMod
+  case class Increment(k: Long) extends Op
+
+  private def genOps(seed: Long, n: Int): List[Op] = {
+    val rng = new scala.util.Random(seed)
+    List.fill(n)(rng.nextInt(4) match {
+      case 0 => Insert(rng.nextInt(12).toLong, rng.nextInt(100).toLong)
+      case 1 => Update(rng.nextInt(3).toLong, 1L + rng.nextInt(9))
+      case 2 => Delete(rng.nextInt(4).toLong)
+      case 3 => Increment(rng.nextInt(12).toLong)
+    })
+  }
+
+  private def applyModel(model: Map[Long, Long], op: Op): Map[Long, Long] = op match {
+    case Insert(k, v) => model + (k -> v) // upsert (table-monotonic _ver)
+    case Update(m, d) => model.map { case (k, v) => k -> (if (k % 3 == m) v + d else v) }
+    case Delete(m)    => model.filter { case (k, _) => k % 4 != m }
+    case Increment(k) => if (model.contains(k)) model + (k -> (model(k) + 1)) else model
+  }
+
+  private def applyTable(t: LineageTable, op: Op): LineageTable = {
+    import spark.implicits._
+    op match {
+      case Insert(k, v) => t.insert(Seq((k, v)).toDF("k", "v"))
+      case Update(m, d) => t.update(col("k") % 3 === m, Map("v" -> (col("v") + d)))
+      case Delete(m)    => t.delete(col("k") % 4 === m)
+      case Increment(k) => t.increment(col("k") === k, "v")
+    }
+  }
+
+  private def snapshotMap(t: LineageTable): Map[Long, Long] =
+    t.snapshot.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("snapshot equals the sequential model for random op sequences") {
+    import spark.implicits._
+    val base = Seq((0L, 0L), (5L, 50L), (10L, 100L)).toDF("k", "v")
+    val init = Map(0L -> 0L, 5L -> 50L, 10L -> 100L)
+    (1 to 12).foreach { seed =>
+      val ops = genOps(seed, 8)
+      val table = ops.foldLeft(LineageTable.fromBase("k", base))(applyTable)
+      val model = ops.foldLeft(init)(applyModel)
+      assert(snapshotMap(table) === model, s"seed $seed ops: $ops")
+    }
+  }
+
+  test("compaction preserves the model state; version reads clamp to it") {
+    import spark.implicits._
+    val base = Seq((1L, 1L), (2L, 2L)).toDF("k", "v")
+    val init = Map(1L -> 1L, 2L -> 2L)
+    (100 to 105).foreach { seed =>
+      val ops = genOps(seed, 5)
+      val table = ops.foldLeft(LineageTable.fromBase("k", base))(applyTable)
+      val model = ops.foldLeft(init)(applyModel)
+      val compacted = table.compact
+      assert(snapshotMap(compacted) === model, s"seed $seed ops: $ops")
+      // compacted tables are single-version: every relative version clamps
+      val v = compacted.asOfRelative(-3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(v === model, s"seed $seed ops: $ops")
+    }
+  }
+}
