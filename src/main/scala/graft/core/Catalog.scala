@@ -151,6 +151,26 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   }
 
   /**
+   * The reference's periodic background merge trigger (lstore/table.py:186
+   * folds tail pages into base when updates accumulate): compact when the
+   * tail has grown past `maxTailRatio` of the base. Row counts are
+   * metadata-only (parquet footer statistics — `count()` on a bare scan
+   * never reads column data), so the check is cheap enough to run after
+   * every commit; a production deployment would run it on a schedule
+   * exactly like the reference's background thread. Returns true when a
+   * compaction ran.
+   */
+  def maybeCompact(name: String, maxTailRatio: Double = 0.3): Boolean = {
+    val tailPath = Paths.get(dir(name), "tail")
+    if (!Files.isDirectory(tailPath) || !hasParquet(tailPath)) return false
+    val baseRows = spark.read.parquet(s"${dir(name)}/base").count()
+    val tailRows = spark.read.parquet(tailPath.toString).count()
+    val due = baseRows == 0 || tailRows.toDouble / baseRows > maxTailRatio
+    if (due) saveCompacted(name, getTable(name))
+    due
+  }
+
+  /**
    * Build a physical index on `column` (reference: Index.create_index,
    * lstore/index.py:59): re-layout the base range-partitioned + sorted by
    * that column and record it in the metadata, so secondary probes prune

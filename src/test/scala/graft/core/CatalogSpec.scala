@@ -152,6 +152,24 @@ class CatalogSpec extends SparkSpec {
     assert(!Files.isDirectory(java.nio.file.Paths.get(wh, "t", "tail")))
   }
 
+  test("maybeCompact fires once the tail outgrows the ratio (background merge)") {
+    val (cat, wh) = freshCatalog()
+    cat.createTable("t", "k", base)
+    // small commit: tail 1 row / base 3 -> under a 0.5 ratio, no compaction
+    cat.commit("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(11L))))
+    assert(!cat.maybeCompact("t", maxTailRatio = 0.5))
+    assert(Files.isDirectory(java.nio.file.Paths.get(wh, "t", "tail")))
+    // two more commits push the ratio over; compaction folds and truncates
+    cat.commit("t", Txn.empty.update(col("k") === 2L, Map("v" -> lit(22L))))
+    cat.commit("t", Txn.empty.delete(col("k") === 3L))
+    val want = cat.getTable("t").snapshot.collect().map(_.toSeq).toSet
+    assert(cat.maybeCompact("t", maxTailRatio = 0.5))
+    val t = cat.getTable("t")
+    assert(t.snapshot.collect().map(_.toSeq).toSet === want)
+    assert(!Files.isDirectory(java.nio.file.Paths.get(wh, "t", "tail")))
+    assert(!cat.maybeCompact("t", maxTailRatio = 0.5)) // idempotent when clean
+  }
+
   test("drop removes the table; create rejects duplicates") {
     val (cat, _) = freshCatalog()
     cat.createTable("t", "k", base)
