@@ -165,6 +165,15 @@ object OlapQueries {
              sum(col("l_quantity").cast(Money)).cast(DecimalType(38, 2)).as("sum_qty"))
     },
 
+    // CUBE grouping sets: all 4 subtotal combinations in one pass (the
+    // rollup's superset — same single shuffle, map-side set expansion).
+    "q_cube" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_quantity").cast(Money)).cast(DecimalType(38, 2)).as("sum_qty"))
+    },
+
     // Anti join: customers with no order in the window — broadcast the
     // filtered orders keys if small, else shuffled hash anti join (no
     // NOT-IN subquery materialization).
@@ -339,6 +348,12 @@ object OlapQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer

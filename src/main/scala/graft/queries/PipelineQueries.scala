@@ -199,6 +199,29 @@ object PipelineQueries {
     "stream_sessionize" -> { (s, d) =>
       import graft.streaming.{Sessionize, StreamOps}
       StreamOps.drainAppend(s, Sessionize.sessionsStream(s, d).toDF())
+    },
+
+    // Stream-STATIC join: the events file stream interval-joined (same
+    // bucketized RangeJoin operator as batch q_range_join) to the static
+    // periods table, aggregated per period. Covers the third streaming
+    // capability class: stateless enrichment joins against reference data
+    // (the static side broadcasts into every micro-batch; only the
+    // aggregation keeps state). Oracle = the batch q_range_join SQL.
+    "stream_range_join" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val hour = 3600L * 1000 * 1000 * 1000
+      val t0 = 1704067200L * 1000000000L
+      val periods = s.range(0, 40).toDF("period_id")
+        .withColumn("lo_ns", lit(t0) + col("period_id") * lit(17L * hour))
+        .withColumn("hi_ns",
+          col("lo_ns") + (lit(3L * hour) + (col("period_id") % 5) * lit(7L * hour)) - 1L)
+      val src = StreamOps.fileSource(s, d, "events").select(col("ts"), col("value"))
+      StreamOps.drainComplete(s,
+        graft.ops.RangeJoin.intervalJoin(src, "ts", periods, "lo_ns", "hi_ns", 6L * hour)
+          .groupBy(col("period_id"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+                 .cast("double").as("sum_value")))
     }
   )
 
@@ -478,6 +501,19 @@ object PipelineQueries {
         |SELECT user_id, session_start, session_end, n_events FROM (
         |  SELECT g.*, ROW_NUMBER() OVER (PARTITION BY user_id
         |         ORDER BY session_start DESC) AS rn FROM g)
-        |WHERE rn > 1""".stripMargin
+        |WHERE rn > 1""".stripMargin,
+
+    "stream_range_join" ->
+      """WITH periods AS (
+        |  SELECT i AS period_id,
+        |         1704067200000000000 + i * 61200000000000 AS lo_ns,
+        |         1704067200000000000 + i * 61200000000000
+        |           + (10800000000000 + (i % 5) * 25200000000000) - 1 AS hi_ns
+        |  FROM range(0, 40) t(i))
+        |SELECT p.period_id, COUNT(*) AS n,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM periods p JOIN events e
+        |  ON epoch_ns(e.ts) BETWEEN p.lo_ns AND p.hi_ns
+        |GROUP BY 1""".stripMargin
   )
 }
