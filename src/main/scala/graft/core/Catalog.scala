@@ -120,8 +120,13 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   def commit(name: String, txn: Txn): LineageTable = {
     val before = getTable(name)
     val after = txn.commit(before)
-    after.delta.foreach(appendTail(name, _))
+    // meta BEFORE rows: a crash between the two leaves op_seq advanced
+    // past the (absent) rows, so the next commit stamps a fresh _ver — a
+    // harmless gap. The reverse order would let a crash replay a _ver
+    // stamp onto different rows, making snapshot row_number ties
+    // nondeterministic forever.
     writeMeta(name, readMeta(name).copy(opSeq = after.opSeq))
+    after.delta.foreach(appendTail(name, _))
     getTable(name)
   }
 
@@ -136,16 +141,28 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val meta = readMeta(name)
     val layoutCol = meta.index.getOrElse(t.keyCol)
     val staged = s"${dir(name)}/base_staged"
+    val base = Paths.get(dir(name), "base")
+    val old = Paths.get(dir(name), "base_old")
+    // stage FIRST: `t` may have been read through the baseDir fallback
+    // (base missing, base_old live after an interrupted swap), so its
+    // plan references whichever directory exists — nothing may be moved
+    // or deleted until the new state is fully written out.
     t.compact.lineage
       .repartitionByRange(col(layoutCol))
       .sortWithinPartitions(col(layoutCol))
       .write.mode(SaveMode.Overwrite).parquet(staged)
-    val base = Paths.get(dir(name), "base")
-    val old = Paths.get(dir(name), "base_old")
-    deleteRecursively(old)
-    Files.move(base, old)                   // retire (data still readable)
-    Files.move(Paths.get(staged), base)     // adopt
-    deleteRecursively(old)
+    if (Files.isDirectory(base)) {
+      deleteRecursively(old)
+      Files.move(base, old)                 // retire (data still readable)
+      Files.move(Paths.get(staged), base)   // adopt
+      deleteRecursively(old)
+    } else {
+      // recovering from a crash between the two renames: base_old (or
+      // nothing, for a table created empty) holds the prior data and the
+      // staged dir is already the complete next state — adopt directly
+      Files.move(Paths.get(staged), base)
+      deleteRecursively(old)
+    }
     deleteRecursively(Paths.get(dir(name), "tail"))
     writeMeta(name, meta.copy(opSeq = 0))
   }
@@ -163,7 +180,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   def maybeCompact(name: String, maxTailRatio: Double = 0.3): Boolean = {
     val tailPath = Paths.get(dir(name), "tail")
     if (!Files.isDirectory(tailPath) || !hasParquet(tailPath)) return false
-    val baseRows = spark.read.parquet(s"${dir(name)}/base").count()
+    val baseRows = spark.read.parquet(baseDir(name).toString).count()
     val tailRows = spark.read.parquet(tailPath.toString).count()
     val due = baseRows == 0 || tailRows.toDouble / baseRows > maxTailRatio
     if (due) saveCompacted(name, getTable(name))

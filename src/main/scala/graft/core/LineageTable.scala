@@ -105,8 +105,11 @@ final class LineageTable private (
     if (compactedOnly)
       return lineage.where(col(DEL) === 0).where(predicate)
         .select(dataCols.map(col): _*)
-    val keys = lineage.where(predicate).select(col(keyCol)).distinct()
-    val candidates = lineage.join(keys, Seq(keyCol), "left_semi")
+    // null-safe key equality: a null-keyed record's versions form one
+    // window partition, so they must survive the semi-join like any other
+    val keys = lineage.where(predicate)
+      .select(col(keyCol).as("_probe_key")).distinct()
+    val candidates = lineage.join(keys, col(keyCol) <=> col("_probe_key"), "left_semi")
     asOfMetaOver(candidates, 0).where(predicate).select(dataCols.map(col): _*)
   }
 

@@ -33,6 +33,12 @@ case class HyperplaneBuckets(
   require(planes.length == bands * bitsPerBand,
     s"need ${bands * bitsPerBand} planes, got ${planes.length}")
 
+  /** All planes share one dimensionality; a vector of any other length
+    * evals to NULL (and posexplode then drops the row) — matching
+    * [[DotProduct]]'s null-on-mismatch rather than silently bucketing a
+    * truncated prefix, which would quietly distort the LSH S-curve. */
+  private val dim: Int = planes.head.length
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -45,6 +51,7 @@ case class HyperplaneBuckets(
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
     val out = new Array[Long](bands)
     var j = 0
     while (j < bands) {
@@ -52,10 +59,9 @@ case class HyperplaneBuckets(
       var r = 0
       while (r < bitsPerBand) {
         val p = planes(j * bitsPerBand + r)
-        val n = math.min(v.numElements(), p.length)
         var acc = 0.0
         var i = 0
-        while (i < n) { acc += v.getFloat(i).toDouble * p(i); i += 1 }
+        while (i < dim) { acc += v.getFloat(i).toDouble * p(i); i += 1 }
         if (acc >= 0) bucket |= (1L << r)
         r += 1
       }
@@ -71,27 +77,29 @@ case class HyperplaneBuckets(
     val j = ctx.freshName("j")
     val r = ctx.freshName("r")
     val i = ctx.freshName("i")
-    val n = ctx.freshName("n")
     val acc = ctx.freshName("acc")
     val p = ctx.freshName("p")
     val bucket = ctx.freshName("bucket")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
-         |long[] $out = new long[$bands];
-         |for (int $j = 0; $j < $bands; $j++) {
-         |  long $bucket = 0L;
-         |  for (int $r = 0; $r < $bitsPerBand; $r++) {
-         |    float[] $p = $planesRef[$j * $bitsPerBand + $r];
-         |    int $n = java.lang.Math.min($v.numElements(), $p.length);
-         |    double $acc = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $acc += ((double) $v.getFloat($i)) * ((double) $p[$i]);
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$bands];
+         |  for (int $j = 0; $j < $bands; $j++) {
+         |    long $bucket = 0L;
+         |    for (int $r = 0; $r < $bitsPerBand; $r++) {
+         |      float[] $p = $planesRef[$j * $bitsPerBand + $r];
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $acc += ((double) $v.getFloat($i)) * ((double) $p[$i]);
+         |      }
+         |      if ($acc >= 0) $bucket |= (1L << $r);
          |    }
-         |    if ($acc >= 0) $bucket |= (1L << $r);
+         |    $out[$j] = $bucket;
          |  }
-         |  $out[$j] = $bucket;
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }

@@ -116,6 +116,9 @@ object Dedup {
     val sig = corpus
       .select(col("doc_id"),
         minhashSignature(shingles(tokens(col("text"))), k).as("mhs"))
+      // a NULL signature (null/empty text) must not band: null members
+      // concat_ws into the SAME '' bucket, pairing all such docs
+      .where(col("mhs").isNotNull)
       .select(col("doc_id") +:
         (0 until k).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
     val bands = (0 until k / rowsPerBand).map { j =>

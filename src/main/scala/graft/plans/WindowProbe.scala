@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, EqualNullSafe, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -100,8 +100,11 @@ object WindowProbeRule extends Rule[LogicalPlan] with PredicateHelper {
       // sides must expose disjoint outputs).
       val aliases = keyAttrs.map(a => Alias(a, a.name)())
       val candidates = Aggregate(keyAttrs, aliases, Filter(pushable.reduce(And), b))
+      // null-SAFE equality: window partitioning groups NULL keys into one
+      // partition, so a null-keyed partition with a matching row must
+      // survive the semi-join — plain EqualTo would drop it
       val joinCond = keyAttrs.zip(candidates.output)
-        .map { case (l, r) => EqualTo(l, r) }
+        .map { case (l, r) => EqualNullSafe(l, r) }
         .reduceLeft[Expression](And(_, _))
       Some(Join(b, candidates, LeftSemi, Some(joinCond), JoinHint.NONE))
     case _ => None

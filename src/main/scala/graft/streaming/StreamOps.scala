@@ -20,12 +20,22 @@ object StreamOps {
   private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Incremental source over `<sfDir>/<table>.parquet` (schema inferred
-    * from a batch peek — production would pass it explicitly). */
+    * from a batch peek — production would pass it explicitly). Handles
+    * both shapes a parquet table takes: a single file (driver testdata)
+    * and a directory of part files (Spark-written, e.g. ScaleData
+    * output). The distinction matters: `pathGlobFilter` matches LEAF file
+    * names only, so globbing for `table.parquet` over a directory-shaped
+    * table silently yields an EMPTY stream — every part file is named
+    * part-*.parquet. */
   def fileSource(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", s"$table.parquet")
-      .parquet(sfDir)
+    val path = s"$sfDir/$table.parquet"
+    val schema = spark.read.parquet(path).schema
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+      spark.readStream.schema(schema).parquet(path)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet")
+        .parquet(sfDir)
   }
 
   /** Run a streaming aggregation to completion over the currently-visible
