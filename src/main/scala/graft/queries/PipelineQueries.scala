@@ -57,6 +57,13 @@ object PipelineQueries {
 
     "dedup_simhash" -> { (s, d) => Dedup.simhashPairs(docCorpus(s, d)) },
 
+    // Cluster formation: connected components over the minhash candidate
+    // pairs — the step that turns pairwise near-dups into dedup groups
+    // (cluster id = min doc_id; one keeper per cluster).
+    "dedup_clusters" -> { (s, d) =>
+      graft.ops.Components.components(Dedup.minhashCandidates(docCorpus(s, d)))
+    },
+
     "dedup_embedding" -> { (s, d) => Dedup.embeddingPairs(embCorpus(s, d), 0.95) },
 
     "ann_topk" -> { (s, d) =>
@@ -269,6 +276,30 @@ object PipelineQueries {
          |JOIN szs na ON p.a = na.doc_id
          |JOIN szs nb ON p.b = nb.doc_id
          |WHERE p.inter / (na.n + nb.n - p.inter) >= 0.6""".stripMargin,
+
+    // transitive min over the reachable set == min id of the (undirected)
+    // component; recursive UNION dedups, so the tuple count is bounded by
+    // sum of component sizes squared — tiny for near-dup clusters
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $corpusCte,
+         |$shingleCtes,
+         |mh AS (SELECT doc_id, ${(0 until 8).map(duckHash).mkString(", ")}
+         |       FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR)||'_'||CAST(mh1 AS VARCHAR) AS bucket FROM mh
+         |  UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR)||'_'||CAST(mh3 AS VARCHAR) FROM mh
+         |  UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR)||'_'||CAST(mh5 AS VARCHAR) FROM mh
+         |  UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR)||'_'||CAST(mh7 AS VARCHAR) FROM mh),
+         |prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |        FROM bands a JOIN bands b
+         |        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT a AS src, b AS dst FROM prs
+         |          UNION SELECT b, a FROM prs),
+         |reach(v, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v)
+         |SELECT v AS doc_id, MIN(l) AS cluster FROM reach GROUP BY 1""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $corpusCte,
