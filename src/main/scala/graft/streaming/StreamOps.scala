@@ -57,4 +57,21 @@ object StreamOps {
     try query.awaitTermination() finally query.stop()
     spark.table(name)
   }
+
+  /** Production-shaped sink: drain the stream to an exactly-once parquet
+    * directory sink (append mode — the mode file sinks support) with its
+    * checkpoint alongside. Re-running with the same checkpoint resumes
+    * instead of duplicating — the durability half of the streaming story;
+    * the memory-sink drains above exist only to hand query results back
+    * to the driver contract. */
+  def drainToParquet(spark: SparkSession, plan: DataFrame, outDir: String): Unit = {
+    val query = plan.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination() finally query.stop()
+  }
 }
