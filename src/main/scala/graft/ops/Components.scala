@@ -36,13 +36,16 @@ object Components {
       val nbrMin = edges
         .join(labels.select(col("v").as("dst"), col("lbl").as("dlbl")), "dst")
         .groupBy(col("src")).agg(min(col("dlbl")).as("nlbl"))
+      // carry the previous label through the materialization so the
+      // convergence check is a scan of the checkpointed rows, not another
+      // shuffle join per round
       val next = labels
         .join(nbrMin.select(col("src").as("v"), col("nlbl")), Seq("v"), "left")
-        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("v"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "v")
-        .where(col("lbl") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.where(col("lbl") =!= col("prev")).isEmpty
+      labels = next.select(col("v"), col("lbl"))
     }
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster"))
   }
