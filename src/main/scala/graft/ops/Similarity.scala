@@ -67,4 +67,50 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .where(col("rnk") <= k)
   }
+
+  /**
+   * Full IVF build + probe with a REAL coarse quantizer (no label crutch):
+   *
+   *   build — `nCentroids` deterministic seed centroids (lowest vec_ids;
+   *   a production deployment would refine them with a few Lloyd
+   *   iterations — the assignment/probe plans below are unchanged by how
+   *   the centroids were obtained); every corpus vector is assigned to
+   *   its max-dot centroid by a broadcast of the tiny centroid set and a
+   *   per-vector argmax (window over vec_id: ties break to the lowest
+   *   centroid id, fully deterministic).
+   *
+   *   probe — each query vector routes to its own max-dot centroid the
+   *   same way, then ranks ONLY that bucket: ~1/C of the corpus scored
+   *   per query instead of all of it, which is the entire point of IVF.
+   *
+   * Scale: assignment is one broadcast + narrow argmax over the corpus
+   * (no shuffle beyond the bucket-ranking window, which partitions by
+   * query); the centroid set stays driver-small by construction.
+   */
+  def ivfBuildProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+                    nCentroids: Int = 16): DataFrame = {
+    val cents = broadcast(corpus.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    def assign(df: DataFrame, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cdot").desc, col("cid").asc)
+      df.crossJoin(cents)
+        .withColumn("cdot", dot(col("ce"), df("embedding")))
+        .withColumn("crn", row_number().over(w))
+        .where(col("crn") === 1)
+        .drop("ce", "cdot", "crn")
+    }
+    val bucketed = assign(corpus, "vec_id")
+    val routed = assign(
+        queries.select(col("qid").as("vec_id"), col("qe").as("embedding")), "vec_id")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              col("cid").as("qcid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    bucketed.join(broadcast(routed), col("cid") === col("qcid"))
+      .select(col("qid"), col("cid"), col("vec_id"),
+        dot(col("qe"), col("embedding")).as("dot"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+  }
 }

@@ -75,6 +75,13 @@ object PipelineQueries {
       Similarity.ivfTopK(Tables(s, d, "embeddings"), annQueries(s, d), 5)
     },
 
+    // real IVF: deterministic seed centroids + max-dot assignment + probe
+    // of the routed bucket only (ivfTopK's label crutch removed)
+    "ann_ivf_build" -> { (s, d) =>
+      Similarity.ivfBuildProbe(Tables(s, d, "embeddings"),
+        annQueries(s, d).drop("qlabel"), 5)
+    },
+
     "text_stats" -> { (s, d) =>
       val toks = TextOps.tokens(col("text"))
       Tables(s, d, "documents").select(
@@ -355,6 +362,47 @@ object PipelineQueries {
         |      (x, y) -> x + y) AS cos
         |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id)
         |SELECT a, b, cos FROM pairs WHERE cos >= 0.95""".stripMargin,
+
+    "ann_ivf_build" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+        |               FROM embeddings WHERE vec_id < 16),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |adots AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(c.ce) + 1),
+        |          i -> CAST(c.ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS cdot
+        |  FROM embeddings e, cents c),
+        |assign AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |         ORDER BY cdot DESC, cid ASC) AS crn FROM adots) WHERE crn = 1),
+        |qdots AS (
+        |  SELECT q.qid, c.cid,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(c.ce) + 1),
+        |          i -> CAST(c.ce[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS cdot
+        |  FROM q, cents c),
+        |qroute AS (SELECT qid, cid AS qcid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |         ORDER BY cdot DESC, cid ASC) AS crn FROM qdots) WHERE crn = 1),
+        |dots AS (
+        |  SELECT q.qid, a.cid, e.vec_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(q.qe) + 1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dot
+        |  FROM q JOIN qroute r ON q.qid = r.qid
+        |  JOIN assign a ON a.cid = r.qcid
+        |  JOIN embeddings e ON e.vec_id = a.vec_id),
+        |rk AS (SELECT qid, cid, vec_id, dot,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+        |       FROM dots)
+        |SELECT qid, cid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin,
 
     "ann_ivf" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
