@@ -156,6 +156,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Join"), plan)
   }
 
+  test("q_percentile ranks in range partitions, never one reducer per group") {
+    // the naive exact-quantile plan windows over partitionBy(status) — 3
+    // reducers total, measured ~x95 on 100x data. The parallel form range-
+    // partitions first and windows over (partition-id, group).
+    val plan = executedPlan(SparkEntry.queries("q_percentile")(spark, sfDir))
+    assert(plan.contains("rangepartitioning"), plan)
+    // the row-ranking window shuffles on (partition-id, group) — balanced
+    // over all reducers (the tiny histogram/result aggregations may hash
+    // on the group alone; they carry a handful of rows)
+    assert("hashpartitioning\\(pid#\\d+".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("q_skew_join spreads the fact over salt sub-keys") {
+    val plan = executedPlan(SparkEntry.queries("q_skew_join")(spark, sfDir))
+    assert(plan.contains("_salt"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("dedup/minhash pipelines contain no cartesian products") {
     Seq("dedup_ngram_jaccard", "dedup_minhash", "dedup_exact").foreach { q =>
       val plan = executedPlan(SparkEntry.queries(q)(spark, sfDir))
