@@ -49,11 +49,21 @@ object Bench {
         catch { case _: Throwable => (-1.0, -1.0) }
       name -> ((cold, steady))
     }
-    val qs = results.map { case (k, (c, s)) =>
-      s""""$k":{"cold":$c,"steady":$s}""" }.mkString("{", ",", "}")
+    def r3(x: Double): String = f"$x%.3f"
+    // The driver captures a bounded tail of stdout: the r2 line (cold+steady
+    // per query, ~3.3 KB) overflowed it and BENCH_r02 recorded parsed:null.
+    // Keep the driver line compact (steady-only, 3 decimals, ~2 KB) and put
+    // the full cold/steady detail in BENCH_DETAIL.json instead.
+    val qs = results.map { case (k, (_, s)) => s""""$k":${r3(s)}""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2._2).sum
     val coldTotal = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, (c, s)) =>
+      s""""$k":{"cold":${r3(c)},"steady":${r3(s)}}""" }.mkString("{", ",", "}")
+    val pw = new java.io.PrintWriter("BENCH_DETAIL.json")
+    try pw.println(s"""{"total_steady":${r3(total)},"total_cold":${r3(coldTotal)},"queries":$detail,"sf":"$sfDir"}""")
+    finally pw.close()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","cold_total":${r3(coldTotal)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
