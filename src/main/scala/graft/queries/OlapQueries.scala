@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.functions.Exact
 
@@ -11,12 +10,12 @@ import graft.functions.Exact
  * OLAP query surface (SURVEY.md §2 #22–28): the analytics workloads the
  * engine must run beyond the reference's point/range L-Store API.
  *
- * Determinism: every double aggregate goes through exact decimal arithmetic
- * (see [[graft.functions.Exact]]) so distributed Spark sums hash-match the
- * single-node DuckDB oracle bit-for-bit. Revenue terms multiply
- * DECIMAL(12,2) money by DECIMAL(10,6) factors — exact in both engines
- * (precision stays < 38), identical to the double product only in intent,
- * identical to EACH OTHER in value.
+ * Determinism: every double aggregate goes through exact scaled-long
+ * arithmetic (see [[graft.functions.Exact]]) so distributed Spark sums
+ * hash-match the single-node DuckDB oracle bit-for-bit: 2dp money sums as
+ * integer cents (scale-4/6 integers for revenue/charge products), and the
+ * final divide down to double is correctly rounded — the same double the
+ * oracle's exact DECIMAL sum produces when cast.
  *
  * Scale: dimension sides of joins are explicitly `broadcast(...)`; fact-fact
  * joins shuffle on their join key and rely on AQE for skew/coalesce. Window
@@ -24,15 +23,20 @@ import graft.functions.Exact
  */
 object OlapQueries {
 
-  private val Money = DecimalType(12, 2)
-  private val Factor = DecimalType(10, 6)
+  /**
+   * Exact money arithmetic as scaled longs (see [[Exact]]): price, discount
+   * and tax are 2dp doubles, so `price*(1-disc)` is an exact scale-4 integer
+   * and `price*(1-disc)*(1+tax)` an exact scale-6 integer. Long sums are
+   * associative AND primitive (no per-row BigDecimal), and the final
+   * `/ 10^scale` double division is correctly rounded — bit-identical to
+   * the DuckDB oracle's decimal sum cast while the scaled sum < 2^53
+   * (the invariant every DOUBLE output obeys anyway, SURVEY §4).
+   */
+  private def revenueC4: Column = // scale-4 long: cents * (100 - disc_cents)
+    Exact.cents(col("l_extendedprice")) * (lit(100L) - Exact.cents(col("l_discount")))
 
-  /** Exact revenue term: extendedprice * (1 - discount). */
-  private def revenueTerm: Column =
-    col("l_extendedprice").cast(Money) * (lit(1) - col("l_discount")).cast(Factor)
-
-  private def chargeTerm: Column =
-    revenueTerm * (lit(1) + col("l_tax")).cast(Factor)
+  private def chargeC6: Column = // scale-6 long
+    revenueC4 * (lit(100L) + Exact.cents(col("l_tax")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -42,8 +46,8 @@ object OlapQueries {
         .where(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          // Aggregate exactly in DECIMAL (associative, order-independent),
-          // but EMIT DOUBLE. Two driver lessons stack here:
+          // Aggregate exactly (scaled longs), EMIT DOUBLE. Two driver
+          // lessons stack here:
           //  r1: decimal→double is engine-identical only while the scaled
           //      integer stays < 2^53 (sum_disc_price at its natural scale 8
           //      crossed that at sf0.1 → 1-ulp split).
@@ -51,22 +55,28 @@ object OlapQueries {
           //      comparator at all — even bit-identical DECIMAL(38,2) values
           //      hashed differently on the two sides (all 5 red r2 rows were
           //      exactly the 5 queries with DECIMAL in the output schema).
-          // So: reduce each sum to its TRUE scale first (disc_price really
-          // has 4 fractional digits = money 2 + discount 2; qty/price have
-          // 2), which keeps the scaled integer < 2^53 to sf≈30+, then cast
-          // to double — both engines round the exact decimal identically.
-          sum(col("l_quantity").cast(Money)).cast(DoubleType).as("sum_qty"),
-          sum(col("l_extendedprice").cast(Money)).cast(DoubleType).as("sum_base_price"),
-          sum(revenueTerm).cast(DecimalType(38, 4)).cast(DoubleType).as("sum_disc_price"),
-          sum(chargeTerm).cast(DecimalType(38, 4)).cast(DoubleType).as("sum_charge"),
-          // Averages are double sum/count. The sum→double step obeys the
-          // 2^53 invariant far past the driver SF (qty scale 2: safe to
-          // ~sf3e4; price scale 2: ~sf40; disc scale 6: ~sf1e3) and the
-          // division itself is IEEE-identical given identical operands.
-          (sum(col("l_quantity").cast(Money)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
-          (sum(col("l_extendedprice").cast(Money)).cast(DoubleType) / count(lit(1))).as("avg_price"),
-          (sum(col("l_discount").cast(Factor)).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+          // So: sum at the TRUE scale (disc_price has 4 fractional digits =
+          // money 2 + discount 2; charge 6; qty/price 2), reduce charge to
+          // scale 4 half-up (= oracle ROUND), and divide down to double —
+          // correctly rounded, scaled int < 2^53 to sf≈30.
+          Exact.sumMoney(col("l_quantity")).as("sum_qty"),
+          Exact.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          (sum(revenueC4) / 1e4).as("sum_disc_price"),
+          sum(chargeC6).as("_charge6"),
+          Exact.sumMoney(col("l_discount")).as("_sum_disc"),
           count(lit(1)).as("count_order"))
+        // Averages reuse the exact sums: same double operands as the
+        // oracle's CAST(SUM AS DOUBLE)/COUNT(*), one IEEE division each.
+        // Charge rounds scale-6 → scale-4 half-up in integer space
+        // ((x+50) div 100), matching both Spark's decimal HALF_UP and
+        // DuckDB's ROUND (half away from zero; sums are positive).
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+          (expr("(_charge6 + 50) div 100") / 1e4).as("sum_charge"),
+          (col("sum_qty") / col("count_order")).as("avg_qty"),
+          (col("sum_base_price") / col("count_order")).as("avg_price"),
+          (col("_sum_disc") / col("count_order")).as("avg_disc"),
+          col("count_order"))
     },
 
     // TPC-H Q3 shape: broadcast the filtered customer dim, shuffle-join the
@@ -78,7 +88,7 @@ object OlapQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(revenueTerm).cast(DoubleType).as("revenue"))
+        .agg((sum(revenueC4) / 1e4).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
         .select(col("l_orderkey").as("orderkey"),
@@ -105,10 +115,10 @@ object OlapQueries {
         .join(asia, col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         // Whole-nation revenue at its natural scale 8 crosses the 2^53
-        // scaled-int bound around sf1 — reduce to the TRUE scale 4 (exact:
-        // money 2dp × discount 2dp) before the double cast, which holds the
-        // invariant to sf≈100 (q1 lesson + the r2 no-decimal-output rule).
-        .agg(sum(revenueTerm).cast(DecimalType(38, 4)).cast(DoubleType).as("revenue"))
+        // scaled-int bound around sf1 — sum at the TRUE scale 4 (exact:
+        // money 2dp × discount 2dp), which holds the invariant to sf≈100
+        // (q1 lesson + the r2 no-decimal-output rule).
+        .agg((sum(revenueC4) / 1e4).as("revenue"))
     },
 
     // Rank + running sum per customer — window partitioned by a real key.
@@ -121,9 +131,9 @@ object OlapQueries {
           col("o_custkey").as("custkey"),
           col("o_orderkey").as("orderkey"),
           row_number().over(w).cast("bigint").as("rnk"),
-          sum(col("o_totalprice").cast(Money))
+          (sum(Exact.cents(col("o_totalprice")))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast(DoubleType).as("run_sum"))
+             / 100.0).as("run_sum"))
     },
 
     // Exact distinct aggregation (the approximate twin — HLL++ via
@@ -169,7 +179,7 @@ object OlapQueries {
       Tables(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-             sum(col("l_quantity").cast(Money)).cast(DoubleType).as("sum_qty"))
+             Exact.sumMoney(col("l_quantity")).as("sum_qty"))
     },
 
     // CUBE grouping sets: all 4 subtotal combinations in one pass (the
@@ -178,7 +188,7 @@ object OlapQueries {
       Tables(s, d, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-             sum(col("l_quantity").cast(Money)).cast(DoubleType).as("sum_qty"))
+             Exact.sumMoney(col("l_quantity")).as("sum_qty"))
     },
 
     // Anti join: customers with no order in the window — broadcast the
@@ -211,7 +221,7 @@ object OlapQueries {
         .groupBy((col("ts") - (col("ts") % hour)).as("window_start_ns"),
                  col("event_type"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast(Money)).cast(DoubleType).as("sum_value"))
+             Exact.sumMoney(col("value")).as("sum_value"))
     },
 
     // Interval (range) join: events against overlapping campaign periods
@@ -231,7 +241,7 @@ object OlapQueries {
           periods, "lo_ns", "hi_ns", bucket = 6L * hour)
         .groupBy(col("period_id"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast(Money)).cast(DoubleType).as("sum_value"))
+             Exact.sumMoney(col("value")).as("sum_value"))
     },
 
     // Skew-salted fact⋈dim join (graft.ops.Layout.saltedJoin): lineitem
@@ -251,7 +261,7 @@ object OlapQueries {
           nSalts = 8)
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"),
-             sum(revenueTerm).cast(DecimalType(38, 4)).cast(DoubleType).as("revenue"))
+             (sum(revenueC4) / 1e4).as("revenue"))
     },
 
     // Exact distributed quantiles: element at rank ceil(q*n) per group,

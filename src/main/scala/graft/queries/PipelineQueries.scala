@@ -234,8 +234,7 @@ object PipelineQueries {
         graft.ops.RangeJoin.intervalJoin(src, "ts", periods, "lo_ns", "hi_ns", 6L * hour)
           .groupBy(col("period_id"))
           .agg(count(lit(1)).as("n"),
-               sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
-                 .cast("double").as("sum_value")))
+               graft.functions.Exact.sumMoney(col("value")).as("sum_value")))
     }
   )
 

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /**
  * Structured Streaming surface (SURVEY.md §2 #41): watermarked tumbling-
@@ -30,7 +29,7 @@ object EventStream {
       .withWatermark("ts_t", "2 hours")
       .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+           graft.functions.Exact.sumMoney(col("value")).as("sum_value"))
       .select((unix_micros(col("window.start")) * 1000L).as("window_start_ns"),
               col("event_type"), col("n"), col("sum_value"))
 
