@@ -49,7 +49,10 @@ object Bench {
         catch { case _: Throwable => (-1.0, -1.0) }
       name -> ((cold, steady))
     }
-    def r3(x: Double): String = f"$x%.3f"
+    // Locale.ROOT: under a comma-decimal default locale (de_DE etc.)
+    // f"%.3f" would emit "1,234" and the JSON line would not parse.
+    def r3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     // The driver captures a bounded tail of stdout: the r2 line (cold+steady
     // per query, ~3.3 KB) overflowed it and BENCH_r02 recorded parsed:null.
     // Keep the driver line compact (steady-only, 3 decimals, ~2 KB) and put
@@ -60,9 +63,15 @@ object Bench {
     val coldTotal = results.map(_._2._1).sum
     val detail = results.map { case (k, (c, s)) =>
       s""""$k":{"cold":${r3(c)},"steady":${r3(s)}}""" }.mkString("{", ",", "}")
-    val pw = new java.io.PrintWriter("BENCH_DETAIL.json")
+    // Resolve the detail path explicitly: a bare relative path lands in
+    // whatever cwd Bench was launched from and silently overwrites.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "."),
+        "BENCH_DETAIL.json").getAbsolutePath)
+    val pw = new java.io.PrintWriter(detailPath)
     try pw.println(s"""{"total_steady":${r3(total)},"total_cold":${r3(coldTotal)},"queries":$detail,"sf":"$sfDir"}""")
     finally pw.close()
+    System.err.println(s"bench detail written to $detailPath")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","cold_total":${r3(coldTotal)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

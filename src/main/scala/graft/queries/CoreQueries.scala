@@ -90,9 +90,14 @@ object CoreQueries {
     val keys =
       if (ascending) Seq(col("totalprice").asc, col("k").asc)
       else Seq(col("totalprice").desc, col("k").asc)
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition top-100,
+    // merged at the driver) — the scale-correct global top-k. Ranking the
+    // ≤100 survivors partitions on a constant: still one partition, but a
+    // bounded one by construction, and no unpartitioned-window WARN.
     val top = ordersLineage(s, d).snapshot.orderBy(keys: _*).limit(100)
     top.withColumn("rnk",
-        row_number().over(Window.orderBy(keys: _*)).cast("bigint"))
+        row_number().over(Window.partitionBy(lit(0)).orderBy(keys: _*))
+          .cast("bigint"))
       .select(col("rnk"), col("k"), col("totalprice"))
   }
 

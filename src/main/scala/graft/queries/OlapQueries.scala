@@ -58,7 +58,10 @@ object OlapQueries {
           // So: sum at the TRUE scale (disc_price has 4 fractional digits =
           // money 2 + discount 2; charge 6; qty/price 2), reduce charge to
           // scale 4 half-up (= oracle ROUND), and divide down to double —
-          // correctly rounded, scaled int < 2^53 to sf≈30.
+          // correctly rounded while the scaled int < 2^53, which the
+          // largest q1 group's scale-4 sum crosses at sf≈18 (measured
+          // extrapolation from sf0.01); beyond that the long→double step
+          // can split from the oracle by 1 ulp.
           Exact.sumMoney(col("l_quantity")).as("sum_qty"),
           Exact.sumMoney(col("l_extendedprice")).as("sum_base_price"),
           (sum(revenueC4) / 1e4).as("sum_disc_price"),
@@ -67,12 +70,13 @@ object OlapQueries {
           count(lit(1)).as("count_order"))
         // Averages reuse the exact sums: same double operands as the
         // oracle's CAST(SUM AS DOUBLE)/COUNT(*), one IEEE division each.
-        // Charge rounds scale-6 → scale-4 half-up in integer space
-        // ((x+50) div 100), matching both Spark's decimal HALF_UP and
-        // DuckDB's ROUND (half away from zero; sums are positive).
+        // Charge rounds scale-6 → scale-4 half-away-from-zero in integer
+        // space, sign-aware ((x + sign(x)*50) div 100; div truncates toward
+        // zero) so it matches DuckDB's ROUND for either sign — TPC-H sums
+        // are positive, but the helper shouldn't depend on that.
         .select(col("l_returnflag"), col("l_linestatus"),
           col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
-          (expr("(_charge6 + 50) div 100") / 1e4).as("sum_charge"),
+          (expr("(_charge6 + if(_charge6 < 0, -50L, 50L)) div 100") / 1e4).as("sum_charge"),
           (col("sum_qty") / col("count_order")).as("avg_qty"),
           (col("sum_base_price") / col("count_order")).as("avg_price"),
           (col("_sum_disc") / col("count_order")).as("avg_disc"),

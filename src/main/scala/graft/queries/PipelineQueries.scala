@@ -170,10 +170,17 @@ object PipelineQueries {
       val toks = TextOps.tokens(col("text"))
       val bigrams = Tables(s, d, "documents")
         .select(explode(TextOps.shingles(toks, 2)).as("bg"))
+      // Top-100 via orderBy+limit = TakeOrderedAndProject: each partition
+      // keeps its local top-100 and the driver merges — never "move every
+      // distinct bigram to one partition" (the global-window anti-plan,
+      // quadratically worse as vocabulary grows with corpus size). The
+      // ≤100 survivors then rank inside a constant partition (bounded).
       bigrams.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg").asc).limit(100)
         .withColumn("rnk", row_number().over(
-          Window.orderBy(col("n").desc, col("bg").asc)).cast("bigint"))
-        .where(col("rnk") <= 100)
+          Window.partitionBy(lit(0))
+            .orderBy(col("n").desc, col("bg").asc)).cast("bigint"))
+        .select(col("bg"), col("n"), col("rnk"))
     },
 
     "mm_binary_meta" -> { (s, d) =>
