@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination: find (and drop) training documents that share
+ * word-n-gram shingles with a held-out evaluation set — the train/test
+ * overlap removal every serious LLM training corpus runs (the published
+ * recipe: n-gram collision against each benchmark, then document removal).
+ *
+ * Scale shape: the benchmark side is SMALL by definition (eval sets are
+ * thousands of documents against a 100 TB corpus), so its distinct shingle
+ * set is computed once and BROADCAST; the training corpus then streams
+ * through one scan → explode(distinct shingles) → broadcast hash semi-join
+ * → groupBy(doc_id). No shuffle ever carries corpus text: the only shuffled
+ * rows are (doc_id, hit-count) partial aggregates for contaminated docs —
+ * a vanishing fraction of the corpus. Shingling reuses [[TextOps.shingles]]
+ * (distinct within doc), so `n_hits` = number of DISTINCT contaminated
+ * n-grams per doc, a stable severity measure.
+ */
+object Decontam {
+
+  /**
+   * (doc_id, n_hits) for every training doc sharing ≥1 distinct n-gram with
+   * `bench`. `train`/`bench`: (doc_id, text).
+   */
+  def contaminated(train: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
+    val benchGrams = bench
+      .select(explode(TextOps.shingles(TextOps.tokens(col("text")), n)).as("g"))
+      .distinct()
+    train
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), n)).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The clean corpus: training docs with zero benchmark overlap. */
+  def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 5): DataFrame =
+    train.join(contaminated(train, bench, n).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+}

@@ -92,11 +92,14 @@ object CoreQueries {
       else Seq(col("totalprice").desc, col("k").asc)
     // orderBy+limit plans as TakeOrderedAndProject (per-partition top-100,
     // merged at the driver) — the scale-correct global top-k. Ranking the
-    // ≤100 survivors partitions on a constant: still one partition, but a
-    // bounded one by construction, and no unpartitioned-window WARN.
+    // ≤100 survivors partitions on pmod(k,1) ≡ 0: one partition, but a
+    // bounded one by construction, and non-foldable so the optimizer keeps
+    // the partition spec (a lit(0) is stripped, re-triggering the
+    // unpartitioned-window WARN).
     val top = ordersLineage(s, d).snapshot.orderBy(keys: _*).limit(100)
     top.withColumn("rnk",
-        row_number().over(Window.partitionBy(lit(0)).orderBy(keys: _*))
+        row_number().over(
+          Window.partitionBy(pmod(col("k"), lit(1))).orderBy(keys: _*))
           .cast("bigint"))
       .select(col("rnk"), col("k"), col("totalprice"))
   }
@@ -245,12 +248,19 @@ object CoreQueries {
 
     "cat_tables" -> { (s, d) =>
       // Database.create_table / get_table surface: the catalog inventory.
-      Tables.names.map { name =>
-        val t = Tables(s, d, name)
-        t.agg(count(lit(1)).as("n_rows"))
-          .select(lit(name).as("tbl"), col("n_rows"),
-                  lit(t.columns.length).as("n_cols"))
-      }.reduce(_ unionByName _)
+      // Row counts come from parquet FOOTERS (graft.sources.ParquetMeta),
+      // not table scans — at 100 TB an inventory is O(files) metadata
+      // reads, the same trick DSv2 aggregate pushdown plays; column counts
+      // come from the schema (also footer metadata).
+      val nCols = Tables.names.map { name =>
+        name -> Tables(s, d, name).schema.length
+      }.toMap
+      val counts = graft.sources.ParquetMeta.rowCounts(
+        s, Tables.names.map(n => n -> s"$d/$n.parquet"))
+      val colsDf = s.createDataFrame(
+        nCols.toSeq.map { case (n, c) => (n, c) }).toDF("tbl", "n_cols")
+      counts.join(broadcast(colsDf), "tbl")
+        .select(col("tbl"), col("n_rows"), col("n_cols").cast("int"))
     }
   )
 

@@ -174,11 +174,12 @@ object PipelineQueries {
       // keeps its local top-100 and the driver merges — never "move every
       // distinct bigram to one partition" (the global-window anti-plan,
       // quadratically worse as vocabulary grows with corpus size). The
-      // ≤100 survivors then rank inside a constant partition (bounded).
+      // ≤100 survivors then rank inside one BOUNDED partition — keyed by
+      // pmod(n,1) ≡ 0, non-foldable so the optimizer keeps the spec.
       bigrams.groupBy(col("bg")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bg").asc).limit(100)
         .withColumn("rnk", row_number().over(
-          Window.partitionBy(lit(0))
+          Window.partitionBy(pmod(col("n"), lit(1)))
             .orderBy(col("n").desc, col("bg").asc)).cast("bigint"))
         .select(col("bg"), col("n"), col("rnk"))
     },
@@ -191,6 +192,29 @@ object PipelineQueries {
     "mm_frame_sample" -> { (s, d) =>
       Multimodal.sampleFrames(
         Multimodal.mediaFromDocuments(s, Tables(s, d, "documents"))).toDF()
+    },
+
+    // Benchmark decontamination: every serious LLM corpus removes training
+    // docs that overlap the eval sets. Benchmark = deterministic 1% slice
+    // (doc_id % 97 = 0); its distinct 5-gram set BROADCASTS, the training
+    // side is one scan + broadcast join + groupBy — no shuffle of corpus
+    // text, which is what makes this runnable against 100 TB.
+    "pipe_decontaminate" -> { (s, d) =>
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.ops.Decontam.contaminated(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0), n = 5)
+    },
+
+    // Sequence packing (concat-and-chunk): global exclusive cumsum of
+    // token counts via the parallel-prefix-sum shape — range partition,
+    // local cumsums, broadcast P-row offset histogram. Never a global
+    // single-reducer window.
+    "pipe_pack" -> { (s, d) =>
+      val withTokens = Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.ops.Packing.packConcat(withTokens, "doc_id", "n_tokens", 2048L)
     },
 
     "stream_events_window" -> { (s, d) =>
@@ -255,20 +279,46 @@ object PipelineQueries {
       |  UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' near dup tail' AS text
       |    FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
-  private val shingleCtes =
-    """toks AS (SELECT doc_id, string_split(text,' ') AS toks FROM corpus),
-      |sh0 AS (SELECT doc_id,
-      |  CASE WHEN len(toks) < 5 THEN [array_to_string(toks,' ')]
-      |       ELSE list_distinct(list_transform(range(1, len(toks)-3),
-      |              i -> array_to_string(toks[i:i+4],' ')))
-      |  END AS shingles FROM toks),
-      |sh AS (SELECT doc_id, unnest(shingles) AS sh FROM sh0)""".stripMargin
+  // twin of TextOps.shingles(tokens(text), 5) over a named source table
+  private def shingleCtesFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text,' ') AS toks FROM $src),
+       |sh0 AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 5 THEN [array_to_string(toks,' ')]
+       |       ELSE list_distinct(list_transform(range(1, len(toks)-3),
+       |              i -> array_to_string(toks[i:i+4],' ')))
+       |  END AS shingles FROM toks),
+       |sh AS (SELECT doc_id, unnest(shingles) AS sh FROM sh0)""".stripMargin
+
+  private val shingleCtes = shingleCtesFrom("corpus")
 
   // twin of TextOps.hashMember: four 8-hex members per digest
   private def duckHash(i: Int): String =
     s"MIN(CAST(('0x'||substr(md5('${i / 4}:'||sh),${1 + 8 * (i % 4)},8)) AS BIGINT)) AS mh$i"
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_decontaminate" ->
+      s"""WITH ${shingleCtesFrom("documents")},
+         |bg AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+         |tg AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT t.doc_id, COUNT(*) AS n_hits
+         |FROM tg t JOIN bg b ON t.sh = b.sh GROUP BY 1""".stripMargin,
+
+    "pipe_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |       CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |       FROM documents),
+        |-- DuckDB SUM(BIGINT) widens to HUGEINT (renders as float through
+        |-- pandas) — cast back to BIGINT so types match Spark's long.
+        |c AS (SELECT doc_id, n_tokens,
+        |      CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |        AS start_tok FROM t)
+        |SELECT doc_id, n_tokens, start_tok,
+        |       CAST(start_tok // 2048 AS BIGINT) AS pack_id,
+        |       CAST(((start_tok + n_tokens - 1) // 2048) - (start_tok // 2048) + 1
+        |         AS BIGINT) AS n_packs
+        |FROM c""".stripMargin,
+
     "dedup_exact" ->
       s"""WITH $corpusCte
          |SELECT md5(text) AS h, COUNT(*) AS sz, MIN(doc_id) AS keeper

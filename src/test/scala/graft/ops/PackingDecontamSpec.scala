@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.PipelineQueries
+
+/** Semantic invariants for the round-4 pipeline operators: sequence
+  * packing (concat-and-chunk prefix sums) and benchmark decontamination
+  * (n-gram overlap vs a held-out set), plus plan-shape assertions that
+  * the scale claims hold (no global single-reducer window; benchmark
+  * side broadcast). */
+class PackingDecontamSpec extends SparkSpec {
+
+  private def run(name: String) = PipelineQueries.queries(name)(spark, sfDir)
+
+  test("pipe_pack start offsets are the exclusive prefix sum in doc order") {
+    val rows = run("pipe_pack")
+      .select("doc_id", "n_tokens", "start_tok", "pack_id", "n_packs")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    var cum = 0L
+    rows.foreach { case (id, n, start, pack, nPacks) =>
+      assert(start == cum, s"doc $id: start $start != cumulative $cum")
+      assert(pack == start / 2048, s"doc $id: wrong pack id")
+      assert(nPacks == (start + n - 1) / 2048 - start / 2048 + 1,
+        s"doc $id: wrong span")
+      cum += n
+    }
+    // packing is gapless and complete: total tokens == last start + last n
+    assert(cum == rows.last._3 + rows.last._2)
+  }
+
+  test("pipe_pack plans the parallel prefix-sum, not a global window") {
+    val plan = run("pipe_pack").queryExecution.executedPlan.toString
+    // every window in the plan is keyed (pid / constant-partition histogram);
+    // an unkeyed global window would serialize the whole corpus
+    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+      "global unpartitioned window in pack plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "offset histogram should broadcast back")
+  }
+
+  test("decontamination flags exactly the docs sharing 5-grams with the benchmark") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val train = docs.where(col("doc_id") % 97 =!= 0)
+    val flagged = Decontam.contaminated(train, bench, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // independent local oracle: shingle sets via plain Scala
+    def grams(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 5) Set(toks.mkString(" "))
+      else toks.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val benchGrams = bench.collect().flatMap(r => grams(r.getString(1))).toSet
+    val expected = train.collect()
+      .map(r => r.getLong(0) -> grams(r.getString(1)).count(benchGrams))
+      .filter(_._2 > 0).toMap
+    assert(flagged == expected)
+    // a benchmark doc's own text always collides with itself — sanity that
+    // the planted overlap exists whenever an exact duplicate of a benchmark
+    // doc appears in train (none in raw documents, so just non-degeneracy):
+    assert(expected.isEmpty == flagged.isEmpty)
+  }
+
+  test("decontaminate drops flagged docs and keeps everything else") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val train = docs.where(col("doc_id") % 97 =!= 0)
+    val flagged = Decontam.contaminated(train, bench).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val kept = Decontam.decontaminate(train, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- flagged)
+  }
+
+  test("decontamination broadcasts the benchmark gram set") {
+    val plan = run("pipe_decontaminate").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark side must broadcast — shuffling corpus text is the anti-plan")
+  }
+}
