@@ -194,6 +194,13 @@ object PipelineQueries {
         Multimodal.mediaFromDocuments(s, Tables(s, d, "documents"))).toDF()
     },
 
+    // Symmetric int8 quantization of the embedding store: 4× smaller at
+    // 100 TB, error bounded by scale/2 per element. Pure per-row column
+    // algebra — a map over the corpus scan, zero shuffle.
+    "emb_quantize" -> { (s, d) =>
+      graft.ops.Quantize.int8(Tables(s, d, "embeddings"), "vec_id", "embedding")
+    },
+
     // Benchmark decontamination: every serious LLM corpus removes training
     // docs that overlap the eval sets. Benchmark = deterministic 1% slice
     // (doc_id % 97 = 0); its distinct 5-gram set BROADCASTS, the training
@@ -296,6 +303,27 @@ object PipelineQueries {
     s"MIN(CAST(('0x'||substr(md5('${i / 4}:'||sh),${1 + 8 * (i % 4)},8)) AS BIGINT)) AS mh$i"
 
   val oracleSql: Map[String, String] = Map(
+    // float→double widening is exact; fixed-order IEEE arithmetic and
+    // floor(v+0.5) rounding are engine-identical (never round(): half-even
+    // vs half-away diverges). qsig hashes the int vector as text — the one
+    // array encoding both engines agree on byte-for-byte.
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+        |    AS amax FROM embeddings),
+        |q AS (SELECT vec_id, amax, embedding,
+        |  list_transform(embedding, v ->
+        |    CASE WHEN amax = 0 THEN 0
+        |         ELSE CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / amax + 0.5) AS INT)
+        |    END) AS qv
+        |  FROM e)
+        |SELECT vec_id, amax / 127.0 AS scale,
+        |  md5(array_to_string(qv, ',')) AS qsig,
+        |  list_max(list_transform(range(1, len(embedding) + 1), i ->
+        |    abs(CAST(embedding[i] AS DOUBLE) - qv[i] * (amax / 127.0))))
+        |    AS err_max
+        |FROM q""".stripMargin,
+
     "pipe_decontaminate" ->
       s"""WITH ${shingleCtesFrom("documents")},
          |bg AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),

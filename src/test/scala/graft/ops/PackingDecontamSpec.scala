@@ -81,6 +81,31 @@ class PackingDecontamSpec extends SparkSpec {
     assert(kept == all -- flagged)
   }
 
+  test("emb_quantize error is bounded by scale/2 and zero for exact multiples") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val rows = Quantize.int8(emb, "vec_id", "embedding")
+      .select("vec_id", "scale", "err_max").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, err) = (r.getDouble(1), r.getDouble(2))
+      // |x - q·scale| ≤ scale/2 by construction (+1 ulp of slack)
+      assert(err <= scale / 2 * (1 + 1e-12),
+        s"vec ${r.getLong(0)}: err $err > half-step ${scale / 2}")
+    }
+    // a vector that is already an exact int8 grid reconstructs exactly
+    import spark.implicits._
+    val grid = Seq((1L, Array(127.0f, -127.0f, 0.0f))).toDF("vec_id", "embedding")
+    val g = Quantize.int8(grid, "vec_id", "embedding").collect().head
+    assert(g.getDouble(g.fieldIndex("err_max")) == 0.0)
+    assert(g.getDouble(g.fieldIndex("scale")) == 1.0)
+  }
+
+  test("emb_quantize is a shuffle-free map over the scan") {
+    val plan = PipelineQueries.queries("emb_quantize")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "quantization must not shuffle")
+  }
+
   test("decontamination broadcasts the benchmark gram set") {
     val plan = run("pipe_decontaminate").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
