@@ -47,6 +47,13 @@ object Bench {
       val (cold, steady) =
         try { val c = once(fn); (c, once(fn)) }
         catch { case _: Throwable => (-1.0, -1.0) }
+      // Let the ContextCleaner reclaim dead localCheckpoint/shuffle blocks
+      // between queries: at the 100× SF the iterative queries checkpoint
+      // GBs that stay resident until their DataFrames are GC'd, and the
+      // resulting memory pressure was measured inflating an unrelated
+      // 3s query to 29s later in the run. (Fixture caches are strongly
+      // referenced and survive; only garbage is collected.)
+      System.gc()
       name -> ((cold, steady))
     }
     // Locale.ROOT: under a comma-decimal default locale (de_DE etc.)

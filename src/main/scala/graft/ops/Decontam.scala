@@ -26,13 +26,19 @@ object Decontam {
    * `bench`. `train`/`bench`: (doc_id, text).
    */
   def contaminated(train: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
-    val benchGrams = bench
-      .select(explode(TextOps.shingles(TextOps.tokens(col("text")), n)).as("g"))
-      .distinct()
-    train
-      .select(col("doc_id"),
-        explode(TextOps.shingles(TextOps.tokens(col("text")), n)).as("g"))
-      .join(broadcast(benchGrams), "g")
+    // Join on the 60-bit md5 gram hash, not the raw string: the broadcast
+    // set becomes fixed-width longs (8B vs ~40B keys — smaller build side,
+    // cheaper probes against the corpus-side billions of grams), and the
+    // semantics stay engine-deterministic because the oracle computes the
+    // SAME hash (the dedup_ngram_jaccard precedent; a cross-engine-stable
+    // hash is exactly what md5 is here for).
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), n)).as("g"))
+    val benchGrams = grams(bench)
+      .select(TextOps.tokenHash(col("g")).as("gh")).distinct()
+    grams(train)
+      .select(col("doc_id"), TextOps.tokenHash(col("g")).as("gh"))
+      .join(broadcast(benchGrams), "gh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }

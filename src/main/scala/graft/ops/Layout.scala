@@ -33,6 +33,52 @@ object Layout {
     spark.table(left).join(spark.table(right), key)
 
   /**
+   * Morton (Z-order) interleave of two non-negative integer columns:
+   * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Sorting by
+   * the interleaved value clusters rows so that any contiguous run is a
+   * bounded rectangle in (a, b) space — which makes parquet min-max
+   * statistics selective on BOTH columns at once (a single-column sort
+   * makes them selective on that column only).
+   */
+  def morton(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /**
+   * Z-order re-layout by two columns — the multi-column generalization of
+   * Catalog.createIndex's single-column sorted layout (reference:
+   * Index.create_index, lstore/index.py:59, which builds one index per
+   * column; Z-order serves range probes on either or both columns from
+   * ONE layout). Each column min-max scales to `bits` bits against its
+   * own stats (computed in-plan and broadcast — no driver collect), the
+   * morton codes range-partition the rows, and every output file covers a
+   * bounded (cA, cB) rectangle: a range probe on either column row-group-
+   * prunes to the files whose rectangle intersects it.
+   */
+  def zorder(df: DataFrame, cA: String, cB: String,
+             bits: Int = 16, partitions: Int = 32): DataFrame = {
+    val stats = df.agg(
+      min(col(cA).cast("double")).as("_minA"),
+      max(col(cA).cast("double")).as("_maxA"),
+      min(col(cB).cast("double")).as("_minB"),
+      max(col(cB).cast("double")).as("_maxB"))
+    val top = (1L << bits) - 1
+    def scaled(c: String, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0L)).otherwise(
+        floor((col(c).cast("double") - lo) / (hi - lo) * top).cast("long"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("_z", morton(
+        scaled(cA, col("_minA"), col("_maxA")),
+        scaled(cB, col("_minB"), col("_maxB")), bits))
+      .repartitionByRange(partitions, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_minA", "_maxA", "_minB", "_maxB", "_z")
+  }
+
+  /**
    * Skew-spreading join: fact rows salt into `nSalts` sub-keys using a
    * row-varying deterministic expression; the (small) dim side replicates
    * per salt. A hot key's rows land on nSalts partitions instead of one.

@@ -75,6 +75,27 @@ object CoreQueries {
   private val indexedCache =
     scala.collection.concurrent.TrieMap.empty[String, LineageTable]
 
+  /**
+   * Z-ordered orders layout (built once per sf dir): the multi-column
+   * index analog — ONE layout serving range probes on custkey AND
+   * totalprice via file/row-group min-max pruning (reference builds one
+   * hash index per column, lstore/index.py:59; Z-order is the distributed
+   * equivalent for ranges over two columns). LayoutSpec measures the
+   * pruning; correctness here is layout-independent.
+   */
+  def zorderedOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = zorderCache.getOrElseUpdate(sfDir, {
+      val d = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+      graft.ops.Layout.zorder(baseOrders(spark, sfDir), "custkey", "totalprice")
+        .write.mode("overwrite").parquet(d)
+      d
+    })
+    spark.read.parquet(dir)
+  }
+
+  private val zorderCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def baseOrders(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "orders").select(
       col("o_orderkey").as("k"),
@@ -229,6 +250,18 @@ object CoreQueries {
       // pins the pushed filter + the indexed layout).
       indexedOrders(s, d).snapshot
         .where(col("custkey").between(100L, 120L))
+        .select(col("k"), col("custkey"), col("status"), col("totalprice"))
+    },
+
+    "idx_zorder" -> { (s, d) =>
+      // 2-d range probe over the Z-ordered layout: ONE layout answers
+      // range predicates on custkey AND totalprice by min-max pruning
+      // (each parquet file covers a bounded rectangle in that plane).
+      // Results are layout-independent — the oracle is a plain filter;
+      // LayoutSpec measures the actual row-group skipping.
+      zorderedOrders(s, d)
+        .where(col("custkey").between(10L, 60L) &&
+               col("totalprice").between(50000.0, 200000.0))
         .select(col("k"), col("custkey"), col("status"), col("totalprice"))
     },
 
@@ -402,6 +435,13 @@ object CoreQueries {
       s"""$fixture
          |SELECT k, custkey, status, totalprice FROM snap
          |WHERE custkey BETWEEN 100 AND 120""".stripMargin,
+
+    "idx_zorder" ->
+      """SELECT o_orderkey AS k, o_custkey AS custkey,
+        |       o_orderstatus AS status, o_totalprice AS totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 10 AND 60
+        |  AND o_totalprice BETWEEN 50000.0 AND 200000.0""".stripMargin,
 
     "txn_batch" ->
       s"""$fixture,

@@ -324,12 +324,16 @@ object PipelineQueries {
         |    AS err_max
         |FROM q""".stripMargin,
 
+    // joins on the 60-bit md5 gram hash, mirroring Decontam.contaminated
+    // (same TextOps.tokenHash the jaccard oracle already twins)
     "pipe_decontaminate" ->
       s"""WITH ${shingleCtesFrom("documents")},
-         |bg AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
-         |tg AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+         |shh AS (SELECT doc_id,
+         |        CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS gh FROM sh),
+         |bg AS (SELECT DISTINCT gh FROM shh WHERE doc_id % 97 = 0),
+         |tg AS (SELECT doc_id, gh FROM shh WHERE doc_id % 97 <> 0)
          |SELECT t.doc_id, COUNT(*) AS n_hits
-         |FROM tg t JOIN bg b ON t.sh = b.sh GROUP BY 1""".stripMargin,
+         |FROM tg t JOIN bg b ON t.gh = b.gh GROUP BY 1""".stripMargin,
 
     "pipe_pack" ->
       """WITH t AS (SELECT doc_id,

@@ -32,6 +32,58 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("morton interleave places a-bits even, b-bits odd") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 3L), (5L, 2L))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), Layout.morton(col("a"), col("b"), 4).as("z"))
+    val z = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(z(0L -> 0L) == 0L)
+    assert(z(1L -> 0L) == 1L)   // a bit 0 → z bit 0
+    assert(z(0L -> 1L) == 2L)   // b bit 0 → z bit 1
+    assert(z(1L -> 1L) == 3L)
+    assert(z(3L -> 3L) == 15L)  // 0b11 ⨯ 0b11 → 0b1111
+    assert(z(5L -> 2L) == 25L)  // a=0b101,b=0b010 → 0b011001
+  }
+
+  test("zorder re-layout preserves rows and prunes row groups on BOTH columns") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+    def writeAndProbe(layout: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_zspec_").toString
+      layout.write.mode("overwrite").parquet(dir)
+      val t = spark.read.parquet(dir)
+      // scan-output rows = rows surviving row-group min-max pruning: the
+      // layout-dependent quantity (matching rows are layout-independent)
+      def scanRows(probed: org.apache.spark.sql.DataFrame): Long = {
+        probed.collect()
+        probed.queryExecution.executedPlan.collectLeaves()
+          .map(_.metrics("numOutputRows").value).sum
+      }
+      val byPrice = scanRows(t.where(col("o_totalprice").between(50000.0, 80000.0)))
+      val byCust = scanRows(t.where(col("o_custkey") <= 20L))
+      (byPrice, byCust)
+    }
+
+    val total = orders.count()
+    val zordered = Layout.zorder(orders, "o_custkey", "o_totalprice",
+      bits = 16, partitions = 16)
+    // set-equality: re-layout changes nothing but physical order
+    assert(zordered.count() == total)
+    assert(zordered.exceptAll(orders).isEmpty && orders.exceptAll(zordered).isEmpty)
+
+    val (zPrice, zCust) = writeAndProbe(zordered)
+    val (sPrice, sCust) = writeAndProbe(
+      orders.repartitionByRange(16, col("o_custkey"))
+        .sortWithinPartitions(col("o_custkey")))
+    // custkey-sorted layout prunes custkey probes but reads ~everything
+    // for a price probe; Z-order prunes BOTH probes
+    assert(sPrice > total / 2, s"price probe on custkey layout: $sPrice of $total")
+    assert(zPrice < sPrice / 2, s"zorder price probe $zPrice !<< $sPrice")
+    assert(zCust < total / 2, s"zorder custkey probe $zCust of $total")
+  }
+
   test("salted join equals the plain join and keys on (key, salt)") {
     val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
