@@ -194,6 +194,38 @@ object PipelineQueries {
         Multimodal.mediaFromDocuments(s, Tables(s, d, "documents"))).toDF()
     },
 
+    // Training-mixture sampling: per-language acceptance rates over the
+    // same deterministic md5 gate as pipe_sample — reproducible,
+    // partition-independent, and re-weightable by editing one map. The
+    // rate lookup is a codegen'd when-chain; no join, no shuffle.
+    "pipe_mix" -> { (s, d) =>
+      val rates = Seq("en" -> 80, "es" -> 50, "fr" -> 30, "de" -> 20)
+      val rate = rates.foldLeft(lit(10)) { case (acc, (l, r)) =>
+        when(col("lang") === l, r).otherwise(acc)
+      }
+      Tables(s, d, "documents")
+        .where(conv(substr(md5(col("doc_id").cast("string")), lit(1), lit(8)),
+          16, 10).cast("long") % 100 < rate)
+        .select(col("doc_id"), col("lang"))
+    },
+
+    // The decontamination operator run INCREMENTALLY: documents stream in,
+    // the benchmark gram set is a broadcast static side in every
+    // micro-batch (stream-static join), the hit counts are the stateful
+    // aggregation — continuous ingestion decontaminating against a fixed
+    // eval suite. Oracle = the batch twin's SQL.
+    "stream_decontam" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val src = StreamOps.fileSource(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val bench = Tables(s, d, "documents")
+        .where(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text"))
+      StreamOps.drainComplete(s,
+        graft.ops.Decontam.contaminated(
+          src.where(col("doc_id") % 97 =!= 0), bench, n = 5))
+    },
+
     // Symmetric int8 quantization of the embedding store: 4× smaller at
     // 100 TB, error bounded by scale/2 per element. Pure per-row column
     // algebra — a map over the corpus scan, zero shuffle.
@@ -323,6 +355,12 @@ object PipelineQueries {
         |    abs(CAST(embedding[i] AS DOUBLE) - qv[i] * (amax / 127.0))))
         |    AS err_max
         |FROM q""".stripMargin,
+
+    "pipe_mix" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100
+        |  < CASE lang WHEN 'en' THEN 80 WHEN 'es' THEN 50
+        |              WHEN 'fr' THEN 30 WHEN 'de' THEN 20 ELSE 10 END""".stripMargin,
 
     // joins on the 60-bit md5 gram hash, mirroring Decontam.contaminated
     // (same TextOps.tokenHash the jaccard oracle already twins)
@@ -638,6 +676,16 @@ object PipelineQueries {
     "stream_dedup" ->
       """SELECT md5(text) AS h, COUNT(*) AS sz, MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // streaming twin of pipe_decontaminate: identical result by design
+    "stream_decontam" ->
+      s"""WITH ${shingleCtesFrom("documents")},
+         |shh AS (SELECT doc_id,
+         |        CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS gh FROM sh),
+         |bg AS (SELECT DISTINCT gh FROM shh WHERE doc_id % 97 = 0),
+         |tg AS (SELECT doc_id, gh FROM shh WHERE doc_id % 97 <> 0)
+         |SELECT t.doc_id, COUNT(*) AS n_hits
+         |FROM tg t JOIN bg b ON t.gh = b.gh GROUP BY 1""".stripMargin,
 
     "stream_events_window" ->
       """SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS window_start_ns,
