@@ -59,7 +59,9 @@ object Layout {
    * prunes to the files whose rectangle intersects it.
    */
   def zorder(df: DataFrame, cA: String, cB: String,
-             bits: Int = 16, partitions: Int = 32): DataFrame = {
+             bits: Int = 16, partitions: Int = 0): DataFrame = {
+    val nParts = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val stats = df.agg(
       min(col(cA).cast("double")).as("_minA"),
       max(col(cA).cast("double")).as("_maxA"),
@@ -73,7 +75,7 @@ object Layout {
       .withColumn("_z", morton(
         scaled(cA, col("_minA"), col("_maxA")),
         scaled(cB, col("_minB"), col("_maxB")), bits))
-      .repartitionByRange(partitions, col("_z"))
+      .repartitionByRange(nParts, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_minA", "_maxA", "_minB", "_maxB", "_z")
   }

@@ -32,9 +32,14 @@ object Packing {
    * lands in), n_packs (how many budget-sized packs the doc spans).
    */
   def packConcat(docs: DataFrame, idCol: String, nCol: String,
-                 budget: Long, partitions: Int = 32): DataFrame = {
+                 budget: Long, partitions: Int = 0): DataFrame = {
+    // partitions ≤ 0 → the session's shuffle parallelism (a constant here
+    // would under-partition a real cluster); the offset histogram stays
+    // one row per partition either way.
+    val nParts = if (partitions > 0) partitions
+      else docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = docs
-      .repartitionByRange(partitions, col(idCol))
+      .repartitionByRange(nParts, col(idCol))
       .sortWithinPartitions(col(idCol))
       .withColumn("pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("pid")).orderBy(col(idCol))

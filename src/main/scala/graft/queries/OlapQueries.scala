@@ -288,7 +288,10 @@ object OlapQueries {
       val keys = Seq(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
       val parts = Tables(s, d, "orders")
         .select(keys: _*)
-        .repartitionByRange(32, keys: _*)
+        // session shuffle parallelism, not a constant: 32 is right on
+        // local[32] but would under-partition a 1000-executor cluster
+        .repartitionByRange(
+          s.conf.get("spark.sql.shuffle.partitions").toInt, keys: _*)
         .sortWithinPartitions(keys: _*)
         .withColumn("pid", spark_partition_id())
       val wLocal = Window.partitionBy(col("pid"), col("o_orderstatus"))
