@@ -55,7 +55,14 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     try query.awaitTermination() finally query.stop()
-    spark.table(name)
+    // Copy the result OFF the memory sink (executor blocks, droppable by
+    // GC once the caller lets go) and drop the sink's temp view: the sink
+    // otherwise pins every emitted row in the driver for the session's
+    // lifetime — at the 100× SF a 9.4M-row session table per drain, which
+    // measurably slowed every query that ran after it.
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Production-shaped sink: drain the stream to an exactly-once parquet
