@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 
 /**
@@ -49,20 +49,34 @@ object StreamOps {
     drain(spark, plan, "append")
 
   private def drain(spark: SparkSession, plan: DataFrame, mode: String): DataFrame = {
-    val name = s"graft_stream_${sinkId.incrementAndGet()}"
+    // foreachBatch → parquet, NOT the memory sink: the memory sink
+    // collects every emitted row at the DRIVER and pins it for the
+    // session's lifetime — at the 100× SF one sessionize drain held 9.4M
+    // rows on the driver, its scan-back was 10× slower than a distributed
+    // scan, and the heap churn measurably slowed every query after it.
+    // Writing each micro-batch with the cluster and reading the files
+    // back keeps the result distributed end to end (and is the shape a
+    // production drain takes anyway — cf. drainToParquet).
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_drain_${sinkId.incrementAndGet()}_").toString
+    val out = s"$dir/out"
+    // complete mode re-emits the whole result table every batch (last
+    // write wins); append mode emits disjoint increments (accumulate)
+    val save = if (mode == "complete") SaveMode.Overwrite else SaveMode.Append
     val query = plan.writeStream
-      .format("memory").queryName(name).outputMode(mode)
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(save).parquet(out)
+      }
       .start()
     try query.awaitTermination() finally query.stop()
-    // Copy the result OFF the memory sink (executor blocks, droppable by
-    // GC once the caller lets go) and drop the sink's temp view: the sink
-    // otherwise pins every emitted row in the driver for the session's
-    // lifetime — at the 100× SF a 9.4M-row session table per drain, which
-    // measurably slowed every query that ran after it.
-    val out = spark.table(name).localCheckpoint()
-    spark.catalog.dropTempView(name)
-    out
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(out)))
+      spark.read.parquet(out)
+    else // a drained stream with zero batches yields an empty result
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        plan.schema)
   }
 
   /** Production-shaped sink: drain the stream to an exactly-once parquet
