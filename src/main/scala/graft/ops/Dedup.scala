@@ -108,9 +108,11 @@ object Dedup {
    * expanding C(m,2) pairs — `maxBucket` is far above any test-SF bucket
    * size, so the oracle hash is unchanged.
    */
-  def minhashCandidates(corpus: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
-                        maxBucket: Int = 1024): DataFrame = {
-    import graft.functions.CollectCapped.collectCapped
+  /** (doc_id, band, bucket) LSH band rows for every doc — the shared
+    * blocking structure of [[minhashCandidates]] (within-corpus) and
+    * [[minhashCrossCandidates]] (new-batch-vs-corpus). */
+  private def bandedSignatures(corpus: DataFrame, k: Int,
+                               rowsPerBand: Int): DataFrame = {
     import graft.functions.MinhashSignature.minhashSignature
     require(k % 4 == 0 && k % rowsPerBand == 0)
     val sig = corpus
@@ -125,8 +127,15 @@ object Dedup {
       val members = (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}"))
       struct(lit(j).as("band"), concat_ws("_", members: _*).as("bucket"))
     }
-    val groups = sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
-      .groupBy(col("bb.band"), col("bb.bucket"))
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  def minhashCandidates(corpus: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
+                        maxBucket: Int = 1024): DataFrame = {
+    import graft.functions.CollectCapped.collectCapped
+    val groups = bandedSignatures(corpus, k, rowsPerBand)
+      .groupBy(col("band"), col("bucket"))
       .agg(collectCapped(col("doc_id"), maxBucket).as("docs"))
       .where(col("docs").isNotNull && size(col("docs")) >= 2)
     val pairsOf = flatten(transform(col("docs"), (x, i) =>
@@ -134,6 +143,27 @@ object Dedup {
         y => struct(x.as("a"), y.as("b")))))
     groups.select(explode(pairsOf).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
+  /**
+   * Incremental (cross-corpus) near-dup candidates: which docs of a NEW
+   * batch already exist — as near-duplicates — in the standing corpus.
+   * The continuous-ingestion twin of [[minhashCandidates]]: both sides
+   * band with the SAME LSH structure and only cross-side bucket matches
+   * are candidates (new×new and corpus×corpus pairs are not re-examined —
+   * the standing corpus is already deduped). Shuffle is on (band, bucket)
+   * for both sides; the new batch is typically tiny relative to the
+   * corpus, so AQE broadcasts it and the corpus-side banding streams.
+   */
+  def minhashCrossCandidates(corpus: DataFrame, newBatch: DataFrame,
+                             k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val old = bandedSignatures(corpus, k, rowsPerBand)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val neu = bandedSignatures(newBatch, k, rowsPerBand)
+      .withColumnRenamed("doc_id", "new_id")
+    old.join(neu, Seq("band", "bucket"))
+      .select(col("corpus_id"), col("new_id"))
       .distinct()
   }
 

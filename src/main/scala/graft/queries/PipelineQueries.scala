@@ -64,6 +64,16 @@ object PipelineQueries {
       graft.ops.Components.components(Dedup.minhashCandidates(docCorpus(s, d)))
     },
 
+    // Incremental ingestion: the planted copies (doc_id >= 100000) arrive
+    // as the "new batch"; find which already exist as near-dups in the
+    // standing corpus — cross-side LSH bucket matches only.
+    "dedup_incremental" -> { (s, d) =>
+      val c = docCorpus(s, d)
+      Dedup.minhashCrossCandidates(
+        c.where(col("doc_id") < 100000L),
+        c.where(col("doc_id") >= 100000L))
+    },
+
     "dedup_embedding" -> { (s, d) => Dedup.embeddingPairs(embCorpus(s, d), 0.95) },
 
     "ann_topk" -> { (s, d) =>
@@ -285,6 +295,35 @@ object PipelineQueries {
       StreamOps.drainAppend(s, Sessionize.sessionsStream(s, d).toDF())
     },
 
+    // Stream-STREAM join: views and purchases are two event STREAMS,
+    // inner-joined per user with an event-time range (purchase within 2h
+    // after the view) and 2h watermarks on BOTH sides — the watermark +
+    // time bound is what lets Spark evict join state, so memory is
+    // bounded by the window, not the stream length. The remaining
+    // streaming capability class after stateful agg / arbitrary state /
+    // stream-static joins. Timestamps µs-truncate BEFORE joining (both
+    // engines see identical values; SURVEY §4).
+    "stream_stream_join" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      def side(tpe: String, idAs: String, tsAs: String) =
+        StreamOps.fileSource(s, d, "events")
+          .where(col("event_type") === tpe)
+          .select(col("user_id"),
+            col("event_id").as(idAs),
+            timestamp_micros(expr("ts div 1000")).as(tsAs))
+          .withWatermark(tsAs, "2 hours")
+      val views = side("view", "view_id", "vts")
+      val purch = side("purchase", "purchase_id", "pts")
+        .withColumnRenamed("user_id", "p_user_id")
+      StreamOps.drainAppend(s,
+        views.join(purch,
+          col("user_id") === col("p_user_id") &&
+          col("pts") >= col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 2 HOURS"))
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          (unix_micros(col("pts")) - unix_micros(col("vts"))).as("gap_us")))
+    },
+
     // Stream-STATIC join: the events file stream interval-joined (same
     // bucketized RangeJoin operator as batch q_range_join) to the static
     // periods table, aggregated per period. Covers the third streaming
@@ -393,6 +432,23 @@ object PipelineQueries {
       s"""WITH $corpusCte
          |SELECT md5(text) AS h, COUNT(*) AS sz, MIN(doc_id) AS keeper
          |FROM corpus GROUP BY 1""".stripMargin,
+
+    // same LSH banding as dedup_minhash; only cross-side (corpus × new
+    // batch) bucket matches are candidates
+    "dedup_incremental" ->
+      s"""WITH $corpusCte,
+         |$shingleCtes,
+         |mh AS (SELECT doc_id, ${(0 until 8).map(duckHash).mkString(", ")}
+         |       FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR)||'_'||CAST(mh1 AS VARCHAR) AS bucket FROM mh
+         |  UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR)||'_'||CAST(mh3 AS VARCHAR) FROM mh
+         |  UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR)||'_'||CAST(mh5 AS VARCHAR) FROM mh
+         |  UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR)||'_'||CAST(mh7 AS VARCHAR) FROM mh)
+         |SELECT DISTINCT o.doc_id AS corpus_id, n.doc_id AS new_id
+         |FROM bands o JOIN bands n
+         |ON o.band = n.band AND o.bucket = n.bucket
+         |   AND o.doc_id < 100000 AND n.doc_id >= 100000""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $corpusCte,
@@ -676,6 +732,18 @@ object PipelineQueries {
     "stream_dedup" ->
       """SELECT md5(text) AS h, COUNT(*) AS sz, MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // full drain (single AvailableNow batch) ⇒ no late data ⇒ the
+    // stream-stream join equals the batch self-join exactly
+    "stream_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |       CAST((epoch_ns(p.ts) // 1000) - (epoch_ns(v.ts) // 1000) AS BIGINT)
+        |         AS gap_us
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND (epoch_ns(p.ts) // 1000) >= (epoch_ns(v.ts) // 1000)
+        | AND (epoch_ns(p.ts) // 1000) - (epoch_ns(v.ts) // 1000) <= 7200000000""".stripMargin,
 
     // streaming twin of pipe_decontaminate: identical result by design
     "stream_decontam" ->
