@@ -63,15 +63,29 @@ object StreamOps {
     // complete mode re-emits the whole result table every batch (last
     // write wins); append mode emits disjoint increments (accumulate)
     val save = if (mode == "complete") SaveMode.Overwrite else SaveMode.Append
-    val query = plan.writeStream
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$dir/_ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(save).parquet(out)
-      }
-      .start()
-    try query.awaitTermination() finally query.stop()
+    // Streaming state partitioning is fixed by the FIRST micro-batch (it
+    // is baked into the checkpoint), and every state partition costs
+    // per-batch store commits — measured 2m32s→22s of system CPU for one
+    // bounded stream-stream join drain going 32→8 partitions (4+ stores
+    // per partition on a two-sided join). A bounded AvailableNow drain
+    // gets a capped count; production continuous queries choose their own
+    // width at query start the same way.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(prev.toInt, 8).toString)
+    // conf restores only after the drain completes: micro-batches plan on
+    // their own thread after start(), so an earlier restore would race
+    try {
+      val query = plan.writeStream
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$dir/_ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(save).parquet(out)
+        }
+        .start()
+      try query.awaitTermination() finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(out)))
       spark.read.parquet(out)
     else // a drained stream with zero batches yields an empty result
