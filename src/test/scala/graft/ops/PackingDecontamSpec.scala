@@ -106,6 +106,22 @@ class PackingDecontamSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "quantization must not shuffle")
   }
 
+  test("incremental dedup finds every planted copy and only cross-side pairs") {
+    val pairs = run("dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exact copies have identical minhash signatures → collide in EVERY
+    // band → recall 1 by construction
+    val docIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 10 == 0)
+    assert(docIds.nonEmpty)
+    docIds.foreach { id =>
+      assert(pairs.contains((id, id + 100000L)),
+        s"missing cross-corpus pair for planted copy of doc $id")
+    }
+    // strictly cross-side: corpus ids left, new-batch ids right
+    assert(pairs.forall { case (c, n) => c < 100000L && n >= 100000L })
+  }
+
   test("decontamination broadcasts the benchmark gram set") {
     val plan = run("pipe_decontaminate").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
