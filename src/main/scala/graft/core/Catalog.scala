@@ -216,16 +216,38 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   def dropTable(name: String): Unit = deleteRecursively(Paths.get(dir(name)))
 
   /** Catalog inventory: name, live-row count, column count. Empty
-    * warehouse → empty result (not an error). */
-  def inventory(): org.apache.spark.sql.DataFrame =
-    tableNames.map { n =>
+    * warehouse → empty result (not an error).
+    *
+    * Compacted tables (empty tail) answer from parquet FOOTERS: after
+    * compaction the base holds exactly the live rows (tombstones folded
+    * out), so live-row count = footer row count — O(files) metadata reads,
+    * no data scan (graft.sources.ParquetMeta). Tables with a live tail
+    * still need the snapshot count (old versions/tombstones in the tail
+    * make raw row counts ≠ live rows). At 100 TB the warehouse steady
+    * state is compacted, so an inventory normally scans nothing. */
+  def inventory(): org.apache.spark.sql.DataFrame = {
+    val (compacted, tailed) = tableNames.partition { n =>
+      val tailDir = Paths.get(dir(n), "tail")
+      !(Files.isDirectory(tailDir) && hasParquet(tailDir))
+    }
+    val viaFooters =
+      if (compacted.isEmpty) None
+      else Some(graft.sources.ParquetMeta.rowCounts(spark,
+          compacted.map(n => n -> baseDir(n).toString))
+        .join(broadcast(spark.createDataFrame(
+            compacted.map(n => (n, readMeta(n).columns.length)))
+          .toDF("tbl", "nc")), "tbl")
+        .select(col("tbl"), col("n_rows"), col("nc").cast("int").as("n_cols")))
+    val viaSnapshot = tailed.map { n =>
       val t = getTable(n)
       t.snapshot.agg(count(lit(1)).as("n_rows"))
         .select(lit(n).as("tbl"), col("n_rows"),
           lit(t.dataCols.length).as("n_cols"))
-    }.reduceOption(_ unionByName _)
+    }
+    (viaFooters.toSeq ++ viaSnapshot).reduceOption(_ unionByName _)
       .getOrElse(spark.range(0)
         .select(lit("").as("tbl"), lit(0L).as("n_rows"), lit(0).as("n_cols")))
+  }
 
   // ------------------------------------------------------------- metadata
 
