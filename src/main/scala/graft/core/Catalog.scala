@@ -232,12 +232,8 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     }
     val viaFooters =
       if (compacted.isEmpty) None
-      else Some(graft.sources.ParquetMeta.rowCounts(spark,
-          compacted.map(n => n -> baseDir(n).toString))
-        .join(broadcast(spark.createDataFrame(
-            compacted.map(n => (n, readMeta(n).columns.length)))
-          .toDF("tbl", "nc")), "tbl")
-        .select(col("tbl"), col("n_rows"), col("nc").cast("int").as("n_cols")))
+      else Some(graft.sources.ParquetMeta.inventory(spark, compacted.map(n =>
+        (n, baseDir(n).toString, readMeta(n).columns.length))))
     val viaSnapshot = tailed.map { n =>
       val t = getTable(n)
       t.snapshot.agg(count(lit(1)).as("n_rows"))

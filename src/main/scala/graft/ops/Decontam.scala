@@ -24,8 +24,17 @@ object Decontam {
   /**
    * (doc_id, n_hits) for every training doc sharing ≥1 distinct n-gram with
    * `bench`. `train`/`bench`: (doc_id, text).
+   *
+   * `broadcastBench = true` (default) asserts the precondition that the
+   * benchmark is FIXED-SIZE (real eval suites are thousands of docs
+   * regardless of corpus scale) — its gram set must fit a broadcast. If
+   * the "benchmark" is instead corpus-proportional (as a test fixture
+   * slice is), pass false and the planner picks a shuffle join from
+   * stats; the operator stays correct, only the no-text-shuffle guarantee
+   * weakens to the gram-hash shuffle.
    */
-  def contaminated(train: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
+  def contaminated(train: DataFrame, bench: DataFrame, n: Int = 5,
+                   broadcastBench: Boolean = true): DataFrame = {
     // Join on the 60-bit md5 gram hash, not the raw string: the broadcast
     // set becomes fixed-width longs (8B vs ~40B keys — smaller build side,
     // cheaper probes against the corpus-side billions of grams), and the
@@ -38,7 +47,7 @@ object Decontam {
       .select(TextOps.tokenHash(col("g")).as("gh")).distinct()
     grams(train)
       .select(col("doc_id"), TextOps.tokenHash(col("g")).as("gh"))
-      .join(broadcast(benchGrams), "gh")
+      .join(if (broadcastBench) broadcast(benchGrams) else benchGrams, "gh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }

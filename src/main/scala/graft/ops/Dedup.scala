@@ -157,13 +157,22 @@ object Dedup {
    * corpus, so AQE broadcasts it and the corpus-side banding streams.
    */
   def minhashCrossCandidates(corpus: DataFrame, newBatch: DataFrame,
-                             k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val old = bandedSignatures(corpus, k, rowsPerBand)
-      .withColumnRenamed("doc_id", "corpus_id")
-    val neu = bandedSignatures(newBatch, k, rowsPerBand)
-      .withColumnRenamed("doc_id", "new_id")
-    old.join(neu, Seq("band", "bucket"))
-      .select(col("corpus_id"), col("new_id"))
+                             k: Int = 8, rowsPerBand: Int = 2,
+                             maxBucket: Int = 1024): DataFrame = {
+    import graft.functions.CollectCapped.collectCapped
+    // Both sides group per (band, bucket) through the same capped buffer
+    // as minhashCandidates: a degenerate hot bucket (templated boilerplate
+    // on either side) costs O(cap) memory and is dropped, so the bucket
+    // join emits at most cap² pairs per bucket — never |corpus|×|batch|.
+    def buckets(df: DataFrame, as: String) =
+      bandedSignatures(df, k, rowsPerBand)
+        .groupBy(col("band"), col("bucket"))
+        .agg(collectCapped(col("doc_id"), maxBucket).as(as))
+        .where(col(as).isNotNull)
+    buckets(corpus, "odocs")
+      .join(buckets(newBatch, "ndocs"), Seq("band", "bucket"))
+      .select(explode(col("odocs")).as("corpus_id"), col("ndocs"))
+      .select(col("corpus_id"), explode(col("ndocs")).as("new_id"))
       .distinct()
   }
 

@@ -285,15 +285,9 @@ object CoreQueries {
       // not table scans — at 100 TB an inventory is O(files) metadata
       // reads, the same trick DSv2 aggregate pushdown plays; column counts
       // come from the schema (also footer metadata).
-      val nCols = Tables.names.map { name =>
-        name -> Tables(s, d, name).schema.length
-      }.toMap
-      val counts = graft.sources.ParquetMeta.rowCounts(
-        s, Tables.names.map(n => n -> s"$d/$n.parquet"))
-      val colsDf = s.createDataFrame(
-        nCols.toSeq.map { case (n, c) => (n, c) }).toDF("tbl", "n_cols")
-      counts.join(broadcast(colsDf), "tbl")
-        .select(col("tbl"), col("n_rows"), col("n_cols").cast("int"))
+      graft.sources.ParquetMeta.inventory(s, Tables.names.map { name =>
+        (name, s"$d/$name.parquet", Tables(s, d, name).schema.length)
+      })
     }
   )
 

@@ -373,6 +373,17 @@ object PipelineQueries {
   private def duckHash(i: Int): String =
     s"MIN(CAST(('0x'||substr(md5('${i / 4}:'||sh),${1 + 8 * (i % 4)},8)) AS BIGINT)) AS mh$i"
 
+  // shared by pipe_decontaminate and its streaming twin — one string so
+  // the two oracles can never drift apart
+  private lazy val decontamOracle: String =
+    s"""WITH ${shingleCtesFrom("documents")},
+         |shh AS (SELECT doc_id,
+         |        CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS gh FROM sh),
+         |bg AS (SELECT DISTINCT gh FROM shh WHERE doc_id % 97 = 0),
+         |tg AS (SELECT doc_id, gh FROM shh WHERE doc_id % 97 <> 0)
+         |SELECT t.doc_id, COUNT(*) AS n_hits
+         |FROM tg t JOIN bg b ON t.gh = b.gh GROUP BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // float→double widening is exact; fixed-order IEEE arithmetic and
     // floor(v+0.5) rounding are engine-identical (never round(): half-even
@@ -403,14 +414,7 @@ object PipelineQueries {
 
     // joins on the 60-bit md5 gram hash, mirroring Decontam.contaminated
     // (same TextOps.tokenHash the jaccard oracle already twins)
-    "pipe_decontaminate" ->
-      s"""WITH ${shingleCtesFrom("documents")},
-         |shh AS (SELECT doc_id,
-         |        CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS gh FROM sh),
-         |bg AS (SELECT DISTINCT gh FROM shh WHERE doc_id % 97 = 0),
-         |tg AS (SELECT doc_id, gh FROM shh WHERE doc_id % 97 <> 0)
-         |SELECT t.doc_id, COUNT(*) AS n_hits
-         |FROM tg t JOIN bg b ON t.gh = b.gh GROUP BY 1""".stripMargin,
+    "pipe_decontaminate" -> decontamOracle,
 
     "pipe_pack" ->
       """WITH t AS (SELECT doc_id,
@@ -746,14 +750,7 @@ object PipelineQueries {
         | AND (epoch_ns(p.ts) // 1000) - (epoch_ns(v.ts) // 1000) <= 7200000000""".stripMargin,
 
     // streaming twin of pipe_decontaminate: identical result by design
-    "stream_decontam" ->
-      s"""WITH ${shingleCtesFrom("documents")},
-         |shh AS (SELECT doc_id,
-         |        CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS gh FROM sh),
-         |bg AS (SELECT DISTINCT gh FROM shh WHERE doc_id % 97 = 0),
-         |tg AS (SELECT doc_id, gh FROM shh WHERE doc_id % 97 <> 0)
-         |SELECT t.doc_id, COUNT(*) AS n_hits
-         |FROM tg t JOIN bg b ON t.gh = b.gh GROUP BY 1""".stripMargin,
+    "stream_decontam" -> decontamOracle,
 
     "stream_events_window" ->
       """SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS window_start_ns,

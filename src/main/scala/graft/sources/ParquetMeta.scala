@@ -5,6 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /**
@@ -59,4 +60,18 @@ object ParquetMeta {
       .map { case (name, n) => Row(name, n) }
     spark.createDataFrame(counted, schema)
   }
+
+  /**
+   * (tbl, n_rows, n_cols) inventory from footers alone — the one shape
+   * both catalog inventories (CoreQueries cat_tables, Catalog.inventory)
+   * share, kept here so a fix reaches both. `tables`: (name, path,
+   * column count).
+   */
+  def inventory(spark: SparkSession,
+                tables: Seq[(String, String, Int)]): DataFrame =
+    rowCounts(spark, tables.map(t => t._1 -> t._2))
+      .join(broadcast(
+        spark.createDataFrame(tables.map(t => t._1 -> t._3)).toDF("tbl", "nc")),
+        "tbl")
+      .select(col("tbl"), col("n_rows"), col("nc").cast("int").as("n_cols"))
 }

@@ -34,11 +34,20 @@ class PackingDecontamSpec extends SparkSpec {
   }
 
   test("pipe_pack plans the parallel prefix-sum, not a global window") {
-    val plan = run("pipe_pack").queryExecution.executedPlan.toString
-    // every window in the plan is keyed (pid / constant-partition histogram);
-    // an unkeyed global window would serialize the whole corpus
-    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
-      "global unpartitioned window in pack plan")
+    val qe = run("pipe_pack").queryExecution
+    // inspect the OPTIMIZED plan's window nodes directly: a partition spec
+    // emptied by the optimizer (the foldable-lit(0) trap) or a naive
+    // global cumsum would leave partitionSpec empty — the single-reducer
+    // plan this operator exists to avoid
+    val wins = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected window nodes in the pack plan")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned (single-reducer) window in pack plan: $w")
+    }
+    val plan = qe.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "offset histogram should broadcast back")
   }
