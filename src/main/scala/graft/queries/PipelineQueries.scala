@@ -105,6 +105,24 @@ object PipelineQueries {
           .cast("double") / size(toks)).as("avg_word_len"))
     },
 
+    // BPE-ish subword units: letter runs, digit runs, punctuation singles
+    // — the pre-tokenization split every byte-pair tokenizer starts from.
+    // The alternatives are DISJOINT character classes, so the match is
+    // unambiguous under any regex engine (ordered-alternation Java vs
+    // leftmost-longest RE2 agree) — which is what makes the DuckDB oracle
+    // exact. n_units = n_words + n_nums + n_punct by construction; the
+    // count approximates BPE token count the way production heuristics do.
+    "text_subwords" -> { (s, d) =>
+      def n(pat: String) = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long")
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        n("[a-z]+").as("n_words"),
+        n("[0-9]+").as("n_nums"),
+        n("[^a-z0-9 ]").as("n_punct"),
+        n("[a-z]+|[0-9]+|[^a-z0-9 ]").as("n_units"))
+    },
+
     "text_quality" -> { (s, d) =>
       val toks = TextOps.tokens(col("text"))
       val nTokens = size(toks).cast("long")
@@ -436,6 +454,15 @@ object PipelineQueries {
       s"""WITH $corpusCte
          |SELECT md5(text) AS h, COUNT(*) AS sz, MIN(doc_id) AS keeper
          |FROM corpus GROUP BY 1""".stripMargin,
+
+    "text_subwords" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
+        |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |    AS n_units
+        |FROM documents""".stripMargin,
 
     // same LSH banding as dedup_minhash; only cross-side (corpus × new
     // batch) bucket matches are candidates
