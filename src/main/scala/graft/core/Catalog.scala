@@ -188,6 +188,55 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   }
 
   /**
+   * Persist a retention vacuum (see [[LineageTable.vacuum]]): physically
+   * drop superseded versions beyond the newest `keep` per key. The newest
+   * rows (tombstones included) become the new base — version stamps
+   * PRESERVED, unlike compaction, so `_ver` monotonicity and op_seq carry
+   * on — and ranks 2..keep become the new tail, so [[getTable]]'s
+   * empty-tail fast path stays truthful: it fires exactly when keep=1
+   * left one version per record. Same crash-tolerant staged swap as
+   * [[saveCompacted]]: nothing is moved until the new state is written.
+   */
+  def vacuum(name: String, keep: Int = 1): LineageTable = {
+    val meta = readMeta(name)
+    val t = getTable(name)
+    val layoutCol = meta.index.getOrElse(t.keyCol)
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(t.keyCol)).orderBy(col(LineageTable.VER).desc)
+    // checkpoint the ranked retention once: base and tail writes both read
+    // it, and without a leaf the second write would re-run the rank window
+    val ranked = t.lineage
+      .withColumn("_rn", row_number().over(byKey))
+      .where(col("_rn") <= keep)
+      .localCheckpoint()
+    val staged = s"${dir(name)}/base_staged"
+    val base = Paths.get(dir(name), "base")
+    val old = Paths.get(dir(name), "base_old")
+    ranked.where(col("_rn") === 1).drop("_rn")
+      .repartitionByRange(col(layoutCol))
+      .sortWithinPartitions(col(layoutCol))
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    val tailRows = ranked.where(col("_rn") > 1).drop("_rn")
+    val stagedTail = s"${dir(name)}/tail_staged"
+    val hasTail = keep > 1 && !tailRows.isEmpty
+    if (hasTail)
+      tailRows.write.mode(SaveMode.Overwrite).parquet(stagedTail)
+    if (Files.isDirectory(base)) {
+      deleteRecursively(old)
+      Files.move(base, old)
+      Files.move(Paths.get(staged), base)
+      deleteRecursively(old)
+    } else {
+      Files.move(Paths.get(staged), base)
+      deleteRecursively(old)
+    }
+    deleteRecursively(Paths.get(dir(name), "tail"))
+    if (hasTail)
+      Files.move(Paths.get(stagedTail), Paths.get(dir(name), "tail"))
+    getTable(name)
+  }
+
+  /**
    * Build a physical index on `column` (reference: Index.create_index,
    * lstore/index.py:59): re-layout the base range-partitioned + sorted by
    * that column and record it in the metadata, so secondary probes prune

@@ -167,6 +167,30 @@ final class LineageTable private (
       snapshotMeta.withColumn(VER, lit(0)).withColumn(DEL, lit(0)),
       opSeq = 0, delta = None, compactedOnly = true)
 
+  /**
+   * Retention vacuum (storage reclaim): keep only the newest `keep`
+   * lineage rows per key; older superseded versions are physically
+   * dropped. The newest row always survives — tombstones included — so
+   * the SNAPSHOT is invariant; version addressing deeper than the retained
+   * history clamps to the oldest retained row, the same clamp the
+   * reference's merge imposes when history folds into base
+   * (lstore/table.py:186). At 100 TB this is the lever that keeps a
+   * heavily-updated table's lineage from growing without bound while
+   * still serving bounded time travel ([[compact]] is vacuum(1) that
+   * also re-stamps base). One key-partitioned window — the same single
+   * shuffle as a snapshot read; [[Catalog.vacuum]] persists the result.
+   */
+  def vacuum(keep: Int): LineageTable = {
+    require(keep >= 1, s"must keep at least the newest version, got $keep")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(VER).desc)
+    val kept = lineage
+      .withColumn("_rn", row_number().over(byKey))
+      .where(col("_rn") <= keep)
+      .drop("_rn")
+    new LineageTable(keyCol, dataCols, kept, opSeq, delta = None,
+      compactedOnly = false)
+  }
+
   /** Key-range scan of the current snapshot (reference aggregates iterate
     * keys in [start, end]; here it is a pushed-down range predicate). */
   def keyRange(lo: Long, hi: Long): DataFrame =

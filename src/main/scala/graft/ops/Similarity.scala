@@ -89,17 +89,9 @@ object Similarity {
    */
   def ivfBuildProbe(corpus: DataFrame, queries: DataFrame, k: Int,
                     nCentroids: Int = 16): DataFrame = {
-    val cents = broadcast(corpus.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
-    def assign(df: DataFrame, idCol: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("cdot").desc, col("cid").asc)
-      df.crossJoin(cents)
-        .withColumn("cdot", dot(col("ce"), df("embedding")))
-        .withColumn("crn", row_number().over(w))
-        .where(col("crn") === 1)
-        .drop("ce", "cdot", "crn")
-    }
+    val cents = seedCentroids(corpus, nCentroids)
+    def assign(df: DataFrame, idCol: String): DataFrame =
+      assignToCentroids(df, cents, idCol)
     val bucketed = assign(corpus, "vec_id")
     val routed = assign(
         queries.select(col("qid").as("vec_id"), col("qe").as("embedding")), "vec_id")
@@ -113,4 +105,59 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .where(col("rnk") <= k)
   }
+
+  /** Deterministic seed centroids: the nCentroids lowest vec_ids,
+    * broadcast-small by construction. */
+  def seedCentroids(corpus: DataFrame, nCentroids: Int): DataFrame =
+    broadcast(corpus.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+
+  /** Nearest-centroid assignment: broadcast the centroid set, per-row
+    * argmax of the exact fixed-order dot (ties break to the lowest cid) —
+    * one narrow pass over the corpus plus the per-id argmax window. */
+  def assignToCentroids(df: DataFrame, cents: DataFrame,
+                        idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cdot").desc, col("cid").asc)
+    df.crossJoin(cents)
+      .withColumn("cdot", dot(col("ce"), df("embedding")))
+      .withColumn("crn", row_number().over(w))
+      .where(col("crn") === 1)
+      .drop("ce", "cdot", "crn")
+  }
+
+  /**
+   * Per-group centroid statistics in long format (group, dim) — the UPDATE
+   * step of Lloyd's k-means and the building block for per-label mean
+   * embeddings.
+   *
+   * Exactness at scale: raw float/double sums are partition-order-dependent
+   * and can never hash-match a single-node oracle, so each component is
+   * quantized first — floor(v·10⁶) as a long (float→double widening and the
+   * IEEE multiply are engine-identical) — and the LONG sums are associative,
+   * exact, and distributable. The final mean is one long→double division,
+   * identical in both engines while |sum| < 2⁵³ (|v|≈1 ⇒ holds past 10¹⁰
+   * rows per group).
+   *
+   * Scale: posexplode is narrow (×dims rows, but only (group, dim, long)
+   * triples — no text, no vectors — enter the one aggregation shuffle);
+   * map-side partial aggregation compacts each task to ≤ groups×dims rows
+   * before the exchange.
+   */
+  def centroidStats(df: DataFrame, by: String): DataFrame =
+    df.select(col(by), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col(by), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+           sum(floor(col("v").cast(DoubleType) * 1e6).cast("long")).as("sum_q"))
+      .select(col(by), col("dim"), col("n"), col("sum_q"),
+              (col("sum_q").cast(DoubleType) / col("n")).as("avg_q"))
+
+  /** One Lloyd k-means step: deterministic seed centroids → exact max-dot
+    * assignment → quantized-exact centroid update. Iterating = feeding the
+    * emitted means back as the next centroid set; every iteration is the
+    * same two plans (broadcast assign + one aggregation shuffle). */
+  def kmeansStep(corpus: DataFrame, nCentroids: Int = 10): DataFrame =
+    centroidStats(
+      assignToCentroids(corpus, seedCentroids(corpus, nCentroids), "vec_id"),
+      "cid")
 }

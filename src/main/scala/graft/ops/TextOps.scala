@@ -56,4 +56,25 @@ object TextOps {
     * Word order and repetition are erased; exact-content clusters share it. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  // --- PII redaction -------------------------------------------------------
+  // Patterns restricted to constructs where Java regex (Spark) and RE2
+  // (DuckDB) agree exactly: character classes + greedy quantifiers, no
+  // backrefs/lookaround (RE2 implements Perl leftmost-greedy semantics for
+  // this subset, so the matched spans are identical).
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val urlRe = "https?://[^ ]+"
+  val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails → [email], then URLs → [url], then phones → [phone].
+    * Order matters only if spans could nest (they can't here: our URL
+    * pattern stops at a space and carries no '@'); fixed order keeps the
+    * operator deterministic regardless. Pure per-row column algebra —
+    * a map over the corpus scan, zero shuffle at any scale. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "[email]"),
+        urlRe, "[url]"),
+      phoneRe, "[phone]")
 }

@@ -96,6 +96,9 @@ object CoreQueries {
   private val zorderCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private val csvCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def baseOrders(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "orders").select(
       col("o_orderkey").as("k"),
@@ -263,6 +266,29 @@ object CoreQueries {
         .where(col("custkey").between(10L, 60L) &&
                col("totalprice").between(50000.0, 200000.0))
         .select(col("k"), col("custkey"), col("status"), col("totalprice"))
+    },
+
+    "src_csv" -> { (s, d) =>
+      // CSV roundtrip (the reference's durability format): write the
+      // orders projection as headered CSV, read it back with an explicit
+      // schema, aggregate — values survive bit-exactly (shortest-repr
+      // doubles), proving the source path end to end.
+      val dir = csvCache.getOrElseUpdate(d,
+        java.nio.file.Files.createTempDirectory("graft_csv_").toString)
+      graft.sources.TextSources.csvRoundtrip(s, baseOrders(s, d), dir)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+             Exact.sumMoney(col("totalprice")).as("sum_price"))
+    },
+
+    "ls_vacuum" -> { (s, d) =>
+      // Retention proof: after vacuum(keep=2) the snapshot is invariant
+      // (newest rows survive) but deep version addressing clamps to the
+      // oldest RETAINED version — base rows beyond the last two writes are
+      // physically gone. This read differs from ls_select_version_base
+      // exactly on the keys with 3+ versions.
+      ordersLineage(s, d).vacuum(2).asOfRelative(-5)
+        .where(col("k").between(0L, 2000L))
     },
 
     "txn_batch" -> { (s, d) =>
@@ -436,6 +462,23 @@ object CoreQueries {
         |FROM orders
         |WHERE o_custkey BETWEEN 10 AND 60
         |  AND o_totalprice BETWEEN 50000.0 AND 200000.0""".stripMargin,
+
+    "src_csv" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // vacuum(2) then version-addressing: re-rank the retained rows (newest
+    // 2 per key) and clamp the -5 read at the oldest retained
+    "ls_vacuum" ->
+      s"""$fixture,
+         |kept AS (SELECT * FROM ranked WHERE _rn <= 2),
+         |rr AS (SELECT k, custkey, status, totalprice, _del,
+         |         row_number() OVER (PARTITION BY k ORDER BY _ver DESC) AS _rn2,
+         |         count(*) OVER (PARTITION BY k) AS _cnt2 FROM kept)
+         |SELECT k, custkey, status, totalprice FROM rr
+         |WHERE _rn2 = least(6, _cnt2) AND _del = 0
+         |  AND k BETWEEN 0 AND 2000""".stripMargin,
 
     "txn_batch" ->
       s"""$fixture,

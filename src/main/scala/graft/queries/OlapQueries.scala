@@ -140,6 +140,23 @@ object OlapQueries {
              / 100.0).as("run_sum"))
     },
 
+    // Offset window functions (lag/lead/ntile) — the remaining window
+    // class after rank/running-sum: per-key partitions with a total
+    // order, so results are deterministic and the window never goes
+    // global (one key-partitioned shuffle, like q_window_rank).
+    "q_lag_lead" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables(s, d, "orders")
+        .where(col("o_custkey") < 100)
+        .select(
+          col("o_custkey").as("custkey"),
+          col("o_orderkey").as("orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("bigint").as("quartile"))
+    },
+
     // Exact distinct aggregation (the approximate twin — HLL++ via
     // approx_count_distinct — is asserted in ScalaTest, not oracled:
     // sketches are engine-specific by construction).
@@ -268,6 +285,51 @@ object OlapQueries {
              (sum(revenueC4) / 1e4).as("revenue"))
     },
 
+    // Fixed-width histogram: bucket = floor(price / width). One scan, one
+    // map-side-combined shuffle keyed by bucket — the plan is identical to
+    // any groupBy-count, so it scales like q1. Double division + floor are
+    // IEEE-identical in both engines (no decimal round-trip needed).
+    "q_histogram" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+             Exact.sumMoney(col("o_totalprice")).as("sum_price"))
+    },
+
+    // PIVOT: status columns per priority row. Explicit pivot values keep
+    // the plan a single groupBy (no extra distinct-values job — at 100 TB
+    // an implicit pivot would scan the fact once just to learn the
+    // columns); count cells coalesce to 0 so both engines emit the same
+    // value for empty cells.
+    "q_pivot" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    },
+
+    // FULL OUTER join: segment customers vs recent-order counts — rows
+    // survive from BOTH unmatched sides (the one join class a broadcast
+    // can never implement; both sides shuffle on the key, which is the
+    // correct — and only — distributed plan).
+    "q_outer_join" -> { (s, d) =>
+      val cust = Tables(s, d, "customer")
+        .where(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val ord = Tables(s, d, "orders")
+        .where(col("o_orderdate") >= lit("2000-01-01"))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      cust.join(ord, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          col("c_mktsegment").isNotNull.as("in_segment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    },
+
     // Exact distributed quantiles: element at rank ceil(q*n) per group,
     // deterministic tie-broken order — the same element the oracle picks,
     // so values hash-match (interpolating `percentile` definitions differ
@@ -371,6 +433,16 @@ object OlapQueries {
         |WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
 
+    "q_lag_lead" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
     "q_distinct_agg" ->
       """SELECT o_orderpriority,
         |  COUNT(DISTINCT o_custkey) AS n_cust,
@@ -443,6 +515,32 @@ object OlapQueries {
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(10,6))), 4) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_outer_join" ->
+      """WITH cust AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment
+        |  FROM customer WHERE c_mktsegment = 'MACHINERY'),
+        |ord AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |  GROUP BY 1)
+        |SELECT COALESCE(cust.custkey, ord.custkey) AS custkey,
+        |  cust.c_mktsegment IS NOT NULL AS in_segment,
+        |  COALESCE(ord.n_orders, 0) AS n_orders
+        |FROM cust FULL OUTER JOIN ord ON cust.custkey = ord.custkey""".stripMargin,
 
     "q_percentile" ->
       """WITH r AS (SELECT o_orderstatus, o_totalprice,

@@ -44,6 +44,9 @@ object PipelineQueries {
 
   private val stopwords = Seq("the", "a", "and", "of", "to")
 
+  private val jsonlCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def hits(toks: Column, lex: Seq[String]): Column =
     size(filter(toks, t => t.isin(lex: _*))).cast("long")
 
@@ -237,6 +240,71 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // JSONL roundtrip: the de-facto training-data interchange format —
+    // documents exported as JSON lines and re-ingested with an explicit
+    // schema (inference = an extra full scan at 100 TB). JSON escaping
+    // round-trips arbitrary text; the aggregate proves it byte-exactly.
+    "src_jsonl" -> { (s, d) =>
+      val dir = jsonlCache.getOrElseUpdate(d,
+        java.nio.file.Files.createTempDirectory("graft_jsonl_").toString)
+      graft.sources.TextSources.jsonlRoundtrip(s,
+          Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
+          dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(length(col("text")).cast("long")).as("chars"))
+    },
+
+    // PII scrubbing: redact emails/URLs/phone numbers before training. The
+    // corpus is synthetic lowercase prose with no natural PII, so a
+    // deterministic fixture plants doc_id-derived spans (email on every 5th
+    // doc, URL on every 9th, phone on every 11th — composable) and the
+    // operator provably finds and redacts exactly those. Counting + triple
+    // regexp_replace is per-row column algebra: one corpus scan, zero
+    // shuffle, whole-stage codegen'd — the shape that holds at 100 TB.
+    "text_scrub" -> { (s, d) =>
+      val id = col("doc_id").cast("string")
+      val pii = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), id, lit(".dev@mail-example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          concat(lit(" see https://site"), id, lit(".example.org/p/"), id,
+                 lit("?k=v end"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-867-"),
+                 lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+                 lit(" today"))).otherwise(lit("")))
+      def n(pat: String, c: Column) =
+        size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+      Tables(s, d, "documents")
+        .select(col("doc_id"), pii.as("pii"))
+        .select(col("doc_id"),
+          n(TextOps.emailRe, col("pii")).as("n_emails"),
+          n(TextOps.urlRe, col("pii")).as("n_urls"),
+          n(TextOps.phoneRe, col("pii")).as("n_phones"),
+          md5(TextOps.redact(col("pii"))).as("scrub_sig"),
+          length(TextOps.redact(col("pii"))).cast("long").as("scrub_len"))
+    },
+
+    // Output sharding: the write-planning half of a 100 TB pipeline. Shard
+    // id = md5(doc_id) mod 16 — the same deterministic gate as pipe_sample,
+    // so shard membership is reproducible and independent of partitioning
+    // or cluster size. A writer calls repartition(k, shard) and gets
+    // hash-balanced output files regardless of input skew; this query
+    // emits the per-shard manifest (doc count + payload bytes) that proves
+    // the balance and drives downstream readers.
+    "pipe_shard" -> { (s, d) =>
+      val shard = (conv(substr(md5(col("doc_id").cast("string")), lit(1), lit(8)),
+        16, 10).cast("long") % 16).as("shard")
+      Tables(s, d, "documents")
+        .groupBy(shard)
+        .agg(count(lit(1)).as("n_docs"),
+             sum(length(col("text")).cast("long")).as("bytes"),
+             min(col("doc_id")).as("min_doc"),
+             max(col("doc_id")).as("max_doc"))
+    },
+
     // The decontamination operator run INCREMENTALLY: documents stream in,
     // the benchmark gram set is a broadcast static side in every
     // micro-batch (stream-static join), the hit counts are the stateful
@@ -259,6 +327,50 @@ object PipelineQueries {
     // algebra — a map over the corpus scan, zero shuffle.
     "emb_quantize" -> { (s, d) =>
       graft.ops.Quantize.int8(Tables(s, d, "embeddings"), "vec_id", "embedding")
+    },
+
+    // Distinctive-term extraction (TF-IDF family): top-3 terms per doc by
+    // tf·10⁶/df in INTEGER arithmetic — rarer-corpus-wide wins, exact in
+    // both engines (a float idf = tf·ln(N/df) would hinge on libm log
+    // rounding, which the two engines don't share). Scale: the df side is
+    // vocabulary-sized, so the term join is a real shuffle join on both
+    // sides (never broadcast — a 100 TB corpus has a many-GB vocabulary);
+    // the top-k window partitions by doc_id. Every stage is keyed; nothing
+    // is global.
+    "text_tfidf" -> { (s, d) =>
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(dfreq, Seq("term"))
+        .withColumn("score", expr("tf * 1000000L div df"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+                col("score"), col("rnk"))
+    },
+
+    // Per-label mean embedding (long format: label, dim): the vector
+    // aggregate behind class centroids / topic prototypes. Quantized-exact
+    // sums (see Similarity.centroidStats) make the distributed aggregation
+    // hash-match a single-node oracle — a raw float sum never would.
+    "emb_centroid" -> { (s, d) =>
+      Similarity.centroidStats(
+        Tables(s, d, "embeddings").select(col("label"), col("embedding")),
+        "label")
+    },
+
+    // One Lloyd k-means step over the embedding corpus: seed centroids →
+    // exact max-dot assignment → quantized-exact centroid update. The
+    // data-curation clustering primitive (domain discovery, stratified
+    // sampling); iterating feeds the means back as the next centroids.
+    "emb_kmeans" -> { (s, d) =>
+      Similarity.kmeansStep(
+        Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")))
     },
 
     // Benchmark decontamination: every serious LLM corpus removes training
@@ -424,6 +536,61 @@ object PipelineQueries {
         |    AS err_max
         |FROM q""".stripMargin,
 
+    // integer tf·10⁶//df scoring: BIGINT division truncates identically in
+    // both engines for the non-negative counts involved
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+        |j AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score
+        |      FROM tf JOIN df USING (term)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term ASC) AS BIGINT) AS rnk FROM j)
+        |SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+    // quantized-exact centroid stats: floor(v*1e6) longs sum exactly in any
+    // order, so the distributed Spark agg and this single-node SQL agree
+    "emb_centroid" ->
+      """WITH x AS (
+        |  SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'dim': i - 1,
+        |          'q': CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)}))
+        |    AS s
+        |  FROM embeddings)
+        |SELECT label, CAST(s.dim AS BIGINT) AS dim, COUNT(*) AS n,
+        |  CAST(SUM(s.q) AS BIGINT) AS sum_q,
+        |  CAST(CAST(SUM(s.q) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_q
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // assignment twin of ann_ivf_build (fixed-order double dot, argmax with
+    // cid-asc tiebreak), update twin of emb_centroid
+    "emb_kmeans" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce
+        |           FROM embeddings WHERE vec_id < 10),
+        |d AS (SELECT e.vec_id, e.embedding, c.cid,
+        |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(range(1, len(c.ce) + 1),
+        |            i -> CAST(c.ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |          (a, b) -> a + b) AS cdot
+        |      FROM embeddings e, c),
+        |a AS (SELECT vec_id, embedding, cid FROM (
+        |        SELECT vec_id, embedding, cid,
+        |          row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY cdot DESC, cid ASC) AS crn
+        |        FROM d) WHERE crn = 1),
+        |x AS (SELECT cid, unnest(list_transform(range(1, len(embedding) + 1),
+        |        i -> {'dim': i - 1,
+        |              'q': CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)}))
+        |        AS s
+        |      FROM a)
+        |SELECT cid, CAST(s.dim AS BIGINT) AS dim, COUNT(*) AS n,
+        |  CAST(SUM(s.q) AS BIGINT) AS sum_q,
+        |  CAST(CAST(SUM(s.q) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_q
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
     "pipe_mix" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100
@@ -433,6 +600,51 @@ object PipelineQueries {
     // joins on the 60-bit md5 gram hash, mirroring Decontam.contaminated
     // (same TextOps.tokenHash the jaccard oracle already twins)
     "pipe_decontaminate" -> decontamOracle,
+
+    "src_jsonl" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(text)) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // twin of the text_scrub fixture + TextOps.redact; regexp_replace needs
+    // the 'g' flag (DuckDB replaces first-match-only by default, Java all)
+    "text_scrub" ->
+      """WITH pii AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 5 = 0
+        |       THEN ' contact user' || doc_id || '.dev@mail-example.com now'
+        |       ELSE '' END
+        |  || CASE WHEN doc_id % 9 = 0
+        |       THEN ' see https://site' || doc_id || '.example.org/p/'
+        |            || doc_id || '?k=v end'
+        |       ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0
+        |       THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |            || ' today'
+        |       ELSE '' END AS pii
+        |  FROM documents),
+        |scrubbed AS (SELECT doc_id, pii,
+        |  regexp_replace(regexp_replace(regexp_replace(pii,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[email]', 'g'),
+        |    'https?://[^ ]+', '[url]', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[phone]', 'g') AS s
+        |  FROM pii)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(pii, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(s) AS scrub_sig,
+        |  CAST(length(s) AS BIGINT) AS scrub_len
+        |FROM scrubbed""".stripMargin,
+
+    // same md5 gate as pipe_sample/pipe_mix; SUM(BIGINT)→HUGEINT cast back
+    "pipe_shard" ->
+      """SELECT CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 16
+        |    AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(text)) AS BIGINT) AS bytes,
+        |  MIN(doc_id) AS min_doc,
+        |  MAX(doc_id) AS max_doc
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "pipe_pack" ->
       """WITH t AS (SELECT doc_id,

@@ -174,6 +174,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q_pivot reads the fact once — no distinct-values discovery scan") {
+    // explicit pivot values: an IMPLICIT pivot first runs a whole separate
+    // job (distinct + collect) just to learn the column values — a second
+    // full scan of the fact at 100 TB. With values given, the plan is one
+    // scan feeding two keyed aggregations (the second, pivotfirst, carries
+    // at most groups×values rows — its exchange is negligible).
+    val plan = executedPlan(SparkEntry.queries("q_pivot")(spark, sfDir))
+    val scans = "FileScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly 1 fact scan:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected at most 2 shuffles:\n$plan")
+    assert(plan.contains("partial_count"), s"expected map-side partial:\n$plan")
+  }
+
+  test("q_histogram aggregates map-side before its single shuffle") {
+    val plan = executedPlan(SparkEntry.queries("q_histogram")(spark, sfDir))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle:\n$plan")
+    // partial aggregation must appear below the exchange (map-side combine)
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"expected map-side partial agg:\n$plan")
+  }
+
+  test("q_outer_join keeps both unmatched sides (FullOuter plan)") {
+    val plan = executedPlan(SparkEntry.queries("q_outer_join")(spark, sfDir))
+    assert(plan.contains("FullOuter"), plan)
+    // semantic spot-check: rows exist from both unmatched sides
+    val df = SparkEntry.queries("q_outer_join")(spark, sfDir)
+    import org.apache.spark.sql.functions.{col => c}
+    assert(df.where(!c("in_segment")).count() > 0, "no order-only rows")
+    assert(df.where(c("in_segment") && c("n_orders") === 0).count() > 0,
+      "no customer-only rows")
+  }
+
+  test("pipe_shard partitions the corpus exhaustively and near-evenly") {
+    val df = SparkEntry.queries("pipe_shard")(spark, "/root/testdata/sf0.01")
+    val rows = df.collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").count()
+    assert(total == docs, s"shards cover $total of $docs docs")
+    assert(rows.length == 16, s"expected 16 shards, got ${rows.length}")
+    // md5 balance: no shard more than 2x the mean (hash-uniform at 500 docs)
+    val mean = total.toDouble / 16
+    assert(rows.forall(_.getAs[Long]("n_docs") < 2 * mean), rows.mkString(","))
+  }
+
   test("dedup/minhash pipelines contain no cartesian products") {
     Seq("dedup_ngram_jaccard", "dedup_minhash", "dedup_exact").foreach { q =>
       val plan = executedPlan(SparkEntry.queries(q)(spark, sfDir))

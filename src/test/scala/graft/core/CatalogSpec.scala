@@ -180,6 +180,46 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.getTable("t"))
   }
 
+  test("vacuum drops superseded versions, keeps the snapshot invariant") {
+    val (cat, wh) = freshCatalog()
+    cat.createTable("t", "k", base)
+    // 3 write generations over k=1; delete k=2 (tombstone newest)
+    cat.commit("t", Txn.empty
+      .update(col("k") === 1L, Map("v" -> lit(11L)))
+      .update(col("k") === 1L, Map("v" -> lit(12L)))
+      .delete(col("k") === 2L))
+    val before = cat.getTable("t")
+    val snapBefore = before.snapshot.collect().map(_.toSeq).toSet
+    val verBefore = before.opSeq
+
+    val v = cat.vacuum("t", keep = 2)
+    // snapshot invariant (tombstone for k=2 retained → still deleted)
+    assert(v.snapshot.collect().map(_.toSeq).toSet === snapBefore)
+    // physical rows: per key min(keep, versions): k1: 2 of 3, k2: 2 (base+tomb), k3: 1
+    assert(v.lineage.count() === 5)
+    // deep version read clamps at the oldest RETAINED (v=11 for k=1, not 10)
+    val old = v.asOfRelative(-9).where(col("k") === 1L).collect()
+    assert(old.map(_.getAs[Long]("v")).toSeq === Seq(11L))
+    // op_seq preserved: the next write's _ver stays monotonic
+    assert(cat.getTable("t").opSeq === verBefore)
+    val after = cat.commit("t", Txn.empty
+      .update(col("k") === 1L, Map("v" -> lit(13L))))
+    // materialize BEFORE the next vacuum: a vacuum rewrites the table's
+    // files, so pre-vacuum DataFrames (cached file listings) go stale —
+    // same re-read-after-rewrite discipline as compaction
+    val snapAfter = after.snapshot.collect().map(_.toSeq).toSet
+    assert(after.snapshot.where(col("k") === 1L).collect()
+      .map(_.getAs[Long]("v")).toSeq === Seq(13L))
+
+    // keep=1 folds to one version per record → empty tail, fast-path safe
+    cat.vacuum("t", keep = 1)
+    assert(!Files.isDirectory(java.nio.file.Paths.get(wh, "t", "tail")))
+    val t1 = cat.getTable("t")
+    assert(t1.snapshot.collect().map(_.toSeq).toSet === snapAfter)
+    // tombstone is still physically there (newest row of k=2), still hidden
+    assert(t1.lineage.count() === 3 && t1.snapshot.count() === 2)
+  }
+
   test("inventory lists every table with live row counts") {
     val (cat, _) = freshCatalog()
     cat.createTable("a", "k", base)

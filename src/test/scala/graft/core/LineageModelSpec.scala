@@ -64,6 +64,27 @@ class LineageModelSpec extends SparkSpec {
     }
   }
 
+  test("vacuum preserves the model snapshot for any keep, any op sequence") {
+    import spark.implicits._
+    val base = Seq((0L, 0L), (5L, 50L), (10L, 100L)).toDF("k", "v")
+    val init = Map(0L -> 0L, 5L -> 50L, 10L -> 100L)
+    (200 to 207).foreach { seed =>
+      val ops = genOps(seed, 6)
+      val table = ops.foldLeft(LineageTable.fromBase("k", base))(applyTable)
+      val model = ops.foldLeft(init)(applyModel)
+      Seq(1, 2, 3).foreach { keep =>
+        // retention must never change what a reader sees
+        assert(snapshotMap(table.vacuum(keep)) === model,
+          s"seed $seed keep $keep ops: $ops")
+      }
+      // physical bound: at most keep rows per key survive
+      val counts = table.vacuum(2).lineage
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .collect().map(_.getAs[Long]("n"))
+      assert(counts.forall(_ <= 2), s"seed $seed ops: $ops")
+    }
+  }
+
   test("compaction preserves the model state; version reads clamp to it") {
     import spark.implicits._
     val base = Seq((1L, 1L), (2L, 2L)).toDF("k", "v")
