@@ -160,4 +160,31 @@ object Similarity {
     centroidStats(
       assignToCentroids(corpus, seedCentroids(corpus, nCentroids), "vec_id"),
       "cid")
+
+  /**
+   * Full Lloyd loop: `iters` assign→update rounds, feeding each round's
+   * means back as the next centroid set. Collecting the centroids to the
+   * driver between rounds is the correct distributed shape — the set is
+   * C×D floats by construction (never corpus-sized), while the per-round
+   * corpus work stays exactly [[assignToCentroids]] + [[centroidStats]]:
+   * one broadcast, one argmax, one aggregation shuffle, per iteration.
+   * Returns the final (vec_id, cid) assignment.
+   */
+  def kmeansIterate(corpus: DataFrame, nCentroids: Int = 10,
+                    iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = seedCentroids(corpus, nCentroids)
+    var assigned = assignToCentroids(corpus, cents, "vec_id")
+    for (_ <- 2 to iters) {
+      val stats = centroidStats(assigned, "cid")
+        .select(col("cid"), col("dim"), col("avg_q")).collect()
+      val rebuilt = stats.groupBy(_.getLong(0)).toSeq.map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getLong(1)).map(r => (r.getDouble(2) / 1e6).toFloat))
+      }.sortBy(_._1)
+      cents = broadcast(rebuilt.toDF("cid", "ce"))
+      assigned = assignToCentroids(corpus, cents, "vec_id")
+    }
+    assigned.select(col("vec_id"), col("cid"))
+  }
 }

@@ -77,6 +77,49 @@ object PipelineQueries {
         c.where(col("doc_id") >= 100000L))
     },
 
+    // Canonicalization: the step AFTER clustering — keep the best member
+    // of each near-dup cluster instead of an arbitrary one (here: longest
+    // doc, ties to lowest doc_id — "most complete version wins", integer-
+    // deterministic). Cluster formation reuses Components; the keeper
+    // choice is one cluster-partitioned window over the members only.
+    "pipe_canonical" -> { (s, d) =>
+      val corpus = docCorpus(s, d)
+      val clusters = graft.ops.Components.components(
+        Dedup.minhashCandidates(corpus))
+      val members = clusters.join(
+        corpus.select(col("doc_id"), length(col("text")).cast("long").as("len")),
+        "doc_id")
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("len").desc, col("doc_id").asc)
+      members
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
+        .where(col("_rn") === 1)
+        .select(col("cluster"), col("doc_id").as("keeper"),
+                col("n_members"), col("len").as("keeper_len"))
+    },
+
+    // Boilerplate detection: 10-token spans repeated across documents
+    // (headers/footers/license blocks in a real corpus). One explode +
+    // one count shuffle; top-50 via TakeOrderedAndProject (per-partition
+    // top-k, never a vocabulary-wide single partition); spans leave the
+    // plan as md5 signatures so no long text rides the final rows.
+    "text_boilerplate" -> { (s, d) =>
+      val spans = docCorpus(s, d).select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 10)).as("span"))
+      // shingles are distinct within a doc, so count(*) = distinct docs
+      spans.groupBy(col("span"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .where(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("span").asc).limit(50)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(pmod(col("n_docs"), lit(1)))
+            .orderBy(col("n_docs").desc, col("span").asc)).cast("bigint"))
+        .select(md5(col("span")).as("span_sig"), col("n_docs"),
+                col("first_doc"), col("rnk"))
+    },
+
     "dedup_embedding" -> { (s, d) => Dedup.embeddingPairs(embCorpus(s, d), 0.95) },
 
     "ann_topk" -> { (s, d) =>
@@ -732,6 +775,55 @@ object PipelineQueries {
          |  UNION
          |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v)
          |SELECT v AS doc_id, MIN(l) AS cluster FROM reach GROUP BY 1""".stripMargin,
+
+    // dedup_clusters' recursive-CTE components + longest-member argmax
+    "pipe_canonical" ->
+      s"""WITH RECURSIVE $corpusCte,
+         |$shingleCtes,
+         |mh AS (SELECT doc_id, ${(0 until 8).map(duckHash).mkString(", ")}
+         |       FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR)||'_'||CAST(mh1 AS VARCHAR) AS bucket FROM mh
+         |  UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR)||'_'||CAST(mh3 AS VARCHAR) FROM mh
+         |  UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR)||'_'||CAST(mh5 AS VARCHAR) FROM mh
+         |  UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR)||'_'||CAST(mh7 AS VARCHAR) FROM mh),
+         |prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |        FROM bands a JOIN bands b
+         |        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT a AS src, b AS dst FROM prs
+         |          UNION SELECT b, a FROM prs),
+         |reach(v, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v),
+         |comp AS (SELECT v AS doc_id, MIN(l) AS cluster FROM reach GROUP BY 1),
+         |m AS (SELECT comp.cluster, comp.doc_id,
+         |        CAST(length(corpus.text) AS BIGINT) AS len
+         |      FROM comp JOIN corpus ON comp.doc_id = corpus.doc_id),
+         |r AS (SELECT cluster, doc_id, len,
+         |        row_number() OVER (PARTITION BY cluster
+         |                           ORDER BY len DESC, doc_id ASC) AS rn,
+         |        COUNT(*) OVER (PARTITION BY cluster) AS n_members FROM m)
+         |SELECT cluster, doc_id AS keeper, CAST(n_members AS BIGINT) AS n_members,
+         |       len AS keeper_len
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    // 10-token span twin of the 5-gram shingle CTE; HAVING >= 2 = repeated
+    "text_boilerplate" ->
+      s"""WITH $corpusCte,
+         |toks AS (SELECT doc_id, string_split(text,' ') AS toks FROM corpus),
+         |sh0 AS (SELECT doc_id,
+         |  CASE WHEN len(toks) < 10 THEN [array_to_string(toks,' ')]
+         |       ELSE list_distinct(list_transform(range(1, len(toks)-8),
+         |              i -> array_to_string(toks[i:i+9],' ')))
+         |  END AS spans FROM toks),
+         |sp AS (SELECT doc_id, unnest(spans) AS span FROM sh0),
+         |agg AS (SELECT span, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+         |        FROM sp GROUP BY 1 HAVING COUNT(*) >= 2),
+         |top AS (SELECT *, CAST(row_number() OVER (ORDER BY n_docs DESC, span ASC)
+         |          AS BIGINT) AS rnk FROM agg)
+         |SELECT md5(span) AS span_sig, n_docs, first_doc, rnk
+         |FROM top WHERE rnk <= 50""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $corpusCte,

@@ -220,6 +220,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_docs") < 2 * mean), rows.mkString(","))
   }
 
+  test("emb_centroid is one aggregation shuffle with map-side partials") {
+    // posexplode is narrow; the only exchange is the (label, dim) agg, and
+    // partial sums compact each task to ≤ groups×dims rows before it
+    val plan = executedPlan(SparkEntry.queries("emb_centroid")(spark, sfDir))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"expected map-side partial agg:\n$plan")
+  }
+
+  test("text_tfidf and pipe_canonical plan no cartesian products") {
+    Seq("text_tfidf", "pipe_canonical").foreach { q =>
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
+
   test("dedup/minhash pipelines contain no cartesian products") {
     Seq("dedup_ngram_jaccard", "dedup_minhash", "dedup_exact").foreach { q =>
       val plan = executedPlan(SparkEntry.queries(q)(spark, sfDir))

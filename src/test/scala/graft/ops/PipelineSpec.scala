@@ -70,6 +70,45 @@ class PipelineSpec extends SparkSpec {
       .foreach(t => assert(brute.contains(t), s"dot mismatch for $t"))
   }
 
+  test("TextOps.redact scrubs every PII class and nothing else") {
+    import spark.implicits._
+    val df = Seq(
+      "write to a.b-c_d@ex-ample.org today",
+      "go to https://x.example.com/a?b=c now",
+      "dial 123-456-7890 plz",
+      "two hits a@b.io and c@d.io here",
+      "clean text stays clean").toDF("t")
+    val out = df.select(TextOps.redact(col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "write to [email] today")
+    assert(out(1) == "go to [url] now")
+    assert(out(2) == "dial [phone] plz")
+    assert(out(3) == "two hits [email] and [email] here")
+    assert(out(4) == "clean text stays clean")
+    // no residual matches after redaction
+    Seq(TextOps.emailRe, TextOps.urlRe, TextOps.phoneRe).foreach { pat =>
+      val residual = df.select(TextOps.redact(col("t")).as("r"))
+        .where(col("r").rlike(pat)).count()
+      assert(residual == 0, s"residual PII for $pat")
+    }
+  }
+
+  test("kmeansIterate feeds means back and converges to a valid clustering") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val a2 = Similarity.kmeansIterate(emb, nCentroids = 10, iters = 2)
+    // every vector assigned exactly once
+    assert(a2.count() == n)
+    assert(a2.select("vec_id").distinct().count() == n)
+    // clusters non-degenerate: more than one, at most the seed count
+    val k = a2.select("cid").distinct().count()
+    assert(k > 1 && k <= 10, s"got $k clusters")
+    // a third iteration still yields a total assignment (plumbing composes)
+    val a3 = Similarity.kmeansIterate(emb, nCentroids = 10, iters = 3)
+    assert(a3.count() == n)
+  }
+
   test("streaming window agg equals the batch plan (stream/batch parity)") {
     import spark.implicits._
     val streamed = graft.streaming.EventStream.runBatchParity(spark, sfDir)
