@@ -140,6 +140,18 @@ object OlapQueries {
              / 100.0).as("run_sum"))
     },
 
+    // Set operations (INTERSECT / EXCEPT): repeat customers of 1996∩1997
+    // minus anyone active in 2001 — Spark plans these as aggregate-dedup +
+    // semi/anti joins (shuffle on the key, no sort, no cartesian), the
+    // right distributed shape; nothing here is a driver-side set.
+    "q_set_ops" -> { (s, d) =>
+      def buyers(yr: Int) = Tables(s, d, "orders")
+        .where(col("o_orderdate") >= lit(s"$yr-01-01") &&
+               col("o_orderdate") < lit(s"${yr + 1}-01-01"))
+        .select(col("o_custkey").as("custkey"))
+      buyers(1996).intersect(buyers(1997)).except(buyers(2001))
+    },
+
     // Offset window functions (lag/lead/ntile) — the remaining window
     // class after rank/running-sum: per-key partitions with a total
     // order, so results are deterministic and the window never goes
@@ -432,6 +444,19 @@ object OlapQueries {
         |FROM orders
         |WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        |  AND o_orderdate < TIMESTAMP '2002-01-01'""".stripMargin,
 
     "q_lag_lead" ->
       """SELECT o_custkey AS custkey, o_orderkey AS orderkey,

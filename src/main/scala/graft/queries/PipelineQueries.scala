@@ -145,28 +145,33 @@ object PipelineQueries {
         length(col("text")).cast("long").as("len_chars"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
-        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
-          .cast("long").as("n_alpha"),
+        // letter-run count via the single-pass SubwordCounts expression
+        // (≡ size(regexp_extract_all(text, '[a-z]+')), SubwordSpec-proven)
+        graft.functions.SubwordCounts.subwordCounts(col("text"))
+          .getItem(0).as("n_alpha"),
         (aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
           .cast("double") / size(toks)).as("avg_word_len"))
     },
 
     // BPE-ish subword units: letter runs, digit runs, punctuation singles
     // — the pre-tokenization split every byte-pair tokenizer starts from.
-    // The alternatives are DISJOINT character classes, so the match is
-    // unambiguous under any regex engine (ordered-alternation Java vs
-    // leftmost-longest RE2 agree) — which is what makes the DuckDB oracle
-    // exact. n_units = n_words + n_nums + n_punct by construction; the
-    // count approximates BPE token count the way production heuristics do.
+    // The classes are DISJOINT, so any regex engine agrees on the counts
+    // (which is what makes the DuckDB regex oracle exact), and n_units =
+    // n_words + n_nums + n_punct by construction. Computed by the native
+    // SubwordCounts expression — ONE compiled byte pass per document; the
+    // four-regex-scans form this replaces measured 93× (37s) at the 100×
+    // SF, pure regex CPU (SubwordSpec proves the expression ≡ the regexes).
     "text_subwords" -> { (s, d) =>
-      def n(pat: String) = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
-        .cast("long")
-      Tables(s, d, "documents").select(
-        col("doc_id"),
-        n("[a-z]+").as("n_words"),
-        n("[0-9]+").as("n_nums"),
-        n("[^a-z0-9 ]").as("n_punct"),
-        n("[a-z]+|[0-9]+|[^a-z0-9 ]").as("n_units"))
+      val c = graft.functions.SubwordCounts.subwordCounts(col("text"))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), c.as("_c"))
+        .select(
+          col("doc_id"),
+          col("_c").getItem(0).as("n_words"),
+          col("_c").getItem(1).as("n_nums"),
+          col("_c").getItem(2).as("n_punct"),
+          (col("_c").getItem(0) + col("_c").getItem(1) + col("_c").getItem(2))
+            .as("n_units"))
     },
 
     "text_quality" -> { (s, d) =>

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.SubwordCounts.subwordCounts
+
+/** SubwordCounts (one byte pass) must agree with the regex definitions it
+  * replaces — on the real corpus AND on adversarial strings (unicode,
+  * class boundaries, empty) — because the driver's DuckDB oracle still
+  * counts with RE2 regexes. */
+class SubwordCountsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def regexTriple(c: org.apache.spark.sql.Column) = Seq(
+    size(regexp_extract_all(c, lit("[a-z]+"), lit(0))).cast("long"),
+    size(regexp_extract_all(c, lit("[0-9]+"), lit(0))).cast("long"),
+    size(regexp_extract_all(c, lit("[^a-z0-9 ]"), lit(0))).cast("long"))
+
+  test("equals the regex counts on the documents corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cmp = docs.select(
+      subwordCounts(col("text")).as("fast"),
+      array(regexTriple(col("text")): _*).as("slow"))
+    assert(cmp.where(col("fast") =!= col("slow")).count() === 0)
+  }
+
+  test("equals the regex counts on adversarial strings") {
+    val cases = Seq(
+      "",                       // empty
+      " ",                      // only separator
+      "abc",                    // single run, no terminator
+      "abc123def",              // runs adjacent with no space between
+      "1a2b3c",                 // alternating single-char runs
+      "!!!",                    // punct run counts per char
+      "héllo wörld",            // multi-byte code points are single punct
+      "日本語 text 42",          // CJK = 1 punct per code point
+      "a-b_c.d",                // ascii punct between letter runs
+      "ABC abc",                // uppercase is punct (corpus is lowercase)
+      "ends with digit 7",
+      "7 starts with digit",
+      "tab\tand\nnewline")
+    val df = cases.toDF("t")
+    val got = df.select(subwordCounts(col("t")).as("fast"),
+        array(regexTriple(col("t")): _*).as("slow"))
+      .collect()
+    got.zip(cases).foreach { case (r, s) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"mismatch on '$s': fast=${r.getSeq[Long](0)} slow=${r.getSeq[Long](1)}")
+    }
+  }
+
+  test("interpreted eval matches codegen path") {
+    // force the interpreted path through a filter that defeats codegen is
+    // brittle; instead call compute() directly against the regex result
+    val s = "mixed 12x énd 99"
+    val arr = SubwordCounts.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    assert(arr.toLongArray().toSeq == Seq(3L, 2L, 1L))
+  }
+}
