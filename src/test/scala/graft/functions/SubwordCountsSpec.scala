@@ -50,6 +50,30 @@ class SubwordCountsSpec extends SparkSpec {
     }
   }
 
+  test("matches java.util.regex on 2000 seeded random strings") {
+    // the alphabet mixes every class edge: letters, digits, space, ascii
+    // punct, 2-byte (é), 3-byte (日), and 4-byte (𝄞, a surrogate pair in
+    // UTF-16 but one code point — regex counts it once, and so must we)
+    val alphabet = "abz09 .,-!@é日𝄞".toCharArray // 𝄞 contributes 2 chars
+    val rng = new scala.util.Random(4242)
+    def regexCount(pat: String, s: String): Long =
+      java.util.regex.Pattern.compile(pat).matcher(s).results().count()
+    (1 to 2000).foreach { _ =>
+      val n = rng.nextInt(40)
+      val sb = new StringBuilder
+      (1 to n).foreach(_ => sb.append(alphabet(rng.nextInt(alphabet.length))))
+      // (a torn surrogate from the random picker is fine: regex counts it
+      // as one [^a-z0-9 ] char, and UTF-8 encodes it as one '?' byte —
+      // both sides see exactly one punct code point)
+      val s = sb.toString
+      val got = SubwordCounts.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toLongArray()
+      val want = Array(regexCount("[a-z]+", s), regexCount("[0-9]+", s),
+        regexCount("[^a-z0-9 ]", s))
+      assert(got.toSeq == want.toSeq, s"mismatch on '$s'")
+    }
+  }
+
   test("interpreted eval matches codegen path") {
     // force the interpreted path through a filter that defeats codegen is
     // brittle; instead call compute() directly against the regex result

@@ -24,4 +24,28 @@ class StreamSinkSpec extends SparkSpec {
     assert(spark.read.parquet(out).select(col("event_id"))
       .exceptAll(batch.select(col("event_id"))).isEmpty)
   }
+
+  test("sink resumes over files that arrived between drains, exactly once") {
+    // continuous-ingestion shape: drain, new files land, drain again —
+    // the checkpoint must advance past old files and pick up ONLY the new
+    val in = Files.createTempDirectory("graft_arrive_in_").toString
+    val out = Files.createTempDirectory("graft_arrive_out_").toString
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("value"))
+    events.where(col("event_id") % 2 === 0).write
+      .mode("append").parquet(in)
+    def drain(): Unit = StreamOps.drainToParquet(spark,
+      spark.readStream.schema(events.schema).parquet(in), out)
+    drain()
+    val half = spark.read.parquet(out).count()
+    assert(half === events.where(col("event_id") % 2 === 0).count())
+    // second half arrives as NEW files in the same directory
+    events.where(col("event_id") % 2 === 1).write
+      .mode("append").parquet(in)
+    drain()
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() === events.count(), "missed or duplicated arrivals")
+    assert(sunk.select(col("event_id"))
+      .exceptAll(events.select(col("event_id"))).isEmpty)
+  }
 }
