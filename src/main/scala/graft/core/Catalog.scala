@@ -90,11 +90,13 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val lineage =
       if (hasTail) base.unionByName(spark.read.parquet(tailDir.toString))
       else base
-    // With no tail, every record has exactly one version: snapshot ≡ base
-    // scan (no window/shuffle) — the property that makes an indexed layout
-    // answer secondary probes by pruning alone.
+    // With no tail AND a single-version base (multiVer records when a
+    // vacuum left retained history in the base), every record has exactly
+    // one live version: snapshot ≡ base scan (no window/shuffle) — the
+    // property that makes an indexed layout answer secondary probes by
+    // pruning alone.
     LineageTable.fromPersisted(meta.key, meta.columns, lineage, meta.opSeq,
-      tailEmpty = !hasTail)
+      tailEmpty = !hasTail && !meta.multiVer)
   }
 
   /** Recover-aware base dir: if a crash interrupted [[saveCompacted]]
@@ -141,8 +143,6 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val meta = readMeta(name)
     val layoutCol = meta.index.getOrElse(t.keyCol)
     val staged = s"${dir(name)}/base_staged"
-    val base = Paths.get(dir(name), "base")
-    val old = Paths.get(dir(name), "base_old")
     // stage FIRST: `t` may have been read through the baseDir fallback
     // (base missing, base_old live after an interrupted swap), so its
     // plan references whichever directory exists — nothing may be moved
@@ -151,20 +151,32 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       .repartitionByRange(col(layoutCol))
       .sortWithinPartitions(col(layoutCol))
       .write.mode(SaveMode.Overwrite).parquet(staged)
+    swapBase(name)
+    deleteRecursively(Paths.get(dir(name), "tail"))
+    writeMeta(name, meta.copy(opSeq = 0, multiVer = false))
+  }
+
+  /** Crash-tolerant base adoption shared by [[saveCompacted]] and
+    * [[vacuum]]: retire base to base_old, adopt base_staged, clean up —
+    * with [[baseDir]]'s base_old fallback covering a crash between the two
+    * renames. ONE audited implementation; staging must be complete before
+    * calling. */
+  private def swapBase(name: String): Unit = {
+    val staged = Paths.get(dir(name), "base_staged")
+    val base = Paths.get(dir(name), "base")
+    val old = Paths.get(dir(name), "base_old")
     if (Files.isDirectory(base)) {
       deleteRecursively(old)
-      Files.move(base, old)                 // retire (data still readable)
-      Files.move(Paths.get(staged), base)   // adopt
+      Files.move(base, old)   // retire (data still readable via fallback)
+      Files.move(staged, base) // adopt
       deleteRecursively(old)
     } else {
       // recovering from a crash between the two renames: base_old (or
       // nothing, for a table created empty) holds the prior data and the
       // staged dir is already the complete next state — adopt directly
-      Files.move(Paths.get(staged), base)
+      Files.move(staged, base)
       deleteRecursively(old)
     }
-    deleteRecursively(Paths.get(dir(name), "tail"))
-    writeMeta(name, meta.copy(opSeq = 0))
   }
 
   /**
@@ -189,50 +201,51 @@ final class Catalog(spark: SparkSession, warehouse: String) {
 
   /**
    * Persist a retention vacuum (see [[LineageTable.vacuum]]): physically
-   * drop superseded versions beyond the newest `keep` per key. The newest
-   * rows (tombstones included) become the new base — version stamps
-   * PRESERVED, unlike compaction, so `_ver` monotonicity and op_seq carry
-   * on — and ranks 2..keep become the new tail, so [[getTable]]'s
-   * empty-tail fast path stays truthful: it fires exactly when keep=1
-   * left one version per record. Same crash-tolerant staged swap as
-   * [[saveCompacted]]: nothing is moved until the new state is written.
+   * drop superseded versions beyond the newest `keep` per key (and
+   * fully-dead lone tombstones).
+   *
+   * Crash tolerance comes from STRICT SHADOWING, the same property that
+   * protects [[saveCompacted]]: the retained rows are re-stamped with
+   * fresh versions ABOVE every existing stamp (rank r of a key gets
+   * `op_seq + keep + 1 - r`, preserving per-key order), the whole
+   * retained set becomes the new base via the shared staged swap, and
+   * the tail is deleted last. At every crash point the readable state is
+   * consistent: before the swap nothing changed; after the swap a
+   * leftover tail's rows rank strictly BELOW the re-stamped base rows
+   * (no (key, _ver) ties — preserving raw stamps here was a bug: a crash
+   * before tail deletion would have produced duplicate ranks and
+   * corrupted version reads), so a snapshot is correct and version reads
+   * transiently see pre-vacuum history until the next vacuum/compaction
+   * reclaims it. Metadata (op_seq advanced by `keep`, multi_ver flag)
+   * writes BEFORE the swap — commit's rule: a crash leaves a harmless
+   * version gap, never a reused stamp. The multi_ver flag keeps
+   * [[getTable]]'s empty-tail fast path and [[inventory]]'s footer path
+   * truthful when keep>1 leaves multi-version history in the base.
    */
   def vacuum(name: String, keep: Int = 1): LineageTable = {
+    require(keep >= 1, s"must keep at least the newest version, got $keep")
     val meta = readMeta(name)
     val t = getTable(name)
     val layoutCol = meta.index.getOrElse(t.keyCol)
     val byKey = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(t.keyCol)).orderBy(col(LineageTable.VER).desc)
-    // checkpoint the ranked retention once: base and tail writes both read
-    // it, and without a leaf the second write would re-run the rank window
-    val ranked = t.lineage
-      .withColumn("_rn", row_number().over(byKey))
+      .partitionBy(col(t.keyCol))
+    val opSeqNew = t.opSeq + keep
+    val restamped = t.lineage
+      .withColumn("_rn", row_number().over(
+        byKey.orderBy(col(LineageTable.VER).desc)))
       .where(col("_rn") <= keep)
-      .localCheckpoint()
+      .withColumn("_kcnt", count(lit(1)).over(byKey))
+      .where(!(col("_kcnt") === 1 && col(LineageTable.DEL) === 1))
+      .withColumn(LineageTable.VER, lit(opSeqNew) + 1 - col("_rn"))
+      .drop("_rn", "_kcnt")
     val staged = s"${dir(name)}/base_staged"
-    val base = Paths.get(dir(name), "base")
-    val old = Paths.get(dir(name), "base_old")
-    ranked.where(col("_rn") === 1).drop("_rn")
+    restamped
       .repartitionByRange(col(layoutCol))
       .sortWithinPartitions(col(layoutCol))
       .write.mode(SaveMode.Overwrite).parquet(staged)
-    val tailRows = ranked.where(col("_rn") > 1).drop("_rn")
-    val stagedTail = s"${dir(name)}/tail_staged"
-    val hasTail = keep > 1 && !tailRows.isEmpty
-    if (hasTail)
-      tailRows.write.mode(SaveMode.Overwrite).parquet(stagedTail)
-    if (Files.isDirectory(base)) {
-      deleteRecursively(old)
-      Files.move(base, old)
-      Files.move(Paths.get(staged), base)
-      deleteRecursively(old)
-    } else {
-      Files.move(Paths.get(staged), base)
-      deleteRecursively(old)
-    }
+    writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = keep > 1))
+    swapBase(name)
     deleteRecursively(Paths.get(dir(name), "tail"))
-    if (hasTail)
-      Files.move(Paths.get(stagedTail), Paths.get(dir(name), "tail"))
     getTable(name)
   }
 
@@ -277,7 +290,11 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   def inventory(): org.apache.spark.sql.DataFrame = {
     val (compacted, tailed) = tableNames.partition { n =>
       val tailDir = Paths.get(dir(n), "tail")
-      !(Files.isDirectory(tailDir) && hasParquet(tailDir))
+      // footer counts are only truthful for a live-rows-only base: a
+      // keep>1 vacuum leaves history (and possibly tombstones) in the
+      // base, so multi_ver tables take the snapshot-count path
+      !(Files.isDirectory(tailDir) && hasParquet(tailDir)) &&
+        !readMeta(n).multiVer
     }
     val viaFooters =
       if (compacted.isEmpty) None
@@ -297,7 +314,11 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   // ------------------------------------------------------------- metadata
 
   private case class Meta(key: String, columns: Seq[String],
-                          index: Option[String], opSeq: Int)
+                          index: Option[String], opSeq: Int,
+                          /** True when the base itself holds multi-version
+                            * history (a keep>1 vacuum) — the empty-tail
+                            * fast path and footer inventory must not fire. */
+                          multiVer: Boolean = false)
 
   // Metadata names are restricted to identifier characters at write time,
   // so the flat JSON below round-trips through the regex reader with no
@@ -314,7 +335,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val cols = m.columns.map(c => "\"" + checked(c) + "\"").mkString(", ")
     val idx = m.index.map(i => "\"" + checked(i) + "\"").getOrElse("null")
     val json = s"""{"key": "${checked(m.key)}", "columns": [$cols], """ +
-      s""""index": $idx, "op_seq": ${m.opSeq}}"""
+      s""""index": $idx, "op_seq": ${m.opSeq}, "multi_ver": ${m.multiVer}}"""
     Files.writeString(metaPath(name), json)
   }
 
@@ -332,7 +353,10 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       .findFirstMatchIn(json).map(_.group(1))
     val seq = "\"op_seq\"\\s*:\\s*(\\d+)".r
       .findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
-    Meta(key, cols, idx, seq)
+    // absent in metas written before the field existed → false
+    val mv = "\"multi_ver\"\\s*:\\s*(true|false)".r
+      .findFirstMatchIn(json).exists(_.group(1) == "true")
+    Meta(key, cols, idx, seq, mv)
   }
 
   private def hasParquet(p: java.nio.file.Path): Boolean = {

@@ -182,12 +182,23 @@ final class LineageTable private (
    */
   def vacuum(keep: Int): LineageTable = {
     require(keep >= 1, s"must keep at least the newest version, got $keep")
-    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(VER).desc)
+    val byKey = Window.partitionBy(col(keyCol))
     val kept = lineage
-      .withColumn("_rn", row_number().over(byKey))
+      .withColumn("_rn", row_number().over(byKey.orderBy(col(VER).desc)))
       .where(col("_rn") <= keep)
-      .drop("_rn")
-    new LineageTable(keyCol, dataCols, kept, opSeq, delta = None,
+      // A key whose entire retained history is one tombstone is fully
+      // dead — no version of it is visible at ANY relative version — so
+      // the tombstone itself can go. This also keeps a keep=1 result
+      // live-only, the invariant the empty-tail fast path and the footer
+      // inventory rely on. (Both windows share the key partitioning:
+      // one shuffle.)
+      .withColumn("_kcnt", count(lit(1)).over(byKey))
+      .where(!(col("_kcnt") === 1 && col(DEL) === 1))
+      .drop("_rn", "_kcnt")
+    // The pending delta passes through untouched: uncommitted ops stay
+    // durable through a later Catalog.commit (vacuum trims HISTORY, it
+    // must never eat a write). Only Catalog.vacuum persists retention.
+    new LineageTable(keyCol, dataCols, kept, opSeq, delta,
       compactedOnly = false)
   }
 

@@ -57,6 +57,15 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Deterministic 32-bit sampling gate: the first 8 hex digits of
+    * md5(x) read base-16 — reproducible, partition-independent, and
+    * engine-portable (`CAST('0x'||substr(md5(x),1,8) AS BIGINT)` in
+    * DuckDB). One definition for every sampling/sharding operator
+    * (pipe_sample, pipe_mix, pipe_shard) so the gate can never drift
+    * between them. */
+  def md5Gate(x: Column): Column =
+    conv(substr(md5(x.cast("string")), lit(1), lit(8)), 16, 10).cast("long")
+
   // --- PII redaction -------------------------------------------------------
   // Patterns restricted to constructs where Java regex (Spark) and RE2
   // (DuckDB) agree exactly: character classes + greedy quantifiers, no

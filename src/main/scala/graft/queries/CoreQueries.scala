@@ -61,7 +61,7 @@ object CoreQueries {
    */
   def indexedOrders(spark: SparkSession, sfDir: String): LineageTable =
     indexedCache.getOrElseUpdate(sfDir, {
-      val wh = java.nio.file.Files.createTempDirectory("graft_idx_wh_").toString
+      val wh = graft.sources.TextSources.scratchDir("graft_idx_wh_")
       val cat = new Catalog(spark, wh)
       cat.createTable("orders_ls", "k", baseOrders(spark, sfDir))
       cat.commit("orders_ls", Txn.empty
@@ -85,7 +85,7 @@ object CoreQueries {
    */
   def zorderedOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = zorderCache.getOrElseUpdate(sfDir, {
-      val d = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+      val d = graft.sources.TextSources.scratchDir("graft_zorder_")
       graft.ops.Layout.zorder(baseOrders(spark, sfDir), "custkey", "totalprice")
         .write.mode("overwrite").parquet(d)
       d
@@ -274,7 +274,7 @@ object CoreQueries {
       // schema, aggregate — values survive bit-exactly (shortest-repr
       // doubles), proving the source path end to end.
       val dir = csvCache.getOrElseUpdate(d,
-        java.nio.file.Files.createTempDirectory("graft_csv_").toString)
+        graft.sources.TextSources.scratchDir("graft_csv_"))
       graft.sources.TextSources.csvRoundtrip(s, baseOrders(s, d), dir)
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n"),

@@ -220,8 +220,7 @@ object PipelineQueries {
     // sample must be reproducible and join-able against itself later).
     "pipe_sample" -> { (s, d) =>
       Tables(s, d, "documents")
-        .where(conv(substr(md5(col("doc_id").cast("string")), lit(1), lit(8)),
-          16, 10).cast("long") % 10 === 0)
+        .where(TextOps.md5Gate(col("doc_id")) % 10 === 0)
         .select(col("doc_id"), col("lang"))
     },
 
@@ -283,8 +282,7 @@ object PipelineQueries {
         when(col("lang") === l, r).otherwise(acc)
       }
       Tables(s, d, "documents")
-        .where(conv(substr(md5(col("doc_id").cast("string")), lit(1), lit(8)),
-          16, 10).cast("long") % 100 < rate)
+        .where(TextOps.md5Gate(col("doc_id")) % 100 < rate)
         .select(col("doc_id"), col("lang"))
     },
 
@@ -294,7 +292,7 @@ object PipelineQueries {
     // round-trips arbitrary text; the aggregate proves it byte-exactly.
     "src_jsonl" -> { (s, d) =>
       val dir = jsonlCache.getOrElseUpdate(d,
-        java.nio.file.Files.createTempDirectory("graft_jsonl_").toString)
+        graft.sources.TextSources.scratchDir("graft_jsonl_"))
       graft.sources.TextSources.jsonlRoundtrip(s,
           Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
           dir)
@@ -343,8 +341,7 @@ object PipelineQueries {
     // emits the per-shard manifest (doc count + payload bytes) that proves
     // the balance and drives downstream readers.
     "pipe_shard" -> { (s, d) =>
-      val shard = (conv(substr(md5(col("doc_id").cast("string")), lit(1), lit(8)),
-        16, 10).cast("long") % 16).as("shard")
+      val shard = (TextOps.md5Gate(col("doc_id")) % 16).as("shard")
       Tables(s, d, "documents")
         .groupBy(shard)
         .agg(count(lit(1)).as("n_docs"),

@@ -22,6 +22,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  */
 object TextSources {
 
+  /** Create a temp scratch directory that is deleted recursively on JVM
+    * exit. Roundtrip/layout fixtures hold full corpus copies — without
+    * the hook every test/bench JVM leaks one per run (at the 100× SF the
+    * JSONL copy alone is the whole corpus text). */
+  def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      val s = java.nio.file.Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().forEachRemaining(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+      finally s.close()
+    }
+    dir.toString
+  }
+
   /** Write `df` as headered CSV under `dir`, read it back with df's schema. */
   def csvRoundtrip(spark: SparkSession, df: DataFrame, dir: String): DataFrame = {
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)

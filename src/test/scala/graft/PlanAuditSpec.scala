@@ -208,11 +208,15 @@ class PlanAuditSpec extends SparkSpec {
       "no customer-only rows")
   }
 
+  // sf0.01's 500 docs are the smallest corpus where the 2x-mean
+  // hash-balance bound is statistically meaningful (sfDir's 50 are not)
+  private val shardBalanceSf = "/root/testdata/sf0.01"
+
   test("pipe_shard partitions the corpus exhaustively and near-evenly") {
-    val df = SparkEntry.queries("pipe_shard")(spark, "/root/testdata/sf0.01")
+    val df = SparkEntry.queries("pipe_shard")(spark, shardBalanceSf)
     val rows = df.collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
-    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").count()
+    val docs = spark.read.parquet(s"$shardBalanceSf/documents.parquet").count()
     assert(total == docs, s"shards cover $total of $docs docs")
     assert(rows.length == 16, s"expected 16 shards, got ${rows.length}")
     // md5 balance: no shard more than 2x the mean (hash-uniform at 500 docs)

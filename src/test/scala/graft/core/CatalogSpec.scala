@@ -200,8 +200,15 @@ class CatalogSpec extends SparkSpec {
     // deep version read clamps at the oldest RETAINED (v=11 for k=1, not 10)
     val old = v.asOfRelative(-9).where(col("k") === 1L).collect()
     assert(old.map(_.getAs[Long]("v")).toSeq === Seq(11L))
-    // op_seq preserved: the next write's _ver stays monotonic
-    assert(cat.getTable("t").opSeq === verBefore)
+    // op_seq advances by keep (retained rows are re-stamped ABOVE every
+    // old version — strict shadowing is what makes the swap crash-safe);
+    // the next write's _ver stays strictly monotonic
+    assert(cat.getTable("t").opSeq === verBefore + 2)
+    // a keep>1 base holds history: inventory must COUNT LIVE ROWS, not
+    // trust parquet footers (k2 is a retained tombstone in the base)
+    val inv2 = cat.inventory().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(inv2("t") === 2L, s"inventory over-reported: $inv2")
     val after = cat.commit("t", Txn.empty
       .update(col("k") === 1L, Map("v" -> lit(13L))))
     // materialize BEFORE the next vacuum: a vacuum rewrites the table's
@@ -211,13 +218,53 @@ class CatalogSpec extends SparkSpec {
     assert(after.snapshot.where(col("k") === 1L).collect()
       .map(_.getAs[Long]("v")).toSeq === Seq(13L))
 
-    // keep=1 folds to one version per record → empty tail, fast-path safe
+    // keep=1 folds to one LIVE version per record: the fully-dead k=2
+    // tombstone is pruned outright, so the base is live-only and the
+    // empty-tail fast path + footer inventory stay truthful
     cat.vacuum("t", keep = 1)
     assert(!Files.isDirectory(java.nio.file.Paths.get(wh, "t", "tail")))
     val t1 = cat.getTable("t")
     assert(t1.snapshot.collect().map(_.toSeq).toSet === snapAfter)
-    // tombstone is still physically there (newest row of k=2), still hidden
-    assert(t1.lineage.count() === 3 && t1.snapshot.count() === 2)
+    assert(t1.lineage.count() === 2 && t1.snapshot.count() === 2)
+    val inv1 = cat.inventory().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(inv1("t") === 2L)
+  }
+
+  test("vacuum survives a crash that leaves the old tail behind") {
+    // a crash between base adoption and tail deletion leaves the old tail
+    // on disk; the re-stamped base rows rank strictly ABOVE every old
+    // stamp, so the union must still read consistently (no (key,_ver)
+    // ties, no duplicate ranks) and the next vacuum reclaims the leftover
+    def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      val s = Files.walk(src)
+      try s.iterator().forEachRemaining { p =>
+        val q = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(q)
+        else Files.copy(p, q)
+      } finally s.close()
+    }
+    val (cat, wh) = freshCatalog()
+    cat.createTable("t", "k", base)
+    cat.commit("t", Txn.empty
+      .update(col("k") === 1L, Map("v" -> lit(11L)))
+      .update(col("k") === 1L, Map("v" -> lit(12L)))
+      .delete(col("k") === 2L))
+    val snap = cat.getTable("t").snapshot.collect().map(_.toSeq).toSet
+    val tail = java.nio.file.Paths.get(wh, "t", "tail")
+    val saved = java.nio.file.Paths.get(wh, "t_saved_tail")
+    copyDir(tail, saved)
+    cat.vacuum("t", keep = 2)
+    copyDir(saved, tail) // the crash state
+    val crashed = cat.getTable("t")
+    assert(crashed.snapshot.collect().map(_.toSeq).toSet === snap)
+    // previous version of k=1 is v=11 exactly once (clean ranks)
+    val prev = crashed.asOfRelative(-1).where(col("k") === 1L).collect()
+    assert(prev.map(_.getAs[Long]("v")).toSeq === Seq(11L))
+    // re-vacuuming heals the leftover permanently
+    val clean = cat.vacuum("t", keep = 2)
+    assert(clean.snapshot.collect().map(_.toSeq).toSet === snap)
+    assert(clean.lineage.where(col("k") === 1L).count() === 2)
   }
 
   test("inventory lists every table with live row counts") {

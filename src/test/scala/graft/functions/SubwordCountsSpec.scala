@@ -74,12 +74,17 @@ class SubwordCountsSpec extends SparkSpec {
     }
   }
 
-  test("interpreted eval matches codegen path") {
-    // force the interpreted path through a filter that defeats codegen is
-    // brittle; instead call compute() directly against the regex result
+  test("interpreted eval (nullSafeEval) agrees with the codegen'd plan") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
     val s = "mixed 12x énd 99"
-    val arr = SubwordCounts.compute(
-      org.apache.spark.unsafe.types.UTF8String.fromString(s))
-    assert(arr.toLongArray().toSeq == Seq(3L, 2L, 1L))
+    // interpreted path: Expression.eval → nullSafeEval, no codegen involved
+    val interp = SubwordCounts(Literal(s)).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(interp == Seq(3L, 2L, 1L))
+    // codegen path: the same value through a real (whole-stage) plan
+    val viaPlan = Seq(s).toDF("t")
+      .select(subwordCounts(col("t"))).collect()(0).getSeq[Long](0)
+    assert(viaPlan == interp)
   }
 }
