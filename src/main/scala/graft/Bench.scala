@@ -43,7 +43,13 @@ object Bench {
     // environment is uninterpretable round-over-round; the (cold, steady)
     // pair separates JIT/codegen/page-cache warmup from the plan's real
     // cost. "value" remains the steady total (comparable across rounds).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY="q1_agg,dedup_minhash": bench a subset — for
+    // targeted extreme-SF runs where the full surface would take hours
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val (cold, steady) =
         try { val c = once(fn); (c, once(fn)) }
         catch { case _: Throwable => (-1.0, -1.0) }

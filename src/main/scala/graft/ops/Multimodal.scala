@@ -75,6 +75,35 @@ object Multimodal {
     }
   }
 
+  /** A resized payload: new blob + its provenance sizes and feature hash. */
+  case class MmResized(doc_id: Long, fmt: String, orig_bytes: Long,
+                       resized_bytes: Long, resized_md5: String)
+
+  /**
+   * Resize (downsample) the payload: keep every `factor`-th byte — the
+   * deterministic stand-in for pixel/PCM downsampling (a real codec would
+   * decode, scale, re-encode; the Spark shape is identical). The
+   * payload-TRANSFORM class of multimodal op: binary in, smaller binary
+   * out, map-only — at 100 TB this runs as one scan with zero shuffle and
+   * cuts downstream bytes by `factor`. Emits the new feature hash so the
+   * oracle pins the transformed CONTENT, not just its size.
+   */
+  def resize(records: Dataset[MmRecord], factor: Int = 4): Dataset[MmResized] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val out = new Array[Byte]((r.payload.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
+        md.reset()
+        val hex = md.digest(out).map("%02x".format(_)).mkString
+        MmResized(r.doc_id, r.fmt, r.payload.length.toLong,
+          out.length.toLong, hex)
+      }
+    }
+  }
+
   /** Build the media table from the documents corpus: payload = utf-8 bytes
     * of the text (a deterministic opaque blob), format assigned round-robin. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MmRecord] = {

@@ -272,6 +272,11 @@ object PipelineQueries {
         Multimodal.mediaFromDocuments(s, Tables(s, d, "documents"))).toDF()
     },
 
+    "mm_resize" -> { (s, d) =>
+      Multimodal.resize(
+        Multimodal.mediaFromDocuments(s, Tables(s, d, "documents"))).toDF()
+    },
+
     // Training-mixture sampling: per-language acceptance rates over the
     // same deterministic md5 gate as pipe_sample — reproducible,
     // partition-independent, and re-weightable by editing one map. The
@@ -1049,6 +1054,18 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 3 = 2 THEN 0 ELSE octet_length(encode(text)) % 640 END AS width,
         |  CASE WHEN doc_id % 3 = 2 THEN 0 ELSE (doc_id * 7) % 480 END AS height,
         |  CASE WHEN doc_id % 3 = 2 THEN (octet_length(encode(text)) * 1000) // 16 ELSE 0 END AS duration_ms
+        |FROM documents""".stripMargin,
+
+    // every-4th-byte decimation; text is pure ASCII so chars ≡ bytes and
+    // the char-built md5 equals the Spark decoder's byte-built one
+    "mm_resize" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png'
+        |       ELSE 'wav' END AS fmt,
+        |  CAST(length(text) AS BIGINT) AS orig_bytes,
+        |  CAST(len(range(1, length(text) + 1, 4)) AS BIGINT) AS resized_bytes,
+        |  md5(array_to_string(list_transform(range(1, length(text) + 1, 4),
+        |      i -> text[i:i]), '')) AS resized_md5
         |FROM documents""".stripMargin,
 
     // text is pure ASCII (verified over the corpus), so the char-substring
