@@ -44,9 +44,17 @@ object Bench {
     // pair separates JIT/codegen/page-cache warmup from the plan's real
     // cost. "value" remains the steady total (comparable across rounds).
     // SPARK_GRAFT_ONLY="q1_agg,dedup_minhash": bench a subset — for
-    // targeted extreme-SF runs where the full surface would take hours
+    // targeted extreme-SF runs where the full surface would take hours.
+    // Fail fast on typos/empty: a silent empty filter would burn an
+    // hours-long run producing no data.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

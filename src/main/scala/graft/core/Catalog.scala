@@ -227,25 +227,35 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val meta = readMeta(name)
     val t = getTable(name)
     val layoutCol = meta.index.getOrElse(t.keyCol)
-    val byKey = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(t.keyCol))
     val opSeqNew = t.opSeq + keep
-    val restamped = t.lineage
-      .withColumn("_rn", row_number().over(
-        byKey.orderBy(col(LineageTable.VER).desc)))
-      .where(col("_rn") <= keep)
-      .withColumn("_kcnt", count(lit(1)).over(byKey))
-      .where(!(col("_kcnt") === 1 && col(LineageTable.DEL) === 1))
+    // shared retention core (LineageTable.retained — ONE implementation
+    // of the keep/lone-tombstone rules); rank r re-stamps to
+    // opSeqNew+1-r, so rank 1 is exactly opSeqNew for every key
+    val restamped = t.retained(keep)
       .withColumn(LineageTable.VER, lit(opSeqNew) + 1 - col("_rn"))
-      .drop("_rn", "_kcnt")
+      .drop("_rn")
     val staged = s"${dir(name)}/base_staged"
     restamped
       .repartitionByRange(col(layoutCol))
       .sortWithinPartitions(col(layoutCol))
       .write.mode(SaveMode.Overwrite).parquet(staged)
-    writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = keep > 1))
+    // multi-version only when some key actually retained a 2nd row: any
+    // _ver below opSeqNew in the staged data is a rank≥2 row (pruned
+    // single-column scan of what was just written)
+    val hasMulti = keep > 1 && !spark.read.parquet(staged)
+      .where(col(LineageTable.VER) < opSeqNew).isEmpty
+    // Meta ordering under crashes: op_seq advances BEFORE the swap
+    // (commit's rule — a crash leaves a version gap, never a reused
+    // stamp), but multi_ver may only transition true→false AFTER the
+    // swap (the fast path must never see a multi-version base), so the
+    // pre-swap write keeps the CONSERVATIVE value — too-true is merely
+    // slower, too-false reads superseded versions as live.
+    val conservative = meta.multiVer || keep > 1
+    writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = conservative))
     swapBase(name)
     deleteRecursively(Paths.get(dir(name), "tail"))
+    if (conservative != hasMulti)
+      writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = hasMulti))
     getTable(name)
   }
 

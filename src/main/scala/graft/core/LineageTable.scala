@@ -180,26 +180,31 @@ final class LineageTable private (
    * also re-stamps base). One key-partitioned window — the same single
    * shuffle as a snapshot read; [[Catalog.vacuum]] persists the result.
    */
-  def vacuum(keep: Int): LineageTable = {
-    require(keep >= 1, s"must keep at least the newest version, got $keep")
-    val byKey = Window.partitionBy(col(keyCol))
-    val kept = lineage
-      .withColumn("_rn", row_number().over(byKey.orderBy(col(VER).desc)))
-      .where(col("_rn") <= keep)
-      // A key whose entire retained history is one tombstone is fully
-      // dead — no version of it is visible at ANY relative version — so
-      // the tombstone itself can go. This also keeps a keep=1 result
-      // live-only, the invariant the empty-tail fast path and the footer
-      // inventory rely on. (Both windows share the key partitioning:
-      // one shuffle.)
-      .withColumn("_kcnt", count(lit(1)).over(byKey))
-      .where(!(col("_kcnt") === 1 && col(DEL) === 1))
-      .drop("_rn", "_kcnt")
+  def vacuum(keep: Int): LineageTable =
     // The pending delta passes through untouched: uncommitted ops stay
     // durable through a later Catalog.commit (vacuum trims HISTORY, it
     // must never eat a write). Only Catalog.vacuum persists retention.
-    new LineageTable(keyCol, dataCols, kept, opSeq, delta,
-      compactedOnly = false)
+    new LineageTable(keyCol, dataCols, retained(keep).drop("_rn"), opSeq,
+      delta, compactedOnly = false)
+
+  /** The retention core shared by [[vacuum]] and [[Catalog.vacuum]] (ONE
+    * implementation of the safety-critical rules): newest `keep` rows per
+    * key, ranked in `_rn` (1 = newest — the caller drops or re-stamps
+    * from it). A key whose entire retained history is one tombstone is
+    * fully dead — no version of it is visible at ANY relative version —
+    * so the tombstone itself goes too; that is what keeps a keep=1 result
+    * live-only, the invariant the empty-tail fast path and the footer
+    * inventory rely on. (Both windows share the key partitioning: one
+    * shuffle.) */
+  private[core] def retained(keep: Int): DataFrame = {
+    require(keep >= 1, s"must keep at least the newest version, got $keep")
+    val byKey = Window.partitionBy(col(keyCol))
+    lineage
+      .withColumn("_rn", row_number().over(byKey.orderBy(col(VER).desc)))
+      .where(col("_rn") <= keep)
+      .withColumn("_kcnt", count(lit(1)).over(byKey))
+      .where(!(col("_kcnt") === 1 && col(DEL) === 1))
+      .drop("_kcnt")
   }
 
   /** Key-range scan of the current snapshot (reference aggregates iterate

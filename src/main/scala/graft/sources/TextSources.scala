@@ -29,11 +29,15 @@ object TextSources {
   def scratchDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {
-      val s = java.nio.file.Files.walk(dir)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().forEachRemaining(p =>
-          try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
-      finally s.close()
+      // best-effort throughout: the dir may already be gone, and a
+      // throwing hook would abort cleanup of everything after it
+      try {
+        val s = java.nio.file.Files.walk(dir)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().forEachRemaining(p =>
+            try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+        finally s.close()
+      } catch { case _: Exception => () }
     }
     dir.toString
   }

@@ -231,6 +231,22 @@ class CatalogSpec extends SparkSpec {
     assert(inv1("t") === 2L)
   }
 
+  test("vacuum(keep>1) with no multi-version keys keeps the fast paths") {
+    val (cat, _) = freshCatalog()
+    cat.createTable("t", "k", base)
+    cat.vacuum("t", keep = 2) // single-version table: nothing ranks 2nd
+    // footer inventory still valid (multi_ver stayed false)...
+    val inv = cat.inventory().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(inv("t") === 3L)
+    // ...and snapshot is still a bare scan, no window shuffle
+    val snap = cat.getTable("t").snapshot
+    snap.queryExecution.toRdd.count()
+    val plan = snap.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Exchange"),
+      s"fast path lost:\n$plan")
+  }
+
   test("vacuum survives a crash that leaves the old tail behind") {
     // a crash between base adoption and tail deletion leaves the old tail
     // on disk; the re-stamped base rows rank strictly ABOVE every old
