@@ -85,6 +85,23 @@ class LineageModelSpec extends SparkSpec {
     }
   }
 
+  test("vacuum mid-chain: later ops land on the trimmed table correctly") {
+    import spark.implicits._
+    val base = Seq((0L, 0L), (5L, 50L), (10L, 100L)).toDF("k", "v")
+    val init = Map(0L -> 0L, 5L -> 50L, 10L -> 100L)
+    (300 to 305).foreach { seed =>
+      val pre = genOps(seed, 4)
+      val post = genOps(seed + 1000, 4)
+      // vacuum in the middle of the op chain — retention must be
+      // invisible to everything downstream (ops, snapshot, delta)
+      val table = post.foldLeft(
+        pre.foldLeft(LineageTable.fromBase("k", base))(applyTable).vacuum(2)
+      )(applyTable)
+      val model = (pre ++ post).foldLeft(init)(applyModel)
+      assert(snapshotMap(table) === model, s"seed $seed pre=$pre post=$post")
+    }
+  }
+
   test("compaction preserves the model state; version reads clamp to it") {
     import spark.implicits._
     val base = Seq((1L, 1L), (2L, 2L)).toDF("k", "v")
