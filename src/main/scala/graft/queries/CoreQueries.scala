@@ -281,6 +281,19 @@ object CoreQueries {
              Exact.sumMoney(col("totalprice")).as("sum_price"))
     },
 
+    "ls_history" -> { (s, d) =>
+      // The audit read a lineage store exists for: EVERY version of a key
+      // range, newest first — ranks instead of raw _ver stamps (stamps
+      // are an internal encoding; rank order is the portable contract).
+      // Key predicate pushes below the rank window to both parquet scans.
+      val w = Window.partitionBy(col("k")).orderBy(col("_ver").desc)
+      ordersLineage(s, d).lineage
+        .where(col("k").between(0L, 200L))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .select(col("k"), col("rnk"), col("_del").cast("long").as("deleted"),
+                col("status"), col("totalprice"))
+    },
+
     "ls_vacuum" -> { (s, d) =>
       // Retention proof: after vacuum(keep=2) the snapshot is invariant
       // (newest rows survive) but deep version addressing clamps to the
@@ -328,7 +341,16 @@ object CoreQueries {
       |       1 AS _ver, 0 AS _del FROM base WHERE k % 3 = 0),
       |v2 AS (SELECT k, custkey, 'U2' AS status, totalprice,
       |       2 AS _ver, 0 AS _del FROM v1 WHERE k % 9 = 0),
-      |tomb AS (SELECT k, custkey, status, totalprice, 9 AS _ver, 1 AS _del
+      |-- delete tombstones carry the snapshot AT DELETE TIME (the op reads
+      |-- the current version and re-stamps it deleted), i.e. v2/v1 values
+      |-- where those fired — visible only to history reads, but the
+      |-- fixture mirrors the write semantics exactly
+      |tomb AS (SELECT k, custkey,
+      |         CASE WHEN k % 9 = 0 THEN 'U2' WHEN k % 3 = 0 THEN 'U1'
+      |              ELSE status END AS status,
+      |         CASE WHEN k % 3 = 0 THEN totalprice + 10.0
+      |              ELSE totalprice END AS totalprice,
+      |         9 AS _ver, 1 AS _del
       |         FROM base WHERE k % 17 = 0),
       |lineage AS (SELECT * FROM base UNION ALL SELECT * FROM v1
       |            UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM tomb),
@@ -467,6 +489,12 @@ object CoreQueries {
       """SELECT o_orderstatus AS status, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "ls_history" ->
+      s"""$fixture
+         |SELECT k, CAST(_rn AS BIGINT) AS rnk, CAST(_del AS BIGINT) AS deleted,
+         |       status, totalprice
+         |FROM ranked WHERE k BETWEEN 0 AND 200""".stripMargin,
 
     // vacuum(2) then version-addressing: re-rank the retained rows (newest
     // 2 per key) and clamp the -5 read at the oldest retained

@@ -262,6 +262,29 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_tokens"))
     },
 
+    // Vocabulary coverage curve: top-100 unigrams by corpus frequency
+    // with the cumulative share of ALL token occurrences they cover (in
+    // ppm integer arithmetic — deterministic) — the vocabulary-size-vs-
+    // coverage tradeoff every tokenizer design starts from. Same
+    // TakeOrderedAndProject top-k shape as text_ngrams: per-partition
+    // top-100, never a vocabulary-wide single partition; the cumsum runs
+    // over the ≤100 survivors in one BOUNDED window.
+    "text_vocab" -> { (s, d) =>
+      val toks = Tables(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      val bounded = Window.partitionBy(pmod(col("n"), lit(1)))
+        .orderBy(col("n").desc, col("tok").asc)
+      counts.orderBy(col("n").desc, col("tok").asc).limit(100)
+        .withColumn("rnk", row_number().over(bounded).cast("bigint"))
+        .withColumn("cum", sum(col("n")).over(
+          bounded.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(total))
+        .select(col("tok"), col("n"), col("rnk"),
+          expr("cum * 1000000L div total").as("coverage_ppm"))
+    },
+
     // Corpus n-gram statistics: top-100 bigrams with deterministic
     // tiebreak — one explode + one count shuffle, rank carries order.
     "text_ngrams" -> { (s, d) =>
@@ -670,6 +693,22 @@ object PipelineQueries {
     // joins on the 60-bit md5 gram hash, mirroring Decontam.contaminated
     // (same TextOps.tokenHash the jaccard oracle already twins)
     "pipe_decontaminate" -> decontamOracle,
+
+    // HUGEINT window sum × 1000000 // BIGINT total: integer throughout
+    "text_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS total FROM c),
+        |top AS (SELECT tok, n,
+        |          CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT)
+        |            AS rnk
+        |        FROM c ORDER BY n DESC, tok ASC LIMIT 100)
+        |SELECT tok, n, rnk,
+        |  CAST(SUM(n) OVER (ORDER BY rnk
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       * 1000000 // total AS BIGINT) AS coverage_ppm
+        |FROM top, tot""".stripMargin,
 
     "src_jsonl" ->
       """SELECT lang, COUNT(*) AS n_docs,
