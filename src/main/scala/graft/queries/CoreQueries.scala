@@ -285,7 +285,9 @@ object CoreQueries {
       // The audit read a lineage store exists for: EVERY version of a key
       // range, newest first — ranks instead of raw _ver stamps (stamps
       // are an internal encoding; rank order is the portable contract).
-      // Key predicate pushes below the rank window to both parquet scans.
+      // Catalyst pushes the key predicate below the rank window (same
+      // partition key) — down to the parquet scans on a warehouse-backed
+      // table (here the memoized fixture is a checkpoint leaf).
       val w = Window.partitionBy(col("k")).orderBy(col("_ver").desc)
       ordersLineage(s, d).lineage
         .where(col("k").between(0L, 200L))

@@ -262,6 +262,50 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_tokens"))
     },
 
+    // Repetition scoring (the Gopher-style quality signal): fraction of
+    // duplicate 2-gram / 5-gram occurrences per document, in ppm integer
+    // arithmetic — repetitive docs (boilerplate, degenerate generations)
+    // get filtered before training. Pure per-row column algebra over one
+    // scan; shares TextOps.shingles' distinct-set semantics with the
+    // dedup family.
+    "text_repetition" -> { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      Tables(s, d, "documents").select(col("doc_id"),
+          when(size(toks) < 2, 1).otherwise(size(toks) - 1)
+            .cast("long").as("t2"),
+          size(TextOps.shingles(toks, 2)).cast("long").as("d2"),
+          when(size(toks) < 5, 1).otherwise(size(toks) - 4)
+            .cast("long").as("t5"),
+          size(TextOps.shingles(toks, 5)).cast("long").as("d5"))
+        .select(col("doc_id"),
+          expr("(t2 - d2) * 1000000L div t2").as("dup2_ppm"),
+          expr("(t5 - d5) * 1000000L div t5").as("dup5_ppm"))
+    },
+
+    // The last pipeline step: text → token ids. The vocabulary (same
+    // top-100 definition as text_vocab) is collected to the driver —
+    // 100 rows, broadcast-small BY CONSTRUCTION — and baked into the
+    // plan as a map literal, so tokenization itself is a pure per-row
+    // map over one corpus scan: zero joins, zero shuffles, regardless
+    // of corpus size. OOV → id 0; the output pins the full id SEQUENCE
+    // via md5, not just counts.
+    "pipe_tokenize" -> { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      val vocab = Tables(s, d, "documents")
+        .select(explode(toks).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc).limit(100)
+        .collect()
+      val vmap = map(vocab.zipWithIndex.flatMap { case (r, i) =>
+        Seq(lit(r.getString(0)), lit((i + 1).toLong)) }.toSeq: _*)
+      val ids = transform(toks, t => coalesce(element_at(vmap, t), lit(0L)))
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(ids).cast("long").as("n_tokens"),
+        size(filter(ids, _ === 0L)).cast("long").as("n_oov"),
+        md5(concat_ws(",", transform(ids, _.cast("string")))).as("ids_sig"))
+    },
+
     // Vocabulary coverage curve: top-100 unigrams by corpus frequency
     // with the cumulative share of ALL token occurrences they cover (in
     // ppm integer arithmetic — deterministic) — the vocabulary-size-vs-
@@ -693,6 +737,46 @@ object PipelineQueries {
     // joins on the 60-bit md5 gram hash, mirroring Decontam.contaminated
     // (same TextOps.tokenHash the jaccard oracle already twins)
     "pipe_decontaminate" -> decontamOracle,
+
+    // vocabulary as a DuckDB MAP; mp[t] yields a 1-element list (or
+    // empty), so [1] + coalesce is the OOV fallback
+    "pipe_tokenize" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY 1),
+        |v AS (SELECT tok,
+        |        CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS id
+        |      FROM c ORDER BY n DESC, tok ASC LIMIT 100),
+        |m AS (SELECT map(list(tok), list(id)) AS mp FROM v),
+        |x AS (SELECT doc_id,
+        |        list_transform(string_split(text, ' '),
+        |          t -> coalesce(mp[t][1], 0)) AS ids
+        |      FROM documents, m)
+        |SELECT doc_id,
+        |  CAST(len(ids) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(ids, i -> i = 0)) AS BIGINT) AS n_oov,
+        |  md5(array_to_string(ids, ',')) AS ids_sig
+        |FROM x""".stripMargin,
+
+    // shingle-count twin at n=2 and n=5; docs shorter than n collapse to
+    // one whole-text shingle on both sides (ppm 0)
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id,
+        |  CASE WHEN len(toks) < 2 THEN 1 ELSE len(toks) - 1 END AS t2,
+        |  CASE WHEN len(toks) < 2 THEN 1
+        |       ELSE len(list_distinct(list_transform(range(1, len(toks)),
+        |            i -> array_to_string(toks[i:i+1], ' ')))) END AS d2,
+        |  CASE WHEN len(toks) < 5 THEN 1 ELSE len(toks) - 4 END AS t5,
+        |  CASE WHEN len(toks) < 5 THEN 1
+        |       ELSE len(list_distinct(list_transform(range(1, len(toks) - 3),
+        |            i -> array_to_string(toks[i:i+4], ' ')))) END AS d5
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST((t2 - d2) * 1000000 // t2 AS BIGINT) AS dup2_ppm,
+        |  CAST((t5 - d5) * 1000000 // t5 AS BIGINT) AS dup5_ppm
+        |FROM m""".stripMargin,
 
     // HUGEINT window sum × 1000000 // BIGINT total: integer throughout
     "text_vocab" ->
