@@ -207,6 +207,30 @@ final class LineageTable private (
       .drop("_kcnt")
   }
 
+  /**
+   * Hard purge (right-to-be-forgotten): physically remove EVERY version
+   * of every key any of whose lineage rows matches `predicate` — unlike
+   * [[delete]] (a tombstone append: history stays) and [[vacuum]]
+   * (retention: the newest versions stay). Matching is against any
+   * version, not just the live one, because the point is erasure: a
+   * value that ever appeared must take its whole record with it.
+   * One pushed-down candidate scan + one anti join on the key — no
+   * window, no re-ranking; remaining keys are untouched so all version
+   * addressing is preserved. [[Catalog.saveCompacted]] (or vacuum)
+   * persists the result.
+   */
+  def purge(predicate: Column): LineageTable = {
+    val keys = lineage.where(predicate)
+      .select(col(keyCol).as("_purge_key")).distinct()
+    def scrub(rows: DataFrame): DataFrame =
+      rows.join(keys, col(keyCol) <=> col("_purge_key"), "left_anti")
+    // the pending delta is scrubbed too — erasure must hold through a
+    // later commit, not just in-memory reads (contrast vacuum, which
+    // passes the delta through untouched because it only trims history)
+    new LineageTable(keyCol, dataCols, scrub(lineage), opSeq,
+      delta.map(scrub), compactedOnly = false)
+  }
+
   /** Key-range scan of the current snapshot (reference aggregates iterate
     * keys in [start, end]; here it is a pushed-down range predicate). */
   def keyRange(lo: Long, hi: Long): DataFrame =

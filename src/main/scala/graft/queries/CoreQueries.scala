@@ -281,6 +281,16 @@ object CoreQueries {
              Exact.sumMoney(col("totalprice")).as("sum_price"))
     },
 
+    "ls_purge" -> { (s, d) =>
+      // Right-to-be-forgotten: custkey 77's records are GONE — all
+      // versions, not tombstoned (contrast ls_delete). Neighbors with
+      // their full history survive untouched.
+      ordersLineage(s, d).purge(col("custkey") === 77L)
+        .snapshot
+        .where(col("custkey").between(70L, 90L))
+        .select(col("k"), col("custkey"), col("status"), col("totalprice"))
+    },
+
     "ls_history" -> { (s, d) =>
       // The audit read a lineage store exists for: EVERY version of a key
       // range, newest first — ranks instead of raw _ver stamps (stamps
@@ -491,6 +501,14 @@ object CoreQueries {
       """SELECT o_orderstatus AS status, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // purge removes keys any of whose versions matched; custkey is never
+    // updated in the fixture, so the key set is simply custkey = 77
+    "ls_purge" ->
+      s"""$fixture
+         |SELECT k, custkey, status, totalprice FROM snap
+         |WHERE custkey BETWEEN 70 AND 90
+         |  AND k NOT IN (SELECT k FROM lineage WHERE custkey = 77)""".stripMargin,
 
     "ls_history" ->
       s"""$fixture

@@ -86,6 +86,24 @@ class LineageTableSpec extends SparkSpec {
     assert(c.lineage.count() === c.snapshot.count()) // tail truncated
   }
 
+  test("purge erases every version of matching keys; neighbors keep history") {
+    val t = fixture
+      .update(col("k") === 1L, Map("v" -> lit(100L))) // k=1 has history
+      .update(col("k") === 2L, Map("v" -> lit(200L)))
+    // v=100 appeared in an OLD version of k=1 but was then overwritten —
+    // purge must still erase the key (any version matches)
+    val p = t.update(col("k") === 1L, Map("v" -> lit(111L)))
+      .purge(col("v") === 100L)
+    assert(p.snapshot.where(col("k") === 1L).isEmpty)
+    assert(p.lineage.where(col("k") === 1L).isEmpty, "history not erased")
+    assert(p.asOfRelative(-5).where(col("k") === 1L).isEmpty)
+    // neighbor k=2 keeps ALL versions (prev read still sees v=20)
+    assert(rows(p.snapshot.where(col("k") === 2L)) === Set(Seq(2L, 200L, "B")))
+    assert(rows(p.asOfRelative(-5).where(col("k") === 2L)) === Set(Seq(2L, 20L, "B")))
+    // the pending delta is scrubbed too: erasure survives a commit
+    assert(p.delta.forall(_.where(col("k") === 1L).isEmpty))
+  }
+
   test("txn batch is all-or-nothing; run on failure leaves table unchanged") {
     import spark.implicits._
     val t = fixture
