@@ -226,31 +226,73 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     require(keep >= 1, s"must keep at least the newest version, got $keep")
     val meta = readMeta(name)
     val t = getTable(name)
-    val layoutCol = meta.index.getOrElse(t.keyCol)
-    val opSeqNew = t.opSeq + keep
     // shared retention core (LineageTable.retained — ONE implementation
-    // of the keep/lone-tombstone rules); rank r re-stamps to
-    // opSeqNew+1-r, so rank 1 is exactly opSeqNew for every key
-    val restamped = t.retained(keep)
+    // of the keep/lone-tombstone rules) feeding the shared re-stamp swap
+    restampSwap(name, meta, t.retained(keep), t.opSeq + keep,
+      multiPossible = keep > 1)
+  }
+
+  /**
+   * Persist a hard purge (see [[LineageTable.purge]]) — right-to-be-
+   * forgotten erasure of every version of matching keys, with version
+   * addressing preserved for every other key. The surviving lineage is
+   * ranked at FULL depth and goes through the same re-stamped
+   * crash-tolerant swap as [[vacuum]] (strict shadowing: a crash-leftover
+   * tail — which could still contain purged rows — is shadowed for
+   * snapshots and reclaimed by the next purge/vacuum/compaction; run one
+   * of them to completion before attesting erasure).
+   */
+  def purge(name: String, predicate: org.apache.spark.sql.Column): LineageTable = {
+    val meta = readMeta(name)
+    val t = getTable(name)
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(t.keyCol))
+    val ranked = t.purge(predicate).lineage
+      .withColumn("_rn", row_number().over(
+        byKey.orderBy(col(LineageTable.VER).desc)))
+    // deepest surviving history decides the stamp budget (one aggregate;
+    // purge is a rare compliance op)
+    val depth = Option(ranked.agg(max(col("_rn"))).collect()(0).get(0))
+      .fold(1)(_.asInstanceOf[Int]).max(1)
+    restampSwap(name, meta, ranked, t.opSeq + depth,
+      multiPossible = depth > 1)
+  }
+
+  /**
+   * Shared persistence core for [[vacuum]] and [[purge]]: re-stamp the
+   * ranked surviving rows ABOVE every old version (rank r of a key gets
+   * `opSeqNew + 1 - r`, preserving per-key order — rank 1 is exactly
+   * opSeqNew for every key), stage as the new base, swap crash-safely,
+   * drop the tail.
+   *
+   * Crash tolerance: at every crash point the readable state is
+   * consistent — before the swap nothing changed; after the swap a
+   * leftover tail's rows rank strictly BELOW the re-stamped base rows
+   * (no (key,_ver) ties), so snapshots are correct and version reads
+   * transiently see pre-op history until the next swap reclaims it.
+   * Meta ordering: op_seq advances BEFORE the swap (commit's rule — a
+   * crash leaves a version gap, never a reused stamp), but multi_ver may
+   * only transition true→false AFTER the swap (the fast path must never
+   * see a multi-version base), so the pre-swap write keeps the
+   * CONSERVATIVE value — too-true is merely slower, too-false reads
+   * superseded versions as live. The exact multi_ver comes from the
+   * staged data itself: any _ver below opSeqNew is a rank≥2 row (pruned
+   * single-column scan of what was just written).
+   */
+  private def restampSwap(name: String, meta: Meta, ranked:
+      org.apache.spark.sql.DataFrame, opSeqNew: Int,
+      multiPossible: Boolean): LineageTable = {
+    val layoutCol = meta.index.getOrElse(meta.key)
+    val staged = s"${dir(name)}/base_staged"
+    ranked
       .withColumn(LineageTable.VER, lit(opSeqNew) + 1 - col("_rn"))
       .drop("_rn")
-    val staged = s"${dir(name)}/base_staged"
-    restamped
       .repartitionByRange(col(layoutCol))
       .sortWithinPartitions(col(layoutCol))
       .write.mode(SaveMode.Overwrite).parquet(staged)
-    // multi-version only when some key actually retained a 2nd row: any
-    // _ver below opSeqNew in the staged data is a rank≥2 row (pruned
-    // single-column scan of what was just written)
-    val hasMulti = keep > 1 && !spark.read.parquet(staged)
+    val hasMulti = multiPossible && !spark.read.parquet(staged)
       .where(col(LineageTable.VER) < opSeqNew).isEmpty
-    // Meta ordering under crashes: op_seq advances BEFORE the swap
-    // (commit's rule — a crash leaves a version gap, never a reused
-    // stamp), but multi_ver may only transition true→false AFTER the
-    // swap (the fast path must never see a multi-version base), so the
-    // pre-swap write keeps the CONSERVATIVE value — too-true is merely
-    // slower, too-false reads superseded versions as live.
-    val conservative = meta.multiVer || keep > 1
+    val conservative = meta.multiVer || multiPossible
     writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = conservative))
     swapBase(name)
     deleteRecursively(Paths.get(dir(name), "tail"))

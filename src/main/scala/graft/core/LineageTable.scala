@@ -105,13 +105,18 @@ final class LineageTable private (
     if (compactedOnly)
       return lineage.where(col(DEL) === 0).where(predicate)
         .select(dataCols.map(col): _*)
-    // null-safe key equality: a null-keyed record's versions form one
-    // window partition, so they must survive the semi-join like any other
-    val keys = lineage.where(predicate)
-      .select(col(keyCol).as("_probe_key")).distinct()
-    val candidates = lineage.join(keys, col(keyCol) <=> col("_probe_key"), "left_semi")
+    val candidates = lineage.join(matchingKeys(predicate),
+      col(keyCol) <=> col("_match_key"), "left_semi")
     asOfMetaOver(candidates, 0).where(predicate).select(dataCols.map(col): _*)
   }
+
+  /** Keys any of whose lineage rows matches — the candidate scan shared
+    * by [[probe]] (semi join) and [[purge]] (anti join). Null-safe key
+    * equality: a null-keyed record's versions form one window partition,
+    * so they must match like any other. */
+  private def matchingKeys(predicate: Column): DataFrame =
+    lineage.where(predicate)
+      .select(col(keyCol).as("_match_key")).distinct()
 
   /** Latest live version of every record (reference: Query.select semantics). */
   def snapshot: DataFrame = snapshotMeta.select(dataCols.map(col): _*)
@@ -216,19 +221,19 @@ final class LineageTable private (
    * value that ever appeared must take its whole record with it.
    * One pushed-down candidate scan + one anti join on the key — no
    * window, no re-ranking; remaining keys are untouched so all version
-   * addressing is preserved. [[Catalog.saveCompacted]] (or vacuum)
-   * persists the result.
+   * addressing is preserved (removing whole keys can't create
+   * multi-version records, so the compacted fast path survives too).
+   * [[Catalog.purge]] persists the result durably.
    */
   def purge(predicate: Column): LineageTable = {
-    val keys = lineage.where(predicate)
-      .select(col(keyCol).as("_purge_key")).distinct()
+    val keys = matchingKeys(predicate)
     def scrub(rows: DataFrame): DataFrame =
-      rows.join(keys, col(keyCol) <=> col("_purge_key"), "left_anti")
+      rows.join(keys, col(keyCol) <=> col("_match_key"), "left_anti")
     // the pending delta is scrubbed too — erasure must hold through a
     // later commit, not just in-memory reads (contrast vacuum, which
     // passes the delta through untouched because it only trims history)
     new LineageTable(keyCol, dataCols, scrub(lineage), opSeq,
-      delta.map(scrub), compactedOnly = false)
+      delta.map(scrub), compactedOnly)
   }
 
   /** Key-range scan of the current snapshot (reference aggregates iterate

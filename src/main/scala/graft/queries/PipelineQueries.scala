@@ -296,9 +296,16 @@ object PipelineQueries {
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok").asc).limit(100)
         .collect()
-      val vmap = map(vocab.zipWithIndex.flatMap { case (r, i) =>
-        Seq(lit(r.getString(0)), lit((i + 1).toLong)) }.toSeq: _*)
-      val ids = transform(toks, t => coalesce(element_at(vmap, t), lit(0L)))
+      // empty corpus → empty vocab: map() of zero entries is a
+      // MAP<NULL,NULL> literal that fails analysis on a string lookup,
+      // so degrade to the everything-is-OOV mapping instead of crashing
+      val ids =
+        if (vocab.isEmpty) transform(toks, _ => lit(0L))
+        else {
+          val vmap = map(vocab.zipWithIndex.flatMap { case (r, i) =>
+            Seq(lit(r.getString(0)), lit((i + 1).toLong)) }.toSeq: _*)
+          transform(toks, t => coalesce(element_at(vmap, t), lit(0L)))
+        }
       Tables(s, d, "documents").select(
         col("doc_id"),
         size(ids).cast("long").as("n_tokens"),
@@ -317,7 +324,10 @@ object PipelineQueries {
       val toks = Tables(s, d, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
       val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      val total = counts.agg(sum(col("n")).as("total"))
+      // total occurrences WITHOUT a second vocabulary aggregation: one
+      // cheap scan summing per-doc token counts (≡ sum of counts.n)
+      val total = Tables(s, d, "documents")
+        .agg(sum(size(TextOps.tokens(col("text"))).cast("long")).as("total"))
       val bounded = Window.partitionBy(pmod(col("n"), lit(1)))
         .orderBy(col("n").desc, col("tok").asc)
       counts.orderBy(col("n").desc, col("tok").asc).limit(100)
@@ -325,8 +335,13 @@ object PipelineQueries {
         .withColumn("cum", sum(col("n")).over(
           bounded.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .crossJoin(broadcast(total))
+        // ×10⁶ in DECIMAL(38,0) then integral div: cum·10⁶ overflows a
+        // long past ~9.2×10¹² total tokens — exactly the 100 TB regime —
+        // while the oracle's HUGEINT stays exact; decimal div truncates
+        // like // does, so both engines floor identically at any scale
         .select(col("tok"), col("n"), col("rnk"),
-          expr("cum * 1000000L div total").as("coverage_ppm"))
+          expr("(CAST(cum AS DECIMAL(38,0)) * 1000000) div CAST(total AS DECIMAL(38,0))")
+            .as("coverage_ppm"))
     },
 
     // Corpus n-gram statistics: top-100 bigrams with deterministic

@@ -247,6 +247,35 @@ class CatalogSpec extends SparkSpec {
       s"fast path lost:\n$plan")
   }
 
+  test("purge durably erases matching keys; survivors keep version reads") {
+    val (cat, wh) = freshCatalog()
+    cat.createTable("t", "k", base)
+    cat.commit("t", Txn.empty
+      .update(col("k") === 1L, Map("v" -> lit(11L)))
+      .update(col("k") === 2L, Map("v" -> lit(22L))))
+    cat.purge("t", col("v") === 20L) // matches an OLD version of k=2
+    // erased from disk: reload sees no trace of k=2 at any version
+    val t = cat.getTable("t")
+    assert(t.lineage.where(col("k") === 2L).isEmpty)
+    // survivors keep full version addressing (k=1 prev is v=10)
+    assert(t.snapshot.where(col("k") === 1L).collect()
+      .map(_.getAs[Long]("v")).toSeq === Seq(11L))
+    assert(t.asOfRelative(-1).where(col("k") === 1L).collect()
+      .map(_.getAs[Long]("v")).toSeq === Seq(10L))
+    // tail folded into the re-stamped base; later commits stamp above
+    assert(!Files.isDirectory(java.nio.file.Paths.get(wh, "t", "tail")))
+    val after = cat.commit("t", Txn.empty
+      .update(col("k") === 1L, Map("v" -> lit(12L))))
+    assert(after.snapshot.where(col("k") === 1L).collect()
+      .map(_.getAs[Long]("v")).toSeq === Seq(12L))
+    // purging a COMPACTED table keeps the empty-tail fast path truthful
+    cat.saveCompacted("t", cat.getTable("t"))
+    cat.purge("t", col("k") === 3L)
+    val inv = cat.inventory().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(inv("t") === 1L) // k=1 only (k=2, k=3 purged)
+  }
+
   test("vacuum survives a crash that leaves the old tail behind") {
     // a crash between base adoption and tail deletion leaves the old tail
     // on disk; the re-stamped base rows rank strictly ABOVE every old

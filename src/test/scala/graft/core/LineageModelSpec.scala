@@ -21,14 +21,16 @@ class LineageModelSpec extends SparkSpec {
   case class Update(kMod: Long, dv: Long) extends Op // v += dv where k % 3 == kMod
   case class Delete(kMod: Long) extends Op           // delete where k % 4 == kMod
   case class Increment(k: Long) extends Op
+  case class Purge(kMod: Long) extends Op            // erase ALL versions, k % 5 == kMod
 
   private def genOps(seed: Long, n: Int): List[Op] = {
     val rng = new scala.util.Random(seed)
-    List.fill(n)(rng.nextInt(4) match {
+    List.fill(n)(rng.nextInt(5) match {
       case 0 => Insert(rng.nextInt(12).toLong, rng.nextInt(100).toLong)
       case 1 => Update(rng.nextInt(3).toLong, 1L + rng.nextInt(9))
       case 2 => Delete(rng.nextInt(4).toLong)
       case 3 => Increment(rng.nextInt(12).toLong)
+      case 4 => Purge(rng.nextInt(5).toLong)
     })
   }
 
@@ -37,6 +39,10 @@ class LineageModelSpec extends SparkSpec {
     case Update(m, d) => model.map { case (k, v) => k -> (if (k % 3 == m) v + d else v) }
     case Delete(m)    => model.filter { case (k, _) => k % 4 != m }
     case Increment(k) => if (model.contains(k)) model + (k -> (model(k) + 1)) else model
+    // purge is key-predicated here, so "any version matches" = key match;
+    // NOTE a purged-then-reinserted key comes back (no tombstone), which
+    // the model's plain Map semantics capture for free
+    case Purge(m)     => model.filter { case (k, _) => k % 5 != m }
   }
 
   private def applyTable(t: LineageTable, op: Op): LineageTable = {
@@ -46,6 +52,7 @@ class LineageModelSpec extends SparkSpec {
       case Update(m, d) => t.update(col("k") % 3 === m, Map("v" -> (col("v") + d)))
       case Delete(m)    => t.delete(col("k") % 4 === m)
       case Increment(k) => t.increment(col("k") === k, "v")
+      case Purge(m)     => t.purge(col("k") % 5 === m)
     }
   }
 
