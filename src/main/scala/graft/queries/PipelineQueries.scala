@@ -268,15 +268,17 @@ object PipelineQueries {
     // get filtered before training. Pure per-row column algebra over one
     // scan; shares TextOps.shingles' distinct-set semantics with the
     // dedup family.
+    // One NgramRepetition pass (native: tokenize once, per-doc string
+    // set) replaces two zipped-slice shingle builds + array_distincts —
+    // 47s → scan-priced over 5M docs at the 1000× SF; NgramRepetitionSpec
+    // pins equivalence with the TextOps.shingles forms, oracle unchanged.
     "text_repetition" -> { (s, d) =>
-      val toks = TextOps.tokens(col("text"))
-      Tables(s, d, "documents").select(col("doc_id"),
-          when(size(toks) < 2, 1).otherwise(size(toks) - 1)
-            .cast("long").as("t2"),
-          size(TextOps.shingles(toks, 2)).cast("long").as("d2"),
-          when(size(toks) < 5, 1).otherwise(size(toks) - 4)
-            .cast("long").as("t5"),
-          size(TextOps.shingles(toks, 5)).cast("long").as("d5"))
+      val r = graft.functions.NgramRepetition
+        .ngramRepetition(col("text"), Seq(2, 5))
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          r.getItem(0).as("t2"), r.getItem(1).as("d2"),
+          r.getItem(2).as("t5"), r.getItem(3).as("d5"))
         .select(col("doc_id"),
           expr("(t2 - d2) * 1000000L div t2").as("dup2_ppm"),
           expr("(t5 - d5) * 1000000L div t5").as("dup5_ppm"))
