@@ -1,8 +1,13 @@
 package graft.core
 
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+import java.util.ConcurrentModificationException
 
+import scala.util.Try
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -14,6 +19,17 @@ import org.apache.spark.sql.functions._
  *     <table>/_graft.json       key column, data columns, index, op_seq
  *     <table>/base/             compacted base records (parquet)
  *     <table>/tail/             appended lineage since last compaction
+ *
+ * ALL warehouse I/O — metadata, directory listing, renames, deletes — goes
+ * through the Hadoop [[FileSystem]] resolved from the warehouse path
+ * against the session's hadoopConfiguration, so the same catalog runs over
+ * `file:`, `hdfs:`, or `s3a:` paths (a java.io/java.nio implementation
+ * would silently see an empty warehouse the moment it moves off the local
+ * disk — the 100 TB deployment target stores the warehouse on a
+ * distributed FS). Note: `rename` is atomic on HDFS and local disk; object
+ * stores emulate it — production S3 deployments put the METADATA on a
+ * store with atomic rename or front it with a commit service, exactly as
+ * Delta/Iceberg do.
  *
  * Writes go to the tail only (append-only, like the reference's tail
  * pages); `compact` folds tail into base exactly like the reference's
@@ -27,6 +43,14 @@ import org.apache.spark.sql.functions._
  * append. (No diff of full lineages: an r1 `exceptAll` cost a two-sided
  * shuffle of the whole table per commit.)
  *
+ * Auto-compaction (reference: the background merge thread,
+ * lstore/table.py:186): every commit checks the tail/base row ratio
+ * (footer metadata, no data scan) and, past `compactRatio`, folds the tail
+ * into a re-laid-out base via [[foldTail]] — HISTORY-PRESERVING, so
+ * version reads and audits survive compaction; only [[saveCompacted]]
+ * (the user-invoked merge, ls_merge) collapses history to the snapshot.
+ * Disable with `autoCompact = false` for manual control.
+ *
  * Index lifecycle (reference: lstore/index.py:59,66 create_index/
  * drop_index): an "index" here is a physical re-layout of the base —
  * range-partitioned and sorted by the indexed column, recorded in
@@ -36,47 +60,87 @@ import org.apache.spark.sql.functions._
  * compaction preserves the layout.
  *
  * Concurrency model (replaces record-level 2PL, lstore/table.py:57):
- * single writer per table, atomic adopt-on-commit — a [[Txn]] builds the
- * next table state functionally and `commit` makes it durable; readers
- * always see a consistent snapshot because parquet files are immutable.
- * Cross-TABLE parallelism is free under this discipline: [[Txn.runBatches]]
- * drives independent tables' batches concurrently.
+ * single writer per table with OPTIMISTIC conflict detection — the
+ * reference takes record locks and aborts a transaction on conflict
+ * (lstore/transaction.py:26-38); here [[tryCommit]] validates that
+ * `op_seq` has not moved since the caller loaded its base and aborts
+ * (Left) if it has — a compare-and-swap on the table's metadata. Within
+ * one JVM the check-and-write is linearized by a per-table lock; across
+ * processes it is best-effort detection (a distributed deployment fronts
+ * the metadata with an atomic-rename protocol). Readers always see a
+ * consistent snapshot because parquet files are immutable. Cross-TABLE
+ * parallelism is free under this discipline: [[Txn.runBatches]] drives
+ * independent tables' batches concurrently.
  */
-final class Catalog(spark: SparkSession, warehouse: String) {
+final class Catalog(spark: SparkSession, warehouse: String,
+                    autoCompact: Boolean = true,
+                    compactRatio: Double = 0.3) {
 
-  private def dir(table: String) = s"$warehouse/$table"
-  private def metaPath(table: String) = Paths.get(dir(table), "_graft.json")
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private val root = new Path(warehouse)
+  private val fs: FileSystem = root.getFileSystem(hconf)
 
-  def tableNames: Seq[String] = {
-    val root = Paths.get(warehouse)
-    if (!Files.isDirectory(root)) Seq.empty
-    else {
-      val s = Files.list(root)
-      try s.iterator().asScala()
-        .filter(p => Files.exists(p.resolve("_graft.json")))
-        .map(_.getFileName.toString).toSeq.sorted
-      finally s.close()
-    }
+  private def dir(table: String) = new Path(root, table)
+  private def metaPath(table: String) = new Path(dir(table), "_graft.json")
+
+  // ------------------------------------------------- Hadoop-FS primitives
+
+  private def isDir(p: Path): Boolean =
+    try fs.getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+
+  private def pathExists(p: Path): Boolean = fs.exists(p)
+
+  /** Rename with never-into-semantics: Hadoop rename moves src INTO an
+    * existing dst directory — every swap here requires dst absent. */
+  private def move(src: Path, dst: Path): Unit = {
+    require(!pathExists(dst), s"rename target exists: $dst")
+    require(fs.rename(src, dst), s"rename failed: $src -> $dst")
   }
 
-  // Files.list gives a Java stream; tiny adapter to keep this file
-  // dependency-free of scala-collection-compat.
-  implicit private class JStream[T](it: java.util.Iterator[T]) {
-    def asScala(): Iterator[T] = new Iterator[T] {
-      def hasNext: Boolean = it.hasNext
-      def next(): T = it.next()
-    }
+  private def deleteRecursively(p: Path): Unit = { fs.delete(p, true); () }
+
+  private def hasParquet(p: Path): Boolean =
+    fs.listStatus(p).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+
+  private def writeString(p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
+
+  private def readString(p: Path): String = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](len)
+      in.readFully(0, bytes)
+      new String(bytes, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Per-table commit lock: linearizes the read-validate-write of the
+    * optimistic commit protocol within this JVM. */
+  private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def lock(name: String): Object =
+    locks.getOrElseUpdate(name, new Object)
+
+  // ---------------------------------------------------------------- tables
+
+  def tableNames: Seq[String] =
+    if (!isDir(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && pathExists(new Path(s.getPath, "_graft.json")))
+      .map(_.getPath.getName).sorted
 
   /** Create a table from initial rows (reference: Database.create_table). */
   def createTable(name: String, keyCol: String,
                   rows: org.apache.spark.sql.DataFrame): LineageTable = {
-    require(!Files.exists(metaPath(name)), s"table $name already exists")
+    require(!pathExists(metaPath(name)), s"table $name already exists")
     val t = LineageTable.fromBase(keyCol, rows)
-    Files.createDirectories(Paths.get(dir(name)))
+    fs.mkdirs(dir(name))
     writeMeta(name, Meta(keyCol, rows.columns.toSeq, index = None, opSeq = 0))
     t.lineage.write.mode(SaveMode.Overwrite)
-      .parquet(s"${dir(name)}/base")
+      .parquet(new Path(dir(name), "base").toString)
     getTable(name)
   }
 
@@ -85,8 +149,9 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   def getTable(name: String): LineageTable = {
     val meta = readMeta(name)
     val base = spark.read.parquet(baseDir(name).toString)
-    val tailDir = Paths.get(dir(name), "tail")
-    val hasTail = Files.isDirectory(tailDir) && hasParquet(tailDir)
+    val tailDir = new Path(dir(name), "tail")
+    healLeftoverTail(tailDir, meta.tailFloor)
+    val hasTail = isDir(tailDir) && hasParquet(tailDir)
     val lineage =
       if (hasTail) base.unionByName(spark.read.parquet(tailDir.toString))
       else base
@@ -99,82 +164,145 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       tailEmpty = !hasTail && !meta.multiVer)
   }
 
+  /**
+   * Crash-window heal for the re-stamp swap ([[vacuum]]/[[purge]]/
+   * [[foldTail]]): a crash between base adoption and tail deletion leaves
+   * the pre-swap tail on disk. Reads stay consistent (strict shadowing:
+   * every leftover row ranks below the re-stamped base), but for PURGE
+   * the leftover physically retains erased rows — so erasure must
+   * converge without waiting for a manual follow-up op.
+   *
+   * Detection is exact and footer-only: `tail_floor` records the op_seq
+   * of the last completed swap, every legitimate post-swap commit stamps
+   * `_ver > tail_floor` (op_seq is monotonic except at [[saveCompacted]],
+   * which resets the floor with it), and a leftover file's rows all carry
+   * pre-swap stamps ≤ tail_floor. Deletion is per FILE (a leftover is
+   * whole files — nothing rewrites tail files in place), so a tail that
+   * mixes leftover files with post-crash commits heals precisely. A file
+   * whose footer lacks usable `_ver` stats is kept — shadowing keeps it
+   * harmless and the next swap reclaims it; a wrong bound here would
+   * delete live data.
+   */
+  private def healLeftoverTail(tailDir: Path, floor: Int): Unit =
+    if (floor > 0 && isDir(tailDir)) {
+      fs.listStatus(tailDir).foreach { s =>
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+          val (rows, maxVer) = graft.sources.ParquetMeta
+            .footerCountMax(hconf, s.getPath.toString, LineageTable.VER)
+          if (rows == 0 || maxVer.exists(_ <= floor)) fs.delete(s.getPath, false)
+        }
+      }
+      if (!hasParquet(tailDir)) deleteRecursively(tailDir)
+    }
+
   /** Recover-aware base dir: if a crash interrupted [[saveCompacted]]
     * between retiring the old base and adopting the staged one, the data
     * is intact under base_old — fall back to it. */
-  private def baseDir(name: String): java.nio.file.Path = {
-    val base = Paths.get(dir(name), "base")
-    val old = Paths.get(dir(name), "base_old")
-    if (Files.isDirectory(base)) base
-    else if (Files.isDirectory(old)) old
-    else { require(Files.exists(metaPath(name)), s"no such table: $name"); base }
+  private def baseDir(name: String): Path = {
+    val base = new Path(dir(name), "base")
+    val old = new Path(dir(name), "base_old")
+    if (isDir(base)) base
+    else if (isDir(old)) old
+    else { require(pathExists(metaPath(name)), s"no such table: $name"); base }
   }
 
   /** Append new lineage rows to the table's tail (reference: tail-page
     * append). Rows must carry the lineage schema (_ver/_del included). */
   def appendTail(name: String, newRows: org.apache.spark.sql.DataFrame): Unit =
-    newRows.write.mode(SaveMode.Append).parquet(s"${dir(name)}/tail")
+    newRows.write.mode(SaveMode.Append)
+      .parquet(new Path(dir(name), "tail").toString)
 
-  /** Apply a [[Txn]] to the stored table and make it durable: the rows the
-    * ops appended — and ONLY those — are written to the tail (the delta
-    * accumulated by the ops themselves; nothing is recomputed by diffing).
-    * All-or-nothing — a failing op aborts before anything is written. */
-  def commit(name: String, txn: Txn): LineageTable = {
-    val before = getTable(name)
-    val after = txn.commit(before)
-    // meta BEFORE rows: a crash between the two leaves op_seq advanced
-    // past the (absent) rows, so the next commit stamps a fresh _ver — a
-    // harmless gap. The reverse order would let a crash replay a _ver
-    // stamp onto different rows, making snapshot row_number ties
-    // nondeterministic forever.
-    writeMeta(name, readMeta(name).copy(opSeq = after.opSeq))
-    after.delta.foreach(appendTail(name, _))
-    getTable(name)
-  }
+  /**
+   * Apply a [[Txn]] to the stored table and make it durable, validating
+   * the optimistic-concurrency guard (reference: lock-conflict abort,
+   * lstore/transaction.py:26-38): `expectedOpSeq` is the op_seq the
+   * caller observed when it loaded its base (`getTable(name).opSeq`); if
+   * another writer has committed since, the table state the transaction
+   * was built against is stale and the commit aborts with Left — nothing
+   * is written, the caller re-reads and retries. The rows the ops
+   * appended — and ONLY those — are written to the tail. All-or-nothing:
+   * a failing op aborts before anything is written.
+   */
+  def tryCommit(name: String, txn: Txn,
+                expectedOpSeq: Int): Either[Throwable, LineageTable] =
+    lock(name).synchronized {
+      Try {
+        val meta = readMeta(name)
+        if (meta.opSeq != expectedOpSeq)
+          throw new ConcurrentModificationException(
+            s"$name: op_seq moved $expectedOpSeq -> ${meta.opSeq} " +
+              "since the transaction's base was loaded")
+        val after = txn.commit(getTable(name))
+        // meta BEFORE rows: a crash between the two leaves op_seq advanced
+        // past the (absent) rows, so the next commit stamps a fresh _ver — a
+        // harmless gap. The reverse order would let a crash replay a _ver
+        // stamp onto different rows, making snapshot row_number ties
+        // nondeterministic forever.
+        writeMeta(name, meta.copy(opSeq = after.opSeq))
+        after.delta.foreach(appendTail(name, _))
+        // the reference's background-merge trigger, run inline on commit
+        if (autoCompact) maybeCompact(name, compactRatio, preserveHistory = true)
+        getTable(name)
+      }.toEither
+    }
+
+  /** [[tryCommit]] against the CURRENT stored state (base re-loaded under
+    * the table lock, so the guard can only trip against a cross-process
+    * writer). Throws on abort — the single-writer convenience API. */
+  def commit(name: String, txn: Txn): LineageTable =
+    lock(name).synchronized {
+      tryCommit(name, txn, readMeta(name).opSeq).fold(e => throw e, identity)
+    }
 
   /** Persist a full table state: compacted base, empty tail (reference:
-    * Table.__merge + Database.close persistence in one step). The base is
-    * range-partitioned + sorted by the indexed column (or the key), so
-    * min-max pruning serves probes on that column. The swap is
+    * Table.__merge + Database.close persistence in one step). History
+    * COLLAPSES to the live snapshot (the reference's merge semantics);
+    * auto-compaction uses the history-preserving [[foldTail]] instead.
+    * The base is range-partitioned + sorted by the indexed column (or the
+    * key), so min-max pruning serves probes on that column. The swap is
     * crash-tolerant: base retires to base_old before the staged base is
     * adopted, and [[getTable]] falls back to base_old if a crash lands
     * between the two renames. */
-  def saveCompacted(name: String, t: LineageTable): Unit = {
-    val meta = readMeta(name)
-    val layoutCol = meta.index.getOrElse(t.keyCol)
-    val staged = s"${dir(name)}/base_staged"
-    // stage FIRST: `t` may have been read through the baseDir fallback
-    // (base missing, base_old live after an interrupted swap), so its
-    // plan references whichever directory exists — nothing may be moved
-    // or deleted until the new state is fully written out.
-    t.compact.lineage
-      .repartitionByRange(col(layoutCol))
-      .sortWithinPartitions(col(layoutCol))
-      .write.mode(SaveMode.Overwrite).parquet(staged)
-    swapBase(name)
-    deleteRecursively(Paths.get(dir(name), "tail"))
-    writeMeta(name, meta.copy(opSeq = 0, multiVer = false))
-  }
+  def saveCompacted(name: String, t: LineageTable): Unit =
+    lock(name).synchronized {
+      val meta = readMeta(name)
+      val layoutCol = meta.index.getOrElse(t.keyCol)
+      val staged = new Path(dir(name), "base_staged")
+      // stage FIRST: `t` may have been read through the baseDir fallback
+      // (base missing, base_old live after an interrupted swap), so its
+      // plan references whichever directory exists — nothing may be moved
+      // or deleted until the new state is fully written out.
+      t.compact.lineage
+        .repartitionByRange(col(layoutCol))
+        .sortWithinPartitions(col(layoutCol))
+        .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+      swapBase(name)
+      deleteRecursively(new Path(dir(name), "tail"))
+      // op_seq resets to 0, so tail_floor MUST reset with it: the heal
+      // invariant is "legitimate tail rows stamp above the floor", and
+      // post-compaction commits stamp from 1 again.
+      writeMeta(name, meta.copy(opSeq = 0, multiVer = false, tailFloor = 0))
+    }
 
   /** Crash-tolerant base adoption shared by [[saveCompacted]] and
-    * [[vacuum]]: retire base to base_old, adopt base_staged, clean up —
-    * with [[baseDir]]'s base_old fallback covering a crash between the two
-    * renames. ONE audited implementation; staging must be complete before
-    * calling. */
+    * [[restampSwap]]: retire base to base_old, adopt base_staged, clean
+    * up — with [[baseDir]]'s base_old fallback covering a crash between
+    * the two renames. ONE audited implementation; staging must be
+    * complete before calling. */
   private def swapBase(name: String): Unit = {
-    val staged = Paths.get(dir(name), "base_staged")
-    val base = Paths.get(dir(name), "base")
-    val old = Paths.get(dir(name), "base_old")
-    if (Files.isDirectory(base)) {
+    val staged = new Path(dir(name), "base_staged")
+    val base = new Path(dir(name), "base")
+    val old = new Path(dir(name), "base_old")
+    if (isDir(base)) {
       deleteRecursively(old)
-      Files.move(base, old)   // retire (data still readable via fallback)
-      Files.move(staged, base) // adopt
+      move(base, old)   // retire (data still readable via fallback)
+      move(staged, base) // adopt
       deleteRecursively(old)
     } else {
       // recovering from a crash between the two renames: base_old (or
       // nothing, for a table created empty) holds the prior data and the
       // staged dir is already the complete next state — adopt directly
-      Files.move(staged, base)
+      move(staged, base)
       deleteRecursively(old)
     }
   }
@@ -185,19 +313,56 @@ final class Catalog(spark: SparkSession, warehouse: String) {
    * tail has grown past `maxTailRatio` of the base. Row counts are
    * metadata-only (parquet footer statistics — `count()` on a bare scan
    * never reads column data), so the check is cheap enough to run after
-   * every commit; a production deployment would run it on a schedule
-   * exactly like the reference's background thread. Returns true when a
-   * compaction ran.
+   * every commit — which [[tryCommit]] does when `autoCompact` is on,
+   * with `preserveHistory = true` (version reads survive; see
+   * [[foldTail]]). Returns true when a compaction ran.
    */
-  def maybeCompact(name: String, maxTailRatio: Double = 0.3): Boolean = {
-    val tailPath = Paths.get(dir(name), "tail")
-    if (!Files.isDirectory(tailPath) || !hasParquet(tailPath)) return false
+  def maybeCompact(name: String, maxTailRatio: Double = 0.3,
+                   preserveHistory: Boolean = false): Boolean = {
+    val tailPath = new Path(dir(name), "tail")
+    if (!isDir(tailPath) || !hasParquet(tailPath)) return false
     val baseRows = spark.read.parquet(baseDir(name).toString).count()
     val tailRows = spark.read.parquet(tailPath.toString).count()
     val due = baseRows == 0 || tailRows.toDouble / baseRows > maxTailRatio
-    if (due) saveCompacted(name, getTable(name))
+    if (due) {
+      if (preserveHistory) foldTail(name)
+      else saveCompacted(name, getTable(name))
+    }
     due
   }
+
+  /**
+   * HISTORY-PRESERVING physical merge — what auto-compaction runs: fold
+   * the tail into a re-laid-out base (range-partitioned + sorted on the
+   * indexed column) keeping EVERY version, so read amplification and
+   * file counts are bounded like the reference's background merge while
+   * version reads, ls_history audits, and vacuum retention semantics
+   * survive compaction untouched. Goes through the same ranked re-stamp
+   * swap as [[vacuum]]/[[purge]] (per-key version ORDER is the portable
+   * contract, raw stamps are internal), which is also what makes it
+   * crash-tolerant — a naive "rewrite base := base ∪ tail" would
+   * duplicate (key, _ver) pairs if a crash left the old tail behind.
+   */
+  def foldTail(name: String): LineageTable = lock(name).synchronized {
+    val meta = readMeta(name)
+    val t = getTable(name)
+    restampSwap(name, meta, rankByVerDesc(meta.key, t.lineage),
+      stampBudget(t.opSeq), multiPossible = true)
+  }
+
+  /** Newest-first per-key rank — the shared pre-step of every re-stamp. */
+  private def rankByVerDesc(key: String,
+                            rows: org.apache.spark.sql.DataFrame) =
+    rows.withColumn("_rn", row_number().over(
+      Window.partitionBy(col(key)).orderBy(col(LineageTable.VER).desc)))
+
+  /** Stamp budget for a full-depth re-stamp: op_seq + 1 bounds the deepest
+    * per-key history (versions are stamped 0..op_seq, at most once per
+    * key), so `op_seq + (op_seq + 1)` shadows every old stamp WITHOUT the
+    * max-rank aggregate job this used to cost — stamps get gaps, never
+    * collisions, and version addressing is rank-relative so gaps are
+    * invisible. Stays far from Int overflow for any real op history. */
+  private def stampBudget(opSeq: Int): Int = opSeq + opSeq + 1
 
   /**
    * Persist a retention vacuum (see [[LineageTable.vacuum]]): physically
@@ -214,64 +379,58 @@ final class Catalog(spark: SparkSession, warehouse: String) {
    * leftover tail's rows rank strictly BELOW the re-stamped base rows
    * (no (key, _ver) ties — preserving raw stamps here was a bug: a crash
    * before tail deletion would have produced duplicate ranks and
-   * corrupted version reads), so a snapshot is correct and version reads
-   * transiently see pre-vacuum history until the next vacuum/compaction
-   * reclaims it. Metadata (op_seq advanced by `keep`, multi_ver flag)
-   * writes BEFORE the swap — commit's rule: a crash leaves a harmless
-   * version gap, never a reused stamp. The multi_ver flag keeps
-   * [[getTable]]'s empty-tail fast path and [[inventory]]'s footer path
-   * truthful when keep>1 leaves multi-version history in the base.
+   * corrupted version reads), so a snapshot is correct — and the next
+   * [[getTable]] deletes the leftover outright ([[healLeftoverTail]]).
    */
-  def vacuum(name: String, keep: Int = 1): LineageTable = {
-    require(keep >= 1, s"must keep at least the newest version, got $keep")
-    val meta = readMeta(name)
-    val t = getTable(name)
-    // shared retention core (LineageTable.retained — ONE implementation
-    // of the keep/lone-tombstone rules) feeding the shared re-stamp swap
-    restampSwap(name, meta, t.retained(keep), t.opSeq + keep,
-      multiPossible = keep > 1)
-  }
+  def vacuum(name: String, keep: Int = 1): LineageTable =
+    lock(name).synchronized {
+      require(keep >= 1, s"must keep at least the newest version, got $keep")
+      val meta = readMeta(name)
+      val t = getTable(name)
+      // shared retention core (LineageTable.retained — ONE implementation
+      // of the keep/lone-tombstone rules) feeding the shared re-stamp swap
+      restampSwap(name, meta, t.retained(keep), t.opSeq + keep,
+        multiPossible = keep > 1)
+    }
 
   /**
    * Persist a hard purge (see [[LineageTable.purge]]) — right-to-be-
    * forgotten erasure of every version of matching keys, with version
    * addressing preserved for every other key. The surviving lineage is
-   * ranked at FULL depth and goes through the same re-stamped
-   * crash-tolerant swap as [[vacuum]] (strict shadowing: a crash-leftover
-   * tail — which could still contain purged rows — is shadowed for
-   * snapshots and reclaimed by the next purge/vacuum/compaction; run one
-   * of them to completion before attesting erasure).
+   * ranked at full depth and goes through the same re-stamped
+   * crash-tolerant swap as [[vacuum]]. A crash-leftover tail — which
+   * could still contain purged rows — is shadowed for reads and deleted
+   * by the next [[getTable]] ([[healLeftoverTail]] matches its files by
+   * footer `_ver` bounds), so erasure converges on the next table load
+   * with no manual follow-up op. The stamp budget comes from op_seq
+   * ([[stampBudget]]), not from an extra max-depth aggregate over the
+   * surviving lineage — one table scan total (the staged write).
    */
-  def purge(name: String, predicate: org.apache.spark.sql.Column): LineageTable = {
-    val meta = readMeta(name)
-    val t = getTable(name)
-    val byKey = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(t.keyCol))
-    val ranked = t.purge(predicate).lineage
-      .withColumn("_rn", row_number().over(
-        byKey.orderBy(col(LineageTable.VER).desc)))
-    // deepest surviving history decides the stamp budget (one aggregate;
-    // purge is a rare compliance op)
-    val depth = Option(ranked.agg(max(col("_rn"))).collect()(0).get(0))
-      .fold(1)(_.asInstanceOf[Int]).max(1)
-    restampSwap(name, meta, ranked, t.opSeq + depth,
-      multiPossible = depth > 1)
-  }
+  def purge(name: String,
+            predicate: org.apache.spark.sql.Column): LineageTable =
+    lock(name).synchronized {
+      val meta = readMeta(name)
+      val t = getTable(name)
+      restampSwap(name, meta, rankByVerDesc(meta.key, t.purge(predicate).lineage),
+        stampBudget(t.opSeq), multiPossible = t.opSeq > 0)
+    }
 
   /**
-   * Shared persistence core for [[vacuum]] and [[purge]]: re-stamp the
-   * ranked surviving rows ABOVE every old version (rank r of a key gets
-   * `opSeqNew + 1 - r`, preserving per-key order — rank 1 is exactly
-   * opSeqNew for every key), stage as the new base, swap crash-safely,
-   * drop the tail.
+   * Shared persistence core for [[vacuum]], [[purge]] and [[foldTail]]:
+   * re-stamp the ranked surviving rows ABOVE every old version (rank r of
+   * a key gets `opSeqNew + 1 - r`, preserving per-key order — rank 1 is
+   * exactly opSeqNew for every key), stage as the new base, swap
+   * crash-safely, drop the tail.
    *
    * Crash tolerance: at every crash point the readable state is
    * consistent — before the swap nothing changed; after the swap a
    * leftover tail's rows rank strictly BELOW the re-stamped base rows
-   * (no (key,_ver) ties), so snapshots are correct and version reads
-   * transiently see pre-op history until the next swap reclaims it.
-   * Meta ordering: op_seq advances BEFORE the swap (commit's rule — a
-   * crash leaves a version gap, never a reused stamp), but multi_ver may
+   * (no (key,_ver) ties), so snapshots are correct, and the leftover is
+   * reclaimed by [[healLeftoverTail]] on the next load. Meta ordering:
+   * op_seq advances BEFORE the swap (commit's rule — a crash leaves a
+   * version gap, never a reused stamp), `tail_floor` advances only AFTER
+   * the swap and BEFORE the tail delete (a pre-swap floor at opSeqNew
+   * would let the heal delete the still-live tail), and multi_ver may
    * only transition true→false AFTER the swap (the fast path must never
    * see a multi-version base), so the pre-swap write keeps the
    * CONSERVATIVE value — too-true is merely slower, too-false reads
@@ -283,21 +442,21 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       org.apache.spark.sql.DataFrame, opSeqNew: Int,
       multiPossible: Boolean): LineageTable = {
     val layoutCol = meta.index.getOrElse(meta.key)
-    val staged = s"${dir(name)}/base_staged"
+    val staged = new Path(dir(name), "base_staged")
     ranked
       .withColumn(LineageTable.VER, lit(opSeqNew) + 1 - col("_rn"))
       .drop("_rn")
       .repartitionByRange(col(layoutCol))
       .sortWithinPartitions(col(layoutCol))
-      .write.mode(SaveMode.Overwrite).parquet(staged)
-    val hasMulti = multiPossible && !spark.read.parquet(staged)
+      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    val hasMulti = multiPossible && !spark.read.parquet(staged.toString)
       .where(col(LineageTable.VER) < opSeqNew).isEmpty
     val conservative = meta.multiVer || multiPossible
     writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = conservative))
     swapBase(name)
-    deleteRecursively(Paths.get(dir(name), "tail"))
-    if (conservative != hasMulti)
-      writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = hasMulti))
+    writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = hasMulti,
+      tailFloor = opSeqNew))
+    deleteRecursively(new Path(dir(name), "tail"))
     getTable(name)
   }
 
@@ -327,7 +486,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   def indexOf(name: String): Option[String] = readMeta(name).index
 
   /** Drop a table and its files (reference: Database.drop_table). */
-  def dropTable(name: String): Unit = deleteRecursively(Paths.get(dir(name)))
+  def dropTable(name: String): Unit = deleteRecursively(dir(name))
 
   /** Catalog inventory: name, live-row count, column count. Empty
     * warehouse → empty result (not an error).
@@ -341,12 +500,11 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     * state is compacted, so an inventory normally scans nothing. */
   def inventory(): org.apache.spark.sql.DataFrame = {
     val (compacted, tailed) = tableNames.partition { n =>
-      val tailDir = Paths.get(dir(n), "tail")
+      val tailDir = new Path(dir(n), "tail")
       // footer counts are only truthful for a live-rows-only base: a
       // keep>1 vacuum leaves history (and possibly tombstones) in the
       // base, so multi_ver tables take the snapshot-count path
-      !(Files.isDirectory(tailDir) && hasParquet(tailDir)) &&
-        !readMeta(n).multiVer
+      !(isDir(tailDir) && hasParquet(tailDir)) && !readMeta(n).multiVer
     }
     val viaFooters =
       if (compacted.isEmpty) None
@@ -370,7 +528,12 @@ final class Catalog(spark: SparkSession, warehouse: String) {
                           /** True when the base itself holds multi-version
                             * history (a keep>1 vacuum) — the empty-tail
                             * fast path and footer inventory must not fire. */
-                          multiVer: Boolean = false)
+                          multiVer: Boolean = false,
+                          /** op_seq of the last completed re-stamp swap:
+                            * every legitimate tail row stamps ABOVE this,
+                            * so a tail file wholly at-or-below it is a
+                            * crash leftover ([[healLeftoverTail]]). */
+                          tailFloor: Int = 0)
 
   // Metadata names are restricted to identifier characters at write time,
   // so the flat JSON below round-trips through the regex reader with no
@@ -387,13 +550,14 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val cols = m.columns.map(c => "\"" + checked(c) + "\"").mkString(", ")
     val idx = m.index.map(i => "\"" + checked(i) + "\"").getOrElse("null")
     val json = s"""{"key": "${checked(m.key)}", "columns": [$cols], """ +
-      s""""index": $idx, "op_seq": ${m.opSeq}, "multi_ver": ${m.multiVer}}"""
-    Files.writeString(metaPath(name), json)
+      s""""index": $idx, "op_seq": ${m.opSeq}, "multi_ver": ${m.multiVer}, """ +
+      s""""tail_floor": ${m.tailFloor}}"""
+    writeString(metaPath(name), json)
   }
 
   private def readMeta(name: String): Meta = {
-    require(Files.exists(metaPath(name)), s"no such table: $name")
-    val json = Files.readString(metaPath(name))
+    require(pathExists(metaPath(name)), s"no such table: $name")
+    val json = readString(metaPath(name))
     // metadata is written by writeMeta above — a flat object of checked
     // identifiers and an int; regexes are unambiguous here.
     val key = "\"key\"\\s*:\\s*\"([^\"]+)\"".r
@@ -405,23 +569,11 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       .findFirstMatchIn(json).map(_.group(1))
     val seq = "\"op_seq\"\\s*:\\s*(\\d+)".r
       .findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
-    // absent in metas written before the field existed → false
+    // absent in metas written before the field existed → false / 0
     val mv = "\"multi_ver\"\\s*:\\s*(true|false)".r
       .findFirstMatchIn(json).exists(_.group(1) == "true")
-    Meta(key, cols, idx, seq, mv)
+    val floor = "\"tail_floor\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
+    Meta(key, cols, idx, seq, mv, floor)
   }
-
-  private def hasParquet(p: java.nio.file.Path): Boolean = {
-    val s = Files.list(p)
-    try s.iterator().asScala().exists(_.toString.endsWith(".parquet"))
-    finally s.close()
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala().foreach(Files.delete)
-      finally s.close()
-    }
 }

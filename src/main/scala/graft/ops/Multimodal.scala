@@ -89,6 +89,10 @@ object Multimodal {
    * oracle pins the transformed CONTENT, not just its size.
    */
   def resize(records: Dataset[MmRecord], factor: Int = 4): Dataset[MmResized] = {
+    // fail fast at the API boundary: factor=0 would divide by zero and a
+    // negative factor would throw NegativeArraySizeException deep inside a
+    // Spark task, surfacing as an opaque stage failure
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")

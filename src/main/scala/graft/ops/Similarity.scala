@@ -175,13 +175,23 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     var cents = seedCentroids(corpus, nCentroids)
+    // C×D floats — driver-small by construction, same as the per-round stats
+    var prev: Map[Long, Seq[Float]] = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
     var assigned = assignToCentroids(corpus, cents, "vec_id")
     for (_ <- 2 to iters) {
       val stats = centroidStats(assigned, "cid")
         .select(col("cid"), col("dim"), col("avg_q")).collect()
-      val rebuilt = stats.groupBy(_.getLong(0)).toSeq.map { case (cid, rs) =>
-        (cid, rs.sortBy(_.getLong(1)).map(r => (r.getDouble(2) / 1e6).toFloat))
-      }.sortBy(_._1)
+      val updated = stats.groupBy(_.getLong(0)).map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getLong(1)).toSeq.map(r => (r.getDouble(2) / 1e6).toFloat))
+      }
+      // a cluster that captured no vectors this round vanishes from the
+      // stats; carry its previous centroid forward so k never silently
+      // shrinks between iterations (standard Lloyd practice — the
+      // alternative, dropping it, changes the output arity under the
+      // caller with no signal)
+      val rebuilt = (prev ++ updated).toSeq.sortBy(_._1)
+      prev = rebuilt.toMap
       cents = broadcast(rebuilt.toDF("cid", "ce"))
       assigned = assignToCentroids(corpus, cents, "vec_id")
     }

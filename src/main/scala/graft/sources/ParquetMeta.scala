@@ -21,41 +21,104 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
  * only does it on the DSv2 read path (`spark.sql.parquet.aggregatePushdown`),
  * which `spark.read.parquet` (V1) never takes — so we read the footers
  * directly.
+ *
+ * All paths resolve through the Hadoop [[org.apache.hadoop.fs.FileSystem]]
+ * of the session's hadoopConfiguration — listing and footer reads work the
+ * same over file:, hdfs:, or s3a: warehouses (a `java.io.File` listing
+ * would silently see zero part files the moment the warehouse moves off
+ * the local disk).
  */
 object ParquetMeta {
 
-  /** All part-files of a parquet table path (single file or directory). */
-  private def partFiles(path: String): Seq[String] = {
-    val f = new java.io.File(path)
-    if (f.isDirectory)
-      f.listFiles.toSeq
-        .filter(p => p.isFile && p.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath)
-    else Seq(f.getAbsolutePath)
+  /** All part-files of a parquet table path (single file or directory),
+    * listed through the Hadoop FileSystem of `conf`. */
+  private def partFiles(conf: Configuration, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    else Seq(p.toString)
   }
 
   /** Exact row count of one parquet file, from its footer (no data pages). */
-  def footerRowCount(file: String): Long = {
-    val in = HadoopInputFile.fromPath(new Path(file), new Configuration())
+  def footerRowCount(conf: Configuration, file: String): Long = {
+    val in = HadoopInputFile.fromPath(new Path(file), conf)
     val r = ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
   }
 
   /**
+   * (row count, max of integer `column`) of one parquet file from footer
+   * statistics alone. The max is None when any row-carrying block lacks
+   * stats for the column — callers must treat that as "unknown", never as
+   * a bound. Used by [[graft.core.Catalog]]'s leftover-tail heal, where a
+   * wrong bound would delete live data.
+   */
+  def footerCountMax(conf: Configuration, file: String,
+                     column: String): (Long, Option[Long]) = {
+    val in = HadoopInputFile.fromPath(new Path(file), conf)
+    val r = ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks
+      var rows = 0L
+      var max = Option.empty[Long]
+      var known = true
+      blocks.forEach { b =>
+        rows += b.getRowCount
+        if (b.getRowCount > 0) {
+          val stats = {
+            var found: org.apache.parquet.column.statistics.Statistics[_] = null
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == column) found = c.getStatistics
+            }
+            found
+          }
+          if (stats == null || stats.isEmpty || !stats.hasNonNullValue) known = false
+          else stats.genericGetMax match {
+            case n: Number => max = Some(max.fold(n.longValue)(_ max n.longValue))
+            case _         => known = false
+          }
+        }
+      }
+      (rows, if (known) max else None)
+    } finally r.close()
+  }
+
+  /**
    * (table, n_rows) for a set of tables, one distributed footer-read job:
    * the (table, file) pairs fan out over executors, each task reads only
-   * footer bytes, and the per-table sum is a tiny reduceByKey.
+   * footer bytes, and the per-table sum is a tiny reduceByKey. The
+   * session's hadoopConfiguration ships to the executors (broadcast), so
+   * credentials/filesystem settings configured on the session apply to
+   * the footer reads too.
    */
   def rowCounts(spark: SparkSession, tables: Seq[(String, String)]): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
     val pairs = tables.flatMap { case (name, path) =>
-      partFiles(path).map(name -> _)
+      partFiles(hconf, path).map(name -> _)
     }
+    // Configuration is not Serializable; ship its entries as plain pairs
+    // and rebuild once per task (Spark's own SerializableConfiguration is
+    // private[spark]).
+    val confEntries = {
+      val it = hconf.iterator()
+      val buf = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.result()
+    }
+    val bcConf = spark.sparkContext.broadcast(confEntries)
     val schema = StructType(Seq(
       StructField("tbl", StringType, nullable = false),
       StructField("n_rows", LongType, nullable = false)))
     val counted = spark.sparkContext
       .parallelize(pairs, math.min(pairs.size max 1, 64))
-      .map { case (name, file) => (name, footerRowCount(file)) }
+      .mapPartitions { it =>
+        val conf = new Configuration(false)
+        bcConf.value.foreach { case (k, v) => conf.set(k, v) }
+        it.map { case (name, file) => (name, footerRowCount(conf, file)) }
+      }
       .reduceByKey(_ + _)
       .map { case (name, n) => Row(name, n) }
     spark.createDataFrame(counted, schema)

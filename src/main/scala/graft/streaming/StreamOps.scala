@@ -19,27 +19,57 @@ object StreamOps {
 
   private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Incremental source over `<sfDir>/<table>.parquet` (schema inferred
-    * from a batch peek — production would pass it explicitly). Handles
-    * both shapes a parquet table takes: a single file (driver testdata)
-    * and a directory of part files (Spark-written, e.g. ScaleData
-    * output). The distinction matters: `pathGlobFilter` matches LEAF file
-    * names only, so globbing for `table.parquet` over a directory-shaped
-    * table silently yields an EMPTY stream — every part file is named
-    * part-*.parquet. */
+  /**
+   * Session a streaming plan is built on: a CLONE of the caller's session
+   * (same SparkContext, same extensions — they re-apply from the shared
+   * SparkConf) whose OWN SQL conf caps `spark.sql.shuffle.partitions` for
+   * the drains. Streaming state partitioning is fixed by the FIRST
+   * micro-batch (baked into the checkpoint) and every state partition
+   * costs per-batch store commits — measured 2m32s→22s of system CPU for
+   * one bounded stream-stream-join drain going 32→8 partitions. Cloning
+   * scopes that width to the streaming plans alone: a concurrent batch
+   * query planning on the CALLER's session observes no conf change (the
+   * r4 implementation mutated-and-restored the shared session conf, which
+   * would race such a query). Production continuous queries choose their
+   * own width at query start the same way — on their own session.
+   */
+  private val streamSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private def streamSession(spark: SparkSession): SparkSession =
+    streamSessions.computeIfAbsent(spark, s => {
+      val clone = s.newSession()
+      val cur = s.conf.get("spark.sql.shuffle.partitions").toInt
+      clone.conf.set("spark.sql.shuffle.partitions", math.min(cur, 8).toString)
+      clone
+    })
+
+  /** Incremental source over `<sfDir>/<table>.parquet` with the table's
+    * DECLARED schema (graft.queries.Tables.streamSchemas — no inference,
+    * no batch peek; a production deploy must neither pay nor trust an
+    * inference pass). Handles both shapes a parquet table takes: a single
+    * file (driver testdata) and a directory of part files (Spark-written,
+    * e.g. ScaleData output). The distinction matters: `pathGlobFilter`
+    * matches LEAF file names only, so globbing for `table.parquet` over a
+    * directory-shaped table silently yields an EMPTY stream — every part
+    * file is named part-*.parquet. */
   def fileSource(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    val path = s"$sfDir/$table.parquet"
-    val schema = spark.read.parquet(path).schema
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
-      spark.readStream.schema(schema).parquet(path)
+    val s = streamSession(spark)
+    val schema = graft.queries.Tables.streamSchemaOf(table)
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val isDir =
+      try fs.getFileStatus(path).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    if (isDir) s.readStream.schema(schema).parquet(path.toString)
     else
-      spark.readStream.schema(schema)
+      s.readStream.schema(schema)
         .option("pathGlobFilter", s"$table.parquet")
         .parquet(sfDir)
   }
 
   /** Run a streaming aggregation to completion over the currently-visible
-    * input and return the result table (memory sink, complete mode). */
+    * input and return the result table (complete mode). */
   def drainComplete(spark: SparkSession, plan: DataFrame): DataFrame =
     drain(spark, plan, "complete")
 
@@ -63,29 +93,20 @@ object StreamOps {
     // complete mode re-emits the whole result table every batch (last
     // write wins); append mode emits disjoint increments (accumulate)
     val save = if (mode == "complete") SaveMode.Overwrite else SaveMode.Append
-    // Streaming state partitioning is fixed by the FIRST micro-batch (it
-    // is baked into the checkpoint), and every state partition costs
-    // per-batch store commits — measured 2m32s→22s of system CPU for one
-    // bounded stream-stream join drain going 32→8 partitions (4+ stores
-    // per partition on a two-sided join). A bounded AvailableNow drain
-    // gets a capped count; production continuous queries choose their own
-    // width at query start the same way.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(prev.toInt, 8).toString)
-    // conf restores only after the drain completes: micro-batches plan on
-    // their own thread after start(), so an earlier restore would race
-    try {
-      val query = plan.writeStream
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", s"$dir/_ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode(save).parquet(out)
-        }
-        .start()
-      try query.awaitTermination() finally query.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // the plan was built on the stream-session clone (fileSource), so the
+    // bounded state-store width is already in ITS conf — the caller's
+    // session conf is never touched
+    val query = plan.writeStream
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(save).parquet(out)
+      }
+      .start()
+    try query.awaitTermination() finally query.stop()
+    // read the result back on the CALLER's session: downstream batch ops
+    // on it plan with the caller's full width
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(out)))
       spark.read.parquet(out)
     else // a drained stream with zero batches yields an empty result
@@ -97,7 +118,7 @@ object StreamOps {
     * directory sink (append mode — the mode file sinks support) with its
     * checkpoint alongside. Re-running with the same checkpoint resumes
     * instead of duplicating — the durability half of the streaming story;
-    * the memory-sink drains above exist only to hand query results back
+    * the foreachBatch drains above exist only to hand query results back
     * to the driver contract. */
   def drainToParquet(spark: SparkSession, plan: DataFrame, outDir: String): Unit = {
     val query = plan.writeStream

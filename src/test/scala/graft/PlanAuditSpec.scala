@@ -24,7 +24,9 @@ class PlanAuditSpec extends SparkSpec {
 
   test("catalog point lookup pushes the key predicate to every parquet scan") {
     val wh = Files.createTempDirectory("graft_audit_").toString
-    val cat = new Catalog(spark, wh)
+    // autoCompact off: the audit needs a live tail to prove BOTH scans
+    // receive the pushed filter
+    val cat = new Catalog(spark, wh, autoCompact = false)
     val rows = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
     cat.createTable("t", "k", rows)
@@ -64,7 +66,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("snapshot: zero shuffles when compacted, exactly one with a tail") {
     val wh = Files.createTempDirectory("graft_audit2_").toString
-    val cat = new Catalog(spark, wh)
+    val cat = new Catalog(spark, wh, autoCompact = false)
     val rows = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
     cat.createTable("t", "k", rows)

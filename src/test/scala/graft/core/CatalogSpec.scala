@@ -10,9 +10,9 @@ import graft.SparkSpec
   * parquet warehouse (reference: lstore/db.py). */
 class CatalogSpec extends SparkSpec {
 
-  private def freshCatalog(): (Catalog, String) = {
+  private def freshCatalog(autoCompact: Boolean = true): (Catalog, String) = {
     val wh = Files.createTempDirectory("graft_wh_").toString
-    (new Catalog(spark, wh), wh)
+    (new Catalog(spark, wh, autoCompact = autoCompact), wh)
   }
 
   private def base = {
@@ -153,7 +153,8 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("maybeCompact fires once the tail outgrows the ratio (background merge)") {
-    val (cat, wh) = freshCatalog()
+    // manual-trigger mechanics under test: auto-compaction off
+    val (cat, wh) = freshCatalog(autoCompact = false)
     cat.createTable("t", "k", base)
     // small commit: tail 1 row / base 3 -> under a 0.5 ratio, no compaction
     cat.commit("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(11L))))
@@ -276,11 +277,12 @@ class CatalogSpec extends SparkSpec {
     assert(inv("t") === 1L) // k=1 only (k=2, k=3 purged)
   }
 
-  test("vacuum survives a crash that leaves the old tail behind") {
+  test("vacuum heals a crash that leaves the old tail behind") {
     // a crash between base adoption and tail deletion leaves the old tail
     // on disk; the re-stamped base rows rank strictly ABOVE every old
-    // stamp, so the union must still read consistently (no (key,_ver)
-    // ties, no duplicate ranks) and the next vacuum reclaims the leftover
+    // stamp (no (key,_ver) ties), and the next getTable detects the
+    // leftover by its footer _ver bound vs tail_floor and deletes it —
+    // erasure converges on the next LOAD, no manual follow-up op
     def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
       val s = Files.walk(src)
       try s.iterator().forEachRemaining { p =>
@@ -289,7 +291,7 @@ class CatalogSpec extends SparkSpec {
         else Files.copy(p, q)
       } finally s.close()
     }
-    val (cat, wh) = freshCatalog()
+    val (cat, wh) = freshCatalog(autoCompact = false)
     cat.createTable("t", "k", base)
     cat.commit("t", Txn.empty
       .update(col("k") === 1L, Map("v" -> lit(11L)))
@@ -306,10 +308,156 @@ class CatalogSpec extends SparkSpec {
     // previous version of k=1 is v=11 exactly once (clean ranks)
     val prev = crashed.asOfRelative(-1).where(col("k") === 1L).collect()
     assert(prev.map(_.getAs[Long]("v")).toSeq === Seq(11L))
-    // re-vacuuming heals the leftover permanently
-    val clean = cat.vacuum("t", keep = 2)
-    assert(clean.snapshot.collect().map(_.toSeq).toSet === snap)
-    assert(clean.lineage.where(col("k") === 1L).count() === 2)
+    // the load itself healed the leftover: tail physically gone
+    assert(!Files.isDirectory(tail), "leftover tail should be healed on load")
+    assert(cat.getTable("t").lineage.where(col("k") === 1L).count() === 2)
+    // a LIVE tail (post-swap commit, stamps above tail_floor) is never
+    // touched by the heal
+    cat.commit("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(13L))))
+    assert(Files.isDirectory(tail), "live tail must survive the heal check")
+    assert(cat.getTable("t").snapshot.where(col("k") === 1L).collect()
+      .map(_.getAs[Long]("v")).toSeq === Seq(13L))
+  }
+
+  test("purge leftover tail is erased on the next load (RTBF converges)") {
+    // the right-to-be-forgotten crash window: purged rows still physically
+    // present in a crash-leftover tail must disappear at the next table
+    // load, not wait for a manual vacuum/compaction
+    def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      val s = Files.walk(src)
+      try s.iterator().forEachRemaining { p =>
+        val q = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(q)
+        else Files.copy(p, q)
+      } finally s.close()
+    }
+    val (cat, wh) = freshCatalog(autoCompact = false)
+    cat.createTable("t", "k", base)
+    cat.commit("t", Txn.empty.update(col("k") === 2L, Map("v" -> lit(22L))))
+    val tail = java.nio.file.Paths.get(wh, "t", "tail")
+    val saved = java.nio.file.Paths.get(wh, "t_saved_tail2")
+    copyDir(tail, saved)
+    cat.purge("t", col("k") === 2L)
+    copyDir(saved, tail) // crash: leftover tail still holds k=2 rows
+    val t = cat.getTable("t")
+    // loaded state shows no trace of k=2 AND the leftover file is gone
+    assert(t.lineage.where(col("k") === 2L).isEmpty)
+    assert(!Files.isDirectory(tail), "purged rows must be physically erased on load")
+  }
+
+  test("optimistic commit aborts the stale writer (CAS on op_seq)") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.createTable("t", "k", base)
+    val baseSeq = cat.getTable("t").opSeq // private[core]: spec shares the package
+    // two writers build against the SAME base state and race the commit:
+    // exactly one may win (reference: lock-conflict abort,
+    // lstore/transaction.py:26-38)
+    val txnA = Txn.empty.update(col("k") === 1L, Map("v" -> lit(100L)))
+    val txnB = Txn.empty.update(col("k") === 1L, Map("v" -> lit(200L)))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val results = Await.result(Future.sequence(Seq(txnA, txnB).map(txn =>
+      Future(cat.tryCommit("t", txn, baseSeq)))), Duration.Inf)
+    assert(results.count(_.isRight) === 1, s"exactly one writer must win: $results")
+    assert(results.count(_.isLeft) === 1)
+    results.collect { case Left(e) => e }.foreach(e =>
+      assert(e.isInstanceOf[java.util.ConcurrentModificationException], e.toString))
+    // the winner's value is the one on disk; the loser wrote nothing
+    val v = cat.getTable("t").snapshot.where(col("k") === 1L).collect()
+      .map(_.getAs[Long]("v")).toSeq
+    assert(v === Seq(100L) || v === Seq(200L))
+    // a retry from the CURRENT state succeeds
+    val retry = cat.tryCommit("t", txnB, cat.getTable("t").opSeq)
+    assert(retry.isRight)
+  }
+
+  test("auto-compaction bounds the tail under repeated small commits") {
+    val (cat, wh) = freshCatalog() // default: autoCompact on, ratio 0.3
+    cat.createTable("t", "k", base)
+    (1 to 6).foreach { i =>
+      cat.commit("t", Txn.empty
+        .update(col("k") === 1L, Map("v" -> lit(10L + i))))
+      // invariant after EVERY commit: tail/base ratio within bound
+      val tail = java.nio.file.Paths.get(wh, "t", "tail")
+      val tailRows =
+        if (Files.isDirectory(tail)) spark.read.parquet(tail.toString).count()
+        else 0L
+      val baseRows = spark.read
+        .parquet(java.nio.file.Paths.get(wh, "t", "base").toString).count()
+      assert(tailRows.toDouble <= 0.3 * baseRows + 1,
+        s"after commit $i: tail $tailRows vs base $baseRows")
+    }
+    // snapshot sees the last write; HISTORY survived compaction (the fold
+    // is history-preserving — version reads work across fold boundaries)
+    val t = cat.getTable("t")
+    assert(t.snapshot.where(col("k") === 1L).collect()
+      .map(_.getAs[Long]("v")).toSeq === Seq(16L))
+    assert(t.lineage.where(col("k") === 1L).count() === 7) // base + 6 updates
+    assert(t.asOfRelative(-1).where(col("k") === 1L).collect()
+      .map(_.getAs[Long]("v")).toSeq === Seq(15L))
+    assert(t.asOfRelative(-9).where(col("k") === 1L).collect()
+      .map(_.getAs[Long]("v")).toSeq === Seq(10L)) // clamps at base
+  }
+
+  test("full warehouse lifecycle over an explicit file:-scheme Hadoop path") {
+    // the API boundary is the point: every catalog I/O (metadata, listing,
+    // swap renames, deletes, footer reads) must go through the Hadoop
+    // FileSystem — a java.io path would fail or silently see nothing here
+    val local = Files.createTempDirectory("graft_wh_hfs_").toString
+    val wh = "file://" + local
+    val cat = new Catalog(spark, wh)
+    cat.createTable("t", "k", base)
+    assert(cat.tableNames === Seq("t"))
+    cat.commit("t", Txn.empty
+      .update(col("k") === 1L, Map("v" -> lit(11L)))
+      .delete(col("k") === 3L))
+    val snap = cat.getTable("t").snapshot.collect().map(_.toSeq).toSet
+    assert(snap === Set(Seq(1L, 11L, "A"), Seq(2L, 20L, "B")))
+    // index lifecycle over the scheme-ful path
+    cat.createIndex("t", "v")
+    assert(cat.indexOf("t") === Some("v"))
+    assert(cat.getTable("t").snapshot.collect().map(_.toSeq).toSet === snap)
+    // vacuum + purge + inventory (footer reads through Hadoop FS)
+    cat.commit("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(12L))))
+    cat.vacuum("t", keep = 1)
+    cat.purge("t", col("k") === 2L)
+    val inv = cat.inventory().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(inv === Map("t" -> 1L))
+    // reopen through a fresh Catalog over the same URI
+    assert(new Catalog(spark, wh).getTable("t")
+      .snapshot.collect().map(_.toSeq).toSet === Set(Seq(1L, 12L, "A")))
+    cat.dropTable("t")
+    assert(cat.tableNames.isEmpty)
+  }
+
+  test("purge runs without a separate max-depth aggregate job") {
+    // the stamp budget comes from op_seq (a safe bound), so purge's only
+    // table-wide work is the staged write + the pruned multi_ver check —
+    // count the Spark jobs to pin it (a depth-collect regression adds one)
+    val (cat, _) = freshCatalog(autoCompact = false)
+    cat.createTable("t", "k", base)
+    cat.commit("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(11L))))
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      cat.purge("t", col("k") === 2L)
+      // listener events are async; a short drain keeps the count complete
+      // (undercounting is the safe direction for this upper-bound assert)
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // measured 11 jobs: the staged write under AQE (range-partition
+    // sampling + per-stage jobs) + the pruned multi_ver probe. The old
+    // implementation ran a full-lineage windowed max(_rn) aggregate with
+    // its own shuffle on top (+3 jobs); this bound trips if it returns.
+    assert(counter.get() <= 12, s"purge ran ${counter.get()} jobs — depth job back?")
   }
 
   test("inventory lists every table with live row counts") {

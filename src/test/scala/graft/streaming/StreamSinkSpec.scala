@@ -25,6 +25,38 @@ class StreamSinkSpec extends SparkSpec {
       .exceptAll(batch.select(col("event_id"))).isEmpty)
   }
 
+  test("drains never mutate the caller session's conf (concurrent-safe)") {
+    // the r4 drain mutated-and-restored spark.sql.shuffle.partitions on
+    // the SHARED session — a concurrent batch query planning mid-drain
+    // would pick up the drain's width. The drain now runs on a session
+    // CLONE; poll the caller's conf throughout and require it never moves.
+    val caller = spark.newSession()
+    caller.conf.set("spark.sql.shuffle.partitions", "32")
+    val observed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    @volatile var polling = true
+    val poller = new Thread(() => {
+      while (polling) {
+        observed.add(caller.conf.get("spark.sql.shuffle.partitions"))
+        Thread.sleep(5)
+      }
+    })
+    poller.start()
+    try {
+      val src = StreamOps.fileSource(caller, sfDir, "events")
+        .select(col("event_id"), col("event_type"))
+      val counts = StreamOps.drainComplete(caller,
+        src.groupBy(col("event_type")).agg(count(lit(1)).as("n")))
+      // result correct AND handed back on the caller's session
+      val want = caller.read.parquet(s"$sfDir/events.parquet")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSet
+      assert(counts.collect().map(_.toSeq).toSet === want)
+      assert(counts.sparkSession eq caller)
+    } finally { polling = false; poller.join() }
+    assert(observed.size === 1 && observed.contains("32"),
+      s"caller conf mutated during drain: saw $observed")
+  }
+
   test("sink resumes over files that arrived between drains, exactly once") {
     // continuous-ingestion shape: drain, new files land, drain again —
     // the checkpoint must advance past old files and pick up ONLY the new
