@@ -19,12 +19,21 @@ object Layout {
    * page ranges. At 100 TB this converts the nightly fact-fact join from
    * two full shuffles into a zip of pre-sorted buckets.
    */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    // the session catalog is per-JVM but the managed location is not: a
+    // previous run may have left the directory behind with no catalog
+    // entry, and saveAsTable refuses to adopt an existing location
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key (shuffle-free when both
     * were written with the same bucket count). */

@@ -76,6 +76,38 @@ object CoreQueries {
     scala.collection.concurrent.TrieMap.empty[String, LineageTable]
 
   /**
+   * Index-composed probe fixture: the SAME fixture lineage, but committed
+   * with the index created MID-history — base + first update compact into
+   * the custkey-sorted indexed layout, the remaining ops stay in a live
+   * tail. This is the at-scale shape of an indexed warehouse table under
+   * continuous writes, and it makes `ls_select_secondary` exercise BOTH
+   * probe levers at once: WindowProbeRule turns the snapshot filter into
+   * a candidate-key semi-join, and the candidate scan's pushed predicate
+   * row-group-prunes on the indexed base (the r4 fixture probed an
+   * UNINDEXED checkpoint leaf, so the candidate scan read everything).
+   * Final snapshot is identical to [[ordersLineage]] — the oracle doesn't
+   * change.
+   */
+  def indexedOrdersTailed(spark: SparkSession, sfDir: String): LineageTable =
+    tailedCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir("graft_idxt_wh_")
+      val cat = new Catalog(spark, wh)
+      cat.createTable("orders_ls", "k", baseOrders(spark, sfDir))
+      cat.commit("orders_ls", Txn.empty
+        .update(col("k") % 3 === 0,
+          Map("totalprice" -> (col("totalprice") + lit(10.0)),
+              "status" -> lit("U1"))))
+      cat.createIndex("orders_ls", "custkey")
+      cat.commit("orders_ls", Txn.empty
+        .update(col("k") % 9 === 0, Map("status" -> lit("U2")))
+        .delete(col("k") % 17 === 0))
+      cat.getTable("orders_ls")
+    })
+
+  private val tailedCache =
+    scala.collection.concurrent.TrieMap.empty[String, LineageTable]
+
+  /**
    * Z-ordered orders layout (built once per sf dir): the multi-column
    * index analog — ONE layout serving range probes on custkey AND
    * totalprice via file/row-group min-max pruning (reference builds one
@@ -149,10 +181,13 @@ object CoreQueries {
     },
 
     "ls_select_secondary" -> { (s, d) =>
-      // Plain filter on the snapshot: WindowProbeRule (GraftExtensions)
-      // rewrites it automatically into the candidate-key semi-join probe —
-      // the explicit API twin is LineageTable.probe (same plan).
-      ordersLineage(s, d).snapshot
+      // Plain filter on the snapshot of the INDEXED, tailed warehouse
+      // table: WindowProbeRule (GraftExtensions) rewrites it automatically
+      // into the candidate-key semi-join probe (explicit API twin:
+      // LineageTable.probe), and the candidate scan's pushed custkey
+      // predicate row-group-prunes on the index layout — probe + index
+      // COMPOSED, the reference's Index.locate → select path at scale.
+      indexedOrdersTailed(s, d).snapshot
         .where(col("custkey") === 77L)
         .select(col("k"), col("custkey"), col("totalprice"))
     },

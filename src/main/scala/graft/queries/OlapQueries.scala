@@ -38,7 +38,51 @@ object OlapQueries {
   private def chargeC6: Column = // scale-6 long
     revenueC4 * (lit(100L) + Exact.cents(col("l_tax")))
 
+  /**
+   * Bucketed fact tables for [[graft.ops.Layout.bucketedJoin]], built once
+   * per sf dir into the session catalog: both sides bucket+sort by the
+   * shared join key at WRITE time, so the fact-fact join (and the
+   * aggregation on the same key above it) plans with ZERO Exchange — the
+   * at-scale payoff of paying one shuffle at ingest instead of two per
+   * nightly join. 8 buckets here; a 100 TB deployment sizes buckets to
+   * executor count.
+   */
+  private val bucketCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def bucketedTables(s: SparkSession, d: String): (String, String) =
+    bucketCache.getOrElseUpdate(d, {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val li = s"graft_bkt_lineitem_$tag"
+      val ord = s"graft_bkt_orders_$tag"
+      graft.ops.Layout.writeBucketed(
+        Tables(s, d, "lineitem").select(col("l_orderkey").as("orderkey"),
+          col("l_extendedprice"), col("l_quantity")),
+        li, "orderkey", 8)
+      graft.ops.Layout.writeBucketed(
+        Tables(s, d, "orders").select(col("o_orderkey").as("orderkey"),
+          col("o_orderstatus")),
+        ord, "orderkey", 8)
+      (li, ord)
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exchange-free fact-fact join over bucketed tables: lineitem ⋈ orders
+    // on the bucketed key, aggregated on the SAME key — bucketing satisfies
+    // the distribution requirement of join AND aggregation, so the whole
+    // plan runs without a single shuffle (PlanAuditSpec pins zero
+    // Exchange). The oracle is a plain join: bucketing is layout, never
+    // semantics.
+    "q_bucketed_join" -> { (s, d) =>
+      val (li, ord) = bucketedTables(s, d)
+      graft.ops.Layout.bucketedJoin(s, li, ord, "orderkey")
+        .where(col("orderkey") % 50 === 0)
+        .groupBy(col("orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+             Exact.sumMoney(col("l_extendedprice")).as("sum_price"),
+             min(col("o_orderstatus")).as("status"))
+    },
 
     // TPC-H Q1 shape: single scan, map-side partial agg, 4-group result.
     "q1_agg" -> { (s, d) =>
@@ -395,6 +439,15 @@ object OlapQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // layout is never semantics: the bucketed join's oracle is a plain join
+    "q_bucketed_join" ->
+      """SELECT l_orderkey AS orderkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  MIN(o_orderstatus) AS status
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey % 50 = 0
+        |GROUP BY 1""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

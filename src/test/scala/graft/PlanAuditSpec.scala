@@ -137,6 +137,34 @@ class PlanAuditSpec extends SparkSpec {
       s"probe should not reshuffle on the indexed column:\n$plan")
   }
 
+  test("q_bucketed_join: fact-fact join + same-key agg with ZERO Exchange") {
+    // at bench SFs one side broadcasts (correct there); the 100 TB claim
+    // is the broadcast-impossible case, so audit with broadcast disabled:
+    // bucketing established the partitioning at write time and the
+    // sort-merge join + same-key aggregation must run with NO Exchange of
+    // any kind — a single one means the layout lever silently died
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executedPlan(SparkEntry.queries("q_bucketed_join")(spark, sfDir))
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ls_select_secondary composes probe AND index: pushed candidate scans") {
+    val q = SparkEntry.queries("ls_select_secondary")(spark, sfDir)
+    val plan = executedPlan(q)
+    // WindowProbeRule injected the candidate-key semi-join...
+    assert(plan.contains("LeftSemi"), s"probe rule did not fire:\n$plan")
+    // ...and the candidate side's pushed custkey predicate reaches BOTH
+    // scans (indexed base + live tail), where the custkey-sorted base
+    // layout turns it into row-group pruning
+    val pushed = "PushedFilters: \\[[^\\]]*EqualTo\\(custkey,77\\)".r
+      .findAllIn(plan).size
+    assert(pushed >= 2, s"expected pushed candidate filters on base+tail:\n$plan")
+  }
+
   test("jaccard blocks via capped shingle groups — no self-join, no sort") {
     // the hot-shingle df cap lives INSIDE the single shingle aggregation
     // (collect_capped saturates its buffer and NULLs groups past the cap),
