@@ -46,23 +46,42 @@ object ScaleData {
     // Content diversification — without it every document/vector has
     // `factor` exact copies, and the near-dup operators' TRUE answer (all
     // C(copies,2) pairs) is quadratic in the factor: the first 100× run
-    // measured output explosion, not plan scaling. A per-replica alphabet
-    // rotation destroys shingle/token overlap across rotation classes
-    // (dup-group size drops from `factor` to ceil(factor/25)); a circular
-    // embedding shift preserves the norm but breaks cosine alignment.
+    // measured output explosion, not plan scaling. Per-replica transforms
+    // must (a) be IDENTITY at i=0 (the source replica anchors the planted-
+    // dup fixtures), (b) preserve within-replica near-dup structure (one
+    // transform per replica — Jaccard/cosine between a doc and its plant
+    // are invariant), (c) kill cross-replica overlap for EVERY i.
+    //
+    // Text: a seeded pseudorandom alphabet PERMUTATION per replica (the r4
+    // rotation had only 25 classes, so at 1000× each text recurred ~40×
+    // and the true pair count grew as C(40,2) per group — output growth
+    // masquerading as plan cost). Two random permutations agree on ~1
+    // letter, so token/shingle overlap across replicas is ~zero, and
+    // 26!≈4e26 classes never recur at any realistic factor. Embeddings:
+    // a seeded ±1 sign pattern per dim (norm-preserving, kills cosine
+    // alignment; 2^dims classes) on top of the circular shift.
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def rotText(d: DataFrame, i: Int): DataFrame =
-      if (i % 25 == 0) d
+    def permText(d: DataFrame, i: Int): DataFrame =
+      if (i == 0) d
       else {
-        val r = i % 25
-        d.withColumn("text", translate(col("text"), alpha, alpha.drop(r) + alpha.take(r)))
+        val perm = new scala.util.Random(i * 2654435761L)
+          .shuffle(alpha.toList).mkString
+        d.withColumn("text", translate(col("text"), alpha, perm))
       }
-    def rotVec(d: DataFrame, i: Int): DataFrame =
-      if (i % 63 == 0) d
+    val dims = table("embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    def permVec(d: DataFrame, i: Int): DataFrame =
+      if (i == 0) d
       else {
-        val r = i % 63
+        val rnd = new scala.util.Random(i * 40503L + 7)
+        val signs = Seq.fill(dims)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+        val r = i % dims
+        val shifted =
+          if (r == 0) col("embedding")
+          else concat(slice(col("embedding"), r + 1, 100000),
+                      slice(col("embedding"), 1, r))
         d.withColumn("embedding",
-          concat(slice(col("embedding"), r + 1, 100000), slice(col("embedding"), 1, r)))
+          zip_with(shifted, typedLit(signs), (x, s) => (x * s).cast("float")))
       }
 
     // strides: clear of each source table's max id so replicas never
@@ -84,8 +103,8 @@ object ScaleData {
       ("customer", replicate(table("customer"), Map("c_custkey" -> custStride))),
       ("events", replicate(table("events"),
         Map("event_id" -> nEvents, "user_id" -> userStride))),
-      ("documents", replicate(table("documents"), Map("doc_id" -> docStride), rotText)),
-      ("embeddings", replicate(table("embeddings"), Map("vec_id" -> docStride), rotVec)),
+      ("documents", replicate(table("documents"), Map("doc_id" -> docStride), permText)),
+      ("embeddings", replicate(table("embeddings"), Map("vec_id" -> docStride), permVec)),
       ("region", table("region")),
       ("nation", table("nation")),
       ("supplier", table("supplier")),

@@ -104,21 +104,26 @@ object PipelineQueries {
     // Boilerplate detection: 10-token spans repeated across documents
     // (headers/footers/license blocks in a real corpus). One explode +
     // one count shuffle; top-50 via TakeOrderedAndProject (per-partition
-    // top-k, never a vocabulary-wide single partition); spans leave the
-    // plan as md5 signatures so no long text rides the final rows.
+    // top-k, never a vocabulary-wide single partition). Spans leave each
+    // scan task as 60-bit md5 SIGNATURES: the count shuffle carries 8-byte
+    // keys, never span text — the r4 plan shuffled the raw 10-token
+    // strings, ~10× the corpus bytes through one exchange, the dominant
+    // cost at 100×. Collisions are ~|spans|²/2⁶¹ and the oracle hashes
+    // identically, so the compare stays exact either way.
     "text_boilerplate" -> { (s, d) =>
       val spans = docCorpus(s, d).select(col("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), 10)).as("span"))
       // shingles are distinct within a doc, so count(*) = distinct docs
-      spans.groupBy(col("span"))
+      spans
+        .select(col("doc_id"), TextOps.tokenHash(col("span")).as("span_sig"))
+        .groupBy(col("span_sig"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .where(col("n_docs") >= 2)
-        .orderBy(col("n_docs").desc, col("span").asc).limit(50)
+        .orderBy(col("n_docs").desc, col("span_sig").asc).limit(50)
         .withColumn("rnk", row_number().over(
           Window.partitionBy(pmod(col("n_docs"), lit(1)))
-            .orderBy(col("n_docs").desc, col("span").asc)).cast("bigint"))
-        .select(md5(col("span")).as("span_sig"), col("n_docs"),
-                col("first_doc"), col("rnk"))
+            .orderBy(col("n_docs").desc, col("span_sig").asc)).cast("bigint"))
+        .select(col("span_sig"), col("n_docs"), col("first_doc"), col("rnk"))
     },
 
     "dedup_embedding" -> { (s, d) => Dedup.embeddingPairs(embCorpus(s, d), 0.95) },
@@ -972,7 +977,8 @@ object PipelineQueries {
          |       len AS keeper_len
          |FROM r WHERE rn = 1""".stripMargin,
 
-    // 10-token span twin of the 5-gram shingle CTE; HAVING >= 2 = repeated
+    // 10-token span twin of the 5-gram shingle CTE; HAVING >= 2 = repeated;
+    // span_sig = the same 60-bit md5 signature TextOps.tokenHash computes
     "text_boilerplate" ->
       s"""WITH $corpusCte,
          |toks AS (SELECT doc_id, string_split(text,' ') AS toks FROM corpus),
@@ -982,11 +988,14 @@ object PipelineQueries {
          |              i -> array_to_string(toks[i:i+9],' ')))
          |  END AS spans FROM toks),
          |sp AS (SELECT doc_id, unnest(spans) AS span FROM sh0),
-         |agg AS (SELECT span, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
-         |        FROM sp GROUP BY 1 HAVING COUNT(*) >= 2),
-         |top AS (SELECT *, CAST(row_number() OVER (ORDER BY n_docs DESC, span ASC)
+         |sg AS (SELECT doc_id,
+         |         CAST(('0x'||substr(md5(span),1,15)) AS BIGINT) AS span_sig
+         |       FROM sp),
+         |agg AS (SELECT span_sig, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+         |        FROM sg GROUP BY 1 HAVING COUNT(*) >= 2),
+         |top AS (SELECT *, CAST(row_number() OVER (ORDER BY n_docs DESC, span_sig ASC)
          |          AS BIGINT) AS rnk FROM agg)
-         |SELECT md5(span) AS span_sig, n_docs, first_doc, rnk
+         |SELECT span_sig, n_docs, first_doc, rnk
          |FROM top WHERE rnk <= 50""".stripMargin,
 
     "dedup_minhash" ->
