@@ -82,6 +82,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
 
   private def dir(table: String) = new Path(root, table)
   private def metaPath(table: String) = new Path(dir(table), "_graft.json")
+  private def metaTmpPath(table: String) = new Path(dir(table), "_graft.json.tmp")
 
   // ------------------------------------------------- Hadoop-FS primitives
 
@@ -129,13 +130,18 @@ final class Catalog(spark: SparkSession, warehouse: String,
   def tableNames: Seq[String] =
     if (!isDir(root)) Seq.empty
     else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && pathExists(new Path(s.getPath, "_graft.json")))
+      .filter(s => s.isDirectory &&
+        (pathExists(new Path(s.getPath, "_graft.json")) ||
+         pathExists(new Path(s.getPath, "_graft.json.tmp"))))
       .map(_.getPath.getName).sorted
+
+  private def metaExists(name: String): Boolean =
+    pathExists(metaPath(name)) || pathExists(metaTmpPath(name))
 
   /** Create a table from initial rows (reference: Database.create_table). */
   def createTable(name: String, keyCol: String,
                   rows: org.apache.spark.sql.DataFrame): LineageTable = {
-    require(!pathExists(metaPath(name)), s"table $name already exists")
+    require(!metaExists(name), s"table $name already exists")
     val t = LineageTable.fromBase(keyCol, rows)
     fs.mkdirs(dir(name))
     writeMeta(name, Meta(keyCol, rows.columns.toSeq, index = None, opSeq = 0))
@@ -546,16 +552,34 @@ final class Catalog(spark: SparkSession, warehouse: String,
     s
   }
 
+  /**
+   * Crash-atomic metadata write: stage the full JSON as `.tmp`, delete the
+   * old file, rename the stage into place (rename is the FS's atomic
+   * primitive). An in-place truncate-and-write would leave a torn/empty
+   * file if the process died mid-write — an unreadable table. Crash
+   * windows here: after the stage, the old meta still reads (the stage is
+   * superseded on the next write); after the delete, [[readMeta]] adopts
+   * the complete stage. Every state is readable.
+   */
   private def writeMeta(name: String, m: Meta): Unit = {
     val cols = m.columns.map(c => "\"" + checked(c) + "\"").mkString(", ")
     val idx = m.index.map(i => "\"" + checked(i) + "\"").getOrElse("null")
     val json = s"""{"key": "${checked(m.key)}", "columns": [$cols], """ +
       s""""index": $idx, "op_seq": ${m.opSeq}, "multi_ver": ${m.multiVer}, """ +
       s""""tail_floor": ${m.tailFloor}}"""
-    writeString(metaPath(name), json)
+    writeString(metaTmpPath(name), json)
+    fs.delete(metaPath(name), false)
+    move(metaTmpPath(name), metaPath(name))
   }
 
   private def readMeta(name: String): Meta = {
+    // adopt a crash-orphaned stage: the stage is only ever written
+    // COMPLETE, and the main file is deleted only after the stage exists,
+    // so "no main file but a stage" means the rename didn't land — finish
+    // it (write path is idempotent; concurrent readers race benignly in
+    // one JVM via the table lock on the write side)
+    if (!pathExists(metaPath(name)) && pathExists(metaTmpPath(name)))
+      move(metaTmpPath(name), metaPath(name))
     require(pathExists(metaPath(name)), s"no such table: $name")
     val json = readString(metaPath(name))
     // metadata is written by writeMeta above — a flat object of checked

@@ -433,6 +433,28 @@ class CatalogSpec extends SparkSpec {
     assert(cat.tableNames.isEmpty)
   }
 
+  test("metadata writes are crash-atomic: every torn state is readable") {
+    val (cat, wh) = freshCatalog()
+    cat.createTable("t", "k", base)
+    cat.commit("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(11L))))
+    val meta = java.nio.file.Paths.get(wh, "t", "_graft.json")
+    val tmp = java.nio.file.Paths.get(wh, "t", "_graft.json.tmp")
+    val current = Files.readString(meta)
+    // crash window A: stage written (newer content), main not yet deleted
+    // → the old main still reads (the staged write never committed)
+    Files.writeString(tmp,
+      current.replaceAll("\"op_seq\": \\d+", "\"op_seq\": 77"))
+    assert(new Catalog(spark, wh).getTable("t").snapshot.count() === 3)
+    assert(Files.readString(meta) === current, "main meta must win while present")
+    // crash window B: main deleted, rename not landed → the COMPLETE
+    // stage is adopted on the next read
+    Files.delete(meta)
+    val adopted = new Catalog(spark, wh)
+    assert(adopted.tableNames === Seq("t"), "staged-only table must be listed")
+    assert(adopted.getTable("t").opSeq === 77) // the stage's op_seq
+    assert(Files.exists(meta) && !Files.exists(tmp), "stage must be promoted")
+  }
+
   test("purge runs without a separate max-depth aggregate job") {
     // the stamp budget comes from op_seq (a safe bound), so purge's only
     // table-wide work is the staged write + the pruned multi_ver check —
