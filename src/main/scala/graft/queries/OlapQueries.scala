@@ -146,7 +146,13 @@ object OlapQueries {
 
     // TPC-H Q5 shape: 6-way join; region/nation/supplier broadcast (true
     // dims at any SF), customer/orders/lineitem shuffle on their keys.
-    "q5_join_multi" -> { (s, d) =>
+    // The fact shuffle is the one data-proportional full-table shuffle in
+    // the OLAP surface, so its width scales with the fact bytes
+    // (ops/Tuning.scala: 1000× measured 167s → 37s; same session — and
+    // same plan — back at test SF).
+    "q5_join_multi" -> { (s0, d) =>
+      val s = graft.ops.Tuning.scaledSession(s0, d,
+        Seq("lineitem", "orders", "customer"))
       val asia = broadcast(
         Tables(s, d, "nation").join(
           broadcast(Tables(s, d, "region").where(col("r_name") === "ASIA")),
