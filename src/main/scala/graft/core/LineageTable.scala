@@ -163,6 +163,41 @@ final class LineageTable private (
     update(predicate, Map(column -> (col(column) + lit(1))))
 
   /**
+   * Time-travel restore, as a WRITE: make every record's state
+   * `relativeVersion` steps back (clamped at its oldest version — the
+   * [[asOfRelative]] clamp, reference lstore/query.py:118) the new
+   * latest, by appending one re-stamped version per CHANGED record.
+   * History is preserved: the restore is itself an op, so it can be
+   * rolled back (`restore(-1)` twice returns to the pre-restore state)
+   * and an audit sees it like any other write — never a history rewrite.
+   * Records whose latest row already IS their target row (untouched
+   * since) append nothing, so the write is proportional to the records
+   * changed in the last |k| ops, not to the table — the property that
+   * makes restore viable on a 100 TB table with a small bad commit to
+   * undo. A record live at the target and deleted now resurrects; one
+   * dead at the target gets its tombstone re-appended; by construction
+   * `restore(-k).snapshot` ≡ `asOfRelative(-k)`. One key-partitioned
+   * window — the same single shuffle as any snapshot read.
+   */
+  def restore(relativeVersion: Int): LineageTable = {
+    require(relativeVersion < 0,
+      s"restore target must be a negative relative version, got $relativeVersion")
+    // Single-version table: every relative version clamps to the present —
+    // nothing to change, and a no-op must not dirty compactedOnly.
+    if (compactedOnly) return this
+    val byKey = Window.partitionBy(col(keyCol))
+    val ranked = lineage
+      .withColumn("_rn", row_number().over(byKey.orderBy(col(VER).desc)))
+      .withColumn("_cnt", count(lit(1)).over(byKey))
+    val target = least(lit(1 - relativeVersion), col("_cnt"))
+    val changed = ranked
+      .where(col("_rn") === target && target > lit(1))
+      .withColumn(VER, lit(opSeq + 1))
+      .drop("_rn", "_cnt")
+    withAppend(changed.select(lineage.columns.map(col): _*))
+  }
+
+  /**
    * The reference's merge (lstore/table.py:186) as compaction: the lineage
    * collapses to the current snapshot re-stamped as base. Persisting the
    * result (and truncating the tail) is [[Catalog.compact]].

@@ -212,6 +212,15 @@ object CoreQueries {
         .select(col("k"), col("status"), col("totalprice"))
     },
 
+    "ls_restore" -> { (s, d) =>
+      // Roll the table back one op AS A WRITE (core/LineageTable.restore):
+      // the new snapshot equals version -1 (deleted keys resurrect, the
+      // last update unwinds) while history is appended, not rewritten —
+      // RestoreSpec pins the append-only/changed-keys-only semantics.
+      ordersLineage(s, d).restore(-1).snapshot
+        .where(col("k").between(500L, 5000L))
+    },
+
     "ls_delete" -> { (s, d) =>
       val lt = ordersLineage(s, d)
       baseOrders(s, d).select("k")
@@ -450,6 +459,13 @@ object CoreQueries {
       s"""$fixture
          |SELECT k, status, totalprice FROM snap
          |WHERE k % 9 = 0 AND k <= 3000""".stripMargin,
+
+    // restore(-1) then read latest ≡ the version -1 state (the restore's
+    // defining postcondition; the append-only mechanics are spec-pinned).
+    "ls_restore" ->
+      s"""$fixture, prev AS (${asOfSql(-1)})
+         |SELECT k, custkey, status, totalprice FROM prev
+         |WHERE k BETWEEN 500 AND 5000""".stripMargin,
 
     "ls_delete" ->
       s"""$fixture

@@ -274,6 +274,41 @@ object OlapQueries {
              Exact.sumMoney(col("l_quantity")).as("sum_qty"))
     },
 
+    // Explicit GROUPING SETS — the general form rollup/cube specialize:
+    // two INDEPENDENT subtotal breakdowns (by flag, by status) in one
+    // pass that neither rollup (hierarchical) nor cube (all 4 combos)
+    // expresses. Same execution shape as rollup/cube: map-side Expand,
+    // one shuffle.
+    "q_grouping_sets" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             Exact.sumMoney(col("l_quantity")).as("sum_qty"))
+    },
+
+    // RANGE-frame moving aggregate: per-user trailing-7-day spend over
+    // event TIME — the frame is a value range (gaps and ties by ts), which
+    // the ROWS-frame family (q_lag_lead) cannot express. The user predicate
+    // pushes below the window to the scan; the window shuffles only on
+    // user_id. Long-cents sum because each output row sums a DIFFERENT
+    // subset: double addition grouping differs between engines (segment
+    // tree vs sliding accumulation), integer cents are exact in both.
+    "q_moving_agg" -> { (s, d) =>
+      val week = 7L * 24 * 3600 * 1000 * 1000 * 1000
+      // µs-truncated ns for BOTH the frame key and the output: DuckDB
+      // parses parquet TIMESTAMP(NANOS) at µs precision, so frame
+      // boundaries must be decided on the µs grain in both engines.
+      val tsUs = col("ts") - col("ts") % 1000
+      val w = Window.partitionBy(col("user_id")).orderBy(tsUs)
+        .rangeBetween(-week, 0)
+      Tables(s, d, "events")
+        .where(col("user_id") < 200L)
+        .select(col("user_id"), tsUs.as("ts"),
+          (sum(Exact.cents(col("value"))).over(w) / 100.0).as("week_value"))
+    },
+
     // Anti join: customers with no order in the window — broadcast the
     // filtered orders keys if small, else shuffled hash anti join (no
     // NOT-IN subquery materialization).
@@ -560,6 +595,20 @@ object OlapQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+
+    "q_moving_agg" ->
+      """SELECT user_id, epoch_ns(ts) AS ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |    RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS week_value
+        |FROM events WHERE user_id < 200""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer

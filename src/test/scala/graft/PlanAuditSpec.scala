@@ -279,4 +279,30 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
     }
   }
+
+  test("q_moving_agg pushes the user predicate below the window to the scan") {
+    val df = SparkEntry.queries("q_moving_agg")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the partition-key filter must reach the parquet scan — at corpus
+    // scale the window should shuffle 200 users' events, not all events
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(user_id,200\\)".r
+      .findFirstIn(plan).nonEmpty, plan)
+  }
+
+  test("q_grouping_sets expands map-side with a single shuffle") {
+    val plan = executedPlan(SparkEntry.queries("q_grouping_sets")(spark, sfDir))
+    assert(plan.contains("Expand"), plan)
+    // one exchange for the grouped agg (plus none hidden in AQE reuse)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("ls_restore appends instead of rewriting: one window over the lineage") {
+    val plan = executedPlan(SparkEntry.queries("ls_restore")(spark, sfDir))
+    // restore = ranked-window append + snapshot window; never a join of
+    // the table against itself
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
