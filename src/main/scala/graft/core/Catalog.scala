@@ -158,9 +158,26 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val tailDir = new Path(dir(name), "tail")
     healLeftoverTail(tailDir, meta.tailFloor)
     val hasTail = isDir(tailDir) && hasParquet(tailDir)
-    val lineage =
-      if (hasTail) base.unionByName(spark.read.parquet(tailDir.toString))
+    // allowMissingColumns only when schema evolution is in play: files
+    // written before an addColumn legitimately lack the added column (and
+    // read back null there — the Delta/Iceberg ADD COLUMN semantics); an
+    // un-evolved table keeps the strict union as a corruption guard.
+    val evolved = meta.addedCols.nonEmpty
+    val unioned =
+      if (hasTail) base.unionByName(spark.read.parquet(tailDir.toString),
+        allowMissingColumns = evolved)
       else base
+    // a column NO file carries yet exists only in metadata — materialize
+    // it at its declared type; then normalize column order to the schema
+    val lineage0 = meta.addedCols.zip(meta.addedTypes)
+      .filterNot { case (c, _) => unioned.columns.contains(c) }
+      .foldLeft(unioned) { case (df, (c, t)) =>
+        df.withColumn(c, lit(null).cast(t)) }
+    val lineage =
+      if (evolved)
+        lineage0.select((meta.columns ++ Seq(LineageTable.VER,
+          LineageTable.DEL)).map(col): _*)
+      else lineage0
     // With no tail AND a single-version base (multiVer records when a
     // vacuum left retained history in the base), every record has exactly
     // one live version: snapshot ≡ base scan (no window/shuffle) — the
@@ -494,6 +511,29 @@ final class Catalog(spark: SparkSession, warehouse: String,
   /** Drop a table and its files (reference: Database.drop_table). */
   def dropTable(name: String): Unit = deleteRecursively(dir(name))
 
+  /**
+   * Schema evolution — ADD COLUMN (the Delta/Iceberg semantics): a
+   * metadata-only op, crash-atomic via the staged meta write, that never
+   * touches a data file. Every row written before the add — across ALL
+   * its versions — reads back null in the new column; writes from the
+   * returned table on carry it (updates can set it per record, and
+   * compaction/vacuum bake it into the base as they rewrite). At 100 TB
+   * this is the only viable evolve: rewriting files to add a column is a
+   * full-warehouse write. `tpe` is a Spark SQL type name restricted to
+   * identifier characters (bigint/int/double/string/boolean/...), which
+   * the flat metadata encoding round-trips safely.
+   */
+  def addColumn(name: String, column: String, tpe: String): LineageTable =
+    lock(name).synchronized {
+      val meta = readMeta(name)
+      require(!meta.columns.contains(column),
+        s"$name already has column $column")
+      writeMeta(name, meta.copy(columns = meta.columns :+ column,
+        addedCols = meta.addedCols :+ column,
+        addedTypes = meta.addedTypes :+ tpe))
+      getTable(name)
+    }
+
   /** Catalog inventory: name, live-row count, column count. Empty
     * warehouse → empty result (not an error).
     *
@@ -539,7 +579,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * every legitimate tail row stamps ABOVE this,
                             * so a tail file wholly at-or-below it is a
                             * crash leftover ([[healLeftoverTail]]). */
-                          tailFloor: Int = 0)
+                          tailFloor: Int = 0,
+                          /** Columns added by [[addColumn]] after creation,
+                            * with their declared types (parallel seqs):
+                            * files written before the add lack the column
+                            * and read back as null ([[getTable]] fill). */
+                          addedCols: Seq[String] = Nil,
+                          addedTypes: Seq[String] = Nil)
 
   // Metadata names are restricted to identifier characters at write time,
   // so the flat JSON below round-trips through the regex reader with no
@@ -564,9 +610,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
   private def writeMeta(name: String, m: Meta): Unit = {
     val cols = m.columns.map(c => "\"" + checked(c) + "\"").mkString(", ")
     val idx = m.index.map(i => "\"" + checked(i) + "\"").getOrElse("null")
+    val ac = m.addedCols.map(c => "\"" + checked(c) + "\"").mkString(", ")
+    val at = m.addedTypes.map(t => "\"" + checked(t) + "\"").mkString(", ")
     val json = s"""{"key": "${checked(m.key)}", "columns": [$cols], """ +
       s""""index": $idx, "op_seq": ${m.opSeq}, "multi_ver": ${m.multiVer}, """ +
-      s""""tail_floor": ${m.tailFloor}}"""
+      s""""tail_floor": ${m.tailFloor}, """ +
+      s""""added_cols": [$ac], "added_types": [$at]}"""
     writeString(metaTmpPath(name), json)
     fs.delete(metaPath(name), false)
     move(metaTmpPath(name), metaPath(name))
@@ -598,6 +647,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
       .findFirstMatchIn(json).exists(_.group(1) == "true")
     val floor = "\"tail_floor\"\\s*:\\s*(\\d+)".r
       .findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
-    Meta(key, cols, idx, seq, mv, floor)
+    def strList(field: String): Seq[String] =
+      (s""""$field"\\s*:\\s*\\[([^\\]]*)\\]""").r
+        .findFirstMatchIn(json).map(_.group(1)).filter(_.trim.nonEmpty)
+        .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+        .getOrElse(Nil)
+    Meta(key, cols, idx, seq, mv, floor,
+      strList("added_cols"), strList("added_types"))
   }
 }

@@ -198,6 +198,51 @@ final class LineageTable private (
   }
 
   /**
+   * Change-data-capture diff: what changed between the state
+   * `relativeVersion` steps back and now, one row per changed record with
+   * `change ∈ {insert, delete, update}` plus old_ / new_ value columns.
+   * This is the read that turns a lineage store into a CDC source (the
+   * lakehouse "change feed"): downstream consumers re-sync from a version
+   * instead of re-reading the table.
+   *
+   * ONE pass, no self-join: the usual formulation — full-outer-join the
+   * two snapshots — scans and shuffles the lineage twice; here both
+   * versions come out of the SAME ranked window (the old version is just
+   * a different rank in the same per-key order), picked by conditional
+   * aggregation over the key partitioning the window already established,
+   * so Catalyst plans one scan, one shuffle, zero joins. Unchanged
+   * records (the overwhelming majority at 100 TB) are filtered by a
+   * null-safe struct compare before anything leaves the aggregate.
+   */
+  def diffRelative(relativeVersion: Int): DataFrame = {
+    require(relativeVersion < 0,
+      s"diff target must be a negative relative version, got $relativeVersion")
+    val valueCols = dataCols.filterNot(_ == keyCol)
+    val payload = struct(valueCols.map(col): _*)
+    val changeAndValues =
+      when(col("_old").isNull, lit("insert"))
+        .when(col("_new").isNull, lit("delete"))
+        .otherwise(lit("update")).as("change") +:
+      (valueCols.map(c => col(s"_old.$c").as(s"old_$c")) ++
+       valueCols.map(c => col(s"_new.$c").as(s"new_$c")))
+    // Single-version table: old state ≡ new state (version addressing
+    // clamps at base) — the diff is empty by definition, but return a
+    // plan with the right schema rather than a special case.
+    val byKey = Window.partitionBy(col(keyCol))
+    val ranked = lineage
+      .withColumn("_rn", row_number().over(byKey.orderBy(col(VER).desc)))
+      .withColumn("_cnt", count(lit(1)).over(byKey))
+    val oldRn = least(lit(1 - relativeVersion), col("_cnt"))
+    ranked
+      .groupBy(col(keyCol))
+      .agg(
+        max(when(col("_rn") === 1 && col(DEL) === 0, payload)).as("_new"),
+        max(when(col("_rn") === oldRn && col(DEL) === 0, payload)).as("_old"))
+      .where(!(col("_new") <=> col("_old")))
+      .select(col(keyCol) +: changeAndValues: _*)
+  }
+
+  /**
    * The reference's merge (lstore/table.py:186) as compaction: the lineage
    * collapses to the current snapshot re-stamped as base. Persisting the
    * result (and truncating the tail) is [[Catalog.compact]].

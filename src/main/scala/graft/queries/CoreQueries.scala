@@ -128,6 +128,32 @@ object CoreQueries {
   private val zorderCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /**
+   * Schema-evolution fixture (built once per sf dir): orders committed,
+   * updated, then ALTERed with a `priority` column (Catalog.addColumn — a
+   * metadata-only op; no data file is rewritten) and updated again so some
+   * records carry a value. Pre-evolve rows — all their versions — read
+   * back null in the new column; auto-compaction folds the mixed-schema
+   * tail into a post-evolve base along the way, proving old files stay
+   * readable through the rewrite.
+   */
+  def evolvedOrders(spark: SparkSession, sfDir: String): LineageTable =
+    evolveCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir("graft_evolve_wh_")
+      val cat = new Catalog(spark, wh)
+      cat.createTable("orders_ev", "k", baseOrders(spark, sfDir))
+      cat.commit("orders_ev", Txn.empty.update(col("k") % 3 === 0,
+        Map("totalprice" -> (col("totalprice") + lit(10.0)),
+            "status" -> lit("U1"))))
+      cat.addColumn("orders_ev", "priority", "bigint")
+      cat.commit("orders_ev", Txn.empty.update(col("k") % 4 === 0,
+        Map("priority" -> (col("custkey") % 5))))
+      cat.getTable("orders_ev")
+    })
+
+  private val evolveCache =
+    scala.collection.concurrent.TrieMap.empty[String, LineageTable]
+
   private val csvCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -219,6 +245,17 @@ object CoreQueries {
       // RestoreSpec pins the append-only/changed-keys-only semantics.
       ordersLineage(s, d).restore(-1).snapshot
         .where(col("k").between(500L, 5000L))
+    },
+
+    "ls_diff" -> { (s, d) =>
+      // CDC read: everything that changed in the last two ops (v2's
+      // partial updates surface as 'update' with the carried-forward
+      // price visible on both sides; tombstoned keys as 'delete' with
+      // their pre-delete state). One scan, one key shuffle, no self-join
+      // (core/LineageTable.diffRelative); DiffSpec covers the 'insert'
+      // arm the fixture's history can't produce.
+      ordersLineage(s, d).diffRelative(-2)
+        .where(col("k") <= 3000L)
     },
 
     "ls_delete" -> { (s, d) =>
@@ -360,6 +397,13 @@ object CoreQueries {
         .where(col("k").between(0L, 2000L))
     },
 
+    "ls_evolve" -> { (s, d) =>
+      // ADD COLUMN end to end: updated rows carry their set value, every
+      // pre-evolve row (and version) reads null — through a fold of the
+      // mixed-schema tail into the base (see evolvedOrders).
+      evolvedOrders(s, d).snapshot.where(col("k") <= 2000L)
+    },
+
     "txn_batch" -> { (s, d) =>
       val base = baseOrders(s, d)
       val insertRows = base.where(col("k") % 400 === 0).select(
@@ -471,6 +515,24 @@ object CoreQueries {
       s"""$fixture
          |SELECT k FROM base WHERE k NOT IN (SELECT k FROM snap)""".stripMargin,
 
+    // diff(-2) = full outer of the -2 state vs latest, changed rows only —
+    // the oracle spells the join the engine's one-pass window avoids
+    "ls_diff" ->
+      s"""$fixture, old AS (${asOfSql(-2)})
+         |SELECT coalesce(s.k, o.k) AS k,
+         |  CASE WHEN o.k IS NULL THEN 'insert'
+         |       WHEN s.k IS NULL THEN 'delete'
+         |       ELSE 'update' END AS change,
+         |  o.custkey AS old_custkey, o.status AS old_status,
+         |  o.totalprice AS old_totalprice,
+         |  s.custkey AS new_custkey, s.status AS new_status,
+         |  s.totalprice AS new_totalprice
+         |FROM snap s FULL OUTER JOIN old o ON s.k = o.k
+         |WHERE (s.k IS NULL OR o.k IS NULL
+         |   OR s.custkey <> o.custkey OR s.status <> o.status
+         |   OR s.totalprice <> o.totalprice)
+         |  AND coalesce(s.k, o.k) <= 3000""".stripMargin,
+
     "ls_sum_range" ->
       s"""$fixture
          |SELECT CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -578,6 +640,17 @@ object CoreQueries {
          |SELECT k, custkey, status, totalprice FROM rr
          |WHERE _rn2 = least(6, _cnt2) AND _del = 0
          |  AND k BETWEEN 0 AND 2000""".stripMargin,
+
+    // evolution is metadata-only, so the oracle is pure column algebra:
+    // the pre-evolve update where k%3=0, null priority except where the
+    // post-evolve update (k%4=0) set it
+    "ls_evolve" ->
+      """SELECT o_orderkey AS k, o_custkey AS custkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'U1' ELSE o_orderstatus END AS status,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+        |       ELSE o_totalprice END AS totalprice,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN o_custkey % 5 END AS priority
+        |FROM orders WHERE o_orderkey <= 2000""".stripMargin,
 
     "txn_batch" ->
       s"""$fixture,

@@ -66,6 +66,22 @@ object OlapQueries {
       (li, ord)
     })
 
+  /** Conf-scoped clone for [[q_bloom_join]] — one per parent session, built
+    * lazily and reused (same SparkContext, same extensions; see scaladoc on
+    * the query for why each conf is set). */
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+
+  private def bloomSession(s: SparkSession): SparkSession =
+    bloomCache.getOrElseUpdate(s, {
+      val c = s.newSession()
+      c.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exchange-free fact-fact join over bucketed tables: lineitem ⋈ orders
@@ -427,6 +443,74 @@ object OlapQueries {
           coalesce(col("n_orders"), lit(0L)).as("n_orders"))
     },
 
+    // Arg-extrema as an ASSOCIATIVE aggregate, not a per-group window
+    // sort: max_by/min_by with a composite ordering struct runs partial
+    // map-side and the shuffle carries ONE candidate per group-partition —
+    // the row_number-window formulation sorts every group's rows on a
+    // single reducer first. The ordering struct appends the (negated) key
+    // so ties on price resolve to the smallest key deterministically:
+    // bare max_by/min_by tie behavior is engine-undefined, and an oracle
+    // can't hash-match "whichever row the scheduler saw last".
+    "q_argmax" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(
+          max(col("o_totalprice")).as("max_price"),
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), -col("o_orderkey"))).as("argmax_key"),
+          min(col("o_totalprice")).as("min_price"),
+          min_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("argmin_key"))
+    },
+
+    // Correlated scalar subquery through the SQL ENTRYPOINT: orders beating
+    // 1.5× their own customer's average. Catalyst decorrelates the
+    // per-customer aggregate into a groupBy + equi-join on custkey (one
+    // shuffle) — the same distributed plan the DataFrame API would
+    // hand-write, proof that ad-hoc SQL against the engine doesn't fall
+    // off the scale path (a naive engine re-runs the subquery per row).
+    // Exact decimal avg on both sides so the 1.5× threshold compares
+    // identical doubles (the ls_avg_range determinism rule).
+    "q_scalar_subquery" -> { (s, d) =>
+      val view = "graft_orders_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables(s, d, "orders").createOrReplaceTempView(view)
+      s.sql(
+        s"""SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+           |       o.o_totalprice AS totalprice
+           |FROM $view o
+           |WHERE o.o_custkey < 300
+           |  AND o.o_totalprice > 1.5 * (
+           |    SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           |           / COUNT(*)
+           |    FROM $view i WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+    },
+
+    // Runtime bloom-filter join pruning, driver-visible: the selective dim
+    // side (one month of orders) builds a bloom over its join keys at run
+    // time and Catalyst injects `bloom_filter_might_contain` as a
+    // scan-side filter on lineitem BEFORE its shuffle — at 100 TB the fact
+    // side drops ~99% of its rows pre-exchange instead of shuffling
+    // everything into the join (the runtime twin of static partition
+    // pruning; PlanAuditSpec pins the injected filter). Conf-scoped clone
+    // (the Tuning/StreamOps pattern): the injection thresholds assume
+    // cluster-scale inputs (10 GB application-side scan default) and the
+    // tiny test-SF dim would broadcast, so the clone zeroes the scan
+    // threshold and disables auto-broadcast to pin the at-scale
+    // SHUFFLE-join shape; the caller's session is untouched. The oracle is
+    // the plain join — the bloom is pure pruning, false positives still
+    // hit the exact join.
+    "q_bloom_join" -> { (s0, d) =>
+      val s = bloomSession(s0)
+      val ord = Tables(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1997-03-01") &&
+               col("o_orderdate") < lit("1997-04-01"))
+      Tables(s, d, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+             Exact.sumMoney(col("l_extendedprice")).as("sum_price"))
+    },
+
     // Exact distributed quantiles: element at rank ceil(q*n) per group,
     // deterministic tie-broken order — the same element the oracle picks,
     // so values hash-match (interpolating `percentile` definitions differ
@@ -685,6 +769,42 @@ object OlapQueries {
         |      THEN o_totalprice END) AS p50,
         |  MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
         |      THEN o_totalprice END) AS p95
-        |FROM r GROUP BY 1""".stripMargin
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // the argmax oracle picks the same deterministic row via explicit
+    // tie-broken row_numbers (arg_max/arg_min tie behavior is undefined)
+    "q_argmax" ->
+      """WITH r AS (SELECT o_orderstatus, o_totalprice, o_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rmax,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |                     ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderstatus AS status,
+        |  MAX(CASE WHEN rmax = 1 THEN o_totalprice END) AS max_price,
+        |  MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS argmax_key,
+        |  MAX(CASE WHEN rmin = 1 THEN o_totalprice END) AS min_price,
+        |  MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS argmin_key
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // same correlated text the engine runs — DuckDB decorrelates it too
+    "q_scalar_subquery" ->
+      """SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+        |       o.o_totalprice AS totalprice
+        |FROM orders o
+        |WHERE o.o_custkey < 300
+        |  AND o.o_totalprice > 1.5 * (
+        |    SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |           / COUNT(*)
+        |    FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
+
+    // bloom pruning is pure physical optimization: the oracle is the join
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -47,6 +47,37 @@ object PipelineQueries {
   private val jsonlCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private val partCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Corpus in a Hive-partitioned layout (one dir per lang), written once
+    * per sf dir — the fixture for src_partitioned / q_dpp. */
+  private def partitionedDocs(s: SparkSession, d: String): DataFrame = {
+    val dir = partCache.getOrElseUpdate(d, {
+      val out = graft.sources.TextSources.scratchDir("graft_part_")
+      Tables(s, d, "documents").write.partitionBy("lang")
+        .mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(dir)
+  }
+
+  private val dimCache =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
+  /** Tiny lang→family dim as a PARQUET scan (not a local relation): the
+    * DPP rule prunes against a filtered scan on the dim side — the
+    * classic fact⋈date_dim shape. */
+  private def langDimDir(s: SparkSession): String =
+    dimCache.getOrElseUpdate(s, {
+      import s.implicits._
+      val out = graft.sources.TextSources.scratchDir("graft_langdim_")
+      Seq("en" -> "germanic", "de" -> "germanic", "es" -> "romance",
+          "fr" -> "romance", "zh" -> "sinitic").toDF("lang", "family")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    })
+
   // (token/lexicon hit counting is graft.functions.LexiconCounts — a
   // single compiled pass; the declarative split+filter+isin twin lives
   // on as the semantic reference in LexiconCountsSpec)
@@ -368,6 +399,30 @@ object PipelineQueries {
         .select(col("bg"), col("n"), col("rnk"))
     },
 
+    // Overlapping fixed-window chunking — the unit-of-work transform
+    // between raw documents and embedding/packing stages (RAG retrieval
+    // and long-context training both consume chunks, not documents).
+    // 200-char windows, 150 stride (50 overlap so no boundary context is
+    // lost). Pure per-row algebra: explode(sequence) + substr, zero
+    // shuffle, whole-stage codegen — output rows ≈ 2.5× docs at any
+    // corpus size, and chunk ids are position-derived so re-runs are
+    // stable. The chunk-count formula is integer-exact ((m + s-1) div s
+    // on non-negative m) so both engines emit identical chunk sets.
+    "pipe_chunk" -> { (s, d) =>
+      val size = 200
+      val stride = 150
+      val nChunks = (lit(1) + floor(
+        (greatest(lit(0), length(col("text")) - size) + (stride - 1))
+          / stride.toDouble)).cast("int")
+      val chunk = col("text").substr(col("chunk_id") * stride + lit(1), lit(size))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          length(chunk).cast("long").as("chunk_len"),
+          md5(chunk).as("chunk_sig"))
+    },
+
     "mm_binary_meta" -> { (s, d) =>
       Multimodal.extractMeta(
         Multimodal.mediaFromDocuments(s, Tables(s, d, "documents"))).toDF()
@@ -395,6 +450,37 @@ object PipelineQueries {
       Tables(s, d, "documents")
         .where(TextOps.md5Gate(col("doc_id")) % 100 < rate)
         .select(col("doc_id"), col("lang"))
+    },
+
+    // Hive-style partitioned layout: the corpus written partitionBy(lang)
+    // — one directory per language — and read back with a partition-column
+    // filter. The filter prunes DIRECTORIES, before any file is opened
+    // (PlanAudit pins PartitionFilters on the scan): at 100 TB this is the
+    // first-line pruning lever, one level above row-group min-max stats —
+    // a per-language pipeline stage reads 1/5 of the corpus paying zero
+    // I/O for the rest. Write once per sf dir; results are layout-free
+    // (the oracle is a plain filter).
+    "src_partitioned" -> { (s, d) =>
+      partitionedDocs(s, d).where(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(length(col("text")).cast("long")).as("chars"))
+    },
+
+    // Dynamic partition pruning: the fact's partition filter isn't in the
+    // query — it comes out of a JOIN against a filtered dim (the classic
+    // fact⋈date_dim shape). Catalyst injects the dim's post-filter lang
+    // set as a runtime partition predicate (dynamicpruningexpression,
+    // reusing the broadcast), so the partitioned corpus scan opens only
+    // the romance-language directories even though no literal says so —
+    // static pruning's runtime twin, same lever class as q_bloom_join but
+    // at directory granularity. Oracle inlines the dim semantics.
+    "q_dpp" -> { (s, d) =>
+      val dim = s.read.parquet(langDimDir(s)).where(col("family") === "romance")
+      partitionedDocs(s, d).join(broadcast(dim), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(length(col("text")).cast("long")).as("chars"))
     },
 
     // JSONL roundtrip: the de-facto training-data interchange format —
@@ -818,6 +904,18 @@ object PipelineQueries {
         |  CAST(SUM(len(text)) AS BIGINT) AS chars
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // layout is never semantics: partition pruning's oracle is the filter
+    "src_partitioned" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(text)) AS BIGINT) AS chars
+        |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
+
+    // the dim's post-filter lang set, inlined (romance = es, fr)
+    "q_dpp" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(text)) AS BIGINT) AS chars
+        |FROM documents WHERE lang IN ('es', 'fr') GROUP BY 1""".stripMargin,
+
     // twin of the text_scrub fixture + TextOps.redact; regexp_replace needs
     // the 'g' flag (DuckDB replaces first-match-only by default, Java all)
     "text_scrub" ->
@@ -1212,6 +1310,19 @@ object PipelineQueries {
         |SELECT bg, n,
         |       CAST(row_number() OVER (ORDER BY n DESC, bg ASC) AS BIGINT) AS rnk
         |FROM c QUALIFY rnk <= 100""".stripMargin,
+
+    // identical integer chunk-count formula; range() is exclusive like
+    // sequence(0, n-1) is inclusive — both yield chunk ids 0..n-1
+    "pipe_chunk" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  1 + CAST(floor((greatest(0, length(text) - 200) + 149) / 150.0)
+        |           AS BIGINT) AS n_chunks
+        |  FROM documents)
+        |SELECT doc_id, i AS chunk_id,
+        |  CAST(length(substr(text, CAST(i * 150 + 1 AS BIGINT), 200)) AS BIGINT)
+        |    AS chunk_len,
+        |  md5(substr(text, CAST(i * 150 + 1 AS BIGINT), 200)) AS chunk_sig
+        |FROM n, unnest(range(0, n_chunks)) AS t(i)""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -305,4 +305,67 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("ls_diff is one pass: a single key shuffle, no self-join") {
+    val plan = executedPlan(SparkEntry.queries("ls_diff")(spark, sfDir))
+    // both versions come out of ONE ranked window + conditional agg — a
+    // full-outer of two snapshot reads would show a join and 2+ exchanges
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q_argmax aggregates associatively: no window sort of the groups") {
+    val plan = executedPlan(SparkEntry.queries("q_argmax")(spark, sfDir))
+    // the win over the row_number formulation: partial max_by/min_by runs
+    // MAP-SIDE (the shuffle carries one candidate per group-partition,
+    // never the rows), and no per-group window sort exists. The
+    // struct-ordered extremum buffers plan as SortAggregate — still one
+    // exchange, still partial/final.
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_max_by"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q_bloom_join injects the runtime bloom filter on the fact side") {
+    val df = SparkEntry.queries("q_bloom_join")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the dim side's join keys reach lineitem's scan as a bloom probe
+    // BEFORE the shuffle — the runtime twin of partition pruning (the
+    // physical plan prints the injected BloomFilterMightContain as
+    // `might_contain(Subquery ...)` over the fact's join key)
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("bloom_filter_agg"), plan)
+  }
+
+  test("src_partitioned prunes directories via the partition filter") {
+    val df = SparkEntry.queries("src_partitioned")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the lang predicate must be a PARTITION filter (directory pruning,
+    // no file opened), not a data filter evaluated per row
+    assert("PartitionFilters: \\[[^\\]]*lang[^\\]]*\\]".r
+      .findFirstIn(plan).nonEmpty, plan)
+  }
+
+  test("q_dpp injects the dim's lang set as a runtime partition filter") {
+    val df = SparkEntry.queries("q_dpp")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // no literal lang predicate exists in the query — the partition
+    // filter arrives at runtime from the joined dim
+    assert(plan.contains("dynamicpruning"), plan)
+  }
+
+  test("q_scalar_subquery decorrelates to one aggregate + join, per row") {
+    val plan = executedPlan(SparkEntry.queries("q_scalar_subquery")(spark, sfDir))
+    // Catalyst rewrites the correlated scalar subquery into a grouped
+    // aggregate joined on custkey — a per-row re-execution would surface
+    // as a nested subquery / cartesian shape
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }

@@ -1,0 +1,83 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contract tests for [[Catalog.addColumn]] — metadata-only schema
+  * evolution (ADD COLUMN) through the warehouse lifecycle. */
+class EvolveSpec extends SparkSpec {
+
+  private def freshCat(autoCompact: Boolean = true): (Catalog, String) = {
+    val wh = Files.createTempDirectory("graft_evolve_").toString
+    (new Catalog(spark, wh, autoCompact = autoCompact), wh)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def seed(cat: Catalog): Unit = {
+    import spark.implicits._
+    cat.createTable("t", "k",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
+  }
+
+  test("added column reads null on pre-evolve rows, set values after") {
+    val (cat, _) = freshCat()
+    seed(cat)
+    cat.addColumn("t", "n", "bigint")
+    cat.commit("t", Txn.empty.update(col("k") === 2L, Map("n" -> lit(7L))))
+    assert(rows(cat.getTable("t").snapshot) ===
+      Set(Seq(1L, "a", null), Seq(2L, "b", 7L), Seq(3L, "c", null)))
+    // the evolve is invisible to version addressing: one step back is the
+    // pre-update state, all-null in the new column
+    assert(rows(cat.getTable("t").asOfRelative(-1)) ===
+      Set(Seq(1L, "a", null), Seq(2L, "b", null), Seq(3L, "c", null)))
+  }
+
+  test("evolution survives compaction and vacuum (files rewritten)") {
+    val (cat, _) = freshCat(autoCompact = false)
+    seed(cat)
+    cat.addColumn("t", "n", "bigint")
+    cat.commit("t", Txn.empty.update(col("k") === 2L, Map("n" -> lit(7L))))
+    cat.saveCompacted("t", cat.getTable("t").compact)
+    val expected =
+      Set(Seq(1L, "a", null), Seq(2L, "b", 7L), Seq(3L, "c", null))
+    assert(rows(cat.getTable("t").snapshot) === expected)
+    cat.commit("t", Txn.empty.update(col("k") === 3L, Map("n" -> lit(9L))))
+    cat.vacuum("t", keep = 2)
+    assert(rows(cat.getTable("t").snapshot) ===
+      Set(Seq(1L, "a", null), Seq(2L, "b", 7L), Seq(3L, "c", 9L)))
+  }
+
+  test("a column added before ANY commit materializes at its declared type") {
+    val (cat, _) = freshCat()
+    seed(cat)
+    val t = cat.addColumn("t", "score", "double")
+    assert(t.snapshot.schema("score").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(rows(t.snapshot.select(col("k"), col("score"))) ===
+      Set(Seq(1L, null), Seq(2L, null), Seq(3L, null)))
+  }
+
+  test("duplicate or malformed adds are rejected at the API boundary") {
+    val (cat, _) = freshCat()
+    seed(cat)
+    cat.addColumn("t", "n", "bigint")
+    intercept[IllegalArgumentException](cat.addColumn("t", "n", "bigint"))
+    intercept[IllegalArgumentException](
+      cat.addColumn("t", "m", "decimal(10,2)")) // non-identifier type
+  }
+
+  test("evolution persists across catalog reopen (metadata round-trip)") {
+    val (cat, wh) = freshCat()
+    seed(cat)
+    cat.addColumn("t", "n", "bigint")
+    cat.commit("t", Txn.empty.update(col("k") === 1L, Map("n" -> lit(5L))))
+    val reopened = new Catalog(spark, wh)
+    assert(rows(reopened.getTable("t").snapshot) ===
+      Set(Seq(1L, "a", 5L), Seq(2L, "b", null), Seq(3L, "c", null)))
+  }
+}
