@@ -528,6 +528,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
       val meta = readMeta(name)
       require(!meta.columns.contains(column),
         s"$name already has column $column")
+      // fail fast BEFORE the meta write: an unparseable type name would
+      // otherwise persist and brick every subsequent getTable
+      org.apache.spark.sql.types.DataType.fromDDL(tpe)
       writeMeta(name, meta.copy(columns = meta.columns :+ column,
         addedCols = meta.addedCols :+ column,
         addedTypes = meta.addedTypes :+ tpe))

@@ -78,6 +78,13 @@ object OlapQueries {
       c.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       c.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // the dim is a filtered MONTH of orders — selective by construction
+      // at any SF, but its plan-size estimate crosses the default 10 MB
+      // creation threshold around 1000× and the rule would silently stop
+      // building the bloom exactly where pre-shuffle pruning pays most;
+      // the cap still bounds the filter the workers must evaluate
+      c.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "256MB")
       c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       c
     })
@@ -216,6 +223,21 @@ object OlapQueries {
                col("o_orderdate") < lit(s"${yr + 1}-01-01"))
         .select(col("o_custkey").as("custkey"))
       buyers(1996).intersect(buyers(1997)).except(buyers(2001))
+    },
+
+    // Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): customer
+    // ORDER MULTIPLICITIES intersected across years, minus 2001 activity —
+    // a customer with 3 orders in 1996 and 2 in 1997 contributes min(3,2)
+    // rows, which the dedup-based q_set_ops cannot express. Spark plans
+    // these as count-aggregates + a generate replication on the key (one
+    // shuffle, no sort, no cartesian) — multiplicity arithmetic, never
+    // row-by-row matching.
+    "q_set_ops_all" -> { (s, d) =>
+      def bag(yr: Int) = Tables(s, d, "orders")
+        .where(col("o_orderdate") >= lit(s"$yr-01-01") &&
+               col("o_orderdate") < lit(s"${yr + 1}-01-01"))
+        .select(col("o_custkey").as("custkey"))
+      bag(1996).intersectAll(bag(1997)).exceptAll(bag(2001))
     },
 
     // Offset window functions (lag/lead/ntile) — the remaining window
@@ -500,7 +522,12 @@ object OlapQueries {
     // the plain join — the bloom is pure pruning, false positives still
     // hit the exact join.
     "q_bloom_join" -> { (s0, d) =>
-      val s = bloomSession(s0)
+      // compose the two conf-scoped levers: size-aware shuffle width for
+      // the fact side (Tuning — identity at test SF) + the bloom confs on
+      // a clone of THAT session, so at 1000× the pruned fact still
+      // shuffles at a spill-free width
+      val s = bloomSession(
+        graft.ops.Tuning.scaledSession(s0, d, Seq("lineitem", "orders")))
       val ord = Tables(s, d, "orders")
         .where(col("o_orderdate") >= lit("1997-03-01") &&
                col("o_orderdate") < lit("1997-04-01"))
@@ -632,6 +659,21 @@ object OlapQueries {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        |  AND o_orderdate < TIMESTAMP '2002-01-01'""".stripMargin,
+
+    // standard precedence: INTERSECT binds tighter than EXCEPT — same
+    // grouping as the method chain
+    "q_set_ops_all" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |EXCEPT ALL
         |SELECT o_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '2001-01-01'
         |  AND o_orderdate < TIMESTAMP '2002-01-01'""".stripMargin,

@@ -399,6 +399,27 @@ object PipelineQueries {
         .select(col("bg"), col("n"), col("rnk"))
     },
 
+    // L2 normalization — the prerequisite for cosine ANN (a dot product
+    // of unit vectors IS the cosine; ann_topk/ann_ivf assume it). Pure
+    // per-row algebra, zero shuffle. Exactness across engines: the square
+    // sum is a fixed-order left fold of exact float→double widenings (the
+    // emb_centroid rule), sqrt is IEEE correctly-rounded in BOTH engines
+    // (the one libm function with a required rounding), and the output is
+    // floor(1e6·x) ppm integers — the unit vector leaves the plan as an
+    // md5 signature (the pipe_tokenize idiom for array outputs).
+    "emb_norm" -> { (s, d) =>
+      val sq = aggregate(col("embedding"), lit(0.0d),
+        (acc, v) => acc + v.cast("double") * v.cast("double"))
+      Tables(s, d, "embeddings")
+        .withColumn("_nrm", sqrt(sq))
+        .where(col("_nrm") > 0)
+        .select(col("vec_id"),
+          floor(col("_nrm") * 1e6).cast("long").as("norm_ppm"),
+          md5(concat_ws(",", transform(col("embedding"),
+            v => floor(v.cast("double") * lit(1e6) / col("_nrm"))
+              .cast("long")))).as("unit_sig"))
+    },
+
     // Overlapping fixed-window chunking — the unit-of-work transform
     // between raw documents and embedding/packing stages (RAG retrieval
     // and long-context training both consume chunks, not documents).
@@ -1310,6 +1331,21 @@ object PipelineQueries {
         |SELECT bg, n,
         |       CAST(row_number() OVER (ORDER BY n DESC, bg ASC) AS BIGINT) AS rnk
         |FROM c QUALIFY rnk <= 100""".stripMargin,
+
+    // the same left-fold square sum, sqrt, and ppm floor — both engines
+    // compute identical doubles at every step (see the Spark-side note)
+    "emb_norm" ->
+      """WITH ss AS (SELECT vec_id, embedding,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+        |    (x, y) -> x + y) AS sq
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(floor(sqrt(sq) * 1000000) AS BIGINT) AS norm_ppm,
+        |  md5(array_to_string(list_transform(embedding,
+        |    v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 / sqrt(sq)) AS BIGINT)),
+        |    ',')) AS unit_sig
+        |FROM ss WHERE sqrt(sq) > 0""".stripMargin,
 
     // identical integer chunk-count formula; range() is exclusive like
     // sequence(0, n-1) is inclusive — both yield chunk ids 0..n-1

@@ -69,6 +69,9 @@ class EvolveSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.addColumn("t", "n", "bigint"))
     intercept[IllegalArgumentException](
       cat.addColumn("t", "m", "decimal(10,2)")) // non-identifier type
+    intercept[Exception](cat.addColumn("t", "m", "bigiint")) // unparseable
+    // every rejection happened BEFORE the meta write: the table still opens
+    assert(cat.getTable("t").dataCols === Seq("k", "s", "n"))
   }
 
   test("evolution persists across catalog reopen (metadata round-trip)") {
