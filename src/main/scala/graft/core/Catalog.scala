@@ -163,10 +163,20 @@ final class Catalog(spark: SparkSession, warehouse: String,
     // read back null there — the Delta/Iceberg ADD COLUMN semantics); an
     // un-evolved table keeps the strict union as a corruption guard.
     val evolved = meta.addedCols.nonEmpty
+    // an evolved table's tail can MIX pre- and post-evolve files; the
+    // default parquet read infers the schema from ONE file (first in
+    // listing order — random part-file UUIDs), which would silently drop
+    // the added column's committed values whenever it sampled a pre-evolve
+    // file. mergeSchema unions every footer's schema — O(tail files)
+    // metadata reads, no data scan.
     val unioned =
-      if (hasTail) base.unionByName(spark.read.parquet(tailDir.toString),
-        allowMissingColumns = evolved)
-      else base
+      if (hasTail) {
+        val tail =
+          if (evolved)
+            spark.read.option("mergeSchema", "true").parquet(tailDir.toString)
+          else spark.read.parquet(tailDir.toString)
+        base.unionByName(tail, allowMissingColumns = evolved)
+      } else base
     // a column NO file carries yet exists only in metadata — materialize
     // it at its declared type; then normalize column order to the schema
     val lineage0 = meta.addedCols.zip(meta.addedTypes)
@@ -528,8 +538,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
       val meta = readMeta(name)
       require(!meta.columns.contains(column),
         s"$name already has column $column")
-      // fail fast BEFORE the meta write: an unparseable type name would
-      // otherwise persist and brick every subsequent getTable
+      // every rejection must land BEFORE the meta write — a persisted bad
+      // column name or type bricks every subsequent getTable: the lineage
+      // metadata names collide with the stamp columns every read selects,
+      require(!Seq(LineageTable.VER, LineageTable.DEL, "_rn", "_cnt")
+          .contains(column),
+        s"$column is a reserved lineage column name")
+      // and an unparseable type name would fail the null-fill cast
       org.apache.spark.sql.types.DataType.fromDDL(tpe)
       writeMeta(name, meta.copy(columns = meta.columns :+ column,
         addedCols = meta.addedCols :+ column,

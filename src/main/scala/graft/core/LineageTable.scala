@@ -72,18 +72,30 @@ final class LineageTable private (
     // relative version IS the lineage. The _del filter is kept (pushed to
     // the scan, free) as a guard; compacted bases hold live rows only.
     if (compactedOnly) return rows.where(col(DEL) === 0)
-    val byKey = Window.partitionBy(col(keyCol))
-    val ranked = rows
-      .withColumn("_rn", row_number().over(byKey.orderBy(col(VER).desc)))
-      .withColumn("_cnt", count(lit(1)).over(byKey))
     // Version addressing is relative to latest, clamped at base — the
     // reference's select_version falls back to the oldest record when the
     // lineage is shorter than |relative_version| (lstore/query.py:118).
-    ranked
-      .where(col("_rn") === least(lit(1 - relativeVersion), col("_cnt")))
+    rankedWithCount(rows)
+      .where(col("_rn") === clampedRank(relativeVersion))
       .where(col(DEL) === 0)
       .drop("_rn", "_cnt")
   }
+
+  /** The ONE version-ranking definition every relative read shares
+    * ([[asOfMetaOver]], [[restore]], [[diffRelative]]): `_rn` = 1-newest
+    * rank by `_ver` desc, `_cnt` = versions per key — both over the same
+    * key partitioning, one shuffle. A future tie-break change lands here
+    * once or the reads silently diverge. */
+  private def rankedWithCount(rows: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+    rows
+      .withColumn("_rn", row_number().over(byKey.orderBy(col(VER).desc)))
+      .withColumn("_cnt", count(lit(1)).over(byKey))
+  }
+
+  /** The base-clamped rank a relative version addresses (per record). */
+  private def clampedRank(relativeVersion: Int): Column =
+    least(lit(1 - relativeVersion), col("_cnt"))
 
   /**
    * Secondary-predicate probe (reference: Index.locate on a non-key column
@@ -185,12 +197,8 @@ final class LineageTable private (
     // Single-version table: every relative version clamps to the present —
     // nothing to change, and a no-op must not dirty compactedOnly.
     if (compactedOnly) return this
-    val byKey = Window.partitionBy(col(keyCol))
-    val ranked = lineage
-      .withColumn("_rn", row_number().over(byKey.orderBy(col(VER).desc)))
-      .withColumn("_cnt", count(lit(1)).over(byKey))
-    val target = least(lit(1 - relativeVersion), col("_cnt"))
-    val changed = ranked
+    val target = clampedRank(relativeVersion)
+    val changed = rankedWithCount(lineage)
       .where(col("_rn") === target && target > lit(1))
       .withColumn(VER, lit(opSeq + 1))
       .drop("_rn", "_cnt")
@@ -228,16 +236,12 @@ final class LineageTable private (
     // Single-version table: old state ≡ new state (version addressing
     // clamps at base) — the diff is empty by definition, but return a
     // plan with the right schema rather than a special case.
-    val byKey = Window.partitionBy(col(keyCol))
-    val ranked = lineage
-      .withColumn("_rn", row_number().over(byKey.orderBy(col(VER).desc)))
-      .withColumn("_cnt", count(lit(1)).over(byKey))
-    val oldRn = least(lit(1 - relativeVersion), col("_cnt"))
-    ranked
+    rankedWithCount(lineage)
       .groupBy(col(keyCol))
       .agg(
         max(when(col("_rn") === 1 && col(DEL) === 0, payload)).as("_new"),
-        max(when(col("_rn") === oldRn && col(DEL) === 0, payload)).as("_old"))
+        max(when(col("_rn") === clampedRank(relativeVersion) && col(DEL) === 0,
+          payload)).as("_old"))
       .where(!(col("_new") <=> col("_old")))
       .select(col(keyCol) +: changeAndValues: _*)
   }

@@ -133,14 +133,16 @@ object CoreQueries {
    * updated, then ALTERed with a `priority` column (Catalog.addColumn — a
    * metadata-only op; no data file is rewritten) and updated again so some
    * records carry a value. Pre-evolve rows — all their versions — read
-   * back null in the new column; auto-compaction folds the mixed-schema
-   * tail into a post-evolve base along the way, proving old files stay
-   * readable through the rewrite.
+   * back null in the new column. autoCompact is OFF so the tail keeps
+   * BOTH generations of files — commit 1's without the column, commit 2's
+   * with it — making this query exercise the mixed-schema tail read
+   * (mergeSchema in Catalog.getTable), the one genuinely risky evolve
+   * path; the fold/vacuum interplay is EvolveSpec's job.
    */
   def evolvedOrders(spark: SparkSession, sfDir: String): LineageTable =
     evolveCache.getOrElseUpdate(sfDir, {
       val wh = graft.sources.TextSources.scratchDir("graft_evolve_wh_")
-      val cat = new Catalog(spark, wh)
+      val cat = new Catalog(spark, wh, autoCompact = false)
       cat.createTable("orders_ev", "k", baseOrders(spark, sfDir))
       cat.commit("orders_ev", Txn.empty.update(col("k") % 3 === 0,
         Map("totalprice" -> (col("totalprice") + lit(10.0)),
@@ -399,8 +401,8 @@ object CoreQueries {
 
     "ls_evolve" -> { (s, d) =>
       // ADD COLUMN end to end: updated rows carry their set value, every
-      // pre-evolve row (and version) reads null — through a fold of the
-      // mixed-schema tail into the base (see evolvedOrders).
+      // pre-evolve row (and version) reads null — read through a tail
+      // that MIXES pre- and post-evolve files (see evolvedOrders).
       evolvedOrders(s, d).snapshot.where(col("k") <= 2000L)
     },
 

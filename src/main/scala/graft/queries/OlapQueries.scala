@@ -75,6 +75,13 @@ object OlapQueries {
   private def bloomSession(s: SparkSession): SparkSession =
     bloomCache.getOrElseUpdate(s, {
       val c = s.newSession()
+      // newSession() builds its state from the shared INITIAL options, not
+      // the parent's runtime conf — when the parent is a Tuning clone, its
+      // size-aware shuffle width must be carried over explicitly or the
+      // composition silently reverts to the default width (and the pruned
+      // fact join re-acquires the spill the width lever removes)
+      val width = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+      s.conf.getOption(width).foreach(c.conf.set(width, _))
       c.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       c.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")

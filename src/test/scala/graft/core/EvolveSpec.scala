@@ -52,6 +52,20 @@ class EvolveSpec extends SparkSpec {
       Set(Seq(1L, "a", null), Seq(2L, "b", 7L), Seq(3L, "c", 9L)))
   }
 
+  test("a tail mixing pre- and post-evolve files keeps every set value") {
+    // the risky layout: file A written BEFORE the add (lacks the column),
+    // file B after (carries it). A single-file schema inference over the
+    // tail would drop the column whenever listing order sampled file A —
+    // getTable must merge the footers' schemas, deterministically.
+    val (cat, _) = freshCat(autoCompact = false)
+    seed(cat)
+    cat.commit("t", Txn.empty.update(col("k") === 1L, Map("s" -> lit("a2"))))
+    cat.addColumn("t", "n", "bigint")
+    cat.commit("t", Txn.empty.update(col("k") === 2L, Map("n" -> lit(7L))))
+    assert(rows(cat.getTable("t").snapshot) ===
+      Set(Seq(1L, "a2", null), Seq(2L, "b", 7L), Seq(3L, "c", null)))
+  }
+
   test("a column added before ANY commit materializes at its declared type") {
     val (cat, _) = freshCat()
     seed(cat)
@@ -70,6 +84,10 @@ class EvolveSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       cat.addColumn("t", "m", "decimal(10,2)")) // non-identifier type
     intercept[Exception](cat.addColumn("t", "m", "bigiint")) // unparseable
+    intercept[IllegalArgumentException](
+      cat.addColumn("t", "_ver", "bigint")) // reserved lineage stamp
+    intercept[IllegalArgumentException](
+      cat.addColumn("t", "_rn", "bigint")) // reserved window rank
     // every rejection happened BEFORE the meta write: the table still opens
     assert(cat.getTable("t").dataCols === Seq("k", "s", "n"))
   }
