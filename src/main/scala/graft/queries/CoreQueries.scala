@@ -420,6 +420,21 @@ object CoreQueries {
         .snapshot.where(col("k") % 100 === 0)
     },
 
+    "cat_stats" -> { (s, d) =>
+      // ANALYZE TABLE from footers alone (sources/ParquetMeta.columnStats):
+      // exact numeric min/max/null-count per column with ZERO data pages
+      // read — O(files) footer fetches distributed over executors. These
+      // are the stats that drive row-group pruning and join planning; the
+      // oracle recomputes them the expensive way (full scans) and they
+      // hash-match because parquet numeric footer stats are exact.
+      graft.sources.ParquetMeta.columnStats(s, Seq(
+        ("orders", s"$d/orders.parquet",
+          Seq("o_orderkey", "o_custkey", "o_totalprice")),
+        ("lineitem", s"$d/lineitem.parquet",
+          Seq("l_quantity", "l_extendedprice")),
+        ("events", s"$d/events.parquet", Seq("user_id", "value"))))
+    },
+
     "cat_tables" -> { (s, d) =>
       // Database.create_table / get_table surface: the catalog inventory.
       // Row counts come from parquet FOOTERS (graft.sources.ParquetMeta),
@@ -664,6 +679,23 @@ object CoreQueries {
          |           AS totalprice FROM s1),
          |s3 AS (SELECT * FROM s2 WHERE k % 13 <> 0)
          |SELECT k, custkey, status, totalprice FROM s3 WHERE k % 100 = 0""".stripMargin,
+
+    // the oracle recomputes the footer stats by scanning — exact numeric
+    // stats make the cheap path and the expensive path hash-identical
+    "cat_stats" -> {
+      val specs = Seq(
+        ("orders", Seq("o_orderkey", "o_custkey", "o_totalprice")),
+        ("lineitem", Seq("l_quantity", "l_extendedprice")),
+        ("events", Seq("user_id", "value")))
+      specs.flatMap { case (t, cs) =>
+        cs.map { c =>
+          s"SELECT '$t' AS tbl, '$c' AS col_name, " +
+            s"CAST(MIN($c) AS DOUBLE) AS min_val, " +
+            s"CAST(MAX($c) AS DOUBLE) AS max_val, " +
+            s"COUNT(*) - COUNT($c) AS n_nulls, COUNT(*) AS n_rows FROM $t"
+        }
+      }.mkString("\nUNION ALL\n")
+    },
 
     "cat_tables" -> {
       val cols = Map(

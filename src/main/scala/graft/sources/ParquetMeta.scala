@@ -125,6 +125,106 @@ object ParquetMeta {
   }
 
   /**
+   * Per-column (min, max, null count) of one parquet file from footer
+   * statistics alone — None for a column any row-carrying block lacks
+   * usable NUMERIC stats for (unknown is never a bound, the
+   * [[footerCountMax]] safety rule; string stats are excluded outright
+   * because parquet may truncate them). Also returns the file's row count.
+   */
+  private def footerColumnStats(conf: Configuration, file: String,
+      columns: Seq[String]): (Long, Map[String, Option[(Double, Double, Long)]]) = {
+    val in = HadoopInputFile.fromPath(new Path(file), conf)
+    val r = ParquetFileReader.open(in)
+    try {
+      var rows = 0L
+      val acc = scala.collection.mutable.Map[String, Option[(Double, Double, Long)]](
+        columns.map(_ -> Option((Double.PositiveInfinity, Double.NegativeInfinity, 0L))): _*)
+      r.getFooter.getBlocks.forEach { b =>
+        rows += b.getRowCount
+        if (b.getRowCount > 0) columns.foreach { cname =>
+          val stats = {
+            var found: org.apache.parquet.column.statistics.Statistics[_] = null
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == cname) found = c.getStatistics
+            }
+            found
+          }
+          acc(cname) = acc(cname).flatMap { case (mn, mx, nn) =>
+            if (stats == null || stats.isEmpty || !stats.isNumNullsSet) None
+            else if (!stats.hasNonNullValue) // all-null block: counts only
+              Some((mn, mx, nn + stats.getNumNulls))
+            else (stats.genericGetMin, stats.genericGetMax) match {
+              case (a: Number, z: Number) =>
+                Some((mn.min(a.doubleValue), mx.max(z.doubleValue),
+                  nn + stats.getNumNulls))
+              case _ => None // non-numeric stats (string/binary): excluded
+            }
+          }
+        }
+      }
+      (rows, acc.toMap)
+    } finally r.close()
+  }
+
+  /**
+   * Footer-only column statistics — the ANALYZE TABLE analog. At 100 TB,
+   * stats collection that scans data is a full-warehouse job; parquet
+   * footers already carry EXACT per-row-group min/max/null counts for
+   * numeric columns, so per-table stats are O(files) footer reads,
+   * distributed exactly like [[rowCounts]]. One row per (table, column):
+   * min/max as doubles (exact for longs < 2^53 — the bound every double
+   * output already obeys), null count, row count. Unknown stats (any
+   * block without usable numeric stats) surface as nulls, never as
+   * bounds — these feed pruning decisions downstream.
+   */
+  def columnStats(spark: SparkSession,
+                  tables: Seq[(String, String, Seq[String])]): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val pairs = tables.flatMap { case (name, path, cols) =>
+      partFiles(hconf, path).map(f => (name, f, cols))
+    }
+    val confEntries = {
+      val it = hconf.iterator()
+      val buf = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.result()
+    }
+    val bcConf = spark.sparkContext.broadcast(confEntries)
+    val schema = StructType(Seq(
+      StructField("tbl", StringType, nullable = false),
+      StructField("col_name", StringType, nullable = false),
+      StructField("min_val", org.apache.spark.sql.types.DoubleType, nullable = true),
+      StructField("max_val", org.apache.spark.sql.types.DoubleType, nullable = true),
+      StructField("n_nulls", LongType, nullable = true),
+      StructField("n_rows", LongType, nullable = false)))
+    val stats = spark.sparkContext
+      .parallelize(pairs, math.min(pairs.size max 1, 64))
+      .flatMap { case (name, file, cols) =>
+        val conf = new Configuration(false)
+        bcConf.value.foreach { case (k, v) => conf.set(k, v) }
+        val (rows, byCol) = footerColumnStats(conf, file, cols)
+        cols.map(c => ((name, c), (byCol(c), rows)))
+      }
+      .reduceByKey { (a, b) =>
+        val (sa, ra) = a
+        val (sb, rb) = b
+        val merged = for ((mna, mxa, nna) <- sa; (mnb, mxb, nnb) <- sb)
+          yield (mna.min(mnb), mxa.max(mxb), nna + nnb)
+        (merged, ra + rb)
+      }
+      .map { case ((name, cname), (s, rows)) =>
+        // an empty table (or all-null column) never saw a value: the ±inf
+        // initializers are sentinels, not bounds
+        val known = s.filter(_._1 != Double.PositiveInfinity)
+        Row(name, cname,
+          known.map(v => Double.box(v._1)).orNull,
+          known.map(v => Double.box(v._2)).orNull,
+          s.map(v => Long.box(v._3)).orNull, rows)
+      }
+    spark.createDataFrame(stats, schema)
+  }
+
+  /**
    * (tbl, n_rows, n_cols) inventory from footers alone — the one shape
    * both catalog inventories (CoreQueries cat_tables, Catalog.inventory)
    * share, kept here so a fix reaches both. `tables`: (name, path,
