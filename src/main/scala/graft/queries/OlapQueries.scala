@@ -264,6 +264,24 @@ object OlapQueries {
           ntile(4).over(w).cast("bigint").as("quartile"))
     },
 
+    // Relative-rank window family (percent_rank / cume_dist): where a
+    // price sits WITHIN its status group, as exact rational positions.
+    // Deterministic under ties by definition (percent_rank = (rank-1)/
+    // (n-1) uses the tie-sharing rank; cume_dist counts peers), and each
+    // output is ONE IEEE division of two exact integers — identical
+    // doubles in both engines, no decimal detour needed. Same partitioned
+    // single-shuffle shape as q_window_rank.
+    "q_window_cume" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+      Tables(s, d, "orders")
+        .where(col("o_orderkey") <= 3000L)
+        .select(col("o_orderkey").as("orderkey"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("totalprice"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+    },
+
     // Exact distinct aggregation (the approximate twin — HLL++ via
     // approx_count_distinct — is asserted in ScalaTest, not oracled:
     // sketches are engine-specific by construction).
@@ -694,6 +712,15 @@ object OlapQueries {
         |WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "q_window_cume" ->
+      """SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+        |  o_totalprice AS totalprice,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WHERE o_orderkey <= 3000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT o_orderpriority,
