@@ -92,6 +92,22 @@ class EvolveSpec extends SparkSpec {
     assert(cat.getTable("t").dataCols === Seq("k", "s", "n"))
   }
 
+  test("evolved tables compose with CDC diff and restore") {
+    val (cat, _) = freshCat(autoCompact = false)
+    seed(cat)
+    cat.addColumn("t", "n", "bigint")
+    cat.commit("t", Txn.empty.update(col("k") === 2L, Map("n" -> lit(7L))))
+    val t = cat.getTable("t")
+    // the diff's payload structs carry the evolved schema: the change is
+    // an update from null to the set value
+    assert(rows(t.diffRelative(-1)) ===
+      Set(Seq(2L, "update", "b", null, "b", 7L)))
+    // restore unwinds the post-evolve write; the column stays in the
+    // schema (evolution is metadata, restore is data)
+    assert(rows(t.restore(-1).snapshot) ===
+      Set(Seq(1L, "a", null), Seq(2L, "b", null), Seq(3L, "c", null)))
+  }
+
   test("evolution persists across catalog reopen (metadata round-trip)") {
     val (cat, wh) = freshCat()
     seed(cat)
