@@ -41,26 +41,53 @@ class DiffSpec extends SparkSpec {
       Seq(2L, "update", 20L, "B", 90L, "N")))
   }
 
+  /** The formulation diffRelative replaces: full-outer-join the two
+    * version reads — semantically authoritative, twice the scans. */
+  private def joinDiff(t: LineageTable, rel: Int) = {
+    val old = t.asOfRelative(rel).select(col("k"),
+      col("v").as("old_v"), col("s").as("old_s"))
+    val now = t.snapshot.select(col("k"),
+      col("v").as("new_v"), col("s").as("new_s"))
+    old.join(now, Seq("k"), "full_outer")
+      .where(!(struct(col("old_v"), col("old_s")) <=>
+               struct(col("new_v"), col("new_s"))))
+      .withColumn("change",
+        when(col("old_v").isNull && col("old_s").isNull, "insert")
+          .when(col("new_v").isNull && col("new_s").isNull, "delete")
+          .otherwise("update"))
+      .select("k", "change", "old_v", "old_s", "new_v", "new_s")
+  }
+
   test("diff equals the join of the two version reads it replaces") {
-    import spark.implicits._
     val t = fixture
       .update(col("k") % 2 === 1L, Map("v" -> (col("v") + 1L)))
       .update(col("k") === 3L, Map("s" -> lit("Z")))
       .delete(col("k") === 1L)
-    for (rel <- Seq(-1, -2, -3)) {
-      val old = t.asOfRelative(rel).select(col("k"),
-        col("v").as("old_v"), col("s").as("old_s"))
-      val now = t.snapshot.select(col("k"),
-        col("v").as("new_v"), col("s").as("new_s"))
-      val joined = old.join(now, Seq("k"), "full_outer")
-        .where(!(struct(col("old_v"), col("old_s")) <=>
-                 struct(col("new_v"), col("new_s"))))
-        .withColumn("change",
-          when(col("old_v").isNull && col("old_s").isNull, "insert")
-            .when(col("new_v").isNull && col("new_s").isNull, "delete")
-            .otherwise("update"))
-        .select("k", "change", "old_v", "old_s", "new_v", "new_s")
-      assert(rows(t.diffRelative(rel)) === rows(joined), s"relative $rel")
+    for (rel <- Seq(-1, -2, -3))
+      assert(rows(t.diffRelative(rel)) === rows(joinDiff(t, rel)),
+        s"relative $rel")
+  }
+
+  test("diff equals the join reference for random op histories") {
+    // seeded random interleavings (the LineageModelSpec idiom) cover the
+    // clamp/tombstone/resurrection combinations no fixed fixture varies;
+    // the op list prints on mismatch for reproduction
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val rng = new scala.util.Random(seed)
+      val ops = List.fill(5)(rng.nextInt(3))
+      val t = ops.foldLeft(fixture) { (acc, kind) =>
+        kind match {
+          case 0 => acc.update(col("k") % 2 === rng.nextInt(2).toLong,
+            Map("v" -> (col("v") + lit(1L + rng.nextInt(9)))))
+          case 1 => acc.delete(col("k") === rng.nextInt(4).toLong)
+          case 2 => acc.insert(Seq((rng.nextInt(5).toLong,
+            rng.nextInt(100).toLong, "R")).toDF("k", "v", "s"))
+        }
+      }
+      for (rel <- Seq(-1, -2, -4))
+        assert(rows(t.diffRelative(rel)) === rows(joinDiff(t, rel)),
+          s"seed $seed rel $rel ops $ops")
     }
   }
 
