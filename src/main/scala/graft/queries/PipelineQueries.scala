@@ -399,6 +399,33 @@ object PipelineQueries {
         .select(col("bg"), col("n"), col("rnk"))
     },
 
+    // JSON metadata parsing — the sidecar format every pipeline stage
+    // actually receives (crawl records, dataset cards, annotation
+    // payloads). The fixture builds each record's JSON EXPLICITLY (same
+    // bytes in both engines — no serializer formatting in the contract),
+    // then exercises the real parse path: from_json with an explicit
+    // schema into typed fields (codegen'd, no UDF), a JSONPath extract,
+    // and an array element — per-row algebra, zero shuffle. A production
+    // reader does exactly this against a raw string column; schema-on-read
+    // means a malformed record nulls its fields instead of failing the
+    // scan.
+    "text_json" -> { (s, d) =>
+      val meta = concat(lit("""{"id":"""), col("doc_id"),
+        lit(""","lang":""""), col("lang"),
+        lit("""","n":"""), col("n_chars"),
+        lit(""","tags":["t"""), col("doc_id") % 7,
+        lit("""","src-"""), col("source"), lit(""""]}"""))
+      val schema = "id BIGINT, lang STRING, n BIGINT, tags ARRAY<STRING>"
+      Tables(s, d, "documents")
+        .select(col("doc_id"), meta.as("meta"))
+        .select(col("doc_id"),
+          from_json(col("meta"), org.apache.spark.sql.types.StructType
+            .fromDDL(schema)).as("j"),
+          get_json_object(col("meta"), "$.tags[1]").as("tag1"))
+        .select(col("doc_id"), col("j.lang").as("j_lang"),
+          col("j.n").as("j_n"), col("j.tags")(0).as("tag0"), col("tag1"))
+    },
+
     // L2 normalization — the prerequisite for cosine ANN (a dot product
     // of unit vectors IS the cosine; ann_topk/ann_ivf assume it). Pure
     // per-row algebra, zero shuffle. Exactness across engines: the square
@@ -1331,6 +1358,20 @@ object PipelineQueries {
         |SELECT bg, n,
         |       CAST(row_number() OVER (ORDER BY n DESC, bg ASC) AS BIGINT) AS rnk
         |FROM c QUALIFY rnk <= 100""".stripMargin,
+
+    // same explicit JSON bytes, parsed with DuckDB's json functions
+    "text_json" ->
+      """WITH m AS (SELECT doc_id,
+        |  '{"id":' || doc_id || ',"lang":"' || lang || '","n":' || n_chars
+        |    || ',"tags":["t' || (doc_id % 7) || '","src-' || source || '"]}'
+        |    AS meta
+        |  FROM documents)
+        |SELECT doc_id,
+        |  json_extract_string(meta, '$.lang') AS j_lang,
+        |  CAST(json_extract(meta, '$.n') AS BIGINT) AS j_n,
+        |  json_extract_string(meta, '$.tags[0]') AS tag0,
+        |  json_extract_string(meta, '$.tags[1]') AS tag1
+        |FROM m""".stripMargin,
 
     // the same left-fold square sum, sqrt, and ppm floor — both engines
     // compute identical doubles at every step (see the Spark-side note)
