@@ -216,7 +216,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
    * harmless and the next swap reclaims it; a wrong bound here would
    * delete live data.
    */
-  private def healLeftoverTail(tailDir: Path, floor: Int): Unit =
+  private def healLeftoverTail(tailDir: Path, floor: Long): Unit =
     if (floor > 0 && isDir(tailDir)) {
       fs.listStatus(tailDir).foreach { s =>
         if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
@@ -236,7 +236,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val old = new Path(dir(name), "base_old")
     if (isDir(base)) base
     else if (isDir(old)) old
-    else { require(pathExists(metaPath(name)), s"no such table: $name"); base }
+    else { require(metaExists(name), s"no such table: $name"); base }
   }
 
   /** Append new lineage rows to the table's tail (reference: tail-page
@@ -257,7 +257,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
    * a failing op aborts before anything is written.
    */
   def tryCommit(name: String, txn: Txn,
-                expectedOpSeq: Int): Either[Throwable, LineageTable] =
+                expectedOpSeq: Long): Either[Throwable, LineageTable] =
     lock(name).synchronized {
       Try {
         val meta = readMeta(name)
@@ -380,7 +380,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val meta = readMeta(name)
     val t = getTable(name)
     restampSwap(name, meta, rankByVerDesc(meta.key, t.lineage),
-      stampBudget(t.opSeq), multiPossible = true)
+      t.opSeq + depthBudget(meta.key, t.lineage), multiPossible = true)
   }
 
   /** Newest-first per-key rank — the shared pre-step of every re-stamp. */
@@ -389,13 +389,26 @@ final class Catalog(spark: SparkSession, warehouse: String,
     rows.withColumn("_rn", row_number().over(
       Window.partitionBy(col(key)).orderBy(col(LineageTable.VER).desc)))
 
-  /** Stamp budget for a full-depth re-stamp: op_seq + 1 bounds the deepest
-    * per-key history (versions are stamped 0..op_seq, at most once per
-    * key), so `op_seq + (op_seq + 1)` shadows every old stamp WITHOUT the
-    * max-rank aggregate job this used to cost — stamps get gaps, never
-    * collisions, and version addressing is rank-relative so gaps are
-    * invisible. Stays far from Int overflow for any real op history. */
-  private def stampBudget(opSeq: Int): Int = opSeq + opSeq + 1
+  /** Depth term of the stamp budget for a full-depth re-stamp
+    * ([[foldTail]]/[[purge]]): new stamps must strictly shadow every
+    * existing stamp (≤ op_seq) during the crash window before a leftover
+    * tail heals, so the budget is `op_seq + deepest per-key history`. The
+    * depth is one map-side-combinable groupBy-count over the key column
+    * alone — a column-pruned scan, no window, no sort — and makes op_seq
+    * grow LINEARLY with real history. (The previous `2*op_seq + 1` budget
+    * avoided this aggregate but DOUBLED op_seq on every fold: with
+    * default-on auto-compaction that overflowed Int after ~31 folds,
+    * silently inverting version order. op_seq is Long now as well, so
+    * even pathological single-key histories cannot overflow.) Stamps
+    * still get gaps, never collisions; version addressing is
+    * rank-relative so gaps are invisible. */
+  private def depthBudget(key: String,
+                          rows: org.apache.spark.sql.DataFrame): Long =
+    rows.groupBy(col(key)).agg(count(lit(1)).as("_d"))
+      .agg(max(col("_d"))).head() match {
+        case r if r.isNullAt(0) => 1L // empty lineage: any positive budget
+        case r                  => r.getLong(0)
+      }
 
   /**
    * Persist a retention vacuum (see [[LineageTable.vacuum]]): physically
@@ -436,8 +449,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
    * by the next [[getTable]] ([[healLeftoverTail]] matches its files by
    * footer `_ver` bounds), so erasure converges on the next table load
    * with no manual follow-up op. The stamp budget comes from op_seq
-   * ([[stampBudget]]), not from an extra max-depth aggregate over the
-   * surviving lineage — one table scan total (the staged write).
+   * ([[depthBudget]] over the FULL lineage — a safe upper bound on the
+   * surviving depth that avoids running the purge anti-join twice).
    */
   def purge(name: String,
             predicate: org.apache.spark.sql.Column): LineageTable =
@@ -445,7 +458,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
       val meta = readMeta(name)
       val t = getTable(name)
       restampSwap(name, meta, rankByVerDesc(meta.key, t.purge(predicate).lineage),
-        stampBudget(t.opSeq), multiPossible = t.opSeq > 0)
+        t.opSeq + depthBudget(meta.key, t.lineage), multiPossible = t.opSeq > 0)
     }
 
   /**
@@ -472,7 +485,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
    * single-column scan of what was just written).
    */
   private def restampSwap(name: String, meta: Meta, ranked:
-      org.apache.spark.sql.DataFrame, opSeqNew: Int,
+      org.apache.spark.sql.DataFrame, opSeqNew: Long,
       multiPossible: Boolean): LineageTable = {
     val layoutCol = meta.index.getOrElse(meta.key)
     val staged = new Path(dir(name), "base_staged")
@@ -539,11 +552,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
       require(!meta.columns.contains(column),
         s"$name already has column $column")
       // every rejection must land BEFORE the meta write — a persisted bad
-      // column name or type bricks every subsequent getTable: the lineage
-      // metadata names collide with the stamp columns every read selects,
-      require(!Seq(LineageTable.VER, LineageTable.DEL, "_rn", "_cnt")
-          .contains(column),
-        s"$column is a reserved lineage column name")
+      // column name or type bricks every subsequent getTable. The whole
+      // leading-underscore namespace is reserved, not just the stamp
+      // columns (_ver/_del): internal working columns (_rn, _cnt, _kcnt,
+      // _match_key, _old, _new, _d, ...) would silently overwrite and
+      // drop a user column of the same name mid-operation.
+      require(!column.startsWith("_"),
+        s"$column: leading-underscore names are reserved for lineage internals")
       // and an unparseable type name would fail the null-fill cast
       org.apache.spark.sql.types.DataType.fromDDL(tpe)
       writeMeta(name, meta.copy(columns = meta.columns :+ column,
@@ -588,7 +603,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
   // ------------------------------------------------------------- metadata
 
   private case class Meta(key: String, columns: Seq[String],
-                          index: Option[String], opSeq: Int,
+                          index: Option[String], opSeq: Long,
                           /** True when the base itself holds multi-version
                             * history (a keep>1 vacuum) — the empty-tail
                             * fast path and footer inventory must not fire. */
@@ -597,7 +612,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * every legitimate tail row stamps ABOVE this,
                             * so a tail file wholly at-or-below it is a
                             * crash leftover ([[healLeftoverTail]]). */
-                          tailFloor: Int = 0,
+                          tailFloor: Long = 0,
                           /** Columns added by [[addColumn]] after creation,
                             * with their declared types (parallel seqs):
                             * files written before the add lack the column
@@ -626,6 +641,15 @@ final class Catalog(spark: SparkSession, warehouse: String,
    * the complete stage. Every state is readable.
    */
   private def writeMeta(name: String, m: Meta): Unit = {
+    // Adopt a crash-orphaned stage BEFORE overwriting it: while the main
+    // file is absent, readers serve directly off the stage ([[readMeta]]
+    // never renames — promotion on the read path could steal the rename
+    // from a concurrent lock-holding writer and abort its commit), so
+    // rewriting the stage in place here could tear a concurrent read.
+    // Writers hold the table lock on every mutating path, so this rename
+    // races only with readers — who read main first and fall back.
+    if (!pathExists(metaPath(name)) && pathExists(metaTmpPath(name)))
+      move(metaTmpPath(name), metaPath(name))
     val cols = m.columns.map(c => "\"" + checked(c) + "\"").mkString(", ")
     val idx = m.index.map(i => "\"" + checked(i) + "\"").getOrElse("null")
     val ac = m.addedCols.map(c => "\"" + checked(c) + "\"").mkString(", ")
@@ -640,15 +664,24 @@ final class Catalog(spark: SparkSession, warehouse: String,
   }
 
   private def readMeta(name: String): Meta = {
-    // adopt a crash-orphaned stage: the stage is only ever written
-    // COMPLETE, and the main file is deleted only after the stage exists,
-    // so "no main file but a stage" means the rename didn't land — finish
-    // it (write path is idempotent; concurrent readers race benignly in
-    // one JVM via the table lock on the write side)
-    if (!pathExists(metaPath(name)) && pathExists(metaTmpPath(name)))
-      move(metaTmpPath(name), metaPath(name))
-    require(pathExists(metaPath(name)), s"no such table: $name")
-    val json = readString(metaPath(name))
+    // READ-ONLY recovery: when the main file is absent but a stage exists
+    // (a crash between writeMeta's delete and rename), read the stage's
+    // contents directly — it is only ever written COMPLETE before the
+    // main file is deleted. Readers never rename: a read-path promotion
+    // would race the lock-holding writer mid-writeMeta (readers take no
+    // lock), steal its rename, and fail the writer's move() — a spurious
+    // commit abort with op_seq already advanced. Promotion belongs to
+    // writers ([[writeMeta]] adopts an orphan stage under the lock). The
+    // main file is retried once after a stage miss because a concurrent
+    // writer's rename can move the stage between our two reads.
+    def tryRead(p: Path): Option[String] =
+      try Some(readString(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    val json = tryRead(metaPath(name))
+      .orElse(tryRead(metaTmpPath(name)))
+      .orElse(tryRead(metaPath(name)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: no such table: $name"))
     // metadata is written by writeMeta above — a flat object of checked
     // identifiers and an int; regexes are unambiguous here.
     val key = "\"key\"\\s*:\\s*\"([^\"]+)\"".r
@@ -659,12 +692,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val idx = "\"index\"\\s*:\\s*\"([^\"]+)\"".r
       .findFirstMatchIn(json).map(_.group(1))
     val seq = "\"op_seq\"\\s*:\\s*(\\d+)".r
-      .findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
+      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
     // absent in metas written before the field existed → false / 0
     val mv = "\"multi_ver\"\\s*:\\s*(true|false)".r
       .findFirstMatchIn(json).exists(_.group(1) == "true")
     val floor = "\"tail_floor\"\\s*:\\s*(\\d+)".r
-      .findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
+      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
     def strList(field: String): Seq[String] =
       (s""""$field"\\s*:\\s*\\[([^\\]]*)\\]""").r
         .findFirstMatchIn(json).map(_.group(1)).filter(_.trim.nonEmpty)

@@ -45,7 +45,7 @@ final class LineageTable private (
       * key is a deterministic upsert. Within ONE op each key must appear at
       * most once (the reference's primary index rejects duplicate-key
       * inserts); predicate-driven ops satisfy this by construction. */
-    private[core] val opSeq: Int,
+    private[core] val opSeq: Long,
     /** Rows appended by ops since this table was loaded (None = none):
       * exactly what a durable commit must write. [[Catalog.commit]] appends
       * this delta — never a diff of full lineages. */
@@ -253,7 +253,7 @@ final class LineageTable private (
    */
   def compact: LineageTable =
     new LineageTable(keyCol, dataCols,
-      snapshotMeta.withColumn(VER, lit(0)).withColumn(DEL, lit(0)),
+      snapshotMeta.withColumn(VER, lit(0L)).withColumn(DEL, lit(0)),
       opSeq = 0, delta = None, compactedOnly = true)
 
   /**
@@ -369,7 +369,7 @@ object LineageTable {
   /** Re-attach a persisted lineage (already carries _ver/_del) — used by
     * [[Catalog]] when reopening a warehouse table. */
   private[core] def fromPersisted(keyCol: String, dataCols: Seq[String],
-                                  lineage: DataFrame, maxVer: Int,
+                                  lineage: DataFrame, maxVer: Long,
                                   tailEmpty: Boolean): LineageTable =
     new LineageTable(keyCol, dataCols, lineage, maxVer, delta = None,
       compactedOnly = tailEmpty)
@@ -379,7 +379,7 @@ object LineageTable {
     val dataCols = rows.columns.toSeq
     require(dataCols.contains(keyCol), s"key column $keyCol not in ${dataCols.mkString(",")}")
     new LineageTable(keyCol, dataCols,
-      rows.withColumn(VER, lit(0)).withColumn(DEL, lit(0)), opSeq = 0,
+      rows.withColumn(VER, lit(0L)).withColumn(DEL, lit(0)), opSeq = 0,
       delta = None, compactedOnly = true)
   }
 }

@@ -50,8 +50,23 @@ object OlapQueries {
   private val bucketCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
-  private def bucketedTables(s: SparkSession, d: String): (String, String) =
-    bucketCache.getOrElseUpdate(d, {
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    // the cache stores NAMES registered in a session catalog, but the map
+    // is JVM-global: if the session (and its catalog) was stopped and
+    // recreated since the build, the cached names dangle — verify they
+    // still resolve in THIS session's catalog before reuse, else rebuild
+    // (writeBucketed drops stale tables/locations, so a rebuild is safe)
+    bucketCache.get(d)
+      .filter { case (li, ord) =>
+        s.catalog.tableExists(li) && s.catalog.tableExists(ord) }
+      .getOrElse {
+        val built = buildBucketed(s, d)
+        bucketCache.put(d, built)
+        built
+      }
+  }
+
+  private def buildBucketed(s: SparkSession, d: String): (String, String) = {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val li = s"graft_bkt_lineitem_$tag"
       val ord = s"graft_bkt_orders_$tag"
@@ -64,16 +79,19 @@ object OlapQueries {
           col("o_orderstatus")),
         ord, "orderkey", 8)
       (li, ord)
-    })
+  }
 
   /** Conf-scoped clone for [[q_bloom_join]] — one per parent session, built
     * lazily and reused (same SparkContext, same extensions; see scaladoc on
     * the query for why each conf is set). */
   private val bloomCache =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+    // weak parent keys, like Tuning.scaled / StreamOps.streamSessions: a
+    // clone lives exactly as long as its parent session is reachable
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
 
   private def bloomSession(s: SparkSession): SparkSession =
-    bloomCache.getOrElseUpdate(s, {
+    bloomCache.computeIfAbsent(s, _ => {
       val c = s.newSession()
       // newSession() builds its state from the shared INITIAL options, not
       // the parent's runtime conf — when the parent is a Tuning clone, its

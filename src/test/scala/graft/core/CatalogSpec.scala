@@ -399,6 +399,15 @@ class CatalogSpec extends SparkSpec {
       .map(_.getAs[Long]("v")).toSeq === Seq(15L))
     assert(t.asOfRelative(-9).where(col("k") === 1L).collect()
       .map(_.getAs[Long]("v")).toSeq === Seq(10L)) // clamps at base
+    // op_seq grows LINEARLY with real history across folds: each fold
+    // advances it by exactly the deepest per-key depth (here: 1+commits
+    // on k=1), never by doubling. The old 2*op_seq+1 budget reached
+    // ~2^folds here and overflowed Int on long-lived tables; with 6
+    // commits and a fold on every one of them the worst linear bound is
+    // base(0) + Σ depth_i ≤ 6 * 7 = 42, and exponential growth would
+    // already exceed it at this cadence (2^6 * initial stamps > 64).
+    assert(t.opSeq <= 42L,
+      s"op_seq ${t.opSeq} after 6 folded commits — superlinear stamp growth?")
   }
 
   test("full warehouse lifecycle over an explicit file:-scheme Hadoop path") {
@@ -434,7 +443,10 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("metadata writes are crash-atomic: every torn state is readable") {
-    val (cat, wh) = freshCatalog()
+    // autoCompact off: compaction re-stamps op_seq by measured depth,
+    // which would make the post-adoption op_seq assertions below
+    // depend on fold cadence instead of the crash protocol under test
+    val (cat, wh) = freshCatalog(autoCompact = false)
     cat.createTable("t", "k", base)
     cat.commit("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(11L))))
     val meta = java.nio.file.Paths.get(wh, "t", "_graft.json")
@@ -446,19 +458,31 @@ class CatalogSpec extends SparkSpec {
       current.replaceAll("\"op_seq\": \\d+", "\"op_seq\": 77"))
     assert(new Catalog(spark, wh).getTable("t").snapshot.count() === 3)
     assert(Files.readString(meta) === current, "main meta must win while present")
-    // crash window B: main deleted, rename not landed → the COMPLETE
-    // stage is adopted on the next read
+    // crash window B: main deleted, rename not landed → reads serve the
+    // COMPLETE stage directly (READ-ONLY: a read-path rename could steal
+    // the move from a concurrent lock-holding writer mid-writeMeta and
+    // abort its commit — readers never take the table lock)
     Files.delete(meta)
-    val adopted = new Catalog(spark, wh)
+    val adopted = new Catalog(spark, wh, autoCompact = false)
     assert(adopted.tableNames === Seq("t"), "staged-only table must be listed")
     assert(adopted.getTable("t").opSeq === 77) // the stage's op_seq
-    assert(Files.exists(meta) && !Files.exists(tmp), "stage must be promoted")
+    assert(!Files.exists(meta) && Files.exists(tmp),
+      "reads must never promote the stage")
+    // the next WRITE adopts the orphan stage under the table lock, then
+    // lands its own meta — main restored, no stage left behind
+    adopted.commit("t", Txn.empty.update(col("k") === 2L, Map("v" -> lit(21L))))
+    assert(Files.exists(meta) && !Files.exists(tmp),
+      "a lock-holding writer must promote the stage")
+    assert(adopted.getTable("t").opSeq === 78) // 77 adopted + 1 committed op
   }
 
-  test("purge runs without a separate max-depth aggregate job") {
-    // the stamp budget comes from op_seq (a safe bound), so purge's only
-    // table-wide work is the staged write + the pruned multi_ver check —
-    // count the Spark jobs to pin it (a depth-collect regression adds one)
+  test("purge's depth budget costs one cheap aggregate, never a window") {
+    // the stamp budget is op_seq + max per-key depth — ONE map-side-
+    // combinable groupBy-count over the key column (the price of linear
+    // op_seq growth; the old 2*op_seq+1 budget skipped it but doubled
+    // op_seq per fold, overflowing Int after ~31 auto-compactions) —
+    // count the Spark jobs to pin that no WINDOWED rank aggregate
+    // (shuffle+sort, +3 jobs when it last existed) sneaks back in
     val (cat, _) = freshCatalog(autoCompact = false)
     cat.createTable("t", "k", base)
     cat.commit("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(11L))))
@@ -475,11 +499,12 @@ class CatalogSpec extends SparkSpec {
       // (undercounting is the safe direction for this upper-bound assert)
       Thread.sleep(300)
     } finally spark.sparkContext.removeSparkListener(listener)
-    // measured 11 jobs: the staged write under AQE (range-partition
-    // sampling + per-stage jobs) + the pruned multi_ver probe. The old
-    // implementation ran a full-lineage windowed max(_rn) aggregate with
-    // its own shuffle on top (+3 jobs); this bound trips if it returns.
-    assert(counter.get() <= 12, s"purge ran ${counter.get()} jobs — depth job back?")
+    // measured 11 jobs before the depth aggregate: the staged write under
+    // AQE (range-partition sampling + per-stage jobs) + the pruned
+    // multi_ver probe. The groupBy-count depth budget adds ~2 (partial +
+    // final agg); a windowed rank aggregate would add ~3 more on top —
+    // this bound trips if one returns.
+    assert(counter.get() <= 14, s"purge ran ${counter.get()} jobs — windowed depth job back?")
   }
 
   test("inventory lists every table with live row counts") {
