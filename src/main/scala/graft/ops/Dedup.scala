@@ -30,6 +30,35 @@ object Dedup {
       .groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("sz"), min(col("doc_id")).as("keeper"))
 
+  /**
+   * Streaming exact dedup with BOUNDED state: emit the first occurrence
+   * of each text hash, and EVICT a hash's state row once the event-time
+   * watermark passes its arrival time + `ttl`
+   * (`dropDuplicatesWithinWatermark` — state is bounded by the hashes
+   * seen within one TTL window, not by all hashes ever).
+   *
+   * This is the at-scale answer to complete-mode streaming dedup
+   * ([[exactClusters]] over a stream keeps one state row per distinct
+   * hash FOREVER — billions of rows at 100 TB): near-in-time duplicates
+   * (crawl re-fetches, retry storms — the dominant streaming dup class)
+   * dedup with watermark-bounded state, while full-history dedup against
+   * the standing corpus belongs to the batch `incrementalPairs` shape
+   * (new batch vs corpus, no unbounded streaming state either).
+   *
+   * A duplicate arriving AFTER its hash's state was evicted re-emits —
+   * the documented TTL trade. Callers that need a deterministic drain
+   * (the driver oracle) choose a TTL covering the drained window's whole
+   * event-time span, making the result exactly one row per distinct
+   * hash; only hash-determined columns are then safe to project (which
+   * physical duplicate is kept is arrival order).
+   */
+  def exactFirstWithinTtl(stream: DataFrame, eventCol: String,
+                          ttl: String): DataFrame =
+    stream
+      .withColumn("h", md5(col("text")))
+      .withWatermark(eventCol, ttl)
+      .dropDuplicatesWithinWatermark("h")
+
   private def docShingles(corpus: DataFrame): DataFrame =
     corpus.select(col("doc_id"),
       explode(shingles(tokens(col("text")))).as("sh"))

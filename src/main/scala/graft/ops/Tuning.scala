@@ -40,9 +40,16 @@ import org.apache.spark.sql.SparkSession
  * the same arithmetic yields the width the executor count can absorb.
  */
 object Tuning {
-  /** Clones keyed by (parent session, width): one clone per distinct width,
-    * reused across queries and bench iterations. */
-  private val scaled = new ConcurrentHashMap[(SparkSession, Int), SparkSession]()
+  /** Clones keyed by parent session → width: one clone per distinct width,
+    * reused across queries and bench iterations. The outer map holds the
+    * parent session WEAKLY so a long-lived service that creates and drops
+    * sessions cannot accumulate clones forever — a clone's lifetime is its
+    * parent's (newSession() shares the context/sharedState but keeps no
+    * reference to the parent, so the value never pins its own key). The
+    * inner per-parent map is bounded by the handful of distinct widths the
+    * byte-based sizing can produce. */
+  private val scaled = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[Int, SparkSession]]())
 
   /** Total on-disk bytes of `<sfDir>/<table>.parquet` (file or directory),
     * through the path's own Hadoop FileSystem — works on file:/hdfs:/s3a:
@@ -68,11 +75,13 @@ object Tuning {
     val want = tables.map(tableBytes(spark, sfDir, _)).sum / bytesPerPartition
     val width = math.min(maxPartitions.toLong, want).toInt
     if (width <= base) spark
-    else scaled.computeIfAbsent((spark, width), _ => {
-      val clone = spark.newSession()
-      clone.conf.set(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", width.toString)
-      clone
-    })
+    else scaled
+      .computeIfAbsent(spark, _ => new ConcurrentHashMap[Int, SparkSession]())
+      .computeIfAbsent(width, _ => {
+        val clone = spark.newSession()
+        clone.conf.set(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum", width.toString)
+        clone
+      })
   }
 }

@@ -700,6 +700,26 @@ object PipelineQueries {
         StreamOps.fileSource(s, d, "documents").select(col("doc_id"), col("text"))))
     },
 
+    // Streaming dedup with BOUNDED state (the 100 TB shape): first
+    // occurrence per text hash, state row EVICTED once the watermark
+    // passes its event time + TTL (dropDuplicatesWithinWatermark) —
+    // unlike stream_dedup above, whose complete-mode state grows with
+    // every distinct hash forever. Event time is synthesized from doc_id
+    // (1s apart) and the TTL covers the drained window's whole span, so
+    // the result is deterministically one row per distinct hash; only
+    // hash-determined columns are projected (which duplicate is kept is
+    // arrival order). StreamStateSpec pins the eviction itself.
+    "stream_dedup_ttl" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val src = StreamOps.fileSource(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L)
+            .as("ets"))
+      StreamOps.drainAppend(s,
+        Dedup.exactFirstWithinTtl(src, "ets", "30 days")
+          .select(col("h"), col("n_chars")))
+    },
+
     // Batch twin of the flatMapGroupsWithState sessionizer (streaming
     // parity is SessionizeSpec); gap-based sessions are the canonical
     // "state the built-in windows can't express" workload.
@@ -1440,6 +1460,12 @@ object PipelineQueries {
     "stream_dedup" ->
       """SELECT md5(text) AS h, COUNT(*) AS sz, MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // TTL covers the whole drained span ⇒ exactly one row per distinct
+    // hash; only hash-determined columns appear (n_chars is a function
+    // of text), so DISTINCT is the exact oracle
+    "stream_dedup_ttl" ->
+      """SELECT DISTINCT md5(text) AS h, n_chars FROM documents""",
 
     // full drain (single AvailableNow batch) ⇒ no late data ⇒ the
     // stream-stream join equals the batch self-join exactly

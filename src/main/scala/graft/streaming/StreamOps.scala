@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 
@@ -34,7 +35,12 @@ object StreamOps {
    * own width at query start the same way — on their own session.
    */
   private val streamSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    // WEAK parent keys: a clone lives exactly as long as its parent
+    // session is reachable, so a long-lived service creating sessions
+    // cannot leak clones (newSession() keeps no reference back to the
+    // parent, so the value never pins its own key)
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
 
   private def streamSession(spark: SparkSession): SparkSession =
     streamSessions.computeIfAbsent(spark, s => {
@@ -78,6 +84,34 @@ object StreamOps {
   def drainAppend(spark: SparkSession, plan: DataFrame): DataFrame =
     drain(spark, plan, "append")
 
+  /**
+   * Scratch dir for one drain's micro-batch spill + checkpoint, resolved
+   * through the session's Hadoop [[org.apache.hadoop.fs.FileSystem]] —
+   * the same discipline as [[graft.core.Catalog]]'s staged writes, and
+   * for the same reason: a `java.nio` driver-local temp dir becomes a
+   * `file:/tmp/...` sink on a real cluster, where every EXECUTOR writes
+   * its task output to its own machine's disk and the driver's read-back
+   * sees only driver-local files (empty or partial results, silently).
+   * Root resolution: `spark.graft.scratchDir` conf when set (a
+   * production deploy points it at the warehouse FS — s3a:/hdfs:), else
+   * `hadoop.tmp.dir` qualified against the configured default FS (shared
+   * on any real cluster; `file:/tmp/...` on local mode, where local IS
+   * shared). The dir is registered for delete-on-exit with the FS, so
+   * bounded harness runs clean up after themselves.
+   */
+  private def scratch(s: SparkSession): Path = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val root = new Path(
+      s.conf.getOption("spark.graft.scratchDir").getOrElse(
+        hconf.get("hadoop.tmp.dir", "/tmp") + "/graft-scratch"))
+    val fs = root.getFileSystem(hconf)
+    val dir = new Path(fs.makeQualified(root),
+      s"drain_${sinkId.incrementAndGet()}_${java.util.UUID.randomUUID()}")
+    require(fs.mkdirs(dir), s"cannot create drain scratch dir $dir")
+    fs.deleteOnExit(dir)
+    dir
+  }
+
   private def drain(spark: SparkSession, plan: DataFrame, mode: String): DataFrame = {
     // foreachBatch → parquet, NOT the memory sink: the memory sink
     // collects every emitted row at the DRIVER and pins it for the
@@ -87,9 +121,8 @@ object StreamOps {
     // Writing each micro-batch with the cluster and reading the files
     // back keeps the result distributed end to end (and is the shape a
     // production drain takes anyway — cf. drainToParquet).
-    val dir = java.nio.file.Files
-      .createTempDirectory(s"graft_drain_${sinkId.incrementAndGet()}_").toString
-    val out = s"$dir/out"
+    val dir = scratch(spark)
+    val out = new Path(dir, "out")
     // complete mode re-emits the whole result table every batch (last
     // write wins); append mode emits disjoint increments (accumulate)
     val save = if (mode == "complete") SaveMode.Overwrite else SaveMode.Append
@@ -99,16 +132,18 @@ object StreamOps {
     val query = plan.writeStream
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$dir/_ckpt")
+      .option("checkpointLocation", new Path(dir, "_ckpt").toString)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(save).parquet(out)
+        batch.write.mode(save).parquet(out.toString)
       }
       .start()
     try query.awaitTermination() finally query.stop()
     // read the result back on the CALLER's session: downstream batch ops
-    // on it plan with the caller's full width
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(out)))
-      spark.read.parquet(out)
+    // on it plan with the caller's full width. Existence is checked
+    // through the same Hadoop FS the sink wrote through.
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(out))
+      spark.read.parquet(out.toString)
     else // a drained stream with zero batches yields an empty result
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         plan.schema)

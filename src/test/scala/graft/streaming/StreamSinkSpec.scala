@@ -57,6 +57,34 @@ class StreamSinkSpec extends SparkSpec {
       s"caller conf mutated during drain: saw $observed")
   }
 
+  test("drain scratch resolves through the Hadoop FS of an explicit file: URI") {
+    // the drain's micro-batch spill + checkpoint must go through the
+    // session's Hadoop FileSystem (like Catalog's staged writes), never
+    // java.nio: a driver-local temp dir on a real cluster means each
+    // executor writes its task output to its own disk and the read-back
+    // sees only driver-local files. Point spark.graft.scratchDir at an
+    // explicit file:-scheme URI and require the drain to (a) produce the
+    // right result and (b) leave its spill under THAT root.
+    val root = Files.createTempDirectory("graft_scratch_").toString
+    val caller = spark.newSession()
+    caller.conf.set("spark.graft.scratchDir", s"file:$root")
+    val src = StreamOps.fileSource(caller, sfDir, "events")
+      .select(col("event_id"), col("event_type"))
+    val counts = StreamOps.drainComplete(caller,
+      src.groupBy(col("event_type")).agg(count(lit(1)).as("n")))
+    val want = caller.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(counts.collect().map(_.toSeq).toSet === want)
+    // the spill landed under the configured root: one drain_* dir holding
+    // the parquet out/ and the checkpoint
+    val drains = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("drain_"))
+    assert(drains.nonEmpty, s"no drain scratch under configured root $root")
+    assert(drains.exists(d => new java.io.File(d, "out").isDirectory),
+      "micro-batch spill not under the configured scratch root")
+  }
+
   test("sink resumes over files that arrived between drains, exactly once") {
     // continuous-ingestion shape: drain, new files land, drain again —
     // the checkpoint must advance past old files and pick up ONLY the new
