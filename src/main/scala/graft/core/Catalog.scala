@@ -65,9 +65,12 @@ import org.apache.spark.sql.functions._
  * (lstore/transaction.py:26-38); here [[tryCommit]] validates that
  * `op_seq` has not moved since the caller loaded its base and aborts
  * (Left) if it has — a compare-and-swap on the table's metadata. Within
- * one JVM the check-and-write is linearized by a per-table lock; across
- * processes it is best-effort detection (a distributed deployment fronts
- * the metadata with an atomic-rename protocol). Readers always see a
+ * one JVM the check-and-write is linearized by a per-table lock; ACROSS
+ * processes by a create-if-absent `_commit.lock` marker
+ * ([[withCommitMarker]] — atomic on HDFS/local; on S3, conditional put
+ * on the metadata or a commit service, as Delta/Iceberg). A contending
+ * process aborts with Left exactly like a stale op_seq; a crashed
+ * writer's marker is broken after a lease. Readers always see a
  * consistent snapshot because parquet files are immutable. Cross-TABLE
  * parallelism is free under this discipline: [[Txn.runBatches]] drives
  * independent tables' batches concurrently.
@@ -83,6 +86,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
   private def dir(table: String) = new Path(root, table)
   private def metaPath(table: String) = new Path(dir(table), "_graft.json")
   private def metaTmpPath(table: String) = new Path(dir(table), "_graft.json.tmp")
+  private def projDir(table: String, column: String) =
+    new Path(new Path(dir(table), "proj"), column)
 
   // ------------------------------------------------- Hadoop-FS primitives
 
@@ -124,6 +129,65 @@ final class Catalog(spark: SparkSession, warehouse: String,
   private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
   private def lock(name: String): Object =
     locks.getOrElseUpdate(name, new Object)
+
+  /** Tables whose commit marker THIS thread already holds — mutators
+    * nest (tryCommit → auto-compaction → foldTail), and the inner op must
+    * ride the outer op's marker, not deadlock against it. */
+  private val markerHeld = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  }
+
+  /** How stale a marker must be before it is presumed a crashed writer's
+    * leftover and broken. Mutators hold the marker only across metadata
+    * ops and staged-file renames (the big parquet writes stage BEFORE the
+    * swap), so a healthy writer releases in seconds. */
+  private val markerLeaseMs: Long = 15 * 60 * 1000
+
+  /**
+   * CROSS-PROCESS commit exclusion — the FS-level half of the
+   * concurrency model (the JVM lock above linearizes threads; this
+   * linearizes processes): a `_commit.lock` marker created with
+   * create-if-absent, which is atomic on HDFS (and the usual POSIX local
+   * FS); object stores without atomic create take the same story as the
+   * metadata rename — front the METADATA with a store that has
+   * conditional put (S3 If-None-Match) or a commit service, as
+   * Delta/Iceberg do. A marker older than [[markerLeaseMs]] is presumed
+   * a crashed writer's leftover and broken (every mutation is staged +
+   * re-validated, so breaking a live-but-stuck writer's lease degrades
+   * to the optimistic abort, never to corruption: the loser's op_seq
+   * check or swap rename fails). Contention throws
+   * [[ConcurrentModificationException]] — in [[tryCommit]] that
+   * surfaces as the Left abort the optimistic protocol already hands
+   * callers.
+   */
+  private def withCommitMarker[A](name: String)(body: => A): A = {
+    if (markerHeld.get.contains(name)) return body
+    val marker = new Path(dir(name), "_commit.lock")
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(marker, false)
+        try out.write(java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getName.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    val acquired = tryCreate() || {
+      val stale =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(marker).getModificationTime > markerLeaseMs
+        catch { case _: java.io.FileNotFoundException => true }
+      stale && { fs.delete(marker, false); tryCreate() }
+    }
+    if (!acquired)
+      throw new ConcurrentModificationException(
+        s"$name: another process holds the commit marker")
+    markerHeld.get += name
+    try body
+    finally {
+      markerHeld.get -= name
+      fs.delete(marker, false)
+    }
+  }
 
   // ---------------------------------------------------------------- tables
 
@@ -259,7 +323,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
   def tryCommit(name: String, txn: Txn,
                 expectedOpSeq: Long): Either[Throwable, LineageTable] =
     lock(name).synchronized {
-      Try {
+      Try { withCommitMarker(name) {
         val meta = readMeta(name)
         if (meta.opSeq != expectedOpSeq)
           throw new ConcurrentModificationException(
@@ -272,11 +336,22 @@ final class Catalog(spark: SparkSession, warehouse: String,
         // stamp onto different rows, making snapshot row_number ties
         // nondeterministic forever.
         writeMeta(name, meta.copy(opSeq = after.opSeq))
+        // projection maintenance is O(delta): append only the delta's
+        // (column, key) pairs to each projection — BEFORE the tail lands,
+        // so a crash between the two leaves the projection a SUPERSET of
+        // the lineage (extra candidate keys are filtered by the probe's
+        // final predicate re-application; a missing key would lose rows)
+        after.delta.foreach { d =>
+          meta.projCols.foreach { c =>
+            d.select(col(c), col(meta.key))
+              .write.mode(SaveMode.Append).parquet(projDir(name, c).toString)
+          }
+        }
         after.delta.foreach(appendTail(name, _))
         // the reference's background-merge trigger, run inline on commit
         if (autoCompact) maybeCompact(name, compactRatio, preserveHistory = true)
         getTable(name)
-      }.toEither
+      } }.toEither
     }
 
   /** [[tryCommit]] against the CURRENT stored state (base re-loaded under
@@ -297,7 +372,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * adopted, and [[getTable]] falls back to base_old if a crash lands
     * between the two renames. */
   def saveCompacted(name: String, t: LineageTable): Unit =
-    lock(name).synchronized {
+    lock(name).synchronized { withCommitMarker(name) {
       val meta = readMeta(name)
       val layoutCol = meta.index.getOrElse(t.keyCol)
       val staged = new Path(dir(name), "base_staged")
@@ -309,13 +384,15 @@ final class Catalog(spark: SparkSession, warehouse: String,
         .repartitionByRange(col(layoutCol))
         .sortWithinPartitions(col(layoutCol))
         .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+      dropProjectionFiles(name, meta) // crash ⇒ probe falls back, never stale
       swapBase(name)
       deleteRecursively(new Path(dir(name), "tail"))
       // op_seq resets to 0, so tail_floor MUST reset with it: the heal
       // invariant is "legitimate tail rows stamp above the floor", and
       // post-compaction commits stamp from 1 again.
       writeMeta(name, meta.copy(opSeq = 0, multiVer = false, tailFloor = 0))
-    }
+      rebuildProjections(name, meta)
+    } }
 
   /** Crash-tolerant base adoption shared by [[saveCompacted]] and
     * [[restampSwap]]: retire base to base_old, adopt base_staged, clean
@@ -377,10 +454,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
    * duplicate (key, _ver) pairs if a crash left the old tail behind.
    */
   def foldTail(name: String): LineageTable = lock(name).synchronized {
-    val meta = readMeta(name)
-    val t = getTable(name)
-    restampSwap(name, meta, rankByVerDesc(meta.key, t.lineage),
-      t.opSeq + depthBudget(meta.key, t.lineage), multiPossible = true)
+    withCommitMarker(name) {
+      val meta = readMeta(name)
+      val t = getTable(name)
+      restampSwap(name, meta, rankByVerDesc(meta.key, t.lineage),
+        t.opSeq + depthBudget(meta.key, t.lineage), multiPossible = true)
+    }
   }
 
   /** Newest-first per-key rank — the shared pre-step of every re-stamp. */
@@ -429,7 +508,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
    * [[getTable]] deletes the leftover outright ([[healLeftoverTail]]).
    */
   def vacuum(name: String, keep: Int = 1): LineageTable =
-    lock(name).synchronized {
+    lock(name).synchronized { withCommitMarker(name) {
       require(keep >= 1, s"must keep at least the newest version, got $keep")
       val meta = readMeta(name)
       val t = getTable(name)
@@ -437,7 +516,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
       // of the keep/lone-tombstone rules) feeding the shared re-stamp swap
       restampSwap(name, meta, t.retained(keep), t.opSeq + keep,
         multiPossible = keep > 1)
-    }
+    } }
 
   /**
    * Persist a hard purge (see [[LineageTable.purge]]) — right-to-be-
@@ -454,12 +533,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
    */
   def purge(name: String,
             predicate: org.apache.spark.sql.Column): LineageTable =
-    lock(name).synchronized {
+    lock(name).synchronized { withCommitMarker(name) {
       val meta = readMeta(name)
       val t = getTable(name)
       restampSwap(name, meta, rankByVerDesc(meta.key, t.purge(predicate).lineage),
         t.opSeq + depthBudget(meta.key, t.lineage), multiPossible = t.opSeq > 0)
-    }
+    } }
 
   /**
    * Shared persistence core for [[vacuum]], [[purge]] and [[foldTail]]:
@@ -499,10 +578,16 @@ final class Catalog(spark: SparkSession, warehouse: String,
       .where(col(LineageTable.VER) < opSeqNew).isEmpty
     val conservative = meta.multiVer || multiPossible
     writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = conservative))
+    // projections go BEFORE the swap (a crash leaves probes falling back
+    // to the full candidate scan — for purge this is what makes erasure
+    // hold: no projection file ever outlives the values it indexed) and
+    // rebuild AFTER from the adopted base
+    dropProjectionFiles(name, meta)
     swapBase(name)
     writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = hasMulti,
       tailFloor = opSeqNew))
     deleteRecursively(new Path(dir(name), "tail"))
+    rebuildProjections(name, meta)
     getTable(name)
   }
 
@@ -512,24 +597,121 @@ final class Catalog(spark: SparkSession, warehouse: String,
    * that column and record it in the metadata, so secondary probes prune
    * at file/row-group level instead of scanning the snapshot.
    */
-  def createIndex(name: String, column: String): LineageTable = {
-    val t = getTable(name)
-    require(t.dataCols.contains(column), s"no such column: $column")
-    writeMeta(name, readMeta(name).copy(index = Some(column)))
-    saveCompacted(name, t)
-    getTable(name)
-  }
+  def createIndex(name: String, column: String): LineageTable =
+    lock(name).synchronized { withCommitMarker(name) {
+      val t = getTable(name)
+      require(t.dataCols.contains(column), s"no such column: $column")
+      writeMeta(name, readMeta(name).copy(index = Some(column)))
+      saveCompacted(name, t)
+      getTable(name)
+    } }
 
   /** Drop the index (reference: Index.drop_index, lstore/index.py:66):
     * forget the metadata and restore the default key layout. */
-  def dropIndex(name: String): LineageTable = {
-    writeMeta(name, readMeta(name).copy(index = None))
-    saveCompacted(name, getTable(name))
-    getTable(name)
-  }
+  def dropIndex(name: String): LineageTable =
+    lock(name).synchronized { withCommitMarker(name) {
+      writeMeta(name, readMeta(name).copy(index = None))
+      saveCompacted(name, getTable(name))
+      getTable(name)
+    } }
 
   /** The indexed column, if an index exists (reference: Index surface). */
   def indexOf(name: String): Option[String] = readMeta(name).index
+
+  // ---------------------------------------------- multi-column projections
+
+  /**
+   * Maintained secondary-index PROJECTION on `column` — the distributed
+   * analog of the reference keeping an independent hash index per column
+   * (lstore/index.py:24-31 initializes one per column; create_index
+   * index.py:59): a slim `(column, key)` side table, range-partitioned +
+   * sorted by `column`, holding one row per lineage row. Unlike
+   * [[createIndex]] (ONE physical base layout — a second call replaces
+   * the first), any number of projections coexist, so point/range probes
+   * on several different columns of one table each prune on their own
+   * sorted projection.
+   *
+   * Maintenance is O(delta): every commit appends just the delta's
+   * `(column, key)` pairs ([[tryCommit]]); compaction/vacuum/purge
+   * rebuild projections from the new base as part of the rewrite they
+   * already pay ([[restampSwap]]/[[saveCompacted]]) — which is also what
+   * makes purge's erasure reach the projections (values are scrubbed
+   * with the base; the projection dirs are DELETED before the swap, so
+   * no crash window retains purged values — a probe with a missing
+   * projection dir falls back to the full candidate scan).
+   *
+   * The probe contract is superset-safe by construction: the projection
+   * lists any key any of whose VERSIONS matched, reconstruction
+   * re-applies the predicate to the live row ([[probeProjected]]), so
+   * stale values (updated/deleted rows pending compaction) cost extra
+   * candidates, never wrong results.
+   */
+  def createProjection(name: String, column: String): Unit =
+    lock(name).synchronized { withCommitMarker(name) {
+      val meta = readMeta(name)
+      val t = getTable(name)
+      require(t.dataCols.contains(column), s"no such column: $column")
+      require(!meta.projCols.contains(column),
+        s"$name already has a projection on $column")
+      t.lineage.select(col(column), col(meta.key))
+        .repartitionByRange(col(column))
+        .sortWithinPartitions(col(column))
+        .write.mode(SaveMode.Overwrite).parquet(projDir(name, column).toString)
+      writeMeta(name, meta.copy(projCols = meta.projCols :+ column))
+    } }
+
+  /** Drop a projection: forget the metadata, delete the side table. */
+  def dropProjection(name: String, column: String): Unit =
+    lock(name).synchronized { withCommitMarker(name) {
+      val meta = readMeta(name)
+      writeMeta(name, meta.copy(projCols = meta.projCols.filterNot(_ == column)))
+      deleteRecursively(projDir(name, column))
+    } }
+
+  /** Columns with a maintained projection (reference: per-column Index). */
+  def projectionsOf(name: String): Seq[String] = readMeta(name).projCols
+
+  /**
+   * Secondary probe THROUGH a projection: candidate keys come from a
+   * pruned scan of the slim sorted `(column, key)` side table (the
+   * predicate pushes to ITS parquet scan, where the sort makes row-group
+   * min-max stats selective), then the lineage is semi-joined down to
+   * those keys and only the candidates are windowed — never the full
+   * table. Falls back to the plain full-lineage probe when no projection
+   * serves `column` (including the purge crash window, which deletes
+   * projection dirs first).
+   */
+  def probeProjected(name: String, column: String,
+                     predicate: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val meta = readMeta(name)
+    val t = getTable(name)
+    val pd = projDir(name, column)
+    if (!meta.projCols.contains(column) || !isDir(pd)) t.probe(predicate)
+    else {
+      val cand = spark.read.parquet(pd.toString)
+        .where(predicate)
+        .select(col(meta.key).as("_match_key")).distinct()
+      t.probeWithCandidates(cand, predicate)
+    }
+  }
+
+  /** Delete projection side tables (pre-swap: crash leaves a FALLBACK,
+    * never a stale projection — essential for purge erasure). */
+  private def dropProjectionFiles(name: String, meta: Meta): Unit =
+    meta.projCols.foreach(c => deleteRecursively(projDir(name, c)))
+
+  /** Rebuild every projection from the (just-swapped) base — part of the
+    * table rewrite compaction/vacuum/purge already pay. */
+  private def rebuildProjections(name: String, meta: Meta): Unit =
+    if (meta.projCols.nonEmpty) {
+      val rows = spark.read.parquet(baseDir(name).toString)
+      meta.projCols.foreach { c =>
+        rows.select(col(c), col(meta.key))
+          .repartitionByRange(col(c))
+          .sortWithinPartitions(col(c))
+          .write.mode(SaveMode.Overwrite).parquet(projDir(name, c).toString)
+      }
+    }
 
   /** Drop a table and its files (reference: Database.drop_table). */
   def dropTable(name: String): Unit = deleteRecursively(dir(name))
@@ -547,7 +729,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
    * the flat metadata encoding round-trips safely.
    */
   def addColumn(name: String, column: String, tpe: String): LineageTable =
-    lock(name).synchronized {
+    lock(name).synchronized { withCommitMarker(name) {
       val meta = readMeta(name)
       require(!meta.columns.contains(column),
         s"$name already has column $column")
@@ -565,7 +747,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
         addedCols = meta.addedCols :+ column,
         addedTypes = meta.addedTypes :+ tpe))
       getTable(name)
-    }
+    } }
 
   /** Catalog inventory: name, live-row count, column count. Empty
     * warehouse → empty result (not an error).
@@ -618,7 +800,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * files written before the add lack the column
                             * and read back as null ([[getTable]] fill). */
                           addedCols: Seq[String] = Nil,
-                          addedTypes: Seq[String] = Nil)
+                          addedTypes: Seq[String] = Nil,
+                          /** Columns with a maintained (column, key)
+                            * projection side table ([[createProjection]]):
+                            * commit appends deltas, compaction rebuilds. */
+                          projCols: Seq[String] = Nil)
 
   // Metadata names are restricted to identifier characters at write time,
   // so the flat JSON below round-trips through the regex reader with no
@@ -654,10 +840,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val idx = m.index.map(i => "\"" + checked(i) + "\"").getOrElse("null")
     val ac = m.addedCols.map(c => "\"" + checked(c) + "\"").mkString(", ")
     val at = m.addedTypes.map(t => "\"" + checked(t) + "\"").mkString(", ")
+    val pc = m.projCols.map(c => "\"" + checked(c) + "\"").mkString(", ")
     val json = s"""{"key": "${checked(m.key)}", "columns": [$cols], """ +
       s""""index": $idx, "op_seq": ${m.opSeq}, "multi_ver": ${m.multiVer}, """ +
       s""""tail_floor": ${m.tailFloor}, """ +
-      s""""added_cols": [$ac], "added_types": [$at]}"""
+      s""""added_cols": [$ac], "added_types": [$at], "proj_cols": [$pc]}"""
     writeString(metaTmpPath(name), json)
     fs.delete(metaPath(name), false)
     move(metaTmpPath(name), metaPath(name))
@@ -704,6 +891,6 @@ final class Catalog(spark: SparkSession, warehouse: String,
         .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
         .getOrElse(Nil)
     Meta(key, cols, idx, seq, mv, floor,
-      strList("added_cols"), strList("added_types"))
+      strList("added_cols"), strList("added_types"), strList("proj_cols"))
   }
 }

@@ -113,11 +113,23 @@ final class LineageTable private (
    * key-partitioned window, because an old version's value must not decide
    * the record's fate).
    */
-  def probe(predicate: Column): DataFrame = {
+  def probe(predicate: Column): DataFrame =
+    probeWithCandidates(matchingKeys(predicate), predicate)
+
+  /** The probe body with the candidate-key set supplied by the caller —
+    * [[probe]] scans the lineage for it; [[Catalog.probeProjected]] reads
+    * a slim maintained (column, key) projection instead, so the semi-join
+    * + window shrink to the candidates without ever scanning the full
+    * table's columns for the candidate discovery either. Contract: `keys`
+    * is a single `_match_key` column holding a SUPERSET of the keys whose
+    * any version matches (the final predicate re-application makes extras
+    * harmless; a missing key would lose rows). */
+  private[core] def probeWithCandidates(keys: DataFrame,
+                                        predicate: Column): DataFrame = {
     if (compactedOnly)
       return lineage.where(col(DEL) === 0).where(predicate)
         .select(dataCols.map(col): _*)
-    val candidates = lineage.join(matchingKeys(predicate),
+    val candidates = lineage.join(keys,
       col(keyCol) <=> col("_match_key"), "left_semi")
     asOfMetaOver(candidates, 0).where(predicate).select(dataCols.map(col): _*)
   }

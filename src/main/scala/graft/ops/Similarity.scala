@@ -79,24 +79,32 @@ object Similarity {
    *   per-vector argmax (window over vec_id: ties break to the lowest
    *   centroid id, fully deterministic).
    *
-   *   probe — each query vector routes to its own max-dot centroid the
-   *   same way, then ranks ONLY that bucket: ~1/C of the corpus scored
-   *   per query instead of all of it, which is the entire point of IVF.
+   *   probe — each query vector routes to its `nProbe` NEAREST centroids
+   *   (rank ≤ nProbe by the same max-dot order), then ranks the union of
+   *   those buckets: ~nProbe/C of the corpus scored per query instead of
+   *   all of it. nProbe is the standard IVF recall/cost knob — a true
+   *   neighbor whose bucket is the query's SECOND-closest centroid is
+   *   invisible at nProbe=1 and found at nProbe=2 (SimilaritySpec plants
+   *   exactly that and pins the strict recall improvement).
    *
    * Scale: assignment is one broadcast + narrow argmax over the corpus
    * (no shuffle beyond the bucket-ranking window, which partitions by
-   * query); the centroid set stays driver-small by construction.
+   * query); the centroid set stays driver-small by construction, and the
+   * probe fan-out multiplies only the broadcast side (nProbe rows per
+   * query), never the corpus scan.
    */
   def ivfBuildProbe(corpus: DataFrame, queries: DataFrame, k: Int,
-                    nCentroids: Int = 16): DataFrame = {
+                    nCentroids: Int = 16, nProbe: Int = 1): DataFrame = {
     val cents = seedCentroids(corpus, nCentroids)
-    def assign(df: DataFrame, idCol: String): DataFrame =
-      assignToCentroids(df, cents, idCol)
-    val bucketed = assign(corpus, "vec_id")
-    val routed = assign(
-        queries.select(col("qid").as("vec_id"), col("qe").as("embedding")), "vec_id")
+    val bucketed = assignToCentroids(corpus, cents, "vec_id")
+    val routed = probeCentroids(
+        queries.select(col("qid").as("vec_id"), col("qe").as("embedding")),
+        cents, "vec_id", nProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
               col("cid").as("qcid"))
+    // every corpus vector lives in exactly ONE bucket (argmax assignment),
+    // so the multi-bucket join yields each candidate at most once per
+    // query — no dedup needed before the ranking window
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("dot").desc, col("vec_id").asc)
     bucketed.join(broadcast(routed), col("cid") === col("qcid"))
@@ -116,13 +124,22 @@ object Similarity {
     * argmax of the exact fixed-order dot (ties break to the lowest cid) —
     * one narrow pass over the corpus plus the per-id argmax window. */
   def assignToCentroids(df: DataFrame, cents: DataFrame,
-                        idCol: String): DataFrame = {
+                        idCol: String): DataFrame =
+    probeCentroids(df, cents, idCol, nProbe = 1)
+
+  /** The `nProbe` nearest centroids per row (rank ≤ nProbe by dot desc,
+    * cid-asc tiebreak) — [[assignToCentroids]] is nProbe = 1; query
+    * routing in [[ivfBuildProbe]] uses nProbe ≥ 1 as the recall knob.
+    * Emits one row per (id, probed centroid). */
+  def probeCentroids(df: DataFrame, cents: DataFrame, idCol: String,
+                     nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("cdot").desc, col("cid").asc)
     df.crossJoin(cents)
       .withColumn("cdot", dot(col("ce"), df("embedding")))
       .withColumn("crn", row_number().over(w))
-      .where(col("crn") === 1)
+      .where(col("crn") <= nProbe)
       .drop("ce", "cdot", "crn")
   }
 

@@ -108,6 +108,37 @@ object CoreQueries {
     scala.collection.concurrent.TrieMap.empty[String, LineageTable]
 
   /**
+   * Multi-projection fixture: the SAME fixture lineage committed through
+   * the warehouse with maintained `(column, key)` projections on BOTH
+   * `custkey` AND `totalprice` (Catalog.createProjection — the
+   * reference's one-hash-index-PER-column model, lstore/index.py:24-31,
+   * which the single physical layout of createIndex cannot give: a
+   * second createIndex replaces the first). Projections are created
+   * mid-history, so the second commit exercises the O(delta) projection
+   * append and the table ends with a live tail — the probe path where
+   * candidate pruning matters.
+   */
+  def multiProjectedOrders(spark: SparkSession, sfDir: String): (Catalog, String) =
+    multiProjCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir("graft_proj_wh_")
+      val cat = new Catalog(spark, wh)
+      cat.createTable("orders_mp", "k", baseOrders(spark, sfDir))
+      cat.commit("orders_mp", Txn.empty
+        .update(col("k") % 3 === 0,
+          Map("totalprice" -> (col("totalprice") + lit(10.0)),
+              "status" -> lit("U1"))))
+      cat.createProjection("orders_mp", "custkey")
+      cat.createProjection("orders_mp", "totalprice")
+      cat.commit("orders_mp", Txn.empty
+        .update(col("k") % 9 === 0, Map("status" -> lit("U2")))
+        .delete(col("k") % 17 === 0))
+      (cat, "orders_mp")
+    })
+
+  private val multiProjCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
+
+  /**
    * Z-ordered orders layout (built once per sf dir): the multi-column
    * index analog — ONE layout serving range probes on custkey AND
    * totalprice via file/row-group min-max pruning (reference builds one
@@ -188,6 +219,22 @@ object CoreQueries {
       .select(col("rnk"), col("k"), col("totalprice"))
   }
 
+  /**
+   * The fixture snapshot registered as a session-local TEMP VIEW — the
+   * SQL front door (r6): analytics users arrive with SQL strings, so the
+   * core reads below route through `spark.sql` over this view instead of
+   * the DataFrame API. Both routes parse/resolve to the SAME logical
+   * plan (PlanAudit pins the executed plans identical modulo expr ids),
+   * so every probe/pushdown lever fires regardless of front door.
+   * Registration is per call: temp views are session-local and the
+   * bench/tuning clones each carry their own catalog.
+   */
+  private def snapshotView(s: SparkSession, d: String): String = {
+    val name = "graft_orders_snap_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    ordersLineage(s, d).snapshot.createOrReplaceTempView(name)
+    name
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -201,11 +248,12 @@ object CoreQueries {
     },
 
     "ls_select_point" -> { (s, d) =>
-      // Point lookup: the key predicate is pushed below the snapshot window
-      // to the parquet scan (the distributed analog of Index.locate).
-      ordersLineage(s, d).snapshot
-        .where(col("k").isin(42L, 45L, 100L, 4211L, 34L))
-        .select(col("k"), col("status"), col("totalprice"))
+      // Point lookup THROUGH THE SQL FRONT DOOR: the key predicate is
+      // pushed below the snapshot view's window to the scan exactly as
+      // on the DataFrame route (the distributed analog of Index.locate;
+      // PlanAudit pins the two routes' executed plans identical).
+      s.sql(s"""SELECT k, status, totalprice FROM ${snapshotView(s, d)}
+               |WHERE k IN (42, 45, 100, 4211, 34)""".stripMargin)
     },
 
     "ls_select_secondary" -> { (s, d) =>
@@ -218,6 +266,26 @@ object CoreQueries {
       indexedOrdersTailed(s, d).snapshot
         .where(col("custkey") === 77L)
         .select(col("k"), col("custkey"), col("totalprice"))
+    },
+
+    // Two SIMULTANEOUS secondary indexes on one table (reference: an
+    // independent hash index per column, lstore/index.py:24-31): each
+    // probe's candidate keys come from a pruned scan of its OWN slim
+    // sorted (column, key) projection — point predicate on custkey AND
+    // range predicate on totalprice both prune, which one physical
+    // layout (createIndex / idx_zorder's two-column Morton) cannot give
+    // three-plus columns. Maintenance is O(delta) per commit
+    // (ProjectionSpec pins it); the union tags which index served.
+    "idx_multi" -> { (s, d) =>
+      val (cat, tbl) = multiProjectedOrders(s, d)
+      cat.probeProjected(tbl, "custkey", col("custkey") === 77L)
+        .select(lit("custkey").as("probe"), col("k"), col("custkey"),
+          col("totalprice"))
+        .unionByName(
+          cat.probeProjected(tbl, "totalprice",
+              col("totalprice").between(1000.0, 2000.0))
+            .select(lit("totalprice").as("probe"), col("k"), col("custkey"),
+              col("totalprice")))
     },
 
     "ls_select_version_latest" -> { (s, d) =>
@@ -266,9 +334,13 @@ object CoreQueries {
         .join(lt.snapshot.select("k"), Seq("k"), "left_anti")
     },
 
+    // SQL front door; the aggregate is the SQL spelling of Exact.sumMoney
+    // (cents-long sum, exact and associative — SURVEY §4)
     "ls_sum_range" -> { (s, d) =>
-      ordersLineage(s, d).keyRange(0L, 5000L)
-        .agg(Exact.sumMoney(col("totalprice")).as("sum_price"))
+      s.sql(
+        s"""SELECT SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0
+           |  AS sum_price
+           |FROM ${snapshotView(s, d)} WHERE k BETWEEN 0 AND 5000""".stripMargin)
     },
 
     "ls_sum_version" -> { (s, d) =>
@@ -287,8 +359,9 @@ object CoreQueries {
              max(col("totalprice")).as("max_price"))
     },
 
-    "ls_count_range" -> { (s, d) =>
-      ordersLineage(s, d).keyRange(0L, 5000L).agg(count(lit(1)).as("n"))
+    "ls_count_range" -> { (s, d) => // SQL front door (see ls_select_point)
+      s.sql(s"SELECT COUNT(*) AS n FROM ${snapshotView(s, d)} " +
+        "WHERE k BETWEEN 0 AND 5000")
     },
 
     "ls_increment" -> { (s, d) =>
@@ -500,6 +573,16 @@ object CoreQueries {
     "ls_select_secondary" ->
       s"""$fixture
          |SELECT k, custkey, totalprice FROM snap WHERE custkey = 77""".stripMargin,
+
+    // projections are layout, never semantics: both probes equal plain
+    // snapshot filters
+    "idx_multi" ->
+      s"""$fixture
+         |SELECT 'custkey' AS probe, k, custkey, totalprice FROM snap
+         |WHERE custkey = 77
+         |UNION ALL
+         |SELECT 'totalprice' AS probe, k, custkey, totalprice FROM snap
+         |WHERE totalprice BETWEEN 1000.0 AND 2000.0""".stripMargin,
 
     "ls_select_version_latest" ->
       s"""$fixture

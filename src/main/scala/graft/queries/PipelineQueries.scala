@@ -175,6 +175,16 @@ object PipelineQueries {
         annQueries(s, d).drop("qlabel"), 5)
     },
 
+    // multi-probe IVF (r6): each query probes its TWO nearest centroids —
+    // the standard recall/cost knob (a true neighbor bucketed under the
+    // query's second-closest centroid is invisible at nProbe=1;
+    // SimilaritySpec plants one and pins the strict recall win). Work per
+    // query is 2/C of the corpus, still never a full scan.
+    "ann_ivf_probe2" -> { (s, d) =>
+      Similarity.ivfBuildProbe(Tables(s, d, "embeddings"),
+        annQueries(s, d).drop("qlabel"), 5, nProbe = 2)
+    },
+
     "text_stats" -> { (s, d) =>
       val toks = TextOps.tokens(col("text"))
       Tables(s, d, "documents").select(
@@ -1245,6 +1255,49 @@ object PipelineQueries {
         |qroute AS (SELECT qid, cid AS qcid FROM (
         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
         |         ORDER BY cdot DESC, cid ASC) AS crn FROM qdots) WHERE crn = 1),
+        |dots AS (
+        |  SELECT q.qid, a.cid, e.vec_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(q.qe) + 1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dot
+        |  FROM q JOIN qroute r ON q.qid = r.qid
+        |  JOIN assign a ON a.cid = r.qcid
+        |  JOIN embeddings e ON e.vec_id = a.vec_id),
+        |rk AS (SELECT qid, cid, vec_id, dot,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+        |       FROM dots)
+        |SELECT qid, cid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // ann_ivf_build with the route rank widened to the two nearest
+    // centroids (crn <= 2) — every centroid/assignment/dot CTE identical
+    "ann_ivf_probe2" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+        |               FROM embeddings WHERE vec_id < 16),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |adots AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(c.ce) + 1),
+        |          i -> CAST(c.ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS cdot
+        |  FROM embeddings e, cents c),
+        |assign AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |         ORDER BY cdot DESC, cid ASC) AS crn FROM adots) WHERE crn = 1),
+        |qdots AS (
+        |  SELECT q.qid, c.cid,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(c.ce) + 1),
+        |          i -> CAST(c.ce[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS cdot
+        |  FROM q, cents c),
+        |qroute AS (SELECT qid, cid AS qcid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |         ORDER BY cdot DESC, cid ASC) AS crn FROM qdots) WHERE crn <= 2),
         |dots AS (
         |  SELECT q.qid, a.cid, e.vec_id,
         |    list_reduce(

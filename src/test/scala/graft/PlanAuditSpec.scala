@@ -125,6 +125,52 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("SQL front door plans identically to the DataFrame route") {
+    // ls_select_point / ls_sum_range / ls_count_range route through
+    // spark.sql over the registered snapshot view — the executed plan
+    // must be THE SAME as the directly-built DataFrame's (modulo expr
+    // ids), so every pushdown/probe lever fires for SQL users too
+    def normalize(p: String): String =
+      p.replaceAll("#\\d+[L]?", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
+        .replaceAll("\\[id=#x\\]", "")
+    val lin = graft.queries.CoreQueries.ordersLineage(spark, sfDir)
+    val pairs: Seq[(String, DataFrame)] = Seq(
+      "ls_select_point" -> lin.snapshot
+        .where(col("k").isin(42L, 45L, 100L, 4211L, 34L))
+        .select(col("k"), col("status"), col("totalprice")),
+      "ls_sum_range" -> lin.snapshot.where(col("k").between(0L, 5000L))
+        .agg((sum(round(col("totalprice") * 100).cast("long")) / 100.0)
+          .as("sum_price")),
+      "ls_count_range" -> lin.snapshot.where(col("k").between(0L, 5000L))
+        .agg(count(lit(1)).as("n")))
+    pairs.foreach { case (name, df) =>
+      val viaSql = normalize(executedPlan(SparkEntry.queries(name)(spark, sfDir)))
+      val viaDf = normalize(executedPlan(df))
+      assert(viaSql === viaDf, s"$name: SQL and DataFrame plans diverge")
+    }
+  }
+
+  test("idx_multi: BOTH projection probes push their predicate and semi-join") {
+    val q = SparkEntry.queries("idx_multi")(spark, sfDir)
+    val plan = executedPlan(q)
+    // each probe's candidate discovery is a pruned scan of its own slim
+    // sorted (column, key) projection — the pushed predicate against the
+    // sorted layout is what row-group-prunes (min-max stats selective);
+    // the point predicate and the range predicate must BOTH reach a scan
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(custkey,77\\)".r
+      .findFirstIn(plan).isDefined, plan)
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(totalprice,1000.0\\)".r
+      .findFirstIn(plan).isDefined, plan)
+    // candidates reach the lineage via semi-joins (the probe shape), and
+    // the candidate scans are the SLIM projections, not the full table:
+    // a two-column (column, key) read schema appears for each
+    assert(plan.contains("LeftSemi"), plan)
+    assert("ReadSchema: struct<custkey:bigint,k:bigint>".r
+      .findFirstIn(plan).isDefined, plan)
+    assert("ReadSchema: struct<totalprice:double,k:bigint>".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("idx_secondary probe pushes the indexed-column predicate to the scan") {
     val q = SparkEntry.queries("idx_secondary")(spark, sfDir)
     val plan = executedPlan(q)

@@ -507,6 +507,65 @@ class CatalogSpec extends SparkSpec {
     assert(counter.get() <= 14, s"purge ran ${counter.get()} jobs — windowed depth job back?")
   }
 
+  test("cross-process commits: two catalogs over one warehouse, one aborts") {
+    // two Catalog INSTANCES have separate JVM lock maps — the same shape
+    // as two processes: nothing in-memory serializes them. The FS commit
+    // marker + op_seq CAS must make any interleaving yield EXACTLY ONE
+    // winner; the loser gets Left, never a torn write.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wh = Files.createTempDirectory("graft_xproc_").toString
+    val catA = new Catalog(spark, wh, autoCompact = false)
+    val catB = new Catalog(spark, wh, autoCompact = false)
+    catA.createTable("t", "k", base)
+    val seq = catA.getTable("t").opSeq
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def race(cat: Catalog, v: Long) = Future {
+      gate.countDown(); gate.await()
+      cat.tryCommit("t", Txn.empty.update(col("k") === 1L,
+        Map("v" -> lit(v))), seq)
+    }
+    val results = Await.result(
+      Future.sequence(Seq(race(catA, 100L), race(catB, 200L))), Duration.Inf)
+    assert(results.count(_.isRight) === 1,
+      s"expected exactly one winner, got: ${results.map(_.isRight)}")
+    // the surviving state is the winner's write, cleanly committed
+    val v = new Catalog(spark, wh).getTable("t").snapshot
+      .where(col("k") === 1L).head.getAs[Long]("v")
+    assert(v === 100L || v === 200L)
+    // the loser can re-read and retry successfully (marker released)
+    val loserCat = if (results.head.isRight) catB else catA
+    val retry = loserCat.tryCommit("t",
+      Txn.empty.update(col("k") === 2L, Map("v" -> lit(21L))),
+      loserCat.getTable("t").opSeq)
+    assert(retry.isRight, s"retry after abort failed: $retry")
+  }
+
+  test("a foreign commit marker blocks mutation; a stale one is broken") {
+    val wh = Files.createTempDirectory("graft_marker_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("t", "k", base)
+    // simulate another process mid-commit: marker present and fresh
+    val marker = java.nio.file.Paths.get(wh, "t", "_commit.lock")
+    Files.writeString(marker, "other-process")
+    val blocked = cat.tryCommit("t",
+      Txn.empty.update(col("k") === 1L, Map("v" -> lit(11L))),
+      cat.getTable("t").opSeq)
+    assert(blocked.isLeft, "commit must abort while a foreign marker is live")
+    assert(Files.exists(marker), "a foreign live marker must not be deleted")
+    // a crashed writer's marker (older than the lease) is broken and the
+    // commit proceeds
+    val stale = java.time.Instant.now().minusSeconds(3600).toEpochMilli
+    java.nio.file.Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime.fromMillis(stale))
+    val ok = cat.tryCommit("t",
+      Txn.empty.update(col("k") === 1L, Map("v" -> lit(11L))),
+      cat.getTable("t").opSeq)
+    assert(ok.isRight, s"stale marker not broken: $ok")
+    assert(!Files.exists(marker), "marker must be released after commit")
+  }
+
   test("inventory lists every table with live row counts") {
     val (cat, _) = freshCatalog()
     cat.createTable("a", "k", base)
