@@ -679,7 +679,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
    * those keys and only the candidates are windowed — never the full
    * table. Falls back to the plain full-lineage probe when no projection
    * serves `column` (including the purge crash window, which deletes
-   * projection dirs first).
+   * projection dirs first) or when the predicate references columns
+   * beyond the projected one — a compound predicate cannot resolve
+   * against the slim side table, and correctness must not depend on the
+   * caller splitting predicates right.
    */
   def probeProjected(name: String, column: String,
                      predicate: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
@@ -687,12 +690,15 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val t = getTable(name)
     val pd = projDir(name, column)
     if (!meta.projCols.contains(column) || !isDir(pd)) t.probe(predicate)
-    else {
-      val cand = spark.read.parquet(pd.toString)
-        .where(predicate)
-        .select(col(meta.key).as("_match_key")).distinct()
-      t.probeWithCandidates(cand, predicate)
-    }
+    else
+      try {
+        val cand = spark.read.parquet(pd.toString)
+          .where(predicate) // resolves NOW — throws if predicate needs more columns
+          .select(col(meta.key).as("_match_key")).distinct()
+        t.probeWithCandidates(cand, predicate)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => t.probe(predicate)
+      }
   }
 
   /** Delete projection side tables (pre-swap: crash leaves a FALLBACK,

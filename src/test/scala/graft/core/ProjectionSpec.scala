@@ -48,6 +48,9 @@ class ProjectionSpec extends SparkSpec {
     expectEq("price", col("price").between(200L, 300L))
     // fallback: probing an un-projected column is the plain probe
     expectEq("k", col("k") === 42L)
+    // fallback: a COMPOUND predicate cannot resolve against the slim
+    // projection — must transparently take the full probe, same answer
+    expectEq("cat", col("cat") === 99L && col("price") > 0L)
   }
 
   test("projection maintenance is O(delta): a commit appends delta rows only") {
