@@ -246,33 +246,87 @@ object Dedup {
 
   /**
    * Embedding-cosine near-dup pairs via random-hyperplane LSH (SimHash for
-   * vectors, Charikar 2002): plane p's bit is sign(v·p); `nBands` bands of
+   * vectors, Charikar 2002): plane p's bit is sign(v·p); bands of
    * `bitsPerBand` bits each become blocking buckets, and only same-bucket
    * pairs are ever scored. Identical vectors agree on every sign, so exact
    * duplicates collide in all bands (recall 1 by construction); a pair at
    * angle θ matches one band with (1-θ/π)^bits — the standard S-curve.
+   * Every candidate is scored exactly, so blocking affects recall only,
+   * never precision.
    *
-   * Scale: bucket cardinality is 2^bitsPerBand per band (65k at the
-   * default), so no bucket goes quadratic on a skewed coarse label the way
-   * the r1 label-blocked form could; candidates are deduped to bare id
-   * pairs BEFORE embeddings are joined back, keeping the wide vectors out
-   * of the candidate shuffle. Hyperplanes are seeded driver-side constants
-   * (plan literals), so the operator is deterministic run-to-run.
-   * (The label-blocked variant lives on as IVF: Similarity.ivfTopK.)
+   * Scale — occupancy-constant sizing (the r6 fix): with a FIXED bucket
+   * space the expected candidate count is N²/2^(bits+1) per band —
+   * quadratic in corpus size. Measured at the r6 100× sweep: 56 →
+   * 642k candidates/band (×11,467 for ×100 rows), the round's only >×16
+   * query. So when `bitsPerBand` is 0 (the default) it is sized from the
+   * corpus: bits = max(16, ⌈log₂N⌉+1), holding expected bucket occupancy
+   * below ~½ at any N — candidate count then grows LINEARLY with the
+   * corpus. Widening the bucket space lowers the per-band match
+   * probability p^bits, so the band count is re-derived to hold
+   * `targetRecall` at `threshold`: bands = ⌈ln(1-R)/ln(1-p^bits)⌉ with
+   * p = 1-acos(t)/π. Banding rows grow ~log-linearly (more, narrower
+   * bands); candidates stay linear — the 100 TB trade.
+   *
+   * Bucket groups use [[graft.functions.CollectCapped]] (same primitive as
+   * jaccard/minhash): pairs are enumerated IN PLACE from each bucket's
+   * sorted id list — no self-join, so the banding pipeline is computed and
+   * shuffled ONCE (the r5 form self-joined two full copies through a merge
+   * hint) — and a degenerate hot bucket (a mass-duplicated vector) costs
+   * O(cap) and is dropped rather than expanding C(m,2); an exact-dup pair
+   * in a dropped bucket still surfaces through its other bands unless
+   * every band is that hot. Candidates are deduped to bare id pairs
+   * BEFORE embeddings join back, keeping wide vectors out of the
+   * candidate shuffle. Hyperplanes are seeded driver-side constants and
+   * auto-sizing depends only on the corpus count, so the operator is
+   * deterministic run-to-run. (The label-blocked variant lives on as IVF:
+   * Similarity.ivfTopK.)
    */
-  def embeddingPairs(corpus: DataFrame, threshold: Double, nBands: Int = 8,
-                     bitsPerBand: Int = 16, dim: Int = 64, seed: Long = 42L): DataFrame = {
+  /** Occupancy-constant LSH sizing (pure; unit-tested in DedupSpec):
+    * bits = max(16, ⌈log₂n⌉+1) holds expected bucket occupancy ≤ ~½ at
+    * any corpus size (fixed bits = quadratic candidate growth); bands =
+    * ⌈ln(1-R)/ln(1-p^bits)⌉ with p = 1-acos(t)/π re-derives the band
+    * count that still reaches recall R at cosine t after the bucket
+    * space widened. Monotone: more rows → more bits → more (narrower)
+    * bands; candidates stay linear in n. */
+  def lshSizing(n: Long, threshold: Double, targetRecall: Double,
+                bitsOverride: Int = 0): (Int, Int) = {
+    val bits =
+      if (bitsOverride > 0) bitsOverride
+      else math.min(30, math.max(16,
+        math.ceil(math.log(math.max(n, 2L).toDouble) / math.log(2.0)).toInt + 1))
+    val pBit = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+    val pBand = math.pow(pBit, bits)
+    val bands = math.max(8, math.ceil(
+      math.log1p(-targetRecall) / math.log1p(-pBand)).toInt)
+    (bits, bands)
+  }
+
+  def embeddingPairs(corpus: DataFrame, threshold: Double, nBands: Int = 0,
+                     bitsPerBand: Int = 0, dim: Int = 64, seed: Long = 42L,
+                     maxBucket: Int = 1024, targetRecall: Double = 0.8): DataFrame = {
+    import graft.functions.CollectCapped.collectCapped
+    val (bits, autoBands) = lshSizing( // the count job runs only when needed
+      if (bitsPerBand > 0) 0L else corpus.count(),
+      threshold, targetRecall, bitsPerBand)
+    val bands = if (nBands > 0) nBands else autoBands
     val rng = new scala.util.Random(seed)
-    val planes = Array.fill(nBands * bitsPerBand)(
+    val planes = Array.fill(bands * bits)(
       Array.fill(dim)(rng.nextGaussian().toFloat))
-    val banded = corpus
+    val groups = corpus
       .select(col("vec_id"),
         posexplode(graft.functions.HyperplaneBuckets(
-          col("embedding"), planes, nBands, bitsPerBand)).as(Seq("band", "bucket")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"))
+          col("embedding"), planes, bands, bits)).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collectCapped(col("vec_id"), maxBucket).as("ids"))
+      .where(col("ids").isNotNull && size(col("ids")) >= 2)
+    // ids is sorted ascending (CollectCapped.eval) and a vec_id appears at
+    // most once per (band, bucket), so (ids[i], ids[j]) with i < j
+    // enumerates exactly the a < b pairs
+    val pairsOf = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("a"), y.as("b")))))
+    val cand = groups.select(explode(pairsOf).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
     val emb = corpus.select(col("vec_id"), col("embedding"))
     cand

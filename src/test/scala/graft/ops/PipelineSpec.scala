@@ -41,6 +41,27 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.95))
   }
 
+  test("lshSizing: occupancy-constant bits, recall-preserving bands") {
+    // small corpora keep the 16-bit floor; bits track ⌈log₂N⌉+1 above it
+    assert(Dedup.lshSizing(2000, 0.95, 0.8)._1 == 16)
+    assert(Dedup.lshSizing(220000, 0.95, 0.8)._1 == 19)
+    assert(Dedup.lshSizing(1L << 40, 0.95, 0.8)._1 == 30) // capped
+    // wider bucket space ⇒ at least as many bands (monotone), and every
+    // sizing actually reaches the target recall: 1-(1-p^bits)^bands ≥ R
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L)) {
+      val (bits, bands) = Dedup.lshSizing(n, 0.95, 0.8)
+      val p = 1.0 - math.acos(0.95) / math.Pi
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, bits), bands)
+      assert(recall >= 0.8, s"n=$n bits=$bits bands=$bands recall=$recall")
+    }
+    assert(Dedup.lshSizing(1000000, 0.95, 0.8)._2 >=
+      Dedup.lshSizing(1000, 0.95, 0.8)._2)
+    // an explicit bits override drives the band derivation
+    assert(Dedup.lshSizing(0, 0.95, 0.8, bitsOverride = 24)._1 == 24)
+    assert(Dedup.lshSizing(0, 0.95, 0.8, bitsOverride = 24)._2 >
+      Dedup.lshSizing(0, 0.95, 0.8, bitsOverride = 16)._2)
+  }
+
   test("ann_ivf probes only the query's bucket and ranks itself first") {
     val rows = run("ann_ivf").collect()
     val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
