@@ -335,10 +335,14 @@ object CoreQueries {
     },
 
     // SQL front door; the aggregate is the SQL spelling of Exact.sumMoney
-    // (cents-long sum, exact and associative — SURVEY §4)
+    // (cents-long sum, exact and associative — SURVEY §4). The divisor MUST
+    // be the `100.0D` DOUBLE literal: a bare `100.0` parses as DECIMAL(4,1)
+    // in Spark SQL (unlike the Scala-side lit(100.0)), making the output
+    // column DECIMAL and hash-diverging from the oracle's DOUBLE — the one
+    // red row in CORRECTNESS_r06.
     "ls_sum_range" -> { (s, d) =>
       s.sql(
-        s"""SELECT SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0
+        s"""SELECT SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0D
            |  AS sum_price
            |FROM ${snapshotView(s, d)} WHERE k BETWEEN 0 AND 5000""".stripMargin)
     },

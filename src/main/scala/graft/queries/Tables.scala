@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Parquet readers for the driver's test tables. */
 object Tables {
@@ -10,22 +11,45 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeEventTime(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /**
+   * Canonical in-engine event time: nanos-since-epoch BIGINT — every
+   * query does integer nano arithmetic on `ts` (SURVEY §4), and the
+   * DuckDB oracle mirrors it with `epoch_ns(ts)`. The driver's parquet
+   * has shipped `ts` as both TIMESTAMP(NANOS) (rounds 1-6; the
+   * `nanosAsLong` legacy conf surfaced it as a long already) and
+   * TIMESTAMP(MICROS) (round 7+; arrives as TIMESTAMP_NTZ), so the
+   * loaders normalize either shape here instead of leaving every
+   * operator to guess. NTZ→epoch goes through a TimestampType cast,
+   * which interprets the wall time in the SESSION timezone — every
+   * graft entry point (Verify/Bench/Explain/ScaleData/SparkSpec) pins
+   * `spark.sql.session.timeZone=UTC`, matching DuckDB's naive-as-UTC
+   * `epoch_ns`.
+   */
+  def normalizeEventTime(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts",
+          (unix_micros(col("ts").cast(TimestampType)) * 1000L).as("ts"))
+      case _ => df // already BIGINT nanos (legacy files, ScaleData output)
+    }
 
   /**
    * Explicit schemas for the STREAMABLE fact tables. A production stream
    * source must never pay (an extra listing+footer pass per deploy) or
    * trust (a sampled mis-type poisons the checkpoint forever) schema
    * inference — [[graft.streaming.StreamOps.fileSource]] reads these.
-   * `events.ts` is declared long: the session-wide
-   * `spark.sql.legacy.parquet.nanosAsLong` rule reads the TIMESTAMP(NANOS)
-   * column as nanos-since-epoch, and every query does integer nano
-   * arithmetic on it (SURVEY §4).
+   * `events.ts` is declared TIMESTAMP_NTZ to match the round-7 driver
+   * files; [[graft.streaming.StreamOps.fileSource]] runs
+   * [[normalizeEventTime]] over the source so downstream streaming
+   * operators see the same nanos-since-epoch BIGINT the batch loaders
+   * produce.
    */
   val streamSchemas: Map[String, StructType] = Map(
     "events" -> StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType),
+      StructField("ts", TimestampNTZType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),

@@ -96,7 +96,7 @@ object Sessionize {
     // (DuckDB's epoch_ns on read_parquet) — truncation happens BEFORE
     // sessionization in both engines, so boundaries agree exactly.
     val tsCol = if (microsPrecision) expr("(ts div 1000) * 1000") else col("ts")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    graft.queries.Tables(spark, sfDir, "events")
       .select(col("user_id"), tsCol.as("ts"))
       .withColumn("_new", when(
         col("ts") - lag(col("ts"), 1).over(byUser) > gapNs, 1).otherwise(0))

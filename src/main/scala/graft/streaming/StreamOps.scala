@@ -67,11 +67,15 @@ object StreamOps {
     val isDir =
       try fs.getFileStatus(path).isDirectory
       catch { case _: java.io.FileNotFoundException => false }
-    if (isDir) s.readStream.schema(schema).parquet(path.toString)
-    else
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", s"$table.parquet")
-        .parquet(sfDir)
+    val src =
+      if (isDir) s.readStream.schema(schema).parquet(path.toString)
+      else
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", s"$table.parquet")
+          .parquet(sfDir)
+    // canonical nanos-long event time, same as the batch loaders (a
+    // stateless projection — safe before any watermark/stateful op)
+    graft.queries.Tables.normalizeEventTime(src)
   }
 
   /** Run a streaming aggregation to completion over the currently-visible

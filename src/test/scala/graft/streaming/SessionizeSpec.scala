@@ -11,7 +11,7 @@ class SessionizeSpec extends SparkSpec {
   test("streaming sessions equal the batch-window sessionization") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val evs = spark.read.parquet(s"$sfDir/events.parquet")
+    val evs = graft.queries.Tables(spark, sfDir, "events")
       .select(col("user_id"), col("ts")).as[Ev].collect()
 
     val source = MemoryStream[Ev]
