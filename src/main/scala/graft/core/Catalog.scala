@@ -320,8 +320,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
    * appended — and ONLY those — are written to the tail. All-or-nothing:
    * a failing op aborts before anything is written.
    */
-  def tryCommit(name: String, txn: Txn,
-                expectedOpSeq: Long): Either[Throwable, LineageTable] =
+  def tryCommit(name: String, txn: Txn, expectedOpSeq: Long,
+                commitTs: Option[Long] = None): Either[Throwable, LineageTable] =
     lock(name).synchronized {
       Try { withCommitMarker(name) {
         val meta = readMeta(name)
@@ -329,13 +329,23 @@ final class Catalog(spark: SparkSession, warehouse: String,
           throw new ConcurrentModificationException(
             s"$name: op_seq moved $expectedOpSeq -> ${meta.opSeq} " +
               "since the transaction's base was loaded")
+        // the commit log must stay time-ordered or the asOfTimestamp
+        // lookup (last entry at-or-before ts) silently skips history —
+        // reject out-of-order stamps BEFORE anything is written
+        commitTs.foreach(ts => require(meta.commitTs.forall(_ <= ts),
+          s"$name: commit timestamp $ts precedes the log tail"))
         val after = txn.commit(getTable(name))
         // meta BEFORE rows: a crash between the two leaves op_seq advanced
         // past the (absent) rows, so the next commit stamps a fresh _ver — a
         // harmless gap. The reverse order would let a crash replay a _ver
         // stamp onto different rows, making snapshot row_number ties
-        // nondeterministic forever.
-        writeMeta(name, meta.copy(opSeq = after.opSeq))
+        // nondeterministic forever. (The same crash leaves the commit-log
+        // entry addressing the absent rows: asOfTimestamp then reads the
+        // pre-crash state at that ts — consistent, just earlier.)
+        val logged = commitTs.fold(meta)(ts => meta.copy(
+          commitVers = meta.commitVers :+ after.opSeq,
+          commitTs = meta.commitTs :+ ts))
+        writeMeta(name, logged.copy(opSeq = after.opSeq))
         // projection maintenance is O(delta): append only the delta's
         // (column, key) pairs to each projection — BEFORE the tail lands,
         // so a crash between the two leaves the projection a SUPERSET of
@@ -361,6 +371,43 @@ final class Catalog(spark: SparkSession, warehouse: String,
     lock(name).synchronized {
       tryCommit(name, txn, readMeta(name).opSeq).fold(e => throw e, identity)
     }
+
+  /** [[commit]] with a commit-log entry: the transaction's resulting
+    * op_seq is recorded against `ts` (caller-supplied — a wall clock in
+    * production, a logical clock in tests; must be ≥ the log tail), which
+    * is what [[asOfTimestamp]] resolves time travel against. */
+  def commitAt(name: String, txn: Txn, ts: Long): LineageTable =
+    lock(name).synchronized {
+      tryCommit(name, txn, readMeta(name).opSeq, Some(ts))
+        .fold(e => throw e, identity)
+    }
+
+  /**
+   * `TIMESTAMP AS OF` time travel: the table state as of wall-clock `ts`
+   * — the state the last [[commitAt]] at-or-before `ts` left behind
+   * (clamped to the base state before the first logged commit, the
+   * reference's select_version clamp table-wide). Resolution is a pure
+   * metadata lookup (the commit log lives in `_graft.json`); the read is
+   * [[LineageTable.asOfVersion]], whose `_ver ≤ v` predicate prunes tail
+   * files by footer min-max before the snapshot window runs. The commit
+   * log is CLEARED by compaction/vacuum/purge (their re-stamp invalidates
+   * historical version addressing — the Delta/Iceberg rule that VACUUM
+   * bounds time travel), so the travel window is "since the last
+   * physical rewrite"; commits made without [[commitAt]] are not logged,
+   * and a lookup lands at the last LOGGED state at-or-before `ts`.
+   */
+  def asOfTimestamp(name: String, ts: Long): org.apache.spark.sql.DataFrame = {
+    val meta = readMeta(name)
+    // clamp floor: before the first logged commit the oldest ADDRESSABLE
+    // state is the last physical rewrite's base — whose rows stamp at
+    // tail_floor (0 for a never-rewritten table = the original base).
+    // Clamping to literal version 0 would read an EMPTY table after a
+    // re-stamp, whose rows all carry stamps above 0.
+    val ver = meta.commitVers.zip(meta.commitTs)
+      .collect { case (v, t) if t <= ts => v }
+      .sorted.lastOption.getOrElse(meta.tailFloor)
+    getTable(name).asOfVersion(ver)
+  }
 
   /** Persist a full table state: compacted base, empty tail (reference:
     * Table.__merge + Database.close persistence in one step). History
@@ -389,8 +436,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
       deleteRecursively(new Path(dir(name), "tail"))
       // op_seq resets to 0, so tail_floor MUST reset with it: the heal
       // invariant is "legitimate tail rows stamp above the floor", and
-      // post-compaction commits stamp from 1 again.
-      writeMeta(name, meta.copy(opSeq = 0, multiVer = false, tailFloor = 0))
+      // post-compaction commits stamp from 1 again. The commit log resets
+      // too — history collapsed, historical stamps are gone.
+      writeMeta(name, meta.copy(opSeq = 0, multiVer = false, tailFloor = 0,
+        commitVers = Nil, commitTs = Nil))
       rebuildProjections(name, meta)
     } }
 
@@ -577,7 +626,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val hasMulti = multiPossible && !spark.read.parquet(staged.toString)
       .where(col(LineageTable.VER) < opSeqNew).isEmpty
     val conservative = meta.multiVer || multiPossible
-    writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = conservative))
+    // the re-stamp invalidates historical absolute versions, so the
+    // commit log clears with it (in BOTH meta writes: a crash between
+    // them must not leave a log addressing re-stamped rows) — time
+    // travel is bounded by the last physical rewrite, the Delta/Iceberg
+    // VACUUM rule
+    writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = conservative,
+      commitVers = Nil, commitTs = Nil))
     // projections go BEFORE the swap (a crash leaves probes falling back
     // to the full candidate scan — for purge this is what makes erasure
     // hold: no projection file ever outlives the values it indexed) and
@@ -585,7 +640,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
     dropProjectionFiles(name, meta)
     swapBase(name)
     writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = hasMulti,
-      tailFloor = opSeqNew))
+      tailFloor = opSeqNew, commitVers = Nil, commitTs = Nil))
     deleteRecursively(new Path(dir(name), "tail"))
     rebuildProjections(name, meta)
     getTable(name)
@@ -810,7 +865,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
                           /** Columns with a maintained (column, key)
                             * projection side table ([[createProjection]]):
                             * commit appends deltas, compaction rebuilds. */
-                          projCols: Seq[String] = Nil)
+                          projCols: Seq[String] = Nil,
+                          /** Commit log for timestamp time travel
+                            * ([[commitAt]]/[[asOfTimestamp]]): parallel
+                            * seqs of (resulting op_seq, caller timestamp),
+                            * append-only and time-ordered; cleared by any
+                            * physical re-stamp. */
+                          commitVers: Seq[Long] = Nil,
+                          commitTs: Seq[Long] = Nil)
 
   // Metadata names are restricted to identifier characters at write time,
   // so the flat JSON below round-trips through the regex reader with no
@@ -847,10 +909,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val ac = m.addedCols.map(c => "\"" + checked(c) + "\"").mkString(", ")
     val at = m.addedTypes.map(t => "\"" + checked(t) + "\"").mkString(", ")
     val pc = m.projCols.map(c => "\"" + checked(c) + "\"").mkString(", ")
+    val cv = m.commitVers.mkString(", ")
+    val ct = m.commitTs.mkString(", ")
     val json = s"""{"key": "${checked(m.key)}", "columns": [$cols], """ +
       s""""index": $idx, "op_seq": ${m.opSeq}, "multi_ver": ${m.multiVer}, """ +
       s""""tail_floor": ${m.tailFloor}, """ +
-      s""""added_cols": [$ac], "added_types": [$at], "proj_cols": [$pc]}"""
+      s""""added_cols": [$ac], "added_types": [$at], "proj_cols": [$pc], """ +
+      s""""commit_vers": [$cv], "commit_ts": [$ct]}"""
     writeString(metaTmpPath(name), json)
     fs.delete(metaPath(name), false)
     move(metaTmpPath(name), metaPath(name))
@@ -896,7 +961,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
         .findFirstMatchIn(json).map(_.group(1)).filter(_.trim.nonEmpty)
         .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
         .getOrElse(Nil)
+    def numList(field: String): Seq[Long] =
+      (s""""$field"\\s*:\\s*\\[([^\\]]*)\\]""").r
+        .findFirstMatchIn(json).map(_.group(1)).filter(_.trim.nonEmpty)
+        .map(_.split(",").map(_.trim.toLong).toSeq)
+        .getOrElse(Nil)
     Meta(key, cols, idx, seq, mv, floor,
-      strList("added_cols"), strList("added_types"), strList("proj_cols"))
+      strList("added_cols"), strList("added_types"), strList("proj_cols"),
+      numList("commit_vers"), numList("commit_ts"))
   }
 }

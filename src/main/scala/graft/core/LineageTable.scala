@@ -149,6 +149,28 @@ final class LineageTable private (
   def asOfRelative(relativeVersion: Int): DataFrame =
     asOfMeta(relativeVersion).select(dataCols.map(col): _*)
 
+  /**
+   * State at ABSOLUTE version `maxVer`: every record's newest live row
+   * stamped ≤ `maxVer`; records whose whole history stamps above it
+   * (inserted later) are absent. [[asOfRelative]] is per-RECORD
+   * addressing (the reference's select_version, lstore/query.py:118);
+   * this is per-TABLE — the lakehouse `VERSION AS OF`, and the read
+   * [[Catalog.asOfTimestamp]] resolves a wall-clock timestamp to via the
+   * commit log. The `_ver` predicate is a plain column compare BELOW the
+   * window, so it pushes to the parquet scan (tail files past the
+   * version are skipped wholesale by footer min-max); the rank window
+   * then runs over surviving rows only.
+   */
+  def asOfVersion(maxVer: Long): DataFrame = {
+    val upTo = lineage.where(col(VER) <= maxVer)
+    val live =
+      if (compactedOnly) upTo.where(col(DEL) === 0)
+      else rankedWithCount(upTo)
+        .where(col("_rn") === 1 && col(DEL) === 0)
+        .drop("_rn", "_cnt")
+    live.select(dataCols.map(col): _*)
+  }
+
   /** Append new records (reference: Query.insert, lstore/query.py:57).
     * Stamped with the next table version — NOT 0 — so inserting a key that
     * was previously deleted resurrects it (see opSeq doc above). */
@@ -185,6 +207,66 @@ final class LineageTable private (
   /** Increment one column of matching records (reference: Query.increment). */
   def increment(predicate: Column, column: String): LineageTable =
     update(predicate, Map(column -> (col(column) + lit(1))))
+
+  /**
+   * MERGE INTO — the lakehouse upsert as ONE atomic op. `source` carries
+   * the table schema, with unique keys (the reference's primary-index
+   * contract for a single op, lstore/query.py:57):
+   *
+   *   - matched records UPDATE: `updateCols` taken from the source row,
+   *     every other column carried forward from the current version (the
+   *     same write-time-merge semantics as [[update]]);
+   *   - matched records where `deleteWhen` holds (evaluated on the SOURCE
+   *     row's columns, pre-join — the `WHEN MATCHED AND cond THEN DELETE`
+   *     clause) tombstone instead, carrying the current values like
+   *     [[delete]];
+   *   - unmatched source rows INSERT (tombstoned keys resurrect, exactly
+   *     as a plain [[insert]] would — matching is against the live
+   *     snapshot).
+   *
+   * The reference spells this as separate insert/update/delete calls in
+   * one transaction (lstore/transaction.py:26); MERGE is the
+   * single-statement form, and as ONE op it takes one `_ver` stamp — the
+   * whole merge is a single version in history, which is what an audit
+   * (ls_history) should see.
+   *
+   * Delta-proportional at 100 TB: the target side is pre-restricted to
+   * the source's key set before the snapshot window (the [[probe]]
+   * trick — lineage semi-joined to source keys, window over candidates
+   * only), so the window shuffle scales with |source|, never with the
+   * table; the appended delta is exactly one row per source row. Delta
+   * Lake's MERGE rewrites every matched file — an append-only lineage
+   * pays rows, not files.
+   */
+  def mergeInto(source: DataFrame, updateCols: Seq[String],
+                deleteWhen: Option[Column] = None): LineageTable = {
+    require(updateCols.nonEmpty && updateCols.forall(c =>
+      dataCols.contains(c) && c != keyCol),
+      s"updateCols must be non-key data columns, got ${updateCols.mkString(",")}")
+    val src = source.select(dataCols.map(col): _*)
+      .withColumn("_mdel", deleteWhen.getOrElse(lit(false)).cast("boolean"))
+    // current state restricted to the source's keys: semi-join BEFORE the
+    // snapshot window, so only candidate partitions shuffle (cf. probe)
+    val keys = src.select(col(keyCol).as("_match_key")).distinct()
+    val current =
+      if (compactedOnly) lineage.where(col(DEL) === 0)
+      else asOfMetaOver(
+        lineage.join(keys, col(keyCol) <=> col("_match_key"), "left_semi"), 0)
+    val tgt = current.select(dataCols.map(c => col(c).as(s"_t_$c")): _*)
+    val joined = src.join(tgt, col(keyCol) <=> col(s"_t_$keyCol"), "left_outer")
+    val matched = col(s"_t_$keyCol").isNotNull
+    val vals = dataCols.map { c =>
+      when(matched && col("_mdel"), col(s"_t_$c"))
+        .when(matched,
+          if (updateCols.contains(c) || c == keyCol) col(c) else col(s"_t_$c"))
+        .otherwise(col(c))
+        .as(c)
+    }
+    val stamped = joined
+      .select(vals :+ (matched && col("_mdel")).cast("int").as(DEL): _*)
+      .withColumn(VER, lit(opSeq + 1))
+    withAppend(stamped.select(lineage.columns.map(col): _*))
+  }
 
   /**
    * Time-travel restore, as a WRITE: make every record's state

@@ -112,8 +112,38 @@ object WindowProbeRule extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` activates the
-  * engine's Catalyst extensions for a session. */
+  * engine's Catalyst extensions for a session: the window-probe
+  * optimizer rule above, plus the engine's native expressions registered
+  * as SQL functions — the SQL front door reaches the same codegen'd
+  * primitives the Column API uses (`graft_dot` for similarity,
+  * `graft_kmv` for distinct sketches), so a pure-SQL user pays no
+  * interpreter penalty vs the Scala surface. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => WindowProbeRule)
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_dot(a, b) takes exactly two array<float> arguments")
+        graft.functions.DotProduct(args.head, args(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[graft.functions.KMinValues].getName, "graft_kmv"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_kmv(h, k) takes a bigint column and a literal k")
+        val k = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv k must be an integer literal, got $other")
+        }
+        graft.functions.KMinValues(args.head, k).toAggregateExpression()
+      }))
+  }
 }

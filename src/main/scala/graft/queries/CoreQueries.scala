@@ -187,6 +187,32 @@ object CoreQueries {
   private val evolveCache =
     scala.collection.concurrent.TrieMap.empty[String, LineageTable]
 
+  /**
+   * Commit-log fixture for timestamp time travel: the SAME fixture
+   * lineage committed durably in two LOGGED commits
+   * ([[Catalog.commitAt]] — logical clock: ts=1000 carries the v1 full
+   * update, ts=2000 the v2 partial update + delete). autoCompact stays
+   * off so no mid-fixture re-stamp clears the commit log (the
+   * Delta/Iceberg rule: physical rewrites bound the travel window).
+   */
+  def tsLoggedOrders(spark: SparkSession, sfDir: String): (Catalog, String) =
+    tsLogCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir("graft_ts_wh_")
+      val cat = new Catalog(spark, wh, autoCompact = false)
+      cat.createTable("orders_ts", "k", baseOrders(spark, sfDir))
+      cat.commitAt("orders_ts", Txn.empty
+        .update(col("k") % 3 === 0,
+          Map("totalprice" -> (col("totalprice") + lit(10.0)),
+              "status" -> lit("U1"))), ts = 1000L)
+      cat.commitAt("orders_ts", Txn.empty
+        .update(col("k") % 9 === 0, Map("status" -> lit("U2")))
+        .delete(col("k") % 17 === 0), ts = 2000L)
+      (cat, "orders_ts")
+    })
+
+  private val tsLogCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
+
   private val csvCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -290,6 +316,45 @@ object CoreQueries {
 
     "ls_select_version_latest" -> { (s, d) =>
       ordersLineage(s, d).snapshot.where(col("k").between(0L, 2000L))
+    },
+
+    // TIMESTAMP AS OF time travel (Catalog.commitAt / asOfTimestamp):
+    // three reads of the SAME warehouse table at wall-clock points —
+    // before the first logged commit (clamps to base), between the two
+    // commits (v1 state), after both (latest). Resolving ts → version is
+    // a metadata-only commit-log lookup; the read's _ver predicate prunes
+    // tail files by footer min-max BELOW the snapshot window
+    // (LineageTable.asOfVersion).
+    "ls_asof_ts" -> { (s, d) =>
+      val (cat, tbl) = tsLoggedOrders(s, d)
+      def rd(ts: Long, tag: String) =
+        cat.asOfTimestamp(tbl, ts)
+          .where(col("k").between(0L, 600L))
+          .select(lit(tag).as("asof"), col("k"), col("custkey"),
+            col("status"), col("totalprice"))
+      rd(500L, "t0").unionByName(rd(1500L, "t1")).unionByName(rd(2500L, "t2"))
+    },
+
+    // MERGE INTO (LineageTable.mergeInto) — one atomic upsert op: the
+    // k%10 source slice updates status+totalprice (custkey carries
+    // forward), the matched custkey%50 sub-slice DELETES instead (the
+    // WHEN MATCHED AND cond THEN DELETE clause), and unmatched source
+    // rows (a shifted key range; also any fixture-tombstoned k%10 keys)
+    // INSERT/resurrect. The whole merge takes ONE _ver stamp, and the
+    // target side windows only the source's key partitions (the probe
+    // trick) — cost ∝ |source|, never the table.
+    "ls_merge_into" -> { (s, d) =>
+      val base = baseOrders(s, d)
+      val src = base.where(col("k") % 10 === 0).select(
+          col("k"), col("custkey"), lit("M").as("status"),
+          (col("totalprice") + lit(1000.0)).as("totalprice"))
+        .unionByName(base.where(col("k") % 1000 === 0).select(
+          (col("k") + 3000000L).as("k"), col("custkey"),
+          lit("N").as("status"), col("totalprice")))
+      ordersLineage(s, d)
+        .mergeInto(src, Seq("status", "totalprice"),
+          deleteWhen = Some(col("custkey") % 50 === 0))
+        .snapshot.where(col("k") % 5 === 0)
     },
 
     "ls_select_version_prev" -> { (s, d) =>
@@ -592,6 +657,47 @@ object CoreQueries {
       s"""$fixture
          |SELECT k, custkey, status, totalprice FROM snap
          |WHERE k BETWEEN 0 AND 2000""".stripMargin,
+
+    // t0 clamps to base, t1 is the v1-only state, t2 is the live snapshot
+    "ls_asof_ts" ->
+      s"""$fixture
+         |SELECT 't0' AS asof, k, custkey, status, totalprice FROM base
+         |WHERE k BETWEEN 0 AND 600
+         |UNION ALL
+         |SELECT 't1' AS asof, k, custkey,
+         |       CASE WHEN k % 3 = 0 THEN 'U1' ELSE status END AS status,
+         |       CASE WHEN k % 3 = 0 THEN totalprice + 10.0
+         |            ELSE totalprice END AS totalprice
+         |FROM base WHERE k BETWEEN 0 AND 600
+         |UNION ALL
+         |SELECT 't2' AS asof, k, custkey, status, totalprice FROM snap
+         |WHERE k BETWEEN 0 AND 600""".stripMargin,
+
+    // the oracle spells the merge as its three joins; matched+delete rows
+    // drop, matched rows take source status/totalprice, unmatched insert
+    "ls_merge_into" ->
+      s"""$fixture,
+         |src AS (
+         |  SELECT k, custkey, 'M' AS status, totalprice + 1000.0 AS totalprice
+         |  FROM base WHERE k % 10 = 0
+         |  UNION ALL
+         |  SELECT k + 3000000 AS k, custkey, 'N' AS status, totalprice
+         |  FROM base WHERE k % 1000 = 0),
+         |upd AS (
+         |  SELECT t.k, t.custkey,
+         |         CASE WHEN s.k IS NOT NULL THEN s.status ELSE t.status END AS status,
+         |         CASE WHEN s.k IS NOT NULL THEN s.totalprice
+         |              ELSE t.totalprice END AS totalprice,
+         |         CASE WHEN s.k IS NOT NULL AND s.custkey % 50 = 0
+         |              THEN 1 ELSE 0 END AS dd
+         |  FROM snap t LEFT JOIN src s ON t.k = s.k),
+         |ins AS (
+         |  SELECT s.k, s.custkey, s.status, s.totalprice, 0 AS dd
+         |  FROM src s LEFT JOIN snap t ON s.k = t.k WHERE t.k IS NULL),
+         |merged AS (SELECT * FROM upd WHERE dd = 0
+         |           UNION ALL SELECT * FROM ins)
+         |SELECT k, custkey, status, totalprice FROM merged
+         |WHERE k % 5 = 0""".stripMargin,
 
     "ls_select_version_prev" ->
       s"""$fixture, prev AS (${asOfSql(-1)})

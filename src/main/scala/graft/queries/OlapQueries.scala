@@ -630,6 +630,33 @@ object OlapQueries {
                col("o_totalprice"))).as("p50"),
              max(when(col("rn") === ceil(lit(0.95) * col("n")).cast("long"),
                col("o_totalprice"))).as("p95"))
+    },
+
+    // KMV distinct-count sketch (functions/KMinValues): the k smallest
+    // distinct md5 hashes of l_orderkey in ONE pass — a bounded ~2 KB
+    // aggregation buffer, map-side partial, merge = bounded set union.
+    // The declarative alternative (DISTINCT h ORDER BY h LIMIT k) pays a
+    // full distinct shuffle of every hash — the thing a 100 TB count
+    // exists to avoid; the sketch ships k longs per partition. The
+    // estimate (k-1)·2^60/h_k is deterministic (exact order statistics +
+    // one IEEE divide), so the DuckDB oracle — which takes the expensive
+    // declarative path over the same hashes — agrees bit-for-bit; n_exact
+    // is computed alongside to show the sketch lands within ~1/√k.
+    "q_kmv_distinct" -> { (s, d) =>
+      val h = conv(substr(md5(col("l_orderkey").cast("string")), lit(1), lit(15)),
+          16, 10)
+        .cast("long")
+      Tables(s, d, "lineitem")
+        .select(h.as("h"))
+        .agg(
+          graft.functions.KMinValues.kMinValues(col("h"), 256).as("kmv"),
+          countDistinct(col("h")).as("n_exact"))
+        .select(
+          lit(256L).as("k"),
+          element_at(col("kmv"), 256).as("kth_min"),
+          floor(lit(255.0) * lit(math.pow(2, 60)) / element_at(col("kmv"), 256))
+            .as("est_distinct"),
+          col("n_exact"))
     }
   )
 
@@ -899,6 +926,21 @@ object OlapQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderdate >= TIMESTAMP '1997-03-01'
         |  AND o_orderdate < TIMESTAMP '1997-04-01'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // the oracle takes the expensive declarative path the sketch avoids:
+    // full DISTINCT then ORDER BY ... LIMIT k — same exact order
+    // statistics, so the one-pass bounded-buffer aggregate must agree
+    // bit-for-bit (same hash, same IEEE estimate arithmetic)
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT
+        |    CAST(('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |km AS (SELECT h FROM h ORDER BY h LIMIT 256)
+        |SELECT CAST(256 AS BIGINT) AS k,
+        |       MAX(h) AS kth_min,
+        |       CAST(floor(255.0 * pow(2, 60) / MAX(h)) AS BIGINT) AS est_distinct,
+        |       (SELECT COUNT(*) FROM h) AS n_exact
+        |FROM km""".stripMargin
   )
 }

@@ -185,6 +185,30 @@ object PipelineQueries {
         annQueries(s, d).drop("qlabel"), 5, nProbe = 2)
     },
 
+    // The SQL front door to similarity search: the SAME brute-force
+    // top-k as ann_topk, but written as a SQL string over a registered
+    // view with the engine's native codegen'd DotProduct expression
+    // reached via its injected SQL function `graft_dot`
+    // (plans/GraftExtensions.injectFunction) — a pure-SQL user gets the
+    // primitive-loop dot product, not an interpreted lambda. The
+    // broadcast hint pins the same plan shape as bruteTopK (Q query
+    // vectors broadcast × one corpus scan).
+    "ann_sql" -> { (s, d) =>
+      val view = "graft_embeddings_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables(s, d, "embeddings").createOrReplaceTempView(view)
+      s.sql(
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+           |           FROM $view WHERE vec_id < 5),
+           |dots AS (SELECT /*+ BROADCAST(q) */ q.qid, e.vec_id,
+           |                graft_dot(q.qe, e.embedding) AS dot
+           |         FROM $view e CROSS JOIN q),
+           |rk AS (SELECT qid, vec_id, dot,
+           |         CAST(row_number() OVER (PARTITION BY qid
+           |              ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+           |       FROM dots)
+           |SELECT qid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin)
+    },
+
     "text_stats" -> { (s, d) =>
       val toks = TextOps.tokens(col("text"))
       Tables(s, d, "documents").select(
@@ -1333,6 +1357,22 @@ object PipelineQueries {
     // element products in the same order Spark's `aggregate` does, so the
     // IEEE result is bit-identical (see graft.ops.Similarity).
     "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |dots AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(q.qe) + 1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dot
+        |  FROM q, embeddings e),
+        |rk AS (SELECT qid, vec_id, dot,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+        |       FROM dots)
+        |SELECT qid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // ann_sql is ann_topk through the SQL front door — same oracle text
+    "ann_sql" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |dots AS (
         |  SELECT q.qid, e.vec_id,

@@ -1,0 +1,82 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** MERGE INTO semantics (LineageTable.mergeInto): one atomic op covering
+  * the matched-update / matched-delete / not-matched-insert arms. */
+class MergeIntoSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def table = LineageTable.fromBase("k",
+    Seq((1L, 10L, "A"), (2L, 20L, "B"), (3L, 30L, "C"), (4L, 40L, "D"))
+      .toDF("k", "v", "s"))
+
+  test("matched rows update listed columns, others carry forward") {
+    val src = Seq((2L, 999L, "X"), (3L, 888L, "Y")).toDF("k", "v", "s")
+    val out = table.mergeInto(src, Seq("v")).snapshot
+      .collect().map(_.toSeq).toSet
+    // v comes from source, s carries forward from the target
+    assert(out === Set(Seq(1L, 10L, "A"), Seq(2L, 999L, "B"),
+      Seq(3L, 888L, "C"), Seq(4L, 40L, "D")))
+  }
+
+  test("unmatched source rows insert; matched deleteWhen rows tombstone") {
+    val src = Seq((3L, 0L, "del"), (9L, 90L, "I")).toDF("k", "v", "s")
+    val out = table
+      .mergeInto(src, Seq("v", "s"), deleteWhen = Some(col("s") === "del"))
+      .snapshot.collect().map(_.toSeq).toSet
+    assert(out === Set(Seq(1L, 10L, "A"), Seq(2L, 20L, "B"),
+      Seq(4L, 40L, "D"), Seq(9L, 90L, "I")))
+  }
+
+  test("deleteWhen applies only to MATCHED rows — unmatched still insert") {
+    val src = Seq((9L, 90L, "del")).toDF("k", "v", "s")
+    val out = table
+      .mergeInto(src, Seq("v"), deleteWhen = Some(col("s") === "del"))
+      .snapshot.collect().map(_.toSeq).toSet
+    // the WHEN MATCHED AND cond THEN DELETE clause never guards inserts
+    assert(out.contains(Seq(9L, 90L, "del")))
+  }
+
+  test("merge matches against the live snapshot: tombstoned keys resurrect") {
+    val dead = table.delete(col("k") === 2L)
+    val src = Seq((2L, 222L, "R")).toDF("k", "v", "s")
+    val out = dead.mergeInto(src, Seq("v")).snapshot
+      .collect().map(_.toSeq).toSet
+    // key 2 was dead → NOT matched → inserts with the full source row
+    assert(out.contains(Seq(2L, 222L, "R")))
+  }
+
+  test("the whole merge is ONE version: history shows a single new stamp") {
+    val src = Seq((1L, 11L, "A"), (9L, 90L, "I")).toDF("k", "v", "s")
+    val merged = table.mergeInto(src, Seq("v"))
+    val vers = merged.lineage.select("_ver").distinct()
+      .as[Long].collect().sorted
+    assert(vers === Array(0L, 1L), "update + insert share one _ver stamp")
+  }
+
+  test("the appended delta is exactly one row per source row") {
+    val src = Seq((1L, 11L, "A"), (3L, 33L, "C"), (9L, 90L, "I"))
+      .toDF("k", "v", "s")
+    val merged = table.mergeInto(src, Seq("v"))
+    assert(merged.delta.get.count() === 3L,
+      "merge cost must be proportional to |source|, not the table")
+  }
+
+  test("merge equals the insert/update/delete compose it replaces") {
+    val src = Seq((2L, 222L, "B2"), (4L, 0L, "del"), (9L, 90L, "I"))
+      .toDF("k", "v", "s")
+    val viaMerge = table
+      .mergeInto(src, Seq("v", "s"), deleteWhen = Some(col("s") === "del"))
+      .snapshot.collect().map(_.toSeq).toSet
+    val viaOps = table
+      .update(col("k") === 2L, Map("v" -> lit(222L), "s" -> lit("B2")))
+      .delete(col("k") === 4L)
+      .insert(Seq((9L, 90L, "I")).toDF("k", "v", "s"))
+      .snapshot.collect().map(_.toSeq).toSet
+    assert(viaMerge === viaOps)
+  }
+}
