@@ -774,6 +774,24 @@ final class Catalog(spark: SparkSession, warehouse: String,
       }
     }
 
+  /** DESCRIBE HISTORY: the commit log as a table — one row per LOGGED
+    * commit (`version` = the commit's resulting op_seq, `commit_ts` =
+    * its [[commitAt]] timestamp). A pure metadata read: the log lives in
+    * `_graft.json`, so this opens zero data files at any table size —
+    * the entry point a user resolves "what can I time-travel to" from. */
+  def history(name: String): org.apache.spark.sql.DataFrame = {
+    val meta = readMeta(name)
+    val rows = meta.commitVers.zip(meta.commitTs).map {
+      case (v, t) => org.apache.spark.sql.Row(v, t)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("commit_ts",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Drop a table and its files (reference: Database.drop_table). */
   def dropTable(name: String): Unit = deleteRecursively(dir(name))
 

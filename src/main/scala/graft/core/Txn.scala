@@ -26,6 +26,12 @@ final class Txn private (ops: Vector[LineageTable => LineageTable]) {
 
   def delete(pred: org.apache.spark.sql.Column): Txn = add(_.delete(pred))
 
+  /** Queue a MERGE INTO (see [[LineageTable.mergeInto]]) — the upsert
+    * spelling of the reference's insert+update+delete transaction. */
+  def mergeInto(source: org.apache.spark.sql.DataFrame, updateCols: Seq[String],
+                deleteWhen: Option[org.apache.spark.sql.Column] = None): Txn =
+    add(_.mergeInto(source, updateCols, deleteWhen))
+
   /** Apply all queued ops; the input table is untouched (commit = adopt result). */
   def commit(table: LineageTable): LineageTable = ops.foldLeft(table)((t, op) => op(t))
 

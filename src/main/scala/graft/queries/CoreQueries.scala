@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -213,6 +213,25 @@ object CoreQueries {
   private val tsLogCache =
     scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
 
+  /**
+   * Streaming-CDC-apply target (stream_merge): baseOrders committed as a
+   * warehouse table once per sf dir; the QUERY drains the change stream
+   * into it — one durable MERGE INTO commit per micro-batch
+   * (StreamOps.mergeStream). The change stream is upsert-only, so
+   * re-draining (the bench's second execution, with a fresh checkpoint)
+   * re-lands identical values: history grows, the SNAPSHOT is invariant.
+   */
+  def mergeTargetOrders(spark: SparkSession, sfDir: String): (Catalog, String) =
+    mergeTgtCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir("graft_smerge_wh_")
+      val cat = new Catalog(spark, wh)
+      cat.createTable("orders_sm", "k", baseOrders(spark, sfDir))
+      (cat, "orders_sm")
+    })
+
+  private val mergeTgtCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
+
   private val csvCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -355,6 +374,40 @@ object CoreQueries {
         .mergeInto(src, Seq("status", "totalprice"),
           deleteWhen = Some(col("custkey") % 50 === 0))
         .snapshot.where(col("k") % 5 === 0)
+    },
+
+    // DESCRIBE HISTORY: the commit log as a table read — zero data files
+    // opened at any table size (the log lives in _graft.json). This is
+    // how a user discovers what asOfTimestamp can address.
+    "cat_history" -> { (s, d) =>
+      val (cat, tbl) = tsLoggedOrders(s, d)
+      cat.history(tbl)
+    },
+
+    // Streaming CDC apply (StreamOps.mergeStream — the Delta
+    // merge-in-foreachBatch pattern): the upsert half of ls_merge_into's
+    // change set drained from a file stream into a warehouse table, ONE
+    // durable MERGE INTO commit per micro-batch, exactly-once via the
+    // checkpoint. Keys are unique stream-wide, so the final table is the
+    // same for ANY micro-batch split (StreamMergeSpec drives the
+    // multi-batch path); per-batch cost ∝ |batch| — a continuous
+    // deployment pays for its changes, never its table size.
+    "stream_merge" -> { (s, d) =>
+      val (cat, tbl) = mergeTargetOrders(s, d)
+      def arm(where: Column => Column, proj: DataFrame => DataFrame) =
+        proj(graft.streaming.StreamOps.fileSource(s, d, "orders")
+          .where(where(col("o_orderkey"))))
+      val changes = arm(_ % 10 === 0, _.select(
+          col("o_orderkey").as("k"), col("o_custkey").as("custkey"),
+          lit("M").as("status"),
+          (col("o_totalprice") + lit(1000.0)).as("totalprice")))
+        .unionByName(arm(_ % 1000 === 0, _.select(
+          (col("o_orderkey") + 3000000L).as("k"),
+          col("o_custkey").as("custkey"),
+          lit("N").as("status"), col("o_totalprice").as("totalprice"))))
+      graft.streaming.StreamOps.mergeStream(s, changes, cat, tbl,
+        Seq("status", "totalprice"))
+      cat.getTable(tbl).snapshot.where(col("k") % 20 === 0)
     },
 
     "ls_select_version_prev" -> { (s, d) =>
@@ -698,6 +751,32 @@ object CoreQueries {
          |           UNION ALL SELECT * FROM ins)
          |SELECT k, custkey, status, totalprice FROM merged
          |WHERE k % 5 = 0""".stripMargin,
+
+    // the fixture's logical clock: commit 1 (one op) at ts 1000, commit 2
+    // (two ops) at ts 2000 — deterministic by construction
+    "cat_history" ->
+      """SELECT CAST(1 AS BIGINT) AS version, CAST(1000 AS BIGINT) AS commit_ts
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(2000 AS BIGINT)""".stripMargin,
+
+    // upsert-only merge algebra over the plain base table
+    "stream_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, custkey,
+        |         CASE WHEN k % 10 = 0 THEN 'M' ELSE status END AS status,
+        |         CASE WHEN k % 10 = 0 THEN totalprice + 1000.0
+        |              ELSE totalprice END AS totalprice
+        |  FROM base),
+        |ins AS (
+        |  SELECT k + 3000000 AS k, custkey, 'N' AS status, totalprice
+        |  FROM base WHERE k % 1000 = 0),
+        |allr AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT k, custkey, status, totalprice FROM allr
+        |WHERE k % 20 = 0""".stripMargin,
 
     "ls_select_version_prev" ->
       s"""$fixture, prev AS (${asOfSql(-1)})

@@ -59,7 +59,15 @@ object Tables {
       StructField("text", StringType),
       StructField("lang", StringType),
       StructField("source", StringType),
-      StructField("n_chars", LongType))))
+      StructField("n_chars", LongType))),
+    // change-stream source for the streaming CDC apply (stream_merge)
+    "orders" -> StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampNTZType),
+      StructField("o_orderpriority", StringType))))
 
   def streamSchemaOf(name: String): StructType =
     streamSchemas.getOrElse(name,

@@ -153,6 +153,42 @@ object StreamOps {
         plan.schema)
   }
 
+  /**
+   * Streaming CDC apply — the merge-in-foreachBatch pattern (the shape
+   * Delta Lake documents for streaming upserts): drain a stream of
+   * change rows into a warehouse table by running ONE durable MERGE
+   * INTO commit per micro-batch ([[graft.core.Txn.mergeInto]] through
+   * [[graft.core.Catalog.commit]] — each batch is one atomic `_ver`).
+   * Exactly-once end to end: the checkpoint records which source files
+   * each batch consumed, and a batch's merge is a single catalog commit,
+   * so a restart resumes at the failed batch instead of re-applying.
+   * Determinism across batch splits: a change-stream whose keys are
+   * unique stream-wide yields the same final table for ANY micro-batch
+   * partitioning — each key is merged exactly once (StreamMergeSpec
+   * drives the multi-batch path; per-key last-write-wins streams would
+   * need the source ordered by a change sequence, as every CDC apply
+   * does). Cost per batch ∝ |batch| (mergeInto's candidate
+   * restriction), so a continuous deployment pays for its changes, not
+   * its table size.
+   */
+  def mergeStream(spark: SparkSession, changes: DataFrame,
+                  cat: graft.core.Catalog, table: String,
+                  updateCols: Seq[String],
+                  deleteWhen: Option[org.apache.spark.sql.Column] = None): Unit = {
+    val dir = scratch(spark)
+    val query = changes.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", new Path(dir, "_ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cat.commit(table, graft.core.Txn.empty
+          .mergeInto(batch, updateCols, deleteWhen))
+        ()
+      }
+      .start()
+    try query.awaitTermination() finally query.stop()
+  }
+
   /** Production-shaped sink: drain the stream to an exactly-once parquet
     * directory sink (append mode — the mode file sinks support) with its
     * checkpoint alongside. Re-running with the same checkpoint resumes

@@ -414,4 +414,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  test("ls_merge_into windows only the source's candidate keys") {
+    val df = SparkEntry.queries("ls_merge_into")(spark, sfDir)
+    // the target side must semi-join down to the source key set BEFORE
+    // its snapshot window — merge cost ∝ |source|, never the table.
+    // Asserted on the optimized LOGICAL plan: under AQE the semi-join
+    // physically lives inside an already-materialized broadcast stage,
+    // which the final executed-plan print elides.
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("LeftSemi"), logical)
+    val plan = executedPlan(df)
+    // and the merge join itself broadcasts the (small) source side
+    assert(plan.contains("LeftOuter, BuildRight"), plan)
+  }
+
+  test("q_kmv_distinct aggregates map-side: partial sketch before exchange") {
+    val plan = executedPlan(SparkEntry.queries("q_kmv_distinct")(spark, sfDir))
+    // TypedImperativeAggregate plans as ObjectHashAggregate; the partial
+    // instance must run BELOW the last exchange (k-long buffers cross
+    // the wire, never raw hashes) — a single-phase plan (agg only above
+    // its shuffle) would ship every row. Printed tree order: deepest
+    // node last, so the scan-side partial prints AFTER every Exchange.
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.lastIndexOf("ObjectHashAggregate") > plan.lastIndexOf("Exchange"),
+      s"expected a partial ObjectHashAggregate below the exchange:\n$plan")
+  }
+
+  test("ann_sql broadcasts the query vectors and group-limits the top-k") {
+    val plan = executedPlan(SparkEntry.queries("ann_sql")(spark, sfDir))
+    // same shape as bruteTopK: Q vectors broadcast × ONE corpus scan —
+    // and the SQL function resolves to the native codegen'd expression
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("graft_dot"), plan)
+    // rank<=k over dot is pushed to a per-partition group limit before
+    // the shuffle (WindowGroupLimit) — the top-k never sorts the corpus
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
