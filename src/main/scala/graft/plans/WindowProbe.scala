@@ -140,6 +140,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_kmv(h, k) takes a bigint column and a literal k")
         val k = args(1) match {
           case Literal(v: Int, _) => v
+          case Literal(v: Long, _) if v.isValidInt => v.toInt
           case other => throw new IllegalArgumentException(
             s"graft_kmv k must be an integer literal, got $other")
         }
