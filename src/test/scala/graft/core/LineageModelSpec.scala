@@ -22,17 +22,28 @@ class LineageModelSpec extends SparkSpec {
   case class Delete(kMod: Long) extends Op           // delete where k % 4 == kMod
   case class Increment(k: Long) extends Op
   case class Purge(kMod: Long) extends Op            // erase ALL versions, k % 5 == kMod
+  /** MERGE INTO with a generated 2-row source: matched keys update v,
+    * unmatched insert; rows whose v satisfies the delete gate tombstone. */
+  case class Merge(k1: Long, v1: Long, k2: Long, v2: Long) extends Op
 
   private def genOps(seed: Long, n: Int): List[Op] = {
     val rng = new scala.util.Random(seed)
-    List.fill(n)(rng.nextInt(5) match {
+    List.fill(n)(rng.nextInt(6) match {
       case 0 => Insert(rng.nextInt(12).toLong, rng.nextInt(100).toLong)
       case 1 => Update(rng.nextInt(3).toLong, 1L + rng.nextInt(9))
       case 2 => Delete(rng.nextInt(4).toLong)
       case 3 => Increment(rng.nextInt(12).toLong)
       case 4 => Purge(rng.nextInt(5).toLong)
+      case 5 =>
+        // two distinct keys (source keys must be unique within one merge)
+        val k1 = rng.nextInt(12).toLong
+        val k2 = (k1 + 1 + rng.nextInt(11)) % 12
+        Merge(k1, rng.nextInt(100).toLong, k2, rng.nextInt(100).toLong)
     })
   }
+
+  /** The merge delete gate — a predicate on SOURCE columns. */
+  private def mergeDeletes(v: Long): Boolean = v % 7 == 0
 
   private def applyModel(model: Map[Long, Long], op: Op): Map[Long, Long] = op match {
     case Insert(k, v) => model + (k -> v) // upsert (table-monotonic _ver)
@@ -43,6 +54,11 @@ class LineageModelSpec extends SparkSpec {
     // NOTE a purged-then-reinserted key comes back (no tombstone), which
     // the model's plain Map semantics capture for free
     case Purge(m)     => model.filter { case (k, _) => k % 5 != m }
+    case Merge(k1, v1, k2, v2) =>
+      Seq((k1, v1), (k2, v2)).foldLeft(model) { case (mm, (k, v)) =>
+        if (mm.contains(k) && mergeDeletes(v)) mm - k   // matched + gate → delete
+        else mm + (k -> v)                              // matched → update; else insert
+      }
   }
 
   private def applyTable(t: LineageTable, op: Op): LineageTable = {
@@ -53,6 +69,9 @@ class LineageModelSpec extends SparkSpec {
       case Delete(m)    => t.delete(col("k") % 4 === m)
       case Increment(k) => t.increment(col("k") === k, "v")
       case Purge(m)     => t.purge(col("k") % 5 === m)
+      case Merge(k1, v1, k2, v2) =>
+        t.mergeInto(Seq((k1, v1), (k2, v2)).toDF("k", "v"), Seq("v"),
+          deleteWhen = Some(col("v") % 7 === 0))
     }
   }
 
