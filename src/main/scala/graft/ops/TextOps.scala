@@ -48,9 +48,13 @@ object TextOps {
     conv(substr(md5(concat(lit(s"${i / 4}:"), s)), lit(1 + 8 * (i % 4)), lit(8)),
       16, 10).cast("long")
 
-  /** 60-bit token hash (no family index) for simhash. */
+  /** 60-bit token hash (no family index): native digest-prefix read
+    * (functions/Md5HighBits — skips the hex-encode/substr/radix-parse
+    * round trip on the hot per-shingle/per-gram paths). Value-identical
+    * to `conv(substr(md5(s),1,15),16,10)` and to the DuckDB oracles'
+    * `CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)` (Md5HighBitsSpec). */
   def tokenHash(s: Column): Column =
-    conv(substr(md5(s), lit(1), lit(15)), 16, 10).cast("long")
+    graft.functions.Md5HighBits.hash60(s)
 
   /** Canonical content fingerprint: md5 of the sorted distinct token set.
     * Word order and repetition are erased; exact-content clusters share it. */
@@ -64,7 +68,7 @@ object TextOps {
     * (pipe_sample, pipe_mix, pipe_shard) so the gate can never drift
     * between them. */
   def md5Gate(x: Column): Column =
-    conv(substr(md5(x.cast("string")), lit(1), lit(8)), 16, 10).cast("long")
+    graft.functions.Md5HighBits.hash32(x.cast("string"))
 
   // --- PII redaction -------------------------------------------------------
   // Patterns restricted to constructs where Java regex (Spark) and RE2

@@ -643,9 +643,11 @@ object OlapQueries {
     // declarative path over the same hashes — agrees bit-for-bit; n_exact
     // is computed alongside to show the sketch lands within ~1/√k.
     "q_kmv_distinct" -> { (s, d) =>
-      val h = conv(substr(md5(col("l_orderkey").cast("string")), lit(1), lit(15)),
-          16, 10)
-        .cast("long")
+      // native digest-prefix hash (functions/Md5HighBits ≡ the oracle's
+      // hex-parse spelling) — at 1000× the hash IS the scan cost, and the
+      // hex round-trip was measured ~40% of it
+      val h = graft.functions.Md5HighBits.hash60(
+        col("l_orderkey").cast("string"))
       Tables(s, d, "lineitem")
         .select(h.as("h"))
         .agg(
