@@ -128,6 +128,60 @@ class LineageModelSpec extends SparkSpec {
     }
   }
 
+  test("asOfVersion agrees with a row-level model at EVERY version") {
+    import spark.implicits._
+    // The absolute-version read (time travel's backend) checked against a
+    // driver-side replay of the LINEAGE itself: rows appended exactly as
+    // the write semantics specify, purge removing whole keys retroactively
+    // — so every historical state, not just the final snapshot, is pinned.
+    case class MRow(k: Long, v: Long, ver: Long, del: Boolean)
+    def live(rows: Vector[MRow], atVer: Long): Map[Long, Long] =
+      rows.filter(_.ver <= atVer).groupBy(_.k)
+        .flatMap { case (k, rs) =>
+          val newest = rs.maxBy(_.ver)
+          if (newest.del) None else Some(k -> newest.v)
+        }
+    def applyRows(rows: Vector[MRow], ver: Long, op: Op): Vector[MRow] = {
+      val snap = live(rows, Long.MaxValue)
+      op match {
+        case Insert(k, v) => rows :+ MRow(k, v, ver, del = false)
+        case Update(m, d) => rows ++ snap.collect {
+          case (k, v) if k % 3 == m => MRow(k, v + d, ver, del = false) }
+        case Delete(m) => rows ++ snap.collect {
+          case (k, v) if k % 4 == m => MRow(k, v, ver, del = true) }
+        case Increment(k) => rows ++ snap.get(k)
+          .map(v => MRow(k, v + 1, ver, del = false))
+        case Purge(m) =>
+          // any version matches on the key predicate ⇒ whole keys go
+          rows.filterNot(_.k % 5 == m)
+        case Merge(k1, v1, k2, v2) => rows ++
+          Seq((k1, v1), (k2, v2)).map { case (k, v) =>
+            if (snap.contains(k) && mergeDeletes(v))
+              MRow(k, snap(k), ver, del = true) // tombstone carries current
+            else MRow(k, v, ver, del = false)
+          }
+      }
+    }
+    def bumps(op: Op): Boolean = op match { case _: Purge => false; case _ => true }
+    val base = Seq((0L, 0L), (5L, 50L), (10L, 100L)).toDF("k", "v")
+    val initRows = Vector(MRow(0, 0, 0, del = false),
+      MRow(5, 50, 0, del = false), MRow(10, 100, 0, del = false))
+    (400 to 405).foreach { seed =>
+      val ops = genOps(seed, 7)
+      var (rows, ver) = (initRows, 0L)
+      ops.foreach { op =>
+        if (bumps(op)) ver += 1
+        rows = applyRows(rows, ver, op)
+      }
+      val table = ops.foldLeft(LineageTable.fromBase("k", base))(applyTable)
+      (0L to ver).foreach { v =>
+        val got = table.asOfVersion(v).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === live(rows, v), s"seed $seed version $v ops: $ops")
+      }
+    }
+  }
+
   test("compaction preserves the model state; version reads clamp to it") {
     import spark.implicits._
     val base = Seq((1L, 1L), (2L, 2L)).toDF("k", "v")
