@@ -630,6 +630,37 @@ object CoreQueries {
         ("events", s"$d/events.parquet", Seq("user_id", "value"))))
     },
 
+    // ANALYZE-style NDV (distinct-count) statistics — the cardinality
+    // stats a cost-based planner joins/reorders by — for THREE columns in
+    // ONE scan: one KMV sketch per column inside a single aggregation
+    // (functions/KMinValues; ~2 KB buffer per column per partition,
+    // map-side partial). cat_stats gives min/max/nulls from footers; NDV
+    // is the stat footers don't carry, and the full-scan DISTINCT
+    // alternative pays one shuffle of every value PER COLUMN. Sketches
+    // with fewer than k members ARE the exact distinct set (the
+    // low-cardinality fast answer: o_orderpriority); past k the standard
+    // (k-1)·2^60/h_k estimate applies — deterministic order statistics,
+    // so the oracle's expensive declarative path agrees bit-for-bit.
+    "cat_ndv" -> { (s, d) =>
+      val k = 256
+      def h(c: String) =
+        graft.functions.Md5HighBits.hash60(col(c).cast("string"))
+      def est(kmv: Column): Column =
+        when(size(kmv) < k, size(kmv).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+            element_at(kmv, k)))
+      val agged = Tables(s, d, "orders").agg(
+        graft.functions.KMinValues.kMinValues(h("o_custkey"), k).as("k_cust"),
+        graft.functions.KMinValues.kMinValues(h("o_orderkey"), k).as("k_ord"),
+        graft.functions.KMinValues.kMinValues(h("o_orderpriority"), k).as("k_prio"))
+      agged.select(explode(array(
+          struct(lit("o_custkey").as("col_name"), est(col("k_cust")).as("ndv")),
+          struct(lit("o_orderkey").as("col_name"), est(col("k_ord")).as("ndv")),
+          struct(lit("o_orderpriority").as("col_name"),
+            est(col("k_prio")).as("ndv")))).as("r"))
+        .select(col("r.col_name").as("col_name"), col("r.ndv").as("ndv"))
+    },
+
     "cat_tables" -> { (s, d) =>
       // Database.create_table / get_table surface: the catalog inventory.
       // Row counts come from parquet FOOTERS (graft.sources.ParquetMeta),
@@ -967,6 +998,26 @@ object CoreQueries {
             s"COUNT(*) - COUNT($c) AS n_nulls, COUNT(*) AS n_rows FROM $t"
         }
       }.mkString("\nUNION ALL\n")
+    },
+
+    // the oracle takes the expensive path per column: full DISTINCT, sort,
+    // limit k — same order statistics, same estimate arithmetic
+    "cat_ndv" -> {
+      def perCol(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |  CASE WHEN (SELECT COUNT(*) FROM h_$c) < 256
+           |       THEN (SELECT COUNT(*) FROM h_$c)
+           |       ELSE CAST(floor(255.0 * pow(2, 60) / (
+           |              SELECT MAX(h) FROM (SELECT h FROM h_$c ORDER BY h
+           |                                  LIMIT 256))) AS BIGINT)
+           |  END AS ndv""".stripMargin
+      val ctes = Seq("o_custkey", "o_orderkey", "o_orderpriority").map(c =>
+        s"""h_$c AS (SELECT DISTINCT
+           |  CAST(('0x'||substr(md5(CAST($c AS VARCHAR)),1,15)) AS BIGINT) AS h
+           |  FROM orders)""".stripMargin).mkString("WITH ", ",\n", "")
+      ctes + "\n" +
+        Seq("o_custkey", "o_orderkey", "o_orderpriority").map(perCol)
+          .mkString("\nUNION ALL\n")
     },
 
     "cat_tables" -> {
