@@ -734,6 +734,33 @@ object PipelineQueries {
         StreamOps.fileSource(s, d, "documents").select(col("doc_id"), col("text"))))
     },
 
+    // Streaming distinct-count: the KMV sketch (q_kmv_distinct's
+    // aggregate) maintained INCREMENTALLY over the events stream —
+    // TypedImperativeAggregate buffers merge across micro-batches, so
+    // streaming state is ONE ~2 KB sketch (contrast stream_dedup's
+    // row-per-distinct-hash: this is the cardinality question answered
+    // in constant state at any stream length; exact streaming distinct
+    // isn't even supported — DISTINCT aggregates can't stream). The
+    // drained result is deterministic order statistics, so the batch
+    // oracle agrees bit-for-bit.
+    "stream_ndv" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val k = 256
+      val h = graft.functions.Md5HighBits.hash60(col("user_id").cast("string"))
+      val plan = StreamOps.fileSource(s, d, "events")
+        .select(h.as("h"))
+        .agg(graft.functions.KMinValues.kMinValues(col("h"), k).as("kmv"))
+        .select(
+          lit(k.toLong).as("k"),
+          // sub-k sketch IS the exact distinct set (the driver-SF case:
+          // ~150 users); past k the standard estimate (CaseWhen is lazy,
+          // so element_at(·, k) never evaluates on a short sketch)
+          when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
+            .otherwise(floor(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+              element_at(col("kmv"), k))).as("ndv"))
+      StreamOps.drainComplete(s, plan)
+    },
+
     // Streaming dedup with BOUNDED state (the 100 TB shape): first
     // occurrence per text hash, state row EVICTED once the watermark
     // passes its event time + TTL (dropDuplicatesWithinWatermark) —
@@ -1553,6 +1580,20 @@ object PipelineQueries {
     "stream_dedup" ->
       """SELECT md5(text) AS h, COUNT(*) AS sz, MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // batch twin of the streaming sketch: same order statistics, same
+    // estimate arithmetic (cf. q_kmv_distinct's oracle)
+    "stream_ndv" ->
+      """WITH h AS (SELECT DISTINCT
+        |    CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+        |  FROM events),
+        |km AS (SELECT h FROM h ORDER BY h LIMIT 256)
+        |SELECT CAST(256 AS BIGINT) AS k,
+        |       CASE WHEN (SELECT COUNT(*) FROM h) < 256
+        |            THEN (SELECT COUNT(*) FROM h)
+        |            ELSE CAST(floor(255.0 * pow(2, 60) /
+        |                   (SELECT MAX(h) FROM km)) AS BIGINT)
+        |       END AS ndv""".stripMargin,
 
     // TTL covers the whole drained span ⇒ exactly one row per distinct
     // hash; only hash-determined columns appear (n_chars is a function
