@@ -76,4 +76,27 @@ class StreamStateSpec extends SparkSpec {
       "duplicate past the TTL must re-emit: state was not evicted")
     assert(emitted("ccc") === 1, "within-TTL duplicate must stay dropped")
   }
+
+  test("streaming KMV sketch merges across micro-batches ≡ one batch") {
+    import spark.implicits._
+    import graft.functions.{KMinValues, Md5HighBits}
+    // three files → forced separate micro-batches; values overlap across
+    // batches so the bounded set-union merge (not mere concatenation) is
+    // what's exercised
+    val in = Files.createTempDirectory("graft_sndv_in_").toString
+    Seq(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L), Seq(1L, 6L, 7L))
+      .foreach(vs => vs.toDF("x").coalesce(1).write.mode("append").parquet(in))
+    val sch = StructType(Seq(StructField("x", LongType)))
+    val h = Md5HighBits.hash60(col("x").cast("string"))
+    val plan = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(h.as("h"))
+      .agg(KMinValues.kMinValues(col("h"), 4).as("kmv"))
+    val streamed = StreamOps.drainComplete(spark, plan)
+      .head().getSeq[Long](0)
+    val batch = spark.read.parquet(in).select(h.as("h"))
+      .agg(KMinValues.kMinValues(col("h"), 4)).head().getSeq[Long](0)
+    assert(streamed === batch)
+    assert(streamed.length === 4) // 7 distinct values, k=4 → full sketch
+  }
 }
