@@ -66,6 +66,19 @@ class MergeIntoSpec extends SparkSpec {
       "merge cost must be proportional to |source|, not the table")
   }
 
+  test("null keys merge null-safely: a null-keyed record updates, not dups") {
+    val withNull = LineageTable.fromBase("k",
+      Seq((Some(1L), 10L, "A"), (None, 20L, "N")).toDF("k", "v", "s"))
+    val src = Seq((Option.empty[Long], 99L, "N2")).toDF("k", "v", "s")
+    val out = withNull.mergeInto(src, Seq("v", "s")).snapshot
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getString(2))).toSet
+    // the null-keyed record MATCHES (null-safe equality, like the window
+    // partitioning groups null keys) — an insert here would create a
+    // second null-key record and nondeterministic snapshots
+    assert(out === Set((Some(1L), 10L, "A"), (None, 99L, "N2")))
+  }
+
   test("merge equals the insert/update/delete compose it replaces") {
     val src = Seq((2L, 222L, "B2"), (4L, 0L, "del"), (9L, 90L, "I"))
       .toDF("k", "v", "s")
