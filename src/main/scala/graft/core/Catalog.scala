@@ -321,46 +321,68 @@ final class Catalog(spark: SparkSession, warehouse: String,
    * a failing op aborts before anything is written.
    */
   def tryCommit(name: String, txn: Txn, expectedOpSeq: Long,
-                commitTs: Option[Long] = None): Either[Throwable, LineageTable] =
+                commitTs: Option[Long] = None,
+                streamBatch: Option[(String, Long)] = None): Either[Throwable, LineageTable] =
     lock(name).synchronized {
       Try { withCommitMarker(name) {
         val meta = readMeta(name)
-        if (meta.opSeq != expectedOpSeq)
-          throw new ConcurrentModificationException(
-            s"$name: op_seq moved $expectedOpSeq -> ${meta.opSeq} " +
-              "since the transaction's base was loaded")
-        // the commit log must stay time-ordered or the asOfTimestamp
-        // lookup (last entry at-or-before ts) silently skips history —
-        // reject out-of-order stamps BEFORE anything is written
-        commitTs.foreach(ts => require(meta.commitTs.forall(_ <= ts),
-          s"$name: commit timestamp $ts precedes the log tail"))
-        val after = txn.commit(getTable(name))
-        // meta BEFORE rows: a crash between the two leaves op_seq advanced
-        // past the (absent) rows, so the next commit stamps a fresh _ver — a
-        // harmless gap. The reverse order would let a crash replay a _ver
-        // stamp onto different rows, making snapshot row_number ties
-        // nondeterministic forever. (The same crash leaves the commit-log
-        // entry addressing the absent rows: asOfTimestamp then reads the
-        // pre-crash state at that ts — consistent, just earlier.)
-        val logged = commitTs.fold(meta)(ts => meta.copy(
-          commitVers = meta.commitVers :+ after.opSeq,
-          commitTs = meta.commitTs :+ ts))
-        writeMeta(name, logged.copy(opSeq = after.opSeq))
-        // projection maintenance is O(delta): append only the delta's
-        // (column, key) pairs to each projection — BEFORE the tail lands,
-        // so a crash between the two leaves the projection a SUPERSET of
-        // the lineage (extra candidate keys are filtered by the probe's
-        // final predicate re-application; a missing key would lose rows)
-        after.delta.foreach { d =>
-          meta.projCols.foreach { c =>
-            d.select(col(c), col(meta.key))
-              .write.mode(SaveMode.Append).parquet(projDir(name, c).toString)
-          }
+        // Idempotent streaming apply (the Delta txn-appId/version
+        // pattern): a micro-batch records its (writer id, batch id) in
+        // the SAME meta write as its commit, so a foreachBatch RETRY of
+        // an already-applied batch (at-least-once delivery: a crash
+        // between the table commit and the checkpoint offset commit
+        // re-runs the batch) is detected here and skipped — without
+        // this, a re-applied delete-arm merge would resurrect its key
+        // through the not-matched insert arm.
+        val alreadyApplied = streamBatch.exists { case (app, bid) =>
+          meta.streamApp.contains(app) && meta.streamBatch.exists(_ >= bid)
         }
-        after.delta.foreach(appendTail(name, _))
-        // the reference's background-merge trigger, run inline on commit
-        if (autoCompact) maybeCompact(name, compactRatio, preserveHistory = true)
-        getTable(name)
+        if (alreadyApplied) getTable(name)
+        else {
+          if (meta.opSeq != expectedOpSeq)
+            throw new ConcurrentModificationException(
+              s"$name: op_seq moved $expectedOpSeq -> ${meta.opSeq} " +
+                "since the transaction's base was loaded")
+          // the commit log must stay time-ordered or the asOfTimestamp
+          // lookup (last entry at-or-before ts) silently skips history —
+          // reject out-of-order stamps BEFORE anything is written
+          commitTs.foreach(ts => require(meta.commitTs.forall(_ <= ts),
+            s"$name: commit timestamp $ts precedes the log tail"))
+          val after = txn.commit(getTable(name))
+          // meta BEFORE rows: a crash between the two leaves op_seq advanced
+          // past the (absent) rows, so the next commit stamps a fresh _ver — a
+          // harmless gap. The reverse order would let a crash replay a _ver
+          // stamp onto different rows, making snapshot row_number ties
+          // nondeterministic forever. (The same crash leaves the commit-log
+          // entry addressing the absent rows: asOfTimestamp then reads the
+          // pre-crash state at that ts — consistent, just earlier. For a
+          // streaming batch the SAME crash window records the batch id with
+          // the absent rows — the retry is then skipped, losing that batch's
+          // changes but never corrupting: the documented trade matches the
+          // op_seq-gap rule, and the alternative order would double-apply.)
+          val logged = commitTs.fold(meta)(ts => meta.copy(
+            commitVers = meta.commitVers :+ after.opSeq,
+            commitTs = meta.commitTs :+ ts))
+          val stamped = streamBatch.fold(logged) { case (app, bid) =>
+            logged.copy(streamApp = Some(app), streamBatch = Some(bid))
+          }
+          writeMeta(name, stamped.copy(opSeq = after.opSeq))
+          // projection maintenance is O(delta): append only the delta's
+          // (column, key) pairs to each projection — BEFORE the tail lands,
+          // so a crash between the two leaves the projection a SUPERSET of
+          // the lineage (extra candidate keys are filtered by the probe's
+          // final predicate re-application; a missing key would lose rows)
+          after.delta.foreach { d =>
+            meta.projCols.foreach { c =>
+              d.select(col(c), col(meta.key))
+                .write.mode(SaveMode.Append).parquet(projDir(name, c).toString)
+            }
+          }
+          after.delta.foreach(appendTail(name, _))
+          // the reference's background-merge trigger, run inline on commit
+          if (autoCompact) maybeCompact(name, compactRatio, preserveHistory = true)
+          getTable(name)
+        }
       } }.toEither
     }
 
@@ -379,6 +401,19 @@ final class Catalog(spark: SparkSession, warehouse: String,
   def commitAt(name: String, txn: Txn, ts: Long): LineageTable =
     lock(name).synchronized {
       tryCommit(name, txn, readMeta(name).opSeq, Some(ts))
+        .fold(e => throw e, identity)
+    }
+
+  /** Idempotent [[commit]] for a streaming micro-batch: `(writerId,
+    * batchId)` is recorded atomically with the commit, and a replay of
+    * an at-or-before batch is a NO-OP — foreachBatch delivery is
+    * at-least-once, so without this a retried delete-arm merge would
+    * resurrect its key ([[graft.streaming.StreamOps.mergeStream]]). */
+  def commitStreamBatch(name: String, txn: Txn,
+                        writerId: String, batchId: Long): LineageTable =
+    lock(name).synchronized {
+      tryCommit(name, txn, readMeta(name).opSeq,
+        streamBatch = Some((writerId, batchId)))
         .fold(e => throw e, identity)
     }
 
@@ -890,7 +925,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * append-only and time-ordered; cleared by any
                             * physical re-stamp. */
                           commitVers: Seq[Long] = Nil,
-                          commitTs: Seq[Long] = Nil)
+                          commitTs: Seq[Long] = Nil,
+                          /** Last applied streaming batch (writer id,
+                            * batch id), recorded atomically with its
+                            * commit's meta write — the Delta
+                            * txn-appId/version idempotence pattern
+                            * ([[tryCommit]] skips a replayed batch). */
+                          streamApp: Option[String] = None,
+                          streamBatch: Option[Long] = None)
 
   // Metadata names are restricted to identifier characters at write time,
   // so the flat JSON below round-trips through the regex reader with no
@@ -929,11 +971,16 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val pc = m.projCols.map(c => "\"" + checked(c) + "\"").mkString(", ")
     val cv = m.commitVers.mkString(", ")
     val ct = m.commitTs.mkString(", ")
+    // stream ids originate from UUID/checkpoint names — same identifier
+    // restriction as column names keeps the flat JSON unambiguous
+    val sa = m.streamApp.map(a => "\"" + checked(a) + "\"").getOrElse("null")
+    val sb = m.streamBatch.map(_.toString).getOrElse("null")
     val json = s"""{"key": "${checked(m.key)}", "columns": [$cols], """ +
       s""""index": $idx, "op_seq": ${m.opSeq}, "multi_ver": ${m.multiVer}, """ +
       s""""tail_floor": ${m.tailFloor}, """ +
       s""""added_cols": [$ac], "added_types": [$at], "proj_cols": [$pc], """ +
-      s""""commit_vers": [$cv], "commit_ts": [$ct]}"""
+      s""""commit_vers": [$cv], "commit_ts": [$ct], """ +
+      s""""stream_app": $sa, "stream_batch": $sb}"""
     writeString(metaTmpPath(name), json)
     fs.delete(metaPath(name), false)
     move(metaTmpPath(name), metaPath(name))
@@ -984,8 +1031,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
         .findFirstMatchIn(json).map(_.group(1)).filter(_.trim.nonEmpty)
         .map(_.split(",").map(_.trim.toLong).toSeq)
         .getOrElse(Nil)
+    val sApp = "\"stream_app\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(json).map(_.group(1))
+    val sBatch = "\"stream_batch\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(json).map(_.group(1).toLong)
     Meta(key, cols, idx, seq, mv, floor,
       strList("added_cols"), strList("added_types"), strList("proj_cols"),
-      numList("commit_vers"), numList("commit_ts"))
+      numList("commit_vers"), numList("commit_ts"), sApp, sBatch)
   }
 }

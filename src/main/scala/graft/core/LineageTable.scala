@@ -243,18 +243,42 @@ final class LineageTable private (
     require(updateCols.nonEmpty && updateCols.forall(c =>
       dataCols.contains(c) && c != keyCol),
       s"updateCols must be non-key data columns, got ${updateCols.mkString(",")}")
+    // a NULL gate must read as "don't delete": three-valued logic would
+    // otherwise stamp a NULL _del, and the appended newest version would
+    // fail the snapshot's _del = 0 filter — the record silently VANISHES
     val src = source.select(dataCols.map(col): _*)
-      .withColumn("_mdel", deleteWhen.getOrElse(lit(false)).cast("boolean"))
+      .withColumn("_mdel",
+        coalesce(deleteWhen.getOrElse(lit(false)).cast("boolean"), lit(false)))
+    // Source keys must be unique (one row per key per op — the snapshot
+    // window's tie rule demands it): the check rides the aggregation the
+    // candidate-key distinct already pays, erroring DISTRIBUTED on the
+    // first duplicate instead of silently making snapshot ties
+    // nondeterministic forever (a real CDC hazard — a batch with two
+    // changes for one key must be collapsed by the caller first).
+    val keys = src.groupBy(col(keyCol).as("_match_key"))
+      .agg(count(lit(1)).as("_n"))
+      .select(when(col("_n") > 1, raise_error(concat(
+          lit(s"mergeInto: duplicate source key in column '$keyCol': "),
+          coalesce(col("_match_key").cast("string"), lit("NULL")))))
+        .otherwise(col("_match_key")).as("_match_key"))
     // current state restricted to the source's keys: semi-join BEFORE the
-    // snapshot window, so only candidate partitions shuffle (cf. probe)
-    val keys = src.select(col(keyCol).as("_match_key")).distinct()
+    // snapshot window, so only candidate partitions shuffle (cf. probe).
+    // The compacted fast path keeps the semi-join too — it both shrinks
+    // the merge join's build input and keeps the duplicate check in the
+    // executed plan on every path.
+    val candidates =
+      lineage.join(keys, col(keyCol) <=> col("_match_key"), "left_semi")
     val current =
-      if (compactedOnly) lineage.where(col(DEL) === 0)
-      else asOfMetaOver(
-        lineage.join(keys, col(keyCol) <=> col("_match_key"), "left_semi"), 0)
-    val tgt = current.select(dataCols.map(c => col(c).as(s"_t_$c")): _*)
+      if (compactedOnly) candidates.where(col(DEL) === 0)
+      else asOfMetaOver(candidates, 0)
+    // matched-ness via an explicit marker, NOT the key's null-ness: a
+    // null-keyed record legitimately matches through the null-safe join,
+    // and misreading it as unmatched would run the insert arm (dropping
+    // carry-forward columns and bypassing the delete gate)
+    val tgt = current.select(
+      dataCols.map(c => col(c).as(s"_t_$c")) :+ lit(true).as("_t_exists"): _*)
     val joined = src.join(tgt, col(keyCol) <=> col(s"_t_$keyCol"), "left_outer")
-    val matched = col(s"_t_$keyCol").isNotNull
+    val matched = coalesce(col("_t_exists"), lit(false))
     val vals = dataCols.map { c =>
       when(matched && col("_mdel"), col(s"_t_$c"))
         .when(matched,

@@ -110,4 +110,18 @@ object KMinValues {
   def kMinValues(child: Column, k: Int): Column =
     Bridge.column(KMinValues(Bridge.expression(child), k)
       .toAggregateExpression())
+
+  /** The KMV NDV estimator over a sketch column: a sub-k sketch IS the
+    * exact distinct set (low-cardinality exact answer); past k, the
+    * standard `(k-1)·2^60/h_k` over the 60-bit hash space. CaseWhen
+    * evaluates lazily, so `element_at(·, k)` never runs on a short
+    * sketch. ONE definition (cat_ndv, stream_ndv) so the estimator
+    * convention can never drift between the engine's call sites and
+    * their oracles' CASE spelling. */
+  def ndvEstimate(kmv: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{element_at, floor, lit, size, when}
+    when(size(kmv) < k, size(kmv).cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+        element_at(kmv, k)))
+  }
 }

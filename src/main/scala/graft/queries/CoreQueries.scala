@@ -646,9 +646,7 @@ object CoreQueries {
       def h(c: String) =
         graft.functions.Md5HighBits.hash60(col(c).cast("string"))
       def est(kmv: Column): Column =
-        when(size(kmv) < k, size(kmv).cast("long"))
-          .otherwise(floor(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
-            element_at(kmv, k)))
+        graft.functions.KMinValues.ndvEstimate(kmv, k)
       val agged = Tables(s, d, "orders").agg(
         graft.functions.KMinValues.kMinValues(h("o_custkey"), k).as("k_cust"),
         graft.functions.KMinValues.kMinValues(h("o_orderkey"), k).as("k_ord"),

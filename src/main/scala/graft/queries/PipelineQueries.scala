@@ -752,12 +752,10 @@ object PipelineQueries {
         .agg(graft.functions.KMinValues.kMinValues(col("h"), k).as("kmv"))
         .select(
           lit(k.toLong).as("k"),
-          // sub-k sketch IS the exact distinct set (the driver-SF case:
-          // ~150 users); past k the standard estimate (CaseWhen is lazy,
-          // so element_at(·, k) never evaluates on a short sketch)
-          when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
-            .otherwise(floor(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
-              element_at(col("kmv"), k))).as("ndv"))
+          // sub-k = exact distinct set (the driver-SF case: ~150 users);
+          // past k the shared estimator (KMinValues.ndvEstimate — one
+          // definition across cat_ndv/stream_ndv and their oracles)
+          graft.functions.KMinValues.ndvEstimate(col("kmv"), k).as("ndv"))
       StreamOps.drainComplete(s, plan)
     },
 

@@ -30,6 +30,37 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
  */
 object ParquetMeta {
 
+  /**
+   * True when `column` in the parquet table at `path` is annotated
+   * TIMESTAMP(NANOS) — the encoding `spark.sql.legacy.parquet.nanosAsLong`
+   * surfaces as a plain long (testdata rounds 1-6), vs TIMESTAMP(MICROS)
+   * which reads as a timestamp (round 7+). ONE footer read of ONE part
+   * file (a few KB) — what an explicit-schema stream source probes at
+   * query start so its declared type matches what the reader will
+   * surface (a mismatch throws in the vectorized reader; schema
+   * inference, the alternative, is exactly what a declared-schema
+   * source exists to avoid). Absent column/file → false.
+   */
+  def isNanosTimestamp(conf: Configuration, path: String,
+                       column: String): Boolean =
+    (try partFiles(conf, path)
+     catch { case _: java.io.FileNotFoundException => Nil } // absent → declared schema stands
+    ).headOption.exists { file =>
+      val in = HadoopInputFile.fromPath(new Path(file), conf)
+      val r = ParquetFileReader.open(in)
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        schema.containsField(column) && {
+          val t = schema.getType(schema.getFieldIndex(column))
+          t.isPrimitive && (t.asPrimitiveType().getLogicalTypeAnnotation match {
+            case ts: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          })
+        }
+      } finally r.close()
+    }
+
   /** All part-files of a parquet table path (single file or directory),
     * listed through the Hadoop FileSystem of `conf`. */
   private def partFiles(conf: Configuration, path: String): Seq[String] = {

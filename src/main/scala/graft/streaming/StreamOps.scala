@@ -61,12 +61,31 @@ object StreamOps {
     * file is named part-*.parquet. */
   def fileSource(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val s = streamSession(spark)
-    val schema = graft.queries.Tables.streamSchemaOf(table)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val declared = graft.queries.Tables.streamSchemaOf(table)
     val path = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = path.getFileSystem(hconf)
     val isDir =
       try fs.getFileStatus(path).isDirectory
       catch { case _: java.io.FileNotFoundException => false }
+    // BOTH historical ts encodings stream (the batch loaders' dual
+    // defense, SKILL.md): a declared TIMESTAMP_NTZ matches the round-7+
+    // MICROS files, but a rounds-1-6 TIMESTAMP(NANOS) file surfaces as
+    // a plain long under the nanosAsLong conf — an explicit schema that
+    // disagrees with what the reader surfaces throws in the vectorized
+    // reader. ONE footer probe at stream start (a few KB — not an
+    // inference scan) picks the matching declaration;
+    // normalizeEventTime canonicalizes either to nanos-long below.
+    val schema = declared.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType) match {
+      case Some(_) if graft.sources.ParquetMeta.isNanosTimestamp(
+          hconf, path.toString, "ts") =>
+        org.apache.spark.sql.types.StructType(declared.fields.map(f =>
+          if (f.name == "ts")
+            f.copy(dataType = org.apache.spark.sql.types.LongType)
+          else f))
+      case _ => declared
+    }
     val src =
       if (isDir) s.readStream.schema(schema).parquet(path.toString)
       else
@@ -176,13 +195,22 @@ object StreamOps {
                   updateCols: Seq[String],
                   deleteWhen: Option[org.apache.spark.sql.Column] = None): Unit = {
     val dir = scratch(spark)
+    // Writer identity for idempotent replay detection: scoped to this
+    // drain (and its checkpoint), so a batch RETRY within/after a crash
+    // of this run is skipped by Catalog.commitStreamBatch, while a fresh
+    // mergeStream call (new checkpoint → batch ids restart at 0) gets a
+    // fresh id and is never mistaken for a replay. foreachBatch is
+    // at-least-once; the batch-id check is what closes it to
+    // effectively-once — a blind re-apply of a delete-arm change would
+    // resurrect its key via the not-matched insert arm.
+    val writerId = "drain_" + java.util.UUID.randomUUID().toString.replace("-", "_")
     val query = changes.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", new Path(dir, "_ckpt").toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        cat.commit(table, graft.core.Txn.empty
-          .mergeInto(batch, updateCols, deleteWhen))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cat.commitStreamBatch(table, graft.core.Txn.empty
+          .mergeInto(batch, updateCols, deleteWhen), writerId, batchId)
         ()
       }
       .start()

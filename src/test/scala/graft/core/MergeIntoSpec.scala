@@ -66,17 +66,41 @@ class MergeIntoSpec extends SparkSpec {
       "merge cost must be proportional to |source|, not the table")
   }
 
-  test("null keys merge null-safely: a null-keyed record updates, not dups") {
+  test("null keys merge null-safely: a null-keyed record UPDATES, not dups") {
     val withNull = LineageTable.fromBase("k",
       Seq((Some(1L), 10L, "A"), (None, 20L, "N")).toDF("k", "v", "s"))
     val src = Seq((Option.empty[Long], 99L, "N2")).toDF("k", "v", "s")
-    val out = withNull.mergeInto(src, Seq("v", "s")).snapshot
+    // updateCols = v ONLY: the null-keyed match must take the UPDATE arm
+    // (s carries forward from the target) — matched-ness via the key's
+    // null-ness would misroute it to the insert arm and overwrite s
+    val out = withNull.mergeInto(src, Seq("v")).snapshot
       .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
         r.getLong(1), r.getString(2))).toSet
-    // the null-keyed record MATCHES (null-safe equality, like the window
-    // partitioning groups null keys) — an insert here would create a
-    // second null-key record and nondeterministic snapshots
-    assert(out === Set((Some(1L), 10L, "A"), (None, 99L, "N2")))
+    assert(out === Set((Some(1L), 10L, "A"), (None, 99L, "N")))
+  }
+
+  test("a NULL deleteWhen gate means keep, never a vanished record") {
+    // three-valued logic trap: s === "del" is NULL when s is NULL; an
+    // un-coalesced gate would stamp _del = NULL and the record would
+    // fail the snapshot's _del = 0 filter — silent data loss
+    val src = Seq((2L, 222L, null.asInstanceOf[String])).toDF("k", "v", "s")
+    val out = table
+      .mergeInto(src, Seq("v", "s"), deleteWhen = Some(col("s") === "del"))
+      .snapshot.collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out.contains((2L, 222L, None)), s"record 2 vanished: $out")
+    assert(out.size === 4)
+  }
+
+  test("duplicate source keys fail fast instead of corrupting version ties") {
+    val src = Seq((2L, 100L, "X"), (2L, 200L, "Y"), (9L, 90L, "I"))
+      .toDF("k", "v", "s")
+    val e = intercept[Exception] {
+      table.mergeInto(src, Seq("v")).snapshot.collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate source key")), e.toString)
   }
 
   test("merge equals the insert/update/delete compose it replaces") {

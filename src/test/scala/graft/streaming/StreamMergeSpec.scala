@@ -49,4 +49,34 @@ class StreamMergeSpec extends SparkSpec {
       .snapshot.collect().map(_.toSeq).toSet
     assert(viaStream === oneMerge)
   }
+
+  test("a replayed micro-batch is a no-op: delete-arm keys stay deleted") {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft_sm_replay_").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("t", "k",
+      Seq((1L, 10L, "A"), (2L, 20L, "B")).toDF("k", "v", "s"))
+    val txn = graft.core.Txn.empty.mergeInto(
+      Seq((2L, 0L, "del")).toDF("k", "v", "s"), Seq("v", "s"),
+      deleteWhen = Some(col("s") === "del"))
+    def liveKeys = cat.getTable("t").snapshot.select("k")
+      .collect().map(_.getLong(0)).toSet
+    cat.commitStreamBatch("t", txn, "w1", 0L)
+    assert(liveKeys === Set(1L))
+    // foreachBatch is at-least-once: the SAME batch retried after a
+    // crash-between-commit-and-checkpoint must be SKIPPED — a blind
+    // re-apply would find key 2 unmatched and resurrect it via the
+    // not-matched insert arm
+    cat.commitStreamBatch("t", txn, "w1", 0L)
+    assert(liveKeys === Set(1L), "replayed batch was re-applied")
+    // a LATER batch from the same writer still applies
+    cat.commitStreamBatch("t", graft.core.Txn.empty.insert(
+      Seq((9L, 90L, "I")).toDF("k", "v", "s")), "w1", 1L)
+    assert(liveKeys === Set(1L, 9L))
+    // batch ids are per-writer: a NEW writer (fresh drain/checkpoint,
+    // ids restart at 0) is never mistaken for a replay
+    cat.commitStreamBatch("t", graft.core.Txn.empty.insert(
+      Seq((8L, 80L, "J")).toDF("k", "v", "s")), "w2", 0L)
+    assert(liveKeys === Set(1L, 8L, 9L))
+  }
 }
