@@ -61,7 +61,7 @@ object CoreQueries {
    */
   def indexedOrders(spark: SparkSession, sfDir: String): LineageTable =
     indexedCache.getOrElseUpdate(sfDir, {
-      val wh = graft.sources.TextSources.scratchDir("graft_idx_wh_")
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_idx_wh_")
       val cat = new Catalog(spark, wh)
       cat.createTable("orders_ls", "k", baseOrders(spark, sfDir))
       cat.commit("orders_ls", Txn.empty
@@ -90,7 +90,7 @@ object CoreQueries {
    */
   def indexedOrdersTailed(spark: SparkSession, sfDir: String): LineageTable =
     tailedCache.getOrElseUpdate(sfDir, {
-      val wh = graft.sources.TextSources.scratchDir("graft_idxt_wh_")
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_idxt_wh_")
       val cat = new Catalog(spark, wh)
       cat.createTable("orders_ls", "k", baseOrders(spark, sfDir))
       cat.commit("orders_ls", Txn.empty
@@ -120,7 +120,7 @@ object CoreQueries {
    */
   def multiProjectedOrders(spark: SparkSession, sfDir: String): (Catalog, String) =
     multiProjCache.getOrElseUpdate(sfDir, {
-      val wh = graft.sources.TextSources.scratchDir("graft_proj_wh_")
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_proj_wh_")
       val cat = new Catalog(spark, wh)
       cat.createTable("orders_mp", "k", baseOrders(spark, sfDir))
       cat.commit("orders_mp", Txn.empty
@@ -148,7 +148,7 @@ object CoreQueries {
    */
   def zorderedOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = zorderCache.getOrElseUpdate(sfDir, {
-      val d = graft.sources.TextSources.scratchDir("graft_zorder_")
+      val d = graft.sources.TextSources.scratchDir(spark, "graft_zorder_")
       graft.ops.Layout.zorder(baseOrders(spark, sfDir), "custkey", "totalprice")
         .write.mode("overwrite").parquet(d)
       d
@@ -172,7 +172,7 @@ object CoreQueries {
    */
   def evolvedOrders(spark: SparkSession, sfDir: String): LineageTable =
     evolveCache.getOrElseUpdate(sfDir, {
-      val wh = graft.sources.TextSources.scratchDir("graft_evolve_wh_")
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_evolve_wh_")
       val cat = new Catalog(spark, wh, autoCompact = false)
       cat.createTable("orders_ev", "k", baseOrders(spark, sfDir))
       cat.commit("orders_ev", Txn.empty.update(col("k") % 3 === 0,
@@ -197,7 +197,7 @@ object CoreQueries {
    */
   def tsLoggedOrders(spark: SparkSession, sfDir: String): (Catalog, String) =
     tsLogCache.getOrElseUpdate(sfDir, {
-      val wh = graft.sources.TextSources.scratchDir("graft_ts_wh_")
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_ts_wh_")
       val cat = new Catalog(spark, wh, autoCompact = false)
       cat.createTable("orders_ts", "k", baseOrders(spark, sfDir))
       cat.commitAt("orders_ts", Txn.empty
@@ -223,7 +223,7 @@ object CoreQueries {
    */
   def mergeTargetOrders(spark: SparkSession, sfDir: String): (Catalog, String) =
     mergeTgtCache.getOrElseUpdate(sfDir, {
-      val wh = graft.sources.TextSources.scratchDir("graft_smerge_wh_")
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_smerge_wh_")
       val cat = new Catalog(spark, wh)
       cat.createTable("orders_sm", "k", baseOrders(spark, sfDir))
       (cat, "orders_sm")
@@ -552,7 +552,7 @@ object CoreQueries {
       // schema, aggregate — values survive bit-exactly (shortest-repr
       // doubles), proving the source path end to end.
       val dir = csvCache.getOrElseUpdate(d,
-        graft.sources.TextSources.scratchDir("graft_csv_"))
+        graft.sources.TextSources.scratchDir(s, "graft_csv_"))
       graft.sources.TextSources.csvRoundtrip(s, baseOrders(s, d), dir)
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n"),

@@ -54,7 +54,7 @@ object PipelineQueries {
     * per sf dir — the fixture for src_partitioned / q_dpp. */
   private def partitionedDocs(s: SparkSession, d: String): DataFrame = {
     val dir = partCache.getOrElseUpdate(d, {
-      val out = graft.sources.TextSources.scratchDir("graft_part_")
+      val out = graft.sources.TextSources.scratchDir(s, "graft_part_")
       Tables(s, d, "documents").write.partitionBy("lang")
         .mode("overwrite").parquet(out)
       out
@@ -71,7 +71,7 @@ object PipelineQueries {
   private def langDimDir(s: SparkSession): String =
     dimCache.getOrElseUpdate(s, {
       import s.implicits._
-      val out = graft.sources.TextSources.scratchDir("graft_langdim_")
+      val out = graft.sources.TextSources.scratchDir(s, "graft_langdim_")
       Seq("en" -> "germanic", "de" -> "germanic", "es" -> "romance",
           "fr" -> "romance", "zh" -> "sinitic").toDF("lang", "family")
         .coalesce(1).write.mode("overwrite").parquet(out)
@@ -571,7 +571,7 @@ object PipelineQueries {
     // round-trips arbitrary text; the aggregate proves it byte-exactly.
     "src_jsonl" -> { (s, d) =>
       val dir = jsonlCache.getOrElseUpdate(d,
-        graft.sources.TextSources.scratchDir("graft_jsonl_"))
+        graft.sources.TextSources.scratchDir(s, "graft_jsonl_"))
       graft.sources.TextSources.jsonlRoundtrip(s,
           Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
           dir)

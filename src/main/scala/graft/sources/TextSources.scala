@@ -22,40 +22,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  */
 object TextSources {
 
-  /** Scratch dirs awaiting JVM-exit cleanup: ONE shutdown hook drains this
-    * registry — a hook per dir would accumulate unboundedly in long
-    * bench/test JVMs that create many fixtures (csv/jsonl/zorder caches
-    * per sf dir). */
-  private val scratchDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
-
-  private lazy val cleanupHook: Unit = {
-    sys.addShutdownHook {
-      scratchDirs.forEach { dir =>
-        // best-effort throughout: the dir may already be gone, and a
-        // throwing hook would abort cleanup of everything after it
-        try {
-          val s = java.nio.file.Files.walk(dir)
-          try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .iterator().forEachRemaining(p =>
-              try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
-          finally s.close()
-        } catch { case _: Exception => () }
-      }
-    }
-    ()
-  }
-
-  /** Create a temp scratch directory that is deleted recursively on JVM
-    * exit. Roundtrip/layout fixtures hold full corpus copies — without
-    * the cleanup every test/bench JVM leaks one per run (at the 100× SF
-    * the JSONL copy alone is the whole corpus text). */
-  def scratchDir(prefix: String): String = {
-    cleanupHook // register the single hook on first use
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    scratchDirs.add(dir)
-    dir.toString
-  }
+  /** Scratch directory for a fixture warehouse or roundtrip dir,
+    * resolved through [[graft.core.Scratch]] — the session's Hadoop FS,
+    * never a `java.nio` driver-local path (which on a real cluster each
+    * executor resolves to its OWN /tmp, so the read-back silently sees
+    * partial data). Delete-on-exit is registered with the FS. */
+  def scratchDir(spark: SparkSession, prefix: String): String =
+    graft.core.Scratch.dir(spark, prefix).toString
 
   /** Write `df` as headered CSV under `dir`, read it back with df's schema. */
   def csvRoundtrip(spark: SparkSession, df: DataFrame, dir: String): DataFrame = {

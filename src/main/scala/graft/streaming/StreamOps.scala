@@ -122,18 +122,8 @@ object StreamOps {
    * shared). The dir is registered for delete-on-exit with the FS, so
    * bounded harness runs clean up after themselves.
    */
-  private def scratch(s: SparkSession): Path = {
-    val hconf = s.sparkContext.hadoopConfiguration
-    val root = new Path(
-      s.conf.getOption("spark.graft.scratchDir").getOrElse(
-        hconf.get("hadoop.tmp.dir", "/tmp") + "/graft-scratch"))
-    val fs = root.getFileSystem(hconf)
-    val dir = new Path(fs.makeQualified(root),
-      s"drain_${sinkId.incrementAndGet()}_${java.util.UUID.randomUUID()}")
-    require(fs.mkdirs(dir), s"cannot create drain scratch dir $dir")
-    fs.deleteOnExit(dir)
-    dir
-  }
+  private def scratch(s: SparkSession): Path =
+    graft.core.Scratch.dir(s, s"drain_${sinkId.incrementAndGet()}_")
 
   private def drain(spark: SparkSession, plan: DataFrame, mode: String): DataFrame = {
     // foreachBatch → parquet, NOT the memory sink: the memory sink
