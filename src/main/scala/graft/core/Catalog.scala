@@ -335,7 +335,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
         // this, a re-applied delete-arm merge would resurrect its key
         // through the not-matched insert arm.
         val alreadyApplied = streamBatch.exists { case (app, bid) =>
-          meta.streamApp.contains(app) && meta.streamBatch.exists(_ >= bid)
+          meta.streamApps.zip(meta.streamBatches)
+            .exists { case (a, b) => a == app && b >= bid }
         }
         if (alreadyApplied) getTable(name)
         else {
@@ -364,7 +365,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
             commitVers = meta.commitVers :+ after.opSeq,
             commitTs = meta.commitTs :+ ts))
           val stamped = streamBatch.fold(logged) { case (app, bid) =>
-            logged.copy(streamApp = Some(app), streamBatch = Some(bid))
+            val i = logged.streamApps.indexOf(app)
+            val (apps, bids) =
+              if (i >= 0)
+                (logged.streamApps, logged.streamBatches.updated(i, bid))
+              else
+                ((logged.streamApps :+ app).takeRight(Catalog.maxStreamWriters),
+                 (logged.streamBatches :+ bid).takeRight(Catalog.maxStreamWriters))
+            logged.copy(streamApps = apps, streamBatches = bids)
           }
           writeMeta(name, stamped.copy(opSeq = after.opSeq))
           // projection maintenance is O(delta): append only the delta's
@@ -380,7 +388,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
           }
           after.delta.foreach(appendTail(name, _))
           // the reference's background-merge trigger, run inline on commit
-          if (autoCompact) maybeCompact(name, compactRatio, preserveHistory = true)
+          // — but NEVER on a logged (commitAt) commit: foldTail clears
+          // the commit log, so an inline compaction here would erase the
+          // entry this very commit just wrote, silently degrading its
+          // asOfTimestamp to the post-rewrite base. Logged tables still
+          // compact on their next unlogged commit or an explicit
+          // maybeCompact/foldTail call.
+          if (autoCompact && commitTs.isEmpty)
+            maybeCompact(name, compactRatio, preserveHistory = true)
           getTable(name)
         }
       } }.toEither
@@ -408,7 +423,21 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * batchId)` is recorded atomically with the commit, and a replay of
     * an at-or-before batch is a NO-OP — foreachBatch delivery is
     * at-least-once, so without this a retried delete-arm merge would
-    * resurrect its key ([[graft.streaming.StreamOps.mergeStream]]). */
+    * resurrect its key ([[graft.streaming.StreamOps.mergeStream]]).
+    *
+    * Durability window (the meta-before-rows rule, [[tryCommit]]): the
+    * batch id lands in the SAME meta write that advances op_seq, which
+    * precedes the tail append — a crash BETWEEN the two records the
+    * batch as applied while its rows are absent, so the replay is
+    * skipped and that one batch's changes are lost (at-most-once in
+    * that window, never corruption). The inverse order would instead
+    * DOUBLE-apply in its crash window — and a replayed delete-arm
+    * change re-applied against its now-dead key takes the not-matched
+    * insert arm and resurrects it, which is strictly worse than a lost
+    * batch. True exactly-once across that window needs the commit and
+    * the rows in one atomic unit — the multi-table staged-commit path
+    * ([[commitMulti]]) has that shape; the per-batch fast path
+    * documents the trade instead of paying a staged rename per batch. */
   def commitStreamBatch(name: String, txn: Txn,
                         writerId: String, batchId: Long): LineageTable =
     lock(name).synchronized {
@@ -926,13 +955,21 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * physical re-stamp. */
                           commitVers: Seq[Long] = Nil,
                           commitTs: Seq[Long] = Nil,
-                          /** Last applied streaming batch (writer id,
-                            * batch id), recorded atomically with its
-                            * commit's meta write — the Delta
-                            * txn-appId/version idempotence pattern
-                            * ([[tryCommit]] skips a replayed batch). */
-                          streamApp: Option[String] = None,
-                          streamBatch: Option[Long] = None)
+                          /** Last applied streaming batch PER WRITER
+                            * (parallel seqs: writer id → last batch id),
+                            * recorded atomically with the commit's meta
+                            * write — the Delta txn-appId/version
+                            * idempotence pattern ([[tryCommit]] skips a
+                            * replayed batch). A MAP, not a single slot:
+                            * with two interleaved writers on one table a
+                            * single slot lets writer B's commit overwrite
+                            * A's record, so A's retry of an already-
+                            * applied batch would double-apply. Bounded at
+                            * [[Catalog.maxStreamWriters]] entries (oldest
+                            * dropped — a dropped writer's replay window
+                            * has long since closed). */
+                          streamApps: Seq[String] = Nil,
+                          streamBatches: Seq[Long] = Nil)
 
   // Metadata names are restricted to identifier characters at write time,
   // so the flat JSON below round-trips through the regex reader with no
@@ -973,14 +1010,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val ct = m.commitTs.mkString(", ")
     // stream ids originate from UUID/checkpoint names — same identifier
     // restriction as column names keeps the flat JSON unambiguous
-    val sa = m.streamApp.map(a => "\"" + checked(a) + "\"").getOrElse("null")
-    val sb = m.streamBatch.map(_.toString).getOrElse("null")
+    val sa = m.streamApps.map(a => "\"" + checked(a) + "\"").mkString(", ")
+    val sb = m.streamBatches.mkString(", ")
     val json = s"""{"key": "${checked(m.key)}", "columns": [$cols], """ +
       s""""index": $idx, "op_seq": ${m.opSeq}, "multi_ver": ${m.multiVer}, """ +
       s""""tail_floor": ${m.tailFloor}, """ +
       s""""added_cols": [$ac], "added_types": [$at], "proj_cols": [$pc], """ +
       s""""commit_vers": [$cv], "commit_ts": [$ct], """ +
-      s""""stream_app": $sa, "stream_batch": $sb}"""
+      s""""stream_apps": [$sa], "stream_batches": [$sb]}"""
     writeString(metaTmpPath(name), json)
     fs.delete(metaPath(name), false)
     move(metaTmpPath(name), metaPath(name))
@@ -1031,12 +1068,20 @@ final class Catalog(spark: SparkSession, warehouse: String,
         .findFirstMatchIn(json).map(_.group(1)).filter(_.trim.nonEmpty)
         .map(_.split(",").map(_.trim.toLong).toSeq)
         .getOrElse(Nil)
-    val sApp = "\"stream_app\"\\s*:\\s*\"([^\"]+)\"".r
-      .findFirstMatchIn(json).map(_.group(1))
-    val sBatch = "\"stream_batch\"\\s*:\\s*(\\d+)".r
-      .findFirstMatchIn(json).map(_.group(1).toLong)
     Meta(key, cols, idx, seq, mv, floor,
       strList("added_cols"), strList("added_types"), strList("proj_cols"),
-      numList("commit_vers"), numList("commit_ts"), sApp, sBatch)
+      numList("commit_vers"), numList("commit_ts"),
+      strList("stream_apps"), numList("stream_batches"))
   }
+}
+
+object Catalog {
+  /** Cap on the per-writer streaming replay map carried in table
+    * metadata: the oldest writer entries are dropped past this. A
+    * dropped writer's retry then re-applies — but a writer only retries
+    * the batch in flight at its crash, and 64 writers must commit in
+    * between for the entry to age out, so the window is unreachable in
+    * any real deployment (Delta's txn map has the same unbounded-growth
+    * concern and solves it with age-based expiry). */
+  val maxStreamWriters = 64
 }

@@ -53,10 +53,22 @@ case class Md5HighBits(child: Expression, bits: Int)
 
 object Md5HighBits {
 
+  /** One MessageDigest per thread, reset between rows: `DigestUtils.md5`
+    * allocates a fresh MessageDigest (and its internal buffers) on EVERY
+    * call, and this sits on the hottest per-shingle/per-gram paths in
+    * the engine where the hash is the scan cost — a thread-local
+    * instance is a free constant-factor win there (task threads are
+    * long-lived, so the instance amortizes across millions of rows).
+    * `digest()` resets the instance after each use, so rows never bleed
+    * state into each other. */
+  private val localMd5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** First `bits` bits of md5(b), big-endian, as a long (bits ≤ 60 keeps
     * it non-negative). Called from generated code — keep it static-shaped. */
   def compute(b: Array[Byte], bits: Int): Long = {
-    val d = org.apache.commons.codec.digest.DigestUtils.md5(b)
+    val d = localMd5.get().digest(b)
     var v = 0L
     var taken = 0
     var i = 0

@@ -655,8 +655,13 @@ object OlapQueries {
           countDistinct(col("h")).as("n_exact"))
         .select(
           lit(256L).as("k"),
-          element_at(col("kmv"), 256).as("kth_min"),
-          floor(lit(255.0) * lit(math.pow(2, 60)) / element_at(col("kmv"), 256))
+          // total over ANY cardinality (the cat_ndv/stream_ndv defense):
+          // a sub-k sketch has no kth minimum — report its max, and let
+          // the shared estimator return the exact count, so the query
+          // never yields NULL on a low-cardinality column
+          element_at(col("kmv"), least(size(col("kmv")), lit(256)))
+            .as("kth_min"),
+          graft.functions.KMinValues.ndvEstimate(col("kmv"), 256)
             .as("est_distinct"),
           col("n_exact"))
     }
@@ -933,7 +938,9 @@ object OlapQueries {
     // the oracle takes the expensive declarative path the sketch avoids:
     // full DISTINCT then ORDER BY ... LIMIT k — same exact order
     // statistics, so the one-pass bounded-buffer aggregate must agree
-    // bit-for-bit (same hash, same IEEE estimate arithmetic)
+    // bit-for-bit (same hash, same IEEE estimate arithmetic). The CASE
+    // mirrors KMinValues.ndvEstimate's sub-k exact answer, keeping both
+    // sides total over any cardinality.
     "q_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT
         |    CAST(('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,15)) AS BIGINT) AS h
@@ -941,7 +948,10 @@ object OlapQueries {
         |km AS (SELECT h FROM h ORDER BY h LIMIT 256)
         |SELECT CAST(256 AS BIGINT) AS k,
         |       MAX(h) AS kth_min,
-        |       CAST(floor(255.0 * pow(2, 60) / MAX(h)) AS BIGINT) AS est_distinct,
+        |       CASE WHEN (SELECT COUNT(*) FROM km) < 256
+        |            THEN (SELECT COUNT(*) FROM km)
+        |            ELSE CAST(floor(255.0 * pow(2, 60) / MAX(h)) AS BIGINT)
+        |       END AS est_distinct,
         |       (SELECT COUNT(*) FROM h) AS n_exact
         |FROM km""".stripMargin
   )

@@ -168,10 +168,15 @@ object StreamOps {
    * change rows into a warehouse table by running ONE durable MERGE
    * INTO commit per micro-batch ([[graft.core.Txn.mergeInto]] through
    * [[graft.core.Catalog.commit]] — each batch is one atomic `_ver`).
-   * Exactly-once end to end: the checkpoint records which source files
-   * each batch consumed, and a batch's merge is a single catalog commit,
-   * so a restart resumes at the failed batch instead of re-applying.
-   * Determinism across batch splits: a change-stream whose keys are
+   * Exactly-once end to end WHEN the caller supplies a durable
+   * `checkpoint`: the checkpoint records which source files each batch
+   * consumed, each batch's merge is a single catalog commit stamped with
+   * a writer id derived from that checkpoint, so a re-invocation resumes
+   * at the failed batch and the replay guard skips the one batch that
+   * was in flight ([[graft.core.Catalog.commitStreamBatch]]). Without a
+   * caller checkpoint (the default scratch one) the guard covers
+   * retries within this drain only — a fresh call replays the whole
+   * source as a new writer. Determinism across batch splits: a change-stream whose keys are
    * unique stream-wide yields the same final table for ANY micro-batch
    * partitioning — each key is merged exactly once (StreamMergeSpec
    * drives the multi-batch path; per-key last-write-wins streams would
@@ -183,21 +188,36 @@ object StreamOps {
   def mergeStream(spark: SparkSession, changes: DataFrame,
                   cat: graft.core.Catalog, table: String,
                   updateCols: Seq[String],
-                  deleteWhen: Option[org.apache.spark.sql.Column] = None): Unit = {
-    val dir = scratch(spark)
-    // Writer identity for idempotent replay detection: scoped to this
-    // drain (and its checkpoint), so a batch RETRY within/after a crash
-    // of this run is skipped by Catalog.commitStreamBatch, while a fresh
-    // mergeStream call (new checkpoint → batch ids restart at 0) gets a
-    // fresh id and is never mistaken for a replay. foreachBatch is
-    // at-least-once; the batch-id check is what closes it to
-    // effectively-once — a blind re-apply of a delete-arm change would
-    // resurrect its key via the not-matched insert arm.
-    val writerId = "drain_" + java.util.UUID.randomUUID().toString.replace("-", "_")
+                  deleteWhen: Option[org.apache.spark.sql.Column] = None,
+                  checkpoint: Option[String] = None): Unit = {
+    // Writer identity for idempotent replay detection is derived
+    // DETERMINISTICALLY from the checkpoint location, because batch ids
+    // are only meaningful relative to their checkpoint: a restart that
+    // resumes the same checkpoint re-derives the same writer id, so the
+    // replay guard in Catalog.commitStreamBatch actually fires for the
+    // batch that was in flight at the crash (a random id here would give
+    // the replayed batch a fresh identity and re-apply it — and a
+    // re-applied delete-arm change whose key is already dead takes the
+    // not-matched insert arm and resurrects it). Conversely a DIFFERENT
+    // checkpoint (including every default-scratch call) yields a
+    // different id, so its batch ids restarting at 0 are never mistaken
+    // for replays of another run's.
+    //
+    // Exactly-once scope: with a caller-supplied `checkpoint` the drain
+    // is resumable end to end — re-invoking after a crash skips
+    // already-applied batches (checkpoint offsets) and the replay guard
+    // closes foreachBatch's at-least-once window. With the default
+    // per-call scratch checkpoint the guard covers retries WITHIN this
+    // drain only; a fresh call replays the whole source under a new
+    // identity, so production CDC deployments should pass a durable
+    // checkpoint (StreamMergeSpec drives the restart path).
+    val ckpt = checkpoint.getOrElse(new Path(scratch(spark), "_ckpt").toString)
+    val writerId = "w_" + org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(ckpt).substring(0, 16)
     val query = changes.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", new Path(dir, "_ckpt").toString)
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cat.commitStreamBatch(table, graft.core.Txn.empty
           .mergeInto(batch, updateCols, deleteWhen), writerId, batchId)

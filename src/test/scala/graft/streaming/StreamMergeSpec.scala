@@ -79,4 +79,74 @@ class StreamMergeSpec extends SparkSpec {
       Seq((8L, 80L, "J")).toDF("k", "v", "s")), "w2", 0L)
     assert(liveKeys === Set(1L, 8L, 9L))
   }
+
+  test("interleaved writers: each keeps its own replay slot (per-writer map)") {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft_sm_two_writers_").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("t", "k",
+      Seq((1L, 10L, "A"), (2L, 20L, "B")).toDF("k", "v", "s"))
+    def liveKeys = cat.getTable("t").snapshot.select("k")
+      .collect().map(_.getLong(0)).toSet
+    // writer A applies a delete-arm batch...
+    val delTxn = graft.core.Txn.empty.mergeInto(
+      Seq((2L, 0L, "del")).toDF("k", "v", "s"), Seq("v", "s"),
+      deleteWhen = Some(col("s") === "del"))
+    cat.commitStreamBatch("t", delTxn, "wA", 0L)
+    assert(liveKeys === Set(1L))
+    // ...then writer B commits in between (with a single replay slot, B's
+    // commit would overwrite A's record)...
+    cat.commitStreamBatch("t", graft.core.Txn.empty.insert(
+      Seq((7L, 70L, "I")).toDF("k", "v", "s")), "wB", 0L)
+    assert(liveKeys === Set(1L, 7L))
+    // ...and A's at-least-once RETRY of its already-applied batch must
+    // STILL be skipped — a re-apply would resurrect key 2 via the
+    // not-matched insert arm
+    cat.commitStreamBatch("t", delTxn, "wA", 0L)
+    assert(liveKeys === Set(1L, 7L), "writer A's replay was re-applied " +
+      "after writer B's interleaved commit clobbered its slot")
+    // both writers continue independently
+    cat.commitStreamBatch("t", graft.core.Txn.empty.insert(
+      Seq((8L, 80L, "J")).toDF("k", "v", "s")), "wA", 1L)
+    cat.commitStreamBatch("t", graft.core.Txn.empty.insert(
+      Seq((9L, 90L, "K")).toDF("k", "v", "s")), "wB", 1L)
+    assert(liveKeys === Set(1L, 7L, 8L, 9L))
+    // and the map survives a reopen (it rides the durable metadata)
+    val cat2 = new Catalog(spark, wh)
+    cat2.commitStreamBatch("t", delTxn, "wA", 0L)
+    assert(liveKeys === Set(1L, 7L, 8L, 9L),
+      "replay skip must survive a catalog reopen")
+  }
+
+  test("mergeStream restart with a durable checkpoint resumes, never replays") {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft_sm_restart_").toString
+    val srcDir = Files.createTempDirectory("graft_sm_restart_src_").toString
+    val ckpt = Files.createTempDirectory("graft_sm_restart_ckpt_").toString + "/ckpt"
+    val cat = new Catalog(spark, wh)
+    cat.createTable("t", "k",
+      Seq((1L, 10L, "A"), (2L, 20L, "B"), (3L, 30L, "C")).toDF("k", "v", "s"))
+    def liveRows = cat.getTable("t").snapshot
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // first drain: one change file (update k=1, delete k=2)
+    Seq((1L, 11L, "upd"), (2L, 0L, "del")).toDF("k", "v", "s")
+      .write.mode("append").json(srcDir)
+    val src1 = spark.readStream
+      .schema(Seq((0L, 0L, "")).toDF("k", "v", "s").schema).json(srcDir)
+    StreamOps.mergeStream(spark, src1, cat, "t", Seq("v", "s"),
+      deleteWhen = Some(col("s") === "del"), checkpoint = Some(ckpt))
+    assert(liveRows === Map(1L -> 11L, 3L -> 30L))
+    // "restart": a second invocation with the SAME checkpoint must
+    // consume only files arriving after the first drain — the already-
+    // applied delete-arm file is not replayed (same writer id, offsets
+    // resumed), so key 2 stays dead
+    Seq((3L, 33L, "upd")).toDF("k", "v", "s")
+      .write.mode("append").json(srcDir)
+    val src2 = spark.readStream
+      .schema(Seq((0L, 0L, "")).toDF("k", "v", "s").schema).json(srcDir)
+    StreamOps.mergeStream(spark, src2, cat, "t", Seq("v", "s"),
+      deleteWhen = Some(col("s") === "del"), checkpoint = Some(ckpt))
+    assert(liveRows === Map(1L -> 11L, 3L -> 33L),
+      "restart replayed consumed changes or resurrected a deleted key")
+  }
 }
