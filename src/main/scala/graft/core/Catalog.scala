@@ -446,6 +446,179 @@ final class Catalog(spark: SparkSession, warehouse: String,
         .fold(e => throw e, identity)
     }
 
+  // ------------------------------------------- cross-table transactions
+
+  private def txnRoot = new Path(root, "_txn")
+  private def txnRecordPath(id: String) = new Path(txnRoot, id + ".json")
+
+  /** Test-only failpoints: a name in this set makes the next commitMulti
+    * throw AT that point, simulating a crash mid-protocol so specs can
+    * drive the recovery path ([[recoverTxns]]) against every window. */
+  private[core] var crashPoints: Set[String] = Set.empty
+  private def crashPoint(p: String): Unit =
+    if (crashPoints(p))
+      throw new IllegalStateException(s"simulated crash at $p")
+
+  /** Nested per-table JVM locks, acquired in caller-sorted order (one
+    * global order = no deadlock between concurrent multi commits). */
+  private def withLocks[A](names: List[String])(body: => A): A = names match {
+    case Nil => body
+    case h :: t => lock(h).synchronized(withLocks(t)(body))
+  }
+
+  /** Nested cross-process commit markers, same sorted order. */
+  private def withMarkers[A](names: List[String])(body: => A): A = names match {
+    case Nil => body
+    case h :: t => withCommitMarker(h)(withMarkers(t)(body))
+  }
+
+  /**
+   * ATOMIC cross-table transaction — one commit spanning N tables
+   * (reference: transaction.py holds queries bound to arbitrary tables;
+   * the per-table [[tryCommit]] CAS applied one table at a time would
+   * leave a crash BETWEEN tables visible). Protocol is staged
+   * write-ahead with a single-file commit point, the Delta/Iceberg
+   * commit shape lifted to N tables:
+   *
+   *   1. Under every table's JVM lock + cross-process marker (acquired
+   *      in sorted-name order — one global order, no deadlock), build
+   *      each table's delta and write it to `_txn/<id>/<table>/` —
+   *      STAGING, invisible to every reader.
+   *   2. Create `_txn/<id>.json` naming the tables and their op_seq
+   *      transitions. This one atomic file create IS the commit point:
+   *      before it exists, recovery rolls the staging back (nothing
+   *      visible, "neither"); from the instant it exists, recovery
+   *      rolls forward (everything applies, "both").
+   *   3. Roll forward per table: advance op_seq in the table meta
+   *      (meta-before-rows, the single-table rule), append projection
+   *      deltas, rename the staged files into the tail, drop the
+   *      staging. Every step is idempotent — a crash anywhere re-runs
+   *      under [[recoverTxns]] to the same end state.
+   *
+   * Unlike the single-table streaming fast path (whose meta-before-rows
+   * crash window can LOSE one batch — see [[commitStreamBatch]]), the
+   * staged rows here are durable before the commit point, so the
+   * roll-forward can never lose them: crash-atomicity is both-or-neither
+   * AND complete. What this protocol does NOT claim is cross-table READ
+   * atomicity for concurrent sessions: a reader overlapping the
+   * roll-forward can see table A's new state before table B's (each
+   * table's snapshot stays individually consistent); the claim is
+   * crash durability, as in the reference's per-transaction abort.
+   *
+   * Scale: staging costs one extra RENAME per delta file versus
+   * [[tryCommit]] (the delta parquet is written once, staged, and
+   * renamed — never rewritten), so a multi-table commit pays the same
+   * distributed write as N single commits plus O(files) metadata ops.
+   */
+  def commitMulti(txns: Map[String, Txn]): Map[String, LineageTable] = {
+    require(txns.nonEmpty, "commitMulti: no tables")
+    val names = txns.keys.toList.sorted
+    names.foreach(checked)
+    // complete any predecessor's pending recovery first (idempotent;
+    // cheap when _txn is absent). OUTSIDE our lock scope: recovery takes
+    // its own per-record locks in sorted order, and nesting those inside
+    // ours could interleave two lock orders.
+    recoverTxns()
+    withLocks(names) { withMarkers(names) {
+      val id = "tx_" + java.util.UUID.randomUUID().toString.replace("-", "_")
+      val expected = names.map(n => readMeta(n).opSeq)
+      // build + stage every table's delta BEFORE anything is visible;
+      // a failing op aborts here with nothing written anywhere
+      val next = names.map { n =>
+        val after = txns(n).commit(getTable(n))
+        after.delta.foreach(_.write.mode(SaveMode.Append)
+          .parquet(new Path(new Path(txnRoot, id), n).toString))
+        after.opSeq
+      }
+      crashPoint("multi-staged")
+      writeString(txnRecordPath(id),
+        s"""{"tables": [${names.map(n => "\"" + n + "\"").mkString(", ")}], """ +
+          s""""expected": [${expected.mkString(", ")}], """ +
+          s""""next": [${next.mkString(", ")}]}""")
+      crashPoint("multi-committed")
+      applyTxnRecord(id, names, expected, next)
+    } }
+    // post-commit maintenance, same trigger as tryCommit (each call
+    // takes its own per-table lock/marker)
+    if (autoCompact)
+      names.foreach(n => maybeCompact(n, compactRatio, preserveHistory = true))
+    names.map(n => n -> getTable(n)).toMap
+  }
+
+  /** Roll a committed transaction record forward (idempotent). */
+  private def applyTxnRecord(id: String, names: Seq[String],
+                             expected: Seq[Long], next: Seq[Long]): Unit = {
+    names.lazyZip(expected).lazyZip(next).foreach { (n, e, x) =>
+      val meta = readMeta(n)
+      if (meta.opSeq == e) writeMeta(n, meta.copy(opSeq = x))
+      else require(meta.opSeq == x,
+        s"$n: op_seq ${meta.opSeq} matches neither the transaction's " +
+          s"expected $e nor committed $x state — foreign writer interleaved")
+      crashPoint(s"multi-meta-$n")
+      val sdir = new Path(new Path(txnRoot, id), n)
+      if (isDir(sdir) && hasParquet(sdir)) {
+        // projections BEFORE rows (superset rule, as in tryCommit); a
+        // recovery re-run may re-append pairs — extra candidates are
+        // filtered by the probe's final predicate re-application
+        val projCols = meta.projCols
+        if (projCols.nonEmpty) {
+          val delta = spark.read.parquet(sdir.toString)
+          projCols.foreach { c =>
+            delta.select(col(c), col(meta.key))
+              .write.mode(SaveMode.Append).parquet(projDir(n, c).toString)
+          }
+        }
+        crashPoint(s"multi-proj-$n")
+        val tail = new Path(dir(n), "tail")
+        fs.mkdirs(tail)
+        fs.listStatus(sdir).foreach { s =>
+          if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+            move(s.getPath, new Path(tail, s.getPath.getName))
+        }
+      }
+      deleteRecursively(sdir)
+      crashPoint(s"multi-done-$n")
+    }
+    deleteRecursively(new Path(txnRoot, id))
+    fs.delete(txnRecordPath(id), false)
+  }
+
+  /**
+   * Recover pending cross-table transactions: committed records (the
+   * `_txn/<id>.json` exists) roll FORWARD; orphaned staging older than
+   * the marker lease (a writer that died before its commit point) rolls
+   * BACK by deletion — nothing of it ever became visible. Runs at
+   * catalog construction (the reference's Database.open recovery) and
+   * before each [[commitMulti]]; safe to call any time.
+   */
+  def recoverTxns(): Unit = if (isDir(txnRoot)) {
+    val entries = fs.listStatus(txnRoot).toSeq
+    entries.filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .foreach { s =>
+        val id = s.getPath.getName.stripSuffix(".json")
+        val json = readString(s.getPath)
+        def many(field: String): Seq[String] =
+          (s""""$field"\\s*:\\s*\\[([^\\]]*)\\]""").r
+            .findFirstMatchIn(json).map(_.group(1)).filter(_.trim.nonEmpty)
+            .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+            .getOrElse(Nil)
+        val tables = many("tables")
+        withLocks(tables.toList.sorted) { withMarkers(tables.toList.sorted) {
+          applyTxnRecord(id, tables,
+            many("expected").map(_.toLong), many("next").map(_.toLong))
+        } }
+      }
+    entries.filter(_.isDirectory).foreach { d =>
+      val id = d.getPath.getName
+      val stale = System.currentTimeMillis() -
+        d.getModificationTime > markerLeaseMs
+      if (!pathExists(txnRecordPath(id)) && stale)
+        deleteRecursively(d.getPath)
+    }
+    if (isDir(txnRoot) && fs.listStatus(txnRoot).isEmpty)
+      deleteRecursively(txnRoot)
+  }
+
   /**
    * `TIMESTAMP AS OF` time travel: the table state as of wall-clock `ts`
    * — the state the last [[commitAt]] at-or-before `ts` left behind
@@ -1073,6 +1246,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
       numList("commit_vers"), numList("commit_ts"),
       strList("stream_apps"), numList("stream_batches"))
   }
+
+  // Crash recovery on open — the reference's Database.open contract. At
+  // the END of the class body: recovery rolls committed transactions
+  // forward through writeMeta, which needs every field above initialized.
+  recoverTxns()
 }
 
 object Catalog {

@@ -280,6 +280,57 @@ object CoreQueries {
     name
   }
 
+  /**
+   * Cross-table transaction fixture ([[Catalog.commitMulti]]): an orders
+   * lineage and a documents lineage mutated by ONE atomic transaction —
+   * the reference's multi-table Transaction (lstore/transaction.py binds
+   * a table per query; a crash between per-table commits must leave
+   * nothing). MultiTxnSpec drives every crash window; this fixture is the
+   * committed end state the oracle reproduces.
+   */
+  def multiTxnTables(spark: SparkSession, sfDir: String): Catalog =
+    multiTxnCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_mtx_wh_")
+      val cat = new Catalog(spark, wh)
+      val docs = Tables(spark, sfDir, "documents").select(
+        col("doc_id").as("k"), col("lang"), col("n_chars"))
+      cat.createTable("orders_mt", "k", baseOrders(spark, sfDir))
+      cat.createTable("docs_mt", "k", docs)
+      cat.commitMulti(Map(
+        "orders_mt" -> Txn.empty
+          .update(col("k") % 3 === 0,
+            Map("totalprice" -> (col("totalprice") + lit(10.0)),
+                "status" -> lit("U1")))
+          .delete(col("k") % 17 === 0),
+        "docs_mt" -> Txn.empty
+          .delete(col("lang") === "zh")
+          .insert(docs.where(col("lang") === "en").select(
+            (col("k") + 10000000L).as("k"), lit("xx").as("lang"),
+            col("n_chars")))))
+      cat
+    })
+
+  private val multiTxnCache =
+    scala.collection.concurrent.TrieMap.empty[String, Catalog]
+
+  /** The ls_merge_into change set (shared by the SQL front-door query
+    * and PlanAudit's Column-route twin, so the plan-identity pin
+    * compares the same source). */
+  def mergeSource(s: SparkSession, d: String): DataFrame = {
+    val base = baseOrders(s, d)
+    base.where(col("k") % 10 === 0).select(
+        col("k"), col("custkey"), lit("M").as("status"),
+        (col("totalprice") + lit(1000.0)).as("totalprice"))
+      .unionByName(base.where(col("k") % 1000 === 0).select(
+        (col("k") + 3000000L).as("k"), col("custkey"),
+        lit("N").as("status"), col("totalprice")))
+  }
+
+  /** Register the merge change set as the `graft_merge_src` view the
+    * SQL MERGE statement names in its USING clause. */
+  def mergeSourceView(s: SparkSession, d: String): Unit =
+    mergeSource(s, d).createOrReplaceTempView("graft_merge_src")
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -354,26 +405,29 @@ object CoreQueries {
       rd(500L, "t0").unionByName(rd(1500L, "t1")).unionByName(rd(2500L, "t2"))
     },
 
-    // MERGE INTO (LineageTable.mergeInto) — one atomic upsert op: the
-    // k%10 source slice updates status+totalprice (custkey carries
-    // forward), the matched custkey%50 sub-slice DELETES instead (the
-    // WHEN MATCHED AND cond THEN DELETE clause), and unmatched source
-    // rows (a shifted key range; also any fixture-tombstoned k%10 keys)
-    // INSERT/resurrect. The whole merge takes ONE _ver stamp, and the
-    // target side windows only the source's key partitions (the probe
-    // trick) — cost ∝ |source|, never the table.
+    // MERGE INTO (LineageTable.mergeInto) — one atomic upsert op,
+    // routed THROUGH THE SQL FRONT DOOR (graft.sql.GraftSql): Spark's
+    // own parser parses the ANSI MERGE and the front door maps it onto
+    // the same engine op the Column API builds (PlanAudit pins the two
+    // routes' executed plans identical). The k%10 source slice updates
+    // status+totalprice (custkey carries forward), the matched
+    // custkey%50 sub-slice DELETES instead (the WHEN MATCHED AND cond
+    // THEN DELETE clause), and unmatched source rows (a shifted key
+    // range; also any fixture-tombstoned k%10 keys) INSERT/resurrect.
+    // The whole merge takes ONE _ver stamp, and the target side windows
+    // only the source's key partitions (the probe trick) — cost ∝
+    // |source|, never the table.
     "ls_merge_into" -> { (s, d) =>
-      val base = baseOrders(s, d)
-      val src = base.where(col("k") % 10 === 0).select(
-          col("k"), col("custkey"), lit("M").as("status"),
-          (col("totalprice") + lit(1000.0)).as("totalprice"))
-        .unionByName(base.where(col("k") % 1000 === 0).select(
-          (col("k") + 3000000L).as("k"), col("custkey"),
-          lit("N").as("status"), col("totalprice")))
-      ordersLineage(s, d)
-        .mergeInto(src, Seq("status", "totalprice"),
-          deleteWhen = Some(col("custkey") % 50 === 0))
-        .snapshot.where(col("k") % 5 === 0)
+      mergeSourceView(s, d)
+      val g = new graft.sql.GraftSql(s)
+        .register("graft_merge_tgt", ordersLineage(s, d))
+      g.sql("""MERGE INTO graft_merge_tgt t USING graft_merge_src s
+              |ON t.k = s.k
+              |WHEN MATCHED AND s.custkey % 50 = 0 THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET status = s.status,
+              |                             totalprice = s.totalprice
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      g.table("graft_merge_tgt").snapshot.where(col("k") % 5 === 0)
     },
 
     // DESCRIBE HISTORY: the commit log as a table read — zero data files
@@ -613,6 +667,30 @@ object CoreQueries {
         .delete(col("k") % 13 === 0)
       txn.commit(ordersLineage(s, d))
         .snapshot.where(col("k") % 100 === 0)
+    },
+
+    // Cross-table ATOMIC transaction (Catalog.commitMulti): one staged
+    // write-ahead commit mutates an orders lineage AND a documents
+    // lineage — both-or-neither under any crash (MultiTxnSpec drives
+    // every failpoint; recovery is the single atomic `_txn/<id>.json`
+    // create). The read is one aggregate per table, unioned — the oracle
+    // reproduces both end states from the raw parquet, so a half-applied
+    // transaction could never hash-match.
+    "txn_multi" -> { (s, d) =>
+      val cat = multiTxnTables(s, d)
+      val orders = cat.getTable("orders_mt").snapshot
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+             Exact.sumMoney(col("totalprice")).as("val"))
+        .select(lit("orders").as("tbl"), col("status").as("grp"),
+                col("n"), col("val"))
+      val docs = cat.getTable("docs_mt").snapshot
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("n_chars")).cast("double").as("val"))
+        .select(lit("docs").as("tbl"), col("lang").as("grp"),
+                col("n"), col("val"))
+      orders.unionByName(docs)
     },
 
     "cat_stats" -> { (s, d) =>
@@ -980,6 +1058,25 @@ object CoreQueries {
          |           AS totalprice FROM s1),
          |s3 AS (SELECT * FROM s2 WHERE k % 13 <> 0)
          |SELECT k, custkey, status, totalprice FROM s3 WHERE k % 100 = 0""".stripMargin,
+
+    // both tables' end states recomputed from raw parquet: a transaction
+    // that applied to only one table could never match both branches
+    "txn_multi" ->
+      """SELECT 'orders' AS tbl,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'U1' ELSE o_orderstatus END AS grp,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(ROUND((o_totalprice +
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 10.0 ELSE 0.0 END) * 100)
+        |    AS BIGINT)) / 100.0 AS val
+        |FROM orders WHERE o_orderkey % 17 <> 0
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'docs', lang, COUNT(*), CAST(SUM(n_chars) AS DOUBLE)
+        |FROM documents WHERE lang <> 'zh'
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'docs', 'xx', COUNT(*), CAST(SUM(n_chars) AS DOUBLE)
+        |FROM documents WHERE lang = 'en'""".stripMargin,
 
     // the oracle recomputes the footer stats by scanning — exact numeric
     // stats make the cheap path and the expensive path hash-identical

@@ -1,0 +1,260 @@
+package graft.sql
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.Bridge
+
+import graft.core.{Catalog, LineageTable, Txn}
+
+/**
+ * SQL DML front door: `INSERT` / `UPDATE` / `DELETE` / `MERGE INTO` as
+ * SQL strings against registered graft tables, parsed by Spark's OWN
+ * ANSI parser and mapped onto the engine's native ops
+ * ([[graft.core.Txn]] through [[graft.core.Catalog.commit]] for durable
+ * tables; [[graft.core.LineageTable]] directly for in-session ones).
+ * This closes the half of the SQL surface the r6/r7 read front door
+ * (registered snapshot views + injected functions) left open — the
+ * reference's write surface is query.py:57 (insert), 131 (update), 27
+ * (delete) behind a host-language API; here the same writes are ANSI
+ * statements (reads pass through to `spark.sql` untouched).
+ *
+ * Architecture: no grammar of our own — `Bridge.parsePlan` runs the
+ * session parser, and the UNRESOLVED catalyst command trees
+ * (`MergeIntoTable`, `UpdateTable`, `DeleteFromTable`,
+ * `InsertIntoStatement`) are pattern-matched before analysis (analysis
+ * would reject them: graft tables are not V2 catalog tables). Source
+ * subtrees (`USING (...)`, `INSERT ... SELECT`, `VALUES`) go through
+ * the full analyzer via `Bridge.ofRows`, so they can read any view or
+ * function the session knows. Condition/assignment expressions are
+ * re-based onto the engine's DataFrames by stripping their dangling
+ * alias qualifiers — the engine evaluates them against the same columns
+ * the SQL names.
+ *
+ * Scale: the translation is pure plan surgery on the driver; every
+ * statement executes as the SAME distributed op the Column API builds
+ * (PlanAuditSpec pins ls_merge_into's SQL and Column routes to
+ * identical executed plans), so the SQL surface inherits the engine's
+ * delta-proportional merge cost, pushed-down update/delete predicates,
+ * and single-`_ver` atomicity — there is no second execution path to
+ * keep fast.
+ */
+class GraftSql(val spark: SparkSession) {
+
+  /** In-session tables: name → current lineage (mutated in place by DML,
+    * like the reference's in-process Query API over an open table). */
+  private val session = TrieMap.empty[String, LineageTable]
+  /** Durable tables: name → (catalog, stored name); DML commits. */
+  private val durable = TrieMap.empty[String, (Catalog, String)]
+
+  /** Register an in-session table. DML mutates the registered handle;
+    * reads see the CURRENT snapshot through the refreshed view. */
+  def register(name: String, t: LineageTable): GraftSql = {
+    session(name) = t
+    refreshView(name)
+    this
+  }
+
+  /** Register a warehouse table: DML becomes a durable catalog commit. */
+  def register(name: String, cat: Catalog, table: String): GraftSql = {
+    durable(name) = (cat, table)
+    refreshView(name)
+    this
+  }
+
+  /** Current state of a registered table. */
+  def table(name: String): LineageTable =
+    session.getOrElse(name,
+      durable.get(name).map { case (c, t) => c.getTable(t) }
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft SQL: unknown table '$name' — register() it first")))
+
+  /** One SQL statement. DML against a registered table executes the
+    * engine op and returns an empty frame (Spark's own DML convention);
+    * everything else passes through to `spark.sql` (snapshot views are
+    * kept registered, so SELECTs over registered tables just work). */
+  def sql(statement: String): DataFrame = Bridge.parsePlan(spark, statement) match {
+    case m: MergeIntoTable if targetOf(m.targetTable).exists(isRegistered) =>
+      runMerge(targetOf(m.targetTable).get, m)
+    case u: UpdateTable if targetOf(u.table).exists(isRegistered) =>
+      apply(targetOf(u.table).get, txnUpdate(u))
+    case d: DeleteFromTable if targetOf(d.table).exists(isRegistered) =>
+      apply(targetOf(d.table).get, Txn.empty.delete(rebased(d.condition)))
+    case i: InsertIntoStatement if targetOf(i.table).exists(isRegistered) =>
+      runInsert(targetOf(i.table).get, i)
+    case _ => spark.sql(statement)
+  }
+
+  // ------------------------------------------------------------ statements
+
+  private def txnUpdate(u: UpdateTable): Txn = {
+    val sets = u.assignments.map { a =>
+      val name = a.key match {
+        case attr: UnresolvedAttribute => attr.nameParts.last
+        case other => throw new IllegalArgumentException(
+          s"graft SQL UPDATE: SET target must be a column, got $other")
+      }
+      name -> rebased(a.value)
+    }
+    Txn.empty.update(u.condition.map(rebased).getOrElse(lit(true)), sets.toMap)
+  }
+
+  private def runInsert(name: String, i: InsertIntoStatement): DataFrame = {
+    require(!i.overwrite, "graft SQL: INSERT OVERWRITE is not supported — " +
+      "graft tables are versioned; use DELETE + INSERT (both stay in history)")
+    val q = Bridge.ofRows(spark, i.query)
+    val cols = table(name).dataCols
+    // positional VALUES/SELECT get the table's column names; an explicit
+    // column list renames then fills like SQL does (missing → NULL would
+    // break lineage NOT NULL keys, so require full coverage instead)
+    val named =
+      if (i.userSpecifiedCols.nonEmpty) {
+        require(i.userSpecifiedCols.size == q.columns.length,
+          s"graft SQL INSERT: ${i.userSpecifiedCols.size} target columns " +
+            s"but ${q.columns.length} provided")
+        require(cols.toSet == i.userSpecifiedCols.toSet,
+          s"graft SQL INSERT: column list must cover the table's columns " +
+            s"(${cols.mkString(", ")}) exactly")
+        q.toDF(i.userSpecifiedCols: _*)
+      } else {
+        require(q.columns.length == cols.size,
+          s"graft SQL INSERT: table has ${cols.size} columns, " +
+            s"got ${q.columns.length}")
+        q.toDF(cols: _*)
+      }
+    // cast to the table's declared types (SQL literals parse narrow —
+    // an int literal into a bigint column must widen, as ANSI INSERT does)
+    val target = table(name).snapshot.schema
+    val casted = named.select(cols.map(c =>
+      col(c).cast(target(c).dataType).as(c)): _*)
+    apply(name, Txn.empty.insert(casted))
+  }
+
+  private def runMerge(name: String, m: MergeIntoTable): DataFrame = {
+    require(!m.withSchemaEvolution,
+      "graft SQL MERGE: WITH SCHEMA EVOLUTION is not supported")
+    require(m.notMatchedBySourceActions.isEmpty,
+      "graft SQL MERGE: WHEN NOT MATCHED BY SOURCE is not supported — " +
+        "the engine's merge touches source keys only (cost ∝ |source|)")
+    val t = table(name)
+    // ON must equate the primary key across the two sides — the engine's
+    // merge contract (key-matched upsert; arbitrary join conditions would
+    // make "matched" ambiguous per key)
+    def lastName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _ => None
+    }
+    val onOk = m.mergeCondition match {
+      case EqualTo(l, r) =>
+        lastName(l).contains(t.keyCol) && lastName(r).contains(t.keyCol)
+      case EqualNullSafe(l, r) =>
+        lastName(l).contains(t.keyCol) && lastName(r).contains(t.keyCol)
+      case _ => false
+    }
+    require(onOk, s"graft SQL MERGE: ON must equate the key column " +
+      s"'${t.keyCol}' of target and source, got ${m.mergeCondition.sql}")
+    // matched actions: one optional UPDATE (unconditional; SET c = s.c or
+    // SET *) + one optional `AND cond THEN DELETE` — the engine's arms
+    var updateCols = Seq.empty[String]
+    var deleteWhen: Option[Column] = None
+    m.matchedActions.foreach {
+      case UpdateAction(None, assigns, _) =>
+        updateCols = assigns.map { a =>
+          val tgt = a.key match {
+            case attr: UnresolvedAttribute => attr.nameParts.last
+            case other => throw new IllegalArgumentException(
+              s"graft SQL MERGE: UPDATE SET target must be a column, got $other")
+          }
+          val srcOk = lastName(a.value).contains(tgt)
+          require(srcOk, "graft SQL MERGE: UPDATE SET must copy the " +
+            s"source column of the same name (got ${a.key.sql} = ${a.value.sql}); " +
+            "compute derived values in the USING subquery")
+          tgt
+        }
+      case UpdateStarAction(None) =>
+        updateCols = t.dataCols.filterNot(_ == t.keyCol)
+      case DeleteAction(cond) =>
+        // evaluated on the SOURCE row pre-join (the engine's deleteWhen
+        // contract) — a gate over target columns can't be expressed here
+        deleteWhen = Some(cond.map(rebased).getOrElse(lit(true)))
+      case UpdateAction(Some(c), _, _) =>
+        throw new IllegalArgumentException("graft SQL MERGE: conditional " +
+          s"UPDATE (AND ${c.sql}) is not supported — pre-filter the USING subquery")
+      case UpdateStarAction(Some(c)) =>
+        throw new IllegalArgumentException("graft SQL MERGE: conditional " +
+          s"UPDATE (AND ${c.sql}) is not supported — pre-filter the USING subquery")
+      case other => throw new IllegalArgumentException(
+        s"graft SQL MERGE: unsupported WHEN MATCHED action $other")
+    }
+    // not-matched: INSERT * (or the identity column list) — the engine
+    // always inserts unmatched source rows, so the clause must be present
+    // for the SQL to mean what it executes
+    val insertOk = m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => true
+      case Seq(InsertAction(None, assigns)) =>
+        assigns.forall(a => lastName(a.key).isDefined &&
+          lastName(a.key) == lastName(a.value))
+      case _ => false
+    }
+    require(insertOk, "graft SQL MERGE: exactly one unconditional " +
+      "WHEN NOT MATCHED THEN INSERT * (or identity column list) is required " +
+      "— the engine's merge always inserts unmatched source rows")
+    require(updateCols.nonEmpty || deleteWhen.isDefined,
+      "graft SQL MERGE: at least one WHEN MATCHED action is required")
+    // a delete-only merge still needs updateCols for the engine op; the
+    // delete gate shadows the update for every row it matches
+    val effectiveUpdate =
+      if (updateCols.nonEmpty) updateCols
+      else t.dataCols.filterNot(_ == t.keyCol)
+    val src = Bridge.ofRows(spark, m.sourceTable)
+    apply(name, Txn.empty.mergeInto(src, effectiveUpdate, deleteWhen))
+  }
+
+  // -------------------------------------------------------------- plumbing
+
+  private def isRegistered(name: String): Boolean =
+    session.contains(name) || durable.contains(name)
+
+  /** Target table name out of the (possibly aliased) relation subtree. */
+  private def targetOf(p: LogicalPlan): Option[String] = p match {
+    case SubqueryAlias(_, child) => targetOf(child)
+    case r: UnresolvedRelation => Some(r.multipartIdentifier.last)
+    case _ => None
+  }
+
+  /** Re-base a parsed expression onto the engine's frames: strip alias
+    * qualifiers off column references (`t.status` → `status` — the
+    * engine's update/delete/deleteWhen evaluate against a single frame
+    * where the bare name is unambiguous) and reject subqueries (they
+    * would need the analyzer mid-op; pre-compute them in the source). */
+  private def rebased(e: Expression): Column = {
+    val stripped = e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+      case s: UnresolvedStar => s
+    }
+    require(stripped.collectFirst { case sq: SubqueryExpression => sq }.isEmpty,
+      s"graft SQL: subqueries in DML conditions are not supported (${e.sql})")
+    Bridge.column(stripped)
+  }
+
+  /** Execute the op on the registered handle; DML returns empty (the
+    * Spark command convention) and the read view refreshes. */
+  private def apply(name: String, txn: Txn): DataFrame = {
+    session.get(name) match {
+      case Some(t) => session(name) = txn.commit(t)
+      case None =>
+        val (cat, tbl) = durable(name)
+        cat.commit(tbl, txn)
+    }
+    refreshView(name)
+    spark.emptyDataFrame
+  }
+
+  private def refreshView(name: String): Unit =
+    table(name).snapshot.createOrReplaceTempView(name)
+}

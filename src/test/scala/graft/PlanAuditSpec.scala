@@ -150,6 +150,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("SQL MERGE INTO executes the identical plan to the Column-API merge") {
+    // ls_merge_into routes through graft.sql.GraftSql: Spark's parser →
+    // the engine's Txn.mergeInto. The WRITE path must be the same
+    // distributed op either way — one source scan, candidate semi-join,
+    // left-outer merge join, one _ver stamp — so the SQL surface
+    // inherits the delta-proportional cost (∝ |source|, never table).
+    def normalize(p: String): String =
+      p.replaceAll("#\\d+[L]?", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
+        .replaceAll("\\[id=#x\\]", "")
+    val viaSql = normalize(executedPlan(
+      SparkEntry.queries("ls_merge_into")(spark, sfDir)))
+    val viaDf = normalize(executedPlan(
+      graft.queries.CoreQueries.ordersLineage(spark, sfDir)
+        .mergeInto(graft.queries.CoreQueries.mergeSource(spark, sfDir),
+          Seq("status", "totalprice"),
+          deleteWhen = Some(col("custkey") % 50 === 0))
+        .snapshot.where(col("k") % 5 === 0)))
+    assert(viaSql === viaDf, "SQL MERGE and Column-API merge plans diverge")
+  }
+
   test("idx_multi: BOTH projection probes push their predicate and semi-join") {
     val q = SparkEntry.queries("idx_multi")(spark, sfDir)
     val plan = executedPlan(q)

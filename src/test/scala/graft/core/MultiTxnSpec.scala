@@ -1,0 +1,108 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/**
+ * Cross-table atomic transactions ([[Catalog.commitMulti]]): both-or-
+ * neither across every crash window of the staged-commit protocol
+ * (reference: transaction.py holds queries bound to arbitrary tables —
+ * its 2PL abort is per-transaction, so a crash never leaves half).
+ */
+class MultiTxnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCat(): (Catalog, String) = {
+    val wh = Files.createTempDirectory("graft_mtx_").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("ta", "k", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    cat.createTable("tb", "k", Seq((1L, "x"), (2L, "y")).toDF("k", "s"))
+    (cat, wh)
+  }
+
+  private def txns = Map(
+    "ta" -> Txn.empty.update(col("k") === 1L,
+        Map("v" -> (col("v") + org.apache.spark.sql.functions.lit(100L))))
+      .insert(Seq((3L, 30L)).toDF("k", "v")),
+    "tb" -> Txn.empty.delete(col("k") === 2L)
+      .insert(Seq((9L, "z")).toDF("k", "s")))
+
+  private def stateA(cat: Catalog) = cat.getTable("ta").snapshot
+    .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  private def stateB(cat: Catalog) = cat.getTable("tb").snapshot
+    .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private val beforeA = Set((1L, 10L), (2L, 20L))
+  private val beforeB = Set((1L, "x"), (2L, "y"))
+  private val afterA = Set((1L, 110L), (2L, 20L), (3L, 30L))
+  private val afterB = Set((1L, "x"), (9L, "z"))
+
+  test("commitMulti applies all tables' ops as one transaction") {
+    val (cat, wh) = freshCat()
+    cat.commitMulti(txns)
+    assert(stateA(cat) === afterA)
+    assert(stateB(cat) === afterB)
+    // durable: a fresh catalog over the same warehouse agrees
+    val cat2 = new Catalog(spark, wh)
+    assert(stateA(cat2) === afterA)
+    assert(stateB(cat2) === afterB)
+  }
+
+  test("crash BEFORE the commit point: neither table changes (rollback)") {
+    val (cat, wh) = freshCat()
+    cat.crashPoints = Set("multi-staged")
+    intercept[IllegalStateException] { cat.commitMulti(txns) }
+    cat.crashPoints = Set.empty
+    // nothing visible — staging never reached either tail
+    assert(stateA(cat) === beforeA)
+    assert(stateB(cat) === beforeB)
+    // reopen recovers (stale-staging GC is lease-gated, so the staged
+    // files may linger; visibility is what the contract guarantees)
+    val cat2 = new Catalog(spark, wh)
+    assert(stateA(cat2) === beforeA)
+    assert(stateB(cat2) === beforeB)
+    // and the next multi commit goes through cleanly
+    cat2.commitMulti(txns)
+    assert(stateA(cat2) === afterA)
+    assert(stateB(cat2) === afterB)
+  }
+
+  test("crash AFTER the commit point: reopen rolls BOTH tables forward") {
+    for (point <- Seq("multi-committed", "multi-meta-ta", "multi-proj-ta",
+                      "multi-done-ta", "multi-meta-tb", "multi-done-tb")) {
+      val (cat, wh) = freshCat()
+      cat.crashPoints = Set(point)
+      intercept[IllegalStateException] { cat.commitMulti(txns) }
+      // the crash landed between per-table applications — a NEW catalog
+      // (fresh process) must complete the roll-forward on open
+      val cat2 = new Catalog(spark, wh)
+      assert(stateA(cat2) === afterA, s"ta incomplete after crash at $point")
+      assert(stateB(cat2) === afterB, s"tb incomplete after crash at $point")
+      // recovery consumed the transaction record — nothing re-applies
+      val cat3 = new Catalog(spark, wh)
+      assert(stateA(cat3) === afterA)
+      assert(stateB(cat3) === afterB)
+    }
+  }
+
+  test("a failing op aborts the whole transaction with nothing written") {
+    val (cat, _) = freshCat()
+    val bad = Map(
+      "ta" -> Txn.empty.insert(Seq((4L, 40L)).toDF("k", "v")),
+      // wrong schema: this table has (k, s) — the op must throw
+      "tb" -> Txn.empty.insert(Seq((5L, 50L)).toDF("k", "v")))
+    intercept[Exception] { cat.commitMulti(bad) }
+    assert(stateA(cat) === beforeA, "sibling table was mutated by an aborted txn")
+    assert(stateB(cat) === beforeB)
+  }
+
+  test("single-table commitMulti is the staged (no-loss-window) commit") {
+    val (cat, _) = freshCat()
+    cat.commitMulti(Map("ta" ->
+      Txn.empty.update(col("k") === 2L, Map("v" -> col("v") * 2L))))
+    assert(stateA(cat) === Set((1L, 10L), (2L, 40L)))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.core.{Catalog, LineageTable}
+
+/**
+ * SQL DML front door (reference write surface: lstore/query.py:57
+ * insert, :131 update, :27 delete, transaction.py batches — there as a
+ * host-language API, here as ANSI statements over Spark's own parser).
+ */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(): GraftSql = {
+    val base = Seq((1L, 10L, "A", 100.0), (2L, 20L, "B", 200.0),
+      (3L, 30L, "C", 300.0)).toDF("k", "custkey", "status", "totalprice")
+    new GraftSql(spark).register("t", LineageTable.fromBase("k", base))
+  }
+
+  private def rows(g: GraftSql) =
+    g.table("t").snapshot.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSeq
+
+  test("INSERT INTO ... VALUES appends through the engine (typed, versioned)") {
+    val g = fixture()
+    g.sql("INSERT INTO t VALUES (4, 40, 'D', 400.0)")
+    assert(rows(g) === Seq((1L, 10L, "A", 100.0), (2L, 20L, "B", 200.0),
+      (3L, 30L, "C", 300.0), (4L, 40L, "D", 400.0)))
+    // int literals widened to the table's bigint/double — ANSI INSERT
+    assert(g.table("t").snapshot.schema("k").dataType.typeName === "long")
+  }
+
+  test("INSERT INTO t (cols...) reorders by name; INSERT ... SELECT reads views") {
+    val g = fixture()
+    g.sql("INSERT INTO t (status, k, totalprice, custkey) VALUES ('E', 5, 500.0, 50)")
+    assert(rows(g).last === ((5L, 50L, "E", 500.0)))
+    // the registered snapshot view is readable mid-stream and feeds DML
+    g.sql("INSERT INTO t SELECT k + 100, custkey, 'X', totalprice FROM t WHERE k = 1")
+    assert(rows(g).last === ((101L, 10L, "X", 100.0)))
+  }
+
+  test("UPDATE ... SET ... WHERE maps to the engine's partial update") {
+    val g = fixture()
+    g.sql("UPDATE t SET status = 'U', totalprice = totalprice + 5 WHERE k % 2 = 1")
+    assert(rows(g) === Seq((1L, 10L, "U", 105.0), (2L, 20L, "B", 200.0),
+      (3L, 30L, "U", 305.0)))
+    // one _ver per statement: history shows the update as one op
+    assert(g.table("t").lineage.where($"k" === 1L).count() === 2)
+  }
+
+  test("DELETE FROM ... WHERE tombstones (versioned, not erased)") {
+    val g = fixture()
+    g.sql("DELETE FROM t WHERE custkey >= 30")
+    assert(rows(g).map(_._1) === Seq(1L, 2L))
+    assert(g.table("t").lineage.where($"k" === 3L).count() === 2,
+      "delete must append a tombstone, never rewrite history")
+  }
+
+  test("MERGE INTO maps to the engine's single-op upsert (all three arms)") {
+    val g = fixture()
+    g.sql("""MERGE INTO t USING (
+            |  SELECT 2 AS k, 20 AS custkey, 'M' AS status, 999.0 AS totalprice
+            |  UNION ALL
+            |  SELECT 3, 30, 'del', 0.0
+            |  UNION ALL
+            |  SELECT 9, 90, 'N', 900.0) s
+            |ON t.k = s.k
+            |WHEN MATCHED AND s.status = 'del' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET status = s.status, totalprice = s.totalprice
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows(g) === Seq((1L, 10L, "A", 100.0), (2L, 20L, "M", 999.0),
+      (9L, 90L, "N", 900.0)))
+    // the whole merge is ONE version stamp
+    val vers = g.table("t").lineage.select("_ver").distinct().count()
+    assert(vers === 2, "merge must take exactly one _ver")
+  }
+
+  test("DML against a durable table is a catalog commit; reopen sees it") {
+    val wh = Files.createTempDirectory("graft_sql_wh_").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("orders_sql", "k",
+      Seq((1L, "A"), (2L, "B")).toDF("k", "s"))
+    val g = new GraftSql(spark).register("orders_sql", cat, "orders_sql")
+    g.sql("UPDATE orders_sql SET s = 'U' WHERE k = 1")
+    g.sql("INSERT INTO orders_sql VALUES (3, 'C')")
+    val cat2 = new Catalog(spark, wh)
+    val got = cat2.getTable("orders_sql").snapshot.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "U"), (2L, "B"), (3L, "C")))
+  }
+
+  test("reads pass through; unregistered tables are untouched") {
+    val g = fixture()
+    assert(g.sql("SELECT count(*) AS n FROM t").head().getLong(0) === 3L)
+    // DML naming an unregistered table falls through to spark.sql, which
+    // rejects it (no such v2 table) — never silently a no-op
+    intercept[Exception] { g.sql("DELETE FROM nosuch WHERE 1=1").collect() }
+  }
+
+  test("unsupported shapes fail loud, with the reason") {
+    val g = fixture()
+    val e1 = intercept[IllegalArgumentException] {
+      g.sql("""MERGE INTO t USING (SELECT 1 AS k, 1 AS custkey,
+              |'x' AS status, 1.0 AS totalprice) s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET status = s.status""".stripMargin)
+    }
+    assert(e1.getMessage.contains("WHEN NOT MATCHED"))
+    val e2 = intercept[IllegalArgumentException] {
+      g.sql("""MERGE INTO t USING (SELECT 1 AS kk) s ON t.k = s.kk
+              |WHEN MATCHED THEN DELETE
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e2.getMessage.contains("ON must equate the key"))
+    val e3 = intercept[IllegalArgumentException] {
+      g.sql("INSERT OVERWRITE t VALUES (1, 2, 'a', 1.0)")
+    }
+    assert(e3.getMessage.contains("INSERT OVERWRITE"))
+  }
+}
