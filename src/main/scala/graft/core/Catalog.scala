@@ -77,7 +77,16 @@ import org.apache.spark.sql.functions._
  */
 final class Catalog(spark: SparkSession, warehouse: String,
                     autoCompact: Boolean = true,
-                    compactRatio: Double = 0.3) {
+                    compactRatio: Double = 0.3,
+                    /** Pre-rewrite snapshots retained per table so
+                      * `asOfTimestamp` SURVIVES compaction (Iceberg
+                      * snapshot retention): [[foldTail]] retires the old
+                      * base into `_snap/<id>/` instead of deleting it,
+                      * bounded at this many snapshots (oldest expire).
+                      * 0 restores the r7 behavior (compaction clears the
+                      * travel window). Vacuum/purge/saveCompacted always
+                      * DROP snapshots — physical erasure must erase. */
+                    snapshotRetention: Int = 2) {
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private val root = new Path(warehouse)
@@ -221,6 +230,15 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val base = spark.read.parquet(baseDir(name).toString)
     val tailDir = new Path(dir(name), "tail")
     healLeftoverTail(tailDir, meta.tailFloor)
+    assembleTable(meta, base, tailDir)
+  }
+
+  /** Assemble a [[LineageTable]] from a meta + base frame + tail dir —
+    * shared by [[getTable]] (the live table) and [[loadSnapshot]] (a
+    * retained pre-rewrite state, same mechanics over `_snap/<id>/`). */
+  private def assembleTable(meta: Meta,
+                            base: org.apache.spark.sql.DataFrame,
+                            tailDir: Path): LineageTable = {
     val hasTail = isDir(tailDir) && hasParquet(tailDir)
     // allowMissingColumns only when schema evolution is in play: files
     // written before an addColumn legitimately lack the added column (and
@@ -300,7 +318,15 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val old = new Path(dir(name), "base_old")
     if (isDir(base)) base
     else if (isDir(old)) old
-    else { require(metaExists(name), s"no such table: $name"); base }
+    else {
+      require(metaExists(name), s"no such table: $name")
+      // crash between a retention fold's two renames: the retired base
+      // lives in the newest listed snapshot ([[swapBaseIntoSnap]])
+      readMeta(name).snaps.lastOption
+        .map(id => snapDataDir(name, id, "base"))
+        .filter(isDir)
+        .getOrElse(base)
+    }
   }
 
   /** Append new lineage rows to the table's tail (reference: tail-page
@@ -387,14 +413,17 @@ final class Catalog(spark: SparkSession, warehouse: String,
             }
           }
           after.delta.foreach(appendTail(name, _))
-          // the reference's background-merge trigger, run inline on commit
-          // — but NEVER on a logged (commitAt) commit: foldTail clears
-          // the commit log, so an inline compaction here would erase the
-          // entry this very commit just wrote, silently degrading its
-          // asOfTimestamp to the post-rewrite base. Logged tables still
-          // compact on their next unlogged commit or an explicit
-          // maybeCompact/foldTail call.
-          if (autoCompact && commitTs.isEmpty)
+          // The reference's background-merge trigger, run inline on
+          // commit. On a LOGGED (commitAt) commit this is only safe when
+          // snapshot retention is on: with retention, foldTail moves the
+          // commit log into the snapshot manifest and asOfTimestamp keeps
+          // resolving across the rewrite; without it, foldTail CLEARS the
+          // log and an inline compaction here would erase the entry this
+          // very commit just wrote, silently degrading its asOfTimestamp
+          // to the post-rewrite base (ADVICE r7) — so retention-off
+          // logged tables compact only on their next unlogged commit or
+          // an explicit maybeCompact/foldTail call.
+          if (autoCompact && (commitTs.isEmpty || snapshotRetention > 0))
             maybeCompact(name, compactRatio, preserveHistory = true)
           getTable(name)
         }
@@ -635,16 +664,51 @@ final class Catalog(spark: SparkSession, warehouse: String,
    */
   def asOfTimestamp(name: String, ts: Long): org.apache.spark.sql.DataFrame = {
     val meta = readMeta(name)
-    // clamp floor: before the first logged commit the oldest ADDRESSABLE
-    // state is the last physical rewrite's base — whose rows stamp at
-    // tail_floor (0 for a never-rewritten table = the original base).
-    // Clamping to literal version 0 would read an EMPTY table after a
-    // re-stamp, whose rows all carry stamps above 0.
-    val ver = meta.commitVers.zip(meta.commitTs)
+    def resolve(m: Meta): Option[Long] = m.commitVers.zip(m.commitTs)
       .collect { case (v, t) if t <= ts => v }
-      .sorted.lastOption.getOrElse(meta.tailFloor)
-    getTable(name).asOfVersion(ver)
+      .sorted.lastOption
+    resolve(meta) match {
+      case Some(v) => getTable(name).asOfVersion(v)
+      case None =>
+        // no current-log entry at-or-before ts: walk retained snapshots
+        // newest-first — each manifest's log addresses its own retired
+        // files, so the read is the snapshot's data at ITS version. An
+        // incomplete snapshot (a crash-interrupted fold whose base never
+        // retired — the live table still holds that data) is skipped.
+        val snapMetas = meta.snaps.reverse.map(id =>
+          id -> parseMeta(readString(snapMetaPath(name, id))))
+        snapMetas.collectFirst { case (id, sm)
+            if isDir(snapDataDir(name, id, "base")) && resolve(sm).isDefined =>
+          loadSnapshot(name, id, sm).asOfVersion(resolve(sm).get)
+        }.getOrElse {
+          // ts precedes ALL logged history. If retention ever dropped a
+          // snapshot, the state at ts may have lived in it — clamping
+          // would serve wrong data as if right, so ERROR (the Iceberg
+          // expire-snapshots contract). Otherwise clamp to the oldest
+          // addressable base state: the oldest complete snapshot's
+          // pre-log base, or — with no snapshots — the live table's
+          // tail_floor (0 for a never-rewritten table = original base).
+          if (meta.snapsDropped)
+            throw new IllegalArgumentException(
+              s"$name: timestamp $ts is beyond the retention horizon — " +
+                "the snapshots covering it were expired or erased " +
+                "(vacuum/purge/merge); raise snapshotRetention to keep " +
+                "more pre-compaction states")
+          snapMetas.reverse.collectFirst { case (id, sm)
+              if isDir(snapDataDir(name, id, "base")) =>
+            loadSnapshot(name, id, sm).asOfVersion(sm.tailFloor)
+          }.getOrElse(getTable(name).asOfVersion(meta.tailFloor))
+        }
+    }
   }
+
+  /** A retained pre-rewrite state as a [[LineageTable]]: the manifest's
+    * meta over the snapshot's own base/tail dirs. Read-only by
+    * construction (nothing ever writes under a listed snapshot). */
+  private def loadSnapshot(name: String, id: Long, sm: Meta): LineageTable =
+    assembleTable(sm,
+      spark.read.parquet(snapDataDir(name, id, "base").toString),
+      snapDataDir(name, id, "tail"))
 
   /** Persist a full table state: compacted base, empty tail (reference:
     * Table.__merge + Database.close persistence in one step). History
@@ -657,7 +721,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * between the two renames. */
   def saveCompacted(name: String, t: LineageTable): Unit =
     lock(name).synchronized { withCommitMarker(name) {
-      val meta = readMeta(name)
+      // history collapses — retained snapshots collapse with it
+      val meta = dropSnapshots(name, readMeta(name))
       val layoutCol = meta.index.getOrElse(t.keyCol)
       val staged = new Path(dir(name), "base_staged")
       // stage FIRST: `t` may have been read through the baseDir fallback
@@ -744,7 +809,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
       val meta = readMeta(name)
       val t = getTable(name)
       restampSwap(name, meta, rankByVerDesc(meta.key, t.lineage),
-        t.opSeq + depthBudget(meta.key, t.lineage), multiPossible = true)
+        t.opSeq + depthBudget(meta.key, t.lineage), multiPossible = true,
+        retainSnapshot = true)
     }
   }
 
@@ -796,7 +862,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
   def vacuum(name: String, keep: Int = 1): LineageTable =
     lock(name).synchronized { withCommitMarker(name) {
       require(keep >= 1, s"must keep at least the newest version, got $keep")
-      val meta = readMeta(name)
+      // snapshots hold FULL pre-rewrite history — a retention vacuum
+      // that left them behind would not have dropped anything
+      val meta = dropSnapshots(name, readMeta(name))
       val t = getTable(name)
       // shared retention core (LineageTable.retained — ONE implementation
       // of the keep/lone-tombstone rules) feeding the shared re-stamp swap
@@ -820,7 +888,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
   def purge(name: String,
             predicate: org.apache.spark.sql.Column): LineageTable =
     lock(name).synchronized { withCommitMarker(name) {
-      val meta = readMeta(name)
+      // erasure-FIRST: snapshots physically retain purged keys' rows, so
+      // right-to-be-forgotten must delete them before anything else
+      val meta = dropSnapshots(name, readMeta(name))
       val t = getTable(name)
       restampSwap(name, meta, rankByVerDesc(meta.key, t.purge(predicate).lineage),
         t.opSeq + depthBudget(meta.key, t.lineage), multiPossible = t.opSeq > 0)
@@ -851,7 +921,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
    */
   private def restampSwap(name: String, meta: Meta, ranked:
       org.apache.spark.sql.DataFrame, opSeqNew: Long,
-      multiPossible: Boolean): LineageTable = {
+      multiPossible: Boolean,
+      retainSnapshot: Boolean = false): LineageTable = {
     val layoutCol = meta.index.getOrElse(meta.key)
     val staged = new Path(dir(name), "base_staged")
     ranked
@@ -865,22 +936,112 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val conservative = meta.multiVer || multiPossible
     // the re-stamp invalidates historical absolute versions, so the
     // commit log clears with it (in BOTH meta writes: a crash between
-    // them must not leave a log addressing re-stamped rows) — time
-    // travel is bounded by the last physical rewrite, the Delta/Iceberg
-    // VACUUM rule
+    // them must not leave a log addressing re-stamped rows). WITH
+    // retention ([[foldTail]] under snapshotRetention > 0) the log moves
+    // into the snapshot manifest rather than vanishing: `_snap/<id>.json`
+    // holds the PRE-rewrite meta verbatim, whose log addresses the
+    // retired files' own stamps, so asOfTimestamp keeps resolving across
+    // the rewrite ([[asOfTimestamp]] walks retained manifests). Without
+    // retention this is the Delta/Iceberg VACUUM rule: time travel is
+    // bounded by the last physical rewrite.
+    val retain = retainSnapshot && snapshotRetention > 0
+    val snapId = meta.opSeq
+    val newSnaps = if (retain) meta.snaps :+ snapId else meta.snaps
+    if (retain) {
+      // GC orphan snapshot dirs first (ids never listed in meta — crash
+      // leftovers of an interrupted fold; bounded by retention, cheap)
+      if (isDir(snapRoot(name)))
+        fs.listStatus(snapRoot(name)).foreach { s =>
+          val id = s.getPath.getName.stripSuffix(".json")
+          if (id.forall(_.isDigit) && !meta.snaps.contains(id.toLong)
+              && id.toLong != snapId)
+            deleteRecursively(s.getPath)
+        }
+      fs.mkdirs(snapRoot(name))
+      // manifest BEFORE any data move: an unreferenced manifest is
+      // harmless; a moved base without its manifest would be unreadable
+      writeString(snapMetaPath(name, snapId), metaJson(meta))
+      // the tail is COPIED (it is ≤ compactRatio of the base by the
+      // trigger, so the copy is bounded); the base — the big half — is
+      // retired by RENAME in swapBaseIntoSnap below, never copied
+      val tailDir = new Path(dir(name), "tail")
+      if (isDir(tailDir)) {
+        val snapTail = snapDataDir(name, snapId, "tail")
+        fs.mkdirs(snapTail)
+        fs.listStatus(tailDir).foreach { s =>
+          if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+            org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+              new Path(snapTail, s.getPath.getName), false, hconf)
+        }
+      }
+    }
     writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = conservative,
-      commitVers = Nil, commitTs = Nil))
+      commitVers = Nil, commitTs = Nil, snaps = newSnaps))
     // projections go BEFORE the swap (a crash leaves probes falling back
     // to the full candidate scan — for purge this is what makes erasure
     // hold: no projection file ever outlives the values it indexed) and
     // rebuild AFTER from the adopted base
     dropProjectionFiles(name, meta)
-    swapBase(name)
-    writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = hasMulti,
-      tailFloor = opSeqNew, commitVers = Nil, commitTs = Nil))
+    if (retain) swapBaseIntoSnap(name, snapDataDir(name, snapId, "base"))
+    else swapBase(name)
+    var m2 = meta.copy(opSeq = opSeqNew, multiVer = hasMulti,
+      tailFloor = opSeqNew, commitVers = Nil, commitTs = Nil,
+      snaps = newSnaps)
+    writeMeta(name, m2)
     deleteRecursively(new Path(dir(name), "tail"))
+    // retention expiry: meta first (a listed-but-deleted snapshot must
+    // never exist), then the files; snapsDropped makes a too-old lookup
+    // ERROR instead of silently clamping past dropped history
+    while (m2.snaps.size > snapshotRetention) {
+      val oldest = m2.snaps.head
+      m2 = m2.copy(snaps = m2.snaps.tail, snapsDropped = true)
+      writeMeta(name, m2)
+      deleteRecursively(new Path(snapRoot(name), oldest.toString))
+      fs.delete(snapMetaPath(name, oldest), false)
+    }
     rebuildProjections(name, meta)
     getTable(name)
+  }
+
+  // ------------------------------------------------- snapshot retention
+
+  private def snapRoot(name: String) = new Path(dir(name), "_snap")
+  private def snapMetaPath(name: String, id: Long) =
+    new Path(snapRoot(name), s"$id.json")
+  private def snapDataDir(name: String, id: Long, part: String) =
+    new Path(new Path(snapRoot(name), id.toString), part)
+
+  /** [[swapBase]]'s retention twin: the old base RETIRES into the
+    * snapshot (one rename — the big half of a snapshot is never copied)
+    * instead of being deleted. A crash between the two renames leaves
+    * base absent with the snapshot holding the data — [[baseDir]] falls
+    * back to the newest listed snapshot's base, so reads stay whole. */
+  private def swapBaseIntoSnap(name: String, snapBase: Path): Unit = {
+    val staged = new Path(dir(name), "base_staged")
+    val base = new Path(dir(name), "base")
+    if (isDir(base)) {
+      fs.mkdirs(snapBase.getParent)
+      move(base, snapBase)
+      move(staged, base)
+    } else {
+      // recovering a crash between the two renames: the snapshot already
+      // holds the retired base; the staged dir is the complete new state
+      move(staged, base)
+    }
+    deleteRecursively(new Path(dir(name), "base_old"))
+  }
+
+  /** Drop every retained snapshot NOW — the erasure-first step of
+    * vacuum/purge/saveCompacted (snapshots hold full pre-rewrite data,
+    * so a version-dropping or key-erasing rewrite that left them behind
+    * would not have dropped or erased anything). Meta is written before
+    * the delete so a listed-but-deleted snapshot can never be observed. */
+  private def dropSnapshots(name: String, meta: Meta): Meta = {
+    val m = meta.copy(snaps = Nil,
+      snapsDropped = meta.snapsDropped || meta.snaps.nonEmpty)
+    if (meta.snaps.nonEmpty) writeMeta(name, m)
+    deleteRecursively(snapRoot(name))
+    m
   }
 
   /**
@@ -1018,7 +1179,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * the entry point a user resolves "what can I time-travel to" from. */
   def history(name: String): org.apache.spark.sql.DataFrame = {
     val meta = readMeta(name)
-    val rows = meta.commitVers.zip(meta.commitTs).map {
+    // retained snapshots' logs first (oldest snapshot first), then the
+    // live log — together: every timestamp asOfTimestamp can resolve
+    val snapEntries = meta.snaps.flatMap { id =>
+      val sm = parseMeta(readString(snapMetaPath(name, id)))
+      sm.commitVers.zip(sm.commitTs)
+    }
+    val rows = (snapEntries ++ meta.commitVers.zip(meta.commitTs)).map {
       case (v, t) => org.apache.spark.sql.Row(v, t)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -1142,7 +1309,21 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * dropped — a dropped writer's replay window
                             * has long since closed). */
                           streamApps: Seq[String] = Nil,
-                          streamBatches: Seq[Long] = Nil)
+                          streamBatches: Seq[Long] = Nil,
+                          /** Retained pre-rewrite snapshot ids, oldest
+                            * first (id = the pre-rewrite op_seq; data
+                            * under `_snap/<id>/`, the pre-rewrite meta —
+                            * whose commit log still addresses the old
+                            * stamps — under `_snap/<id>.json`). */
+                          snaps: Seq[Long] = Nil,
+                          /** True once ANY snapshot has been dropped
+                            * (retention expiry, vacuum/purge/merge):
+                            * a timestamp older than every retained log
+                            * then ERRORS instead of clamping — the state
+                            * it names may have lived in a dropped
+                            * snapshot, and a silent clamp would serve
+                            * the wrong data as if it were right. */
+                          snapsDropped: Boolean = false)
 
   // Metadata names are restricted to identifier characters at write time,
   // so the flat JSON below round-trips through the regex reader with no
@@ -1174,6 +1355,16 @@ final class Catalog(spark: SparkSession, warehouse: String,
     // races only with readers — who read main first and fall back.
     if (!pathExists(metaPath(name)) && pathExists(metaTmpPath(name)))
       move(metaTmpPath(name), metaPath(name))
+    writeString(metaTmpPath(name), metaJson(m))
+    fs.delete(metaPath(name), false)
+    move(metaTmpPath(name), metaPath(name))
+  }
+
+  /** The flat metadata JSON — shared by [[writeMeta]] and the retained-
+    * snapshot manifests ([[restampSwap]] writes the PRE-rewrite meta to
+    * `_snap/<id>.json` verbatim, so a snapshot's commit log keeps
+    * addressing its own stamps). */
+  private def metaJson(m: Meta): String = {
     val cols = m.columns.map(c => "\"" + checked(c) + "\"").mkString(", ")
     val idx = m.index.map(i => "\"" + checked(i) + "\"").getOrElse("null")
     val ac = m.addedCols.map(c => "\"" + checked(c) + "\"").mkString(", ")
@@ -1185,15 +1376,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
     // restriction as column names keeps the flat JSON unambiguous
     val sa = m.streamApps.map(a => "\"" + checked(a) + "\"").mkString(", ")
     val sb = m.streamBatches.mkString(", ")
-    val json = s"""{"key": "${checked(m.key)}", "columns": [$cols], """ +
+    s"""{"key": "${checked(m.key)}", "columns": [$cols], """ +
       s""""index": $idx, "op_seq": ${m.opSeq}, "multi_ver": ${m.multiVer}, """ +
       s""""tail_floor": ${m.tailFloor}, """ +
       s""""added_cols": [$ac], "added_types": [$at], "proj_cols": [$pc], """ +
       s""""commit_vers": [$cv], "commit_ts": [$ct], """ +
-      s""""stream_apps": [$sa], "stream_batches": [$sb]}"""
-    writeString(metaTmpPath(name), json)
-    fs.delete(metaPath(name), false)
-    move(metaTmpPath(name), metaPath(name))
+      s""""stream_apps": [$sa], "stream_batches": [$sb], """ +
+      s""""snaps": [${m.snaps.mkString(", ")}], """ +
+      s""""snaps_dropped": ${m.snapsDropped}}"""
   }
 
   private def readMeta(name: String): Meta = {
@@ -1215,6 +1405,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
       .orElse(tryRead(metaPath(name)))
       .getOrElse(throw new IllegalArgumentException(
         s"requirement failed: no such table: $name"))
+    parseMeta(json)
+  }
+
+  /** Parse the flat metadata JSON ([[metaJson]]'s inverse) — shared by
+    * [[readMeta]] and the retained-snapshot manifest reader. */
+  private def parseMeta(json: String): Meta = {
     // metadata is written by writeMeta above — a flat object of checked
     // identifiers and an int; regexes are unambiguous here.
     val key = "\"key\"\\s*:\\s*\"([^\"]+)\"".r
@@ -1241,10 +1437,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
         .findFirstMatchIn(json).map(_.group(1)).filter(_.trim.nonEmpty)
         .map(_.split(",").map(_.trim.toLong).toSeq)
         .getOrElse(Nil)
+    val dropped = "\"snaps_dropped\"\\s*:\\s*(true|false)".r
+      .findFirstMatchIn(json).exists(_.group(1) == "true")
     Meta(key, cols, idx, seq, mv, floor,
       strList("added_cols"), strList("added_types"), strList("proj_cols"),
       numList("commit_vers"), numList("commit_ts"),
-      strList("stream_apps"), numList("stream_batches"))
+      strList("stream_apps"), numList("stream_batches"),
+      numList("snaps"), dropped)
   }
 
   // Crash recovery on open — the reference's Database.open contract. At

@@ -68,8 +68,10 @@ class TimeTravelSpec extends SparkSpec {
     assert(cat.getTable("t").snapshot.count() === 3L)
   }
 
-  test("physical rewrites clear the log: travel is bounded by compaction") {
-    val (cat, _) = freshCatalog()
+  test("with retention OFF, rewrites clear the log: travel is bounded") {
+    val wh = Files.createTempDirectory("graft_tt_wh_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false,
+      snapshotRetention = 0) // the r7 behavior, still available
     cat.createTable("t", "k", base)
     cat.commitAt("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(11L))),
       ts = 1000L)
@@ -78,5 +80,89 @@ class TimeTravelSpec extends SparkSpec {
     // (= latest), never to a wrong mixture of re-stamped rows
     assert(cat.asOfTimestamp("t", 500L).collect().map(_.toSeq).toSet ===
       cat.getTable("t").snapshot.collect().map(_.toSeq).toSet)
+  }
+
+  test("time travel SURVIVES compaction: retained snapshots serve old ts") {
+    val (cat, wh) = freshCatalog() // default snapshotRetention = 2
+    cat.createTable("t", "k", base)
+    cat.commitAt("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(11L))),
+      ts = 1000L)
+    cat.commitAt("t", Txn.empty.delete(col("k") === 2L), ts = 2000L)
+    cat.foldTail("t") // physical rewrite; pre-rewrite base+tail retire to _snap
+    // a post-rewrite logged commit starts the new log
+    cat.commitAt("t", Txn.empty.insert(Seq((9L, 90L)).toDF("k", "v")),
+      ts = 3000L)
+    def at(ts: Long) =
+      cat.asOfTimestamp("t", ts).collect().map(_.toSeq).toSet
+    assert(at(500L) === Set(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, 30L)),
+      "pre-first-commit state must survive the rewrite")
+    assert(at(1500L) === Set(Seq(1L, 11L), Seq(2L, 20L), Seq(3L, 30L)),
+      "a PRE-COMPACTION timestamp must read the retained snapshot")
+    assert(at(2500L) === Set(Seq(1L, 11L), Seq(3L, 30L)))
+    assert(at(3500L) === Set(Seq(1L, 11L), Seq(3L, 30L), Seq(9L, 90L)))
+    // durable: a fresh catalog over the warehouse resolves identically
+    val reopened = new Catalog(spark, wh)
+    assert(reopened.asOfTimestamp("t", 1500L).collect().map(_.toSeq).toSet
+      === at(1500L))
+    // DESCRIBE HISTORY surfaces the full addressable log across snapshots
+    assert(cat.history("t").collect().map(_.getLong(1)).toSet
+      === Set(1000L, 2000L, 3000L))
+  }
+
+  test("pre-compaction ts resolves after an AUTO-compaction (inline trigger)") {
+    val wh = Files.createTempDirectory("graft_tt_wh_").toString
+    // aggressive ratio so the inline trigger fires on the logged commits
+    val cat = new Catalog(spark, wh, autoCompact = true, compactRatio = 0.01)
+    cat.createTable("t", "k", base)
+    cat.commitAt("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(11L))),
+      ts = 1000L)
+    cat.commitAt("t", Txn.empty.delete(col("k") === 2L), ts = 2000L)
+    assert(cat.getTable("t").opSeq > 2L,
+      "fixture assumption: auto-compaction re-stamped (ratio trigger fired)")
+    def at(ts: Long) =
+      cat.asOfTimestamp("t", ts).collect().map(_.toSeq).toSet
+    assert(at(1500L) === Set(Seq(1L, 11L), Seq(2L, 20L), Seq(3L, 30L)),
+      "the commit log must survive the commit's own inline compaction")
+    assert(at(5000L) === Set(Seq(1L, 11L), Seq(3L, 30L)))
+  }
+
+  test("retention expiry: a ts older than every retained snapshot ERRORS") {
+    val wh = Files.createTempDirectory("graft_tt_wh_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false,
+      snapshotRetention = 1)
+    cat.createTable("t", "k", base)
+    cat.commitAt("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(11L))),
+      ts = 1000L)
+    cat.foldTail("t") // snapshot A retained (covers ts 1000)
+    cat.commitAt("t", Txn.empty.delete(col("k") === 2L), ts = 2000L)
+    cat.foldTail("t") // snapshot B retained; A EXPIRES (retention = 1)
+    // within the retained window: still resolvable
+    assert(cat.asOfTimestamp("t", 2500L).collect().map(_.toSeq).toSet
+      === Set(Seq(1L, 11L), Seq(3L, 30L)))
+    // beyond it: the data that could answer lived in expired snapshot A —
+    // an error, never a silent clamp to wrong data
+    val e = intercept[IllegalArgumentException] {
+      cat.asOfTimestamp("t", 500L).collect()
+    }
+    assert(e.getMessage.contains("retention horizon"))
+  }
+
+  test("purge drops snapshots (erasure reaches retained history)") {
+    val (cat, wh) = freshCatalog()
+    cat.createTable("t", "k", base)
+    cat.commitAt("t", Txn.empty.update(col("k") === 2L, Map("v" -> lit(22L))),
+      ts = 1000L)
+    cat.foldTail("t") // snapshot retains key 2's history
+    cat.purge("t", col("k") === 2L)
+    // no _snap dir survives a purge — erased keys' rows must be GONE
+    assert(!new java.io.File(s"$wh/t/_snap").exists(),
+      "purge left snapshot files behind — erasure must reach them")
+    assert(cat.getTable("t").snapshot.collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L))
+    // the pre-purge ts is now unreachable: error, not resurrection
+    val e = intercept[IllegalArgumentException] {
+      cat.asOfTimestamp("t", 1500L).collect()
+    }
+    assert(e.getMessage.contains("retention horizon"))
   }
 }
