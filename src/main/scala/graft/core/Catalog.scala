@@ -227,10 +227,50 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * reconstructs exactly the state last saved. */
   def getTable(name: String): LineageTable = {
     val meta = readMeta(name)
+    // durable ANALYZE stats feed the planner in THIS session too: a
+    // reopened warehouse re-registers without re-scanning (metadata-only)
+    if (meta.statsCols.nonEmpty)
+      graft.plans.NdvStats.register(fs.makeQualified(dir(name)).toString,
+        graft.plans.NdvStats.TableStats(
+          meta.statsCols.zip(meta.statsNdv).toMap, meta.statsRows))
     val base = spark.read.parquet(baseDir(name).toString)
     val tailDir = new Path(dir(name), "tail")
     healLeftoverTail(tailDir, meta.tailFloor)
     assembleTable(meta, base, tailDir)
+  }
+
+  /**
+   * ANALYZE TABLE — measure per-column NDV (one KMV-sketch pass over the
+   * live snapshot, ~2 KB buffer per column — [[graft.functions
+   * .KMinValues]]) plus the live row count, persist both in the table
+   * metadata, and register them with [[graft.plans.NdvStats]] so
+   * [[graft.plans.NdvBroadcastRule]] can plan joins from them (broadcast
+   * a low-NDV aggregate the size estimator thinks is huge; refuse a
+   * high-NDV one it thinks is small). The scan aggregates ALL requested
+   * columns in one pass — analyzing k columns costs one table read.
+   */
+  def analyzeTable(name: String, columns: Seq[String]): Map[String, Long] = {
+    require(columns.nonEmpty, "analyzeTable: no columns")
+    val t = getTable(name)
+    columns.foreach(c => require(t.dataCols.contains(c), s"no such column: $c"))
+    val k = 256
+    val aggs = columns.map(c => graft.functions.KMinValues.kMinValues(
+      graft.functions.Md5HighBits.hash60(col(c).cast("string")), k)
+      .as(s"_kmv_$c")) :+ count(lit(1)).as("_rows")
+    val row = t.snapshot.agg(aggs.head, aggs.tail: _*)
+      .select(columns.map(c => graft.functions.KMinValues
+        .ndvEstimate(col(s"_kmv_$c"), k).as(c)) :+ col("_rows"): _*)
+      .head()
+    val ndvs = columns.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }
+    val rows = row.getLong(columns.size)
+    lock(name).synchronized { withCommitMarker(name) {
+      val meta = readMeta(name)
+      writeMeta(name, meta.copy(statsCols = columns,
+        statsNdv = columns.map(ndvs.toMap), statsRows = rows))
+    } }
+    graft.plans.NdvStats.register(fs.makeQualified(dir(name)).toString,
+      graft.plans.NdvStats.TableStats(ndvs.toMap, rows))
+    ndvs.toMap
   }
 
   /** Assemble a [[LineageTable]] from a meta + base frame + tail dir —
@@ -1315,6 +1355,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * under `_snap/<id>/`, the pre-rewrite meta —
                             * whose commit log still addresses the old
                             * stamps — under `_snap/<id>.json`). */
+                          /** ANALYZE results ([[analyzeTable]]): per-
+                            * column NDV estimates (parallel seqs) + live
+                            * row count, the statistics [[graft.plans
+                            * .NdvBroadcastRule]] plans joins from. */
+                          statsCols: Seq[String] = Nil,
+                          statsNdv: Seq[Long] = Nil,
+                          statsRows: Long = -1L,
                           snaps: Seq[Long] = Nil,
                           /** True once ANY snapshot has been dropped
                             * (retention expiry, vacuum/purge/merge):
@@ -1382,6 +1429,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
       s""""added_cols": [$ac], "added_types": [$at], "proj_cols": [$pc], """ +
       s""""commit_vers": [$cv], "commit_ts": [$ct], """ +
       s""""stream_apps": [$sa], "stream_batches": [$sb], """ +
+      s""""stats_cols": [${m.statsCols.map(c => "\"" + checked(c) + "\"")
+        .mkString(", ")}], """ +
+      s""""stats_ndv": [${m.statsNdv.mkString(", ")}], """ +
+      s""""stats_rows": ${m.statsRows}, """ +
       s""""snaps": [${m.snaps.mkString(", ")}], """ +
       s""""snaps_dropped": ${m.snapsDropped}}"""
   }
@@ -1439,10 +1490,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
         .getOrElse(Nil)
     val dropped = "\"snaps_dropped\"\\s*:\\s*(true|false)".r
       .findFirstMatchIn(json).exists(_.group(1) == "true")
+    val sRows = "\"stats_rows\"\\s*:\\s*(-?\\d+)".r
+      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
     Meta(key, cols, idx, seq, mv, floor,
       strList("added_cols"), strList("added_types"), strList("proj_cols"),
       numList("commit_vers"), numList("commit_ts"),
       strList("stream_apps"), numList("stream_batches"),
+      strList("stats_cols"), numList("stats_ndv"), sRows,
       numList("snaps"), dropped)
   }
 

@@ -170,6 +170,64 @@ class PlanAuditSpec extends SparkSpec {
     assert(viaSql === viaDf, "SQL MERGE and Column-API merge plans diverge")
   }
 
+  test("ANALYZE NDV stats flip the join strategy; results unchanged") {
+    // Spark's size-only estimator cannot see that GROUP BY status is 3
+    // rows while GROUP BY custkey is ~thousands — both estimates track
+    // the child SCAN size. analyzeTable's KMV NDVs separate them:
+    // NdvBroadcastRule broadcasts the low-NDV aggregate and refuses the
+    // high-NDV one, under a threshold that the raw scan size exceeds
+    // (the at-scale shape: a 100 TB fact's dim-like aggregate).
+    val wh = Files.createTempDirectory("graft_ndv_audit_").toString
+    val cat = new Catalog(spark, wh)
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+    cat.createTable("t", "k", rows)
+    val fact = spark.read.parquet(s"$sfDir/orders.parquet")
+    // AQE OFF for the audit: its runtime re-plan converts to broadcast
+    // AFTER the dim's shuffle stage materializes — by which point the
+    // fact side's shuffle WRITE (the cost that dominates at 100 TB) has
+    // already happened. The NDV stats act at STATIC planning time, where
+    // that write is avoided entirely; AQE stays the runtime safety net
+    // for un-analyzed tables.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "2KB")
+    try {
+      val dimS = cat.getTable("t").snapshot.groupBy(col("status"))
+        .agg(avg(col("price")).as("avg_price"))
+      val dimC = cat.getTable("t").snapshot.groupBy(col("custkey"))
+        .agg(avg(col("price")).as("avg_price"))
+      def planOf(dim: DataFrame, on: String, key: String) = executedPlan(
+        fact.join(dim, fact(on) === dim(key)))
+      // BEFORE analyze: no stats — the 2KB threshold rejects both sides
+      // (scan-proportional estimates), so no broadcast either way
+      val before = planOf(dimS, "o_orderstatus", "status")
+      assert(!before.contains("BroadcastHashJoin"),
+        s"fixture assumption broken — already broadcasting:\n$before")
+      val beforeRows = fact.join(dimS,
+          fact("o_orderstatus") === dimS("status"))
+        .groupBy().count().head().getLong(0)
+      cat.analyzeTable("t", Seq("status", "custkey"))
+      // AFTER: the status aggregate (NDV=3, ~100 bytes) broadcasts...
+      val after = planOf(dimS, "o_orderstatus", "status")
+      assert(after.contains("BroadcastHashJoin"),
+        s"NDV stats failed to flip the strategy:\n$after")
+      // ...while the custkey aggregate (high NDV, over the threshold)
+      // is REFUSED the broadcast the size estimator alone can't judge
+      val highNdv = planOf(dimC, "o_custkey", "custkey")
+      assert(!highNdv.contains("BroadcastHashJoin"),
+        s"high-NDV side must not broadcast at this threshold:\n$highNdv")
+      // correctness unchanged: stats inform strategy, never results
+      val afterRows = fact.join(dimS,
+          fact("o_orderstatus") === dimS("status"))
+        .groupBy().count().head().getLong(0)
+      assert(afterRows === beforeRows)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("idx_multi: BOTH projection probes push their predicate and semi-join") {
     val q = SparkEntry.queries("idx_multi")(spark, sfDir)
     val plan = executedPlan(q)
