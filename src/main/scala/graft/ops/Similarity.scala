@@ -94,8 +94,11 @@ object Similarity {
    * query), never the corpus scan.
    */
   def ivfBuildProbe(corpus: DataFrame, queries: DataFrame, k: Int,
-                    nCentroids: Int = 16, nProbe: Int = 1): DataFrame = {
-    val cents = seedCentroids(corpus, nCentroids)
+                    nCentroids: Int = 16, nProbe: Int = 1,
+                    trainIters: Int = 0): DataFrame = {
+    val cents =
+      if (trainIters > 0) trainedCentroids(corpus, nCentroids, trainIters)
+      else seedCentroids(corpus, nCentroids)
     val bucketed = assignToCentroids(corpus, cents, "vec_id")
     val routed = probeCentroids(
         queries.select(col("qid").as("vec_id"), col("qe").as("embedding")),
@@ -190,28 +193,56 @@ object Similarity {
   def kmeansIterate(corpus: DataFrame, nCentroids: Int = 10,
                     iters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     var cents = seedCentroids(corpus, nCentroids)
-    // C×D floats — driver-small by construction, same as the per-round stats
-    var prev: Map[Long, Seq[Float]] = cents.collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
     var assigned = assignToCentroids(corpus, cents, "vec_id")
     for (_ <- 2 to iters) {
-      val stats = centroidStats(assigned, "cid")
-        .select(col("cid"), col("dim"), col("avg_q")).collect()
-      val updated = stats.groupBy(_.getLong(0)).map { case (cid, rs) =>
-        (cid, rs.sortBy(_.getLong(1)).toSeq.map(r => (r.getDouble(2) / 1e6).toFloat))
-      }
-      // a cluster that captured no vectors this round vanishes from the
-      // stats; carry its previous centroid forward so k never silently
-      // shrinks between iterations (standard Lloyd practice — the
-      // alternative, dropping it, changes the output arity under the
-      // caller with no signal)
-      val rebuilt = (prev ++ updated).toSeq.sortBy(_._1)
-      prev = rebuilt.toMap
-      cents = broadcast(rebuilt.toDF("cid", "ce"))
+      cents = lloydUpdate(spark, assigned, cents)
       assigned = assignToCentroids(corpus, cents, "vec_id")
     }
     assigned.select(col("vec_id"), col("cid"))
+  }
+
+  /** One Lloyd UPDATE: quantized-exact per-cluster means, collected to
+    * the driver (C×D floats by construction — never corpus-sized) and
+    * re-broadcast as the next centroid set. A cluster that captured no
+    * vectors this round vanishes from the stats; its previous centroid
+    * carries forward so k never silently shrinks between iterations
+    * (standard Lloyd practice — dropping it would change the output
+    * arity under the caller with no signal). */
+  private def lloydUpdate(spark: org.apache.spark.sql.SparkSession,
+                          assigned: DataFrame, cents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val prev: Map[Long, Seq[Float]] = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val stats = centroidStats(assigned, "cid")
+      .select(col("cid"), col("dim"), col("avg_q")).collect()
+    val updated = stats.groupBy(_.getLong(0)).map { case (cid, rs) =>
+      (cid, rs.sortBy(_.getLong(1)).toSeq.map(r => (r.getDouble(2) / 1e6).toFloat))
+    }
+    broadcast((prev ++ updated).toSeq.sortBy(_._1).toDF("cid", "ce"))
+  }
+
+  /**
+   * TRAINED coarse quantizer for the IVF build: `iters` Lloyd rounds from
+   * the deterministic seed set, returning the refined CENTROIDS (the
+   * [[kmeansIterate]] loop, exposed at the point [[ivfBuildProbe]] plugs
+   * in). Why it matters at 100 TB: seed centroids are whatever the first
+   * nCentroids vectors happened to be, so on a clustered real corpus the
+   * buckets skew — a hot bucket makes its probes scan far more than the
+   * nominal 1/C of the corpus. Lloyd rounds move the centroids toward
+   * the data's actual modes, flattening bucket occupancy (measured at
+   * sf0.1 in SURVEY §5) while every downstream plan — assignment, probe,
+   * ranking — is IDENTICAL by construction: training only changes the
+   * centroid values, deterministically (exact quantized means, fixed
+   * seed, cid-ascending ties), so the build stays reproducible.
+   */
+  def trainedCentroids(corpus: DataFrame, nCentroids: Int = 16,
+                       iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    var cents = seedCentroids(corpus, nCentroids)
+    for (_ <- 1 to iters)
+      cents = lloydUpdate(spark,
+        assignToCentroids(corpus, cents, "vec_id"), cents)
+    cents
   }
 }

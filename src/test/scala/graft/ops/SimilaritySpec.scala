@@ -48,4 +48,50 @@ class SimilaritySpec extends SparkSpec {
     assert((p2 & truth).size > (p1 & truth).size,
       "multi-probe must strictly improve recall on the planted neighbor")
   }
+
+  test("Lloyd training flattens bucket occupancy; recall stays exact") {
+    import spark.implicits._
+    // Two natural clusters, but BOTH seed centroids (= the first two
+    // vec_ids) land in cluster A. The seeded quantizer therefore SPLITS
+    // cluster A across its two buckets and dumps ALL of cluster B into
+    // whichever bucket its vectors lean toward — a hot bucket holding
+    // 3/4 of the corpus, so every probe routed there scans 6× the
+    // nominal 1/C. This occupancy skew is the at-scale cost of untrained
+    // seeds; Lloyd rounds migrate the centroids onto the two real modes
+    // and flatten the buckets to the true cluster sizes.
+    val clusterA = Seq(
+      (0L, Seq(1.00f, 0.00f)), (1L, Seq(0.99f, 0.14f)),
+      (2L, Seq(0.98f, -0.14f)), (3L, Seq(0.97f, 0.07f)))
+    val clusterB = Seq(
+      (4L, Seq(0.00f, 1.00f)), (5L, Seq(0.14f, 0.99f)),
+      (6L, Seq(-0.14f, 0.98f)), (7L, Seq(0.07f, 0.97f)))
+    val corpus = (clusterA ++ clusterB).toDF("vec_id", "embedding")
+
+    def occupancy(cents: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Similarity.assignToCentroids(corpus, cents, "vec_id")
+        .groupBy(col("cid")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val seededOcc = occupancy(Similarity.seedCentroids(corpus, 2))
+    val trainedOcc = occupancy(Similarity.trainedCentroids(corpus, 2, iters = 2))
+    assert(seededOcc.values.max >= 6,
+      s"fixture: both seeds in cluster A must skew occupancy, got $seededOcc")
+    assert(trainedOcc.values.toSeq.sorted === Seq(4L, 4L),
+      s"training should flatten buckets to the true cluster sizes: $trainedOcc")
+
+    // recall at equal probe cost (nProbe = 1): a cluster-B query's probed
+    // bucket IS cluster B after training — exact top-k
+    val q = Seq((100L, Seq(0.05f, 1.0f))).toDF("qid", "qe")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val truth = ids(Similarity.bruteTopK(corpus, q, 3))
+    val trained = ids(Similarity.ivfBuildProbe(corpus, q, 3, nCentroids = 2,
+      trainIters = 2))
+    assert(trained === truth,
+      s"trained quantizer should recover the true top-k, got $trained")
+    // determinism: exact quantized means from a fixed seed — twice the
+    // same build, bit for bit
+    assert(ids(Similarity.ivfBuildProbe(corpus, q, 3, nCentroids = 2,
+      trainIters = 2)) === trained)
+  }
 }
