@@ -672,16 +672,36 @@ final class Catalog(spark: SparkSession, warehouse: String,
             .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
             .getOrElse(Nil)
         val tables = many("tables")
-        withLocks(tables.toList.sorted) { withMarkers(tables.toList.sorted) {
-          applyTxnRecord(id, tables,
-            many("expected").map(_.toLong), many("next").map(_.toLong))
-        } }
+        // A record whose tables' markers are HELD belongs to a LIVE
+        // writer mid-roll-forward — recovery is for the dead. Skipping
+        // on contention (instead of letting the marker throw escape)
+        // keeps catalog construction and unrelated commitMulti calls
+        // from failing spuriously while a healthy writer finishes; the
+        // next recovery pass completes the record if the writer died.
+        try withLocks(tables.toList.sorted) {
+          withMarkers(tables.toList.sorted) {
+            applyTxnRecord(id, tables,
+              many("expected").map(_.toLong), many("next").map(_.toLong))
+          }
+        } catch { case _: ConcurrentModificationException => () }
       }
     entries.filter(_.isDirectory).foreach { d =>
       val id = d.getPath.getName
       val stale = System.currentTimeMillis() -
         d.getModificationTime > markerLeaseMs
-      if (!pathExists(txnRecordPath(id)) && stale)
+      // NEVER roll back staging whose owner may still be alive: the
+      // owner holds every staged table's commit marker for the whole
+      // stage-write ([[commitMulti]]), so a present marker vetoes the
+      // rollback even past the lease — a 100 TB delta write can
+      // legitimately out-live any lease, and GC'ing it would make the
+      // owner's subsequent commit point apply EMPTY staging (silent
+      // loss). Dir mtime staleness remains the trigger; the marker is
+      // the liveness proof.
+      def ownerAlive: Boolean =
+        try fs.listStatus(d.getPath).exists(c => c.isDirectory &&
+          pathExists(new Path(dir(c.getPath.getName), "_commit.lock")))
+        catch { case _: java.io.FileNotFoundException => false }
+      if (!pathExists(txnRecordPath(id)) && stale && !ownerAlive)
         deleteRecursively(d.getPath)
     }
     if (isDir(txnRoot) && fs.listStatus(txnRoot).isEmpty)

@@ -179,7 +179,22 @@ class GraftSql(val spark: SparkSession) {
         updateCols = t.dataCols.filterNot(_ == t.keyCol)
       case DeleteAction(cond) =>
         // evaluated on the SOURCE row pre-join (the engine's deleteWhen
-        // contract) — a gate over target columns can't be expressed here
+        // contract) — a gate over TARGET columns can't be expressed
+        // here, and silently rebinding `t.col` to a same-named source
+        // column would invert the user's intent, so reject it loud
+        cond.foreach { c =>
+          val tgtAlias = aliasOf(m.targetTable)
+          c.foreach {
+            case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+                tgtAlias.contains(a.nameParts.head) =>
+              throw new IllegalArgumentException("graft SQL MERGE: the " +
+                s"DELETE condition must gate on SOURCE columns (got " +
+                s"${a.name} — the engine's deleteWhen evaluates on the " +
+                "source row pre-join; put target-state conditions in the " +
+                "USING subquery by joining the snapshot view)")
+            case _ => ()
+          }
+        }
         deleteWhen = Some(cond.map(rebased).getOrElse(lit(true)))
       case UpdateAction(Some(c), _, _) =>
         throw new IllegalArgumentException("graft SQL MERGE: conditional " +
@@ -222,6 +237,14 @@ class GraftSql(val spark: SparkSession) {
   /** Target table name out of the (possibly aliased) relation subtree. */
   private def targetOf(p: LogicalPlan): Option[String] = p match {
     case SubqueryAlias(_, child) => targetOf(child)
+    case r: UnresolvedRelation => Some(r.multipartIdentifier.last)
+    case _ => None
+  }
+
+  /** The alias a DML statement bound to its target (`MERGE INTO t AS x`
+    * → `x`; unaliased → the table name itself). */
+  private def aliasOf(p: LogicalPlan): Option[String] = p match {
+    case SubqueryAlias(ident, _) => Some(ident.name)
     case r: UnresolvedRelation => Some(r.multipartIdentifier.last)
     case _ => None
   }

@@ -99,6 +99,49 @@ class MultiTxnSpec extends SparkSpec {
     assert(stateB(cat) === beforeB)
   }
 
+  test("recovery skips a LIVE writer's record instead of failing the open") {
+    val (cat, wh) = freshCat()
+    cat.crashPoints = Set("multi-committed")
+    intercept[IllegalStateException] { cat.commitMulti(txns) }
+    // simulate the writer still being ALIVE mid-roll-forward: it holds
+    // the per-table commit markers for the whole commitMulti call
+    val marker = new java.io.File(s"$wh/ta/_commit.lock")
+    java.nio.file.Files.write(marker.toPath, "live-writer".getBytes)
+    // a concurrent catalog OPEN must neither throw (spurious failure)
+    // nor roll the record forward out from under the live writer
+    val reader = new Catalog(spark, wh)
+    assert(stateA(reader) === beforeA, "recovery applied a live writer's txn")
+    assert(stateB(reader) === beforeB)
+    // writer dies (marker gone) → the next open completes the txn
+    assert(marker.delete())
+    val recovered = new Catalog(spark, wh)
+    assert(stateA(recovered) === afterA)
+    assert(stateB(recovered) === afterB)
+  }
+
+  test("rollback GC never deletes staging whose owner holds a marker") {
+    val (cat, wh) = freshCat()
+    cat.crashPoints = Set("multi-staged") // die BEFORE the commit point
+    intercept[IllegalStateException] { cat.commitMulti(txns) }
+    val staging = new java.io.File(s"$wh/_txn").listFiles()
+      .filter(_.isDirectory)
+    assert(staging.length === 1, "expected one orphaned staging dir")
+    // age the staging past the lease, but keep a table marker present —
+    // the shape of a >15-minute 100 TB delta write still in flight
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 20 * 60 * 1000)
+    java.nio.file.Files.setLastModifiedTime(staging.head.toPath, old)
+    val marker = new java.io.File(s"$wh/ta/_commit.lock")
+    java.nio.file.Files.write(marker.toPath, "slow-writer".getBytes)
+    new Catalog(spark, wh) // runs recovery
+    assert(staging.head.exists(),
+      "recovery GC'd a live writer's staging — its commit would apply EMPTY")
+    // owner gone → the stale orphan is reclaimed
+    assert(marker.delete())
+    new Catalog(spark, wh)
+    assert(!staging.head.exists(), "dead orphan staging should be GC'd")
+  }
+
   test("single-table commitMulti is the staged (no-loss-window) commit") {
     val (cat, _) = freshCat()
     cat.commitMulti(Map("ta" ->

@@ -118,5 +118,14 @@ class GraftSqlSpec extends SparkSpec {
       g.sql("INSERT OVERWRITE t VALUES (1, 2, 'a', 1.0)")
     }
     assert(e3.getMessage.contains("INSERT OVERWRITE"))
+    // a DELETE gate on TARGET columns would silently rebind to the
+    // same-named SOURCE column (inverting intent) — rejected loud
+    val e4 = intercept[IllegalArgumentException] {
+      g.sql("""MERGE INTO t tgt USING (SELECT 1 AS k, 1 AS custkey,
+              |'x' AS status, 1.0 AS totalprice) s ON tgt.k = s.k
+              |WHEN MATCHED AND tgt.status = 'old' THEN DELETE
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e4.getMessage.contains("SOURCE columns"))
   }
 }
