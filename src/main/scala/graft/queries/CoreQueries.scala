@@ -693,6 +693,39 @@ object CoreQueries {
       orders.unionByName(docs)
     },
 
+    // The full SQL WRITE surface in one flow (graft.sql.GraftSql):
+    // UPDATE, DELETE, then an INSERT ... SELECT that reads the table's
+    // own refreshed snapshot view MID-TRANSCRIPT — three ANSI statements
+    // parsed by Spark's parser, each one engine op, one _ver apiece.
+    // The reference's write API (query.py:57,131,27) as SQL strings.
+    "sql_dml" -> { (s, d) =>
+      val g = new graft.sql.GraftSql(s)
+        .register("sqldml_t", LineageTable.fromBase("k", baseOrders(s, d)))
+      g.sql("UPDATE sqldml_t SET totalprice = totalprice + 10.0, " +
+        "status = 'U1' WHERE k % 3 = 0")
+      g.sql("DELETE FROM sqldml_t WHERE k % 17 = 0")
+      g.sql("INSERT INTO sqldml_t SELECT k + 4000000, custkey, 'S', " +
+        "totalprice FROM sqldml_t WHERE k % 500 = 0")
+      g.table("sqldml_t").snapshot.where(col("k") % 5 === 0)
+        .select(col("k"), col("custkey"), col("status"), col("totalprice"))
+    },
+
+    // ANALYZE TABLE as a queryable surface (Catalog.analyzeTable → the
+    // stats NdvBroadcastRule plans joins from): per-column KMV NDV + live
+    // row count over the post-transaction warehouse state, ONE scan for
+    // all columns. The oracle recomputes the same exact order statistics
+    // the expensive declarative way.
+    "cat_analyze" -> { (s, d) =>
+      val cat = multiTxnTables(s, d)
+      val ndvs = cat.analyzeTable("orders_mt", Seq("custkey", "status"))
+      val t = cat.getTable("orders_mt")
+      val rows = t.snapshot.count()
+      import s.implicits._
+      Seq(("custkey", ndvs("custkey"), rows),
+          ("status", ndvs("status"), rows))
+        .toDF("col_name", "ndv", "n_rows")
+    },
+
     "cat_stats" -> { (s, d) =>
       // ANALYZE TABLE from footers alone (sources/ParquetMeta.columnStats):
       // exact numeric min/max/null-count per column with ZERO data pages
@@ -1058,6 +1091,54 @@ object CoreQueries {
          |           AS totalprice FROM s1),
          |s3 AS (SELECT * FROM s2 WHERE k % 13 <> 0)
          |SELECT k, custkey, status, totalprice FROM s3 WHERE k % 100 = 0""".stripMargin,
+
+    // the three-statement SQL transcript replayed as CTE stages
+    "sql_dml" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |s1 AS (SELECT k, custkey,
+        |         CASE WHEN k % 3 = 0 THEN 'U1' ELSE status END AS status,
+        |         CASE WHEN k % 3 = 0 THEN totalprice + 10.0
+        |              ELSE totalprice END AS totalprice
+        |       FROM base),
+        |s2 AS (SELECT * FROM s1 WHERE k % 17 <> 0),
+        |ins AS (SELECT k + 4000000 AS k, custkey, 'S' AS status, totalprice
+        |        FROM s2 WHERE k % 500 = 0),
+        |s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM ins)
+        |SELECT k, custkey, status, totalprice FROM s3
+        |WHERE k % 5 = 0""".stripMargin,
+
+    // the same exact KMV order statistics, computed the expensive
+    // declarative way over the post-transaction state
+    "cat_analyze" ->
+      """WITH snap AS (
+        |  SELECT o_custkey AS custkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'U1' ELSE o_orderstatus END AS status
+        |  FROM orders WHERE o_orderkey % 17 <> 0),
+        |hc AS (SELECT DISTINCT
+        |         CAST(('0x'||substr(md5(CAST(custkey AS VARCHAR)),1,15)) AS BIGINT) AS h
+        |       FROM snap),
+        |kc AS (SELECT h FROM hc ORDER BY h LIMIT 256),
+        |hs AS (SELECT DISTINCT
+        |         CAST(('0x'||substr(md5(status),1,15)) AS BIGINT) AS h
+        |       FROM snap),
+        |ks AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+        |n AS (SELECT COUNT(*) AS n_rows FROM snap)
+        |SELECT 'custkey' AS col_name,
+        |  CASE WHEN (SELECT COUNT(*) FROM kc) < 256
+        |       THEN (SELECT COUNT(*) FROM kc)
+        |       ELSE CAST(floor(255.0 * pow(2, 60) /
+        |            (SELECT MAX(h) FROM kc)) AS BIGINT) END AS ndv,
+        |  (SELECT n_rows FROM n) AS n_rows
+        |UNION ALL
+        |SELECT 'status',
+        |  CASE WHEN (SELECT COUNT(*) FROM ks) < 256
+        |       THEN (SELECT COUNT(*) FROM ks)
+        |       ELSE CAST(floor(255.0 * pow(2, 60) /
+        |            (SELECT MAX(h) FROM ks)) AS BIGINT) END,
+        |  (SELECT n_rows FROM n)""".stripMargin,
 
     // both tables' end states recomputed from raw parquet: a transaction
     // that applied to only one table could never match both branches
