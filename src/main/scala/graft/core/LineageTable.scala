@@ -471,7 +471,18 @@ final class LineageTable private (
    * blocks no matter how the plan above them is rewritten.
    */
   def materialized: LineageTable =
-    new LineageTable(keyCol, dataCols, lineage.localCheckpoint(), opSeq,
+    // SERIALIZED storage, not the default deserialized objects: a
+    // deserialized row costs several× its serialized bytes in heap, and
+    // at the 1000× SF the checkpointed lineage (~165M rows) OOMed a 24g
+    // driver as live objects while fitting comfortably as compact bytes
+    // that spill to disk under pressure (measured r8: ls_merge_into at
+    // 1000× went from OOM to finishing; the per-read deserialization
+    // cost at sf0.1 is inside the noise band). Production-shaped tables
+    // live in the Catalog (parquet) — this fixture cache is the
+    // in-session path, and it must degrade to disk, never fall over.
+    new LineageTable(keyCol, dataCols,
+      lineage.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER), opSeq,
       delta, compactedOnly)
 
   /** Chain an op: append its rows to the lineage AND to the pending delta. */
