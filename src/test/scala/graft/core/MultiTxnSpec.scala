@@ -142,6 +142,54 @@ class MultiTxnSpec extends SparkSpec {
     assert(!staging.head.exists(), "dead orphan staging should be GC'd")
   }
 
+  test("randomized: interleaved single/multi commits with crashes ≡ sequential replay") {
+    // model check (fixed seed): a random interleaving of single-table
+    // commits, multi-table commits, and CRASHED multi commits (random
+    // failpoint + reopen-recovery) must leave exactly the state of the
+    // sequential replay of the operations that committed — a crashed
+    // transaction counts iff its failpoint was past the commit point.
+    val rnd = new scala.util.Random(42)
+    val wh = Files.createTempDirectory("graft_mtx_rand_").toString
+    var cat = new Catalog(spark, wh)
+    cat.createTable("ta", "k", Seq((0L, 0L)).toDF("k", "v"))
+    cat.createTable("tb", "k", Seq((0L, "z")).toDF("k", "s"))
+    var modelA = Map(0L -> 0L)
+    var modelB = Map(0L -> "z")
+    val failpoints = Seq("multi-staged", "multi-committed",
+      "multi-meta-ta", "multi-meta-tb", "multi-done-ta", "multi-done-tb")
+    for (step <- 1 to 10) {
+      rnd.nextInt(3) match {
+        case 0 => // single-table commit on one table
+          val k = 100L + step
+          cat.commit("ta", Txn.empty.insert(Seq((k, k * 2)).toDF("k", "v")))
+          modelA += k -> (k * 2)
+        case 1 => // clean multi commit: insert into both + update ta
+          val k = 200L + step
+          cat.commitMulti(Map(
+            "ta" -> Txn.empty.insert(Seq((k, k)).toDF("k", "v")),
+            "tb" -> Txn.empty.insert(Seq((k, s"s$step")).toDF("k", "s"))))
+          modelA += k -> k
+          modelB += k -> s"s$step"
+        case 2 => // CRASHED multi commit at a random failpoint + reopen
+          val k = 300L + step
+          val fp = failpoints(rnd.nextInt(failpoints.length))
+          cat.crashPoints = Set(fp)
+          intercept[IllegalStateException] { cat.commitMulti(Map(
+            "ta" -> Txn.empty.insert(Seq((k, k)).toDF("k", "v")),
+            "tb" -> Txn.empty.insert(Seq((k, s"c$step")).toDF("k", "s")))) }
+          cat = new Catalog(spark, wh) // recovery decides the outcome
+          if (fp != "multi-staged") { // past the commit point → applied
+            modelA += k -> k
+            modelB += k -> s"c$step"
+          }
+      }
+      assert(stateA(cat) === modelA.toSet.map((t: (Long, Long)) => t),
+        s"ta diverged from the model at step $step")
+      assert(stateB(cat) === modelB.toSet.map((t: (Long, String)) => t),
+        s"tb diverged from the model at step $step")
+    }
+  }
+
   test("single-table commitMulti is the staged (no-loss-window) commit") {
     val (cat, _) = freshCat()
     cat.commitMulti(Map("ta" ->
