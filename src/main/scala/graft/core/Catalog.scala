@@ -233,7 +233,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
       graft.plans.NdvStats.register(fs.makeQualified(dir(name)).toString,
         graft.plans.NdvStats.TableStats(
           meta.statsCols.zip(meta.statsNdv).toMap, meta.statsRows))
-    val base = spark.read.parquet(baseDir(name).toString)
+    val base = baseFrame(name, meta)
     val tailDir = new Path(dir(name), "tail")
     healLeftoverTail(tailDir, meta.tailFloor)
     assembleTable(meta, base, tailDir)
@@ -369,6 +369,99 @@ final class Catalog(spark: SparkSession, warehouse: String,
     }
   }
 
+  // ------------------------------------------------------ shallow clones
+
+  /** A shallow clone's frozen base manifest: one absolute parquet file
+    * path per line ([[cloneTable]]). Presence of this file makes
+    * [[baseFrame]] read the listed files instead of `base/`; any
+    * physical rewrite materializes the clone into its own base dir and
+    * deletes the manifest (the clone DETACHES — Delta shallow-clone
+    * semantics). */
+  private def cloneManifestPath(name: String) =
+    new Path(dir(name), "_clone.list")
+
+  private def hasManifest(name: String): Boolean =
+    pathExists(cloneManifestPath(name))
+
+  /** Flat listing of the parquet files under `p` (empty when absent). */
+  private def parquetFiles(p: Path): Seq[String] =
+    if (!isDir(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => fs.makeQualified(s.getPath).toString)
+
+  /** The table's base rows: the frozen manifest file list for a shallow
+    * clone, the `base/` directory (with crash fallbacks, [[baseDir]])
+    * otherwise. Schema-merging when evolution is in play, matching the
+    * tail read in [[assembleTable]]. */
+  private def baseFrame(name: String,
+                        meta: Meta): org.apache.spark.sql.DataFrame =
+    if (hasManifest(name)) {
+      val files = readString(cloneManifestPath(name))
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      val r = if (meta.addedCols.nonEmpty)
+        spark.read.option("mergeSchema", "true") else spark.read
+      r.parquet(files: _*)
+    } else spark.read.parquet(baseDir(name).toString)
+
+  /**
+   * Zero-copy shallow clone (the Delta `CREATE TABLE ... SHALLOW CLONE`
+   * / Iceberg snapshot-ref shape): `dst` is a NEW table whose base is a
+   * frozen manifest of `src`'s data files at clone time — no data is
+   * copied, the clone of a 100 TB table is two metadata writes. The two
+   * tables then diverge independently: commits to either land in its own
+   * tail; the referenced files are immutable (commits only append new
+   * files), so `dst` keeps reading the exact clone-time state no matter
+   * what `src` appends afterwards.
+   *
+   * What carries over: schema (incl. evolution), key, index layout (the
+   * referenced files ARE the indexed layout), op_seq (dst's stamps
+   * continue above every referenced stamp), the commit log (time travel
+   * into pre-clone states works — the log addresses stamps contained in
+   * the referenced files), and ANALYZE stats. What does not: projections
+   * (src-local side files — recreate on the clone if needed), retained
+   * snapshots, and streaming writer replay slots (a clone is a new
+   * replay domain).
+   *
+   * Caveat (same as Delta's): a PHYSICAL REWRITE on `src` (compact /
+   * vacuum / purge) deletes or moves files the manifest references —
+   * materialize the clone first (any rewrite on `dst`, e.g.
+   * `foldTail(dst)`, detaches it into its own files). A crash mid-clone
+   * leaves manifest-without-meta: invisible ([[readMeta]] fails) and
+   * safely overwritten by a retry.
+   */
+  def cloneTable(src: String, dst: String): LineageTable =
+    lock(src).synchronized {
+      require(!metaExists(dst), s"table $dst already exists")
+      val meta = readMeta(src)
+      // frozen view: under src's lock no writer is mid-commit, so
+      // base ∪ tail (or src's own manifest, for a clone of a clone) is
+      // exactly src's current durable state
+      val baseFiles =
+        if (hasManifest(src))
+          readString(cloneManifestPath(src))
+            .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        else parquetFiles(baseDir(src))
+      val tailFiles = parquetFiles(new Path(dir(src), "tail"))
+      require(baseFiles.nonEmpty, s"clone source $src has no data files")
+      fs.mkdirs(dir(dst))
+      writeString(cloneManifestPath(dst),
+        (baseFiles ++ tailFiles).mkString("\n"))
+      writeMeta(dst, meta.copy(
+        // referenced set mixes base+tail versions unless src was fully
+        // compacted — multiVer stays exact so a compacted src clones
+        // onto the no-window fast path
+        multiVer = meta.multiVer || tailFiles.nonEmpty,
+        // dst's own tail starts empty; anything stamping ≤ the cloned
+        // op_seq there could only be crash leftover garbage
+        tailFloor = meta.opSeq,
+        projCols = Nil,
+        streamApps = Nil, streamBatches = Nil,
+        snaps = Nil,
+        snapsDropped = meta.snaps.nonEmpty || meta.snapsDropped))
+      getTable(dst)
+    }
+
   /** Append new lineage rows to the table's tail (reference: tail-page
     * append). Rows must carry the lineage schema (_ver/_del included). */
   def appendTail(name: String, newRows: org.apache.spark.sql.DataFrame): Unit =
@@ -416,6 +509,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
           commitTs.foreach(ts => require(meta.commitTs.forall(_ <= ts),
             s"$name: commit timestamp $ts precedes the log tail"))
           val after = txn.commit(getTable(name))
+          // CHECK constraints gate the commit BEFORE anything is written
+          // — O(delta), one job (see validateConstraints)
+          validateConstraints(name, meta, after.delta)
           // meta BEFORE rows: a crash between the two leaves op_seq advanced
           // past the (absent) rows, so the next commit stamps a fresh _ver — a
           // harmless gap. The reverse order would let a crash replay a _ver
@@ -595,6 +691,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
       // a failing op aborts here with nothing written anywhere
       val next = names.map { n =>
         val after = txns(n).commit(getTable(n))
+        // CHECK gate at stage time — any table's violation aborts the
+        // whole multi-table transaction with nothing visible anywhere
+        validateConstraints(n, readMeta(n), after.delta)
         after.delta.foreach(_.write.mode(SaveMode.Append)
           .parquet(new Path(new Path(txnRoot, id), n).toString))
         after.opSeq
@@ -795,6 +894,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
         .write.mode(SaveMode.Overwrite).parquet(staged.toString)
       dropProjectionFiles(name, meta) // crash ⇒ probe falls back, never stale
       swapBase(name)
+      fs.delete(cloneManifestPath(name), false) // clone detach, see restampSwap
       deleteRecursively(new Path(dir(name), "tail"))
       // op_seq resets to 0, so tail_floor MUST reset with it: the heal
       // invariant is "legitimate tail rows stamp above the floor", and
@@ -842,7 +942,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
                    preserveHistory: Boolean = false): Boolean = {
     val tailPath = new Path(dir(name), "tail")
     if (!isDir(tailPath) || !hasParquet(tailPath)) return false
-    val baseRows = spark.read.parquet(baseDir(name).toString).count()
+    val baseRows = baseFrame(name, readMeta(name)).count()
     val tailRows = spark.read.parquet(tailPath.toString).count()
     val due = baseRows == 0 || tailRows.toDouble / baseRows > maxTailRatio
     if (due) {
@@ -1004,7 +1104,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
     // the rewrite ([[asOfTimestamp]] walks retained manifests). Without
     // retention this is the Delta/Iceberg VACUUM rule: time travel is
     // bounded by the last physical rewrite.
-    val retain = retainSnapshot && snapshotRetention > 0
+    // a shallow clone's "base" is foreign files referenced by manifest —
+    // they cannot be RENAMED into a snapshot dir (they belong to the
+    // clone source), so a clone's first fold runs the non-retaining path
+    // and detaches it; retention applies from its next fold on
+    val retain = retainSnapshot && snapshotRetention > 0 && !hasManifest(name)
     val snapId = meta.opSeq
     val newSnaps = if (retain) meta.snaps :+ snapId else meta.snaps
     if (retain) {
@@ -1044,6 +1148,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
     dropProjectionFiles(name, meta)
     if (retain) swapBaseIntoSnap(name, snapDataDir(name, snapId, "base"))
     else swapBase(name)
+    // the rewrite materialized a shallow clone into its own base — the
+    // manifest is stale the instant the staged base is adopted (a crash
+    // between swap and delete still reads the manifest: pre-rewrite
+    // state, consistent — the next rewrite re-stages and converges)
+    fs.delete(cloneManifestPath(name), false)
     var m2 = meta.copy(opSeq = opSeqNew, multiVer = hasMulti,
       tailFloor = opSeqNew, commitVers = Nil, commitTs = Nil,
       snaps = newSnaps)
@@ -1292,6 +1401,91 @@ final class Catalog(spark: SparkSession, warehouse: String,
       getTable(name)
     } }
 
+  // ------------------------------------------------------ CHECK constraints
+
+  /**
+   * ADD CONSTRAINT — a named SQL CHECK predicate every LIVE row must
+   * satisfy (the Delta Lake `ALTER TABLE ... ADD CONSTRAINT` semantics,
+   * which is also where the cost model comes from): the full-table scan
+   * happens ONCE, here — existing rows must already satisfy the predicate
+   * or the add is rejected; every subsequent commit validates only its
+   * DELTA ([[tryCommit]]/[[commitMulti]]), O(delta) however large the
+   * table. SQL three-valued logic: a NULL predicate PASSES (violation =
+   * the predicate is definitely false), matching ANSI CHECK. Tombstone
+   * rows are exempt — a deleted record's values are not live state.
+   *
+   * The expression is validated (parse + resolve against the live
+   * schema) BEFORE the meta write: a persisted unresolvable expression
+   * would otherwise fail every later commit. Stored hex-encoded in the
+   * flat metadata (arbitrary expression text through the identifier-
+   * restricted JSON). The reference's integrity model is the implicit
+   * key-column contract (lstore/query.py:61 `key = columns[0]`); CHECK
+   * generalizes it — note the lineage invariant "≤ 1 live row per key"
+   * needs no constraint at all, it holds by snapshot construction.
+   */
+  def addConstraint(name: String, cname: String, sqlExpr: String): Unit =
+    lock(name).synchronized { withCommitMarker(name) {
+      val meta = readMeta(name)
+      checked(cname)
+      require(!meta.conNames.contains(cname),
+        s"$name: constraint $cname already exists")
+      require(sqlExpr.trim.nonEmpty, "empty constraint expression")
+      val bad = getTable(name).snapshot
+        .where(!coalesce(expr(sqlExpr), lit(true))).limit(1).collect()
+      require(bad.isEmpty,
+        s"$name: existing rows violate $cname ($sqlExpr): ${bad.head}")
+      writeMeta(name, meta.copy(conNames = meta.conNames :+ cname,
+        conExprs = meta.conExprs :+ Catalog.hex(sqlExpr)))
+    } }
+
+  /** DROP CONSTRAINT — metadata-only. */
+  def dropConstraint(name: String, cname: String): Unit =
+    lock(name).synchronized { withCommitMarker(name) {
+      val meta = readMeta(name)
+      val i = meta.conNames.indexOf(cname)
+      require(i >= 0, s"$name: no constraint $cname")
+      writeMeta(name, meta.copy(
+        conNames = meta.conNames.patch(i, Nil, 1),
+        conExprs = meta.conExprs.patch(i, Nil, 1)))
+    } }
+
+  /** The table's CHECK constraints, name → SQL expression. */
+  def constraints(name: String): Map[String, String] =
+    constraintPairs(readMeta(name)).toMap
+
+  private def constraintPairs(meta: Meta): Seq[(String, String)] =
+    meta.conNames.zip(meta.conExprs.map(Catalog.unhex))
+
+  /**
+   * Commit-time CHECK gate: ONE distributed job over the delta (all
+   * constraints evaluated as columns of the same scan), short-circuited
+   * with limit(1). Runs BEFORE anything is written — a violation aborts
+   * with the constraint name and a sample row, nothing committed. Every
+   * written row version is validated (a mid-transaction row superseded
+   * within the same Txn still must pass — Delta's rule: writes satisfy
+   * the invariant, not merely the final state).
+   */
+  private def validateConstraints(name: String, meta: Meta,
+      delta: Option[org.apache.spark.sql.DataFrame]): Unit = {
+    val cons = constraintPairs(meta)
+    if (cons.nonEmpty) delta.foreach { d =>
+      // _del is the 0/1 lineage tombstone marker, not a boolean
+      val live = d.where(col(LineageTable.DEL) === 0)
+      val flagged = cons.foldLeft(live) { case (df, (cn, ce)) =>
+        df.withColumn(s"_viol_$cn", !coalesce(expr(ce), lit(true))) }
+      val bad = flagged
+        .where(cons.map { case (cn, _) => col(s"_viol_$cn") }.reduce(_ || _))
+        .limit(1).collect()
+      bad.headOption.foreach { r =>
+        val which = cons.collect { case (cn, ce)
+          if r.getAs[Boolean](s"_viol_$cn") => s"$cn ($ce)" }.mkString("; ")
+        throw new IllegalStateException(
+          s"$name: CHECK constraint violated: $which — " +
+            s"rejected row $r; nothing was committed")
+      }
+    }
+  }
+
   /** Catalog inventory: name, live-row count, column count. Empty
     * warehouse → empty result (not an error).
     *
@@ -1307,8 +1501,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
       val tailDir = new Path(dir(n), "tail")
       // footer counts are only truthful for a live-rows-only base: a
       // keep>1 vacuum leaves history (and possibly tombstones) in the
-      // base, so multi_ver tables take the snapshot-count path
-      !(isDir(tailDir) && hasParquet(tailDir)) && !readMeta(n).multiVer
+      // base, so multi_ver tables take the snapshot-count path — and a
+      // shallow clone's base is a manifest, not the `base/` dir the
+      // footer inventory lists
+      !(isDir(tailDir) && hasParquet(tailDir)) && !readMeta(n).multiVer &&
+        !hasManifest(n)
     }
     val viaFooters =
       if (compacted.isEmpty) None
@@ -1390,7 +1587,17 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * it names may have lived in a dropped
                             * snapshot, and a silent clamp would serve
                             * the wrong data as if it were right. */
-                          snapsDropped: Boolean = false)
+                          snapsDropped: Boolean = false,
+                          /** CHECK constraints ([[addConstraint]]):
+                            * names (checked identifiers) parallel to
+                            * their SQL expressions, hex-encoded so
+                            * arbitrary expression text round-trips
+                            * through the identifier-restricted flat
+                            * JSON. Enforced at O(delta) per commit
+                            * ([[tryCommit]]/[[commitMulti]]); the full-
+                            * table scan happens ONCE, at add time. */
+                          conNames: Seq[String] = Nil,
+                          conExprs: Seq[String] = Nil)
 
   // Metadata names are restricted to identifier characters at write time,
   // so the flat JSON below round-trips through the regex reader with no
@@ -1454,7 +1661,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
       s""""stats_ndv": [${m.statsNdv.mkString(", ")}], """ +
       s""""stats_rows": ${m.statsRows}, """ +
       s""""snaps": [${m.snaps.mkString(", ")}], """ +
-      s""""snaps_dropped": ${m.snapsDropped}}"""
+      s""""snaps_dropped": ${m.snapsDropped}, """ +
+      s""""con_names": [${m.conNames.map(c => "\"" + checked(c) + "\"")
+        .mkString(", ")}], """ +
+      s""""con_exprs": [${m.conExprs.map(e => "\"" + checked(e) + "\"")
+        .mkString(", ")}]}"""
   }
 
   private def readMeta(name: String): Meta = {
@@ -1517,7 +1728,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
       numList("commit_vers"), numList("commit_ts"),
       strList("stream_apps"), numList("stream_batches"),
       strList("stats_cols"), numList("stats_ndv"), sRows,
-      numList("snaps"), dropped)
+      numList("snaps"), dropped,
+      strList("con_names"), strList("con_exprs"))
   }
 
   // Crash recovery on open — the reference's Database.open contract. At
@@ -1535,4 +1747,15 @@ object Catalog {
     * any real deployment (Delta's txn map has the same unbounded-growth
     * concern and solves it with age-based expiry). */
   val maxStreamWriters = 64
+
+  /** Hex round-trip for CHECK-constraint expressions: arbitrary SQL text
+    * stored through the identifier-restricted flat metadata JSON
+    * ([0-9a-f] passes the `checked` regex; no escaping ambiguity). */
+  private[core] def hex(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map("%02x".format(_)).mkString
+
+  private[core] def unhex(h: String): String =
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      java.nio.charset.StandardCharsets.UTF_8)
 }

@@ -90,6 +90,57 @@ object Layout {
   }
 
   /**
+   * Exact top-N per group, parallel across the whole cluster. The naive
+   * `row_number() OVER (PARTITION BY group ORDER BY ...)` puts each
+   * GROUP's entire data on ONE reducer — with few groups (language
+   * strata, a handful of tenants) that is a handful of busy cores no
+   * matter how large the cluster (the shape q_percentile measured at
+   * ~×95 on 100× data before its parallel rewrite). Instead, the
+   * q_percentile decomposition: (1) range-partition rows by
+   * (group, order) so partition i's rows all precede partition i+1's in
+   * the global order; (2) rank locally per (partition, group) — balanced
+   * over ALL reducers; (3) global rank = local rank + the group's
+   * cumulative count in earlier partitions (a tiny nParts×groups
+   * histogram, broadcast); keep rank ≤ n. Partitions whose group offset
+   * already exceeds n are dropped before the join — at 100 TB the
+   * surviving join probes only the head partitions of each stratum.
+   *
+   * `orderCols` must be a TOTAL order within each group (add a key
+   * tie-break) or ranks are nondeterministic. Output = input columns +
+   * `_rank` (1-based global rank within the group).
+   */
+  def topNPerGroup(df: DataFrame, groupCols: Seq[String],
+                   orderCols: Seq[String], n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.sparkSession
+    val keys = (groupCols ++ orderCols).map(col)
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = df.repartitionByRange(nParts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(("_pid" +: groupCols).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val local = parts.withColumn("_lrn", row_number().over(wLocal))
+    val hist = local.groupBy(("_pid" +: groupCols).map(col): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val wOff = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
+      .where(col("_off") < n)
+      .select(groupCols.map(c => col(c).as(s"_g_$c")) ++
+        Seq(col("_pid").as("_opid"), col("_off")): _*)
+    val joinCond = (groupCols.map(c => col(c) === col(s"_g_$c")) :+
+      (col("_pid") === col("_opid"))).reduce(_ && _)
+    local.join(broadcast(offs), joinCond)
+      .withColumn("_rank", (col("_lrn") + col("_off")).cast("long"))
+      .where(col("_rank") <= n)
+      .drop(groupCols.map(c => s"_g_$c") ++
+        Seq("_opid", "_off", "_pid", "_lrn"): _*)
+  }
+
+  /**
    * Skew-spreading join: fact rows salt into `nSalts` sub-keys using a
    * row-varying deterministic expression; the (small) dim side replicates
    * per salt. A hot key's rows land on nSalts partitions instead of one.

@@ -232,6 +232,62 @@ object CoreQueries {
   private val mergeTgtCache =
     scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
 
+  /**
+   * Shallow-clone fixture ([[Catalog.cloneTable]]): orders committed and
+   * updated once, cloned ZERO-COPY (the clone's base is a frozen file
+   * manifest — no data written), then both tables diverge with their own
+   * commits. autoCompact is OFF: a physical rewrite on the SOURCE deletes
+   * files the clone references (the documented Delta shallow-clone
+   * caveat, caught live by CloneSpec) — production materializes clones
+   * (foldTail on the clone detaches it) before source maintenance.
+   */
+  def clonedOrders(spark: SparkSession, sfDir: String): (Catalog, String, String) =
+    cloneCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_clone_wh_")
+      val cat = new Catalog(spark, wh, autoCompact = false)
+      cat.createTable("orders_cl", "k", baseOrders(spark, sfDir))
+      cat.commit("orders_cl", Txn.empty.update(col("k") % 3 === 0,
+        Map("totalprice" -> (col("totalprice") + lit(10.0)),
+            "status" -> lit("U1"))))
+      cat.cloneTable("orders_cl", "orders_cl2")
+      // divergence in BOTH directions from the clone point
+      cat.commit("orders_cl2", Txn.empty
+        .update(col("k") % 5 === 0, Map("status" -> lit("C"))))
+      cat.commit("orders_cl", Txn.empty
+        .update(col("k") % 7 === 0, Map("status" -> lit("S"))))
+      (cat, "orders_cl", "orders_cl2")
+    })
+
+  private val cloneCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Catalog, String, String)]
+
+  /**
+   * CHECK-constraint fixture ([[Catalog.addConstraint]]): two constraints
+   * on a committed orders table; a violating transaction (negated prices)
+   * is REJECTED atomically — tryCommit returns Left, nothing lands — and
+   * a clean commit then applies. The oracle replays base + clean commit
+   * only: any trace of the rejected transaction breaks the hash.
+   */
+  def constrainedOrders(spark: SparkSession, sfDir: String): (Catalog, String) =
+    constraintCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_ck_wh_")
+      val cat = new Catalog(spark, wh)
+      cat.createTable("orders_ck", "k", baseOrders(spark, sfDir))
+      cat.addConstraint("orders_ck", "price_nonneg", "totalprice >= 0.0")
+      cat.addConstraint("orders_ck", "status_notnull", "status IS NOT NULL")
+      val rejected = scala.util.Try(cat.commit("orders_ck",
+        Txn.empty.update(col("k") % 4 === 0,
+          Map("totalprice" -> (col("totalprice") * -1)))))
+      require(rejected.isFailure, "violating commit must be rejected")
+      cat.commit("orders_ck", Txn.empty.update(col("k") % 6 === 0,
+        Map("totalprice" -> (col("totalprice") + lit(5.0)),
+            "status" -> lit("OK"))))
+      (cat, "orders_ck")
+    })
+
+  private val constraintCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
+
   private val csvCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -726,6 +782,34 @@ object CoreQueries {
         .toDF("col_name", "ndv", "n_rows")
     },
 
+    // Zero-copy shallow clone (Catalog.cloneTable): the clone's base is a
+    // frozen manifest of the source's files — cloning a 100 TB table is
+    // two metadata writes — and the tables then diverge independently
+    // (each commit lands in its own tail). The read unions both snapshots
+    // with a side tag: a clone leaking its source's post-clone commit (or
+    // vice versa) could never hash-match the two-branch oracle.
+    "cat_clone" -> { (s, d) =>
+      val (cat, src, dst) = clonedOrders(s, d)
+      def side(t: String, tag: String) =
+        cat.getTable(t).snapshot.where(col("k") <= 1500)
+          .select(lit(tag).as("side"), col("k"), col("custkey"),
+                  col("status"), col("totalprice"))
+      side(src, "src").unionByName(side(dst, "clone"))
+    },
+
+    // CHECK constraints enforced at commit (Catalog.addConstraint — the
+    // Delta ALTER TABLE ADD CONSTRAINT shape): the full-table validation
+    // scan runs ONCE at add time; every commit then validates only its
+    // DELTA (one job, all constraints as columns of the same scan) —
+    // O(delta) at any table size. The fixture commits a violating
+    // transaction (REJECTED atomically, nothing lands) then a clean one;
+    // the oracle replays base + clean commit only.
+    "cat_constraint" -> { (s, d) =>
+      val (cat, t) = constrainedOrders(s, d)
+      cat.getTable(t).snapshot.where(col("k") <= 2000)
+        .select(col("k"), col("custkey"), col("status"), col("totalprice"))
+    },
+
     "cat_stats" -> { (s, d) =>
       // ANALYZE TABLE from footers alone (sources/ParquetMeta.columnStats):
       // exact numeric min/max/null-count per column with ZERO data pages
@@ -1195,6 +1279,40 @@ object CoreQueries {
         Seq("o_custkey", "o_orderkey", "o_orderpriority").map(perCol)
           .mkString("\nUNION ALL\n")
     },
+
+    // two independent branches from the shared clone point — a clone
+    // leaking its source's post-clone commit (or vice versa) breaks this
+    "cat_clone" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey, o_orderstatus AS status,
+        |         o_totalprice AS totalprice FROM orders),
+        |v1 AS (SELECT k, custkey,
+        |         CASE WHEN k % 3 = 0 THEN 'U1' ELSE status END AS status,
+        |         CASE WHEN k % 3 = 0 THEN totalprice + 10.0
+        |              ELSE totalprice END AS totalprice FROM base),
+        |src AS (SELECT k, custkey,
+        |          CASE WHEN k % 7 = 0 THEN 'S' ELSE status END AS status,
+        |          totalprice FROM v1),
+        |cl AS (SELECT k, custkey,
+        |         CASE WHEN k % 5 = 0 THEN 'C' ELSE status END AS status,
+        |         totalprice FROM v1)
+        |SELECT 'src' AS side, k, custkey, status, totalprice FROM src
+        |WHERE k <= 1500
+        |UNION ALL
+        |SELECT 'clone' AS side, k, custkey, status, totalprice FROM cl
+        |WHERE k <= 1500""".stripMargin,
+
+    // base + the CLEAN commit only: any trace of the rejected
+    // transaction (negated prices) breaks the hash
+    "cat_constraint" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey, o_orderstatus AS status,
+        |         o_totalprice AS totalprice FROM orders),
+        |v1 AS (SELECT k, custkey,
+        |         CASE WHEN k % 6 = 0 THEN 'OK' ELSE status END AS status,
+        |         CASE WHEN k % 6 = 0 THEN totalprice + 5.0
+        |              ELSE totalprice END AS totalprice FROM base)
+        |SELECT k, custkey, status, totalprice FROM v1 WHERE k <= 2000""".stripMargin,
 
     "cat_tables" -> {
       val cols = Map(

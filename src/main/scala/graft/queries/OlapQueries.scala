@@ -528,6 +528,65 @@ object OlapQueries {
             struct(col("o_totalprice"), col("o_orderkey"))).as("argmin_key"))
     },
 
+    // One-pass statistical moments, EXACT: corr/covar/stddev derive from
+    // five power sums, and floating accumulation of those sums is
+    // partition-order nondeterministic — so the sums run as exact scaled
+    // longs (quantity/discount are ≤2dp: cents are integers, and products
+    // of two cents values are exact scale-4 integers), and every derived
+    // statistic is ONE fixed sequence of IEEE double ops over those exact
+    // integers, textually identical to the oracle's formula — hence
+    // bit-equal. Map-side partial agg, single shuffle, 3-group result.
+    // Headroom: sxx grows as n·(100·qty)² ≈ 1.5e16 at 100× sf0.1 — the
+    // long accumulator stays exact to 2^63 (~×600 more); built-in
+    // corr/stddev_samp would be one pass too but carry running double
+    // moments whose merge order varies run to run (StatsAggSpec pins the
+    // exact path against them to 1e-9 relative).
+    "q_stats_agg" -> { (s, d) =>
+      val x = Exact.cents(col("l_quantity"))
+      val y = Exact.cents(col("l_discount"))
+      val sx = "CAST(sx AS DOUBLE)"; val sy = "CAST(sy AS DOUBLE)"
+      val sxx = "CAST(sxx AS DOUBLE)"; val syy = "CAST(syy AS DOUBLE)"
+      val sxy = "CAST(sxy AS DOUBLE)"
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(x).as("sx"), sum(y).as("sy"),
+             sum(x * x).as("sxx"), sum(y * y).as("syy"),
+             sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          expr(s"$sx / n / 100").as("avg_qty"),
+          expr(s"sqrt(($sxx - $sx * $sx / n) / (n - 1)) / 100")
+            .as("std_qty"),
+          expr(s"($sxy - $sx * $sy / n) / (n - 1) / 10000").as("covar_qd"),
+          expr(s"($sxy - $sx * $sy / n) / " +
+               s"sqrt(($sxx - $sx * $sx / n) * ($syy - $sy * $sy / n))")
+            .as("corr_qd"))
+    },
+
+    // Correlated NOT EXISTS through the SQL ENTRYPOINT: customers none of
+    // whose orders exceed 50x their own account balance. The subquery
+    // correlates on an equality (custkey) AND a cross-table inequality
+    // (totalprice vs 50·acctbal) — Catalyst decorrelates it into a single
+    // LEFT ANTI hash join carrying the inequality as the join condition
+    // (one shuffle; a naive engine re-probes orders per customer row).
+    // 50·acctbal is ONE IEEE multiply of identical operands in both
+    // engines, so the inequality compares identical doubles. Complements q_anti_join
+    // (API-level NOT IN shape, equality only).
+    "q_exists_subquery" -> { (s, d) =>
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables(s, d, "orders").createOrReplaceTempView(s"graft_ne_orders_$sfx")
+      Tables(s, d, "customer").createOrReplaceTempView(s"graft_ne_cust_$sfx")
+      s.sql(
+        s"""SELECT c.c_custkey AS custkey, c.c_mktsegment AS mktsegment,
+           |       c.c_acctbal AS acctbal
+           |FROM graft_ne_cust_$sfx c
+           |WHERE c.c_custkey < 500
+           |  AND NOT EXISTS (
+           |    SELECT 1 FROM graft_ne_orders_$sfx o
+           |    WHERE o.o_custkey = c.c_custkey
+           |      AND o.o_totalprice > 50 * c.c_acctbal)""".stripMargin)
+    },
+
     // Correlated scalar subquery through the SQL ENTRYPOINT: orders beating
     // 1.5× their own customer's average. Catalyst decorrelates the
     // per-customer aggregate into a groupBy + equi-join on custkey (one
@@ -925,6 +984,39 @@ object OlapQueries {
         |    SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |           / COUNT(*)
         |    FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
+
+    // the oracle mirrors the engine exactly: exact integer power sums
+    // (DECIMAL cents → BIGINT; DuckDB SUMs them in HUGEINT, still exact),
+    // then the SAME textual double formula — identical IEEE op sequence,
+    // identical bits
+    "q_stats_agg" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sx,
+        |    SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sy,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      * CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sxx,
+        |    SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      * CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)) AS syy,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      * CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(sx AS DOUBLE) / n / 100 AS avg_qty,
+        |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) / 100 AS std_qty,
+        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1) / 10000 AS covar_qd,
+        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS corr_qd
+        |FROM m""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c.c_custkey AS custkey, c.c_mktsegment AS mktsegment,
+        |       c.c_acctbal AS acctbal
+        |FROM customer c
+        |WHERE c.c_custkey < 500
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_totalprice > 50 * c.c_acctbal)""".stripMargin,
 
     // bloom pruning is pure physical optimization: the oracle is the join
     "q_bloom_join" ->

@@ -326,6 +326,21 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // Stratified balanced sample: exactly 50 docs per language, chosen by
+    // deterministic hash order (md5 of the id — reproducible across
+    // engines and reruns, never rand()). The per-stratum top-N runs
+    // through Layout.topNPerGroup's parallel-exact rank (range partition
+    // + local ranks + broadcast offsets) — a plain window PARTITION BY
+    // lang would put each language's ENTIRE corpus on one reducer, the
+    // few-group scale trap q_percentile documented at ~×95.
+    "pipe_stratified" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("_h"))
+      graft.ops.Layout.topNPerGroup(docs, Seq("lang"), Seq("_h", "doc_id"), 50)
+        .select(col("doc_id"), col("lang"), col("_rank").as("sample_rank"))
+    },
+
     // Composite curation: quality gate + exact-dedup keeper in one
     // pipeline — the minimal end-to-end "raw corpus → training set" pass.
     // One scan, one hash aggregation (keeper), one semi-join back.
@@ -1548,6 +1563,17 @@ object PipelineQueries {
     "pipe_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 10 = 0""".stripMargin,
+
+    // the oracle takes the naive single-reducer window the engine avoids;
+    // md5 hex is lowercase [0-9a-f] in both engines, so ASCII string
+    // order agrees
+    "pipe_stratified" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 50""".stripMargin,
 
     "pipe_curate" ->
       s"""WITH $corpusCte,

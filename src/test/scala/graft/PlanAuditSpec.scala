@@ -529,4 +529,44 @@ class PlanAuditSpec extends SparkSpec {
     // the shuffle (WindowGroupLimit) — the top-k never sorts the corpus
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("q_exists_subquery decorrelates to ONE anti join") {
+    val df = SparkEntry.queries("q_exists_subquery")(spark, sfDir)
+    val logical = df.queryExecution.optimizedPlan.toString
+    // the correlated NOT EXISTS (equality + cross-table inequality) must
+    // become a single LEFT ANTI join carrying the inequality — a naive
+    // engine re-probes orders per customer row
+    assert(logical.contains("LeftAnti"), logical)
+    assert(!logical.toLowerCase.contains("exists"), logical)
+    val plan = executedPlan(df)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_stats_agg is one scan, one exchange, map-side partial") {
+    val plan = executedPlan(SparkEntry.queries("q_stats_agg")(spark, sfDir))
+    // five exact power sums + count ride ONE partial/final HashAggregate
+    // pair around a single 3-group exchange: at 100 TB the wire carries
+    // 6 longs per (partition, group), never rows
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert("HashAggregate".r.findAllIn(plan).size == 2, plan)
+    assert(plan.indexOf("HashAggregate") < plan.indexOf("Exchange") ||
+      plan.lastIndexOf("HashAggregate") > plan.lastIndexOf("Exchange"),
+      s"expected a partial aggregate below the exchange:\n$plan")
+  }
+
+  test("pipe_stratified ranks per (partition, stratum), never per stratum") {
+    val df = SparkEntry.queries("pipe_stratified")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val winSpecs = "Window \\[[^\\]]*row_number[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    // the data-sized rank window must key on _pid (+ the stratum) — a
+    // lang-only spec funnels each language onto ONE reducer however
+    // large the cluster (the few-strata trap Layout.topNPerGroup avoids)
+    assert(winSpecs.nonEmpty && winSpecs.exists(_.contains("_pid")),
+      s"expected the rank window keyed by _pid:\n$plan")
+  }
 }
