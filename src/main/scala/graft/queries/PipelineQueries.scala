@@ -790,6 +790,43 @@ object PipelineQueries {
       StreamOps.drainComplete(s, plan)
     },
 
+    // Streaming quantiles from a MERGEABLE fixed-bin histogram: the
+    // stream aggregates floor(value/width) bucket counts incrementally —
+    // state is one counter per OCCUPIED bucket (bounded by value range /
+    // width, ~20 rows here; never by stream length), each micro-batch a
+    // map-side partial merge — then a tiny batch pass over the histogram
+    // reads p50/p95/p99 as the first bucket whose cumulative count
+    // crosses ceil(q·n). Exact sort-based percentiles over a stream
+    // would buffer every value forever; the histogram trades bounded
+    // error (one bucket width, reported as [est_lo, est_hi)) for O(1)
+    // state — and is DETERMINISTIC (integer counts + one fixed IEEE op
+    // sequence), so the oracle replays it bit-for-bit, unlike an
+    // approx_percentile sketch whose internals are engine-specific.
+    "stream_quantile" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val width = 25.0
+      val hist = StreamOps.fileSource(s, d, "events")
+        .select(floor(col("value") / width).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      val h = StreamOps.drainComplete(s, hist)
+      // post-processing over ≤ O(range/width) histogram rows — the
+      // pmod(bucket,1) partition key keeps the window spec explicit
+      // (single bounded partition BY CONSTRUCTION, not by accident)
+      val part = pmod(col("bucket"), lit(1))
+      val cum = h
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(part).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(part)))
+      Seq(0.5, 0.95, 0.99).map { q =>
+        cum.where(col("cum") >= ceil(lit(q) * col("n")))
+          .orderBy(col("bucket")).limit(1)
+          .select(lit(q).as("q"), col("bucket"),
+            (col("bucket") * width).as("est_lo"),
+            ((col("bucket") + 1) * width).as("est_hi"), col("n"))
+      }.reduce(_ unionByName _)
+    },
+
     // Streaming dedup with BOUNDED state (the 100 TB shape): first
     // occurrence per text hash, state row EVICTED once the watermark
     // passes its event time + TTL (dropDuplicatesWithinWatermark) —
@@ -1696,6 +1733,30 @@ object PipelineQueries {
         |            ELSE CAST(floor(255.0 * pow(2, 60) /
         |                   (SELECT MAX(h) FROM km)) AS BIGINT)
         |       END AS ndv""".stripMargin,
+
+    // the histogram is deterministic (integer counts, fixed bucketing),
+    // so the full-drain stream equals this batch replay bit-for-bit;
+    // sums cast back to BIGINT (DuckDB SUM(BIGINT) → HUGEINT)
+    "stream_quantile" ->
+      """WITH b AS (SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+        |             COUNT(*) AS cnt
+        |           FROM events GROUP BY 1),
+        |c AS (SELECT bucket,
+        |        CAST(SUM(cnt) OVER (ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        |      FROM b)
+        |(SELECT CAST(0.5 AS DOUBLE) AS q, bucket, bucket * 25.0 AS est_lo,
+        |   (bucket + 1) * 25.0 AS est_hi, n
+        | FROM c WHERE cum >= ceil(0.5 * n) ORDER BY bucket LIMIT 1)
+        |UNION ALL
+        |(SELECT CAST(0.95 AS DOUBLE) AS q, bucket, bucket * 25.0 AS est_lo,
+        |   (bucket + 1) * 25.0 AS est_hi, n
+        | FROM c WHERE cum >= ceil(0.95 * n) ORDER BY bucket LIMIT 1)
+        |UNION ALL
+        |(SELECT CAST(0.99 AS DOUBLE) AS q, bucket, bucket * 25.0 AS est_lo,
+        |   (bucket + 1) * 25.0 AS est_hi, n
+        | FROM c WHERE cum >= ceil(0.99 * n) ORDER BY bucket LIMIT 1)""".stripMargin,
 
     // TTL covers the whole drained span ⇒ exactly one row per distinct
     // hash; only hash-determined columns appear (n_chars is a function

@@ -99,4 +99,44 @@ class StreamStateSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.length === 4) // 7 distinct values, k=4 → full sketch
   }
+
+  test("streaming histogram quantile: multi-batch ≡ one batch, bound holds") {
+    import spark.implicits._
+    // the stream_quantile shape: incremental fixed-bin bucket counts
+    // (state = one counter per occupied bucket), three files forced into
+    // separate micro-batches so the state MERGE is what's exercised
+    val in = Files.createTempDirectory("graft_sq_in_").toString
+    val vals = (0 until 100).map(i => (i * 7919 % 100).toDouble + 0.5)
+    vals.grouped(34).foreach(g =>
+      g.toDF("v").coalesce(1).write.mode("append").parquet(in))
+    val sch = StructType(Seq(StructField("v",
+      org.apache.spark.sql.types.DoubleType)))
+    val width = 10.0
+    val plan = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(floor(col("v") / width).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val streamed = StreamOps.drainComplete(spark, plan)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = spark.read.parquet(in)
+      .select(floor(col("v") / width).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    // the quantile read off the histogram BRACKETS the exact value: the
+    // first bucket whose cumulative crosses ceil(q·n) contains the true
+    // rank-ceil(q·n) element — the bounded-error contract stream_quantile
+    // documents (error ≤ one bucket width)
+    val n = vals.size
+    val sorted = vals.sorted
+    Seq(0.5, 0.95).foreach { q =>
+      val rank = math.ceil(q * n).toLong
+      val bucket = streamed.toSeq.sortBy(_._1)
+        .scanLeft((Long.MinValue, 0L)) { case ((_, cum), (b, c)) => (b, cum + c) }
+        .find(_._2 >= rank).get._1
+      val exact = sorted((rank - 1).toInt)
+      assert(exact >= bucket * width && exact < (bucket + 1) * width,
+        s"q=$q: exact $exact outside bucket [${bucket * width}, ...)")
+    }
+  }
 }
