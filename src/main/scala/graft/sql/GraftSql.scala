@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{CheckConstraint, EqualNullSafe, EqualTo, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.Bridge
@@ -86,6 +86,19 @@ class GraftSql(val spark: SparkSession) {
       apply(targetOf(d.table).get, Txn.empty.delete(rebased(d.condition)))
     case i: InsertIntoStatement if targetOf(i.table).exists(isRegistered) =>
       runInsert(targetOf(i.table).get, i)
+    case a: AddCheckConstraint if targetOf(a.child).exists(isRegistered) =>
+      runAddConstraint(targetOf(a.child).get, a.checkConstraint)
+    case a: AddConstraint if targetOf(a.table).exists(isRegistered) =>
+      a.tableConstraint match {
+        case c: CheckConstraint =>
+          runAddConstraint(targetOf(a.table).get, c)
+        case other => throw new IllegalArgumentException(
+          s"graft SQL: only CHECK constraints are enforced, got $other — " +
+            "the lineage key is unique by snapshot construction (no PK " +
+            "constraint needed); FOREIGN KEY is not supported")
+      }
+    case dc: DropConstraint if targetOf(dc.table).exists(isRegistered) =>
+      runDropConstraint(targetOf(dc.table).get, dc)
     case _ => spark.sql(statement)
   }
 
@@ -229,15 +242,48 @@ class GraftSql(val spark: SparkSession) {
     apply(name, Txn.empty.mergeInto(src, effectiveUpdate, deleteWhen))
   }
 
+  /** `ALTER TABLE t ADD CONSTRAINT c CHECK (expr)` — Spark 4's own
+    * grammar parses the statement ([[AddCheckConstraint]] carrying a
+    * [[CheckConstraint]] whose `condition` is the raw predicate text);
+    * the engine enforces it ([[Catalog.addConstraint]]: full scan once
+    * here, O(delta) per subsequent commit). Durable tables only —
+    * constraints are catalog metadata; an in-session handle has nowhere
+    * durable to keep them. */
+  private def runAddConstraint(name: String, c: CheckConstraint): DataFrame = {
+    val (cat, tbl) = durable.getOrElse(name,
+      throw new IllegalArgumentException("graft SQL ADD CONSTRAINT: " +
+        s"'$name' is an in-session table — constraints live in catalog " +
+        "metadata; register(name, catalog, table) a durable table"))
+    cat.addConstraint(tbl, c.userProvidedName, c.condition)
+    spark.emptyDataFrame
+  }
+
+  /** `ALTER TABLE t DROP CONSTRAINT [IF EXISTS] c` — metadata-only. */
+  private def runDropConstraint(name: String, dc: DropConstraint): DataFrame = {
+    val (cat, tbl) = durable.getOrElse(name,
+      throw new IllegalArgumentException("graft SQL DROP CONSTRAINT: " +
+        s"'$name' is an in-session table"))
+    if (!(dc.ifExists && !cat.constraints(tbl).contains(dc.name)))
+      cat.dropConstraint(tbl, dc.name)
+    spark.emptyDataFrame
+  }
+
   // -------------------------------------------------------------- plumbing
 
   private def isRegistered(name: String): Boolean =
     session.contains(name) || durable.contains(name)
 
-  /** Target table name out of the (possibly aliased) relation subtree. */
+  /** Target table name out of the (possibly aliased) relation subtree.
+    * DML statements parse their target as [[UnresolvedRelation]]; ALTER
+    * TABLE statements as [[org.apache.spark.sql.catalyst.analysis
+    * .UnresolvedTable]] — both carry the multipart identifier. */
   private def targetOf(p: LogicalPlan): Option[String] = p match {
     case SubqueryAlias(_, child) => targetOf(child)
+    // AddCheckConstraint wraps its target in Filter(condition, table)
+    case Filter(_, child) => targetOf(child)
     case r: UnresolvedRelation => Some(r.multipartIdentifier.last)
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      Some(t.multipartIdentifier.last)
     case _ => None
   }
 

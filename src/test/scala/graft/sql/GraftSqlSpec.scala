@@ -92,6 +92,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(got === Seq((1L, "U"), (2L, "B"), (3L, "C")))
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT routes to the engine's CHECK gate") {
+    val wh = Files.createTempDirectory("graft_sql_ck_").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("ck_sql", "k", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    val g = new GraftSql(spark).register("ck_sql", cat, "ck_sql")
+    // Spark 4's OWN grammar parses the statement (AddCheckConstraint);
+    // graft enforces it
+    g.sql("ALTER TABLE ck_sql ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert(cat.constraints("ck_sql") === Map("v_pos" -> "v > 0"))
+    val e = intercept[Exception] {
+      g.sql("UPDATE ck_sql SET v = -1 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("v_pos"))
+    g.sql("ALTER TABLE ck_sql DROP CONSTRAINT v_pos")
+    g.sql("UPDATE ck_sql SET v = -1 WHERE k = 1") // now passes
+    assert(g.table("ck_sql").snapshot.where("v < 0").count() === 1)
+    // DROP CONSTRAINT IF EXISTS on an absent name is a no-op
+    g.sql("ALTER TABLE ck_sql DROP CONSTRAINT IF EXISTS nothere")
+    // an in-session table has no catalog metadata to keep constraints in
+    val g2 = fixture()
+    val e2 = intercept[IllegalArgumentException] {
+      g2.sql("ALTER TABLE t ADD CONSTRAINT c CHECK (totalprice > 0)")
+    }
+    assert(e2.getMessage.contains("in-session"))
+  }
+
   test("reads pass through; unregistered tables are untouched") {
     val g = fixture()
     assert(g.sql("SELECT count(*) AS n FROM t").head().getLong(0) === 3L)
