@@ -482,6 +482,16 @@ final class Catalog(spark: SparkSession, warehouse: String,
   def tryCommit(name: String, txn: Txn, expectedOpSeq: Long,
                 commitTs: Option[Long] = None,
                 streamBatch: Option[(String, Long)] = None): Either[Throwable, LineageTable] =
+    tryCommitMeta(name, txn, expectedOpSeq, commitTs, streamBatch, identity)
+
+  /** [[tryCommit]] with a caller-supplied metadata tweak applied in the
+    * SAME atomic meta write as the commit — how a refresh records the
+    * source version it is current at ([[refreshMaterializedView]])
+    * without a second write a crash could separate from the commit. */
+  private def tryCommitMeta(name: String, txn: Txn, expectedOpSeq: Long,
+                commitTs: Option[Long],
+                streamBatch: Option[(String, Long)],
+                tweak: Meta => Meta): Either[Throwable, LineageTable] =
     lock(name).synchronized {
       Try { withCommitMarker(name) {
         val meta = readMeta(name)
@@ -536,7 +546,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
                  (logged.streamBatches :+ bid).takeRight(Catalog.maxStreamWriters))
             logged.copy(streamApps = apps, streamBatches = bids)
           }
-          writeMeta(name, stamped.copy(opSeq = after.opSeq))
+          writeMeta(name, tweak(stamped.copy(opSeq = after.opSeq)))
           // projection maintenance is O(delta): append only the delta's
           // (column, key) pairs to each projection — BEFORE the tail lands,
           // so a crash between the two leaves the projection a SUPERSET of
@@ -901,7 +911,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
       // post-compaction commits stamp from 1 again. The commit log resets
       // too — history collapsed, historical stamps are gone.
       writeMeta(name, meta.copy(opSeq = 0, multiVer = false, tailFloor = 0,
-        commitVers = Nil, commitTs = Nil))
+        commitVers = Nil, commitTs = Nil, epoch = meta.epoch + 1))
       rebuildProjections(name, meta)
     } }
 
@@ -1140,7 +1150,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
       }
     }
     writeMeta(name, meta.copy(opSeq = opSeqNew, multiVer = conservative,
-      commitVers = Nil, commitTs = Nil, snaps = newSnaps))
+      commitVers = Nil, commitTs = Nil, snaps = newSnaps,
+      epoch = meta.epoch + 1))
     // projections go BEFORE the swap (a crash leaves probes falling back
     // to the full candidate scan — for purge this is what makes erasure
     // hold: no projection file ever outlives the values it indexed) and
@@ -1155,7 +1166,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
     fs.delete(cloneManifestPath(name), false)
     var m2 = meta.copy(opSeq = opSeqNew, multiVer = hasMulti,
       tailFloor = opSeqNew, commitVers = Nil, commitTs = Nil,
-      snaps = newSnaps)
+      snaps = newSnaps, epoch = meta.epoch + 1)
     writeMeta(name, m2)
     deleteRecursively(new Path(dir(name), "tail"))
     // retention expiry: meta first (a listed-but-deleted snapshot must
@@ -1364,6 +1375,172 @@ final class Catalog(spark: SparkSession, warehouse: String,
         org.apache.spark.sql.types.LongType, nullable = false)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /**
+   * Change-feed handle for a streaming reader ([[graft.streaming.StreamOps
+   * .changeFeed]]): the table's tail directory plus the exact lineage
+   * schema a streaming parquet source must declare over it. The tail IS
+   * the change feed — every commit appends exactly its change rows there,
+   * stamped with the commit's `_ver` (postimage for upserts, the carried
+   * final state for tombstones), so "stream the changes" needs no second
+   * copy of the data and no write-path hook: the CDC log and the table
+   * share one storage, the property that makes a change feed free at
+   * 100 TB (Delta's CDF writes a separate `_change_data` folder; an
+   * append-only lineage already is one). Schema comes from the table's
+   * assembled frame — declared, not inferred per stream start, and exact
+   * under schema evolution. The tail dir is created if absent so a feed
+   * can be attached before the first post-base commit (it streams zero
+   * batches until one lands).
+   */
+  def changeFeedInfo(name: String): (String, org.apache.spark.sql.types.StructType) = {
+    val tail = new Path(dir(name), "tail")
+    fs.mkdirs(tail)
+    (fs.makeQualified(tail).toString, getTable(name).lineage.schema)
+  }
+
+  // ------------------------------------------------- materialized views
+
+  /** The aggregate shape every materialized view maintains: per
+    * group-value live-row count + EXACT cents sum of the summed column
+    * ([[graft.functions.Exact]] — long sums are associative and
+    * partition-order-free, so the incremental and full-recompute paths
+    * produce bit-identical state; a float accumulator would drift apart
+    * refresh by refresh). */
+  private def mvAgg(rows: org.apache.spark.sql.DataFrame, g: String,
+                    sumCol: String): org.apache.spark.sql.DataFrame =
+    rows.groupBy(col(g))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(graft.functions.Exact.cents(col(sumCol))).as("cents"))
+
+  /**
+   * Incrementally-maintained aggregate view (the warehouse feature a
+   * 100 TB deployment lives on: recomputing a corpus-wide rollup per
+   * ingest batch costs a full scan; maintaining it costs the batch).
+   * `view` becomes an ordinary lineage table keyed by `groupCol` with
+   * columns `(groupCol, n_rows, cents)` — per live source record:
+   * count and exact cents sum of `sumCol` (a ≤2-decimal-place money
+   * double, the [[graft.functions.Exact]] contract). It reads like any
+   * table (snapshot/asOf/SQL view) and is advanced by
+   * [[refreshMaterializedView]] with O(changed keys) work.
+   *
+   * Count + sum (avg derived) is the SELF-MAINTAINABLE aggregate family:
+   * maintainable from the delta plus the old values of changed keys
+   * alone. min/max are deliberately absent — a deletion of the current
+   * extremum forces a full re-scan of its group, which is exactly the
+   * unbounded cost this feature exists to avoid (the classical IVM
+   * distinction; Materialize/Flink draw the same line for their
+   * append-retract rollups).
+   *
+   * Crash windows: view created but definition meta not yet written →
+   * refresh fails loud ("not a materialized view"); drop and recreate.
+   * The view must receive writes ONLY through refresh — it is a
+   * downstream replica of the source, and a foreign commit would
+   * silently diverge it (same contract as any replica).
+   */
+  def createMaterializedView(view: String, src: String, groupCol: String,
+                             sumCol: String): LineageTable =
+    lock(view).synchronized {
+      require(!metaExists(view), s"table $view already exists")
+      // source epoch read BEFORE the state: if a rewrite lands between the
+      // two reads, the recorded epoch is stale and the next refresh takes
+      // the conservative full-recompute path — never the wrong delta
+      val srcEpoch = readMeta(src).epoch
+      val st = getTable(src)
+      require(st.dataCols.contains(groupCol) && st.dataCols.contains(sumCol)
+          && groupCol != sumCol,
+        s"view needs distinct source columns, got group=$groupCol sum=$sumCol")
+      createTable(view, groupCol, mvAgg(st.snapshot, groupCol, sumCol))
+      writeMeta(view, readMeta(view).copy(
+        mvSrc = Some(src), mvSum = Some(sumCol), mvSeq = st.opSeq,
+        mvEpoch = srcEpoch))
+      getTable(view)
+    }
+
+  /**
+   * Advance a materialized view to the source's current version with
+   * work proportional to WHAT CHANGED, not to either table:
+   *
+   *   1. changed keys = source tail rows stamped past the view's
+   *      `mv_seq` (a pushed-down `_ver` predicate — tail files wholly
+   *      at-or-before it are skipped by footer min-max);
+   *   2. old/new state of those keys only (candidate-restricted
+   *      windows — [[LineageTable.asOfVersionKeys]] / the probe path);
+   *   3. per-group adjustment = new contribution − old contribution
+   *      (exact long arithmetic), dropped where it nets zero;
+   *   4. touched groups' current view rows + adjustment MERGE INTO the
+   *      view — groups reaching zero rows DELETE, new groups insert —
+   *      as ONE commit whose meta write also advances `mv_seq`
+   *      ([[tryCommitMeta]]), so a crashed refresh retried later can
+   *      never double-apply (it re-derives its delta from the recorded
+   *      `mv_seq`). The meta-before-rows window loses at most that one
+   *      refresh's adjustments (the documented [[commitStreamBatch]]
+   *      trade) — re-creating the view repairs it.
+   *
+   * A PHYSICAL REWRITE of the source past `mv_seq` (fold/vacuum/purge/
+   * merge re-stamp history; `tail_floor` records it) makes the old
+   * state unaddressable — the refresh detects it and falls back to a
+   * FULL recompute (delete-all + insert, still one atomic commit), the
+   * same degradation Delta's incremental readers take when a source
+   * version is vacuumed away.
+   */
+  def refreshMaterializedView(view: String): LineageTable =
+    lock(view).synchronized {
+      val vm = readMeta(view)
+      val src = vm.mvSrc.getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: $view is not a materialized view"))
+      val sumCol = vm.mvSum.get
+      val g = vm.key
+      val srcMeta = readMeta(src)
+      val st = getTable(src)
+      val newSeq = st.opSeq
+      val fromSeq = vm.mvSeq
+      val sameEpoch = srcMeta.epoch == vm.mvEpoch
+      if (newSeq == fromSeq && sameEpoch) return getTable(view)
+      // incremental only while the source history at mv_seq is still
+      // addressable: any physical re-stamp bumps the source epoch
+      // (op_seq alone cannot reveal a saveCompacted clock reset). The
+      // post-read epoch check closes the read race — a rewrite landing
+      // between the meta read and the state read would otherwise hand
+      // the delta derivation a re-stamped lineage under the old epoch.
+      val incremental = sameEpoch && fromSeq >= srcMeta.tailFloor &&
+        newSeq > fromSeq && readMeta(src).epoch == srcMeta.epoch
+      val txn =
+        if (!incremental)
+          Txn.empty.delete(lit(true)).insert(mvAgg(st.snapshot, g, sumCol))
+        else {
+          val keys = st.lineage
+            .where(col(LineageTable.VER) > fromSeq)
+            .select(col(st.keyCol).as("_match_key")).distinct()
+          val o = mvAgg(st.asOfVersionKeys(fromSeq, keys), g, sumCol)
+            .select(col(g).as("_og"), col("n_rows").as("_on"),
+              col("cents").as("_oc"))
+          val n = mvAgg(st.probeWithCandidates(keys, lit(true)), g, sumCol)
+            .select(col(g).as("_ng"), col("n_rows").as("_nn"),
+              col("cents").as("_nc"))
+          // group-migrating updates contribute to BOTH sides of the full
+          // outer join: minus on the old group, plus on the new one
+          val adj = n.join(o, col("_ng") <=> col("_og"), "full_outer")
+            .select(coalesce(col("_ng"), col("_og")).as(g),
+              (coalesce(col("_nn"), lit(0L)) - coalesce(col("_on"), lit(0L)))
+                .as("_dn"),
+              (coalesce(col("_nc"), lit(0L)) - coalesce(col("_oc"), lit(0L)))
+                .as("_dc"))
+            .where(col("_dn") =!= 0 || col("_dc") =!= 0)
+          val cur = getTable(view)
+            .probeWithCandidates(adj.select(col(g).as("_match_key")), lit(true))
+            .select(col(g).as("_vg"), col("n_rows").as("_vn"),
+              col("cents").as("_vc"))
+          val merged = adj.join(cur, col(g) <=> col("_vg"), "left_outer")
+            .select(col(g),
+              (coalesce(col("_vn"), lit(0L)) + col("_dn")).as("n_rows"),
+              (coalesce(col("_vc"), lit(0L)) + col("_dc")).as("cents"))
+          Txn.empty.mergeInto(merged, Seq("n_rows", "cents"),
+            deleteWhen = Some(col("n_rows") === 0L))
+        }
+      tryCommitMeta(view, txn, vm.opSeq, None, None,
+        _.copy(mvSeq = newSeq, mvEpoch = srcMeta.epoch))
+        .fold(e => throw e, identity)
+    }
 
   /** Drop a table and its files (reference: Database.drop_table). */
   def dropTable(name: String): Unit = deleteRecursively(dir(name))
@@ -1597,7 +1774,30 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * ([[tryCommit]]/[[commitMulti]]); the full-
                             * table scan happens ONCE, at add time. */
                           conNames: Seq[String] = Nil,
-                          conExprs: Seq[String] = Nil)
+                          conExprs: Seq[String] = Nil,
+                          /** Materialized-view definition
+                            * ([[createMaterializedView]]): the source
+                            * table + summed column (the group column IS
+                            * this table's key), and the source op_seq
+                            * this view is current AT — advanced
+                            * atomically with each refresh commit (same
+                            * meta write), so a crashed refresh can never
+                            * double-apply its adjustments. */
+                          mvSrc: Option[String] = None,
+                          mvSum: Option[String] = None,
+                          mvSeq: Long = -1L,
+                          /** Incremented by EVERY physical re-stamp
+                            * (fold/vacuum/purge/saveCompacted). op_seq
+                            * alone cannot reveal a rewrite — saveCompacted
+                            * resets the clock to 0, so a later commit can
+                            * land on a previously-seen op_seq with
+                            * entirely different history behind it. An
+                            * incremental reader ([[refreshMaterializedView]])
+                            * compares the epoch it recorded and falls back
+                            * to a full recompute on mismatch. */
+                          epoch: Long = 0L,
+                          /** Source epoch the view's `mv_seq` belongs to. */
+                          mvEpoch: Long = -1L)
 
   // Metadata names are restricted to identifier characters at write time,
   // so the flat JSON below round-trips through the regex reader with no
@@ -1665,7 +1865,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
       s""""con_names": [${m.conNames.map(c => "\"" + checked(c) + "\"")
         .mkString(", ")}], """ +
       s""""con_exprs": [${m.conExprs.map(e => "\"" + checked(e) + "\"")
-        .mkString(", ")}]}"""
+        .mkString(", ")}], """ +
+      s""""mv_src": ${m.mvSrc.map(v => "\"" + checked(v) + "\"").getOrElse("null")}, """ +
+      s""""mv_sum": ${m.mvSum.map(v => "\"" + checked(v) + "\"").getOrElse("null")}, """ +
+      s""""mv_seq": ${m.mvSeq}, "epoch": ${m.epoch}, "mv_epoch": ${m.mvEpoch}}"""
   }
 
   private def readMeta(name: String): Meta = {
@@ -1723,13 +1926,24 @@ final class Catalog(spark: SparkSession, warehouse: String,
       .findFirstMatchIn(json).exists(_.group(1) == "true")
     val sRows = "\"stats_rows\"\\s*:\\s*(-?\\d+)".r
       .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
+    val mvSrc = "\"mv_src\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(json).map(_.group(1))
+    val mvSum = "\"mv_sum\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(json).map(_.group(1))
+    val mvSeq = "\"mv_seq\"\\s*:\\s*(-?\\d+)".r
+      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
+    val epoch = "\"epoch\"\\s*:\\s*(-?\\d+)".r
+      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
+    val mvEpoch = "\"mv_epoch\"\\s*:\\s*(-?\\d+)".r
+      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
     Meta(key, cols, idx, seq, mv, floor,
       strList("added_cols"), strList("added_types"), strList("proj_cols"),
       numList("commit_vers"), numList("commit_ts"),
       strList("stream_apps"), numList("stream_batches"),
       strList("stats_cols"), numList("stats_ndv"), sRows,
       numList("snaps"), dropped,
-      strList("con_names"), strList("con_exprs"))
+      strList("con_names"), strList("con_exprs"),
+      mvSrc, mvSum, mvSeq, epoch, mvEpoch)
   }
 
   // Crash recovery on open — the reference's Database.open contract. At

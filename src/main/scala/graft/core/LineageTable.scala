@@ -171,6 +171,24 @@ final class LineageTable private (
     live.select(dataCols.map(col): _*)
   }
 
+  /** [[asOfVersion]] restricted to candidate keys BEFORE the window (the
+    * [[probe]] trick, shared with [[Catalog.refreshMaterializedView]]'s
+    * old-state read): the state at `maxVer` of ONLY the keys in `keys`
+    * (a single `_match_key` column) — the rank window shuffles the
+    * candidates, never the table, so a differential read against a
+    * 100 TB table costs its changed keys. */
+  private[core] def asOfVersionKeys(maxVer: Long, keys: DataFrame): DataFrame = {
+    val cand = lineage
+      .join(keys, col(keyCol) <=> col("_match_key"), "left_semi")
+      .where(col(VER) <= maxVer)
+    val live =
+      if (compactedOnly) cand.where(col(DEL) === 0)
+      else rankedWithCount(cand)
+        .where(col("_rn") === 1 && col(DEL) === 0)
+        .drop("_rn", "_cnt")
+    live.select(dataCols.map(col): _*)
+  }
+
   /** Append new records (reference: Query.insert, lstore/query.py:57).
     * Stamped with the next table version — NOT 0 — so inserting a key that
     * was previously deleted resurrects it (see opSeq doc above). */

@@ -262,6 +262,37 @@ object CoreQueries {
     scala.collection.concurrent.TrieMap.empty[String, (Catalog, String, String)]
 
   /**
+   * Materialized-view fixture ([[Catalog.createMaterializedView]]): the
+   * standard 3-op transcript committed to a warehouse table with an
+   * incrementally-maintained per-status rollup refreshed after EACH
+   * commit — both refreshes take the O(changed keys) differential path
+   * (autoCompact off keeps history addressable), so the final view state
+   * the oracle checks is the product of two incremental merges, not a
+   * recompute. MviewSpec pins incremental ≡ full under randomized ops.
+   */
+  def mviewOrders(spark: SparkSession, sfDir: String): (Catalog, String) =
+    mviewCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_mv_wh_")
+      val cat = new Catalog(spark, wh, autoCompact = false)
+      cat.createTable("orders_mv", "k", baseOrders(spark, sfDir))
+      cat.createMaterializedView("orders_mv_by_status", "orders_mv",
+        "status", "totalprice")
+      cat.commit("orders_mv", Txn.empty
+        .update(col("k") % 3 === 0,
+          Map("totalprice" -> (col("totalprice") + lit(10.0)),
+              "status" -> lit("U1"))))
+      cat.refreshMaterializedView("orders_mv_by_status")
+      cat.commit("orders_mv", Txn.empty
+        .update(col("k") % 9 === 0, Map("status" -> lit("U2")))
+        .delete(col("k") % 17 === 0))
+      cat.refreshMaterializedView("orders_mv_by_status")
+      (cat, "orders_mv_by_status")
+    })
+
+  private val mviewCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
+
+  /**
    * CHECK-constraint fixture ([[Catalog.addConstraint]]): two constraints
    * on a committed orders table; a violating transaction (negated prices)
    * is REJECTED atomically — tryCommit returns Left, nothing lands — and
@@ -518,6 +549,42 @@ object CoreQueries {
       graft.streaming.StreamOps.mergeStream(s, changes, cat, tbl,
         Seq("status", "totalprice"))
       cat.getTable(tbl).snapshot.where(col("k") % 20 === 0)
+    },
+
+    // Incrementally-maintained aggregate view (Catalog
+    // .createMaterializedView / refreshMaterializedView): a per-status
+    // count + exact-cents rollup of the warehouse orders table, advanced
+    // after each commit with O(changed keys) work — changed keys from a
+    // pushed-down _ver predicate on the tail, old/new state via
+    // candidate-restricted windows, per-group adjustments MERGEd in one
+    // atomic commit whose meta write also records the source version
+    // (crash-safe, never double-applied). The oracle recomputes the
+    // rollup from the final snapshot the expensive way: two incremental
+    // refreshes must land bit-identical to a full recompute (exact long
+    // arithmetic end to end).
+    "cat_mview" -> { (s, d) =>
+      val (cat, v) = mviewOrders(s, d)
+      cat.getTable(v).snapshot
+        .select(col("status"), col("n_rows"),
+          (col("cents") / 100.0).as("total"))
+    },
+
+    // Change-data-feed READ (StreamOps.changeFeed — the read half of the
+    // CDC story; stream_merge is the write half, ls_diff the batch form):
+    // the ts-logged warehouse table's tail streamed as change events —
+    // one row per changed record per commit, op ∈ {upsert, delete},
+    // commit_ver = the commit's _ver stamp. The tail IS the feed (every
+    // commit appends exactly its change rows), so CDC-out costs no second
+    // copy of the data and no write-path hook; the k%5 filter composes
+    // into the incremental file scan (stateless — no state store, no
+    // shuffle; per-batch cost ∝ commits drained, never table size).
+    // StreamCdfSpec drives the incremental half: a checkpointed consumer
+    // resumes after a new commit and receives ONLY the new changes.
+    "stream_cdf" -> { (s, d) =>
+      val (cat, tbl) = tsLoggedOrders(s, d)
+      val feed = graft.streaming.StreamOps.changeFeed(s, cat, tbl)
+        .where(col("k") % 5 === 0)
+      graft.streaming.StreamOps.drainAppend(s, feed)
     },
 
     "ls_select_version_prev" -> { (s, d) =>
@@ -975,6 +1042,43 @@ object CoreQueries {
          |           UNION ALL SELECT * FROM ins)
          |SELECT k, custkey, status, totalprice FROM merged
          |WHERE k % 5 = 0""".stripMargin,
+
+    // the incrementally-maintained view must equal the rollup computed
+    // directly over the final snapshot (decimal-exact sums — the same
+    // rational number as the engine's cents longs, identical as DOUBLE)
+    "cat_mview" ->
+      s"""$fixture
+         |SELECT status, COUNT(*) AS n_rows,
+         |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM snap GROUP BY status""".stripMargin,
+
+    // the tail rows the three warehouse ops appended, with their commit
+    // stamps: commit 1's update → _ver 1, commit 2's update → _ver 2,
+    // its delete → _ver 3 (tombstones carry the state at delete time)
+    "stream_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |v1 AS (SELECT k, custkey, 'U1' AS status,
+        |       totalprice + 10.0 AS totalprice,
+        |       CAST(1 AS BIGINT) AS commit_ver, 'upsert' AS op
+        |       FROM base WHERE k % 3 = 0),
+        |v2 AS (SELECT k, custkey, 'U2' AS status,
+        |       totalprice + 10.0 AS totalprice,
+        |       CAST(2 AS BIGINT) AS commit_ver, 'upsert' AS op
+        |       FROM base WHERE k % 9 = 0),
+        |tomb AS (SELECT k, custkey,
+        |         CASE WHEN k % 9 = 0 THEN 'U2' WHEN k % 3 = 0 THEN 'U1'
+        |              ELSE status END AS status,
+        |         CASE WHEN k % 3 = 0 THEN totalprice + 10.0
+        |              ELSE totalprice END AS totalprice,
+        |         CAST(3 AS BIGINT) AS commit_ver, 'delete' AS op
+        |         FROM base WHERE k % 17 = 0),
+        |feed AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |         UNION ALL SELECT * FROM tomb)
+        |SELECT k, custkey, status, totalprice, commit_ver, op FROM feed
+        |WHERE k % 5 = 0""".stripMargin,
 
     // the fixture's logical clock: commit 1 (one op) at ts 1000, commit 2
     // (two ops) at ts 2000 — deterministic by construction

@@ -723,6 +723,39 @@ object OlapQueries {
           graft.functions.KMinValues.ndvEstimate(col("kmv"), 256)
             .as("est_distinct"),
           col("n_exact"))
+    },
+
+    // Exact heavy hitters in two BOUNDED passes (functions/FrequentItems
+    // — Misra–Gries candidates, then exact recount of ≤ k candidates):
+    // the skewed item column (half the mass in 3 hot items, the rest
+    // singletons) makes a plain GROUP BY shuffle ~n/2 distinct keys to
+    // find 3 hot ones; the sketch pass is map-side with a ≤ 64-entry
+    // buffer (k pairs per partition cross the wire), and the recount
+    // scans once more with a 64-item IN filter pushed to parquet,
+    // aggregating ≤ 64 groups. MG guarantees every item above n/64
+    // survives the sketch (k=64 vs the n/16 report threshold = 4×
+    // margin over the merge bound — FrequentItemsSpec pins the
+    // guarantee under adversarial partitionings), and the exact second
+    // pass makes the output deterministic — sketch counts never leave
+    // the engine. The candidate collect is ≤ 64 strings: driver-small
+    // by construction, the same bounded-side-input discipline as
+    // pipe_tokenize's vocab.
+    "q_heavy_hitters" -> { (s, d) =>
+      def src = Tables(s, d, "orders").select(
+        when(col("o_orderkey") % 2 === 0,
+          concat(lit("hot_"), (col("o_orderkey") % 3).cast("string")))
+          .otherwise(concat(lit("cold_"), col("o_orderkey").cast("string")))
+          .as("item"))
+      val cand = src
+        .agg(graft.functions.FrequentItems.freqItems(col("item"), 64)
+          .as("cand"))
+        .head().getSeq[String](0)
+      val total = src.agg(count(lit(1)).as("n"))
+      src.where(col("item").isin(cand: _*))
+        .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        .join(broadcast(total))
+        .where(col("cnt") * 16 > col("n"))
+        .select(col("item"), col("cnt"))
     }
   )
 
@@ -1045,6 +1078,17 @@ object OlapQueries {
         |            ELSE CAST(floor(255.0 * pow(2, 60) / MAX(h)) AS BIGINT)
         |       END AS est_distinct,
         |       (SELECT COUNT(*) FROM h) AS n_exact
-        |FROM km""".stripMargin
+        |FROM km""".stripMargin,
+
+    // the oracle takes the exact one-pass GROUP BY the sketch exists to
+    // avoid: every item above the n/16 threshold with its exact count —
+    // the two-pass engine plan must land identical
+    "q_heavy_hitters" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'hot_' || (o_orderkey % 3)
+        |              ELSE 'cold_' || o_orderkey END AS item
+        |  FROM orders)
+        |SELECT item, COUNT(*) AS cnt FROM src GROUP BY item
+        |HAVING COUNT(*) * 16 > (SELECT COUNT(*) FROM src)""".stripMargin
   )
 }

@@ -227,6 +227,47 @@ object StreamOps {
     try query.awaitTermination() finally query.stop()
   }
 
+  /**
+   * Change-data-feed SOURCE over a warehouse table (the read half of the
+   * CDC story — [[mergeStream]] is the write half, `LineageTable.diffRelative`
+   * the batch form): an incremental parquet stream over the table's tail
+   * directory ([[graft.core.Catalog.changeFeedInfo]]), surfacing one row
+   * per changed record per commit with `op ∈ {upsert, delete}` and
+   * `commit_ver` = the commit's `_ver` stamp. New commits append new tail
+   * files; the file source picks them up as new micro-batches, so a
+   * downstream consumer with a durable checkpoint re-syncs from where it
+   * left off instead of re-reading the table (StreamCdfSpec drives that
+   * two-phase consumption).
+   *
+   * Upsert, not insert-vs-update: the tail row IS the postimage; whether
+   * the key existed before is a fact about the pre-commit snapshot, and
+   * classifying it at READ time would need per-key seen-state — state
+   * linear in the KEY COUNT of a 100 TB table inside the consumer.
+   * Delta's CDF makes the same call the other way (classifies at WRITE
+   * time, where the merge join already knows matched-ness) at the cost
+   * of a second copy of every change; an append-only lineage gets the
+   * feed for free and leaves insert/update splitting to consumers that
+   * track the keys they care about. Tombstones carry the record's final
+   * state (what [[graft.core.LineageTable.delete]] appended), so a
+   * delete event is self-describing.
+   *
+   * Scale: stateless projection over an incremental file listing — no
+   * state store, no shuffle; per-batch cost ∝ the commits drained, never
+   * the table. Filters a consumer applies compose into the file scan.
+   */
+  def changeFeed(spark: SparkSession, cat: graft.core.Catalog,
+                 table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val s = streamSession(spark)
+    val (tailDir, schema) = cat.changeFeedInfo(table)
+    val dataCols = schema.fieldNames.filterNot(c => c == "_ver" || c == "_del")
+    s.readStream.schema(schema).parquet(tailDir)
+      .select(dataCols.map(col) ++ Seq(
+        col("_ver").as("commit_ver"),
+        when(col("_del") === 1, lit("delete")).otherwise(lit("upsert"))
+          .as("op")): _*)
+  }
+
   /** Production-shaped sink: drain the stream to an exactly-once parquet
     * directory sink (append mode — the mode file sinks support) with its
     * checkpoint alongside. Re-running with the same checkpoint resumes
