@@ -462,10 +462,27 @@ final class Catalog(spark: SparkSession, warehouse: String,
       getTable(dst)
     }
 
+  /** The one writer every lineage data file goes through, carrying the
+    * table's physical-layout options: parquet bloom filters on the
+    * [[createBloomFilter]] columns (expected NDV from ANALYZE stats when
+    * present — an undersized bloom saturates and prunes nothing). The
+    * options are per-write, so tail appends, compactions and re-stamps
+    * all emit them and the layout survives every rewrite. */
+  private def lineageWriter(rows: org.apache.spark.sql.DataFrame,
+                            meta: Meta): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    meta.bloomCols.foldLeft(rows.write) { (w, c) =>
+      val ndv = meta.statsCols.indexOf(c) match {
+        case i if i >= 0 => meta.statsNdv(i)
+        case _ => 100000L
+      }
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+
   /** Append new lineage rows to the table's tail (reference: tail-page
     * append). Rows must carry the lineage schema (_ver/_del included). */
   def appendTail(name: String, newRows: org.apache.spark.sql.DataFrame): Unit =
-    newRows.write.mode(SaveMode.Append)
+    lineageWriter(newRows, readMeta(name)).mode(SaveMode.Append)
       .parquet(new Path(dir(name), "tail").toString)
 
   /**
@@ -898,10 +915,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
       // (base missing, base_old live after an interrupted swap), so its
       // plan references whichever directory exists — nothing may be moved
       // or deleted until the new state is fully written out.
-      t.compact.lineage
+      lineageWriter(t.compact.lineage
         .repartitionByRange(col(layoutCol))
-        .sortWithinPartitions(col(layoutCol))
-        .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+        .sortWithinPartitions(col(layoutCol)), meta)
+        .mode(SaveMode.Overwrite).parquet(staged.toString)
       dropProjectionFiles(name, meta) // crash ⇒ probe falls back, never stale
       swapBase(name)
       fs.delete(cloneManifestPath(name), false) // clone detach, see restampSwap
@@ -1095,12 +1112,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
       retainSnapshot: Boolean = false): LineageTable = {
     val layoutCol = meta.index.getOrElse(meta.key)
     val staged = new Path(dir(name), "base_staged")
-    ranked
+    lineageWriter(ranked
       .withColumn(LineageTable.VER, lit(opSeqNew) + 1 - col("_rn"))
       .drop("_rn")
       .repartitionByRange(col(layoutCol))
-      .sortWithinPartitions(col(layoutCol))
-      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+      .sortWithinPartitions(col(layoutCol)), meta)
+      .mode(SaveMode.Overwrite).parquet(staged.toString)
     val hasMulti = multiPossible && !spark.read.parquet(staged.toString)
       .where(col(LineageTable.VER) < opSeqNew).isEmpty
     val conservative = meta.multiVer || multiPossible
@@ -1250,6 +1267,52 @@ final class Catalog(spark: SparkSession, warehouse: String,
 
   /** The indexed column, if an index exists (reference: Index surface). */
   def indexOf(name: String): Option[String] = readMeta(name).index
+
+  /**
+   * HASH-SKIPPING index: parquet bloom filters on `column` in every data
+   * file (the reference's per-column hash index, lstore/index.py:24 —
+   * realized as the format's own native structure rather than a side
+   * table). Complements the other probe levers where each stops:
+   * [[createIndex]] spends the ONE physical sort order; projections
+   * ([[createProjection]]) maintain a slim (column, key) side table that
+   * still scans ALL its rows to find candidates. A bloom filter prunes
+   * at the ROW-GROUP level on equality probes with no sort order and no
+   * side scan — the reader consults the filter (a few KB per row group)
+   * and skips groups that cannot contain the value, which for a
+   * high-cardinality column at 100 TB is nearly all of them.
+   *
+   * Spark-native end to end: the option rides the normal parquet writer
+   * ([[lineageWriter]] — tail appends, compactions and re-stamps all
+   * carry it), and the READ side is free: pushed equality filters reach
+   * parquet-mr's row-group filter, which checks column stats,
+   * dictionaries and blooms with no engine code at all. parquet-mr
+   * deliberately OMITS the bloom for a chunk that stayed fully
+   * dictionary-encoded — the dictionary already gives exact row-group
+   * screening there, and the bloom materializes exactly when the
+   * dictionary falls back at high cardinality, which is the case the
+   * index exists for (BloomIndexSpec pins both). Expected NDV comes
+   * from ANALYZE stats when present (an undersized bloom saturates and
+   * prunes nothing — run [[analyzeTable]] first on real data). The
+   * creation rewrite is [[foldTail]]: history-preserving,
+   * snapshot-retention-aware, so unlike [[createIndex]] it never
+   * collapses version history.
+   */
+  def createBloomFilter(name: String, column: String): LineageTable =
+    lock(name).synchronized { withCommitMarker(name) {
+      val meta = readMeta(name)
+      require(getTable(name).dataCols.contains(column),
+        s"no such column: $column")
+      if (meta.bloomCols.contains(column)) getTable(name)
+      else {
+        writeMeta(name, meta.copy(bloomCols = meta.bloomCols :+ column))
+        // bake the filters into the existing base+tail; later writes
+        // carry them via lineageWriter
+        foldTail(name)
+      }
+    } }
+
+  /** Columns carrying parquet bloom filters ([[createBloomFilter]]). */
+  def bloomColsOf(name: String): Seq[String] = readMeta(name).bloomCols
 
   // ---------------------------------------------- multi-column projections
 
@@ -1797,7 +1860,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * to a full recompute on mismatch. */
                           epoch: Long = 0L,
                           /** Source epoch the view's `mv_seq` belongs to. */
-                          mvEpoch: Long = -1L)
+                          mvEpoch: Long = -1L,
+                          /** Columns whose data files carry PARQUET BLOOM
+                            * FILTERS ([[createBloomFilter]]): every
+                            * lineage write (tail append, compaction,
+                            * re-stamp) emits them, so point probes
+                            * row-group-skip on a column whose sort order
+                            * is spent elsewhere. */
+                          bloomCols: Seq[String] = Nil)
 
   // Metadata names are restricted to identifier characters at write time,
   // so the flat JSON below round-trips through the regex reader with no
@@ -1868,7 +1938,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
         .mkString(", ")}], """ +
       s""""mv_src": ${m.mvSrc.map(v => "\"" + checked(v) + "\"").getOrElse("null")}, """ +
       s""""mv_sum": ${m.mvSum.map(v => "\"" + checked(v) + "\"").getOrElse("null")}, """ +
-      s""""mv_seq": ${m.mvSeq}, "epoch": ${m.epoch}, "mv_epoch": ${m.mvEpoch}}"""
+      s""""mv_seq": ${m.mvSeq}, "epoch": ${m.epoch}, "mv_epoch": ${m.mvEpoch}, """ +
+      s""""bloom_cols": [${m.bloomCols.map(c => "\"" + checked(c) + "\"")
+        .mkString(", ")}]}"""
   }
 
   private def readMeta(name: String): Meta = {
@@ -1943,7 +2015,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
       strList("stats_cols"), numList("stats_ndv"), sRows,
       numList("snaps"), dropped,
       strList("con_names"), strList("con_exprs"),
-      mvSrc, mvSum, mvSeq, epoch, mvEpoch)
+      mvSrc, mvSum, mvSeq, epoch, mvEpoch,
+      strList("bloom_cols"))
   }
 
   // Crash recovery on open — the reference's Database.open contract. At

@@ -233,6 +233,55 @@ object CoreQueries {
     scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
 
   /**
+   * Continuous-view-maintenance target (stream_mview): a warehouse orders
+   * table PLUS a per-status materialized rollup, both advanced by the
+   * query's drain — one durable MERGE commit and one incremental view
+   * refresh per micro-batch. autoCompact off keeps every refresh on the
+   * differential path (a fold would bump the epoch → full recompute,
+   * correct but not what this query demonstrates).
+   */
+  def mviewTargetOrders(spark: SparkSession, sfDir: String): (Catalog, String, String) =
+    mviewTgtCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_smv_wh_")
+      val cat = new Catalog(spark, wh, autoCompact = false)
+      cat.createTable("orders_smv", "k", baseOrders(spark, sfDir))
+      cat.createMaterializedView("orders_smv_rollup", "orders_smv",
+        "status", "totalprice")
+      (cat, "orders_smv", "orders_smv_rollup")
+    })
+
+  private val mviewTgtCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Catalog, String, String)]
+
+  /**
+   * Bloom-index fixture ([[Catalog.createBloomFilter]]): the standard
+   * transcript with parquet bloom filters on `custkey` created
+   * MID-history — the creation fold bakes them into the base, the later
+   * commit's tail files carry them via the shared writer options, and
+   * (unlike createIndex) version history survives. The physical sort
+   * order stays on the KEY, so the custkey probe has no min-max help —
+   * exactly the layout where hash-skipping is the only lever.
+   */
+  def bloomOrders(spark: SparkSession, sfDir: String): LineageTable =
+    bloomCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_bf_wh_")
+      val cat = new Catalog(spark, wh, autoCompact = false)
+      cat.createTable("orders_bf", "k", baseOrders(spark, sfDir))
+      cat.commit("orders_bf", Txn.empty
+        .update(col("k") % 3 === 0,
+          Map("totalprice" -> (col("totalprice") + lit(10.0)),
+              "status" -> lit("U1"))))
+      cat.createBloomFilter("orders_bf", "custkey")
+      cat.commit("orders_bf", Txn.empty
+        .update(col("k") % 9 === 0, Map("status" -> lit("U2")))
+        .delete(col("k") % 17 === 0))
+      cat.getTable("orders_bf")
+    })
+
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[String, LineageTable]
+
+  /**
    * Shallow-clone fixture ([[Catalog.cloneTable]]): orders committed and
    * updated once, cloned ZERO-COPY (the clone's base is a frozen file
    * manifest — no data written), then both tables diverge with their own
@@ -569,6 +618,36 @@ object CoreQueries {
           (col("cents") / 100.0).as("total"))
     },
 
+    // CONTINUOUS incremental view maintenance (mergeStream + Catalog
+    // .refreshMaterializedView): the stream_merge change set drained into
+    // a warehouse table whose per-status rollup is refreshed after EVERY
+    // micro-batch's commit — each refresh pays O(the batch's changed
+    // keys), so a standing dashboard aggregate over a 100 TB ingest
+    // stream costs the changes, never a recompute. The oracle rolls up
+    // the fully-merged table directly: N incremental refreshes must land
+    // bit-identical (exact long arithmetic end to end). A re-drain (the
+    // bench's second run) re-lands identical values — every adjustment
+    // nets zero and the view provably does not move.
+    "stream_mview" -> { (s, d) =>
+      val (cat, tbl, view) = mviewTargetOrders(s, d)
+      def arm(where: Column => Column, proj: DataFrame => DataFrame) =
+        proj(graft.streaming.StreamOps.fileSource(s, d, "orders")
+          .where(where(col("o_orderkey"))))
+      val changes = arm(_ % 10 === 0, _.select(
+          col("o_orderkey").as("k"), col("o_custkey").as("custkey"),
+          lit("M").as("status"),
+          (col("o_totalprice") + lit(1000.0)).as("totalprice")))
+        .unionByName(arm(_ % 1000 === 0, _.select(
+          (col("o_orderkey") + 3000000L).as("k"),
+          col("o_custkey").as("custkey"),
+          lit("N").as("status"), col("o_totalprice").as("totalprice"))))
+      graft.streaming.StreamOps.mergeStream(s, changes, cat, tbl,
+        Seq("status", "totalprice"), refreshView = Some(view))
+      cat.getTable(view).snapshot
+        .select(col("status"), col("n_rows"),
+          (col("cents") / 100.0).as("total"))
+    },
+
     // Change-data-feed READ (StreamOps.changeFeed — the read half of the
     // CDC story; stream_merge is the write half, ls_diff the batch form):
     // the ts-logged warehouse table's tail streamed as change events —
@@ -589,6 +668,39 @@ object CoreQueries {
 
     "ls_select_version_prev" -> { (s, d) =>
       ordersLineage(s, d).asOfRelative(-1).where(col("k").between(0L, 2000L))
+    },
+
+    // HASH-SKIPPING index probe (Catalog.createBloomFilter): equality
+    // probe on a column with NO sort order — the key holds the physical
+    // layout, so min-max stats can't prune custkey; the parquet bloom
+    // filters baked into every data file (and the dictionaries where
+    // chunks stayed dict-encoded) let the reader skip row groups that
+    // cannot contain the value, inside parquet-mr's row-group filter
+    // with zero engine code. WindowProbeRule still shrinks the snapshot
+    // window to candidate keys; the bloom shrinks the candidate SCAN.
+    "idx_bloom" -> { (s, d) =>
+      bloomOrders(s, d).snapshot
+        .where(col("custkey") === 501L)
+        .select(col("k"), col("custkey"), col("totalprice"))
+    },
+
+    // TEMPORAL JOIN: facts enriched with the dimension AS OF a past
+    // version — the reproducible-pipeline read (re-running a report
+    // against the dimension state a training run saw, regardless of what
+    // has been committed since). Composition, not a new operator: the
+    // versioned snapshot is one key-partitioned window, then an ordinary
+    // equi-join + rollup that Catalyst plans like any other (the fact
+    // filter pushes to its scan; the join shuffles on the key both sides
+    // already hash by). ls_* versioned reads are single-table; this is
+    // the cross-table form.
+    "q_temporal_join" -> { (s, d) =>
+      val dimAtV1 = ordersLineage(s, d).asOfRelative(-2)
+      Tables(s, d, "lineitem")
+        .where(col("l_orderkey") % 100 === 0)
+        .join(dimAtV1, col("l_orderkey") === col("k"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_items"),
+          Exact.sumMoney(col("l_extendedprice")).as("sum_price"))
     },
 
     "ls_select_version_base" -> { (s, d) =>
@@ -1051,6 +1163,45 @@ object CoreQueries {
          |SELECT status, COUNT(*) AS n_rows,
          |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM snap GROUP BY status""".stripMargin,
+
+    // layout is never semantics: the bloom-indexed probe's oracle is the
+    // plain snapshot filter
+    "idx_bloom" ->
+      s"""$fixture
+         |SELECT k, custkey, totalprice FROM snap WHERE custkey = 501""".stripMargin,
+
+    // facts joined to the versioned dimension CTE — the oracle reuses the
+    // same relative-version clamp the single-table reads pin
+    "q_temporal_join" ->
+      s"""$fixture,
+         |dim AS (${asOfSql(-2)})
+         |SELECT status, COUNT(*) AS n_items,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         |         AS sum_price
+         |FROM lineitem JOIN dim ON l_orderkey = k
+         |WHERE l_orderkey % 100 = 0
+         |GROUP BY status""".stripMargin,
+
+    // the continuously-maintained rollup must equal a direct rollup of
+    // the fully-merged table (same merge algebra as stream_merge)
+    "stream_mview" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         o_totalprice AS totalprice
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k,
+        |         CASE WHEN k % 10 = 0 THEN 'M' ELSE status END AS status,
+        |         CASE WHEN k % 10 = 0 THEN totalprice + 1000.0
+        |              ELSE totalprice END AS totalprice
+        |  FROM base),
+        |ins AS (
+        |  SELECT k + 3000000 AS k, 'N' AS status, totalprice
+        |  FROM base WHERE k % 1000 = 0),
+        |merged AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT status, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged GROUP BY status""".stripMargin,
 
     // the tail rows the three warehouse ops appended, with their commit
     // stamps: commit 1's update → _ver 1, commit 2's update → _ver 2,

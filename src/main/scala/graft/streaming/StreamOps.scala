@@ -189,7 +189,17 @@ object StreamOps {
                   cat: graft.core.Catalog, table: String,
                   updateCols: Seq[String],
                   deleteWhen: Option[org.apache.spark.sql.Column] = None,
-                  checkpoint: Option[String] = None): Unit = {
+                  checkpoint: Option[String] = None,
+                  /** Materialized view over `table` to advance after each
+                    * batch's commit ([[graft.core.Catalog
+                    * .refreshMaterializedView]]) — CONTINUOUS incremental
+                    * view maintenance: per batch the rollup pays O(the
+                    * batch's changed keys), never a recompute. Safe at
+                    * any crash point: refresh is a catch-up to the
+                    * source's current version (its own commit records
+                    * what it applied), so a missed or repeated call
+                    * converges instead of double-applying. */
+                  refreshView: Option[String] = None): Unit = {
     // Writer identity for idempotent replay detection is derived
     // DETERMINISTICALLY from the checkpoint location, because batch ids
     // are only meaningful relative to their checkpoint: a restart that
@@ -221,6 +231,7 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cat.commitStreamBatch(table, graft.core.Txn.empty
           .mergeInto(batch, updateCols, deleteWhen), writerId, batchId)
+        refreshView.foreach(cat.refreshMaterializedView)
         ()
       }
       .start()

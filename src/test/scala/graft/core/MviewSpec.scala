@@ -151,6 +151,27 @@ class MviewSpec extends SparkSpec {
     assert(viewState(cat2, "v") === recomputed(cat2, "t"))
   }
 
+  test("streaming maintenance: the view advances per micro-batch commit") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+    val srcDir = Files.createTempDirectory("graft_mv_stream_").toString
+    Seq(Seq((1L, "a", 99.00), (9L, "d", 2.00)),   // update + insert
+        Seq((4L, "b", 7.75)))                     // group migration c→b
+      .foreach(rows => rows.toDF("k", "g", "price")
+        .coalesce(1).write.mode("append").parquet(srcDir))
+    val cat = fresh()
+    cat.createTable("t", "k", base)
+    cat.createMaterializedView("v", "t", "g", "price")
+    val schema = new StructType()
+      .add("k", LongType).add("g", StringType).add("price", DoubleType)
+    val changes = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    graft.streaming.StreamOps.mergeStream(spark, changes, cat, "t",
+      Seq("g", "price"), refreshView = Some("v"))
+    // one merge commit + one refresh commit per batch on their tables
+    assert(cat.getTable("t").opSeq >= 2L)
+    assert(viewState(cat, "v") === recomputed(cat, "t"))
+  }
+
   test("a plain table refuses to refresh; bad definitions are rejected") {
     val cat = fresh()
     cat.createTable("t", "k", base)
