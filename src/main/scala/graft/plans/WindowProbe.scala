@@ -147,5 +147,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.KMinValues(args.head, k).toAggregateExpression()
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_freq"),
+      new ExpressionInfo(classOf[graft.functions.FrequentItems].getName,
+        "graft_freq"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_freq(s, k) takes a string column and a literal k")
+        val k = args(1) match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) if v.isValidInt => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_freq k must be an integer literal, got $other")
+        }
+        graft.functions.FrequentItems(args.head, k).toAggregateExpression()
+      }))
   }
 }

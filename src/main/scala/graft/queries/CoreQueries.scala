@@ -680,7 +680,7 @@ object CoreQueries {
     // window to candidate keys; the bloom shrinks the candidate SCAN.
     "idx_bloom" -> { (s, d) =>
       bloomOrders(s, d).snapshot
-        .where(col("custkey") === 501L)
+        .where(col("custkey") === 42L)
         .select(col("k"), col("custkey"), col("totalprice"))
     },
 
@@ -1168,7 +1168,7 @@ object CoreQueries {
     // plain snapshot filter
     "idx_bloom" ->
       s"""$fixture
-         |SELECT k, custkey, totalprice FROM snap WHERE custkey = 501""".stripMargin,
+         |SELECT k, custkey, totalprice FROM snap WHERE custkey = 42""".stripMargin,
 
     // facts joined to the versioned dimension CTE — the oracle reuses the
     // same relative-version clamp the single-table reads pin

@@ -34,6 +34,16 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(viaSql === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("graft_freq via SQL is the FrequentItems aggregate") {
+    (Seq.fill(20)("hot") ++ (1 to 10).map(i => s"cold_$i")).toDF("s")
+      .createOrReplaceTempView("graft_freq_test")
+    val viaSql = spark.sql(
+      "SELECT graft_freq(s, 4) AS cand FROM graft_freq_test")
+      .head().getSeq[String](0)
+    assert(viaSql.contains("hot"), "the heavy item must survive the sketch")
+    assert(viaSql.size <= 4)
+  }
+
   test("graft_kmv rejects a non-literal k") {
     spark.range(10).select(col("id").as("h"), lit(4).as("kk"))
       .createOrReplaceTempView("graft_kmv_bad")
