@@ -282,6 +282,34 @@ object CoreQueries {
     scala.collection.concurrent.TrieMap.empty[String, LineageTable]
 
   /**
+   * SQL-only lifecycle fixture (sql_call): the standard transcript driven
+   * ENTIRELY through the SQL front door — DML writes (UPDATE/DELETE)
+   * interleaved with CALL maintenance procedures (analyze, optimize =
+   * history-preserving fold, vacuum) against a durable warehouse table.
+   * Maintenance never moves the snapshot, so the final state equals the
+   * standard fixture's — the oracle can't tell HOW the table was driven,
+   * which is the point: SQL users get the whole lifecycle.
+   */
+  def sqlCallOrders(spark: SparkSession, sfDir: String): graft.sql.GraftSql =
+    sqlCallCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_call_wh_")
+      val cat = new Catalog(spark, wh, autoCompact = false)
+      cat.createTable("orders_call", "k", baseOrders(spark, sfDir))
+      val g = new graft.sql.GraftSql(spark).register("orders_call", cat, "orders_call")
+      g.sql("""UPDATE orders_call SET totalprice = totalprice + 10.0,
+              |status = 'U1' WHERE k % 3 = 0""".stripMargin)
+      g.sql("CALL graft.analyze('orders_call', 'custkey', 'status')")
+      g.sql("CALL graft.optimize('orders_call')")
+      g.sql("UPDATE orders_call SET status = 'U2' WHERE k % 9 = 0")
+      g.sql("CALL graft.vacuum('orders_call', 1)")
+      g.sql("DELETE FROM orders_call WHERE k % 17 = 0")
+      g
+    })
+
+  private val sqlCallCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sql.GraftSql]
+
+  /**
    * Shallow-clone fixture ([[Catalog.cloneTable]]): orders committed and
    * updated once, cloned ZERO-COPY (the clone's base is a frozen file
    * manifest — no data written), then both tables diverge with their own
@@ -668,6 +696,21 @@ object CoreQueries {
 
     "ls_select_version_prev" -> { (s, d) =>
       ordersLineage(s, d).asOfRelative(-1).where(col("k").between(0L, 2000L))
+    },
+
+    // SQL-only table lifecycle (graft.sql.GraftSql CALL procedures —
+    // Spark 4's stored-procedure syntax mapped onto the catalog's
+    // maintenance ops): the standard transcript driven entirely as SQL —
+    // UPDATE/DELETE DML interleaved with CALL graft.analyze / optimize
+    // (history-preserving fold) / vacuum — then read back through the
+    // registered view. Completes the SQL story: reads, writes, schema
+    // (ALTER TABLE CONSTRAINT), maintenance; a SQL-only operator never
+    // needs the Scala API. Maintenance never moves the snapshot, so the
+    // oracle is the standard fixture's.
+    "sql_call" -> { (s, d) =>
+      sqlCallOrders(s, d)
+        .sql("""SELECT k, custkey, status, totalprice FROM orders_call
+                |WHERE k % 10 = 0""".stripMargin)
     },
 
     // HASH-SKIPPING index probe (Catalog.createBloomFilter): equality
@@ -1163,6 +1206,13 @@ object CoreQueries {
          |SELECT status, COUNT(*) AS n_rows,
          |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM snap GROUP BY status""".stripMargin,
+
+    // maintenance is never semantics: the SQL-driven lifecycle lands on
+    // the standard fixture's snapshot
+    "sql_call" ->
+      s"""$fixture
+         |SELECT k, custkey, status, totalprice FROM snap
+         |WHERE k % 10 = 0""".stripMargin,
 
     // layout is never semantics: the bloom-indexed probe's oracle is the
     // plain snapshot filter

@@ -99,7 +99,121 @@ class GraftSql(val spark: SparkSession) {
       }
     case dc: DropConstraint if targetOf(dc.table).exists(isRegistered) =>
       runDropConstraint(targetOf(dc.table).get, dc)
+    case c: Call if procedureOf(c).isDefined => runCall(procedureOf(c).get, c)
     case _ => spark.sql(statement)
+  }
+
+  // ------------------------------------------------------------ procedures
+
+  /** The graft maintenance procedure a `CALL` names, when it names one:
+    * `CALL graft.optimize('t')` / `CALL optimize('t')` — an unqualified
+    * or graft-qualified name from [[procedures]]. Anything else passes
+    * through to `spark.sql` (a real DSv2 procedure catalog may own it). */
+  private def procedureOf(c: Call): Option[String] = c.procedure match {
+    case org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure(parts)
+        if parts.length <= 2 && parts.init.forall(_ == "graft") &&
+          procedures.contains(parts.last) =>
+      Some(parts.last)
+    case _ => None
+  }
+
+  private val procedures = Set("optimize", "compact", "vacuum", "purge",
+    "analyze", "refresh_mview", "clone", "create_bloom", "create_index",
+    "history")
+
+  /**
+   * MAINTENANCE through the SQL front door — Spark 4's stored-procedure
+   * `CALL` syntax mapped onto the catalog's lifecycle ops, completing
+   * the SQL story: reads (registered snapshot views), writes (DML),
+   * schema (ALTER TABLE ... CONSTRAINT), and now maintenance — a
+   * SQL-only operator can run the whole table lifecycle:
+   *
+   *   CALL graft.optimize('t')            history-preserving fold
+   *   CALL graft.compact('t')             reference merge (collapses history)
+   *   CALL graft.vacuum('t', 2)           keep newest 2 versions per key
+   *   CALL graft.purge('t', 'k = 5')      hard erasure by predicate
+   *   CALL graft.analyze('t', 'a', 'b')   NDV stats → returns (col, ndv)
+   *   CALL graft.refresh_mview('v')       advance a materialized view
+   *   CALL graft.clone('src', 'dst')      zero-copy shallow clone
+   *   CALL graft.create_bloom('t', 'c')   bloom-filter index
+   *   CALL graft.create_index('t', 'c')   sorted physical layout
+   *   CALL graft.history('t')             → (version, commit_ts) rows
+   *
+   * Durable (catalog-registered) tables only — maintenance is physical
+   * storage work; an in-session handle has no files to maintain. Args
+   * are literals, positional or named (`tbl => 't'`); the purge
+   * predicate arrives as SQL text and is parsed by the session parser —
+   * the same no-second-grammar rule as the DML path.
+   */
+  private def runCall(proc: String, c: Call): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, NamedArgumentExpression}
+    val argv: Seq[Any] = c.args.map {
+      case NamedArgumentExpression(_, Literal(v, _)) => v
+      case Literal(v, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft SQL CALL: arguments must be literals, got ${other.sql}")
+    }.map {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case v => v
+    }
+    def str(i: Int): String = argv(i) match {
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"graft SQL CALL $proc: argument ${i + 1} must be a string, got $other")
+    }
+    def int(i: Int): Int = argv(i) match {
+      case n: Int => n
+      case n: Long => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft SQL CALL $proc: argument ${i + 1} must be an integer, got $other")
+    }
+    def durableOf(name: String): (Catalog, String) =
+      durable.getOrElse(name, throw new IllegalArgumentException(
+        s"graft SQL CALL $proc: '$name' is not a registered durable table " +
+          "— maintenance is physical storage work; register(name, catalog, " +
+          "table) first"))
+    def arity(n: Int): Unit = require(argv.length == n,
+      s"graft SQL CALL $proc: expected $n arguments, got ${argv.length}")
+    val done = spark.emptyDataFrame
+    proc match {
+      case "optimize" =>
+        arity(1); val (cat, t) = durableOf(str(0))
+        cat.foldTail(t); refreshView(str(0)); done
+      case "compact" =>
+        arity(1); val (cat, t) = durableOf(str(0))
+        cat.saveCompacted(t, cat.getTable(t).compact)
+        refreshView(str(0)); done
+      case "vacuum" =>
+        arity(2); val (cat, t) = durableOf(str(0))
+        cat.vacuum(t, int(1)); refreshView(str(0)); done
+      case "purge" =>
+        arity(2); val (cat, t) = durableOf(str(0))
+        cat.purge(t, rebased(Bridge.parseExpression(spark, str(1))))
+        refreshView(str(0)); done
+      case "analyze" =>
+        require(argv.length >= 2,
+          "graft SQL CALL analyze: expected a table and ≥1 column")
+        val (cat, t) = durableOf(str(0))
+        val cols = (1 until argv.length).map(str)
+        val stats = cat.analyzeTable(t, cols)
+        import spark.implicits._
+        cols.map(c => (c, stats(c))).toDF("column", "ndv")
+      case "refresh_mview" =>
+        arity(1); val (cat, t) = durableOf(str(0))
+        cat.refreshMaterializedView(t); refreshView(str(0)); done
+      case "clone" =>
+        arity(2); val (cat, src) = durableOf(str(0))
+        cat.cloneTable(src, str(1)); done
+      case "create_bloom" =>
+        arity(2); val (cat, t) = durableOf(str(0))
+        cat.createBloomFilter(t, str(1)); refreshView(str(0)); done
+      case "create_index" =>
+        arity(2); val (cat, t) = durableOf(str(0))
+        cat.createIndex(t, str(1)); refreshView(str(0)); done
+      case "history" =>
+        arity(1); val (cat, t) = durableOf(str(0))
+        cat.history(t)
+    }
   }
 
   // ------------------------------------------------------------ statements

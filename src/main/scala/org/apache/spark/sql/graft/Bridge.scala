@@ -26,6 +26,13 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.sqlParser.parsePlan(sqlText)
 
+  /** Parse one SQL expression (a predicate/value, not a statement) with
+    * the session parser — how `CALL graft.purge('t', '<predicate>')`
+    * turns its predicate-text argument into an engine Column. */
+  def parseExpression(spark: SparkSession, sqlText: String): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parseExpression(sqlText)
+
   /** Analyze + wrap an (unresolved) logical plan as a DataFrame — how
     * the front door turns a parsed DML statement's SOURCE subtree
     * (a `USING (subquery)`, an `INSERT ... SELECT` body, a `VALUES`

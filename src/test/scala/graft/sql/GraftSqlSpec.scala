@@ -154,4 +154,69 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("SOURCE columns"))
   }
+
+  private def durableFixture(): (GraftSql, Catalog) = {
+    val wh = Files.createTempDirectory("graft_sql_call_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("t", "k",
+      Seq((1L, 10L, "A", 100.0), (2L, 20L, "B", 200.0),
+          (3L, 30L, "C", 300.0)).toDF("k", "custkey", "status", "totalprice"))
+    (new GraftSql(spark).register("t", cat, "t"), cat)
+  }
+
+  test("CALL maintenance: optimize folds, vacuum trims, snapshot invariant") {
+    val (g, cat) = durableFixture()
+    g.sql("UPDATE t SET totalprice = totalprice + 1.0 WHERE k = 1")
+    val before = rows(g)
+    g.sql("CALL graft.optimize('t')")
+    assert(rows(g) === before, "optimize must preserve the snapshot")
+    // history survived the fold (unlike compact)
+    assert(cat.getTable("t").asOfRelative(-1).count() === 3L)
+    g.sql("UPDATE t SET status = 'Z' WHERE k = 2")
+    g.sql("CALL graft.vacuum('t', 1)")
+    assert(rows(g).map(_._3).toSet === Set("A", "Z", "C"))
+  }
+
+  test("CALL graft.purge erases by a SQL predicate string") {
+    val (g, _) = durableFixture()
+    g.sql("CALL graft.purge('t', 'custkey = 20')")
+    assert(rows(g).map(_._1) === Seq(1L, 3L))
+  }
+
+  test("CALL graft.analyze returns (column, ndv) rows; history reads the log") {
+    val (g, cat) = durableFixture()
+    val stats = g.sql("CALL graft.analyze('t', 'status', 'custkey')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats === Map("status" -> 3L, "custkey" -> 3L))
+    assert(g.sql("CALL graft.history('t')").columns.toSeq ===
+      Seq("version", "commit_ts"))
+    assert(cat != null)
+  }
+
+  test("CALL graft.refresh_mview / create_bloom / clone drive the lifecycle") {
+    val (g, cat) = durableFixture()
+    cat.createMaterializedView("v", "t", "status", "totalprice")
+    g.register("v", cat, "v")
+    g.sql("UPDATE t SET totalprice = totalprice + 10.0 WHERE k = 3")
+    g.sql("CALL graft.refresh_mview('v')")
+    val vRows = g.table("v").snapshot.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(vRows === Set(("A", 1L, 10000L), ("B", 1L, 20000L), ("C", 1L, 31000L)))
+    g.sql("CALL graft.create_bloom('t', 'custkey')")
+    assert(cat.bloomColsOf("t") === Seq("custkey"))
+    g.sql("CALL graft.clone('t', 't2')")
+    assert(cat.getTable("t2").snapshot.count() === 3L)
+  }
+
+  test("CALL with named args and non-graft procedures") {
+    val (g, _) = durableFixture()
+    g.sql("CALL vacuum(tbl => 't', keep => 1)")  // unqualified + named args
+    // an in-session table refuses maintenance, loud
+    val g2 = fixture()
+    val e = intercept[IllegalArgumentException](g2.sql("CALL graft.optimize('t')"))
+    assert(e.getMessage.contains("durable"))
+    // a procedure graft does not own passes through (and fails in Spark's
+    // analyzer, not silently in ours)
+    intercept[Exception](g.sql("CALL some_catalog.not_ours('x')"))
+  }
 }
