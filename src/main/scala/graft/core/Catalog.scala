@@ -721,7 +721,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
         // CHECK gate at stage time — any table's violation aborts the
         // whole multi-table transaction with nothing visible anywhere
         validateConstraints(n, readMeta(n), after.delta)
-        after.delta.foreach(_.write.mode(SaveMode.Append)
+        // through lineageWriter: the staged files RENAME into the tail at
+        // roll-forward, so layout options (bloom filters) must be baked
+        // in at the stage write — the rename can't add them later
+        after.delta.foreach(d => lineageWriter(d, readMeta(n))
+          .mode(SaveMode.Append)
           .parquet(new Path(new Path(txnRoot, id), n).toString))
         after.opSeq
       }
@@ -1473,7 +1477,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
                     sumCol: String): org.apache.spark.sql.DataFrame =
     rows.groupBy(col(g))
       .agg(count(lit(1)).as("n_rows"),
-        sum(graft.functions.Exact.cents(col(sumCol))).as("cents"))
+        // total over nulls: a group whose every value is NULL sums to
+        // NULL declaratively, but the incremental path's long arithmetic
+        // would rebuild it as 0 — pin 0 on EVERY path (create, full
+        // recompute, differential) so the two can never drift (MviewSpec
+        // covers the all-null group)
+        coalesce(sum(graft.functions.Exact.cents(col(sumCol))), lit(0L))
+          .as("cents"))
 
   /**
    * Incrementally-maintained aggregate view (the warehouse feature a

@@ -145,17 +145,45 @@ class GraftSql(val spark: SparkSession) {
    * predicate arrives as SQL text and is parsed by the session parser —
    * the same no-second-grammar rule as the DML path.
    */
+  /** Declared parameter order per procedure — what named arguments
+    * (`keep => 1`) resolve against, so they are order-free as SQL named
+    * args must be. `analyze` is variadic past `tbl` (named args would be
+    * ambiguous there — positional only). */
+  private val procParams: Map[String, Seq[String]] = Map(
+    "optimize" -> Seq("tbl"), "compact" -> Seq("tbl"),
+    "vacuum" -> Seq("tbl", "keep"), "purge" -> Seq("tbl", "predicate"),
+    "refresh_mview" -> Seq("view"), "clone" -> Seq("src", "dst"),
+    "create_bloom" -> Seq("tbl", "col"), "create_index" -> Seq("tbl", "col"),
+    "history" -> Seq("tbl"))
+
   private def runCall(proc: String, c: Call): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, NamedArgumentExpression}
-    val argv: Seq[Any] = c.args.map {
-      case NamedArgumentExpression(_, Literal(v, _)) => v
-      case Literal(v, _) => v
-      case other => throw new IllegalArgumentException(
-        s"graft SQL CALL: arguments must be literals, got ${other.sql}")
-    }.map {
-      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-      case v => v
+    def value(e: org.apache.spark.sql.catalyst.expressions.Expression): Any =
+      e match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case Literal(v, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft SQL CALL: arguments must be literals, got ${other.sql}")
+      }
+    // SQL named-argument rule: positional args fill parameters in order,
+    // named args fill their parameter regardless of position
+    val params = procParams.getOrElse(proc, Nil)
+    val slots = scala.collection.mutable.LinkedHashMap.empty[Int, Any]
+    var pos = 0
+    c.args.foreach {
+      case NamedArgumentExpression(name, v) =>
+        val i = params.indexOf(name)
+        require(i >= 0, s"graft SQL CALL $proc: unknown parameter '$name' " +
+          s"(takes ${if (params.isEmpty) "positional arguments only"
+            else params.mkString(", ")})")
+        slots(i) = value(v)
+      case e =>
+        slots(pos) = value(e); pos += 1
     }
+    val argv: Seq[Any] = (0 until slots.size).map(i =>
+      slots.getOrElse(i, throw new IllegalArgumentException(
+        s"graft SQL CALL $proc: parameter ${params.lift(i).getOrElse(i + 1)} " +
+          "not provided")))
     def str(i: Int): String = argv(i) match {
       case s: String => s
       case other => throw new IllegalArgumentException(

@@ -151,6 +151,21 @@ class MviewSpec extends SparkSpec {
     assert(viewState(cat2, "v") === recomputed(cat2, "t"))
   }
 
+  test("all-NULL sum groups: create, incremental and recompute all agree on 0") {
+    val cat = fresh()
+    cat.createTable("t", "k",
+      Seq((1L, "a", Option.empty[Double]), (2L, "a", None), (3L, "b", Some(4.0)))
+        .toDF("k", "g", "price"))
+    cat.createMaterializedView("v", "t", "g", "price")
+    assert(viewState(cat, "v") === Set(("a", 2L, 0L), ("b", 1L, 400L)))
+    // a change inside the all-null group refreshes differentially and
+    // must not drift from what a recompute would build
+    cat.commit("t", Txn.empty.insert(
+      Seq((9L, "a", Option.empty[Double])).toDF("k", "g", "price")))
+    cat.refreshMaterializedView("v")
+    assert(viewState(cat, "v") === Set(("a", 3L, 0L), ("b", 1L, 400L)))
+  }
+
   test("streaming maintenance: the view advances per micro-batch commit") {
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
     val srcDir = Files.createTempDirectory("graft_mv_stream_").toString

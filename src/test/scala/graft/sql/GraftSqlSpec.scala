@@ -211,6 +211,10 @@ class GraftSqlSpec extends SparkSpec {
   test("CALL with named args and non-graft procedures") {
     val (g, _) = durableFixture()
     g.sql("CALL vacuum(tbl => 't', keep => 1)")  // unqualified + named args
+    g.sql("CALL vacuum(keep => 1, tbl => 't')")  // named args are order-free
+    val eN = intercept[IllegalArgumentException](
+      g.sql("CALL vacuum(nope => 1, tbl => 't')"))
+    assert(eN.getMessage.contains("unknown parameter"))
     // an in-session table refuses maintenance, loud
     val g2 = fixture()
     val e = intercept[IllegalArgumentException](g2.sql("CALL graft.optimize('t')"))
