@@ -556,6 +556,39 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a partial aggregate below the exchange:\n$plan")
   }
 
+  test("q_temporal_join: fact filter pushed, no cartesian, one version window") {
+    val df = SparkEntry.queries("q_temporal_join")(spark, sfDir)
+    val plan = executedPlan(df)
+    // the fact slice reaches its scan; the versioned dim is ONE window
+    assert(plan.contains("PushedFilters"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the version read is rankedWithCount: Spark splits row_number
+    // (ordered) and count (frame-only) into two Window operators, but
+    // both partition by the key — ONE key exchange feeds the pair, and
+    // that single shuffle is the claim that matters at scale
+    assert("Window \\[".r.findAllIn(plan).size == 2, plan)
+    assert("hashpartitioning\\(k#".r.findAllIn(plan).size == 1,
+      s"expected ONE key exchange feeding both version windows:\n$plan")
+  }
+
+  test("q_heavy_hitters recount: pruned scan, map-side partials, no cartesian") {
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, sfDir)
+    val plan = executedPlan(df)
+    // the item column is DERIVED (CASE over o_orderkey), so the ≤k IN
+    // filter evaluates in the codegen'd scan stage rather than pushing to
+    // parquet (a stored hot-key column would push); what must hold at
+    // scale: the scan reads ONLY the one source column, the recount
+    // aggregates map-side before its ≤k-group exchange, and nothing
+    // cross-joins
+    assert("ReadSchema: [^\\n]*o_orderkey".r.findFirstIn(plan).isDefined &&
+      !plan.contains("o_totalprice"),
+      s"expected the recount scan pruned to o_orderkey:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pipe_stratified ranks per (partition, stratum), never per stratum") {
     val df = SparkEntry.queries("pipe_stratified")(spark, sfDir)
     df.queryExecution.toRdd.count()
