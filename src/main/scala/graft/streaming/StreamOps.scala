@@ -265,6 +265,12 @@ object StreamOps {
    * Scale: stateless projection over an incremental file listing — no
    * state store, no shuffle; per-batch cost ∝ the commits drained, never
    * the table. Filters a consumer applies compose into the file scan.
+   *
+   * Retention: a physical rewrite (fold/compact/vacuum/purge) RETIRES
+   * tail files — change events a consumer has not yet drained are gone
+   * with them (the same rule as Delta's CDF past a VACUUM: the feed's
+   * window is bounded by maintenance). Drain before maintaining, or
+   * disable auto-compaction on tables with lagging consumers.
    */
   def changeFeed(spark: SparkSession, cat: graft.core.Catalog,
                  table: String): DataFrame = {
