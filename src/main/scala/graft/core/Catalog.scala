@@ -1615,6 +1615,27 @@ final class Catalog(spark: SparkSession, warehouse: String,
         .fold(e => throw e, identity)
     }
 
+  /**
+   * The materialized view that can ANSWER an aggregate over `src` grouped
+   * by `groupCol`, if one exists and is CURRENT — same source op_seq AND
+   * same rewrite epoch, so the routed result is bit-identical to running
+   * the aggregate directly (a stale or epoch-crossed view must never
+   * serve: freshness is a correctness property here, not a hint).
+   * Returns (view table name, summed column). O(tables) metadata reads,
+   * zero data I/O — the lookup a query-rewrite front door
+   * ([[graft.sql.GraftSql]]) runs per candidate statement.
+   */
+  def currentViewOf(src: String, groupCol: String): Option[(String, String)] = {
+    val sm = readMeta(src)
+    tableNames.iterator
+      .map(n => (n, Try(readMeta(n)).toOption))
+      .collectFirst { case (n, Some(m))
+          if m.mvSrc.contains(src) && m.key == groupCol &&
+            m.mvSum.isDefined && m.mvSeq == sm.opSeq &&
+            m.mvEpoch == sm.epoch =>
+        (n, m.mvSum.get) }
+  }
+
   /** Drop a table and its files (reference: Database.drop_table). */
   def dropTable(name: String): Unit = deleteRecursively(dir(name))
 

@@ -698,6 +698,23 @@ object CoreQueries {
       ordersLineage(s, d).asOfRelative(-1).where(col("k").between(0L, 2000L))
     },
 
+    // AUTOMATIC QUERY REWRITE over the materialized view (GraftSql
+    // .routeToView): the plain GROUP BY aggregate a dashboard would run
+    // is answered by the CURRENT view — a group-cardinality-sized scan
+    // (FLAT at any table size, §5k) instead of aggregating the table;
+    // staleness gates the rewrite (same source op_seq + rewrite epoch),
+    // so routed ≡ direct bit-for-bit and a lagging view silently takes
+    // the direct path (GraftSqlSpec pins route, fallback, re-route).
+    "q_mview_route" -> { (s, d) =>
+      val (cat, view) = mviewOrders(s, d)
+      val g = new graft.sql.GraftSql(s)
+        .register("orders_mv", cat, "orders_mv")
+        .register(view, cat, view)
+      g.sql("""SELECT status, count(*) AS n_orders,
+              |sum(totalprice) AS sum_price, avg(totalprice) AS avg_price
+              |FROM orders_mv GROUP BY status""".stripMargin)
+    },
+
     // SQL-only table lifecycle (graft.sql.GraftSql CALL procedures —
     // Spark 4's stored-procedure syntax mapped onto the catalog's
     // maintenance ops): the standard transcript driven entirely as SQL —
@@ -1205,6 +1222,17 @@ object CoreQueries {
       s"""$fixture
          |SELECT status, COUNT(*) AS n_rows,
          |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM snap GROUP BY status""".stripMargin,
+
+    // the routed aggregate must equal the direct rollup over the final
+    // snapshot — the rewrite is invisible to results
+    "q_mview_route" ->
+      s"""$fixture
+         |SELECT status, COUNT(*) AS n_orders,
+         |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS sum_price,
+         |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         / COUNT(*) AS avg_price
          |FROM snap GROUP BY status""".stripMargin,
 
     // maintenance is never semantics: the SQL-driven lifecycle lands on

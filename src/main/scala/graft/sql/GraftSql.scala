@@ -100,7 +100,87 @@ class GraftSql(val spark: SparkSession) {
     case dc: DropConstraint if targetOf(dc.table).exists(isRegistered) =>
       runDropConstraint(targetOf(dc.table).get, dc)
     case c: Call if procedureOf(c).isDefined => runCall(procedureOf(c).get, c)
-    case _ => spark.sql(statement)
+    case p => routeToView(p).getOrElse(spark.sql(statement))
+  }
+
+  // --------------------------------------------------- view query rewrite
+
+  /**
+   * AUTOMATIC QUERY REWRITE over materialized views (the Oracle/BigQuery/
+   * Databricks warehouse feature): a `SELECT g, count(*), sum(c), avg(c)
+   * FROM t GROUP BY g` whose shape a CURRENT view answers reads the VIEW
+   * — a group-cardinality-sized scan — instead of aggregating the source
+   * table; at 100 TB that is the difference between a dashboard query
+   * and a table scan. Correctness gates, in order:
+   *
+   *   - the statement must be EXACTLY the maintainable shape (one plain
+   *     group column; count(*) / count(1) / sum / avg of the view's
+   *     summed column; explicit aliases; no WHERE/HAVING/DISTINCT) —
+   *     anything else passes through untouched;
+   *   - the view must be CURRENT ([[graft.core.Catalog.currentViewOf]]:
+   *     same source op_seq AND rewrite epoch) — a stale view never
+   *     serves; the query silently takes the direct path instead
+   *     (freshness is correctness, not a performance hint).
+   *
+   * The rewrite emits the same exact arithmetic the view maintains
+   * (cents longs → one correctly-rounded double), so routed and direct
+   * results are bit-identical for the 2dp money columns views support
+   * (GraftSqlSpec pins routed ≡ direct ≡ oracle, and that a stale view
+   * falls back).
+   */
+  private def routeToView(p: LogicalPlan): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    p match {
+      case Aggregate(Seq(ga: UnresolvedAttribute), aggs, child, _)
+          if ga.nameParts.length == 1 =>
+        val g = ga.nameParts.head
+        for {
+          src <- targetOf(child)
+          if durable.contains(src) && {
+            // the child must be the bare relation — a Filter/Join below
+            // the aggregate is not the view's shape
+            child match {
+              case _: UnresolvedRelation => true
+              case SubqueryAlias(_, _: UnresolvedRelation) => true
+              case _ => false
+            }
+          }
+          (cat, tbl) = durable(src)
+          (view, sumCol) <- cat.currentViewOf(tbl, g)
+          cols <- {
+            def count1(args: Seq[Expression]): Boolean = args match {
+              case Seq(Literal(1, _)) => true
+              case Seq(_: org.apache.spark.sql.catalyst.analysis.UnresolvedStar) => true
+              case _ => false
+            }
+            def onSum(args: Seq[Expression]): Boolean = args match {
+              case Seq(a: UnresolvedAttribute) => a.nameParts.last == sumCol
+              case _ => false
+            }
+            val translated = aggs.map {
+              case a: UnresolvedAttribute if a.nameParts.last == g =>
+                Some(col(g))
+              case UnresolvedAlias(a: UnresolvedAttribute, _)
+                  if a.nameParts.last == g =>
+                Some(col(g))
+              case Alias(UnresolvedFunction(Seq("count"), args, false, None, false, Nil, false),
+                  name) if count1(args) =>
+                Some(col("n_rows").as(name))
+              case Alias(UnresolvedFunction(Seq("sum"), args, false, None, false, Nil, false),
+                  name) if onSum(args) =>
+                Some((col("cents") / 100.0).as(name))
+              case Alias(UnresolvedFunction(Seq("avg"), args, false, None, false, Nil, false),
+                  name) if onSum(args) =>
+                Some((col("cents") / 100.0 / col("n_rows")).as(name))
+              case _ => None
+            }
+            if (translated.forall(_.isDefined)) Some(translated.map(_.get))
+            else None
+          }
+        } yield cat.getTable(view).snapshot.select(cols: _*)
+      case _ => None
+    }
   }
 
   // ------------------------------------------------------------ procedures

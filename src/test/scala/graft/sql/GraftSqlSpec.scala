@@ -208,6 +208,47 @@ class GraftSqlSpec extends SparkSpec {
     assert(cat.getTable("t2").snapshot.count() === 3L)
   }
 
+  test("a matching aggregate routes to the CURRENT view; stale falls back") {
+    val (g, cat) = durableFixture()
+    cat.createMaterializedView("v", "t", "status", "totalprice")
+    g.register("v", cat, "v")
+    val q = """SELECT status, count(*) AS n, sum(totalprice) AS s,
+              |avg(totalprice) AS a FROM t GROUP BY status""".stripMargin
+    def files(df: org.apache.spark.sql.DataFrame): String = {
+      df.queryExecution.toRdd.count()
+      df.queryExecution.executedPlan.toString
+    }
+    val routed = g.sql(q)
+    assert(files(routed).contains("/v"),
+      "expected the aggregate to read the VIEW's files")
+    val expect = Set(("A", 1L, 100.0, 100.0), ("B", 1L, 200.0, 200.0),
+      ("C", 1L, 300.0, 300.0))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(rowsOf(routed) === expect)
+    // STALE view (source committed, no refresh): must NOT route — and the
+    // direct result reflects the new state
+    g.sql("UPDATE t SET totalprice = totalprice + 1.0 WHERE k = 1")
+    val direct = g.sql(q)
+    assert(!files(direct).contains("/v"),
+      "a stale view must never serve an aggregate")
+    assert(rowsOf(direct) === Set(("A", 1L, 101.0, 101.0),
+      ("B", 1L, 200.0, 200.0), ("C", 1L, 300.0, 300.0)))
+    // refresh restores routing, now with the new totals
+    g.sql("CALL graft.refresh_mview('v')")
+    val rerouted = g.sql(q)
+    assert(files(rerouted).contains("/v"))
+    assert(rowsOf(rerouted) === rowsOf(direct))
+    // non-maintainable shapes pass through untouched
+    val filtered = g.sql(
+      "SELECT status, count(*) AS n FROM t WHERE k > 1 GROUP BY status")
+    assert(!files(filtered).contains("/v"))
+    val minq = g.sql(
+      "SELECT status, min(totalprice) AS m FROM t GROUP BY status")
+    assert(!files(minq).contains("/v"))
+  }
+
   test("CALL with named args and non-graft procedures") {
     val (g, _) = durableFixture()
     g.sql("CALL vacuum(tbl => 't', keep => 1)")  // unqualified + named args
