@@ -741,23 +741,56 @@ object OlapQueries {
     // by construction, the same bounded-side-input discipline as
     // pipe_tokenize's vocab.
     "q_heavy_hitters" -> { (s, d) =>
-      def src = Tables(s, d, "orders").select(
-        when(col("o_orderkey") % 2 === 0,
-          concat(lit("hot_"), (col("o_orderkey") % 3).cast("string")))
-          .otherwise(concat(lit("cold_"), col("o_orderkey").cast("string")))
-          .as("item"))
+      def src = skewedItems(Tables(s, d, "orders"))
       val cand = src
         .agg(graft.functions.FrequentItems.freqItems(col("item"), 64)
           .as("cand"))
         .head().getSeq[String](0)
-      val total = src.agg(count(lit(1)).as("n"))
-      src.where(col("item").isin(cand: _*))
-        .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-        .join(broadcast(total))
-        .where(col("cnt") * 16 > col("n"))
-        .select(col("item"), col("cnt"))
+      exactRecount(src, cand)
+    },
+
+    // STREAMING heavy hitters (the sketch family's third streaming twin,
+    // after stream_ndv and stream_quantile): the Misra–Gries aggregate
+    // maintained incrementally over the orders file stream — streaming
+    // state is ONE ≤64-entry buffer at ANY stream length (an exact
+    // streaming GROUP BY would hold a row per distinct item: ~n/2 here),
+    // merged across micro-batches in complete mode. The candidates then
+    // exact-recount batch-side over the drained data (the q_heavy_hitters
+    // second pass), so sketch counts never reach a result and the oracle
+    // is the same exact rollup — the streaming half changes WHERE the
+    // candidates come from, never what is reported.
+    "stream_hh" -> { (s, d) =>
+      val streamItems = skewedItems(
+        graft.streaming.StreamOps.fileSource(s, d, "orders"))
+      val drained = graft.streaming.StreamOps.drainComplete(s,
+        streamItems.agg(graft.functions.FrequentItems
+          .freqItems(col("item"), 64).as("cand")))
+      val cand = drained.head().getSeq[String](0)
+      exactRecount(skewedItems(Tables(s, d, "orders")), cand)
     }
   )
+
+  /** The skewed heavy-hitter fixture column: half the mass in 3 hot
+    * items, the rest singletons — shared by the batch and streaming
+    * heavy-hitter queries so their oracles coincide. */
+  private def skewedItems(orders: DataFrame): DataFrame =
+    orders.select(
+      when(col("o_orderkey") % 2 === 0,
+        concat(lit("hot_"), (col("o_orderkey") % 3).cast("string")))
+        .otherwise(concat(lit("cold_"), col("o_orderkey").cast("string")))
+        .as("item"))
+
+  /** Pass 2 of the exact two-pass heavy-hitter plan: exact counts of the
+    * ≤k sketch candidates (bounded IN filter + ≤k-group aggregate),
+    * reported above the n/16 threshold. */
+  private def exactRecount(src: DataFrame, cand: Seq[String]): DataFrame = {
+    val total = src.agg(count(lit(1)).as("n"))
+    src.where(col("item").isin(cand: _*))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(total))
+      .where(col("cnt") * 16 > col("n"))
+      .select(col("item"), col("cnt"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     // layout is never semantics: the bucketed join's oracle is a plain join
@@ -1084,6 +1117,16 @@ object OlapQueries {
     // avoid: every item above the n/16 threshold with its exact count —
     // the two-pass engine plan must land identical
     "q_heavy_hitters" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'hot_' || (o_orderkey % 3)
+        |              ELSE 'cold_' || o_orderkey END AS item
+        |  FROM orders)
+        |SELECT item, COUNT(*) AS cnt FROM src GROUP BY item
+        |HAVING COUNT(*) * 16 > (SELECT COUNT(*) FROM src)""".stripMargin,
+
+    // the streaming sketch only changes where candidates come from — the
+    // exact recount reports the identical rollup
+    "stream_hh" ->
       """WITH src AS (
         |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'hot_' || (o_orderkey % 3)
         |              ELSE 'cold_' || o_orderkey END AS item

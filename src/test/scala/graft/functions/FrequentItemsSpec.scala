@@ -54,6 +54,29 @@ class FrequentItemsSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("streaming: the sketch merges across micro-batches, guarantee holds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fi_stream_").toString
+    // 3 files → maxFilesPerTrigger=1 forces 3 micro-batches; 'hot' is
+    // above n/k ONLY across the whole stream, so it must survive the
+    // cross-batch state merge, not any single batch
+    Seq(Seq.fill(8)("hot") ++ (1 to 20).map(i => s"a_$i"),
+        (21 to 45).map(i => s"b_$i").toSeq,
+        Seq.fill(8)("hot") ++ (46 to 65).map(i => s"c_$i"))
+      .foreach(items => items.toDF("item").coalesce(1)
+        .write.mode("append").parquet(dir))
+    val stream = spark.readStream
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("item", org.apache.spark.sql.types.StringType))
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val cand = graft.streaming.StreamOps.drainComplete(spark,
+        stream.agg(FrequentItems.freqItems(col("item"), 8).as("c")))
+      .head().getSeq[String](0)
+    // n=81, n/k≈10, count(hot)=16 > n/k → MG + the mergeable merge
+    // guarantee hot survives any batch split
+    assert(cand.contains("hot"), s"hot item lost across batches: $cand")
+    assert(cand.size <= 8)
+  }
+
   test("grouped sketches stay per-group (buffer isolation + serialization)") {
     val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"),
                  ("g2", "z"), ("g2", "z"), ("g2", "z")).toDF("g", "item")
