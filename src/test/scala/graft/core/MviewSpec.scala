@@ -125,6 +125,40 @@ class MviewSpec extends SparkSpec {
     }
   }
 
+  test("randomized ops WITH physical maintenance: every epoch bump re-syncs") {
+    // the adversarial variant: fold/vacuum/purge/saveCompacted interleave
+    // with commits and refreshes — each re-stamps history and bumps the
+    // epoch, so refreshes alternate unpredictably between the
+    // differential and full-recompute paths; purge must pull erased keys
+    // OUT of the rollup, vacuum/fold must not move it at all
+    val cat = fresh()
+    val rnd = new scala.util.Random(1337)
+    cat.createTable("t", "k", base)
+    cat.createMaterializedView("v", "t", "g", "price")
+    var nextKey = 500L
+    val groups = Seq("a", "b", "c", "d")
+    (1 to 10).foreach { i =>
+      rnd.nextInt(6) match {
+        case 0 | 1 =>
+          nextKey += 1
+          cat.commit("t", Txn.empty
+            .insert(Seq((nextKey, groups(rnd.nextInt(groups.size)),
+              rnd.nextInt(500) / 100.0)).toDF("k", "g", "price"))
+            .update(col("k") % (2 + rnd.nextInt(4)) === 0,
+              Map("price" -> (col("price") + lit(0.50)))))
+        case 2 =>
+          cat.commit("t", Txn.empty.delete(col("k") % (5 + rnd.nextInt(5)) === 2))
+        case 3 => cat.foldTail("t")
+        case 4 => cat.vacuum("t", 1 + rnd.nextInt(2))
+        case _ =>
+          cat.purge("t", col("k") % 11 === i.toLong)
+      }
+      cat.refreshMaterializedView("v")
+      assert(viewState(cat, "v") === recomputed(cat, "t"),
+        s"view diverged after step $i")
+    }
+  }
+
   test("physical rewrite of the source → full-recompute fallback, still exact") {
     val cat = fresh()
     cat.createTable("t", "k", base)
