@@ -698,6 +698,24 @@ object CoreQueries {
       ordersLineage(s, d).asOfRelative(-1).where(col("k").between(0L, 2000L))
     },
 
+    // SQL time travel (GraftSql.resolveTimeTravel): VERSION AS OF and
+    // TIMESTAMP AS OF as ANSI clauses over Spark's own parser — the
+    // time-travel relation is spliced into the statement pre-analysis,
+    // so versions compose freely (here a UNION of two points in time;
+    // GraftSqlSpec joins two versions of one table). VERSION is the
+    // absolute _ver clock (predicate pushed below the snapshot window);
+    // TIMESTAMP resolves through the commit log, metadata-only.
+    "sql_asof" -> { (s, d) =>
+      val (cat, tbl) = tsLoggedOrders(s, d)
+      val g = new graft.sql.GraftSql(s).register(tbl, cat, tbl)
+      g.sql(s"""SELECT 'v0' AS asof, k, custkey, status, totalprice
+               |FROM $tbl VERSION AS OF 0 WHERE k BETWEEN 0 AND 600
+               |UNION ALL
+               |SELECT 't1' AS asof, k, custkey, status, totalprice
+               |FROM $tbl TIMESTAMP AS OF 1500
+               |WHERE k BETWEEN 0 AND 600""".stripMargin)
+    },
+
     // AUTOMATIC QUERY REWRITE over the materialized view (GraftSql
     // .routeToView): the plain GROUP BY aggregate a dashboard would run
     // is answered by the CURRENT view — a group-cardinality-sized scan
@@ -1223,6 +1241,18 @@ object CoreQueries {
          |SELECT status, COUNT(*) AS n_rows,
          |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM snap GROUP BY status""".stripMargin,
+
+    // v0 = base, t1 = the v1-only state (same clamp algebra as ls_asof_ts)
+    "sql_asof" ->
+      s"""$fixture
+         |SELECT 'v0' AS asof, k, custkey, status, totalprice FROM base
+         |WHERE k BETWEEN 0 AND 600
+         |UNION ALL
+         |SELECT 't1' AS asof, k, custkey,
+         |       CASE WHEN k % 3 = 0 THEN 'U1' ELSE status END AS status,
+         |       CASE WHEN k % 3 = 0 THEN totalprice + 10.0
+         |            ELSE totalprice END AS totalprice
+         |FROM base WHERE k BETWEEN 0 AND 600""".stripMargin,
 
     // the routed aggregate must equal the direct rollup over the final
     // snapshot — the rewrite is invisible to results

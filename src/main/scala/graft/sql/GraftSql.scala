@@ -100,7 +100,69 @@ class GraftSql(val spark: SparkSession) {
     case dc: DropConstraint if targetOf(dc.table).exists(isRegistered) =>
       runDropConstraint(targetOf(dc.table).get, dc)
     case c: Call if procedureOf(c).isDefined => runCall(procedureOf(c).get, c)
-    case p => routeToView(p).getOrElse(spark.sql(statement))
+    case p => resolveTimeTravel(p)
+      .map(Bridge.ofRows(spark, _))
+      .orElse(routeToView(p))
+      .getOrElse(spark.sql(statement))
+  }
+
+  // ------------------------------------------------------ SQL time travel
+
+  /**
+   * `FROM t VERSION AS OF n` / `FROM t TIMESTAMP AS OF ts` on registered
+   * tables — the lakehouse time-travel read as ANSI SQL. Pure plan
+   * surgery: every [[org.apache.spark.sql.catalyst.analysis
+   * .RelationTimeTravel]] leaf naming a registered table is replaced by
+   * the engine's versioned-snapshot plan (aliased under the table name so
+   * qualified references keep resolving), and the WHOLE statement then
+   * runs through the analyzer — so time-travel relations compose freely:
+   * joins of two versions, aggregates over a version, UNIONs of
+   * different points in time. `VERSION AS OF` is the engine's absolute
+   * `_ver` clock ([[graft.core.LineageTable.asOfVersion]] — the predicate
+   * pushes below the snapshot window, tail files prune by footer
+   * min-max); `TIMESTAMP AS OF` resolves through the commit log
+   * ([[graft.core.Catalog.asOfTimestamp]] — durable tables only, and the
+   * engine's commit timestamps are LOGICAL longs, so the literal must be
+   * integral; both restrictions fail loud).
+   */
+  private def resolveTimeTravel(p: LogicalPlan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    var touched = false
+    val out = p.transformUp {
+      case RelationTimeTravel(r: UnresolvedRelation, ts, ver)
+          if isRegistered(r.multipartIdentifier.last) =>
+        val name = r.multipartIdentifier.last
+        touched = true
+        val df = (ts, ver) match {
+          case (None, Some(v)) =>
+            require(v.forall(_.isDigit), s"graft SQL VERSION AS OF: " +
+              s"expected a numeric version, got '$v'")
+            table(name).asOfVersion(v.toLong)
+          case (Some(expr), None) =>
+            val t = expr match {
+              case Literal(v: Int, _) => v.toLong
+              case Literal(v: Long, _) => v
+              case other => throw new IllegalArgumentException(
+                "graft SQL TIMESTAMP AS OF: the engine's commit " +
+                  s"timestamps are logical longs (Catalog.commitAt); got " +
+                  s"${other.sql} — use an integral literal")
+            }
+            val (cat, tbl) = durable.getOrElse(name,
+              throw new IllegalArgumentException("graft SQL TIMESTAMP AS " +
+                s"OF: '$name' is an in-session table — the commit log " +
+                "lives in catalog metadata; use VERSION AS OF, or " +
+                "register(name, catalog, table) a durable table"))
+            cat.asOfTimestamp(tbl, t)
+          case _ => throw new IllegalArgumentException(
+            s"graft SQL time travel on '$name': exactly one of VERSION / " +
+              "TIMESTAMP AS OF is required")
+        }
+        // alias under the table name so `t.col` references keep resolving
+        // (an outer SubqueryAlias from `... AS a` shadows it, as SQL does)
+        SubqueryAlias(name, Bridge.planOf(df))
+    }
+    if (touched) Some(out) else None
   }
 
   // --------------------------------------------------- view query rewrite

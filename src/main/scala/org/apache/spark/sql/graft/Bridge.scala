@@ -33,6 +33,11 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.sqlParser.parseExpression(sqlText)
 
+  /** The analyzed logical plan behind a DataFrame — how the front door
+    * splices an engine-built relation (a versioned snapshot) into a
+    * parsed statement's tree before analysis. */
+  def planOf(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
   /** Analyze + wrap an (unresolved) logical plan as a DataFrame — how
     * the front door turns a parsed DML statement's SOURCE subtree
     * (a `USING (subquery)`, an `INSERT ... SELECT` body, a `VALUES`

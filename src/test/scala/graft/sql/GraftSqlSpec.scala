@@ -249,6 +249,48 @@ class GraftSqlSpec extends SparkSpec {
     assert(!files(minq).contains("/v"))
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF read past states; compose in joins") {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft_sql_tt_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("t", "k",
+      Seq((1L, 10L, "A", 100.0), (2L, 20L, "B", 200.0))
+        .toDF("k", "custkey", "status", "totalprice"))
+    cat.commitAt("t", graft.core.Txn.empty
+      .update(col("k") === 1L, Map("status" ->
+        org.apache.spark.sql.functions.lit("X"))), ts = 1000L)
+    cat.commitAt("t", graft.core.Txn.empty.delete(col("k") === 2L), ts = 2000L)
+    val g = new GraftSql(spark).register("t", cat, "t")
+    def states(sql: String) = g.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // absolute version 0 = base; 1 = after the update; current = post-delete
+    assert(states("SELECT k, status FROM t VERSION AS OF 0") ===
+      Set((1L, "A"), (2L, "B")))
+    assert(states("SELECT k, status FROM t VERSION AS OF 1") ===
+      Set((1L, "X"), (2L, "B")))
+    assert(states("SELECT k, status FROM t") === Set((1L, "X")))
+    // logical-clock timestamps resolve through the commit log
+    assert(states("SELECT k, status FROM t TIMESTAMP AS OF 1500") ===
+      Set((1L, "X"), (2L, "B")))
+    // two versions of the SAME table join in one statement
+    val diff = g.sql(
+      """SELECT a.k, a.status AS old_s, b.status AS new_s
+        |FROM t VERSION AS OF 0 a JOIN t VERSION AS OF 1 b ON a.k = b.k
+        |WHERE a.status <> b.status""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(diff === Set((1L, "A", "X")))
+    // loud failures: non-integral timestamp; in-session timestamp travel
+    val e1 = intercept[IllegalArgumentException](
+      g.sql("SELECT * FROM t TIMESTAMP AS OF '2024-01-01'"))
+    assert(e1.getMessage.contains("logical longs"))
+    val g2 = fixture()
+    val e2 = intercept[IllegalArgumentException](
+      g2.sql("SELECT * FROM t TIMESTAMP AS OF 1500"))
+    assert(e2.getMessage.contains("in-session"))
+    // in-session VERSION AS OF works (no commit log needed)
+    assert(g2.sql("SELECT k FROM t VERSION AS OF 0").count() === 3L)
+  }
+
   test("CALL with named args and non-graft procedures") {
     val (g, _) = durableFixture()
     g.sql("CALL vacuum(tbl => 't', keep => 1)")  // unqualified + named args
