@@ -1636,6 +1636,20 @@ final class Catalog(spark: SparkSession, warehouse: String,
         (n, m.mvSum.get) }
   }
 
+  /** [[LineageTable.changesBetween]] with the re-stamp guard: a physical
+    * rewrite re-stamped everything at-or-below `tail_floor`, so a range
+    * reaching below it would misread folded base rows as change events —
+    * error LOUD instead (the Delta rule: `table_changes` beyond the
+    * retained change window fails, never fabricates). */
+  def changesBetween(name: String, fromVer: Long, toVer: Long): org.apache.spark.sql.DataFrame = {
+    val floor = readMeta(name).tailFloor
+    require(fromVer >= floor,
+      s"$name: changes at or before version $floor were re-stamped by a " +
+        "physical rewrite (compaction/vacuum/purge) and are no longer " +
+        "addressable as change events")
+    getTable(name).changesBetween(fromVer, toVer)
+  }
+
   /** Drop a table and its files (reference: Database.drop_table). */
   def dropTable(name: String): Unit = deleteRecursively(dir(name))
 

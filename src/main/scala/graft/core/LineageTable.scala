@@ -60,6 +60,11 @@ final class LineageTable private (
 
   import LineageTable.{DEL, VER}
 
+  /** The table's current version — the stamp of the newest committed op
+    * (what `VERSION AS OF currentVersion` addresses, and the natural
+    * upper bound for [[changesBetween]]). */
+  def currentVersion: Long = opSeq
+
   /** Current version of every live record, metadata retained (for chaining). */
   private[core] def snapshotMeta: DataFrame = asOfMeta(0)
 
@@ -454,6 +459,26 @@ final class LineageTable private (
     // passes the delta through untouched because it only trims history)
     new LineageTable(keyCol, dataCols, scrub(lineage), opSeq,
       delta.map(scrub), compactedOnly)
+  }
+
+  /**
+   * Batch change feed: the change rows of commits in (fromVer, toVer] —
+   * one row per changed record per commit, `op ∈ {upsert, delete}`,
+   * `commit_ver` = the commit's stamp (the same event shape as the
+   * streaming [[graft.streaming.StreamOps.changeFeed]]; `diffRelative`
+   * is the NET-change variant that collapses a record's commits into one
+   * old/new row). A pushed `_ver` range predicate — tail files wholly
+   * outside the range skip by footer min-max; base files (stamped at or
+   * below any legitimate `fromVer`) never read past their footers.
+   */
+  def changesBetween(fromVer: Long, toVer: Long): DataFrame = {
+    require(fromVer < toVer,
+      s"changesBetween: empty range ($fromVer, $toVer]")
+    lineage.where(col(VER) > fromVer && col(VER) <= toVer)
+      .select(dataCols.map(col) ++ Seq(
+        col(VER).as("commit_ver"),
+        when(col(DEL) === 1, lit("delete")).otherwise(lit("upsert"))
+          .as("op")): _*)
   }
 
   /** Key-range scan of the current snapshot (reference aggregates iterate

@@ -698,6 +698,19 @@ object CoreQueries {
       ordersLineage(s, d).asOfRelative(-1).where(col("k").between(0L, 2000L))
     },
 
+    // Batch CDC through SQL (the Delta table_changes shape): change
+    // events of commits PAST version 1 — the tail rows of commit 2's
+    // update and commit 3's delete, with the k%5 filter composing into
+    // the pushed _ver range scan. Complements stream_cdf (the same
+    // events as a stream) and ls_diff (net change, old/new per record);
+    // a re-stamped range fails loud (GraftSqlSpec).
+    "sql_changes" -> { (s, d) =>
+      val (cat, tbl) = tsLoggedOrders(s, d)
+      val g = new graft.sql.GraftSql(s).register(tbl, cat, tbl)
+      g.sql(s"""SELECT k, custkey, status, totalprice, commit_ver, op
+               |FROM table_changes('$tbl', 1) WHERE k % 5 = 0""".stripMargin)
+    },
+
     // SQL time travel (GraftSql.resolveTimeTravel): VERSION AS OF and
     // TIMESTAMP AS OF as ANSI clauses over Spark's own parser — the
     // time-travel relation is spliced into the statement pre-analysis,
@@ -1241,6 +1254,28 @@ object CoreQueries {
          |SELECT status, COUNT(*) AS n_rows,
          |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM snap GROUP BY status""".stripMargin,
+
+    // commits 2 and 3 only: v2's status-only postimages (price carries
+    // v1's +10) and the tombstones with their state at delete time
+    "sql_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |v2 AS (SELECT k, custkey, 'U2' AS status,
+        |       totalprice + 10.0 AS totalprice,
+        |       CAST(2 AS BIGINT) AS commit_ver, 'upsert' AS op
+        |       FROM base WHERE k % 9 = 0),
+        |tomb AS (SELECT k, custkey,
+        |         CASE WHEN k % 9 = 0 THEN 'U2' WHEN k % 3 = 0 THEN 'U1'
+        |              ELSE status END AS status,
+        |         CASE WHEN k % 3 = 0 THEN totalprice + 10.0
+        |              ELSE totalprice END AS totalprice,
+        |         CAST(3 AS BIGINT) AS commit_ver, 'delete' AS op
+        |         FROM base WHERE k % 17 = 0),
+        |feed AS (SELECT * FROM v2 UNION ALL SELECT * FROM tomb)
+        |SELECT k, custkey, status, totalprice, commit_ver, op FROM feed
+        |WHERE k % 5 = 0""".stripMargin,
 
     // v0 = base, t1 = the v1-only state (same clamp algebra as ls_asof_ts)
     "sql_asof" ->

@@ -126,10 +126,29 @@ class GraftSql(val spark: SparkSession) {
    * integral; both restrictions fail loud).
    */
   private def resolveTimeTravel(p: LogicalPlan): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedTableValuedFunction}
     import org.apache.spark.sql.catalyst.expressions.Literal
     var touched = false
     val out = p.transformUp {
+      // `FROM table_changes('t', from [, to])` — batch CDC as a table-
+      // valued function (the Delta table_changes shape): change events of
+      // the commits in (from, to] (default to = current version), same
+      // row shape as the streaming changeFeed; filters above compose into
+      // the pushed `_ver` range. Durable tables guard against re-stamped
+      // history (Catalog.changesBetween); in-session tables read direct.
+      case UnresolvedTableValuedFunction(Seq("table_changes"),
+          Literal(tn: org.apache.spark.unsafe.types.UTF8String, _) +: rest, _)
+          if isRegistered(tn.toString) && rest.length <= 2 &&
+            rest.forall { case Literal(_: Number, _) => true; case _ => false } =>
+        val name = tn.toString
+        touched = true
+        val longs = rest.map { case Literal(v: Number, _) => v.longValue }
+        val from = longs.headOption.getOrElse(0L)
+        val to = longs.lift(1).getOrElse(table(name).currentVersion)
+        val df = durable.get(name)
+          .map { case (c, t) => c.changesBetween(t, from, to) }
+          .getOrElse(table(name).changesBetween(from, to))
+        SubqueryAlias(name, Bridge.planOf(df))
       case RelationTimeTravel(r: UnresolvedRelation, ts, ver)
           if isRegistered(r.multipartIdentifier.last) =>
         val name = r.multipartIdentifier.last

@@ -291,6 +291,38 @@ class GraftSqlSpec extends SparkSpec {
     assert(g2.sql("SELECT k FROM t VERSION AS OF 0").count() === 3L)
   }
 
+  test("table_changes reads batch CDC events; re-stamped ranges fail loud") {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft_sql_tc_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("t", "k",
+      Seq((1L, 10L, "A", 100.0), (2L, 20L, "B", 200.0))
+        .toDF("k", "custkey", "status", "totalprice"))
+    cat.commit("t", graft.core.Txn.empty.update(col("k") === 1L,
+      Map("totalprice" -> (col("totalprice") + org.apache.spark.sql.functions.lit(1.0)))))
+    cat.commit("t", graft.core.Txn.empty.delete(col("k") === 2L))
+    val g = new GraftSql(spark).register("t", cat, "t")
+    def events(sql: String) = g.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // full feed (default upper bound = current version)
+    assert(events("SELECT k, commit_ver, op FROM table_changes('t', 0)") ===
+      Set((1L, 1L, "upsert"), (2L, 2L, "delete")))
+    // bounded range + a composed filter
+    assert(events(
+      "SELECT k, commit_ver, op FROM table_changes('t', 1, 2) WHERE k = 2") ===
+      Set((2L, 2L, "delete")))
+    // a physical rewrite re-stamps history: the pre-floor range must error
+    cat.foldTail("t")
+    val e = intercept[IllegalArgumentException](
+      g.sql("SELECT * FROM table_changes('t', 0)").collect())
+    assert(e.getMessage.contains("no longer addressable"))
+    // in-session tables read the feed directly
+    val g2 = fixture()
+    g2.sql("UPDATE t SET totalprice = totalprice + 1.0 WHERE k = 3")
+    assert(g2.sql("SELECT k, op FROM table_changes('t', 0)").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === Set((3L, "upsert")))
+  }
+
   test("CALL with named args and non-graft procedures") {
     val (g, _) = durableFixture()
     g.sql("CALL vacuum(tbl => 't', keep => 1)")  // unqualified + named args
