@@ -279,8 +279,8 @@ class GraftSql(val spark: SparkSession) {
   }
 
   private val procedures = Set("optimize", "compact", "vacuum", "purge",
-    "analyze", "refresh_mview", "clone", "create_bloom", "create_index",
-    "history")
+    "analyze", "refresh_mview", "create_mview", "clone", "create_bloom",
+    "create_index", "history")
 
   /**
    * MAINTENANCE through the SQL front door — Spark 4's stored-procedure
@@ -295,6 +295,7 @@ class GraftSql(val spark: SparkSession) {
    *   CALL graft.purge('t', 'k = 5')      hard erasure by predicate
    *   CALL graft.analyze('t', 'a', 'b')   NDV stats → returns (col, ndv)
    *   CALL graft.refresh_mview('v')       advance a materialized view
+   *   CALL graft.create_mview('v', 't', 'g', 'c')   define + build one
    *   CALL graft.clone('src', 'dst')      zero-copy shallow clone
    *   CALL graft.create_bloom('t', 'c')   bloom-filter index
    *   CALL graft.create_index('t', 'c')   sorted physical layout
@@ -313,7 +314,9 @@ class GraftSql(val spark: SparkSession) {
   private val procParams: Map[String, Seq[String]] = Map(
     "optimize" -> Seq("tbl"), "compact" -> Seq("tbl"),
     "vacuum" -> Seq("tbl", "keep"), "purge" -> Seq("tbl", "predicate"),
-    "refresh_mview" -> Seq("view"), "clone" -> Seq("src", "dst"),
+    "refresh_mview" -> Seq("view"),
+    "create_mview" -> Seq("view", "src", "group_col", "sum_col"),
+    "clone" -> Seq("src", "dst"),
     "create_bloom" -> Seq("tbl", "col"), "create_index" -> Seq("tbl", "col"),
     "history" -> Seq("tbl"))
 
@@ -390,6 +393,9 @@ class GraftSql(val spark: SparkSession) {
       case "refresh_mview" =>
         arity(1); val (cat, t) = durableOf(str(0))
         cat.refreshMaterializedView(t); refreshView(str(0)); done
+      case "create_mview" =>
+        arity(4); val (cat, srcT) = durableOf(str(1))
+        cat.createMaterializedView(str(0), srcT, str(2), str(3)); done
       case "clone" =>
         arity(2); val (cat, src) = durableOf(str(0))
         cat.cloneTable(src, str(1)); done

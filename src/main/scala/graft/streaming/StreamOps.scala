@@ -273,12 +273,20 @@ object StreamOps {
    * disable auto-compaction on tables with lagging consumers.
    */
   def changeFeed(spark: SparkSession, cat: graft.core.Catalog,
-                 table: String): DataFrame = {
+                 table: String,
+                 /** Emit only commits stamped ABOVE this version (the
+                   * Delta `startingVersion` knob) — a late-attaching
+                   * consumer skips history it already has; the predicate
+                   * composes into the incremental scan, so tail files
+                   * wholly at-or-below it footer-prune. 0 = everything
+                   * the tail holds. */
+                 startingVersion: Long = 0L): DataFrame = {
     import org.apache.spark.sql.functions.{col, when, lit}
     val s = streamSession(spark)
     val (tailDir, schema) = cat.changeFeedInfo(table)
     val dataCols = schema.fieldNames.filterNot(c => c == "_ver" || c == "_del")
     s.readStream.schema(schema).parquet(tailDir)
+      .where(col("_ver") > startingVersion)
       .select(dataCols.map(col) ++ Seq(
         col("_ver").as("commit_ver"),
         when(col("_del") === 1, lit("delete")).otherwise(lit("upsert"))

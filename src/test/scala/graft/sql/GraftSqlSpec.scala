@@ -195,7 +195,7 @@ class GraftSqlSpec extends SparkSpec {
 
   test("CALL graft.refresh_mview / create_bloom / clone drive the lifecycle") {
     val (g, cat) = durableFixture()
-    cat.createMaterializedView("v", "t", "status", "totalprice")
+    g.sql("CALL graft.create_mview('v', 't', 'status', 'totalprice')")
     g.register("v", cat, "v")
     g.sql("UPDATE t SET totalprice = totalprice + 10.0 WHERE k = 3")
     g.sql("CALL graft.refresh_mview('v')")

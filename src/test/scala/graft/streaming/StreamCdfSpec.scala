@@ -58,6 +58,16 @@ class StreamCdfSpec extends SparkSpec {
     assert(rows.toSet === Set((1L, 1L, "upsert"), (3L, 2L, "delete")))
   }
 
+  test("startingVersion skips already-known history for a late consumer") {
+    val (cat, t) = freshTable()
+    cat.commit(t, Txn.empty.delete(col("k") === 1L))
+    cat.commit(t, Txn.empty.insert(Seq((8L, 80L, "H")).toDF("k", "v", "s")))
+    val late = StreamOps.drainAppend(spark,
+      StreamOps.changeFeed(spark, cat, t, startingVersion = 1L))
+    assert(late.select("k", "commit_ver").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((8L, 2L)))
+  }
+
   test("feed attached before the first commit streams zero rows, then data") {
     val (cat, t) = freshTable()
     // changeFeedInfo creates the (empty) tail dir so the source can start
