@@ -589,6 +589,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("changesBetween pushes the version range to the scan (CDC prunes)") {
+    val wh = Files.createTempDirectory("graft_audit_cdc_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    cat.createTable("t", "k", rows)
+    cat.commit("t", graft.core.Txn.empty
+      .update(col("k") % 2 === 0, Map("price" -> (col("price") + 1.0))))
+    cat.commit("t", graft.core.Txn.empty.delete(col("k") % 7 === 0))
+    val plan = executedPlan(cat.changesBetween("t", 1, 2))
+    // the (from, to] range must reach parquet as pushed filters so tail
+    // files wholly outside it skip by footer min-max — the property that
+    // makes a CDC catch-up read commits, not the table
+    assert(plan.contains("GreaterThan(_ver,1)") &&
+      plan.contains("LessThanOrEqual(_ver,2)"),
+      s"expected the _ver range pushed to the scan:\n$plan")
+    // and no window/join: the feed is a stateless projection
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
+
   test("pipe_stratified ranks per (partition, stratum), never per stratum") {
     val df = SparkEntry.queries("pipe_stratified")(spark, sfDir)
     df.queryExecution.toRdd.count()
