@@ -61,7 +61,13 @@ object Bench {
       .map { case (name, fn) =>
       val (cold, steady) =
         try { val c = once(fn); (c, once(fn)) }
-        catch { case _: Throwable => (-1.0, -1.0) }
+        catch { case e: Throwable =>
+          // a crashed query records -1 — NEVER silently: a future red
+          // query must be unmissable next to its BENCH row
+          System.err.println(s"[bench] $name FAILED: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          (-1.0, -1.0)
+        }
       // Let the ContextCleaner reclaim dead localCheckpoint/shuffle blocks
       // between queries: at the 100× SF the iterative queries checkpoint
       // GBs that stay resident until their DataFrames are GC'd, and the

@@ -6,7 +6,7 @@ import java.util.ConcurrentModificationException
 import scala.util.Try
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -282,9 +282,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val hasTail = isDir(tailDir) && hasParquet(tailDir)
     // allowMissingColumns only when schema evolution is in play: files
     // written before an addColumn legitimately lack the added column (and
-    // read back null there — the Delta/Iceberg ADD COLUMN semantics); an
-    // un-evolved table keeps the strict union as a corruption guard.
-    val evolved = meta.addedCols.nonEmpty
+    // read back null there — the Delta/Iceberg ADD COLUMN semantics), and
+    // files written after a DROP legitimately lack the dropped physical
+    // column; an un-evolved table keeps the strict union as a corruption
+    // guard.
+    val evolved = isEvolved(meta)
     // an evolved table's tail can MIX pre- and post-evolve files; the
     // default parquet read infers the schema from ONE file (first in
     // listing order — random part-file UUIDs), which would silently drop
@@ -300,15 +302,19 @@ final class Catalog(spark: SparkSession, warehouse: String,
         base.unionByName(tail, allowMissingColumns = evolved)
       } else base
     // a column NO file carries yet exists only in metadata — materialize
-    // it at its declared type; then normalize column order to the schema
+    // it at its declared (physical) type; then map physical→logical
+    // (renames) and normalize column order to the schema — the one
+    // select that implements RENAME (aliasing) and DROP (omission)
+    // with zero data I/O
     val lineage0 = meta.addedCols.zip(meta.addedTypes)
       .filterNot { case (c, _) => unioned.columns.contains(c) }
       .foldLeft(unioned) { case (df, (c, t)) =>
         df.withColumn(c, lit(null).cast(t)) }
     val lineage =
       if (evolved)
-        lineage0.select((meta.columns ++ Seq(LineageTable.VER,
-          LineageTable.DEL)).map(col): _*)
+        lineage0.select(meta.columns.map(lc =>
+          col(physOf(meta, lc)).as(lc)) ++
+          Seq(LineageTable.VER, LineageTable.DEL).map(col): _*)
       else lineage0
     // With no tail AND a single-version base (multiVer records when a
     // vacuum left retained history in the base), every record has exactly
@@ -399,7 +405,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
     if (hasManifest(name)) {
       val files = readString(cloneManifestPath(name))
         .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      val r = if (meta.addedCols.nonEmpty)
+      val r = if (isEvolved(meta))
         spark.read.option("mergeSchema", "true") else spark.read
       r.parquet(files: _*)
     } else spark.read.parquet(baseDir(name).toString)
@@ -468,9 +474,32 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * present — an undersized bloom saturates and prunes nothing). The
     * options are per-write, so tail appends, compactions and re-stamps
     * all emit them and the layout survives every rewrite. */
+  /** True when any schema evolution is in play (added, renamed or
+    * dropped columns) — the flag that switches reads onto the
+    * schema-merging, column-mapping path. */
+  private def isEvolved(meta: Meta): Boolean =
+    meta.addedCols.nonEmpty || meta.renLogical.nonEmpty ||
+      meta.droppedPhys.nonEmpty
+
+  /** Physical file-column name of a logical column (identity unless
+    * renamed — the Delta column-mapping lookup). */
+  private def physOf(meta: Meta, logical: String): String =
+    meta.renLogical.indexOf(logical) match {
+      case i if i >= 0 => meta.renPhysical(i)
+      case _ => logical
+    }
+
   private def lineageWriter(rows: org.apache.spark.sql.DataFrame,
-                            meta: Meta): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
-    meta.bloomCols.foldLeft(rows.write) { (w, c) =>
+                            meta: Meta): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    // column mapping on the WRITE side: data files uniformly carry
+    // PHYSICAL names, whatever the logical schema has been renamed to —
+    // a rename never forks the on-disk column namespace
+    val mapped =
+      if (meta.renLogical.isEmpty) rows
+      else rows.select(meta.columns.map(lc =>
+        col(lc).as(physOf(meta, lc))) ++
+        Seq(LineageTable.VER, LineageTable.DEL).map(col): _*)
+    meta.bloomCols.foldLeft(mapped.write) { (w, c) =>
       val ndv = meta.statsCols.indexOf(c) match {
         case i if i >= 0 => meta.statsNdv(i)
         case _ => 100000L
@@ -478,6 +507,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
     }
+  }
 
   /** Append new lineage rows to the table's tail (reference: tail-page
     * append). Rows must carry the lineage schema (_ver/_del included). */
@@ -1473,17 +1503,43 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * partition-order-free, so the incremental and full-recompute paths
     * produce bit-identical state; a float accumulator would drift apart
     * refresh by refresh). */
-  private def mvAgg(rows: org.apache.spark.sql.DataFrame, g: String,
-                    sumCol: String): org.apache.spark.sql.DataFrame =
-    rows.groupBy(col(g))
-      .agg(count(lit(1)).as("n_rows"),
+  /** Measure column name: single-measure views keep the historical
+    * `cents` name (their oracles and routed rewrites depend on it);
+    * multi-measure views qualify per summed column. */
+  private def centsCol(sums: Seq[String], s: String): String =
+    if (sums.size == 1) "cents" else "cents_" + s
+
+  /** Injective composite-group key: each group value's string form,
+    * LENGTH-PREFIXED (`len:value`, `N` for NULL) and concatenated — the
+    * prefix makes parsing unambiguous for ANY value content (a plain
+    * separator could collide when values contain it), so two distinct
+    * group tuples can never share a key. Deterministic: Spark's
+    * cast-to-string is stable per type. */
+  private[core] def gkeyExpr(groups: Seq[String]): Column =
+    concat(groups.map { g =>
+      val s = col(g).cast("string")
+      when(s.isNull, lit("N"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }: _*)
+
+  private def mvAgg(rows: org.apache.spark.sql.DataFrame,
+                    groups: Seq[String],
+                    sums: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val measures = count(lit(1)).as("n_rows") +:
+      sums.map(sc =>
         // total over nulls: a group whose every value is NULL sums to
         // NULL declaratively, but the incremental path's long arithmetic
         // would rebuild it as 0 — pin 0 on EVERY path (create, full
         // recompute, differential) so the two can never drift (MviewSpec
         // covers the all-null group)
-        coalesce(sum(graft.functions.Exact.cents(col(sumCol))), lit(0L))
-          .as("cents"))
+        coalesce(sum(graft.functions.Exact.cents(col(sc))), lit(0L))
+          .as(centsCol(sums, sc)))
+    val agg = rows.groupBy(groups.map(col): _*)
+      .agg(measures.head, measures.tail: _*)
+    if (groups.size == 1) agg
+    else agg.select(gkeyExpr(groups).as("_gkey") +: groups.map(col) ++:
+      ("n_rows" +: sums.map(centsCol(sums, _))).map(col): _*)
+  }
 
   /**
    * Incrementally-maintained aggregate view (the warehouse feature a
@@ -1512,6 +1568,22 @@ final class Catalog(spark: SparkSession, warehouse: String,
    */
   def createMaterializedView(view: String, src: String, groupCol: String,
                              sumCol: String): LineageTable =
+    createMaterializedView(view, src, Seq(groupCol), Seq(sumCol))
+
+  /**
+   * General form: COMPOSITE group keys and MULTIPLE measures. The view's
+   * schema is `(groupCols..., n_rows, cents[_sumCol]...)` — one exact
+   * cents sum per measure (single-measure views keep the historical
+   * `cents` column name). A single group column is the view's lineage
+   * key directly; a composite group keys on `_gkey`, an injective
+   * length-prefixed encoding of the group tuple ([[gkeyExpr]]), stored
+   * alongside the readable group columns. The differential algebra is
+   * identical in every arity — adjustments are per-measure long deltas,
+   * merged per group key.
+   */
+  def createMaterializedView(view: String, src: String,
+                             groupCols: Seq[String],
+                             sumCols: Seq[String]): LineageTable =
     lock(view).synchronized {
       require(!metaExists(view), s"table $view already exists")
       // source epoch read BEFORE the state: if a rewrite lands between the
@@ -1519,13 +1591,20 @@ final class Catalog(spark: SparkSession, warehouse: String,
       // the conservative full-recompute path — never the wrong delta
       val srcEpoch = readMeta(src).epoch
       val st = getTable(src)
-      require(st.dataCols.contains(groupCol) && st.dataCols.contains(sumCol)
-          && groupCol != sumCol,
-        s"view needs distinct source columns, got group=$groupCol sum=$sumCol")
-      createTable(view, groupCol, mvAgg(st.snapshot, groupCol, sumCol))
+      require(groupCols.nonEmpty && sumCols.nonEmpty,
+        "view needs at least one group column and one measure")
+      require(groupCols.distinct == groupCols && sumCols.distinct == sumCols,
+        s"duplicate columns in view definition: " +
+          s"group=${groupCols.mkString(",")} sum=${sumCols.mkString(",")}")
+      require((groupCols ++ sumCols).forall(st.dataCols.contains) &&
+          groupCols.intersect(sumCols).isEmpty,
+        s"view needs distinct source columns, got " +
+          s"group=${groupCols.mkString(",")} sum=${sumCols.mkString(",")}")
+      val key = if (groupCols.size == 1) groupCols.head else "_gkey"
+      createTable(view, key, mvAgg(st.snapshot, groupCols, sumCols))
       writeMeta(view, readMeta(view).copy(
-        mvSrc = Some(src), mvSum = Some(sumCol), mvSeq = st.opSeq,
-        mvEpoch = srcEpoch))
+        mvSrc = Some(src), mvSums = sumCols, mvGroups = groupCols,
+        mvSeq = st.opSeq, mvEpoch = srcEpoch))
       getTable(view)
     }
 
@@ -1561,57 +1640,90 @@ final class Catalog(spark: SparkSession, warehouse: String,
       val vm = readMeta(view)
       val src = vm.mvSrc.getOrElse(throw new IllegalArgumentException(
         s"requirement failed: $view is not a materialized view"))
-      val sumCol = vm.mvSum.get
-      val g = vm.key
+      val sums = vm.mvSums
+      val groups = if (vm.mvGroups.nonEmpty) vm.mvGroups else Seq(vm.key)
+      val composite = groups.size > 1
+      val cents = sums.map(centsCol(sums, _))
+      val measures = "n_rows" +: cents
       val srcMeta = readMeta(src)
       val st = getTable(src)
       val newSeq = st.opSeq
       val fromSeq = vm.mvSeq
       val sameEpoch = srcMeta.epoch == vm.mvEpoch
-      if (newSeq == fromSeq && sameEpoch) return getTable(view)
+      // LOST-REFRESH detection (ADVICE r8): the last refresh recorded the
+      // view op_seq its adjustment rows were stamped with; the
+      // meta-before-rows write order means a crash inside that refresh
+      // can advance mv_seq while the rows never landed — without this
+      // probe every later refresh would no-op against the advanced
+      // mv_seq and the view would silently diverge FOREVER. The probe is
+      // one pushed-predicate existence scan of the newest tail stamp
+      // (footer min-max prunes every older file); a refresh that
+      // legitimately appended nothing (all adjustments netted zero) can
+      // false-positive here once, costing one conservative full
+      // recompute — divergence-safe in both directions.
+      val lastLanded = vm.mvLastVer < 0 ||
+        getTable(view).lineage
+          .where(col(LineageTable.VER) === vm.mvLastVer).limit(1)
+          .take(1).nonEmpty
+      if (newSeq == fromSeq && sameEpoch && lastLanded) return getTable(view)
       // incremental only while the source history at mv_seq is still
       // addressable: any physical re-stamp bumps the source epoch
       // (op_seq alone cannot reveal a saveCompacted clock reset). The
       // post-read epoch check closes the read race — a rewrite landing
       // between the meta read and the state read would otherwise hand
       // the delta derivation a re-stamped lineage under the old epoch.
-      val incremental = sameEpoch && fromSeq >= srcMeta.tailFloor &&
+      val incremental = sameEpoch && lastLanded &&
+        fromSeq >= srcMeta.tailFloor &&
         newSeq > fromSeq && readMeta(src).epoch == srcMeta.epoch
       val txn =
         if (!incremental)
-          Txn.empty.delete(lit(true)).insert(mvAgg(st.snapshot, g, sumCol))
+          Txn.empty.delete(lit(true)).insert(mvAgg(st.snapshot, groups, sums))
         else {
           val keys = st.lineage
             .where(col(LineageTable.VER) > fromSeq)
             .select(col(st.keyCol).as("_match_key")).distinct()
-          val o = mvAgg(st.asOfVersionKeys(fromSeq, keys), g, sumCol)
-            .select(col(g).as("_og"), col("n_rows").as("_on"),
-              col("cents").as("_oc"))
-          val n = mvAgg(st.probeWithCandidates(keys, lit(true)), g, sumCol)
-            .select(col(g).as("_ng"), col("n_rows").as("_nn"),
-              col("cents").as("_nc"))
+          def pre(side: String)(d: org.apache.spark.sql.DataFrame) =
+            d.select(groups.map(g => col(g).as(s"_${side}_$g")) ++
+              measures.map(m => col(m).as(s"_${side}_$m")): _*)
+          val o = pre("o")(mvAgg(st.asOfVersionKeys(fromSeq, keys), groups, sums))
+          val n = pre("n")(mvAgg(st.probeWithCandidates(keys, lit(true)), groups, sums))
           // group-migrating updates contribute to BOTH sides of the full
-          // outer join: minus on the old group, plus on the new one
-          val adj = n.join(o, col("_ng") <=> col("_og"), "full_outer")
-            .select(coalesce(col("_ng"), col("_og")).as(g),
-              (coalesce(col("_nn"), lit(0L)) - coalesce(col("_on"), lit(0L)))
-                .as("_dn"),
-              (coalesce(col("_nc"), lit(0L)) - coalesce(col("_oc"), lit(0L)))
-                .as("_dc"))
-            .where(col("_dn") =!= 0 || col("_dc") =!= 0)
+          // outer join: minus on the old group, plus on the new one.
+          // Composite groups join on every group column null-safely —
+          // same algebra, wider key.
+          val on = groups.map(g => col(s"_n_$g") <=> col(s"_o_$g"))
+            .reduce(_ && _)
+          def delta(m: String): Column =
+            coalesce(col(s"_n_$m"), lit(0L)) - coalesce(col(s"_o_$m"), lit(0L))
+          val adj = n.join(o, on, "full_outer")
+            .select(groups.map(g =>
+                coalesce(col(s"_n_$g"), col(s"_o_$g")).as(g)) ++
+              measures.map(m => delta(m).as(s"_d_$m")): _*)
+            .where(measures.map(m => col(s"_d_$m") =!= 0).reduce(_ || _))
+          // the view's own current rows for the touched groups, probed by
+          // the view's lineage key (the group column itself, or _gkey for
+          // composite groups — re-derived from the adjustment's columns)
+          val adjKeyed =
+            if (composite) adj.withColumn("_gkey", gkeyExpr(groups))
+            else adj
+          val viewKey = if (composite) "_gkey" else groups.head
           val cur = getTable(view)
-            .probeWithCandidates(adj.select(col(g).as("_match_key")), lit(true))
-            .select(col(g).as("_vg"), col("n_rows").as("_vn"),
-              col("cents").as("_vc"))
-          val merged = adj.join(cur, col(g) <=> col("_vg"), "left_outer")
-            .select(col(g),
-              (coalesce(col("_vn"), lit(0L)) + col("_dn")).as("n_rows"),
-              (coalesce(col("_vc"), lit(0L)) + col("_dc")).as("cents"))
-          Txn.empty.mergeInto(merged, Seq("n_rows", "cents"),
+            .probeWithCandidates(
+              adjKeyed.select(col(viewKey).as("_match_key")), lit(true))
+            .select(col(viewKey).as("_vk") +:
+              measures.map(m => col(m).as(s"_v_$m")): _*)
+          val merged = adjKeyed.join(cur, col(viewKey) <=> col("_vk"),
+              "left_outer")
+            .select((if (composite) col("_gkey") +: groups.map(col)
+                     else groups.map(col)) ++
+              measures.map(m =>
+                (coalesce(col(s"_v_$m"), lit(0L)) + col(s"_d_$m")).as(m)): _*)
+          Txn.empty.mergeInto(merged, measures,
             deleteWhen = Some(col("n_rows") === 0L))
         }
       tryCommitMeta(view, txn, vm.opSeq, None, None,
-        _.copy(mvSeq = newSeq, mvEpoch = srcMeta.epoch))
+        m => m.copy(mvSeq = newSeq, mvEpoch = srcMeta.epoch,
+          mvLastVer = m.opSeq))
         .fold(e => throw e, identity)
     }
 
@@ -1625,15 +1737,41 @@ final class Catalog(spark: SparkSession, warehouse: String,
    * zero data I/O — the lookup a query-rewrite front door
    * ([[graft.sql.GraftSql]]) runs per candidate statement.
    */
-  def currentViewOf(src: String, groupCol: String): Option[(String, String)] = {
+  def currentViewOf(src: String, groupCol: String): Option[(String, String)] =
+    currentViewFor(src, Seq(groupCol))
+      .collect { case (n, Seq(s), _) => (n, s) }
+
+  /** General form: the view answering an aggregate grouped by EXACTLY
+    * `groupCols` (as a set — `GROUP BY a, b` ≡ `GROUP BY b, a`), if one
+    * exists and is current. Returns (view name, summed columns in
+    * definition order, measure column name per summed column). */
+  def currentViewFor(src: String, groupCols: Seq[String])
+      : Option[(String, Seq[String], Map[String, String])] = {
     val sm = readMeta(src)
+    val want = groupCols.toSet
     tableNames.iterator
       .map(n => (n, Try(readMeta(n)).toOption))
       .collectFirst { case (n, Some(m))
-          if m.mvSrc.contains(src) && m.key == groupCol &&
-            m.mvSum.isDefined && m.mvSeq == sm.opSeq &&
+          if m.mvSrc.contains(src) &&
+            (if (m.mvGroups.nonEmpty) m.mvGroups.toSet else Set(m.key))
+              == want &&
+            m.mvSums.nonEmpty && m.mvSeq == sm.opSeq &&
             m.mvEpoch == sm.epoch =>
-        (n, m.mvSum.get) }
+        (n, m.mvSums,
+          m.mvSums.map(s => s -> centsCol(m.mvSums, s)).toMap) }
+  }
+
+  /** The `startingVersion` equivalent of a wall-clock
+    * `startingTimestamp` ([[graft.streaming.StreamOps.changeFeed]]):
+    * the newest LOGGED commit version stamped STRICTLY BEFORE `ts` —
+    * feeding it into the `_ver > v` predicate starts the feed at the
+    * first logged commit at-or-after `ts` (Delta's startingTimestamp
+    * contract). 0 when `ts` precedes the whole log: the feed starts at
+    * the tail's beginning. Metadata-only, zero data I/O. */
+  def versionBefore(name: String, ts: Long): Long = {
+    val m = readMeta(name)
+    m.commitVers.zip(m.commitTs)
+      .filter(_._2 < ts).map(_._1).lastOption.getOrElse(0L)
   }
 
   /** [[LineageTable.changesBetween]] with the re-stamp guard: a physical
@@ -1680,11 +1818,131 @@ final class Catalog(spark: SparkSession, warehouse: String,
         s"$column: leading-underscore names are reserved for lineage internals")
       // and an unparseable type name would fail the null-fill cast
       org.apache.spark.sql.types.DataType.fromDDL(tpe)
+      // a logical name whose PHYSICAL slot is already taken in old files
+      // (a dropped column's retired name, or the physical side of a live
+      // rename) maps to a FRESH physical name — without this, re-adding
+      // a dropped column would resurrect every value the drop retired
+      val taken = (meta.droppedPhys ++ meta.renPhysical ++
+        meta.columns.map(c => physOf(meta, c)) ++ meta.addedCols).toSet
+      val phys =
+        if (!taken.contains(column)) column
+        else Iterator.from(1).map(i => s"${column}_r$i")
+          .find(p => !taken.contains(p)).get
+      val (rl, rp) =
+        if (phys == column) (meta.renLogical, meta.renPhysical)
+        else (meta.renLogical :+ column, meta.renPhysical :+ phys)
       writeMeta(name, meta.copy(columns = meta.columns :+ column,
-        addedCols = meta.addedCols :+ column,
-        addedTypes = meta.addedTypes :+ tpe))
+        addedCols = meta.addedCols :+ phys,
+        addedTypes = meta.addedTypes :+ tpe,
+        renLogical = rl, renPhysical = rp))
       getTable(name)
     } }
+
+  /**
+   * DROP COLUMN — metadata-only, the Delta column-mapping shape: the
+   * logical schema loses the column NOW; no data file is touched (at
+   * 100 TB a rewriting drop is a full-warehouse write). Old files keep
+   * the retired physical column but no read selects it, new files are
+   * written without it, and the physical name is RETIRED
+   * (`dropped_phys`) so a later re-ADD of the same logical name maps to
+   * a fresh physical slot — the dropped values can never resurrect
+   * (EvolveSpec pins it). Physical rewrites (compaction/vacuum) bake
+   * the drop in as they rewrite. Load-bearing columns refuse to drop:
+   * the lineage key, CHECK-constraint references, index/projection/
+   * bloom layout columns, and columns a materialized view aggregates —
+   * the Delta rule (drop the dependent first), because a silent break
+   * would surface as a failed commit far from its cause.
+   */
+  def dropColumn(name: String, column: String): LineageTable =
+    lock(name).synchronized { withCommitMarker(name) {
+      val meta = readMeta(name)
+      require(meta.columns.contains(column), s"$name has no column $column")
+      requireNotLoadBearing(name, meta, column)
+      val phys = physOf(meta, column)
+      val ai = meta.addedCols.indexOf(phys)
+      val (ac, at) =
+        if (ai >= 0) (meta.addedCols.patch(ai, Nil, 1),
+          meta.addedTypes.patch(ai, Nil, 1))
+        else (meta.addedCols, meta.addedTypes)
+      val ri = meta.renLogical.indexOf(column)
+      val (rl, rp) =
+        if (ri >= 0) (meta.renLogical.patch(ri, Nil, 1),
+          meta.renPhysical.patch(ri, Nil, 1))
+        else (meta.renLogical, meta.renPhysical)
+      writeMeta(name, meta.copy(
+        columns = meta.columns.filterNot(_ == column),
+        addedCols = ac, addedTypes = at,
+        renLogical = rl, renPhysical = rp,
+        droppedPhys = (meta.droppedPhys :+ phys).distinct))
+      getTable(name)
+    } }
+
+  /**
+   * RENAME COLUMN — metadata-only column mapping (the Delta
+   * `ALTER TABLE RENAME COLUMN` semantics): the logical name changes,
+   * the physical file column does not — reads alias physical→logical
+   * ([[assembleTable]]), writes map back ([[lineageWriter]]), so every
+   * old file serves the new name with zero I/O and every new file stays
+   * physically consistent with the old ones. History reads carry the
+   * renamed schema across pre-rename versions (schema is table-level,
+   * not versioned). Same load-bearing guards as [[dropColumn]].
+   */
+  def renameColumn(name: String, from: String, to: String): LineageTable =
+    lock(name).synchronized { withCommitMarker(name) {
+      val meta = readMeta(name)
+      require(meta.columns.contains(from), s"$name has no column $from")
+      require(!meta.columns.contains(to), s"$name already has column $to")
+      require(!to.startsWith("_"),
+        s"$to: leading-underscore names are reserved for lineage internals")
+      checked(to)
+      requireNotLoadBearing(name, meta, from)
+      val phys = physOf(meta, from)
+      val ri = meta.renLogical.indexOf(from)
+      val (rl0, rp0) =
+        if (ri >= 0) (meta.renLogical.patch(ri, Nil, 1),
+          meta.renPhysical.patch(ri, Nil, 1))
+        else (meta.renLogical, meta.renPhysical)
+      // renaming BACK onto the physical name dissolves the mapping
+      val (rl, rp) =
+        if (phys == to) (rl0, rp0) else (rl0 :+ to, rp0 :+ phys)
+      writeMeta(name, meta.copy(
+        columns = meta.columns.map(c => if (c == from) to else c),
+        renLogical = rl, renPhysical = rp))
+      getTable(name)
+    } }
+
+  /** Reject dropping/renaming a column something else addresses by name:
+    * the key (structural), CHECK constraints, the physical layout
+    * (index/projections/blooms — their maintenance and probes name the
+    * column), and materialized views aggregating this table. */
+  private def requireNotLoadBearing(name: String, meta: Meta,
+                                    column: String): Unit = {
+    require(column != meta.key,
+      s"$name: $column is the lineage key — structural, not evolvable")
+    constraintPairs(meta).foreach { case (cn, ex) =>
+      val refs = org.apache.spark.sql.graft.Bridge.parseExpression(spark, ex)
+        .collect { case a: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => a.nameParts.last }
+      require(!refs.contains(column),
+        s"$name: constraint $cn references $column — drop the constraint first")
+    }
+    require(!meta.index.contains(column),
+      s"$name: $column is the index layout column — dropIndex first")
+    require(!meta.projCols.contains(column),
+      s"$name: $column has a projection — dropProjection first")
+    require(!meta.bloomCols.contains(column),
+      s"$name: $column carries bloom filters — recreate the table layout first")
+    tableNames.foreach { n =>
+      Try(readMeta(n)).foreach { m =>
+        if (m.mvSrc.contains(name)) {
+          val used = (if (m.mvGroups.nonEmpty) m.mvGroups
+                      else Seq(m.key)) ++ m.mvSums
+          require(!used.contains(column),
+            s"$name: materialized view $n aggregates $column — drop the view first")
+        }
+      }
+    }
+  }
 
   // ------------------------------------------------------ CHECK constraints
 
@@ -1821,11 +2079,28 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * crash leftover ([[healLeftoverTail]]). */
                           tailFloor: Long = 0,
                           /** Columns added by [[addColumn]] after creation,
-                            * with their declared types (parallel seqs):
-                            * files written before the add lack the column
-                            * and read back as null ([[getTable]] fill). */
+                            * with their declared types (parallel seqs,
+                            * PHYSICAL names): files written before the add
+                            * lack the column and read back as null
+                            * ([[getTable]] fill). */
                           addedCols: Seq[String] = Nil,
                           addedTypes: Seq[String] = Nil,
+                          /** COLUMN MAPPING ([[renameColumn]], the Delta
+                            * column-mapping shape): logical name →
+                            * physical file-column name, parallel seqs;
+                            * only renamed columns appear. Writes map
+                            * logical→physical ([[lineageWriter]]), reads
+                            * map back ([[assembleTable]]) — no data file
+                            * is ever rewritten for a rename. */
+                          renLogical: Seq[String] = Nil,
+                          renPhysical: Seq[String] = Nil,
+                          /** Physical columns retired by [[dropColumn]]:
+                            * old files still carry them (metadata-only
+                            * drop); a later re-ADD of the same logical
+                            * name maps to a FRESH physical name so the
+                            * dropped column's values can never
+                            * resurrect. */
+                          droppedPhys: Seq[String] = Nil,
                           /** Columns with a maintained (column, key)
                             * projection side table ([[createProjection]]):
                             * commit appends deltas, compaction rebuilds. */
@@ -1885,15 +2160,28 @@ final class Catalog(spark: SparkSession, warehouse: String,
                           conExprs: Seq[String] = Nil,
                           /** Materialized-view definition
                             * ([[createMaterializedView]]): the source
-                            * table + summed column (the group column IS
-                            * this table's key), and the source op_seq
-                            * this view is current AT — advanced
-                            * atomically with each refresh commit (same
-                            * meta write), so a crashed refresh can never
-                            * double-apply its adjustments. */
+                            * table + summed columns + group columns
+                            * (a single-column group IS this table's key;
+                            * composite groups key on the synthesized
+                            * `_gkey`), and the source op_seq this view is
+                            * current AT — advanced atomically with each
+                            * refresh commit (same meta write), so a
+                            * crashed refresh can never double-apply its
+                            * adjustments. */
                           mvSrc: Option[String] = None,
-                          mvSum: Option[String] = None,
+                          mvSums: Seq[String] = Nil,
+                          mvGroups: Seq[String] = Nil,
                           mvSeq: Long = -1L,
+                          /** The view op_seq whose adjustment rows the
+                            * LAST refresh appended (−1 before any
+                            * refresh): meta-before-rows means a crash
+                            * inside a refresh can advance `mv_seq` with
+                            * the rows absent — the next refresh probes
+                            * for rows at this stamp and falls back to a
+                            * full recompute when they never landed,
+                            * instead of silently serving a diverged
+                            * view forever (ADVICE r8). */
+                          mvLastVer: Long = -1L,
                           /** Incremented by EVERY physical re-stamp
                             * (fold/vacuum/purge/saveCompacted). op_seq
                             * alone cannot reveal a rewrite — saveCompacted
@@ -1969,6 +2257,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
       s""""index": $idx, "op_seq": ${m.opSeq}, "multi_ver": ${m.multiVer}, """ +
       s""""tail_floor": ${m.tailFloor}, """ +
       s""""added_cols": [$ac], "added_types": [$at], "proj_cols": [$pc], """ +
+      s""""ren_logical": [${m.renLogical.map(c => "\"" + checked(c) + "\"")
+        .mkString(", ")}], """ +
+      s""""ren_physical": [${m.renPhysical.map(c => "\"" + checked(c) + "\"")
+        .mkString(", ")}], """ +
+      s""""dropped_phys": [${m.droppedPhys.map(c => "\"" + checked(c) + "\"")
+        .mkString(", ")}], """ +
       s""""commit_vers": [$cv], "commit_ts": [$ct], """ +
       s""""stream_apps": [$sa], "stream_batches": [$sb], """ +
       s""""stats_cols": [${m.statsCols.map(c => "\"" + checked(c) + "\"")
@@ -1982,8 +2276,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
       s""""con_exprs": [${m.conExprs.map(e => "\"" + checked(e) + "\"")
         .mkString(", ")}], """ +
       s""""mv_src": ${m.mvSrc.map(v => "\"" + checked(v) + "\"").getOrElse("null")}, """ +
-      s""""mv_sum": ${m.mvSum.map(v => "\"" + checked(v) + "\"").getOrElse("null")}, """ +
-      s""""mv_seq": ${m.mvSeq}, "epoch": ${m.epoch}, "mv_epoch": ${m.mvEpoch}, """ +
+      s""""mv_sums": [${m.mvSums.map(v => "\"" + checked(v) + "\"")
+        .mkString(", ")}], """ +
+      s""""mv_groups": [${m.mvGroups.map(v => "\"" + checked(v) + "\"")
+        .mkString(", ")}], """ +
+      s""""mv_seq": ${m.mvSeq}, "mv_last_ver": ${m.mvLastVer}, """ +
+      s""""epoch": ${m.epoch}, "mv_epoch": ${m.mvEpoch}, """ +
       s""""bloom_cols": [${m.bloomCols.map(c => "\"" + checked(c) + "\"")
         .mkString(", ")}]}"""
   }
@@ -2045,22 +2343,26 @@ final class Catalog(spark: SparkSession, warehouse: String,
       .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
     val mvSrc = "\"mv_src\"\\s*:\\s*\"([^\"]+)\"".r
       .findFirstMatchIn(json).map(_.group(1))
-    val mvSum = "\"mv_sum\"\\s*:\\s*\"([^\"]+)\"".r
-      .findFirstMatchIn(json).map(_.group(1))
     val mvSeq = "\"mv_seq\"\\s*:\\s*(-?\\d+)".r
+      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
+    val mvLastVer = "\"mv_last_ver\"\\s*:\\s*(-?\\d+)".r
       .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
     val epoch = "\"epoch\"\\s*:\\s*(-?\\d+)".r
       .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
     val mvEpoch = "\"mv_epoch\"\\s*:\\s*(-?\\d+)".r
       .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
     Meta(key, cols, idx, seq, mv, floor,
-      strList("added_cols"), strList("added_types"), strList("proj_cols"),
+      strList("added_cols"), strList("added_types"),
+      strList("ren_logical"), strList("ren_physical"),
+      strList("dropped_phys"),
+      strList("proj_cols"),
       numList("commit_vers"), numList("commit_ts"),
       strList("stream_apps"), numList("stream_batches"),
       strList("stats_cols"), numList("stats_ndv"), sRows,
       numList("snaps"), dropped,
       strList("con_names"), strList("con_exprs"),
-      mvSrc, mvSum, mvSeq, epoch, mvEpoch,
+      mvSrc, strList("mv_sums"), strList("mv_groups"), mvSeq, mvLastVer,
+      epoch, mvEpoch,
       strList("bloom_cols"))
   }
 

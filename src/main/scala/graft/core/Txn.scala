@@ -14,7 +14,7 @@ import scala.util.{Failure, Success, Try}
  * construction, no record locks needed (reference: lstore/table.py:57's 2PL
  * lock table becomes a single-writer append discipline per table).
  */
-final class Txn private (ops: Vector[LineageTable => LineageTable]) {
+final class Txn private (private val ops: Vector[LineageTable => LineageTable]) {
 
   /** Queue an operation (reference: Transaction.add_query). */
   def add(op: LineageTable => LineageTable): Txn = new Txn(ops :+ op)
@@ -31,6 +31,11 @@ final class Txn private (ops: Vector[LineageTable => LineageTable]) {
   def mergeInto(source: org.apache.spark.sql.DataFrame, updateCols: Seq[String],
                 deleteWhen: Option[org.apache.spark.sql.Column] = None): Txn =
     add(_.mergeInto(source, updateCols, deleteWhen))
+
+  /** Sequential composition: this transaction's ops, then `other`'s —
+    * how a multi-statement SQL transaction accumulates per-table work
+    * ([[graft.sql.GraftSql]] BEGIN..COMMIT) into ONE atomic commit. */
+  def andThen(other: Txn): Txn = new Txn(ops ++ other.ops)
 
   /** Apply all queued ops; the input table is untouched (commit = adopt result). */
   def commit(table: LineageTable): LineageTable = ops.foldLeft(table)((t, op) => op(t))

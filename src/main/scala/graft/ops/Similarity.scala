@@ -87,11 +87,13 @@ object Similarity {
    *   invisible at nProbe=1 and found at nProbe=2 (SimilaritySpec plants
    *   exactly that and pins the strict recall improvement).
    *
-   * Scale: assignment is one broadcast + narrow argmax over the corpus
-   * (no shuffle beyond the bucket-ranking window, which partitions by
-   * query); the centroid set stays driver-small by construction, and the
-   * probe fan-out multiplies only the broadcast side (nProbe rows per
-   * query), never the corpus scan.
+   * Scale: assignment is a map-only native argmax over the corpus scan —
+   * ZERO Exchange on the corpus side until the candidate rows (already
+   * stripped to (qid, cid, vec_id, dot) — no embeddings) enter the
+   * per-query ranking window, which partitions by query. The centroid
+   * set stays driver-small by construction, and the probe fan-out
+   * multiplies only the broadcast side (nProbe rows per query), never
+   * the corpus scan. PlanAudit pins the no-corpus-Exchange shape.
    */
   def ivfBuildProbe(corpus: DataFrame, queries: DataFrame, k: Int,
                     nCentroids: Int = 16, nProbe: Int = 1,
@@ -99,10 +101,13 @@ object Similarity {
     val cents =
       if (trainIters > 0) trainedCentroids(corpus, nCentroids, trainIters)
       else seedCentroids(corpus, nCentroids)
-    val bucketed = assignToCentroids(corpus, cents, "vec_id")
-    val routed = probeCentroids(
+    // ONE driver collect (C×D floats) feeds both the corpus assignment and
+    // the query routing — the centroid scan runs once, not once per use
+    val cs = collectCentroids(cents)
+    val bucketed = assignWith(corpus, cs)
+    val routed = probeWith(
         queries.select(col("qid").as("vec_id"), col("qe").as("embedding")),
-        cents, "vec_id", nProbe)
+        cs, nProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
               col("cid").as("qcid"))
     // every corpus vector lives in exactly ONE bucket (argmax assignment),
@@ -117,15 +122,21 @@ object Similarity {
       .where(col("rnk") <= k)
   }
 
-  /** Deterministic seed centroids: the nCentroids lowest vec_ids,
-    * broadcast-small by construction. */
+  /** Deterministic seed centroids: the nCentroids lowest vec_ids —
+    * driver-small by construction (the set is collected and embedded in
+    * the native assignment expression, never joined, so no broadcast
+    * hint). */
   def seedCentroids(corpus: DataFrame, nCentroids: Int): DataFrame =
-    broadcast(corpus.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    corpus.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
-  /** Nearest-centroid assignment: broadcast the centroid set, per-row
-    * argmax of the exact fixed-order dot (ties break to the lowest cid) —
-    * one narrow pass over the corpus plus the per-id argmax window. */
+  /** Nearest-centroid assignment: per-row native argmax of the exact
+    * fixed-order dot over the driver-collected centroid set (ties break
+    * to the lowest cid) — ONE map-only pass over the corpus, zero
+    * Exchange ([[graft.functions.NearestCentroids]]). The window-ranked
+    * predecessor shuffled the whole corpus (embedding payloads included)
+    * through an Exchange hash-partitioned on the row id, once per
+    * assignment pass — once per Lloyd iteration when training. */
   def assignToCentroids(df: DataFrame, cents: DataFrame,
                         idCol: String): DataFrame =
     probeCentroids(df, cents, idCol, nProbe = 1)
@@ -133,18 +144,33 @@ object Similarity {
   /** The `nProbe` nearest centroids per row (rank ≤ nProbe by dot desc,
     * cid-asc tiebreak) — [[assignToCentroids]] is nProbe = 1; query
     * routing in [[ivfBuildProbe]] uses nProbe ≥ 1 as the recall knob.
-    * Emits one row per (id, probed centroid). */
+    * Emits one row per (id, probed centroid). `idCol` is retained for
+    * call-shape compatibility; the native argmax needs no partitioning
+    * column. */
   def probeCentroids(df: DataFrame, cents: DataFrame, idCol: String,
-                     nProbe: Int): DataFrame = {
+                     nProbe: Int): DataFrame =
+    probeWith(df, collectCentroids(cents), nProbe)
+
+  /** Driver-side centroid materialization: (cid, vector) pairs,
+    * cid-ascending. The set is C×D floats BY CONSTRUCTION (seeded from
+    * nCentroids rows or Lloyd-updated through a C×D stats collect) —
+    * never corpus-sized, so the collect is a metadata-scale job. */
+  def collectCentroids(cents: DataFrame): Seq[(Long, Array[Float])] =
+    cents.select(col("cid"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+
+  private def probeWith(df: DataFrame, cs: Seq[(Long, Array[Float])],
+                        nProbe: Int): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cdot").desc, col("cid").asc)
-    df.crossJoin(cents)
-      .withColumn("cdot", dot(col("ce"), df("embedding")))
-      .withColumn("crn", row_number().over(w))
-      .where(col("crn") <= nProbe)
-      .drop("ce", "cdot", "crn")
+    df.withColumn("cid",
+      explode(graft.functions.NearestCentroids.nearest(
+        col("embedding"), cs, nProbe)))
   }
+
+  private def assignWith(df: DataFrame,
+                         cs: Seq[(Long, Array[Float])]): DataFrame =
+    probeWith(df, cs, nProbe = 1)
 
   /**
    * Per-group centroid statistics in long format (group, dim) — the UPDATE
@@ -187,8 +213,9 @@ object Similarity {
    * driver between rounds is the correct distributed shape — the set is
    * C×D floats by construction (never corpus-sized), while the per-round
    * corpus work stays exactly [[assignToCentroids]] + [[centroidStats]]:
-   * one broadcast, one argmax, one aggregation shuffle, per iteration.
-   * Returns the final (vec_id, cid) assignment.
+   * one map-only argmax pass plus one aggregation shuffle of
+   * (cid, dim, long) triples, per iteration. Returns the final
+   * (vec_id, cid) assignment.
    */
   def kmeansIterate(corpus: DataFrame, nCentroids: Int = 10,
                     iters: Int = 2): DataFrame = {
@@ -219,7 +246,7 @@ object Similarity {
     val updated = stats.groupBy(_.getLong(0)).map { case (cid, rs) =>
       (cid, rs.sortBy(_.getLong(1)).toSeq.map(r => (r.getDouble(2) / 1e6).toFloat))
     }
-    broadcast((prev ++ updated).toSeq.sortBy(_._1).toDF("cid", "ce"))
+    (prev ++ updated).toSeq.sortBy(_._1).toDF("cid", "ce")
   }
 
   /**

@@ -188,6 +188,34 @@ object CoreQueries {
     scala.collection.concurrent.TrieMap.empty[String, LineageTable]
 
   /**
+   * Full schema-evolution lifecycle fixture (ADD + RENAME + DROP COLUMN,
+   * all metadata-only — the Delta column-mapping family), driven through
+   * the SQL front door's ALTER TABLE statements: a column is added and
+   * populated, `totalprice` is RENAMED to `price` (old files keep
+   * serving under the new name — zero I/O), writes continue against the
+   * new name, and `status` is DROPPED (files untouched, the physical
+   * column retired so a re-add could never resurrect it). The final read
+   * mixes pre-evolve files, post-add files and post-rename files in one
+   * tail.
+   */
+  def evolveDropOrders(spark: SparkSession, sfDir: String): LineageTable =
+    evolveDropCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_evd_wh_")
+      val cat = new Catalog(spark, wh, autoCompact = false)
+      cat.createTable("orders_ed", "k", baseOrders(spark, sfDir))
+      val g = new graft.sql.GraftSql(spark).register("orders_ed", cat, "orders_ed")
+      g.sql("ALTER TABLE orders_ed ADD COLUMN priority BIGINT")
+      g.sql("UPDATE orders_ed SET priority = custkey % 5 WHERE k % 4 = 0")
+      g.sql("ALTER TABLE orders_ed RENAME COLUMN totalprice TO price")
+      g.sql("UPDATE orders_ed SET price = price + 1.0 WHERE k % 6 = 0")
+      g.sql("ALTER TABLE orders_ed DROP COLUMN status")
+      cat.getTable("orders_ed")
+    })
+
+  private val evolveDropCache =
+    scala.collection.concurrent.TrieMap.empty[String, LineageTable]
+
+  /**
    * Commit-log fixture for timestamp time travel: the SAME fixture
    * lineage committed durably in two LOGGED commits
    * ([[Catalog.commitAt]] — logical clock: ts=1000 carries the v1 full
@@ -195,6 +223,15 @@ object CoreQueries {
    * off so no mid-fixture re-stamp clears the commit log (the
    * Delta/Iceberg rule: physical rewrites bound the travel window).
    */
+  /** The two commit stamps, as a deployment would issue them: epoch
+    * MILLIS wall clocks (the convention that makes SQL `TIMESTAMP AS OF
+    * '<literal>'` resolvable — GraftSql parses the literal to UTC epoch
+    * millis and resolves through the same commit log). Fixed instants,
+    * not now(): determinism is the oracle contract.
+    *   T1 = 2023-11-14 22:13:20 UTC, T2 = +10 minutes. */
+  val tsCommit1 = 1700000000000L
+  val tsCommit2 = 1700000600000L
+
   def tsLoggedOrders(spark: SparkSession, sfDir: String): (Catalog, String) =
     tsLogCache.getOrElseUpdate(sfDir, {
       val wh = graft.sources.TextSources.scratchDir(spark, "graft_ts_wh_")
@@ -203,10 +240,10 @@ object CoreQueries {
       cat.commitAt("orders_ts", Txn.empty
         .update(col("k") % 3 === 0,
           Map("totalprice" -> (col("totalprice") + lit(10.0)),
-              "status" -> lit("U1"))), ts = 1000L)
+              "status" -> lit("U1"))), ts = tsCommit1)
       cat.commitAt("orders_ts", Txn.empty
         .update(col("k") % 9 === 0, Map("status" -> lit("U2")))
-        .delete(col("k") % 17 === 0), ts = 2000L)
+        .delete(col("k") % 17 === 0), ts = tsCommit2)
       (cat, "orders_ts")
     })
 
@@ -370,6 +407,42 @@ object CoreQueries {
     scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
 
   /**
+   * COMPOSITE-group, multi-measure materialized view fixture (r9,
+   * [[Catalog.createMaterializedView]] general form): the standard
+   * transcript against a table widened with a second group column
+   * (`seg` = custkey % 3) and a second money measure (`custval`), rolled
+   * up by (status, seg) with per-measure exact cents sums. The view keys
+   * on the injective `_gkey` encoding; both refreshes take the
+   * differential path — per-measure long deltas through the same
+   * full-outer adjustment join, group-migrating updates (status changes)
+   * crossing composite groups.
+   */
+  def mviewMultiOrders(spark: SparkSession, sfDir: String): (Catalog, String) =
+    mviewMultiCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_mvm_wh_")
+      val cat = new Catalog(spark, wh, autoCompact = false)
+      val base = baseOrders(spark, sfDir).select(
+        col("k"), (col("custkey") % 3).as("seg"), col("status"),
+        col("totalprice"), col("custkey").cast("double").as("custval"))
+      cat.createTable("orders_mvm", "k", base)
+      cat.createMaterializedView("orders_mvm_roll", "orders_mvm",
+        Seq("status", "seg"), Seq("totalprice", "custval"))
+      cat.commit("orders_mvm", Txn.empty
+        .update(col("k") % 3 === 0,
+          Map("totalprice" -> (col("totalprice") + lit(10.0)),
+              "status" -> lit("U1"))))
+      cat.refreshMaterializedView("orders_mvm_roll")
+      cat.commit("orders_mvm", Txn.empty
+        .update(col("k") % 9 === 0, Map("status" -> lit("U2")))
+        .delete(col("k") % 17 === 0))
+      cat.refreshMaterializedView("orders_mvm_roll")
+      (cat, "orders_mvm_roll")
+    })
+
+  private val mviewMultiCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
+
+  /**
    * CHECK-constraint fixture ([[Catalog.addConstraint]]): two constraints
    * on a committed orders table; a violating transaction (negated prices)
    * is REJECTED atomically — tryCommit returns Left, nothing lands — and
@@ -477,6 +550,46 @@ object CoreQueries {
   private val multiTxnCache =
     scala.collection.concurrent.TrieMap.empty[String, Catalog]
 
+  /**
+   * SQL-transaction fixture ([[graft.sql.GraftSql]] BEGIN..COMMIT →
+   * [[Catalog.commitMulti]]): the SAME cross-table mutation transcript as
+   * [[multiTxnTables]], driven entirely as ANSI SQL statements inside one
+   * transaction — four DML statements across two tables accumulate
+   * (two compose on orders_sx, proving per-table statement ordering) and
+   * land as ONE staged atomic commit. A first transaction is ROLLED BACK
+   * before it: any trace of it in the final state breaks the oracle hash.
+   * The INSERT..SELECT inside the transaction reads the pre-transaction
+   * snapshot (the documented snapshot-isolation read rule).
+   */
+  def sqlTxnTables(spark: SparkSession, sfDir: String): Catalog =
+    sqlTxnCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_stx_wh_")
+      val cat = new Catalog(spark, wh)
+      val docs = Tables(spark, sfDir, "documents").select(
+        col("doc_id").as("k"), col("lang"), col("n_chars"))
+      cat.createTable("orders_sx", "k", baseOrders(spark, sfDir))
+      cat.createTable("docs_sx", "k", docs)
+      val g = new graft.sql.GraftSql(spark)
+        .register("orders_sx", cat, "orders_sx")
+        .register("docs_sx", cat, "docs_sx")
+      g.sql("BEGIN")
+      g.sql("UPDATE orders_sx SET status = 'ZZ' WHERE k % 2 = 0")
+      g.sql("DELETE FROM docs_sx WHERE lang = 'en'")
+      g.sql("ROLLBACK")
+      g.sql("BEGIN")
+      g.sql("""UPDATE orders_sx SET totalprice = totalprice + 10.0,
+              |status = 'U1' WHERE k % 3 = 0""".stripMargin)
+      g.sql("DELETE FROM orders_sx WHERE k % 17 = 0")
+      g.sql("DELETE FROM docs_sx WHERE lang = 'zh'")
+      g.sql("""INSERT INTO docs_sx SELECT k + 10000000, 'xx', n_chars
+              |FROM docs_sx WHERE lang = 'en'""".stripMargin)
+      g.sql("COMMIT")
+      cat
+    })
+
+  private val sqlTxnCache =
+    scala.collection.concurrent.TrieMap.empty[String, Catalog]
+
   /** The ls_merge_into change set (shared by the SQL front-door query
     * and PlanAudit's Column-route twin, so the plan-identity pin
     * compares the same source). */
@@ -566,7 +679,8 @@ object CoreQueries {
           .where(col("k").between(0L, 600L))
           .select(lit(tag).as("asof"), col("k"), col("custkey"),
             col("status"), col("totalprice"))
-      rd(500L, "t0").unionByName(rd(1500L, "t1")).unionByName(rd(2500L, "t2"))
+      rd(tsCommit1 - 1000L, "t0").unionByName(rd(tsCommit1 + 500L, "t1"))
+        .unionByName(rd(tsCommit2 + 500L, "t2"))
     },
 
     // MERGE INTO (LineageTable.mergeInto) — one atomic upsert op,
@@ -717,7 +831,10 @@ object CoreQueries {
     // so versions compose freely (here a UNION of two points in time;
     // GraftSqlSpec joins two versions of one table). VERSION is the
     // absolute _ver clock (predicate pushed below the snapshot window);
-    // TIMESTAMP resolves through the commit log, metadata-only.
+    // TIMESTAMP resolves through the commit log, metadata-only — r9:
+    // as a WALL-CLOCK string literal, parsed to UTC epoch millis
+    // against the fixture's epoch-millis commit stamps (the instant
+    // lands between the two commits → the t1 state).
     "sql_asof" -> { (s, d) =>
       val (cat, tbl) = tsLoggedOrders(s, d)
       val g = new graft.sql.GraftSql(s).register(tbl, cat, tbl)
@@ -725,7 +842,7 @@ object CoreQueries {
                |FROM $tbl VERSION AS OF 0 WHERE k BETWEEN 0 AND 600
                |UNION ALL
                |SELECT 't1' AS asof, k, custkey, status, totalprice
-               |FROM $tbl TIMESTAMP AS OF 1500
+               |FROM $tbl TIMESTAMP AS OF '2023-11-14 22:13:25'
                |WHERE k BETWEEN 0 AND 600""".stripMargin)
     },
 
@@ -744,6 +861,36 @@ object CoreQueries {
       g.sql("""SELECT status, count(*) AS n_orders,
               |sum(totalprice) AS sum_price, avg(totalprice) AS avg_price
               |FROM orders_mv GROUP BY status""".stripMargin)
+    },
+
+    // COMPOSITE-group multi-measure incremental view (r9): the (status,
+    // seg) rollup with TWO exact-cents measures, advanced by two
+    // differential refreshes across group-migrating updates — must land
+    // bit-identical to the oracle's direct two-column rollup. The _gkey
+    // lineage key is internal; the read surfaces the group columns.
+    "cat_mview_multi" -> { (s, d) =>
+      val (cat, v) = mviewMultiOrders(s, d)
+      cat.getTable(v).snapshot
+        .select(col("status"), col("seg"), col("n_rows"),
+          (col("cents_totalprice") / 100.0).as("total"),
+          (col("cents_custval") / 100.0).as("cv"))
+    },
+
+    // Query rewrite WITH a routed filter (r9, GraftSql.routeToView): a
+    // WHERE over the GROUP column removes whole groups — exactly
+    // filtering the view's rows — so the filtered dashboard aggregate
+    // still reads the group-cardinality-sized view, never the table.
+    // Non-group-column predicates fall back to the direct path
+    // (GraftSqlSpec pins both directions).
+    "q_mview_route_filter" -> { (s, d) =>
+      val (cat, view) = mviewOrders(s, d)
+      val g = new graft.sql.GraftSql(s)
+        .register("orders_mv", cat, "orders_mv")
+        .register(view, cat, view)
+      g.sql("""SELECT status, count(*) AS n_orders,
+              |sum(totalprice) AS sum_price
+              |FROM orders_mv WHERE status IN ('U1', 'U2', 'F')
+              |GROUP BY status""".stripMargin)
     },
 
     // SQL-only table lifecycle (graft.sql.GraftSql CALL procedures —
@@ -981,6 +1128,15 @@ object CoreQueries {
       evolvedOrders(s, d).snapshot.where(col("k") <= 2000L)
     },
 
+    // DROP + RENAME COLUMN lifecycle (Catalog.dropColumn/renameColumn —
+    // metadata-only column mapping, the Delta shape): reads alias
+    // physical→logical, writes map back, dropped physical names retire.
+    // The read must show the renamed column serving pre-rename files'
+    // values, the post-rename write landed, and the dropped column gone.
+    "ls_evolve_drop" -> { (s, d) =>
+      evolveDropOrders(s, d).snapshot.where(col("k") <= 2000L)
+    },
+
     "txn_batch" -> { (s, d) =>
       val base = baseOrders(s, d)
       val insertRows = base.where(col("k") % 400 === 0).select(
@@ -1011,6 +1167,30 @@ object CoreQueries {
         .select(lit("orders").as("tbl"), col("status").as("grp"),
                 col("n"), col("val"))
       val docs = cat.getTable("docs_mt").snapshot
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("n_chars")).cast("double").as("val"))
+        .select(lit("docs").as("tbl"), col("lang").as("grp"),
+                col("n"), col("val"))
+      orders.unionByName(docs)
+    },
+
+    // SQL multi-statement TRANSACTIONS (GraftSql BEGIN..COMMIT →
+    // Catalog.commitMulti): the txn_multi cross-table transcript as four
+    // ANSI DML statements inside one BEGIN..COMMIT — accumulated per
+    // table (two statements compose on orders_sx), staged, and landed
+    // from ONE atomic commit point; a preceding transaction ROLLS BACK
+    // leaving zero trace. Same two-branch read as txn_multi: a
+    // half-applied or rollback-leaking state can never hash-match.
+    "sql_txn" -> { (s, d) =>
+      val cat = sqlTxnTables(s, d)
+      val orders = cat.getTable("orders_sx").snapshot
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+             Exact.sumMoney(col("totalprice")).as("val"))
+        .select(lit("orders").as("tbl"), col("status").as("grp"),
+                col("n"), col("val"))
+      val docs = cat.getTable("docs_sx").snapshot
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"),
              sum(col("n_chars")).cast("double").as("val"))
@@ -1300,6 +1480,27 @@ object CoreQueries {
          |         / COUNT(*) AS avg_price
          |FROM snap GROUP BY status""".stripMargin,
 
+    // the composite rollup recomputed directly: seg = custkey % 3 rides
+    // the fixture's snap CTE (updates never touch custkey), both measures
+    // as exact decimal sums surfaced as doubles
+    "cat_mview_multi" ->
+      s"""$fixture
+         |SELECT status, custkey % 3 AS seg, COUNT(*) AS n_rows,
+         |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS total,
+         |       CAST(SUM(CAST(custkey AS DECIMAL(18,2))) AS DOUBLE) AS cv
+         |FROM snap GROUP BY 1, 2""".stripMargin,
+
+    // the routed-with-filter aggregate must equal the directly-filtered
+    // rollup — the view-side filter is invisible to results
+    "q_mview_route_filter" ->
+      s"""$fixture
+         |SELECT status, COUNT(*) AS n_orders,
+         |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS sum_price
+         |FROM snap WHERE status IN ('U1', 'U2', 'F')
+         |GROUP BY status""".stripMargin,
+
     // maintenance is never semantics: the SQL-driven lifecycle lands on
     // the standard fixture's snapshot
     "sql_call" ->
@@ -1377,9 +1578,10 @@ object CoreQueries {
     // the fixture's logical clock: commit 1 (one op) at ts 1000, commit 2
     // (two ops) at ts 2000 — deterministic by construction
     "cat_history" ->
-      """SELECT CAST(1 AS BIGINT) AS version, CAST(1000 AS BIGINT) AS commit_ts
+      """SELECT CAST(1 AS BIGINT) AS version,
+        |       CAST(1700000000000 AS BIGINT) AS commit_ts
         |UNION ALL
-        |SELECT CAST(3 AS BIGINT), CAST(2000 AS BIGINT)""".stripMargin,
+        |SELECT CAST(3 AS BIGINT), CAST(1700000600000 AS BIGINT)""".stripMargin,
 
     // upsert-only merge algebra over the plain base table
     "stream_merge" ->
@@ -1563,6 +1765,16 @@ object CoreQueries {
         |  CASE WHEN o_orderkey % 4 = 0 THEN o_custkey % 5 END AS priority
         |FROM orders WHERE o_orderkey <= 2000""".stripMargin,
 
+    // the evolve lifecycle replayed declaratively: priority set where the
+    // add-then-update fired, totalprice serves AS price (+1.0 where the
+    // post-rename update fired), status absent
+    "ls_evolve_drop" ->
+      """SELECT o_orderkey AS k, o_custkey AS custkey,
+        |  o_totalprice + CASE WHEN o_orderkey % 6 = 0 THEN 1.0 ELSE 0.0 END
+        |    AS price,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN o_custkey % 5 END AS priority
+        |FROM orders WHERE o_orderkey <= 2000""".stripMargin,
+
     "txn_batch" ->
       s"""$fixture,
          |ins AS (SELECT k + 2000000 AS k, custkey, 'T' AS status, totalprice
@@ -1625,6 +1837,26 @@ object CoreQueries {
     // both tables' end states recomputed from raw parquet: a transaction
     // that applied to only one table could never match both branches
     "txn_multi" ->
+      """SELECT 'orders' AS tbl,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'U1' ELSE o_orderstatus END AS grp,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(ROUND((o_totalprice +
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 10.0 ELSE 0.0 END) * 100)
+        |    AS BIGINT)) / 100.0 AS val
+        |FROM orders WHERE o_orderkey % 17 <> 0
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'docs', lang, COUNT(*), CAST(SUM(n_chars) AS DOUBLE)
+        |FROM documents WHERE lang <> 'zh'
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'docs', 'xx', COUNT(*), CAST(SUM(n_chars) AS DOUBLE)
+        |FROM documents WHERE lang = 'en'""".stripMargin,
+
+    // same end state as txn_multi: the SQL transaction replays the same
+    // cross-table transcript; the rolled-back first transaction must
+    // leave nothing
+    "sql_txn" ->
       """SELECT 'orders' AS tbl,
         |  CASE WHEN o_orderkey % 3 = 0 THEN 'U1' ELSE o_orderstatus END AS grp,
         |  COUNT(*) AS n,

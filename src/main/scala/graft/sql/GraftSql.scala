@@ -73,11 +73,108 @@ class GraftSql(val spark: SparkSession) {
         .getOrElse(throw new IllegalArgumentException(
           s"graft SQL: unknown table '$name' — register() it first")))
 
+  // ------------------------------------------------- SQL transactions
+
+  /** Open transaction: statement-ordered per-table [[Txn]] accumulation
+    * (None = autocommit). LinkedHashMap keeps first-touch order for
+    * error messages; commit order is [[Catalog.commitMulti]]'s sorted
+    * global order. */
+  private var openTxn:
+      Option[scala.collection.mutable.LinkedHashMap[String, Txn]] = None
+
+  private def inTxn: Boolean = openTxn.isDefined
+
+  /** `BEGIN` / `COMMIT` / `ROLLBACK` recognized as bare control
+    * statements. Spark's grammar has no session-transaction statements
+    * (its BEGIN opens a SQL-scripting compound block), so these three
+    * keywords are matched directly — the one bounded departure from the
+    * no-second-grammar rule, three tokens deep. */
+  private def txnControl(statement: String): Option[String] = {
+    val s = statement.trim.stripSuffix(";").trim.toUpperCase
+    s match {
+      case "BEGIN" | "BEGIN TRANSACTION" | "START TRANSACTION" => Some("BEGIN")
+      case "COMMIT" => Some("COMMIT")
+      case "ROLLBACK" | "ABORT" => Some("ROLLBACK")
+      case _ => None
+    }
+  }
+
+  /**
+   * SQL multi-statement transactions: `BEGIN; <DML>...; COMMIT` maps the
+   * accumulated statements onto ONE [[Catalog.commitMulti]] staged
+   * commit — both-or-neither across every touched table under any crash,
+   * the reference's multi-table Transaction (transaction.py binds queries
+   * to arbitrary tables) as ANSI SQL. Semantics:
+   *
+   *   - DML inside the transaction targets registered DURABLE tables
+   *     (atomicity is the staged write-ahead protocol; an in-session
+   *     handle or a non-graft table has no staging to join — loud error);
+   *   - statements accumulate per table IN ORDER and land as one commit
+   *     per table inside the one cross-table commit point;
+   *   - reads inside the transaction see the PRE-transaction snapshots
+   *     (snapshot isolation without read-your-own-writes: nothing is
+   *     staged until COMMIT — the registered views deliberately do not
+   *     move mid-transaction);
+   *   - COMMIT: every table's accumulated ops stage, gate through CHECK
+   *     constraints (any violation aborts the WHOLE transaction —
+   *     nothing lands anywhere), then roll forward from the atomic
+   *     commit point. The failed transaction is rolled back (state
+   *     cleared), matching the reference's abort;
+   *   - ROLLBACK: discard everything (free — nothing was written);
+   *   - maintenance (CALL) and schema (ALTER TABLE) inside a
+   *     transaction are rejected loud: physical maintenance is not
+   *     transactional in any lakehouse, and a half-rolled-back schema
+   *     change is worse than none.
+   */
+  private def runTxnControl(op: String): DataFrame = {
+    op match {
+      case "BEGIN" =>
+        require(!inTxn, "graft SQL: BEGIN inside an open transaction — " +
+          "COMMIT or ROLLBACK first (nested transactions are not supported)")
+        openTxn = Some(scala.collection.mutable.LinkedHashMap.empty)
+      case "ROLLBACK" =>
+        require(inTxn, "graft SQL: ROLLBACK without an open transaction")
+        openTxn = None
+      case "COMMIT" =>
+        require(inTxn, "graft SQL: COMMIT without an open transaction")
+        val stashed = openTxn.get
+        openTxn = None // cleared FIRST: a failed commit is an abort
+        if (stashed.nonEmpty) {
+          val cats = stashed.keys.map(n => durable(n)._1).toSeq.distinct
+          require(cats.size == 1, "graft SQL COMMIT: transaction spans " +
+            s"${cats.size} catalogs — cross-catalog atomicity is not " +
+            "supported (one commit point per catalog)")
+          cats.head.commitMulti(
+            stashed.map { case (n, t) => (durable(n)._2, t) }.toMap)
+          stashed.keys.foreach(refreshView)
+        }
+    }
+    spark.emptyDataFrame
+  }
+
+  /** Stash a statement's op into the open transaction. */
+  private def stash(name: String, txn: Txn): DataFrame = {
+    require(durable.contains(name), "graft SQL: DML on in-session table " +
+      s"'$name' inside a transaction — atomic transactions need the " +
+      "durable staged-commit path; register(name, catalog, table) or " +
+      "run the statement outside BEGIN..COMMIT")
+    val m = openTxn.get
+    m(name) = m.get(name).fold(txn)(_.andThen(txn))
+    spark.emptyDataFrame
+  }
+
   /** One SQL statement. DML against a registered table executes the
     * engine op and returns an empty frame (Spark's own DML convention);
     * everything else passes through to `spark.sql` (snapshot views are
-    * kept registered, so SELECTs over registered tables just work). */
-  def sql(statement: String): DataFrame = Bridge.parsePlan(spark, statement) match {
+    * kept registered, so SELECTs over registered tables just work).
+    * Inside BEGIN..COMMIT, DML accumulates instead (see
+    * [[runTxnControl]]). */
+  def sql(statement: String): DataFrame = txnControl(statement) match {
+    case Some(op) => runTxnControl(op)
+    case None => sqlParsed(statement)
+  }
+
+  private def sqlParsed(statement: String): DataFrame = Bridge.parsePlan(spark, statement) match {
     case m: MergeIntoTable if targetOf(m.targetTable).exists(isRegistered) =>
       runMerge(targetOf(m.targetTable).get, m)
     case u: UpdateTable if targetOf(u.table).exists(isRegistered) =>
@@ -87,9 +184,9 @@ class GraftSql(val spark: SparkSession) {
     case i: InsertIntoStatement if targetOf(i.table).exists(isRegistered) =>
       runInsert(targetOf(i.table).get, i)
     case a: AddCheckConstraint if targetOf(a.child).exists(isRegistered) =>
-      runAddConstraint(targetOf(a.child).get, a.checkConstraint)
+      noTxn("ALTER TABLE"); runAddConstraint(targetOf(a.child).get, a.checkConstraint)
     case a: AddConstraint if targetOf(a.table).exists(isRegistered) =>
-      a.tableConstraint match {
+      noTxn("ALTER TABLE"); a.tableConstraint match {
         case c: CheckConstraint =>
           runAddConstraint(targetOf(a.table).get, c)
         case other => throw new IllegalArgumentException(
@@ -98,13 +195,81 @@ class GraftSql(val spark: SparkSession) {
             "constraint needed); FOREIGN KEY is not supported")
       }
     case dc: DropConstraint if targetOf(dc.table).exists(isRegistered) =>
-      runDropConstraint(targetOf(dc.table).get, dc)
-    case c: Call if procedureOf(c).isDefined => runCall(procedureOf(c).get, c)
+      noTxn("ALTER TABLE"); runDropConstraint(targetOf(dc.table).get, dc)
+    // ALTER TABLE ... ADD/DROP/RENAME COLUMN — metadata-only evolution
+    // (Catalog.addColumn / dropColumn / renameColumn, the Delta
+    // column-mapping family); durable tables only, like constraints
+    case a: AddColumns if targetOf(a.table).exists(isRegistered) =>
+      noTxn("ALTER TABLE")
+      val name = targetOf(a.table).get
+      val cat = durableCat(name, "ADD COLUMN")
+      a.columnsToAdd.foreach { qc =>
+        require(qc.name.length == 1, "graft SQL ADD COLUMN: nested " +
+          s"fields are not supported (${qc.name.mkString(".")})")
+        cat._1.addColumn(cat._2, qc.name.head, qc.dataType.simpleString)
+      }
+      refreshView(name); spark.emptyDataFrame
+    case d: DropColumns if targetOf(d.table).exists(isRegistered) =>
+      noTxn("ALTER TABLE")
+      val name = targetOf(d.table).get
+      val cat = durableCat(name, "DROP COLUMN")
+      d.columnsToDrop.foreach {
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName(parts) =>
+          require(parts.length == 1, "graft SQL DROP COLUMN: nested " +
+            s"fields are not supported (${parts.mkString(".")})")
+          if (!(d.ifExists && !table(name).dataCols.contains(parts.head)))
+            cat._1.dropColumn(cat._2, parts.head)
+        case other => throw new IllegalArgumentException(
+          s"graft SQL DROP COLUMN: unsupported field reference $other")
+      }
+      refreshView(name); spark.emptyDataFrame
+    case r: RenameColumn if targetOf(r.table).exists(isRegistered) =>
+      noTxn("ALTER TABLE")
+      val name = targetOf(r.table).get
+      val cat = durableCat(name, "RENAME COLUMN")
+      r.column match {
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName(parts) =>
+          require(parts.length == 1, "graft SQL RENAME COLUMN: nested " +
+            s"fields are not supported (${parts.mkString(".")})")
+          cat._1.renameColumn(cat._2, parts.head, r.newName)
+        case other => throw new IllegalArgumentException(
+          s"graft SQL RENAME COLUMN: unsupported field reference $other")
+      }
+      refreshView(name); spark.emptyDataFrame
+    case c: Call if procedureOf(c).isDefined =>
+      noTxn("CALL"); runCall(procedureOf(c).get, c)
+    // DML that would pass through to spark.sql cannot join the staged
+    // commit — inside a transaction that silent escape would break the
+    // both-or-neither promise, so it fails loud instead
+    case p if inTxn && (p match {
+        case _: MergeIntoTable | _: UpdateTable | _: DeleteFromTable |
+             _: InsertIntoStatement => true
+        case _ => false
+      }) =>
+      throw new IllegalArgumentException("graft SQL: DML on an " +
+        "unregistered table inside a transaction — only registered " +
+        "durable graft tables can join the atomic commit")
     case p => resolveTimeTravel(p)
       .map(Bridge.ofRows(spark, _))
       .orElse(routeToView(p))
       .getOrElse(spark.sql(statement))
   }
+
+  /** The catalog handle behind a registered DURABLE table, or a loud
+    * error naming the statement kind — schema evolution and maintenance
+    * live in catalog metadata. */
+  private def durableCat(name: String, what: String): (Catalog, String) =
+    durable.getOrElse(name, throw new IllegalArgumentException(
+      s"graft SQL $what: '$name' is an in-session table — schema " +
+        "evolution lives in catalog metadata; register(name, catalog, " +
+        "table) a durable table"))
+
+  /** Maintenance/schema statements are not transactional — reject inside
+    * BEGIN..COMMIT rather than silently autocommitting mid-transaction. */
+  private def noTxn(what: String): Unit =
+    require(!inTxn, s"graft SQL: $what inside an open transaction — " +
+      "maintenance and schema changes are not transactional; COMMIT or " +
+      "ROLLBACK first")
 
   // ------------------------------------------------------ SQL time travel
 
@@ -131,11 +296,17 @@ class GraftSql(val spark: SparkSession) {
     var touched = false
     val out = p.transformUp {
       // `FROM table_changes('t', from [, to])` — batch CDC as a table-
-      // valued function (the Delta table_changes shape): change events of
-      // the commits in (from, to] (default to = current version), same
-      // row shape as the streaming changeFeed; filters above compose into
-      // the pushed `_ver` range. Durable tables guard against re-stamped
-      // history (Catalog.changesBetween); in-session tables read direct.
+      // valued function: change events of the commits in the EXCLUSIVE-
+      // INCLUSIVE range (from, to] (default to = current version) — i.e.
+      // `from` is the version the caller is ALREADY AT, and the result is
+      // what happened since. NOTE this bound differs from Delta's
+      // table_changes, whose startingVersion is INCLUSIVE — a Delta user
+      // porting SQL must pass their old startingVersion - 1 (the
+      // resume-token shape here composes directly with a stored "last
+      // version seen"). Same row shape as the streaming changeFeed;
+      // filters above compose into the pushed `_ver` range. Durable
+      // tables guard against re-stamped history (Catalog.changesBetween);
+      // in-session tables read direct.
       case UnresolvedTableValuedFunction(Seq("table_changes"),
           Literal(tn: org.apache.spark.unsafe.types.UTF8String, _) +: rest, _)
           if isRegistered(tn.toString) && rest.length <= 2 &&
@@ -149,8 +320,14 @@ class GraftSql(val spark: SparkSession) {
           .map { case (c, t) => c.changesBetween(t, from, to) }
           .getOrElse(table(name).changesBetween(from, to))
         SubqueryAlias(name, Bridge.planOf(df))
+      // single-part identifiers only: a QUALIFIED reference
+      // (spark_catalog.db.orders VERSION AS OF 5) names some other
+      // catalog's table — matching on the last segment alone would
+      // hijack it into the graft plan on a name collision; let it fall
+      // through to spark.sql instead
       case RelationTimeTravel(r: UnresolvedRelation, ts, ver)
-          if isRegistered(r.multipartIdentifier.last) =>
+          if r.multipartIdentifier.length == 1 &&
+            isRegistered(r.multipartIdentifier.last) =>
         val name = r.multipartIdentifier.last
         touched = true
         val df = (ts, ver) match {
@@ -160,12 +337,24 @@ class GraftSql(val spark: SparkSession) {
             table(name).asOfVersion(v.toLong)
           case (Some(expr), None) =>
             val t = expr match {
+              // a TIMESTAMP-typed literal (`TIMESTAMP '...'`) carries
+              // MICROS since epoch — matched before the raw-Long case,
+              // which is the bare clock value
+              case Literal(us: Long,
+                  org.apache.spark.sql.types.TimestampType) => us / 1000L
               case Literal(v: Int, _) => v.toLong
               case Literal(v: Long, _) => v
+              // a plain string literal parses as a UTC wall-clock
+              // instant → epoch millis, resolved through the same
+              // commit log — the production convention where commitAt
+              // stamps System.currentTimeMillis. With purely logical
+              // (non-millis) clocks, use an integral literal instead.
+              case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+                wallClockMillis(s.toString)
               case other => throw new IllegalArgumentException(
-                "graft SQL TIMESTAMP AS OF: the engine's commit " +
-                  s"timestamps are logical longs (Catalog.commitAt); got " +
-                  s"${other.sql} — use an integral literal")
+                "graft SQL TIMESTAMP AS OF: expected an integral clock " +
+                  "value, a TIMESTAMP literal, or a wall-clock string " +
+                  s"(UTC); got ${other.sql}")
             }
             val (cat, tbl) = durable.getOrElse(name,
               throw new IllegalArgumentException("graft SQL TIMESTAMP AS " +
@@ -184,6 +373,28 @@ class GraftSql(val spark: SparkSession) {
     if (touched) Some(out) else None
   }
 
+  /** Parse a wall-clock literal to UTC epoch millis: `yyyy-MM-dd` (day
+    * start) or `yyyy-MM-dd HH:mm:ss[.fff]` (T separator accepted).
+    * Loud on anything else — a silently mis-parsed instant would time
+    * travel to the wrong state. */
+  private def wallClockMillis(s: String): Long = {
+    val t = s.trim
+    try {
+      if (t.length == 10)
+        java.time.LocalDate.parse(t)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      else
+        java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException("graft SQL TIMESTAMP AS OF: " +
+          s"cannot parse '$t' as a UTC instant (yyyy-MM-dd[ HH:mm:ss[.fff]]) " +
+          "— for logical longs (Catalog.commitAt's raw clock) use an " +
+          "integral literal", e)
+    }
+  }
+
   // --------------------------------------------------- view query rewrite
 
   /**
@@ -194,10 +405,13 @@ class GraftSql(val spark: SparkSession) {
    * table; at 100 TB that is the difference between a dashboard query
    * and a table scan. Correctness gates, in order:
    *
-   *   - the statement must be EXACTLY the maintainable shape (one plain
-   *     group column; count(*) / count(1) / sum / avg of the view's
-   *     summed column; explicit aliases; no WHERE/HAVING/DISTINCT) —
-   *     anything else passes through untouched;
+   *   - the statement must be EXACTLY the maintainable shape (plain
+   *     group columns matching the view's group set in any order;
+   *     count(*) / count(1) / sum / avg of the view's summed columns;
+   *     explicit aliases; optionally ONE WHERE over group columns only —
+   *     such a predicate removes whole groups, so it routes as a
+   *     view-side filter; no HAVING/DISTINCT) — anything else passes
+   *     through untouched;
    *   - the view must be CURRENT ([[graft.core.Catalog.currentViewOf]]:
    *     same source op_seq AND rewrite epoch) — a stale view never
    *     serves; the query silently takes the direct path instead
@@ -213,53 +427,86 @@ class GraftSql(val spark: SparkSession) {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
     p match {
-      case Aggregate(Seq(ga: UnresolvedAttribute), aggs, child, _)
-          if ga.nameParts.length == 1 =>
-        val g = ga.nameParts.head
+      case Aggregate(groupExprs, aggs, child, _)
+          if groupExprs.nonEmpty && groupExprs.forall {
+            case a: UnresolvedAttribute => a.nameParts.length == 1
+            case _ => false
+          } =>
+        val gs = groupExprs.map(_.asInstanceOf[UnresolvedAttribute]
+          .nameParts.head)
+        // peel one optional WHERE below the aggregate: a predicate over
+        // GROUP columns only filters WHOLE groups out of the source —
+        // exactly filtering the view's rows, so it routes as a view-side
+        // filter. Anything else below the aggregate is not the view's
+        // shape.
+        val (rel, filt) = child match {
+          case Filter(cond, c) => (c, Some(cond))
+          case c => (c, None)
+        }
         for {
-          src <- targetOf(child)
+          src <- targetOf(rel)
           if durable.contains(src) && {
-            // the child must be the bare relation — a Filter/Join below
-            // the aggregate is not the view's shape
-            child match {
+            rel match {
               case _: UnresolvedRelation => true
               case SubqueryAlias(_, _: UnresolvedRelation) => true
               case _ => false
             }
           }
           (cat, tbl) = durable(src)
-          (view, sumCol) <- cat.currentViewOf(tbl, g)
+          (view, sumCols, centsOf) <- cat.currentViewFor(tbl, gs)
+          // the WHERE routes only when every column it names is a group
+          // column and it calls no functions (a nondeterministic rand()
+          // gate must not be re-evaluated against different rows) and no
+          // subqueries — otherwise the whole statement silently takes
+          // the always-correct direct path
+          if filt.forall { cond =>
+            var ok = true
+            cond.foreach {
+              case a: UnresolvedAttribute =>
+                if (!gs.contains(a.nameParts.last)) ok = false
+              case _: UnresolvedFunction => ok = false
+              case _: SubqueryExpression => ok = false
+              case _ => ()
+            }
+            ok
+          }
           cols <- {
             def count1(args: Seq[Expression]): Boolean = args match {
               case Seq(Literal(1, _)) => true
               case Seq(_: org.apache.spark.sql.catalyst.analysis.UnresolvedStar) => true
               case _ => false
             }
-            def onSum(args: Seq[Expression]): Boolean = args match {
-              case Seq(a: UnresolvedAttribute) => a.nameParts.last == sumCol
-              case _ => false
+            def sumArg(args: Seq[Expression]): Option[String] = args match {
+              case Seq(a: UnresolvedAttribute)
+                  if sumCols.contains(a.nameParts.last) =>
+                Some(a.nameParts.last)
+              case _ => None
             }
             val translated = aggs.map {
-              case a: UnresolvedAttribute if a.nameParts.last == g =>
-                Some(col(g))
+              case a: UnresolvedAttribute if gs.contains(a.nameParts.last) =>
+                Some(col(a.nameParts.last))
               case UnresolvedAlias(a: UnresolvedAttribute, _)
-                  if a.nameParts.last == g =>
-                Some(col(g))
+                  if gs.contains(a.nameParts.last) =>
+                Some(col(a.nameParts.last))
               case Alias(UnresolvedFunction(Seq("count"), args, false, None, false, Nil, false),
                   name) if count1(args) =>
                 Some(col("n_rows").as(name))
               case Alias(UnresolvedFunction(Seq("sum"), args, false, None, false, Nil, false),
-                  name) if onSum(args) =>
-                Some((col("cents") / 100.0).as(name))
+                  name) if sumArg(args).isDefined =>
+                Some((col(centsOf(sumArg(args).get)) / 100.0).as(name))
               case Alias(UnresolvedFunction(Seq("avg"), args, false, None, false, Nil, false),
-                  name) if onSum(args) =>
-                Some((col("cents") / 100.0 / col("n_rows")).as(name))
+                  name) if sumArg(args).isDefined =>
+                Some((col(centsOf(sumArg(args).get)) / 100.0 / col("n_rows"))
+                  .as(name))
               case _ => None
             }
             if (translated.forall(_.isDefined)) Some(translated.map(_.get))
             else None
           }
-        } yield cat.getTable(view).snapshot.select(cols: _*)
+        } yield {
+          val base = cat.getTable(view).snapshot
+          filt.fold(base)(c => base.where(rebased(c))).select(cols: _*)
+        }
       case _ => None
     }
   }
@@ -330,9 +577,16 @@ class GraftSql(val spark: SparkSession) {
           s"graft SQL CALL: arguments must be literals, got ${other.sql}")
       }
     // SQL named-argument rule: positional args fill parameters in order,
-    // named args fill their parameter regardless of position
+    // named args fill their parameter regardless of position; assigning
+    // the same slot twice (positionally then by name, or two named args)
+    // is a user error and must not silently overwrite
     val params = procParams.getOrElse(proc, Nil)
     val slots = scala.collection.mutable.LinkedHashMap.empty[Int, Any]
+    def fill(i: Int, v: Any): Unit = {
+      require(!slots.contains(i), s"graft SQL CALL $proc: parameter " +
+        s"'${params.lift(i).getOrElse((i + 1).toString)}' assigned twice")
+      slots(i) = v
+    }
     var pos = 0
     c.args.foreach {
       case NamedArgumentExpression(name, v) =>
@@ -340,9 +594,9 @@ class GraftSql(val spark: SparkSession) {
         require(i >= 0, s"graft SQL CALL $proc: unknown parameter '$name' " +
           s"(takes ${if (params.isEmpty) "positional arguments only"
             else params.mkString(", ")})")
-        slots(i) = value(v)
+        fill(i, value(v))
       case e =>
-        slots(pos) = value(e); pos += 1
+        fill(pos, value(e)); pos += 1
     }
     val argv: Seq[Any] = (0 until slots.size).map(i =>
       slots.getOrElse(i, throw new IllegalArgumentException(
@@ -355,9 +609,11 @@ class GraftSql(val spark: SparkSession) {
     }
     def int(i: Int): Int = argv(i) match {
       case n: Int => n
-      case n: Long => n.toInt
+      // a Long literal past Int range must not silently truncate
+      case n: Long if n >= Int.MinValue && n <= Int.MaxValue => n.toInt
       case other => throw new IllegalArgumentException(
-        s"graft SQL CALL $proc: argument ${i + 1} must be an integer, got $other")
+        s"graft SQL CALL $proc: argument ${i + 1} must be an int-range " +
+          s"integer, got $other")
     }
     def durableOf(name: String): (Catalog, String) =
       durable.getOrElse(name, throw new IllegalArgumentException(
@@ -394,11 +650,22 @@ class GraftSql(val spark: SparkSession) {
         arity(1); val (cat, t) = durableOf(str(0))
         cat.refreshMaterializedView(t); refreshView(str(0)); done
       case "create_mview" =>
+        // auto-register the created view as a durable SQL table: the
+        // catalog handle is in hand, and without it the advertised
+        // SQL-only lifecycle dead-ends immediately (a following CALL
+        // refresh_mview / SELECT on the view would fail until the user
+        // dropped to the Scala register() API)
+        // group_col / sum_col take comma-separated lists — the composite-
+        // group / multi-measure form through the same procedure
         arity(4); val (cat, srcT) = durableOf(str(1))
-        cat.createMaterializedView(str(0), srcT, str(2), str(3)); done
+        def cols(i: Int): Seq[String] =
+          str(i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        cat.createMaterializedView(str(0), srcT, cols(2), cols(3))
+        register(str(0), cat, str(0)); done
       case "clone" =>
         arity(2); val (cat, src) = durableOf(str(0))
-        cat.cloneTable(src, str(1)); done
+        cat.cloneTable(src, str(1))
+        register(str(1), cat, str(1)); done
       case "create_bloom" =>
         arity(2); val (cat, t) = durableOf(str(0))
         cat.createBloomFilter(t, str(1)); refreshView(str(0)); done
@@ -621,8 +888,11 @@ class GraftSql(val spark: SparkSession) {
   }
 
   /** Execute the op on the registered handle; DML returns empty (the
-    * Spark command convention) and the read view refreshes. */
+    * Spark command convention) and the read view refreshes. Inside an
+    * open transaction the op is STASHED instead — nothing executes or
+    * becomes visible until COMMIT. */
   private def apply(name: String, txn: Txn): DataFrame = {
+    if (inTxn) return stash(name, txn)
     session.get(name) match {
       case Some(t) => session(name) = txn.commit(t)
       case None =>

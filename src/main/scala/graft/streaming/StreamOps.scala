@@ -280,13 +280,31 @@ object StreamOps {
                    * composes into the incremental scan, so tail files
                    * wholly at-or-below it footer-prune. 0 = everything
                    * the tail holds. */
-                 startingVersion: Long = 0L): DataFrame = {
+                 startingVersion: Long = 0L,
+                 /** The Delta `startingTimestamp` twin: start from the
+                   * first LOGGED commit at-or-after this clock value
+                   * (the [[graft.core.Catalog.commitAt]] clock — epoch
+                   * millis in production), resolved through the commit
+                   * log metadata-only and folded into the same pushed
+                   * `_ver` predicate. Mutually exclusive with
+                   * `startingVersion`. RETENTION: the feed reads the
+                   * live tail, so commits already re-stamped by a
+                   * physical rewrite (compaction/vacuum/purge — the
+                   * rewrite clears the log with them) are beyond the
+                   * retained window whatever start is requested; a
+                   * timestamp older than the retained log starts at the
+                   * tail's beginning rather than fabricating events. */
+                 startingTimestamp: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, when, lit}
+    require(startingTimestamp.isEmpty || startingVersion == 0L,
+      "changeFeed: startingVersion and startingTimestamp are mutually exclusive")
+    val fromVer = startingTimestamp
+      .map(cat.versionBefore(table, _)).getOrElse(startingVersion)
     val s = streamSession(spark)
     val (tailDir, schema) = cat.changeFeedInfo(table)
     val dataCols = schema.fieldNames.filterNot(c => c == "_ver" || c == "_del")
     s.readStream.schema(schema).parquet(tailDir)
-      .where(col("_ver") > startingVersion)
+      .where(col("_ver") > fromVer)
       .select(dataCols.map(col) ++ Seq(
         col("_ver").as("commit_ver"),
         when(col("_del") === 1, lit("delete")).otherwise(lit("upsert"))

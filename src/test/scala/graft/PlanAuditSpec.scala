@@ -530,6 +530,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("ann_ivf_build/ann_ivf_trained/emb_kmeans: assignment never exchanges the corpus") {
+    // The VERDICT r8 `weak` family: centroid assignment used to rank a
+    // corpus-wide window partitioned by vec_id — an Exchange of the whole
+    // corpus WITH embedding payloads, once per pass (×(iters+1) when
+    // training). The native argmax expression (functions/NearestCentroids)
+    // makes assignment map-only: the ONLY hash Exchange allowed in the
+    // whole IVF build+probe plan is the per-QUERY ranking window (over
+    // candidate rows already stripped of embeddings), and emb_kmeans'
+    // only hash Exchange is the (cid, dim) stats aggregation.
+    for (q <- Seq("ann_ivf_build", "ann_ivf_trained")) {
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sfDir))
+      val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)#".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(hashEx == Set("qid"),
+        s"$q: the only hash Exchange must be the per-query rank window, " +
+          s"got partitions on $hashEx:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(vec_id"),
+        s"$q: corpus assignment must not shuffle on vec_id:\n$plan")
+      // the probe-side top-k group-limits before that shuffle
+      assert(plan.contains("WindowGroupLimit"), plan)
+      assert(plan.contains("nearest_centroids"), plan)
+    }
+    val km = executedPlan(SparkEntry.queries("emb_kmeans")(spark, sfDir))
+    assert(!km.contains("Exchange hashpartitioning(vec_id"),
+      s"emb_kmeans: assignment must not shuffle the corpus:\n$km")
+    assert(km.contains("nearest_centroids"), km)
+    // and the probe-side top-k group-limits in EVERY IVF probe query —
+    // a regression to a global bucket sort would show as the missing
+    // WindowGroupLimit (previously pinned only for ann_sql)
+    for (q <- Seq("ann_ivf", "ann_ivf_probe2")) {
+      val p = executedPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: the rank<=k must group-limit before the shuffle:\n$p")
+    }
+  }
+
   test("q_exists_subquery decorrelates to ONE anti join") {
     val df = SparkEntry.queries("q_exists_subquery")(spark, sfDir)
     val logical = df.queryExecution.optimizedPlan.toString

@@ -117,4 +117,120 @@ class EvolveSpec extends SparkSpec {
     assert(rows(reopened.getTable("t").snapshot) ===
       Set(Seq(1L, "a", 5L), Seq(2L, "b", null), Seq(3L, "c", null)))
   }
+
+  test("DROP COLUMN is metadata-only; re-ADD of the name never resurrects values") {
+    val (cat, wh) = freshCat(autoCompact = false)
+    import spark.implicits._
+    cat.createTable("t", "k",
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"))
+    cat.commit("t", Txn.empty.update(col("k") === 1L, Map("n" -> lit(11L))))
+    cat.dropColumn("t", "n")
+    assert(cat.getTable("t").dataCols === Seq("k", "s"))
+    assert(rows(cat.getTable("t").snapshot) === Set(Seq(1L, "a"), Seq(2L, "b")))
+    // version reads drop the column too (schema is table-level, not
+    // versioned — the Delta/Iceberg rule)
+    assert(rows(cat.getTable("t").asOfRelative(-1)) ===
+      Set(Seq(1L, "a"), Seq(2L, "b")))
+    // post-drop commits write files WITHOUT the dropped physical column
+    cat.commit("t", Txn.empty.update(col("k") === 2L, Map("s" -> lit("b2"))))
+    assert(rows(cat.getTable("t").snapshot) === Set(Seq(1L, "a"), Seq(2L, "b2")))
+    // a re-ADD of the same logical name maps to a FRESH physical column:
+    // the dropped values (10/11/20 still in the old files) must NOT leak
+    cat.addColumn("t", "n", "bigint")
+    assert(rows(cat.getTable("t").snapshot) ===
+      Set(Seq(1L, "a", null), Seq(2L, "b2", null)),
+      "re-added column must read null everywhere, never the dropped values")
+    cat.commit("t", Txn.empty.update(col("k") === 1L, Map("n" -> lit(99L))))
+    assert(rows(cat.getTable("t").snapshot) ===
+      Set(Seq(1L, "a", 99L), Seq(2L, "b2", null)))
+    // all of it survives reopen
+    val reopened = new Catalog(spark, wh, autoCompact = false)
+    assert(rows(reopened.getTable("t").snapshot) ===
+      Set(Seq(1L, "a", 99L), Seq(2L, "b2", null)))
+  }
+
+  test("RENAME COLUMN maps logical→physical; survives commits, compaction, reopen") {
+    val (cat, wh) = freshCat(autoCompact = false)
+    import spark.implicits._
+    cat.createTable("t", "k",
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"))
+    cat.commit("t", Txn.empty.update(col("k") === 1L, Map("n" -> lit(11L))))
+    cat.renameColumn("t", "n", "amount")
+    assert(cat.getTable("t").dataCols === Seq("k", "s", "amount"))
+    assert(rows(cat.getTable("t").snapshot) ===
+      Set(Seq(1L, "a", 11L), Seq(2L, "b", 20L)))
+    // writes address the NEW name; old files keep serving under it
+    cat.commit("t", Txn.empty.update(col("k") === 2L, Map("amount" -> lit(21L))))
+    assert(rows(cat.getTable("t").snapshot) ===
+      Set(Seq(1L, "a", 11L), Seq(2L, "b", 21L)))
+    // history reads carry the renamed schema across pre-rename versions
+    assert(rows(cat.getTable("t").asOfRelative(-2).select("k", "amount")) ===
+      Set(Seq(1L, 10L), Seq(2L, 20L)))
+    // the rename survives a physical rewrite (saveCompacted resets clocks
+    // but the mapping is definition metadata) and a reopen
+    cat.saveCompacted("t", cat.getTable("t").compact)
+    assert(rows(cat.getTable("t").snapshot) ===
+      Set(Seq(1L, "a", 11L), Seq(2L, "b", 21L)))
+    val reopened = new Catalog(spark, wh, autoCompact = false)
+    assert(reopened.getTable("t").dataCols === Seq("k", "s", "amount"))
+    assert(rows(reopened.getTable("t").snapshot) ===
+      Set(Seq(1L, "a", 11L), Seq(2L, "b", 21L)))
+    // rename back onto a name whose physical column still sits in old
+    // files (drop n→amount's original name): legal, reads stay mapped
+    cat.renameColumn("t", "amount", "n")
+    assert(rows(cat.getTable("t").snapshot) ===
+      Set(Seq(1L, "a", 11L), Seq(2L, "b", 21L)))
+  }
+
+  test("drop/rename guards: key, dependents, unknown and colliding names") {
+    val (cat, _) = freshCat(autoCompact = false)
+    import spark.implicits._
+    cat.createTable("t", "k",
+      Seq((1L, "a", 10L, 1.0)).toDF("k", "s", "n", "p"))
+    // the lineage key is structural — neither droppable nor renamable
+    intercept[IllegalArgumentException](cat.dropColumn("t", "k"))
+    intercept[IllegalArgumentException](cat.renameColumn("t", "k", "kk"))
+    // unknown / colliding names
+    intercept[IllegalArgumentException](cat.dropColumn("t", "nope"))
+    intercept[IllegalArgumentException](cat.renameColumn("t", "nope", "x"))
+    intercept[IllegalArgumentException](cat.renameColumn("t", "n", "s"))
+    intercept[IllegalArgumentException](cat.renameColumn("t", "n", "_rn"))
+    // a column a CHECK constraint references is load-bearing — evolve
+    // must reject, not silently break every later commit (Delta's rule)
+    cat.addConstraint("t", "n_pos", "n > 0")
+    val e1 = intercept[IllegalArgumentException](cat.dropColumn("t", "n"))
+    assert(e1.getMessage.contains("n_pos"))
+    val e2 = intercept[IllegalArgumentException](cat.renameColumn("t", "n", "m"))
+    assert(e2.getMessage.contains("n_pos"))
+    cat.dropConstraint("t", "n_pos")
+    // physical-layout dependents: index, projection, bloom
+    cat.createIndex("t", "n")
+    val e3 = intercept[IllegalArgumentException](cat.dropColumn("t", "n"))
+    assert(e3.getMessage.toLowerCase.contains("index"))
+    cat.dropIndex("t")
+    cat.createBloomFilter("t", "p")
+    intercept[IllegalArgumentException](cat.renameColumn("t", "p", "q"))
+    // a materialized view defined over the column blocks evolve on the
+    // SOURCE (the view's definition names source columns)
+    cat.createMaterializedView("v", "t", "s", "p")
+    val e4 = intercept[IllegalArgumentException](cat.dropColumn("t", "s"))
+    assert(e4.getMessage.contains("v"))
+    // after every rejection the table still opens with its full schema
+    assert(cat.getTable("t").dataCols === Seq("k", "s", "n", "p"))
+  }
+
+  test("dropped and renamed columns compose with ADD in one lifecycle") {
+    val (cat, _) = freshCat(autoCompact = false)
+    import spark.implicits._
+    cat.createTable("t", "k", Seq((1L, "a", 10L)).toDF("k", "s", "n"))
+    cat.addColumn("t", "extra", "string")
+    cat.commit("t", Txn.empty.update(col("k") === 1L, Map("extra" -> lit("x"))))
+    cat.renameColumn("t", "extra", "note")     // rename an ADDED column
+    cat.dropColumn("t", "s")                   // drop an original column
+    assert(cat.getTable("t").dataCols === Seq("k", "n", "note"))
+    assert(rows(cat.getTable("t").snapshot) === Set(Seq(1L, 10L, "x")))
+    // and the whole shape still refreshes through vacuum
+    cat.vacuum("t", keep = 1)
+    assert(rows(cat.getTable("t").snapshot) === Set(Seq(1L, 10L, "x")))
+  }
 }

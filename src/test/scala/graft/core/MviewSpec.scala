@@ -230,5 +230,110 @@ class MviewSpec extends SparkSpec {
       cat.createMaterializedView("v2", "t", "g", "g"))
     intercept[IllegalArgumentException](
       cat.createMaterializedView("v3", "t", "nope", "price"))
+    intercept[IllegalArgumentException](
+      cat.createMaterializedView("v4", "t", Seq("g", "g"), Seq("price")))
+    intercept[IllegalArgumentException](
+      cat.createMaterializedView("v5", "t", Nil, Seq("price")))
   }
+
+  private def base2 =
+    Seq((1L, "a", "x", 10.50, 1.00), (2L, "a", "y", 1.25, 2.00),
+        (3L, "b", "x", 4.00, 3.00), (4L, "a", "x", 7.75, 4.00))
+      .toDF("k", "g1", "g2", "p1", "p2")
+
+  /** Composite-group two-measure state as (g1, g2, n, cents1, cents2). */
+  private def viewState2(cat: Catalog, v: String) =
+    cat.getTable(v).snapshot.select("g1", "g2", "n_rows", "cents_p1", "cents_p2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  private def recomputed2(cat: Catalog, src: String) =
+    cat.getTable(src).snapshot
+      .groupBy("g1", "g2")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          graft.functions.Exact.cents(col("p1"))).as("c1"),
+        org.apache.spark.sql.functions.sum(
+          graft.functions.Exact.cents(col("p2"))).as("c2"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  test("composite group + multiple measures: differential equals full recompute") {
+    val cat = fresh()
+    cat.createTable("t", "k", base2)
+    cat.createMaterializedView("v", "t", Seq("g1", "g2"), Seq("p1", "p2"))
+    assert(viewState2(cat, "v") === recomputed2(cat, "t"))
+    assert(viewState2(cat, "v") === Set(
+      ("a", "x", 2L, 1825L, 500L), ("a", "y", 1L, 125L, 200L),
+      ("b", "x", 1L, 400L, 300L)))
+    // every op shape at once: insert into a NEW composite group, a
+    // migration that changes ONE of the two group columns, and a delete
+    // emptying a group
+    cat.commit("t", Txn.empty
+      .insert(Seq((9L, "c", "z", 2.00, 0.50)).toDF("k", "g1", "g2", "p1", "p2"))
+      .update(col("k") === 1L, Map("g2" -> lit("y")))
+      .delete(col("k") === 3L))
+    cat.refreshMaterializedView("v")
+    assert(viewState2(cat, "v") === recomputed2(cat, "t"))
+    assert(viewState2(cat, "v") === Set(
+      ("a", "x", 1L, 775L, 400L), ("a", "y", 2L, 1175L, 300L),
+      ("c", "z", 1L, 200L, 50L)),
+      "group (b,x) must be DELETED; (a,x)→(a,y) migration must move both measures")
+    // a second differential round over the migrated state
+    cat.commit("t", Txn.empty
+      .update(col("k") === 9L, Map("p1" -> lit(3.00))))
+    cat.refreshMaterializedView("v")
+    assert(viewState2(cat, "v") === recomputed2(cat, "t"))
+  }
+
+  test("group values containing the composite-key characters cannot collide") {
+    // length-prefixed encoding: ("a:1", "b") and ("a", "1:b") — a naive
+    // separator join would merge these into one group
+    val cat = fresh()
+    cat.createTable("t", "k",
+      Seq((1L, "a:1", "b", 1.00), (2L, "a", "1:b", 2.00),
+          (3L, null.asInstanceOf[String], "Nb", 4.00),
+          (4L, "N", "b", 8.00))
+        .toDF("k", "g1", "g2", "p"))
+    cat.createMaterializedView("v", "t", Seq("g1", "g2"), Seq("p"))
+    assert(cat.getTable("v").snapshot.count() === 4L,
+      "four distinct group tuples must stay four view rows")
+    // and the null-group row refreshes differentially like any other
+    cat.commit("t", Txn.empty.insert(
+      Seq((9L, null.asInstanceOf[String], "Nb", 1.00)).toDF("k", "g1", "g2", "p")))
+    cat.refreshMaterializedView("v")
+    val nullRow = cat.getTable("v").snapshot
+      .where(col("g1").isNull).select("n_rows", "cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nullRow === Set((2L, 500L)))
+  }
+
+  test("a LOST refresh (meta advanced, rows absent) is detected and repaired") {
+    // build against a known dir so the spec can reach the tail files
+    val dir = Files.createTempDirectory("graft_mv_lost_").toString
+    val c = new Catalog(spark, dir, autoCompact = false)
+    c.createTable("t", "k", base)
+    c.createMaterializedView("v", "t", "g", "price")
+    c.commit("t", Txn.empty.update(col("k") === 1L, Map("price" -> lit(99.00))))
+    c.refreshMaterializedView("v")
+    assert(viewState(c, "v") === recomputed(c, "t"))
+    // simulate the crash window: the refresh's meta write survived, its
+    // adjustment rows did not (meta-before-rows) — deleting the view's
+    // tail reproduces exactly that durable state
+    val tail = new java.io.File(s"$dir/v/tail")
+    tail.listFiles().foreach(f => assert(f.delete() || !f.getName.endsWith(".parquet")))
+    val cat2 = new Catalog(spark, dir, autoCompact = false)
+    assert(viewState(cat2, "v") !== recomputed(cat2, "t"),
+      "precondition: the view is diverged after the simulated crash")
+    // the next refresh must DETECT the lost rows (mv_seq alone says
+    // 'current') and fall back to a full recompute
+    cat2.refreshMaterializedView("v")
+    assert(viewState(cat2, "v") === recomputed(cat2, "t"),
+      "refresh must repair a lost-refresh divergence, not no-op on mv_seq")
+    // and the repair re-arms detection: another refresh is a clean no-op
+    val before = cat2.getTable("v").opSeq
+    cat2.refreshMaterializedView("v")
+    assert(cat2.getTable("v").opSeq === before)
+  }
+
 }

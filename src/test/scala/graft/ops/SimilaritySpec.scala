@@ -94,4 +94,41 @@ class SimilaritySpec extends SparkSpec {
     assert(ids(Similarity.ivfBuildProbe(corpus, q, 3, nCentroids = 2,
       trainIters = 2)) === trained)
   }
+
+  test("native argmax assignment ≡ the window-ranked declarative twin (ties to lowest cid)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // deterministic pseudo-random corpus incl. a planted EXACT dot tie:
+    // v20's dot with EVERY centroid is exactly 0.0 (zero vector) — a
+    // 4-way tie, so its probe ranks must follow cid ascending, matching
+    // the window's cid-asc tiebreak
+    val corpus = ((0L until 20L).map { i =>
+      (i, Seq(((i * 37 % 19) - 9) / 10.0f, ((i * 53 % 17) - 8) / 10.0f,
+              ((i * 71 % 13) - 6) / 10.0f))
+    } :+ ((20L, Seq(0.0f, 0.0f, 0.0f)))).toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(corpus, 4)
+
+    // the pre-r9 plan, verbatim: crossJoin + dot + row_number window
+    def declarative(nProbe: Int) = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdot").desc, col("cid").asc)
+      corpus.crossJoin(broadcast(cents))
+        .withColumn("cdot", Similarity.dot(col("ce"), corpus("embedding")))
+        .withColumn("crn", row_number().over(w))
+        .where(col("crn") <= nProbe)
+        .select(col("vec_id"), col("cid"), col("crn").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    def native(nProbe: Int) = {
+      val cs = Similarity.collectCentroids(cents)
+      corpus.select(col("vec_id"), posexplode(
+          graft.functions.NearestCentroids.nearest(col("embedding"), cs, nProbe))
+          .as(Seq("pos", "cid")))
+        .select(col("vec_id"), col("cid"), (col("pos") + 1).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    for (p <- Seq(1, 2, 4, 7)) // 7 > C clamps to all centroids
+      assert(native(p) === declarative(p),
+        s"native and window assignment must agree at nProbe=$p")
+  }
 }

@@ -279,10 +279,19 @@ class GraftSqlSpec extends SparkSpec {
         |WHERE a.status <> b.status""".stripMargin).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(diff === Set((1L, "A", "X")))
-    // loud failures: non-integral timestamp; in-session timestamp travel
+    // a WALL-CLOCK string literal parses to UTC epoch millis and
+    // resolves through the same commit log (stamps here are logical
+    // 1000/2000 — i.e. millis just past the epoch, so a 1970 instant
+    // between them lands on the first commit)
+    assert(states("SELECT k, status FROM t TIMESTAMP AS OF '1970-01-01 00:00:01.5'") ===
+      Set((1L, "X"), (2L, "B")))
+    // and the TIMESTAMP-typed literal form (micros → millis) agrees
+    assert(states("SELECT k, status FROM t TIMESTAMP AS OF TIMESTAMP '1970-01-01 00:00:01.5'") ===
+      Set((1L, "X"), (2L, "B")))
+    // loud failures: unparseable instant; in-session timestamp travel
     val e1 = intercept[IllegalArgumentException](
-      g.sql("SELECT * FROM t TIMESTAMP AS OF '2024-01-01'"))
-    assert(e1.getMessage.contains("logical longs"))
+      g.sql("SELECT * FROM t TIMESTAMP AS OF 'not-a-time'"))
+    assert(e1.getMessage.contains("cannot parse"))
     val g2 = fixture()
     val e2 = intercept[IllegalArgumentException](
       g2.sql("SELECT * FROM t TIMESTAMP AS OF 1500"))
@@ -337,5 +346,172 @@ class GraftSqlSpec extends SparkSpec {
     // a procedure graft does not own passes through (and fails in Spark's
     // analyzer, not silently in ours)
     intercept[Exception](g.sql("CALL some_catalog.not_ours('x')"))
+    // assigning one parameter twice (positional+named, or named twice)
+    // must not silently overwrite
+    val eDup = intercept[IllegalArgumentException](
+      g.sql("CALL vacuum('t', 1, keep => 2)"))
+    assert(eDup.getMessage.contains("assigned twice"))
+    val eDup2 = intercept[IllegalArgumentException](
+      g.sql("CALL vacuum(tbl => 't', keep => 1, keep => 2)"))
+    assert(eDup2.getMessage.contains("assigned twice"))
+    // an integer literal past Int range must not silently truncate
+    val eBig = intercept[IllegalArgumentException](
+      g.sql("CALL vacuum('t', 4294967297)"))
+    assert(eBig.getMessage.contains("int-range"))
+  }
+
+  private def twoTableFixture(): (GraftSql, Catalog) = {
+    val wh = Files.createTempDirectory("graft_sql_txn_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("a", "k",
+      Seq((1L, 10L, "A", 100.0), (2L, 20L, "B", 200.0),
+          (3L, 30L, "C", 300.0)).toDF("k", "custkey", "status", "totalprice"))
+    cat.createTable("b", "k",
+      Seq((1L, "en", 5L), (2L, "zh", 7L)).toDF("k", "lang", "n"))
+    (new GraftSql(spark).register("a", cat, "a").register("b", cat, "b"), cat)
+  }
+
+  test("BEGIN..COMMIT lands multi-statement DML as ONE atomic cross-table commit") {
+    val (g, cat) = twoTableFixture()
+    val aSeqBefore = cat.getTable("a").currentVersion
+    g.sql("BEGIN")
+    g.sql("UPDATE a SET status = 'U' WHERE k <= 2")
+    g.sql("DELETE FROM a WHERE k = 3")       // composes on the same table
+    g.sql("DELETE FROM b WHERE lang = 'zh'")
+    // reads inside the transaction see the PRE-transaction snapshot
+    // (snapshot isolation, no read-your-own-writes)
+    assert(g.sql("SELECT count(*) AS n FROM a").head().getLong(0) === 3L)
+    // nothing is durable before COMMIT
+    assert(cat.getTable("a").currentVersion === aSeqBefore)
+    g.sql("COMMIT")
+    assert(g.table("a").snapshot.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((1L, "U"), (2L, "U")))
+    assert(g.table("b").snapshot.collect().map(_.getString(1)).toSeq ===
+      Seq("en"))
+    // statement order within a table held: both a-statements in one commit
+    assert(cat.getTable("a").currentVersion === aSeqBefore + 2)
+  }
+
+  test("ROLLBACK discards everything; constraint violation aborts the WHOLE transaction") {
+    val (g, cat) = twoTableFixture()
+    g.sql("BEGIN")
+    g.sql("UPDATE a SET status = 'ZZ' WHERE k = 1")
+    g.sql("DELETE FROM b WHERE lang = 'en'")
+    g.sql("ROLLBACK")
+    assert(g.table("a").snapshot.where("status = 'ZZ'").count() === 0L)
+    assert(g.table("b").snapshot.count() === 2L)
+    // a CHECK violation on ONE table at COMMIT rolls back BOTH tables'
+    // statements — the staged commit is both-or-neither
+    cat.addConstraint("a", "price_pos", "totalprice > 0.0")
+    g.sql("BEGIN")
+    g.sql("DELETE FROM b WHERE lang = 'en'")
+    g.sql("UPDATE a SET totalprice = -1.0 WHERE k = 1")
+    val e = intercept[Exception](g.sql("COMMIT"))
+    assert(e.getMessage.contains("price_pos"))
+    assert(g.table("b").snapshot.count() === 2L,
+      "the clean table's statement must not survive the aborted transaction")
+    assert(g.table("a").snapshot.where("totalprice < 0").count() === 0L)
+    // the failed COMMIT cleared the transaction: new statements autocommit
+    g.sql("UPDATE a SET status = 'OK' WHERE k = 1")
+    assert(g.table("a").snapshot.where("status = 'OK'").count() === 1L)
+  }
+
+  test("transaction guards: nested BEGIN, bare COMMIT, CALL/ALTER/non-graft DML inside") {
+    val (g, _) = twoTableFixture()
+    intercept[IllegalArgumentException](g.sql("COMMIT"))
+    intercept[IllegalArgumentException](g.sql("ROLLBACK"))
+    g.sql("BEGIN")
+    intercept[IllegalArgumentException](g.sql("BEGIN"))
+    val eCall = intercept[IllegalArgumentException](
+      g.sql("CALL graft.optimize('a')"))
+    assert(eCall.getMessage.contains("not transactional"))
+    val eAlter = intercept[IllegalArgumentException](
+      g.sql("ALTER TABLE a ADD CONSTRAINT c CHECK (totalprice > 0)"))
+    assert(eAlter.getMessage.contains("not transactional"))
+    val eDml = intercept[IllegalArgumentException](
+      g.sql("DELETE FROM not_registered WHERE 1=1"))
+    assert(eDml.getMessage.contains("unregistered"))
+    g.sql("ROLLBACK")
+    // empty transaction commits as a no-op
+    g.sql("BEGIN"); g.sql("COMMIT")
+    // in-session tables cannot join the staged commit
+    val gs = fixture()
+    gs.sql("BEGIN")
+    val eSess = intercept[IllegalArgumentException](
+      gs.sql("DELETE FROM t WHERE k = 1"))
+    assert(eSess.getMessage.contains("in-session"))
+    gs.sql("ROLLBACK")
+  }
+
+  test("a WHERE over the group column routes onto the view as a view-side filter") {
+    val (g, cat) = durableFixture()
+    cat.createMaterializedView("v", "t", "status", "totalprice")
+    g.register("v", cat, "v")
+    def plan(df: org.apache.spark.sql.DataFrame): String = {
+      df.queryExecution.toRdd.count()
+      df.queryExecution.executedPlan.toString
+    }
+    val q = """SELECT status, count(*) AS n, sum(totalprice) AS s
+              |FROM t WHERE status = 'B' GROUP BY status""".stripMargin
+    val routed = g.sql(q)
+    assert(plan(routed).contains("/v"),
+      "a group-column WHERE must route as a view-side filter")
+    assert(routed.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ===
+      Set(("B", 1L, 200.0)))
+    // IN predicates over the group column route too
+    val routedIn = g.sql("""SELECT status, count(*) AS n FROM t
+                           |WHERE status IN ('A','C') GROUP BY status""".stripMargin)
+    assert(plan(routedIn).contains("/v"))
+    assert(routedIn.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("A", 1L), ("C", 1L)))
+    // a WHERE naming a NON-group column must NOT route
+    val direct = g.sql("""SELECT status, count(*) AS n FROM t
+                         |WHERE k > 1 GROUP BY status""".stripMargin)
+    assert(!plan(direct).contains("/v"))
+  }
+
+  test("composite-group multi-measure views route and refresh") {
+    val wh = Files.createTempDirectory("graft_sql_mvm_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("t", "k",
+      Seq((1L, "A", "x", 10.0, 1.0), (2L, "A", "y", 20.0, 2.0),
+          (3L, "B", "x", 30.0, 3.0), (4L, "A", "x", 40.0, 4.0))
+        .toDF("k", "g1", "g2", "m1", "m2"))
+    val g = new GraftSql(spark).register("t", cat, "t")
+    g.sql("CALL graft.create_mview('v', 't', 'g1, g2', 'm1, m2')")
+    // create_mview auto-registered the view: SQL-only lifecycle holds
+    assert(g.table("v").snapshot.count() === 3L)
+    def plan(df: org.apache.spark.sql.DataFrame): String = {
+      df.queryExecution.toRdd.count()
+      df.queryExecution.executedPlan.toString
+    }
+    val q = """SELECT g1, g2, count(*) AS n, sum(m1) AS s1, avg(m2) AS a2
+              |FROM t GROUP BY g2, g1""".stripMargin // order-free group set
+    val routed = g.sql(q)
+    assert(plan(routed).contains("/v"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    val expect = Set(("A", "x", 2L, 50.0, 2.5), ("A", "y", 1L, 20.0, 2.0),
+      ("B", "x", 1L, 30.0, 3.0))
+    assert(rowsOf(routed) === expect)
+    // differential refresh across a group migration, then re-route
+    g.sql("UPDATE t SET g2 = 'y', m1 = 15.0 WHERE k = 1")
+    g.sql("CALL graft.refresh_mview('v')")
+    val after = g.sql(q)
+    assert(plan(after).contains("/v"))
+    assert(rowsOf(after) === Set(("A", "x", 1L, 40.0, 4.0),
+      ("A", "y", 2L, 35.0, 1.5), ("B", "x", 1L, 30.0, 3.0)))
+  }
+
+  test("qualified time-travel identifiers are NOT hijacked by name collision") {
+    val (g, _) = durableFixture()
+    // `t` is registered, but catalog.db.t names some OTHER table — the
+    // splice must let it fall through to spark.sql (which rejects the
+    // unknown table) instead of silently serving graft's `t`
+    intercept[Exception](
+      g.sql("SELECT * FROM spark_catalog.nosuchdb.t VERSION AS OF 0").collect())
   }
 }

@@ -68,6 +68,26 @@ class StreamCdfSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((8L, 2L)))
   }
 
+  test("startingTimestamp resolves through the commit log to the same skip") {
+    val (cat, t) = freshTable()
+    // logged commits with epoch-millis-shaped stamps
+    cat.commitAt(t, Txn.empty.delete(col("k") === 1L), ts = 1000L)
+    cat.commitAt(t, Txn.empty.insert(Seq((8L, 80L, "H")).toDF("k", "v", "s")),
+      ts = 2000L)
+    // start at the first commit at-or-after ts=1500 → only the insert
+    val late = StreamOps.drainAppend(spark,
+      StreamOps.changeFeed(spark, cat, t, startingTimestamp = Some(1500L)))
+    assert(late.select("k", "commit_ver").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((8L, 2L)))
+    // a timestamp preceding the whole log starts at the tail's beginning
+    val all = StreamOps.drainAppend(spark,
+      StreamOps.changeFeed(spark, cat, t, startingTimestamp = Some(1L)))
+    assert(all.count() === 2L)
+    // exactly one start knob at a time
+    intercept[IllegalArgumentException](StreamOps.changeFeed(spark, cat, t,
+      startingVersion = 1L, startingTimestamp = Some(1500L)))
+  }
+
   test("feed attached before the first commit streams zero rows, then data") {
     val (cat, t) = freshTable()
     // changeFeedInfo creates the (empty) tail dir so the source can start
