@@ -808,6 +808,23 @@ object CoreQueries {
       graft.streaming.StreamOps.drainAppend(s, feed)
     },
 
+    // startingTimestamp change-feed attach (r9): a consumer that knows
+    // WHEN it last looked, not which version — the wall-clock instant
+    // resolves through the commit log (Catalog.versionBefore, metadata
+    // only) to the same pushed _ver floor startingVersion uses, so the
+    // drain receives exactly the commits stamped after the instant
+    // (here: everything past the first logged commit — the same event
+    // set sql_changes reads, hence the same oracle).
+    "stream_cdf_ts" -> { (s, d) =>
+      val (cat, tbl) = tsLoggedOrders(s, d)
+      val feed = graft.streaming.StreamOps.changeFeed(s, cat, tbl,
+          startingTimestamp = Some(tsCommit1 + 1L))
+        .where(col("k") % 5 === 0)
+      graft.streaming.StreamOps.drainAppend(s, feed)
+        .select(col("k"), col("custkey"), col("status"), col("totalprice"),
+          col("commit_ver"), col("op"))
+    },
+
     "ls_select_version_prev" -> { (s, d) =>
       ordersLineage(s, d).asOfRelative(-1).where(col("k").between(0L, 2000L))
     },
@@ -1434,6 +1451,28 @@ object CoreQueries {
          |SELECT status, COUNT(*) AS n_rows,
          |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM snap GROUP BY status""".stripMargin,
+
+    // the startingTimestamp attach lands on the same commit-2+ events
+    // sql_changes addresses by version range
+    "stream_cdf_ts" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |v2 AS (SELECT k, custkey, 'U2' AS status,
+        |       totalprice + 10.0 AS totalprice,
+        |       CAST(2 AS BIGINT) AS commit_ver, 'upsert' AS op
+        |       FROM base WHERE k % 9 = 0),
+        |tomb AS (SELECT k, custkey,
+        |         CASE WHEN k % 9 = 0 THEN 'U2' WHEN k % 3 = 0 THEN 'U1'
+        |              ELSE status END AS status,
+        |         CASE WHEN k % 3 = 0 THEN totalprice + 10.0
+        |              ELSE totalprice END AS totalprice,
+        |         CAST(3 AS BIGINT) AS commit_ver, 'delete' AS op
+        |         FROM base WHERE k % 17 = 0),
+        |feed AS (SELECT * FROM v2 UNION ALL SELECT * FROM tomb)
+        |SELECT k, custkey, status, totalprice, commit_ver, op FROM feed
+        |WHERE k % 5 = 0""".stripMargin,
 
     // commits 2 and 3 only: v2's status-only postimages (price carries
     // v1's +10) and the tombstones with their state at delete time

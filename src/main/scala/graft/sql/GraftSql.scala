@@ -310,10 +310,29 @@ class GraftSql(val spark: SparkSession) {
       case UnresolvedTableValuedFunction(Seq("table_changes"),
           Literal(tn: org.apache.spark.unsafe.types.UTF8String, _) +: rest, _)
           if isRegistered(tn.toString) && rest.length <= 2 &&
-            rest.forall { case Literal(_: Number, _) => true; case _ => false } =>
+            rest.forall {
+              case Literal(_: Number, _) => true
+              case Literal(_: org.apache.spark.unsafe.types.UTF8String, _) => true
+              case _ => false
+            } =>
         val name = tn.toString
         touched = true
-        val longs = rest.map { case Literal(v: Number, _) => v.longValue }
+        // r9: bounds may also be wall-clock STRING literals, resolved
+        // through the commit log (durable tables only — the log is
+        // catalog metadata): `from` = the newest commit strictly before
+        // the instant (so events at-or-after it emit), `to` = the last
+        // commit at-or-before it
+        val longs = rest.zipWithIndex.map {
+          case (Literal(v: Number, _), _) => v.longValue
+          case (Literal(s: org.apache.spark.unsafe.types.UTF8String, _), i) =>
+            val (c, t) = durable.getOrElse(name,
+              throw new IllegalArgumentException("graft SQL table_changes: " +
+                s"timestamp bounds resolve through the commit log — '$name' " +
+                "is an in-session table; use version numbers"))
+            val ms = wallClockMillis(s.toString)
+            if (i == 0) c.versionBefore(t, ms) else c.versionBefore(t, ms + 1)
+          case (other, _) => throw new IllegalStateException(other.toString)
+        }
         val from = longs.headOption.getOrElse(0L)
         val to = longs.lift(1).getOrElse(table(name).currentVersion)
         val df = durable.get(name)

@@ -332,6 +332,33 @@ class GraftSqlSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet === Set((3L, "upsert")))
   }
 
+  test("table_changes accepts wall-clock string bounds via the commit log") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val wh = Files.createTempDirectory("graft_sql_tcts_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("t", "k",
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    // stamps are epoch millis: 1.0s and 2.0s past the epoch
+    cat.commitAt("t", graft.core.Txn.empty.update(col("k") === 1L,
+      Map("v" -> lit(11L))), ts = 1000L)
+    cat.commitAt("t", graft.core.Txn.empty.delete(col("k") === 2L), ts = 2000L)
+    val g = new GraftSql(spark).register("t", cat, "t")
+    def events(sql: String) = g.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // from-instant between the commits → only the second commit's events
+    assert(events("SELECT k, op FROM table_changes('t', '1970-01-01 00:00:01.5')") ===
+      Set((2L, "delete")))
+    // a [from, to] window in wall-clock terms: only the first commit
+    assert(events("SELECT k, op FROM table_changes('t', " +
+      "'1970-01-01 00:00:00.5', '1970-01-01 00:00:01.5')") ===
+      Set((1L, "upsert")))
+    // in-session tables have no commit log — loud
+    val g2 = fixture()
+    val e = intercept[IllegalArgumentException](
+      g2.sql("SELECT * FROM table_changes('t', '1970-01-01 00:00:01')"))
+    assert(e.getMessage.contains("in-session"))
+  }
+
   test("CALL with named args and non-graft procedures") {
     val (g, _) = durableFixture()
     g.sql("CALL vacuum(tbl => 't', keep => 1)")  // unqualified + named args
