@@ -122,6 +122,128 @@ object Similarity {
       .where(col("rnk") <= k)
   }
 
+  /**
+   * PRODUCT-QUANTIZED approximate top-k (the IVF-PQ memory half,
+   * Jégou et al., "Product Quantization for Nearest Neighbor Search"):
+   * vectors split into `m` subspaces, each quantized against its own
+   * `codebookSize`-entry codebook, so a corpus vector is represented by
+   * m small code ids instead of D floats. Queries score by ASYMMETRIC
+   * distance — per query a lookup table of (subspace × codeword) exact
+   * dots is precomputed, and a corpus row's approximate dot is the sum
+   * of m table lookups over its codes: the scoring scan reads CODES,
+   * never embeddings.
+   *
+   * Why it matters at 100 TB: brute force streams 4·D bytes per corpus
+   * vector per query batch; PQ streams m bytes (m=8, D=512 → 256×
+   * less scan bandwidth), with the scoring arithmetic reduced from D
+   * multiplies to m array lookups. In deployment the encode runs ONCE
+   * (a map-only pass — [[graft.functions.NearestCentroids]] per
+   * subspace, zero shuffle) and the code table persists; this operator
+   * builds it inline for the driver contract.
+   *
+   * Determinism: codebooks are the first `codebookSize` vectors'
+   * subvectors (the seedCentroids convention); per-subspace assignment
+   * ties break to the lowest codeword id; LUT entries are the same
+   * fixed-order left-to-right dot the whole engine uses (driver-side
+   * here — m·K·(D/m) flops); the m lookup terms add in subspace order.
+   * The DuckDB oracle replays all of it bit-for-bit.
+   *
+   * Exactness bound: when every corpus vector is a per-subspace mixture
+   * of codewords the reconstruction is lossless and pqTopK ≡ bruteTopK
+   * (SimilaritySpec pins it); on general data the scores are the
+   * standard PQ approximation (recall recovered by re-ranking the
+   * short-list with exact dots — compose with [[bruteTopK]] over the
+   * candidates if needed).
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, codebookSize: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(m >= 1 && codebookSize >= 1, s"bad PQ shape: m=$m K=$codebookSize")
+    // codebooks: the first K corpus vectors, sliced per subspace —
+    // driver-small by construction (K×D floats)
+    val seeds = corpus.where(col("vec_id") < codebookSize)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(seeds.nonEmpty, "pqTopK: empty codebook seed set")
+    val dims = seeds.head._2.length
+    require(dims % m == 0, s"pqTopK: $dims dims not divisible into $m subspaces")
+    val sub = dims / m
+    val books: Seq[Seq[(Long, Array[Float])]] = (0 until m).map(i =>
+      seeds.toSeq.map { case (cid, v) =>
+        (cid, java.util.Arrays.copyOfRange(v, i * sub, (i + 1) * sub)) })
+    // ENCODE (map-only): per subspace, the native argmax over the
+    // sliced embedding — slice() and NearestCentroids both codegen
+    val codes = corpus.select(col("vec_id") +: (0 until m).map(i =>
+      element_at(graft.functions.NearestCentroids.nearest(
+        slice(col("embedding"), i * sub + 1, sub), books(i), 1), 1)
+        .as(s"code_$i")): _*)
+    // per-query LUTs, computed on the driver (queries are broadcast-
+    // small by the same contract as bruteTopK): lut_i(c) = exact dot of
+    // the query's i-th subvector with codeword c
+    val qs = queries.select(col("qid"), col("qe")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    qs.foreach { case (qid, qe) => require(qe.length == dims,
+      s"query $qid has ${qe.length} dims, corpus has $dims") }
+    def dotD(a: Array[Float], off: Int, b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += a(off + i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val luts: Seq[(Long, Seq[Seq[Double]])] = qs.toSeq.map { case (qid, qe) =>
+      (qid, (0 until m).map(i =>
+        books(i).map { case (_, cw) => dotD(qe, i * sub, cw) }))
+    }
+    val lutRows = luts.map { case (qid, ls) =>
+      org.apache.spark.sql.Row.fromSeq(qid +: ls) }
+    val lutSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType) +:
+      (0 until m).map(i => org.apache.spark.sql.types.StructField(s"lut_$i",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))))
+    val lutDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(lutRows).asJava, lutSchema)
+    // SCORE: codes scan × broadcast LUTs; approximate dot = the m
+    // lookups added in subspace order (left-assoc, both engines)
+    val adot = (0 until m).map(i =>
+      element_at(col(s"lut_$i"), (col(s"code_$i") + 1).cast("int")))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adot").desc, col("vec_id").asc)
+    codes.crossJoin(broadcast(lutDf))
+      .select(col("qid"), col("vec_id"), adot.as("adot"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+  }
+
+  /**
+   * PQ shortlist + EXACT re-rank — the standard production ANN recipe
+   * (IVF-PQ papers' ADC + re-ranking step): [[pqTopK]] produces a
+   * `kCand`-deep candidate shortlist from the codes scan, then ONLY the
+   * shortlisted vectors (Q×kCand rows — broadcast-small) are re-scored
+   * with the exact dot and re-ranked to the final k. The expensive
+   * full-precision arithmetic touches kCand vectors per query instead
+   * of the corpus; the corpus-wide pass stays the m-byte code scan.
+   * Output shape matches [[bruteTopK]] (exact `dot`, `rnk` ≤ k).
+   */
+  def pqRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+               kCand: Int = 25, m: Int = 4, codebookSize: Int = 8): DataFrame = {
+    require(kCand >= k, s"pqRerank: kCand=$kCand must be >= k=$k")
+    val cand = pqTopK(corpus, queries, kCand, m, codebookSize)
+      .select(col("qid").as("_cqid"), col("vec_id").as("_cvid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    // the exact pass touches the shortlist only: corpus semi-restricted
+    // by the broadcast candidate set, then scored against its query
+    corpus.join(broadcast(cand), col("vec_id") === col("_cvid"))
+      .join(broadcast(queries), col("qid") === col("_cqid"))
+      .select(col("qid"), col("vec_id"),
+        dot(col("qe"), col("embedding")).as("dot"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+  }
+
   /** Deterministic seed centroids: the nCentroids lowest vec_ids —
     * driver-small by construction (the set is collected and embedded in
     * the native assignment expression, never joined, so no broadcast

@@ -201,6 +201,29 @@ object PipelineQueries {
         annQueries(s, d).drop("qlabel"), 5, nProbe = 2)
     },
 
+    // PRODUCT-QUANTIZED ANN (r9, Similarity.pqTopK — the IVF-PQ memory
+    // half): 64-dim vectors as 4 subspace codes against 8-entry
+    // codebooks; queries score by asymmetric lookup-table sums over the
+    // CODES, never the embeddings — at 100 TB the scoring scan streams
+    // m bytes per vector instead of 4·D. Encode is one map-only native
+    // argmax pass per subspace (zero shuffle); the oracle replays
+    // codebooks, assignment and LUT scoring bit-for-bit.
+    "ann_pq" -> { (s, d) =>
+      Similarity.pqTopK(Tables(s, d, "embeddings"),
+        annQueries(s, d).drop("qlabel"), 5, m = 4, codebookSize = 8)
+    },
+
+    // PQ shortlist + EXACT re-rank (r9, Similarity.pqRerank — the
+    // production ANN recipe): the code scan shortlists 25 candidates
+    // per query, then ONLY those (Q×25, broadcast-small) re-score with
+    // the exact dot for the final top-5. Full-precision work per query
+    // is 25 vectors, not the corpus; the corpus pass stays m bytes per
+    // vector. Output shape = bruteTopK's (exact dot + rank).
+    "ann_pq_rerank" -> { (s, d) =>
+      Similarity.pqRerank(Tables(s, d, "embeddings"),
+        annQueries(s, d).drop("qlabel"), 5, kCand = 25)
+    },
+
     // The SQL front door to similarity search: the SAME brute-force
     // top-k as ann_topk, but written as a SQL string over a registered
     // view with the engine's native codegen'd DotProduct expression
@@ -1407,6 +1430,124 @@ object PipelineQueries {
         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
         |       FROM dots)
         |SELECT qid, cid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // PQ replayed declaratively: per-subspace codebooks from the first 8
+    // vectors, per-(vector, subspace) argmax assignment (dot desc, cid
+    // asc), per-(query, subspace, codeword) exact LUT dots, approximate
+    // score = the 4 lookups added in subspace order (explicit
+    // left-assoc parens — the engine's reduceLeft), rank ≤ 5
+    "ann_pq" ->
+      """WITH seeds AS (SELECT vec_id AS cid, embedding AS ce
+        |               FROM embeddings WHERE vec_id < 8),
+        |q AS (SELECT vec_id AS qid, embedding AS qe
+        |      FROM embeddings WHERE vec_id < 5),
+        |ms AS (SELECT unnest(range(0, 4)) AS m),
+        |subdots AS (
+        |  SELECT e.vec_id, c.cid, ms.m,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, 17),
+        |          i -> CAST(c.ce[ms.m * 16 + i] AS DOUBLE)
+        |             * CAST(e.embedding[ms.m * 16 + i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS sdot
+        |  FROM embeddings e, seeds c, ms),
+        |codes AS (SELECT vec_id, m, cid AS code FROM (
+        |  SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m
+        |         ORDER BY sdot DESC, cid ASC) AS rn FROM subdots)
+        |  WHERE rn = 1),
+        |wide AS (SELECT vec_id,
+        |    MAX(CASE WHEN m = 0 THEN code END) AS c0,
+        |    MAX(CASE WHEN m = 1 THEN code END) AS c1,
+        |    MAX(CASE WHEN m = 2 THEN code END) AS c2,
+        |    MAX(CASE WHEN m = 3 THEN code END) AS c3
+        |  FROM codes GROUP BY vec_id),
+        |qsub AS (
+        |  SELECT q.qid, c.cid, ms.m,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, 17),
+        |          i -> CAST(q.qe[ms.m * 16 + i] AS DOUBLE)
+        |             * CAST(c.ce[ms.m * 16 + i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS sdot
+        |  FROM q, seeds c, ms),
+        |scores AS (
+        |  SELECT s0.qid, w.vec_id,
+        |    ((s0.sdot + s1.sdot) + s2.sdot) + s3.sdot AS adot
+        |  FROM wide w
+        |  JOIN qsub s0 ON s0.m = 0 AND s0.cid = w.c0
+        |  JOIN qsub s1 ON s1.m = 1 AND s1.cid = w.c1 AND s1.qid = s0.qid
+        |  JOIN qsub s2 ON s2.m = 2 AND s2.cid = w.c2 AND s2.qid = s0.qid
+        |  JOIN qsub s3 ON s3.m = 3 AND s3.cid = w.c3 AND s3.qid = s0.qid),
+        |rk AS (SELECT qid, vec_id, adot,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |              ORDER BY adot DESC, vec_id ASC) AS BIGINT) AS rnk
+        |       FROM scores)
+        |SELECT qid, vec_id, adot, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // the ann_pq pipeline widened to a 25-deep shortlist, then re-scored
+    // with the exact dot and re-ranked to the final 5
+    "ann_pq_rerank" ->
+      """WITH seeds AS (SELECT vec_id AS cid, embedding AS ce
+        |               FROM embeddings WHERE vec_id < 8),
+        |q AS (SELECT vec_id AS qid, embedding AS qe
+        |      FROM embeddings WHERE vec_id < 5),
+        |ms AS (SELECT unnest(range(0, 4)) AS m),
+        |subdots AS (
+        |  SELECT e.vec_id, c.cid, ms.m,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, 17),
+        |          i -> CAST(c.ce[ms.m * 16 + i] AS DOUBLE)
+        |             * CAST(e.embedding[ms.m * 16 + i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS sdot
+        |  FROM embeddings e, seeds c, ms),
+        |codes AS (SELECT vec_id, m, cid AS code FROM (
+        |  SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m
+        |         ORDER BY sdot DESC, cid ASC) AS rn FROM subdots)
+        |  WHERE rn = 1),
+        |wide AS (SELECT vec_id,
+        |    MAX(CASE WHEN m = 0 THEN code END) AS c0,
+        |    MAX(CASE WHEN m = 1 THEN code END) AS c1,
+        |    MAX(CASE WHEN m = 2 THEN code END) AS c2,
+        |    MAX(CASE WHEN m = 3 THEN code END) AS c3
+        |  FROM codes GROUP BY vec_id),
+        |qsub AS (
+        |  SELECT q.qid, c.cid, ms.m,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, 17),
+        |          i -> CAST(q.qe[ms.m * 16 + i] AS DOUBLE)
+        |             * CAST(c.ce[ms.m * 16 + i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS sdot
+        |  FROM q, seeds c, ms),
+        |scores AS (
+        |  SELECT s0.qid, w.vec_id,
+        |    ((s0.sdot + s1.sdot) + s2.sdot) + s3.sdot AS adot
+        |  FROM wide w
+        |  JOIN qsub s0 ON s0.m = 0 AND s0.cid = w.c0
+        |  JOIN qsub s1 ON s1.m = 1 AND s1.cid = w.c1 AND s1.qid = s0.qid
+        |  JOIN qsub s2 ON s2.m = 2 AND s2.cid = w.c2 AND s2.qid = s0.qid
+        |  JOIN qsub s3 ON s3.m = 3 AND s3.cid = w.c3 AND s3.qid = s0.qid),
+        |short AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |         ORDER BY adot DESC, vec_id ASC) AS rnk FROM scores)
+        |  WHERE rnk <= 25),
+        |exact AS (
+        |  SELECT s.qid, s.vec_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(q.qe) + 1),
+        |          i -> CAST(q.qe[i] AS DOUBLE)
+        |             * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dot
+        |  FROM short s
+        |  JOIN q ON q.qid = s.qid
+        |  JOIN embeddings e ON e.vec_id = s.vec_id),
+        |rk2 AS (SELECT qid, vec_id, dot,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |              ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+        |       FROM exact)
+        |SELECT qid, vec_id, dot, rnk FROM rk2 WHERE rnk <= 5""".stripMargin,
 
     "ann_ivf_build" ->
       """WITH cents AS (SELECT vec_id AS cid, embedding AS ce

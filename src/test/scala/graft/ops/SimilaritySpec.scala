@@ -131,4 +131,39 @@ class SimilaritySpec extends SparkSpec {
       assert(native(p) === declarative(p),
         s"native and window assignment must agree at nProbe=$p")
   }
+
+  test("PQ top-k is exact on a codeword corpus (lossless quantization ≡ brute force)") {
+    import spark.implicits._
+    // seeds chosen per-subspace orthogonal, so every per-subspace argmax
+    // assignment recovers the generating codeword; a corpus whose every
+    // vector is a per-subspace MIXTURE of codewords then reconstructs
+    // exactly — the asymmetric PQ score equals the true dot, and pqTopK
+    // must reproduce bruteTopK bit-for-bit (score AND rank).
+    val s0 = Seq(1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f)
+    val s1 = Seq(0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 1.0f)
+    val corpus = Seq(
+      (0L, s0), (1L, s1),
+      (2L, s0.take(4) ++ s1.drop(4)),   // codes (0, 1)
+      (3L, s1.take(4) ++ s0.drop(4)))   // codes (1, 0)
+      .toDF("vec_id", "embedding")
+    val q = Seq(
+      (100L, Seq(0.9f, 0.1f, 0.2f, 0.0f, 0.0f, 0.8f, 0.0f, 0.3f)),
+      (101L, Seq(0.0f, 0.0f, 0.7f, 0.1f, 0.2f, 0.0f, 0.0f, 0.9f)))
+      .toDF("qid", "qe")
+    def ranked(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+      df.select("qid", "vec_id", "adot", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val brute = Similarity.bruteTopK(corpus, q, 4)
+      .withColumnRenamed("dot", "adot")
+    val pq = Similarity.pqTopK(corpus, q, 4, m = 2, codebookSize = 2)
+    assert(ranked(pq) === ranked(brute),
+      "lossless PQ must reproduce exact scores and ranks")
+    // determinism: the whole build+score twice, bit for bit
+    assert(ranked(Similarity.pqTopK(corpus, q, 4, m = 2, codebookSize = 2)) ===
+      ranked(pq))
+    // malformed shapes fail loud
+    intercept[IllegalArgumentException](
+      Similarity.pqTopK(corpus, q, 4, m = 3, codebookSize = 2)) // 8 % 3 != 0
+  }
 }
