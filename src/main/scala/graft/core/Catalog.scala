@@ -155,11 +155,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
   /**
    * CROSS-PROCESS commit exclusion — the FS-level half of the
    * concurrency model (the JVM lock above linearizes threads; this
-   * linearizes processes): a `_commit.lock` marker created with
-   * create-if-absent, which is atomic on HDFS (and the usual POSIX local
-   * FS); object stores without atomic create take the same story as the
-   * metadata rename — front the METADATA with a store that has
-   * conditional put (S3 If-None-Match) or a commit service, as
+   * linearizes processes): a `_commit.lock` marker created
+   * if-absent-ATOMICALLY — O_EXCL via nio on local filesystems (Hadoop's
+   * local `create(path, overwrite=false)` is check-then-act and two
+   * racing writers can BOTH acquire: caught live by CatalogSpec's
+   * cross-process race as a double commit, r9), the create-if-absent
+   * contract on HDFS; object stores without atomic create take the same
+   * story as the metadata rename — front the METADATA with a store that
+   * has conditional put (S3 If-None-Match) or a commit service, as
    * Delta/Iceberg do. A marker older than [[markerLeaseMs]] is presumed
    * a crashed writer's leftover and broken (every mutation is staged +
    * re-validated, so breaking a live-but-stuck writer's lease degrades
@@ -174,11 +177,26 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val marker = new Path(dir(name), "_commit.lock")
     def tryCreate(): Boolean =
       try {
-        val out = fs.create(marker, false)
-        try out.write(java.lang.management.ManagementFactory
-          .getRuntimeMXBean.getName.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        true
+        val pid = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getName.getBytes(StandardCharsets.UTF_8)
+        if (fs.getScheme == "file") {
+          // Hadoop's LOCAL create(path, overwrite=false) is CHECK-THEN-ACT
+          // (exists() + FileOutputStream), so two racing writers can both
+          // "acquire" — observed live as a double commit in the
+          // cross-process race spec. POSIX O_EXCL via nio IS atomic:
+          // exactly one creator wins.
+          val p = java.nio.file.Paths.get(marker.toUri.getPath)
+          java.nio.file.Files.createFile(p)
+          java.nio.file.Files.write(p, pid)
+          true
+        } else {
+          // HDFS create-if-absent is atomic by contract; object stores
+          // without it take the documented conditional-put story
+          val out = fs.create(marker, false)
+          try out.write(pid)
+          finally out.close()
+          true
+        }
       } catch { case _: java.io.IOException => false }
     val acquired = tryCreate() || {
       val stale =

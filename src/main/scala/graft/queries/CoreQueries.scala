@@ -910,6 +910,23 @@ object CoreQueries {
               |GROUP BY status""".stripMargin)
     },
 
+    // Query rewrite with a routed HAVING (r9, GraftSql.translateHaving):
+    // the predicate's aggregates rewrite onto the view's maintained
+    // columns (sum → cents arithmetic, count(*) → n_rows) and filter the
+    // routed group-cardinality rows — the table is never aggregated.
+    // Untranslatable predicates (min/max, non-group columns) silently
+    // take the direct path (GraftSqlSpec pins both directions).
+    "q_mview_route_having" -> { (s, d) =>
+      val (cat, view) = mviewOrders(s, d)
+      val g = new graft.sql.GraftSql(s)
+        .register("orders_mv", cat, "orders_mv")
+        .register(view, cat, view)
+      g.sql("""SELECT status, count(*) AS n_orders,
+              |sum(totalprice) AS sum_price
+              |FROM orders_mv GROUP BY status
+              |HAVING sum(totalprice) > 100000.0 AND count(*) > 10""".stripMargin)
+    },
+
     // SQL-only table lifecycle (graft.sql.GraftSql CALL procedures —
     // Spark 4's stored-procedure syntax mapped onto the catalog's
     // maintenance ops): the standard transcript driven entirely as SQL —
@@ -1539,6 +1556,18 @@ object CoreQueries {
          |         AS sum_price
          |FROM snap WHERE status IN ('U1', 'U2', 'F')
          |GROUP BY status""".stripMargin,
+
+    // the routed-HAVING aggregate must equal the directly-filtered
+    // rollup — HAVING compares the same exact decimal-derived doubles
+    "q_mview_route_having" ->
+      s"""$fixture
+         |SELECT status, COUNT(*) AS n_orders,
+         |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS sum_price
+         |FROM snap GROUP BY status
+         |HAVING CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         > 100000.0
+         |   AND COUNT(*) > 10""".stripMargin,
 
     // maintenance is never semantics: the SQL-driven lifecycle lands on
     // the standard fixture's snapshot

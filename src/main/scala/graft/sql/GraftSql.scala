@@ -144,6 +144,13 @@ class GraftSql(val spark: SparkSession) {
           require(cats.size == 1, "graft SQL COMMIT: transaction spans " +
             s"${cats.size} catalogs — cross-catalog atomicity is not " +
             "supported (one commit point per catalog)")
+          // two registered names aliasing one stored table would silently
+          // drop one table's statements in the map below — reject loud
+          val stored = stashed.keys.map(n => durable(n)._2).toSeq
+          require(stored.distinct.size == stored.size, "graft SQL COMMIT: " +
+            "two registered names alias the same stored table " +
+            s"(${stored.mkString(", ")}) — route the statements through " +
+            "one name")
           cats.head.commitMulti(
             stashed.map { case (n, t) => (durable(n)._2, t) }.toMap)
           stashed.keys.foreach(refreshView)
@@ -223,6 +230,21 @@ class GraftSql(val spark: SparkSession) {
           s"graft SQL DROP COLUMN: unsupported field reference $other")
       }
       refreshView(name); spark.emptyDataFrame
+    // DROP TABLE — deregisters the name and (durable tables) deletes the
+    // warehouse directory. Erasure-on-drop rather than Delta's
+    // keep-until-VACUUM: the engine's erasure surface (purge/vacuum) is
+    // explicit elsewhere, and a dropped table lingering on disk would be
+    // the surprising half-state.
+    case dt: DropTable if targetOf(dt.child).exists(isRegistered) =>
+      noTxn("DROP TABLE")
+      val name = targetOf(dt.child).get
+      if (session.remove(name).isEmpty) {
+        val (cat, tbl) = durable(name)
+        cat.dropTable(tbl)
+        durable.remove(name)
+      }
+      spark.catalog.dropTempView(name)
+      spark.emptyDataFrame
     case r: RenameColumn if targetOf(r.table).exists(isRegistered) =>
       noTxn("ALTER TABLE")
       val name = targetOf(r.table).get
@@ -429,8 +451,9 @@ class GraftSql(val spark: SparkSession) {
    *     count(*) / count(1) / sum / avg of the view's summed columns;
    *     explicit aliases; optionally ONE WHERE over group columns only —
    *     such a predicate removes whole groups, so it routes as a
-   *     view-side filter; no HAVING/DISTINCT) — anything else passes
-   *     through untouched;
+   *     view-side filter — and/or a HAVING whose aggregates translate to
+   *     the view's maintained columns; no DISTINCT) — anything else
+   *     passes through untouched;
    *   - the view must be CURRENT ([[graft.core.Catalog.currentViewOf]]:
    *     same source op_seq AND rewrite epoch) — a stale view never
    *     serves; the query silently takes the direct path instead
@@ -442,10 +465,84 @@ class GraftSql(val spark: SparkSession) {
    * (GraftSqlSpec pins routed ≡ direct ≡ oracle, and that a stale view
    * falls back).
    */
-  private def routeToView(p: LogicalPlan): Option[DataFrame] = {
+  private def routeToView(p: LogicalPlan): Option[DataFrame] = p match {
+    case agg: Aggregate => routeAggregate(agg).map(_._1)
+    // HAVING routes too: the predicate's aggregate calls translate to
+    // the view's maintained columns (count(*) → n_rows, sum/avg →
+    // cents arithmetic) and filter the routed frame — group-cardinality
+    // rows, never the table. Untranslatable predicates take the direct
+    // path.
+    case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
+      h.child match {
+        case agg: Aggregate =>
+          for {
+            (df, gs, sumCols, centsOf) <- routeAggregate(agg)
+            cond <- translateHaving(h.havingCondition, gs, sumCols, centsOf)
+          } yield df.where(cond)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** count(*) / count(1) shape. */
+  private def isCount1(args: Seq[Expression]): Boolean = args match {
+    case Seq(org.apache.spark.sql.catalyst.expressions.Literal(1, _)) => true
+    case Seq(_: UnresolvedStar) => true
+    case _ => false
+  }
+
+  /** The view-summed column a sum/avg argument names, if it names one. */
+  private def sumArgOf(args: Seq[Expression],
+                       sumCols: Seq[String]): Option[String] = args match {
+    case Seq(a: UnresolvedAttribute) if sumCols.contains(a.nameParts.last) =>
+      Some(a.nameParts.last)
+    case _ => None
+  }
+
+  /** Translate a HAVING predicate onto the view's columns: group
+    * attributes pass through, count(*) → n_rows, sum/avg of summed
+    * columns → the exact cents arithmetic; anything else (another
+    * function, a non-group column, a subquery) fails the route. */
+  private def translateHaving(cond: Expression, gs: Seq[String],
+                              sumCols: Seq[String],
+                              centsOf: Map[String, String]): Option[Column] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    var ok = true
+    // explicit top-down recursion, NOT transformUp/Down: bottom-up would
+    // rewrite the attribute INSIDE sum(x) before the function node ever
+    // matches, and top-down would then recurse into the replacement's
+    // own view-column attributes — both falsely fail the group-column
+    // check. Aggregate-call leaves are terminal here.
+    def tr(e: Expression): Expression = e match {
+      case UnresolvedFunction(Seq("count"), args, false, None, false, Nil, false)
+          if isCount1(args) =>
+        Bridge.expression(col("n_rows"))
+      case UnresolvedFunction(Seq("sum"), args, false, None, false, Nil, false)
+          if sumArgOf(args, sumCols).isDefined =>
+        Bridge.expression(col(centsOf(sumArgOf(args, sumCols).get)) / 100.0)
+      case UnresolvedFunction(Seq("avg"), args, false, None, false, Nil, false)
+          if sumArgOf(args, sumCols).isDefined =>
+        Bridge.expression(
+          col(centsOf(sumArgOf(args, sumCols).get)) / 100.0 / col("n_rows"))
+      case _: UnresolvedFunction => ok = false; e
+      case _: SubqueryExpression => ok = false; e
+      case a: UnresolvedAttribute =>
+        if (!gs.contains(a.nameParts.last)) ok = false
+        UnresolvedAttribute(Seq(a.nameParts.last))
+      case other => other.mapChildren(tr)
+    }
+    val t = tr(cond)
+    if (ok) Some(Bridge.column(t)) else None
+  }
+
+  /** Route a bare GROUP BY aggregate onto its current view, returning
+    * the routed frame plus the translation context (group columns,
+    * summed columns, measure-column names) a HAVING above needs. */
+  private def routeAggregate(aggPlan: Aggregate)
+      : Option[(DataFrame, Seq[String], Seq[String], Map[String, String])] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
-    p match {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    aggPlan match {
       case Aggregate(groupExprs, aggs, child, _)
           if groupExprs.nonEmpty && groupExprs.forall {
             case a: UnresolvedAttribute => a.nameParts.length == 1
@@ -490,17 +587,6 @@ class GraftSql(val spark: SparkSession) {
             ok
           }
           cols <- {
-            def count1(args: Seq[Expression]): Boolean = args match {
-              case Seq(Literal(1, _)) => true
-              case Seq(_: org.apache.spark.sql.catalyst.analysis.UnresolvedStar) => true
-              case _ => false
-            }
-            def sumArg(args: Seq[Expression]): Option[String] = args match {
-              case Seq(a: UnresolvedAttribute)
-                  if sumCols.contains(a.nameParts.last) =>
-                Some(a.nameParts.last)
-              case _ => None
-            }
             val translated = aggs.map {
               case a: UnresolvedAttribute if gs.contains(a.nameParts.last) =>
                 Some(col(a.nameParts.last))
@@ -508,15 +594,15 @@ class GraftSql(val spark: SparkSession) {
                   if gs.contains(a.nameParts.last) =>
                 Some(col(a.nameParts.last))
               case Alias(UnresolvedFunction(Seq("count"), args, false, None, false, Nil, false),
-                  name) if count1(args) =>
+                  name) if isCount1(args) =>
                 Some(col("n_rows").as(name))
               case Alias(UnresolvedFunction(Seq("sum"), args, false, None, false, Nil, false),
-                  name) if sumArg(args).isDefined =>
-                Some((col(centsOf(sumArg(args).get)) / 100.0).as(name))
+                  name) if sumArgOf(args, sumCols).isDefined =>
+                Some((col(centsOf(sumArgOf(args, sumCols).get)) / 100.0).as(name))
               case Alias(UnresolvedFunction(Seq("avg"), args, false, None, false, Nil, false),
-                  name) if sumArg(args).isDefined =>
-                Some((col(centsOf(sumArg(args).get)) / 100.0 / col("n_rows"))
-                  .as(name))
+                  name) if sumArgOf(args, sumCols).isDefined =>
+                Some((col(centsOf(sumArgOf(args, sumCols).get)) / 100.0
+                  / col("n_rows")).as(name))
               case _ => None
             }
             if (translated.forall(_.isDefined)) Some(translated.map(_.get))
@@ -524,7 +610,8 @@ class GraftSql(val spark: SparkSession) {
           }
         } yield {
           val base = cat.getTable(view).snapshot
-          filt.fold(base)(c => base.where(rebased(c))).select(cols: _*)
+          (filt.fold(base)(c => base.where(rebased(c))).select(cols: _*),
+            gs, sumCols, centsOf)
         }
       case _ => None
     }
@@ -546,7 +633,7 @@ class GraftSql(val spark: SparkSession) {
 
   private val procedures = Set("optimize", "compact", "vacuum", "purge",
     "analyze", "refresh_mview", "create_mview", "clone", "create_bloom",
-    "create_index", "history")
+    "create_index", "history", "restore")
 
   /**
    * MAINTENANCE through the SQL front door — Spark 4's stored-procedure
@@ -584,7 +671,7 @@ class GraftSql(val spark: SparkSession) {
     "create_mview" -> Seq("view", "src", "group_col", "sum_col"),
     "clone" -> Seq("src", "dst"),
     "create_bloom" -> Seq("tbl", "col"), "create_index" -> Seq("tbl", "col"),
-    "history" -> Seq("tbl"))
+    "history" -> Seq("tbl"), "restore" -> Seq("tbl", "rel"))
 
   private def runCall(proc: String, c: Call): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, NamedArgumentExpression}
@@ -592,6 +679,12 @@ class GraftSql(val spark: SparkSession) {
       e match {
         case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
         case Literal(v, _) => v
+        // `-1` parses as UnaryMinus(Literal(1)) — restore's relative
+        // versions are negative by contract
+        case org.apache.spark.sql.catalyst.expressions.UnaryMinus(
+            Literal(v: Int, _), _) => -v
+        case org.apache.spark.sql.catalyst.expressions.UnaryMinus(
+            Literal(v: Long, _), _) => -v
         case other => throw new IllegalArgumentException(
           s"graft SQL CALL: arguments must be literals, got ${other.sql}")
       }
@@ -694,6 +787,13 @@ class GraftSql(val spark: SparkSession) {
       case "history" =>
         arity(1); val (cat, t) = durableOf(str(0))
         cat.history(t)
+      case "restore" =>
+        // time-travel WRITE: re-append the state at relative version
+        // `rel` as a new commit (LineageTable.restore — never a history
+        // rewrite; delta ∝ records changed in the last |rel| ops)
+        arity(2); val (cat, t) = durableOf(str(0))
+        cat.commit(t, Txn.empty.add(_.restore(int(1))))
+        refreshView(str(0)); done
     }
   }
 
@@ -871,7 +971,11 @@ class GraftSql(val spark: SparkSession) {
   /** Target table name out of the (possibly aliased) relation subtree.
     * DML statements parse their target as [[UnresolvedRelation]]; ALTER
     * TABLE statements as [[org.apache.spark.sql.catalyst.analysis
-    * .UnresolvedTable]] — both carry the multipart identifier. */
+    * .UnresolvedTable]]; DROP TABLE as [[org.apache.spark.sql.catalyst
+    * .analysis.UnresolvedTableOrView]] — each carries the multipart
+    * identifier. Single-part only for the table-or-view shape: a
+    * qualified `catalog.db.t` names some OTHER catalog's table and must
+    * pass through to Spark (the r9 no-hijack rule). */
   private def targetOf(p: LogicalPlan): Option[String] = p match {
     case SubqueryAlias(_, child) => targetOf(child)
     // AddCheckConstraint wraps its target in Filter(condition, table)
@@ -879,6 +983,12 @@ class GraftSql(val spark: SparkSession) {
     case r: UnresolvedRelation => Some(r.multipartIdentifier.last)
     case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
       Some(t.multipartIdentifier.last)
+    case tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+        if tv.multipartIdentifier.length == 1 =>
+      Some(tv.multipartIdentifier.head)
+    case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+        if id.nameParts.length == 1 =>
+      Some(id.nameParts.head)
     case _ => None
   }
 

@@ -566,6 +566,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ann_pq: encode is map-only; only the per-query rank window exchanges") {
+    // PQ's scale contract: the corpus-side work is ONE map pass (native
+    // per-subspace argmax + LUT lookups) — the only hash Exchange is the
+    // per-query rank window over (qid, vec_id, adot) rows, and the LUT
+    // side broadcasts
+    for (q <- Seq("ann_pq", "ann_pq_rerank")) {
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sfDir))
+      val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)#".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(hashEx == Set("qid"),
+        s"$q: only the rank window may hash-exchange, got $hashEx:\n$plan")
+      assert(plan.contains("BroadcastExchange"), plan)
+      assert(plan.contains("nearest_centroids"), plan)
+      assert(plan.contains("WindowGroupLimit"), plan)
+    }
+  }
+
   test("q_exists_subquery decorrelates to ONE anti join") {
     val df = SparkEntry.queries("q_exists_subquery")(spark, sfDir)
     val logical = df.queryExecution.optimizedPlan.toString

@@ -528,6 +528,10 @@ class CatalogSpec extends SparkSpec {
     }
     val results = Await.result(
       Future.sequence(Seq(race(catA, 100L), race(catB, 200L))), Duration.Inf)
+    // exactly one winner — marker acquisition is ATOMIC (O_EXCL on local
+    // FS; HDFS create-if-absent by contract). Before r9 the local path
+    // rode Hadoop's check-then-act create and this spec caught BOTH
+    // writers acquiring (a double commit) under parallel-suite load.
     assert(results.count(_.isRight) === 1,
       s"expected exactly one winner, got: ${results.map(_.isRight)}")
     // the surviving state is the winner's write, cleanly committed
@@ -540,6 +544,35 @@ class CatalogSpec extends SparkSpec {
       Txn.empty.update(col("k") === 2L, Map("v" -> lit(21L))),
       loserCat.getTable("t").opSeq)
     assert(retry.isRight, s"retry after abort failed: $retry")
+  }
+
+  test("cross-process race, repeated: one winner per round, state always clean") {
+    // hammer the marker acquisition: the non-atomic local create this
+    // replaced won ~1-in-dozens of interleavings, so a single race run
+    // can pass on a broken implementation — repetition is the spec
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wh = Files.createTempDirectory("graft_xproc_rep_").toString
+    val catA = new Catalog(spark, wh, autoCompact = false)
+    val catB = new Catalog(spark, wh, autoCompact = false)
+    catA.createTable("t", "k", base)
+    for (round <- 1 to 12) {
+      val seq = catA.getTable("t").opSeq
+      val gate = new java.util.concurrent.CountDownLatch(2)
+      def race(cat: Catalog, v: Long) = Future {
+        gate.countDown(); gate.await()
+        cat.tryCommit("t", Txn.empty.update(col("k") === 1L,
+          Map("v" -> lit(v))), seq)
+      }
+      val rs = Await.result(
+        Future.sequence(Seq(race(catA, round * 10L), race(catB, round * 10L + 1))),
+        Duration.Inf)
+      assert(rs.count(_.isRight) === 1,
+        s"round $round: ${rs.map(_.isRight)} — marker acquisition raced")
+    }
+    // after 12 contested rounds the table reads cleanly end to end
+    assert(new Catalog(spark, wh).getTable("t").snapshot.count() === 3L)
   }
 
   test("a foreign commit marker blocks mutation; a stale one is broken") {

@@ -497,6 +497,27 @@ class GraftSqlSpec extends SparkSpec {
     val direct = g.sql("""SELECT status, count(*) AS n FROM t
                          |WHERE k > 1 GROUP BY status""".stripMargin)
     assert(!plan(direct).contains("/v"))
+    // HAVING routes too: aggregates in the predicate translate onto the
+    // view's maintained columns
+    val having = g.sql("""SELECT status, count(*) AS n, sum(totalprice) AS s
+                         |FROM t GROUP BY status
+                         |HAVING sum(totalprice) > 150.0 AND count(*) >= 1""".stripMargin)
+    assert(plan(having).contains("/v"),
+      "a translatable HAVING must route onto the view")
+    assert(having.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ===
+      Set(("B", 1L, 200.0), ("C", 1L, 300.0)))
+    // WHERE + HAVING compose on the routed path
+    val both = g.sql("""SELECT status, count(*) AS n FROM t
+                       |WHERE status IN ('A','B') GROUP BY status
+                       |HAVING count(*) >= 1""".stripMargin)
+    assert(plan(both).contains("/v"))
+    assert(both.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("A", 1L), ("B", 1L)))
+    // a HAVING over a non-maintained aggregate must NOT route
+    val minHaving = g.sql("""SELECT status, count(*) AS n FROM t
+                            |GROUP BY status HAVING min(totalprice) > 0""".stripMargin)
+    assert(!plan(minHaving).contains("/v"))
   }
 
   test("composite-group multi-measure views route and refresh") {
@@ -531,6 +552,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(plan(after).contains("/v"))
     assert(rowsOf(after) === Set(("A", "x", 1L, 40.0, 4.0),
       ("A", "y", 2L, 35.0, 1.5), ("B", "x", 1L, 30.0, 3.0)))
+  }
+
+  test("CALL graft.restore rewinds as a new commit; DROP TABLE completes the lifecycle") {
+    val (g, cat) = durableFixture()
+    g.sql("UPDATE t SET totalprice = totalprice + 1.0 WHERE k = 1")
+    g.sql("CALL graft.restore('t', -1)")
+    // restore appended the pre-update state as a NEW commit
+    assert(rows(g).head === ((1L, 10L, "A", 100.0)))
+    assert(cat.getTable("t").currentVersion === 2L,
+      "restore must append, never rewrite history")
+    // DROP TABLE deletes the durable table and deregisters the name
+    g.sql("DROP TABLE t")
+    intercept[IllegalArgumentException](g.table("t"))
+    assert(!cat.tableNames.contains("t"))
+    // an in-session drop just deregisters the handle
+    val g2 = fixture()
+    g2.sql("DROP TABLE t")
+    intercept[IllegalArgumentException](g2.table("t"))
   }
 
   test("qualified time-travel identifiers are NOT hijacked by name collision") {
