@@ -1419,6 +1419,86 @@ final class Catalog(spark: SparkSession, warehouse: String,
   /** Columns with a maintained projection (reference: per-column Index). */
   def projectionsOf(name: String): Seq[String] = readMeta(name).projCols
 
+  // ------------------------------------------------------- vector index
+
+  private def vecIndexDir(table: String) = new Path(dir(table), "_vecindex")
+
+  /**
+   * Durable IVF VECTOR INDEX on an embedding column — train once, probe
+   * forever: [[graft.ops.Similarity.trainedCentroids]] runs Lloyd over
+   * the CURRENT snapshot (each pass one map-only native-argmax
+   * assignment + a C×D stats aggregate — the corpus never shuffles),
+   * and the resulting centroid set persists as a self-describing
+   * sidecar parquet under `_vecindex/` (cid, ce, emb_col, built_seq).
+   * A later session — or another process — loads C×D floats
+   * (metadata-scale, one tiny parquet read) and pays only
+   * [[graft.ops.Similarity.ivfProbePrebuilt]]'s probe cost: at 100 TB
+   * the difference between ~1/C of one corpus scan per query batch and
+   * re-training over the corpus every session.
+   *
+   * Staleness is ADVISORY, the real-world vector-index contract:
+   * centroids are a partition hint, never a correctness input — probes
+   * against the live snapshot stay exact IVF results whatever the
+   * centroids are; a heavily-drifted table just buckets less evenly
+   * (compare `built_seq` to the live op_seq and rebuild when the drift
+   * warrants). Not in table meta deliberately: the sidecar carries its
+   * own schema + provenance, and a missing/deleted `_vecindex` dir
+   * simply reads as "no index".
+   */
+  def createVectorIndex(name: String, column: String,
+                        nCentroids: Int = 16, iters: Int = 1): Unit =
+    lock(name).synchronized { withCommitMarker(name) {
+      val meta = readMeta(name)
+      val t = getTable(name)
+      require(t.dataCols.contains(column), s"no such column: $column")
+      val corpus = t.snapshot
+        .select(col(meta.key).as("vec_id"), col(column).as("embedding"))
+      val cs = graft.ops.Similarity.collectCentroids(
+        graft.ops.Similarity.trainedCentroids(corpus, nCentroids, iters))
+      require(cs.nonEmpty, s"createVectorIndex($name.$column): empty " +
+        s"centroid seed set — seeding takes rows with ${meta.key} < " +
+        s"$nCentroids (none found)")
+      import spark.implicits._
+      cs.map { case (cid, v) => (cid, v.toSeq, column, meta.opSeq) }
+        .toDF("cid", "ce", "emb_col", "built_seq")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(vecIndexDir(name).toString)
+    } }
+
+  /** The stored vector index, if one exists: (embedding column, op_seq
+    * at build, cid-ascending centroids). One tiny parquet read — C×D
+    * floats, metadata-scale at any table size. */
+  def vectorIndex(name: String): Option[(String, Long, Seq[(Long, Array[Float])])] = {
+    val p = vecIndexDir(name)
+    if (!pathExists(p)) None
+    else {
+      // read the part files explicitly: the sidecar dir itself is
+      // underscore-prefixed (so TABLE reads skip it as metadata), which
+      // also makes a bare directory read see "only hidden paths" on
+      // some listing paths — enumerate the parquet parts instead
+      val parts = fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      if (parts.isEmpty) None
+      else {
+        val rows = spark.read.parquet(parts.toSeq: _*).collect()
+        if (rows.isEmpty) None
+        else {
+          val cs = rows.map(r => (r.getLong(r.fieldIndex("cid")),
+            r.getSeq[Float](r.fieldIndex("ce")).toArray)).sortBy(_._1).toSeq
+          Some((rows.head.getString(rows.head.fieldIndex("emb_col")),
+            rows.head.getLong(rows.head.fieldIndex("built_seq")), cs))
+        }
+      }
+    }
+  }
+
+  /** Forget the vector index: delete the sidecar (reads fall back to
+    * "no index"; the table itself is untouched). */
+  def dropVectorIndex(name: String): Unit =
+    lock(name).synchronized { withCommitMarker(name) {
+      deleteRecursively(vecIndexDir(name))
+    } }
+
   /**
    * Secondary probe THROUGH a projection: candidate keys come from a
    * pruned scan of the slim sorted `(column, key)` side table (the

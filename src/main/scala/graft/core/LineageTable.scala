@@ -213,7 +213,13 @@ final class LineageTable private (
    */
   def update(predicate: Column, set: Map[String, Column]): LineageTable = {
     val current = snapshotMeta.where(predicate)
-    val updated = set.foldLeft(current) { case (df, (c, e)) => df.withColumn(c, e) }
+    // each assignment CASTS to the column's declared type (ANSI UPDATE):
+    // a bare int literal into a bigint column must widen, or the delta
+    // file's physical type would diverge from the table schema and
+    // poison later tail reads. Unknown columns fail loud here (schema
+    // lookup) instead of silently dropping in the final select.
+    val updated = set.foldLeft(current) { case (df, (c, e)) =>
+      df.withColumn(c, e.cast(df.schema(c).dataType)) }
       .withColumn(VER, lit(opSeq + 1))
       .withColumn(DEL, lit(0))
     withAppend(updated.select(lineage.columns.map(col): _*))

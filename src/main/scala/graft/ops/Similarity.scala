@@ -103,7 +103,21 @@ object Similarity {
       else seedCentroids(corpus, nCentroids)
     // ONE driver collect (C×D floats) feeds both the corpus assignment and
     // the query routing — the centroid scan runs once, not once per use
-    val cs = collectCentroids(cents)
+    ivfProbePrebuilt(corpus, queries, k, collectCentroids(cents), nProbe)
+  }
+
+  /**
+   * IVF probe against a PREBUILT centroid set — the deployment shape
+   * behind [[graft.core.Catalog.createVectorIndex]]: training ran once
+   * at index-build time; a query session loads the stored C×D floats
+   * (metadata-scale) and pays ONLY the map-only assignment + bucket
+   * probe. Identical plan and semantics to [[ivfBuildProbe]] after its
+   * training step (it delegates here), so prebuilt ≡ build-inline on
+   * the same centroids, bit for bit.
+   */
+  def ivfProbePrebuilt(corpus: DataFrame, queries: DataFrame, k: Int,
+                       cs: Seq[(Long, Array[Float])],
+                       nProbe: Int = 1): DataFrame = {
     val bucketed = assignWith(corpus, cs)
     val routed = probeWith(
         queries.select(col("qid").as("vec_id"), col("qe").as("embedding")),

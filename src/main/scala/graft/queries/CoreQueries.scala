@@ -927,6 +927,25 @@ object CoreQueries {
               |HAVING sum(totalprice) > 100000.0 AND count(*) > 10""".stripMargin)
     },
 
+    // The full dashboard top-n on the routed path (r9,
+    // GraftSql.routeToView Sort/Limit wrappers): WHERE + HAVING +
+    // ORDER BY output alias + LIMIT all compose ONTO the
+    // group-cardinality-sized view — the table is never aggregated,
+    // never sorted. The sort runs over |groups| rows, so the routed
+    // top-n is FLAT in table size like every routed read (§5k).
+    "q_mview_route_topn" -> { (s, d) =>
+      val (cat, view) = mviewOrders(s, d)
+      val g = new graft.sql.GraftSql(s)
+        .register("orders_mv", cat, "orders_mv")
+        .register(view, cat, view)
+      g.sql("""SELECT status, count(*) AS n_orders,
+              |sum(totalprice) AS sum_price
+              |FROM orders_mv
+              |WHERE status IN ('U1', 'U2', 'F', 'O', 'P')
+              |GROUP BY status HAVING count(*) > 5
+              |ORDER BY sum_price DESC, status ASC LIMIT 3""".stripMargin)
+    },
+
     // SQL-only table lifecycle (graft.sql.GraftSql CALL procedures —
     // Spark 4's stored-procedure syntax mapped onto the catalog's
     // maintenance ops): the standard transcript driven entirely as SQL —
@@ -1238,6 +1257,35 @@ object CoreQueries {
     // own refreshed snapshot view MID-TRANSCRIPT — three ANSI statements
     // parsed by Spark's parser, each one engine op, one _ver apiece.
     // The reference's write API (query.py:57,131,27) as SQL strings.
+    // SQL CREATE TABLE lifecycle (r9, GraftSql CREATE TABLE/CTAS —
+    // `USING graft` is the explicit provider opt-in): an empty keyed
+    // table filled by INSERT..SELECT, a CTAS straight off a session
+    // view, DML against both, one aggregate over the result. With the
+    // attach()ed catalog both tables are durable versioned tables —
+    // the whole transcript is SQL, no Scala createTable anywhere.
+    "sql_create" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_sqlcreate_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      val g = new graft.sql.GraftSql(s).attach(cat)
+      baseOrders(s, d).createOrReplaceTempView("sqlcreate_src")
+      g.sql("""CREATE TABLE sqlc_small (k BIGINT, custkey BIGINT,
+              |status STRING, totalprice DOUBLE) USING graft
+              |OPTIONS ('key' = 'k')""".stripMargin)
+      g.sql("""INSERT INTO sqlc_small SELECT k, custkey, status, totalprice
+              |FROM sqlcreate_src WHERE k % 7 = 0""".stripMargin)
+      g.sql("""CREATE TABLE sqlc_big USING graft OPTIONS ('key' = 'k')
+              |AS SELECT k, custkey, status, totalprice FROM sqlcreate_src
+              |WHERE totalprice > 150000.0""".stripMargin)
+      g.sql("UPDATE sqlc_big SET status = 'X' WHERE k % 2 = 0")
+      g.sql("""SELECT 'small' AS src, status, count(*) AS n,
+              |       CAST(sum(custkey) AS BIGINT) AS ck
+              |FROM sqlc_small GROUP BY status
+              |UNION ALL
+              |SELECT 'big' AS src, status, count(*) AS n,
+              |       CAST(sum(custkey) AS BIGINT) AS ck
+              |FROM sqlc_big GROUP BY status""".stripMargin)
+    },
+
     "sql_dml" -> { (s, d) =>
       val g = new graft.sql.GraftSql(s)
         .register("sqldml_t", LineageTable.fromBase("k", baseOrders(s, d)))
@@ -1569,6 +1617,17 @@ object CoreQueries {
          |         > 100000.0
          |   AND COUNT(*) > 10""".stripMargin,
 
+    // the routed top-n must pick exactly the groups the directly-sorted
+    // rollup picks (deterministic: status tiebreak on equal sums)
+    "q_mview_route_topn" ->
+      s"""$fixture
+         |SELECT status, COUNT(*) AS n_orders,
+         |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS sum_price
+         |FROM snap WHERE status IN ('U1', 'U2', 'F', 'O', 'P')
+         |GROUP BY status HAVING COUNT(*) > 5
+         |ORDER BY sum_price DESC, status ASC LIMIT 3""".stripMargin,
+
     // maintenance is never semantics: the SQL-driven lifecycle lands on
     // the standard fixture's snapshot
     "sql_call" ->
@@ -1855,6 +1914,26 @@ object CoreQueries {
          |SELECT k, custkey, status, totalprice FROM s3 WHERE k % 100 = 0""".stripMargin,
 
     // the three-statement SQL transcript replayed as CTE stages
+    // the SQL-created tables must land exactly the filtered/updated
+    // states a direct relational pipeline computes
+    "sql_create" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |small AS (SELECT * FROM base WHERE k % 7 = 0),
+        |big AS (SELECT k, custkey,
+        |          CASE WHEN k % 2 = 0 THEN 'X' ELSE status END AS status,
+        |          totalprice
+        |        FROM base WHERE totalprice > 150000.0)
+        |SELECT 'small' AS src, status, COUNT(*) AS n,
+        |       CAST(SUM(custkey) AS BIGINT) AS ck
+        |FROM small GROUP BY status
+        |UNION ALL
+        |SELECT 'big' AS src, status, COUNT(*) AS n,
+        |       CAST(SUM(custkey) AS BIGINT) AS ck
+        |FROM big GROUP BY status""".stripMargin,
+
     "sql_dml" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_custkey AS custkey,

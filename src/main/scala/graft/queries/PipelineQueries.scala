@@ -42,6 +42,24 @@ object PipelineQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
               col("label").as("qlabel"))
 
+  /** One-time durable vector-index build for ann_ivf_durable (cached per
+    * sfDir like the mview fixtures): ingest embeddings as a catalog
+    * table, train + persist the IVF index. The QUERY reopens the
+    * warehouse with a fresh handle — the cache holds only the path, so
+    * what the query measures is exactly the deployment read path. */
+  private def vecIdxWarehouse(s: SparkSession, d: String): String =
+    vecIdxCache.getOrElseUpdate(d, {
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_vecidx_wh_")
+      val cat = new graft.core.Catalog(s, wh, autoCompact = false)
+      cat.createTable("emb_vi", "vec_id",
+        Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+      cat.createVectorIndex("emb_vi", "embedding", nCentroids = 16, iters = 1)
+      wh
+    })
+
+  private val vecIdxCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private val stopwords = Seq("the", "a", "and", "of", "to")
 
   private val jsonlCache =
@@ -189,6 +207,26 @@ object PipelineQueries {
     "ann_ivf_trained" -> { (s, d) =>
       Similarity.ivfBuildProbe(Tables(s, d, "embeddings"),
         annQueries(s, d).drop("qlabel"), 5, trainIters = 1)
+    },
+
+    // DURABLE vector index (r9, Catalog.createVectorIndex +
+    // Similarity.ivfProbePrebuilt — train once, probe forever): the
+    // trained centroid set persists as a sidecar parquet in the
+    // warehouse; a FRESH catalog handle (simulating the next session /
+    // another process) loads C×D floats metadata-scale and pays only
+    // the probe — no Lloyd pass, no corpus re-scan for training. At
+    // 100 TB this turns per-session training (iters+1 corpus passes)
+    // into a one-time build amortized over every query batch since.
+    // Same centroids as ann_ivf_trained by determinism → same oracle
+    // replay (1 Lloyd round, nProbe 1, k 5).
+    "ann_ivf_durable" -> { (s, d) =>
+      val wh = vecIdxWarehouse(s, d)
+      val cat = new graft.core.Catalog(s, wh)
+      val Some((embCol, _, cs)) = cat.vectorIndex("emb_vi")
+      Similarity.ivfProbePrebuilt(
+        cat.getTable("emb_vi").snapshot
+          .select(col("vec_id"), col(embCol).as("embedding")),
+        annQueries(s, d).drop("qlabel"), 5, cs, nProbe = 1)
     },
 
     // multi-probe IVF (r6): each query probes its TWO nearest centroids —
@@ -974,6 +1012,68 @@ object PipelineQueries {
          |SELECT t.doc_id, COUNT(*) AS n_hits
          |FROM tg t JOIN bg b ON t.gh = b.gh GROUP BY 1""".stripMargin
 
+  /** DuckDB replay of the trained-IVF build + probe (16 seed
+    * centroids, 1 Lloyd round, nProbe 1, k 5) — shared verbatim by
+    * ann_ivf_trained (inline training) and ann_ivf_durable (stored
+    * index): determinism makes the two engines' paths land on the
+    * same centroids, so one replay oracles both. */
+  private val annTrainedOracle: String =
+    """WITH seeds AS (SELECT vec_id AS cid, embedding AS ce
+        |               FROM embeddings WHERE vec_id < 16),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |a1 AS (SELECT vec_id, embedding, cid FROM (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(range(1, len(c.ce) + 1),
+        |            i -> CAST(c.ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |        (a, b) -> a + b) DESC, c.cid ASC) AS crn
+        |  FROM embeddings e, seeds c) WHERE crn = 1),
+        |comps AS (
+        |  SELECT cid, i AS dim,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS fq
+        |  FROM a1, LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS i)),
+        |means AS (
+        |  SELECT cid, dim,
+        |    CAST(CAST(SUM(fq) AS DOUBLE) / COUNT(*) / 1e6 AS FLOAT) AS mv
+        |  FROM comps GROUP BY cid, dim),
+        |mlists AS (SELECT cid, list(mv ORDER BY dim) AS mce FROM means GROUP BY cid),
+        |cents AS (SELECT s.cid, COALESCE(m.mce, s.ce) AS ce
+        |          FROM seeds s LEFT JOIN mlists m ON s.cid = m.cid),
+        |assign AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(range(1, len(c.ce) + 1),
+        |            i -> CAST(c.ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |        (a, b) -> a + b) DESC, c.cid ASC) AS crn
+        |  FROM embeddings e, cents c) WHERE crn = 1),
+        |qroute AS (SELECT qid, qcid FROM (
+        |  SELECT q.qid, c.cid AS qcid,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(range(1, len(c.ce) + 1),
+        |            i -> CAST(c.ce[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+        |        (a, b) -> a + b) DESC, c.cid ASC) AS crn
+        |  FROM q, cents c) WHERE crn = 1),
+        |dots AS (
+        |  SELECT q.qid, a.cid, e.vec_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(q.qe) + 1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dot
+        |  FROM q JOIN qroute r ON q.qid = r.qid
+        |  JOIN assign a ON a.cid = r.qcid
+        |  JOIN embeddings e ON e.vec_id = a.vec_id),
+        |rk AS (SELECT qid, cid, vec_id, dot,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+        |       FROM dots)
+        |SELECT qid, cid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // float→double widening is exact; fixed-order IEEE arithmetic and
     // floor(v+0.5) rounding are engine-identical (never round(): half-even
@@ -1374,62 +1474,13 @@ object PipelineQueries {
     // the exact arithmetic of Similarity.centroidStats/lloydUpdate; an
     // empty cluster carries its seed forward via the LEFT JOIN COALESCE),
     // then the standard IVF build/probe over the refined centroids.
-    "ann_ivf_trained" ->
-      """WITH seeds AS (SELECT vec_id AS cid, embedding AS ce
-        |               FROM embeddings WHERE vec_id < 16),
-        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-        |a1 AS (SELECT vec_id, embedding, cid FROM (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_reduce(
-        |        list_prepend(CAST(0 AS DOUBLE),
-        |          list_transform(range(1, len(c.ce) + 1),
-        |            i -> CAST(c.ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
-        |        (a, b) -> a + b) DESC, c.cid ASC) AS crn
-        |  FROM embeddings e, seeds c) WHERE crn = 1),
-        |comps AS (
-        |  SELECT cid, i AS dim,
-        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS fq
-        |  FROM a1, LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS i)),
-        |means AS (
-        |  SELECT cid, dim,
-        |    CAST(CAST(SUM(fq) AS DOUBLE) / COUNT(*) / 1e6 AS FLOAT) AS mv
-        |  FROM comps GROUP BY cid, dim),
-        |mlists AS (SELECT cid, list(mv ORDER BY dim) AS mce FROM means GROUP BY cid),
-        |cents AS (SELECT s.cid, COALESCE(m.mce, s.ce) AS ce
-        |          FROM seeds s LEFT JOIN mlists m ON s.cid = m.cid),
-        |assign AS (SELECT vec_id, cid FROM (
-        |  SELECT e.vec_id, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_reduce(
-        |        list_prepend(CAST(0 AS DOUBLE),
-        |          list_transform(range(1, len(c.ce) + 1),
-        |            i -> CAST(c.ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
-        |        (a, b) -> a + b) DESC, c.cid ASC) AS crn
-        |  FROM embeddings e, cents c) WHERE crn = 1),
-        |qroute AS (SELECT qid, qcid FROM (
-        |  SELECT q.qid, c.cid AS qcid,
-        |    row_number() OVER (PARTITION BY q.qid ORDER BY
-        |      list_reduce(
-        |        list_prepend(CAST(0 AS DOUBLE),
-        |          list_transform(range(1, len(c.ce) + 1),
-        |            i -> CAST(c.ce[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
-        |        (a, b) -> a + b) DESC, c.cid ASC) AS crn
-        |  FROM q, cents c) WHERE crn = 1),
-        |dots AS (
-        |  SELECT q.qid, a.cid, e.vec_id,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS DOUBLE),
-        |        list_transform(range(1, len(q.qe) + 1),
-        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
-        |      (a, b) -> a + b) AS dot
-        |  FROM q JOIN qroute r ON q.qid = r.qid
-        |  JOIN assign a ON a.cid = r.qcid
-        |  JOIN embeddings e ON e.vec_id = a.vec_id),
-        |rk AS (SELECT qid, cid, vec_id, dot,
-        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
-        |       FROM dots)
-        |SELECT qid, cid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+    // the durable index trains the SAME deterministic centroids (16
+    // seeds, 1 Lloyd round) and probes nProbe=1 k=5 over the same
+    // corpus — one replay serves both queries
+    "ann_ivf_durable" -> annTrainedOracle,
+
+    "ann_ivf_trained" -> annTrainedOracle,
+
 
     // PQ replayed declaratively: per-subspace codebooks from the first 8
     // vectors, per-(vector, subspace) argmax assignment (dot desc, cid

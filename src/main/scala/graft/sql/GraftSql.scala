@@ -66,6 +66,15 @@ class GraftSql(val spark: SparkSession) {
     this
   }
 
+  /** Default catalog for SQL-created tables: `CREATE TABLE ... USING
+    * graft` lands here as a durable table (and auto-registers). Without
+    * an attached catalog, CREATE TABLE makes an in-session table — the
+    * same two-tier story as [[register]]. */
+  private var attached: Option[Catalog] = None
+
+  /** Attach the warehouse `CREATE TABLE` statements create into. */
+  def attach(cat: Catalog): GraftSql = { attached = Some(cat); this }
+
   /** Current state of a registered table. */
   def table(name: String): LineageTable =
     session.getOrElse(name,
@@ -245,6 +254,21 @@ class GraftSql(val spark: SparkSession) {
       }
       spark.catalog.dropTempView(name)
       spark.emptyDataFrame
+    // CREATE TABLE ... USING graft — the explicit provider is the
+    // opt-in (any other provider passes through to Spark untouched):
+    // an empty keyed table from the column list, or CTAS from any
+    // query the session can analyze. With an attached catalog the
+    // table is durable (and auto-registered, the CALL create_mview
+    // rule); otherwise in-session. Completes the SQL-only lifecycle:
+    // CREATE → DML/SELECT → maintenance CALLs → DROP TABLE.
+    case ct: CreateTable if providerIsGraft(ct.tableSpec) =>
+      noTxn("CREATE TABLE")
+      runCreate(createName(ct.name), ct.ignoreIfExists,
+        specOptions(ct.tableSpec), Left(ct.columns), ct.partitioning.nonEmpty)
+    case cas: CreateTableAsSelect if providerIsGraft(cas.tableSpec) =>
+      noTxn("CREATE TABLE")
+      runCreate(createName(cas.name), cas.ignoreIfExists,
+        specOptions(cas.tableSpec), Right(cas.query), cas.partitioning.nonEmpty)
     case r: RenameColumn if targetOf(r.table).exists(isRegistered) =>
       noTxn("ALTER TABLE")
       val name = targetOf(r.table).get
@@ -473,15 +497,71 @@ class GraftSql(val spark: SparkSession) {
     // rows, never the table. Untranslatable predicates take the direct
     // path.
     case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
-      h.child match {
-        case agg: Aggregate =>
-          for {
-            (df, gs, sumCols, centsOf) <- routeAggregate(agg)
-            cond <- translateHaving(h.havingCondition, gs, sumCols, centsOf)
-          } yield df.where(cond)
-        case _ => None
+      routeHaving(h)
+    // ORDER BY / LIMIT above a routable aggregate — the standard
+    // dashboard top-n (`GROUP BY g ... ORDER BY measure DESC LIMIT n`)
+    // — route the aggregate, then sort/limit the GROUP-CARDINALITY
+    // rows: the heavy work (ordering the whole table's aggregation)
+    // never happens. Sort keys must name output columns / group
+    // columns (or be 1-based ordinals); anything else (an aggregate
+    // call in the ORDER BY, an expression) takes the direct path.
+    case Sort(order, true, child, _) =>
+      routeBelowSort(child).flatMap { df =>
+        val keys = order.map(translateSortKey(_, df.columns))
+        if (keys.forall(_.isDefined)) Some(df.sort(keys.map(_.get): _*))
+        else None
       }
+    case GlobalLimit(org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _),
+        LocalLimit(_, child)) =>
+      routeToView(child).map(_.limit(n))
     case _ => None
+  }
+
+  /** The plans a Sort may legally sit on in a routable statement. */
+  private def routeBelowSort(p: LogicalPlan): Option[DataFrame] = p match {
+    case agg: Aggregate => routeAggregate(agg).map(_._1)
+    case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
+      routeHaving(h)
+    case _ => None
+  }
+
+  private def routeHaving(
+      h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving): Option[DataFrame] =
+    h.child match {
+      case agg: Aggregate =>
+        for {
+          (df, gs, sumCols, centsOf) <- routeAggregate(agg)
+          cond <- translateHaving(h.havingCondition, gs, sumCols, centsOf)
+        } yield df.where(cond)
+      case _ => None
+    }
+
+  /** An ORDER BY key onto the routed frame: an output-column name or a
+    * 1-based select-list ordinal, with direction and null ordering
+    * preserved. Anything else → None (direct path). */
+  private def translateSortKey(so: org.apache.spark.sql.catalyst.expressions.SortOrder,
+                               outCols: Array[String]): Option[Column] = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, Literal, NullsFirst, NullsLast}
+    val named = so.child match {
+      case a: UnresolvedAttribute
+          if a.nameParts.length == 1 && outCols.contains(a.nameParts.head) =>
+        Some(a.nameParts.head)
+      case Literal(i: Int, _) if i >= 1 && i <= outCols.length =>
+        Some(outCols(i - 1))
+      // `ORDER BY 2` parses as an UnresolvedOrdinal, not a bare literal
+      case o: org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal
+          if o.ordinal >= 1 && o.ordinal <= outCols.length =>
+        Some(outCols(o.ordinal - 1))
+      case _ => None
+    }
+    named.map { n =>
+      (so.direction, so.nullOrdering) match {
+        case (Ascending, NullsFirst) => col(n).asc_nulls_first
+        case (Ascending, NullsLast) => col(n).asc_nulls_last
+        case (Descending, NullsFirst) => col(n).desc_nulls_first
+        case (Descending, NullsLast) => col(n).desc_nulls_last
+      }
+    }
   }
 
   /** count(*) / count(1) shape. */
@@ -633,7 +713,8 @@ class GraftSql(val spark: SparkSession) {
 
   private val procedures = Set("optimize", "compact", "vacuum", "purge",
     "analyze", "refresh_mview", "create_mview", "clone", "create_bloom",
-    "create_index", "history", "restore")
+    "create_index", "history", "restore", "create_vector_index",
+    "drop_vector_index")
 
   /**
    * MAINTENANCE through the SQL front door — Spark 4's stored-procedure
@@ -671,7 +752,9 @@ class GraftSql(val spark: SparkSession) {
     "create_mview" -> Seq("view", "src", "group_col", "sum_col"),
     "clone" -> Seq("src", "dst"),
     "create_bloom" -> Seq("tbl", "col"), "create_index" -> Seq("tbl", "col"),
-    "history" -> Seq("tbl"), "restore" -> Seq("tbl", "rel"))
+    "history" -> Seq("tbl"), "restore" -> Seq("tbl", "rel"),
+    "create_vector_index" -> Seq("tbl", "col", "centroids", "iters"),
+    "drop_vector_index" -> Seq("tbl"))
 
   private def runCall(proc: String, c: Call): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, NamedArgumentExpression}
@@ -794,6 +877,14 @@ class GraftSql(val spark: SparkSession) {
         arity(2); val (cat, t) = durableOf(str(0))
         cat.commit(t, Txn.empty.add(_.restore(int(1))))
         refreshView(str(0)); done
+      case "create_vector_index" =>
+        // train-once IVF centroids, persisted as a sidecar — later
+        // sessions probe without re-training (Catalog.createVectorIndex)
+        arity(4); val (cat, t) = durableOf(str(0))
+        cat.createVectorIndex(t, str(1), int(2), int(3)); done
+      case "drop_vector_index" =>
+        arity(1); val (cat, t) = durableOf(str(0))
+        cat.dropVectorIndex(t); done
     }
   }
 
@@ -960,6 +1051,103 @@ class GraftSql(val spark: SparkSession) {
         s"'$name' is an in-session table"))
     if (!(dc.ifExists && !cat.constraints(tbl).contains(dc.name)))
       cat.dropConstraint(tbl, dc.name)
+    spark.emptyDataFrame
+  }
+
+  // ---------------------------------------------------------- CREATE TABLE
+
+  /** The `USING graft` opt-in: only an explicit graft provider is
+    * intercepted — `CREATE TABLE ... USING parquet` (or providerless)
+    * passes through to Spark untouched. */
+  private def providerIsGraft(spec: TableSpecBase): Boolean = spec match {
+    case u: UnresolvedTableSpec => u.provider.exists(_.equalsIgnoreCase("graft"))
+    case _ => false
+  }
+
+  /** CREATE TABLE names are single-part: the statement explicitly asked
+    * for the graft provider, so a qualified name is a loud error, not a
+    * pass-through (Spark would fail to resolve a 'graft' datasource
+    * anyway — this error says why). */
+  private def createName(p: LogicalPlan): String = p match {
+    case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+        if id.nameParts.length == 1 => id.nameParts.head
+    case other => throw new IllegalArgumentException(
+      "graft SQL CREATE TABLE: single-part table names only (the name " +
+        s"registers with THIS session), got $other")
+  }
+
+  /** OPTIONS of a CREATE TABLE spec as literal strings. The one
+    * supported option is `key` (the lineage key column); TBLPROPERTIES
+    * and inline constraints are rejected loud rather than dropped. */
+  private def specOptions(spec: TableSpecBase): Map[String, String] = spec match {
+    case u: UnresolvedTableSpec =>
+      require(u.constraints.isEmpty, "graft SQL CREATE TABLE: inline " +
+        "constraints are not supported — ALTER TABLE ... ADD CONSTRAINT " +
+        "... CHECK (...) after create (same enforcement, one path)")
+      require(u.properties.isEmpty, "graft SQL CREATE TABLE: " +
+        "TBLPROPERTIES are not supported — the engine's table metadata " +
+        "lives in _graft.json; use OPTIONS ('key' = '<col>')")
+      u.optionExpression.options.map {
+        case (k, org.apache.spark.sql.catalyst.expressions.Literal(v, _)) =>
+          k.toLowerCase -> String.valueOf(v)
+        case (k, other) => throw new IllegalArgumentException(
+          s"graft SQL CREATE TABLE: option '$k' must be a literal, " +
+            s"got ${other.sql}")
+      }.toMap
+    case _ => Map.empty
+  }
+
+  /**
+   * CREATE TABLE ([[CreateTable]] empty-schema form / [[CreateTableAsSelect]]):
+   * build the initial rows (an empty frame of the declared schema, or
+   * the analyzed CTAS query's result), pick the lineage key (OPTIONS
+   * `key`, default first column), then create durable (attached catalog)
+   * or in-session and register the name. IF NOT EXISTS on an existing
+   * durable table ADOPTS it (registers, creates nothing) — the Delta
+   * no-op shape with the table left usable.
+   */
+  private def runCreate(name: String, ifNotExists: Boolean,
+                        opts: Map[String, String],
+                        source: Either[Seq[ColumnDefinition], LogicalPlan],
+                        partitioned: Boolean): DataFrame = {
+    require(!partitioned, "graft SQL CREATE TABLE: PARTITIONED BY is not " +
+      "supported — physical layout is a maintenance concern (CALL " +
+      "graft.create_index / create_bloom; Layout.zorder)")
+    val unknown = opts.keySet - "key"
+    require(unknown.isEmpty, "graft SQL CREATE TABLE: unknown option(s) " +
+      s"${unknown.mkString(", ")} (supported: 'key')")
+    if (isRegistered(name)) {
+      if (ifNotExists) return spark.emptyDataFrame
+      throw new IllegalArgumentException(
+        s"graft SQL CREATE TABLE: '$name' is already registered")
+    }
+    val rows = source match {
+      case Right(q) => Bridge.ofRows(spark, q)
+      case Left(cols) =>
+        val fields = cols.map { c =>
+          require(c.defaultValue.isEmpty && c.generationExpression.isEmpty &&
+            c.identityColumnSpec.isEmpty, "graft SQL CREATE TABLE: " +
+            s"DEFAULT/GENERATED/IDENTITY on column '${c.name}' is not " +
+            "supported — versioned writes carry explicit values")
+          org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)
+        }
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(fields))
+    }
+    val key = opts.getOrElse("key", rows.columns.head)
+    require(rows.columns.contains(key), "graft SQL CREATE TABLE: key " +
+      s"column '$key' not in (${rows.columns.mkString(", ")})")
+    attached match {
+      case Some(cat) =>
+        if (cat.tableNames.contains(name)) {
+          require(ifNotExists, s"graft SQL CREATE TABLE: '$name' already " +
+            "exists in the attached catalog (CREATE TABLE IF NOT EXISTS " +
+            "adopts it)")
+        } else cat.createTable(name, key, rows)
+        register(name, cat, name)
+      case None =>
+        register(name, LineageTable.fromBase(key, rows))
+    }
     spark.emptyDataFrame
   }
 

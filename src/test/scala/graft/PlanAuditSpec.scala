@@ -539,7 +539,10 @@ class PlanAuditSpec extends SparkSpec {
     // whole IVF build+probe plan is the per-QUERY ranking window (over
     // candidate rows already stripped of embeddings), and emb_kmeans'
     // only hash Exchange is the (cid, dim) stats aggregation.
-    for (q <- Seq("ann_ivf_build", "ann_ivf_trained")) {
+    // ann_ivf_durable shares the probe plan exactly — the prebuilt
+    // centroids change WHERE they come from (one sidecar read), never
+    // the probe's shape
+    for (q <- Seq("ann_ivf_build", "ann_ivf_trained", "ann_ivf_durable")) {
       val plan = executedPlan(SparkEntry.queries(q)(spark, sfDir))
       val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)#".r
         .findAllMatchIn(plan).map(_.group(1)).toSet

@@ -1,0 +1,95 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Similarity
+
+/** Durable IVF vector index: train once ([[Catalog.createVectorIndex]]),
+  * probe from any later session ([[Similarity.ivfProbePrebuilt]]) with no
+  * re-training. Staleness is advisory — centroids are a partition hint,
+  * never a correctness input. */
+class VectorIndexSpec extends SparkSpec {
+
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  private def queries = embeddings.where(col("vec_id") < 3)
+    .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+
+  test("index persists; a FRESH catalog probes identically to inline training") {
+    val wh = Files.createTempDirectory("graft_vecidx_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("e", "vec_id", embeddings)
+    assert(cat.vectorIndex("e").isEmpty)
+    cat.createVectorIndex("e", "embedding", nCentroids = 8, iters = 1)
+
+    // reopen: a different handle (different session, in deployment)
+    val cat2 = new Catalog(spark, wh)
+    val Some((embCol, builtSeq, cs)) = cat2.vectorIndex("e")
+    assert(embCol === "embedding")
+    assert(builtSeq === cat2.getTable("e").opSeq)
+    assert(cs.map(_._1) === cs.map(_._1).sorted, "cid-ascending")
+
+    // the stored centroids ARE the deterministic trained set
+    val direct = Similarity.collectCentroids(
+      Similarity.trainedCentroids(embeddings, 8, 1))
+    assert(cs.map(_._1) === direct.map(_._1))
+    cs.zip(direct).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq === b.toSeq) }
+
+    // prebuilt probe ≡ inline build+train probe, bit for bit
+    val corpus = cat2.getTable("e").snapshot
+      .select(col("vec_id"), col("embedding"))
+    val pre = Similarity.ivfProbePrebuilt(corpus, queries, 4, cs, nProbe = 2)
+    val inline = Similarity.ivfBuildProbe(embeddings, queries, 4,
+      nCentroids = 8, nProbe = 2, trainIters = 1)
+    assert(pre.orderBy("qid", "rnk").collect().map(_.toSeq).toSeq ===
+      inline.orderBy("qid", "rnk").collect().map(_.toSeq).toSeq)
+  }
+
+  test("staleness is advisory: probes after commits stay exact IVF over the live snapshot") {
+    val wh = Files.createTempDirectory("graft_vecidx_stale_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("e", "vec_id", embeddings)
+    cat.createVectorIndex("e", "embedding", nCentroids = 8, iters = 1)
+    val Some((_, builtSeq, cs)) = cat.vectorIndex("e")
+
+    // the table moves on; the index does not
+    cat.commit("e", Txn.empty.delete(col("vec_id") % 97 === 0))
+    assert(cat.getTable("e").opSeq > builtSeq, "index is now stale")
+
+    // stale-index probes run against the LIVE snapshot: deleted vectors
+    // can never surface, every query still fills its k, and each
+    // reported dot is the true exact dot (checked against dotHof, the
+    // declarative semantic reference)
+    val live = cat.getTable("e").snapshot
+      .select(col("vec_id"), col("embedding"))
+    val probed = Similarity.ivfProbePrebuilt(live, queries, 4, cs, nProbe = 1)
+    assert(probed.where(col("vec_id") % 97 === 0).count() === 0L)
+    assert(probed.groupBy("qid").count().collect().map(_.getLong(1)).toSet
+      === Set(4L))
+    val recheck = probed.join(live, "vec_id")
+      .join(queries.withColumnRenamed("qid", "q2"), col("qid") === col("q2"))
+      .select(col("dot"),
+        Similarity.dotHof(col("qe"), col("embedding")).as("ref"))
+      .collect()
+    recheck.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("drop removes the sidecar; CALL create/drop_vector_index drive the lifecycle") {
+    val wh = Files.createTempDirectory("graft_vecidx_call_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("e", "vec_id", embeddings)
+    val g = new graft.sql.GraftSql(spark).register("e", cat, "e")
+    g.sql("CALL graft.create_vector_index('e', 'embedding', 8, 1)")
+    assert(cat.vectorIndex("e").isDefined)
+    g.sql("CALL graft.drop_vector_index('e')")
+    assert(cat.vectorIndex("e").isEmpty)
+    // loud on a missing column
+    intercept[IllegalArgumentException](
+      cat.createVectorIndex("e", "nope"))
+  }
+}

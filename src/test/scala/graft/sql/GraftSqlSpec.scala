@@ -520,6 +520,43 @@ class GraftSqlSpec extends SparkSpec {
     assert(!plan(minHaving).contains("/v"))
   }
 
+  test("ORDER BY / LIMIT above a routable aggregate routes — the dashboard top-n") {
+    val (g, cat) = durableFixture()
+    cat.createMaterializedView("v", "t", "status", "totalprice")
+    g.register("v", cat, "v")
+    def plan(df: org.apache.spark.sql.DataFrame): String = {
+      df.queryExecution.toRdd.count()
+      df.queryExecution.executedPlan.toString
+    }
+    // the full dashboard shape: WHERE + HAVING + ORDER BY alias + LIMIT
+    val topn = g.sql("""SELECT status, count(*) AS n, sum(totalprice) AS s
+                       |FROM t GROUP BY status HAVING count(*) >= 1
+                       |ORDER BY s DESC LIMIT 2""".stripMargin)
+    assert(plan(topn).contains("/v"), "top-n over a current view must route")
+    assert(topn.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq(("C", 1L, 300.0), ("B", 1L, 200.0)))
+    // ordinal sort keys route; LIMIT without ORDER BY routes
+    val ord = g.sql("""SELECT status, sum(totalprice) AS s FROM t
+                      |GROUP BY status ORDER BY 2 ASC""".stripMargin)
+    assert(plan(ord).contains("/v"))
+    assert(ord.collect().map(_.getString(0)).toSeq === Seq("A", "B", "C"))
+    val lim = g.sql("SELECT status, count(*) AS n FROM t GROUP BY status LIMIT 1")
+    assert(plan(lim).contains("/v"))
+    assert(lim.collect().length === 1)
+    // an aggregate CALL in the ORDER BY is not an output column — direct
+    val exprSort = g.sql("""SELECT status, count(*) AS n FROM t
+                           |GROUP BY status ORDER BY sum(totalprice) DESC""".stripMargin)
+    assert(!plan(exprSort).contains("/v"))
+    // stale view: the sorted/limited shape falls back to direct too
+    g.sql("UPDATE t SET totalprice = totalprice + 1.0 WHERE k = 1")
+    val afterWrite = g.sql("""SELECT status, sum(totalprice) AS s FROM t
+                             |GROUP BY status ORDER BY s DESC LIMIT 1""".stripMargin)
+    assert(!plan(afterWrite).contains("/v"))
+    assert(afterWrite.collect().map(r =>
+      (r.getString(0), r.getDouble(1))).toSeq === Seq(("C", 300.0)))
+  }
+
   test("composite-group multi-measure views route and refresh") {
     val wh = Files.createTempDirectory("graft_sql_mvm_").toString
     val cat = new Catalog(spark, wh, autoCompact = false)
@@ -570,6 +607,54 @@ class GraftSqlSpec extends SparkSpec {
     val g2 = fixture()
     g2.sql("DROP TABLE t")
     intercept[IllegalArgumentException](g2.table("t"))
+  }
+
+  test("CREATE TABLE USING graft: empty schema, CTAS, adopt, drop — full SQL lifecycle") {
+    val wh = Files.createTempDirectory("graft_sql_create_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    val g = new GraftSql(spark).attach(cat)
+    // empty keyed table from the column list, then DML through the door
+    g.sql("CREATE TABLE ct (k BIGINT, v BIGINT, s STRING) USING graft " +
+      "OPTIONS ('key' = 'k')")
+    assert(cat.tableNames.contains("ct"))
+    g.sql("INSERT INTO ct VALUES (1, 10, 'a'), (2, 20, 'b')")
+    g.sql("UPDATE ct SET v = 99 WHERE k = 2")
+    assert(g.table("ct").snapshot.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ===
+      Seq((1L, 10L, "a"), (2L, 99L, "b")))
+    // CTAS from any analyzable query (here the registered snapshot view)
+    g.sql("CREATE TABLE ct2 USING graft OPTIONS ('key' = 'k') " +
+      "AS SELECT k, v * 2 AS w FROM ct")
+    assert(g.table("ct2").snapshot.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 20L), (2L, 198L)))
+    // IF NOT EXISTS is a no-op on a registered name; plain CREATE is loud
+    g.sql("CREATE TABLE IF NOT EXISTS ct (k BIGINT) USING graft")
+    intercept[IllegalArgumentException](
+      g.sql("CREATE TABLE ct (k BIGINT) USING graft"))
+    // a fresh session ADOPTS an existing durable table via IF NOT EXISTS
+    val g2 = new GraftSql(spark).attach(cat)
+    g2.sql("CREATE TABLE IF NOT EXISTS ct2 (k BIGINT) USING graft")
+    assert(g2.table("ct2").snapshot.count() === 2L)
+    // default key = first column; no attached catalog → in-session
+    val g3 = new GraftSql(spark)
+    g3.sql("CREATE TABLE mem USING graft AS SELECT 5 AS k, 'x' AS s")
+    assert(g3.table("mem").snapshot.count() === 1L)
+    // non-graft CREATE passes through to Spark untouched (lands in
+    // Spark's own catalog, never graft's)
+    g3.sql("CREATE TABLE plain_tbl (k BIGINT) USING parquet")
+    assert(spark.catalog.tableExists("plain_tbl"))
+    assert(!cat.tableNames.contains("plain_tbl"))
+    spark.sql("DROP TABLE plain_tbl")
+    // guards: PARTITIONED BY, unknown options, bad key, inline constraint
+    intercept[IllegalArgumentException](g3.sql(
+      "CREATE TABLE p1 (k BIGINT, d STRING) USING graft PARTITIONED BY (d)"))
+    intercept[IllegalArgumentException](g3.sql(
+      "CREATE TABLE p2 (k BIGINT) USING graft OPTIONS ('zkey' = 'k')"))
+    intercept[IllegalArgumentException](g3.sql(
+      "CREATE TABLE p3 (k BIGINT) USING graft OPTIONS ('key' = 'nope')"))
+    // DROP completes the lifecycle
+    g.sql("DROP TABLE ct2")
+    assert(!cat.tableNames.contains("ct2"))
   }
 
   test("qualified time-travel identifiers are NOT hijacked by name collision") {
