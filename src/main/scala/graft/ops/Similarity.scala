@@ -169,64 +169,82 @@ object Similarity {
    * short-list with exact dots — compose with [[bruteTopK]] over the
    * candidates if needed).
    */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-             m: Int = 4, codebookSize: Int = 8): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+  /** A trained PQ model: per-subspace codebooks (driver-small — K×D
+    * floats total), subspace width, subspace count. */
+  private[graft] case class PqModel(
+      books: Seq[Seq[(Long, Array[Float])]], sub: Int, m: Int, dims: Int)
+
+  /** Codebooks from the first `codebookSize` corpus vectors, sliced per
+    * subspace (the seedCentroids convention — deterministic). */
+  private def pqTrain(corpus: DataFrame, m: Int, codebookSize: Int): PqModel = {
     require(m >= 1 && codebookSize >= 1, s"bad PQ shape: m=$m K=$codebookSize")
-    // codebooks: the first K corpus vectors, sliced per subspace —
-    // driver-small by construction (K×D floats)
     val seeds = corpus.where(col("vec_id") < codebookSize)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    require(seeds.nonEmpty, "pqTopK: empty codebook seed set")
+    require(seeds.nonEmpty, "pqTrain: empty codebook seed set")
     val dims = seeds.head._2.length
-    require(dims % m == 0, s"pqTopK: $dims dims not divisible into $m subspaces")
+    require(dims % m == 0, s"pqTrain: $dims dims not divisible into $m subspaces")
     val sub = dims / m
-    val books: Seq[Seq[(Long, Array[Float])]] = (0 until m).map(i =>
-      seeds.toSeq.map { case (cid, v) =>
-        (cid, java.util.Arrays.copyOfRange(v, i * sub, (i + 1) * sub)) })
-    // ENCODE (map-only): per subspace, the native argmax over the
-    // sliced embedding — slice() and NearestCentroids both codegen
-    val codes = corpus.select(col("vec_id") +: (0 until m).map(i =>
+    PqModel((0 until m).map(i => seeds.toSeq.map { case (cid, v) =>
+      (cid, java.util.Arrays.copyOfRange(v, i * sub, (i + 1) * sub)) }),
+      sub, m, dims)
+  }
+
+  /** ENCODE (map-only): per subspace, the native argmax over the sliced
+    * embedding — slice() and NearestCentroids both codegen. `keep` is
+    * carried through (vec_id, and the IVF bucket id in ivfPqRerank —
+    * both already on the row, so the pass stays one map). */
+  private def pqEncode(df: DataFrame, pm: PqModel,
+                       keep: Seq[Column]): DataFrame =
+    df.select(keep ++ (0 until pm.m).map(i =>
       element_at(graft.functions.NearestCentroids.nearest(
-        slice(col("embedding"), i * sub + 1, sub), books(i), 1), 1)
+        slice(col("embedding"), i * pm.sub + 1, pm.sub), pm.books(i), 1), 1)
         .as(s"code_$i")): _*)
-    // per-query LUTs, computed on the driver (queries are broadcast-
-    // small by the same contract as bruteTopK): lut_i(c) = exact dot of
-    // the query's i-th subvector with codeword c
+
+  /** Per-query asymmetric-distance lookup tables, computed on the driver
+    * (queries are broadcast-small by the bruteTopK contract):
+    * lut_i(c) = exact dot of the query's i-th subvector with codeword c. */
+  private def pqLutDf(queries: DataFrame, pm: PqModel): DataFrame = {
+    val spark = queries.sparkSession
     val qs = queries.select(col("qid"), col("qe")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    qs.foreach { case (qid, qe) => require(qe.length == dims,
-      s"query $qid has ${qe.length} dims, corpus has $dims") }
+    qs.foreach { case (qid, qe) => require(qe.length == pm.dims,
+      s"query $qid has ${qe.length} dims, corpus has ${pm.dims}") }
     def dotD(a: Array[Float], off: Int, b: Array[Float]): Double = {
       var acc = 0.0; var i = 0
       while (i < b.length) { acc += a(off + i).toDouble * b(i).toDouble; i += 1 }
       acc
     }
-    val luts: Seq[(Long, Seq[Seq[Double]])] = qs.toSeq.map { case (qid, qe) =>
-      (qid, (0 until m).map(i =>
-        books(i).map { case (_, cw) => dotD(qe, i * sub, cw) }))
-    }
-    val lutRows = luts.map { case (qid, ls) =>
-      org.apache.spark.sql.Row.fromSeq(qid +: ls) }
+    val lutRows = qs.toSeq.map { case (qid, qe) =>
+      org.apache.spark.sql.Row.fromSeq(qid +: (0 until pm.m).map(i =>
+        pm.books(i).map { case (_, cw) => dotD(qe, i * pm.sub, cw) })) }
     val lutSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("qid",
         org.apache.spark.sql.types.LongType) +:
-      (0 until m).map(i => org.apache.spark.sql.types.StructField(s"lut_$i",
+      (0 until pm.m).map(i => org.apache.spark.sql.types.StructField(s"lut_$i",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType, containsNull = false))))
-    val lutDf = spark.createDataFrame(
+    spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(lutRows).asJava, lutSchema)
-    // SCORE: codes scan × broadcast LUTs; approximate dot = the m
-    // lookups added in subspace order (left-assoc, both engines)
-    val adot = (0 until m).map(i =>
+  }
+
+  /** Approximate dot: the m LUT lookups added in subspace order
+    * (left-assoc — both engines fold identically). */
+  private def pqAdot(m: Int): Column =
+    (0 until m).map(i =>
       element_at(col(s"lut_$i"), (col(s"code_$i") + 1).cast("int")))
       .reduceLeft(_ + _)
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, codebookSize: Int = 8): DataFrame = {
+    val pm = pqTrain(corpus, m, codebookSize)
+    val codes = pqEncode(corpus, pm, Seq(col("vec_id")))
+    // SCORE: codes scan × broadcast LUTs; approximate dot = the m
+    // lookups added in subspace order (left-assoc, both engines)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adot").desc, col("vec_id").asc)
-    codes.crossJoin(broadcast(lutDf))
-      .select(col("qid"), col("vec_id"), adot.as("adot"))
+    codes.crossJoin(broadcast(pqLutDf(queries, pm)))
+      .select(col("qid"), col("vec_id"), pqAdot(m).as("adot"))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .where(col("rnk") <= k)
   }
@@ -255,6 +273,65 @@ object Similarity {
       .select(col("qid"), col("vec_id"),
         dot(col("qe"), col("embedding")).as("dot"))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+  }
+
+  /**
+   * IVF-PQ + exact re-rank — the FULL production ANN recipe (Jégou et
+   * al.'s IVFADC): IVF restricts WHICH vectors each query scores (the
+   * nProbe routed buckets, ~nProbe/C of the corpus), PQ restricts WHAT
+   * is read to score them (m one-byte codes + LUT lookups, never the
+   * embedding), and the exact re-rank recovers full precision on the
+   * Q×kCand shortlist. Composition of [[ivfProbePrebuilt]]'s routing
+   * with [[pqTopK]]'s asymmetric scoring and [[pqRerank]]'s tail.
+   *
+   * Scale: ONE map-only pass encodes the corpus (bucket id + m codes —
+   * IVF assignment and PQ encode fuse into the same projection, zero
+   * shuffle); scoring joins the code rows against the BROADCAST
+   * (query × probed-bucket × LUT) side, so the only hash Exchange in
+   * the whole plan is the per-query rank window over candidate rows
+   * that carry three longs and a double. At 100 TB: bandwidth drops
+   * ×(D·4/m) from PQ, candidate count drops ×(nProbe/C) from IVF, and
+   * both gains multiply.
+   *
+   * Determinism: seed centroids + seed codebooks (both the first-rows
+   * convention), lowest-id tiebreaks everywhere, LUT terms added in
+   * subspace order, exact re-rank = the engine's fixed-order dot.
+   * The DuckDB oracle replays routing, codes, LUT sums and the re-rank
+   * bit for bit.
+   */
+  def ivfPqRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+                  kCand: Int = 25, nCentroids: Int = 16, nProbe: Int = 2,
+                  m: Int = 4, codebookSize: Int = 8): DataFrame = {
+    require(kCand >= k, s"ivfPqRerank: kCand=$kCand must be >= k=$k")
+    val cs = collectCentroids(seedCentroids(corpus, nCentroids))
+    val pm = pqTrain(corpus, m, codebookSize)
+    // bucket id + PQ codes in ONE map-only projection over the corpus
+    val codes = pqEncode(assignWith(corpus, cs), pm,
+      Seq(col("vec_id"), col("cid")))
+    // broadcast side: each query's nProbe routed buckets × its LUT
+    val routed = probeWith(
+        queries.select(col("qid").as("vec_id"), col("qe").as("embedding")),
+        cs, nProbe)
+      .select(col("vec_id").as("qid"), col("cid").as("qcid"))
+    val qlut = routed.join(pqLutDf(queries, pm), "qid")
+    // score ONLY the probed buckets' codes; every corpus vector lives in
+    // exactly one bucket, so each candidate appears at most once per query
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adot").desc, col("vec_id").asc)
+    val cand = codes.join(broadcast(qlut), col("cid") === col("qcid"))
+      .select(col("qid"), col("vec_id"), pqAdot(m).as("adot"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= kCand)
+      .select(col("qid").as("_cqid"), col("vec_id").as("_cvid"))
+    // exact re-rank over the shortlist (pqRerank's tail)
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    corpus.join(broadcast(cand), col("vec_id") === col("_cvid"))
+      .join(broadcast(queries), col("qid") === col("_cqid"))
+      .select(col("qid"), col("vec_id"),
+        dot(col("qe"), col("embedding")).as("dot"))
+      .withColumn("rnk", row_number().over(w2).cast("bigint"))
       .where(col("rnk") <= k)
   }
 

@@ -574,7 +574,7 @@ class PlanAuditSpec extends SparkSpec {
     // per-subspace argmax + LUT lookups) — the only hash Exchange is the
     // per-query rank window over (qid, vec_id, adot) rows, and the LUT
     // side broadcasts
-    for (q <- Seq("ann_pq", "ann_pq_rerank")) {
+    for (q <- Seq("ann_pq", "ann_pq_rerank", "ann_ivfpq")) {
       val plan = executedPlan(SparkEntry.queries(q)(spark, sfDir))
       val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)#".r
         .findAllMatchIn(plan).map(_.group(1)).toSet

@@ -166,4 +166,43 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.pqTopK(corpus, q, 4, m = 3, codebookSize = 2)) // 8 % 3 != 0
   }
+
+  test("IVF-PQ degenerates to exact brute force at full probe depth") {
+    import spark.implicits._
+    // 8-dim corpus (divisible into 2 and 4 subspaces), 12 vectors with
+    // distinct dot profiles against the query
+    val corpus = (0L until 12L).map { i =>
+      (i, (0 until 8).map(j =>
+        (math.sin(i * 3 + j).toFloat * 0.5f + (if (j == (i % 8)) 1.0f else 0.1f))))
+    }.toDF("vec_id", "embedding")
+    val q = Seq((100L, (0 until 8).map(j => (0.3f + 0.1f * j)))).toDF("qid", "qe")
+
+    // nProbe = C (every bucket probed) + kCand ≥ corpus ⇒ IVF restricts
+    // nothing and the exact re-rank sees every vector: the full recipe
+    // must equal brute force bit for bit — pins that neither the fused
+    // assignment/encode pass nor the LUT shortlist loses candidates
+    val full = Similarity.ivfPqRerank(corpus, q, 5, kCand = 12,
+      nCentroids = 4, nProbe = 4, m = 4, codebookSize = 4)
+      .orderBy("qid", "rnk").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val brute = Similarity.bruteTopK(corpus, q, 5)
+      .select(col("qid"), col("vec_id"), col("dot"), col("rnk"))
+      .orderBy("qid", "rnk").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(full === brute)
+
+    // restricted probing returns a SUBSET of buckets' vectors with the
+    // same exact dots (re-rank recomputes full precision)
+    val narrow = Similarity.ivfPqRerank(corpus, q, 5, kCand = 8,
+      nCentroids = 4, nProbe = 1, m = 2, codebookSize = 4)
+    val dots = narrow.join(corpus, "vec_id")
+      .join(q.withColumnRenamed("qid", "q2"), col("qid") === col("q2"))
+      .select(col("dot"), Similarity.dotHof(col("qe"), col("embedding")).as("ref"))
+      .collect()
+    assert(dots.nonEmpty)
+    dots.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // guard stays loud
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqRerank(corpus, q, 5, kCand = 3))
+  }
 }
