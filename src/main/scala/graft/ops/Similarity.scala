@@ -171,12 +171,12 @@ object Similarity {
    */
   /** A trained PQ model: per-subspace codebooks (driver-small — K×D
     * floats total), subspace width, subspace count. */
-  private[graft] case class PqModel(
+  case class PqModel(
       books: Seq[Seq[(Long, Array[Float])]], sub: Int, m: Int, dims: Int)
 
   /** Codebooks from the first `codebookSize` corpus vectors, sliced per
     * subspace (the seedCentroids convention — deterministic). */
-  private def pqTrain(corpus: DataFrame, m: Int, codebookSize: Int): PqModel = {
+  private[graft] def pqTrain(corpus: DataFrame, m: Int, codebookSize: Int): PqModel = {
     require(m >= 1 && codebookSize >= 1, s"bad PQ shape: m=$m K=$codebookSize")
     val seeds = corpus.where(col("vec_id") < codebookSize)
       .select(col("vec_id"), col("embedding")).collect()
@@ -194,7 +194,7 @@ object Similarity {
     * embedding — slice() and NearestCentroids both codegen. `keep` is
     * carried through (vec_id, and the IVF bucket id in ivfPqRerank —
     * both already on the row, so the pass stays one map). */
-  private def pqEncode(df: DataFrame, pm: PqModel,
+  private[graft] def pqEncode(df: DataFrame, pm: PqModel,
                        keep: Seq[Column]): DataFrame =
     df.select(keep ++ (0 until pm.m).map(i =>
       element_at(graft.functions.NearestCentroids.nearest(
@@ -303,12 +303,32 @@ object Similarity {
   def ivfPqRerank(corpus: DataFrame, queries: DataFrame, k: Int,
                   kCand: Int = 25, nCentroids: Int = 16, nProbe: Int = 2,
                   m: Int = 4, codebookSize: Int = 8): DataFrame = {
-    require(kCand >= k, s"ivfPqRerank: kCand=$kCand must be >= k=$k")
     val cs = collectCentroids(seedCentroids(corpus, nCentroids))
     val pm = pqTrain(corpus, m, codebookSize)
     // bucket id + PQ codes in ONE map-only projection over the corpus
     val codes = pqEncode(assignWith(corpus, cs), pm,
       Seq(col("vec_id"), col("cid")))
+    ivfPqProbePrebuilt(corpus, codes, queries, k, kCand, cs, pm, nProbe)
+  }
+
+  /**
+   * IVF-PQ probe against a PREBUILT index (the deployment read path
+   * behind [[graft.core.Catalog.createIvfPqIndex]]): centroids,
+   * codebooks and the per-vector code table were materialized at
+   * build time; a query session loads the driver-small model, reads
+   * the CODE table (m bytes per vector — never the embeddings) for
+   * scoring, and touches `liveCorpus` only for the exact re-rank of
+   * the Q×kCand shortlist. Index vintage semantics (the real ANN-index
+   * contract): vectors DELETED since the build shortlist from their
+   * stale codes but drop at the re-rank's live join (they can never
+   * surface — they can only waste shortlist slots); vectors ADDED
+   * since the build are invisible until rebuild.
+   */
+  def ivfPqProbePrebuilt(liveCorpus: DataFrame, codes: DataFrame,
+                         queries: DataFrame, k: Int, kCand: Int,
+                         cs: Seq[(Long, Array[Float])],
+                         pm: PqModel, nProbe: Int): DataFrame = {
+    require(kCand >= k, s"ivfPqProbePrebuilt: kCand=$kCand must be >= k=$k")
     // broadcast side: each query's nProbe routed buckets × its LUT
     val routed = probeWith(
         queries.select(col("qid").as("vec_id"), col("qe").as("embedding")),
@@ -320,14 +340,15 @@ object Similarity {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adot").desc, col("vec_id").asc)
     val cand = codes.join(broadcast(qlut), col("cid") === col("qcid"))
-      .select(col("qid"), col("vec_id"), pqAdot(m).as("adot"))
+      .select(col("qid"), col("vec_id"), pqAdot(pm.m).as("adot"))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .where(col("rnk") <= kCand)
       .select(col("qid").as("_cqid"), col("vec_id").as("_cvid"))
-    // exact re-rank over the shortlist (pqRerank's tail)
+    // exact re-rank over the shortlist (pqRerank's tail) — against the
+    // LIVE corpus, so stale shortlisted ids drop here
     val w2 = Window.partitionBy(col("qid"))
       .orderBy(col("dot").desc, col("vec_id").asc)
-    corpus.join(broadcast(cand), col("vec_id") === col("_cvid"))
+    liveCorpus.join(broadcast(cand), col("vec_id") === col("_cvid"))
       .join(broadcast(queries), col("qid") === col("_cqid"))
       .select(col("qid"), col("vec_id"),
         dot(col("qe"), col("embedding")).as("dot"))
@@ -381,7 +402,7 @@ object Similarity {
         col("embedding"), cs, nProbe)))
   }
 
-  private def assignWith(df: DataFrame,
+  private[graft] def assignWith(df: DataFrame,
                          cs: Seq[(Long, Array[Float])]): DataFrame =
     probeWith(df, cs, nProbe = 1)
 

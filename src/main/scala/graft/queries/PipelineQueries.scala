@@ -54,6 +54,8 @@ object PipelineQueries {
       cat.createTable("emb_vi", "vec_id",
         Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")))
       cat.createVectorIndex("emb_vi", "embedding", nCentroids = 16, iters = 1)
+      cat.createIvfPqIndex("emb_vi", "embedding", nCentroids = 16,
+        m = 4, codebookSize = 8)
       wh
     })
 
@@ -274,6 +276,24 @@ object PipelineQueries {
       Similarity.ivfPqRerank(Tables(s, d, "embeddings"),
         annQueries(s, d).drop("qlabel"), 5, kCand = 25,
         nCentroids = 16, nProbe = 2, m = 4, codebookSize = 8)
+    },
+
+    // DURABLE IVF-PQ (r9, Catalog.createIvfPqIndex +
+    // Similarity.ivfPqProbePrebuilt — the deployment read path the PQ
+    // scaladoc promises): centroids, codebooks AND the per-vector code
+    // table persisted at build; a FRESH catalog handle loads the
+    // driver-small model and scores from the stored CODES (m bytes per
+    // vector — neither re-trains, re-assigns, nor re-encodes, and the
+    // embedding column is read only to exact-re-rank the Q×kCand
+    // shortlist). Same deterministic build as ann_ivfpq → same oracle.
+    "ann_ivfpq_durable" -> { (s, d) =>
+      val wh = vecIdxWarehouse(s, d)
+      val cat = new graft.core.Catalog(s, wh)
+      val Some((embCol, _, cs, pm, codes)) = cat.ivfPqIndex("emb_vi")
+      Similarity.ivfPqProbePrebuilt(
+        cat.getTable("emb_vi").snapshot
+          .select(col("vec_id"), col(embCol).as("embedding")),
+        codes, annQueries(s, d).drop("qlabel"), 5, 25, cs, pm, nProbe = 2)
     },
 
     // The SQL front door to similarity search: the SAME brute-force
@@ -1026,6 +1046,100 @@ object PipelineQueries {
          |SELECT t.doc_id, COUNT(*) AS n_hits
          |FROM tg t JOIN bg b ON t.gh = b.gh GROUP BY 1""".stripMargin
 
+  /** DuckDB replay of IVF-PQ + exact re-rank (16 seed centroids,
+    * nProbe 2, 4 subspaces x 8-codeword books, 25-deep shortlist, k 5)
+    * — shared verbatim by ann_ivfpq (inline build) and
+    * ann_ivfpq_durable (stored index): the build is deterministic, so
+    * both paths land on the same centroids, codebooks and codes. */
+  private val annIvfPqOracle: String =
+    """WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+        |               FROM embeddings WHERE vec_id < 16),
+        |seeds AS (SELECT vec_id AS cid, embedding AS ce
+        |          FROM embeddings WHERE vec_id < 8),
+        |q AS (SELECT vec_id AS qid, embedding AS qe
+        |      FROM embeddings WHERE vec_id < 5),
+        |ms AS (SELECT unnest(range(0, 4)) AS m),
+        |adots AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(c.ce) + 1),
+        |          i -> CAST(c.ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS cdot
+        |  FROM embeddings e, cents c),
+        |assign AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |         ORDER BY cdot DESC, cid ASC) AS rn FROM adots) WHERE rn = 1),
+        |qdots AS (
+        |  SELECT q.qid, c.cid,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(c.ce) + 1),
+        |          i -> CAST(c.ce[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS cdot
+        |  FROM q, cents c),
+        |qroute AS (SELECT qid, cid AS qcid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |         ORDER BY cdot DESC, cid ASC) AS rn FROM qdots) WHERE rn <= 2),
+        |subdots AS (
+        |  SELECT e.vec_id, c.cid, ms.m,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, 17),
+        |          i -> CAST(c.ce[ms.m * 16 + i] AS DOUBLE)
+        |             * CAST(e.embedding[ms.m * 16 + i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS sdot
+        |  FROM embeddings e, seeds c, ms),
+        |codes AS (SELECT vec_id, m, cid AS code FROM (
+        |  SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m
+        |         ORDER BY sdot DESC, cid ASC) AS rn FROM subdots)
+        |  WHERE rn = 1),
+        |wide AS (SELECT vec_id,
+        |    MAX(CASE WHEN m = 0 THEN code END) AS c0,
+        |    MAX(CASE WHEN m = 1 THEN code END) AS c1,
+        |    MAX(CASE WHEN m = 2 THEN code END) AS c2,
+        |    MAX(CASE WHEN m = 3 THEN code END) AS c3
+        |  FROM codes GROUP BY vec_id),
+        |qsub AS (
+        |  SELECT q.qid, c.cid, ms.m,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, 17),
+        |          i -> CAST(q.qe[ms.m * 16 + i] AS DOUBLE)
+        |             * CAST(c.ce[ms.m * 16 + i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS sdot
+        |  FROM q, seeds c, ms),
+        |scores AS (
+        |  SELECT s0.qid, w.vec_id,
+        |    ((s0.sdot + s1.sdot) + s2.sdot) + s3.sdot AS adot
+        |  FROM wide w
+        |  JOIN assign a ON a.vec_id = w.vec_id
+        |  JOIN qroute r ON r.qcid = a.cid
+        |  JOIN qsub s0 ON s0.qid = r.qid AND s0.m = 0 AND s0.cid = w.c0
+        |  JOIN qsub s1 ON s1.m = 1 AND s1.cid = w.c1 AND s1.qid = s0.qid
+        |  JOIN qsub s2 ON s2.m = 2 AND s2.cid = w.c2 AND s2.qid = s0.qid
+        |  JOIN qsub s3 ON s3.m = 3 AND s3.cid = w.c3 AND s3.qid = s0.qid),
+        |short AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |         ORDER BY adot DESC, vec_id ASC) AS rnk FROM scores)
+        |  WHERE rnk <= 25),
+        |exact AS (
+        |  SELECT s.qid, s.vec_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(q.qe) + 1),
+        |          i -> CAST(q.qe[i] AS DOUBLE)
+        |             * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dot
+        |  FROM short s
+        |  JOIN q ON q.qid = s.qid
+        |  JOIN embeddings e ON e.vec_id = s.vec_id),
+        |rk2 AS (SELECT qid, vec_id, dot,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |              ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+        |       FROM exact)
+        |SELECT qid, vec_id, dot, rnk FROM rk2 WHERE rnk <= 5""".stripMargin
+
   /** DuckDB replay of the trained-IVF build + probe (16 seed
     * centroids, 1 Lloyd round, nProbe 1, k 5) — shared verbatim by
     * ann_ivf_trained (inline training) and ann_ivf_durable (stored
@@ -1552,94 +1666,11 @@ object PipelineQueries {
     // IVF routing (seed cents, nProbe 2) composed with the PQ replay
     // restricted to the routed buckets, then the exact re-rank tail —
     // every stage replayed bit-for-bit
-    "ann_ivfpq" ->
-      """WITH cents AS (SELECT vec_id AS cid, embedding AS ce
-        |               FROM embeddings WHERE vec_id < 16),
-        |seeds AS (SELECT vec_id AS cid, embedding AS ce
-        |          FROM embeddings WHERE vec_id < 8),
-        |q AS (SELECT vec_id AS qid, embedding AS qe
-        |      FROM embeddings WHERE vec_id < 5),
-        |ms AS (SELECT unnest(range(0, 4)) AS m),
-        |adots AS (
-        |  SELECT e.vec_id, c.cid,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS DOUBLE),
-        |        list_transform(range(1, len(c.ce) + 1),
-        |          i -> CAST(c.ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
-        |      (a, b) -> a + b) AS cdot
-        |  FROM embeddings e, cents c),
-        |assign AS (SELECT vec_id, cid FROM (
-        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |         ORDER BY cdot DESC, cid ASC) AS rn FROM adots) WHERE rn = 1),
-        |qdots AS (
-        |  SELECT q.qid, c.cid,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS DOUBLE),
-        |        list_transform(range(1, len(c.ce) + 1),
-        |          i -> CAST(c.ce[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
-        |      (a, b) -> a + b) AS cdot
-        |  FROM q, cents c),
-        |qroute AS (SELECT qid, cid AS qcid FROM (
-        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
-        |         ORDER BY cdot DESC, cid ASC) AS rn FROM qdots) WHERE rn <= 2),
-        |subdots AS (
-        |  SELECT e.vec_id, c.cid, ms.m,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS DOUBLE),
-        |        list_transform(range(1, 17),
-        |          i -> CAST(c.ce[ms.m * 16 + i] AS DOUBLE)
-        |             * CAST(e.embedding[ms.m * 16 + i] AS DOUBLE))),
-        |      (a, b) -> a + b) AS sdot
-        |  FROM embeddings e, seeds c, ms),
-        |codes AS (SELECT vec_id, m, cid AS code FROM (
-        |  SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m
-        |         ORDER BY sdot DESC, cid ASC) AS rn FROM subdots)
-        |  WHERE rn = 1),
-        |wide AS (SELECT vec_id,
-        |    MAX(CASE WHEN m = 0 THEN code END) AS c0,
-        |    MAX(CASE WHEN m = 1 THEN code END) AS c1,
-        |    MAX(CASE WHEN m = 2 THEN code END) AS c2,
-        |    MAX(CASE WHEN m = 3 THEN code END) AS c3
-        |  FROM codes GROUP BY vec_id),
-        |qsub AS (
-        |  SELECT q.qid, c.cid, ms.m,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS DOUBLE),
-        |        list_transform(range(1, 17),
-        |          i -> CAST(q.qe[ms.m * 16 + i] AS DOUBLE)
-        |             * CAST(c.ce[ms.m * 16 + i] AS DOUBLE))),
-        |      (a, b) -> a + b) AS sdot
-        |  FROM q, seeds c, ms),
-        |scores AS (
-        |  SELECT s0.qid, w.vec_id,
-        |    ((s0.sdot + s1.sdot) + s2.sdot) + s3.sdot AS adot
-        |  FROM wide w
-        |  JOIN assign a ON a.vec_id = w.vec_id
-        |  JOIN qroute r ON r.qcid = a.cid
-        |  JOIN qsub s0 ON s0.qid = r.qid AND s0.m = 0 AND s0.cid = w.c0
-        |  JOIN qsub s1 ON s1.m = 1 AND s1.cid = w.c1 AND s1.qid = s0.qid
-        |  JOIN qsub s2 ON s2.m = 2 AND s2.cid = w.c2 AND s2.qid = s0.qid
-        |  JOIN qsub s3 ON s3.m = 3 AND s3.cid = w.c3 AND s3.qid = s0.qid),
-        |short AS (SELECT qid, vec_id FROM (
-        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-        |         ORDER BY adot DESC, vec_id ASC) AS rnk FROM scores)
-        |  WHERE rnk <= 25),
-        |exact AS (
-        |  SELECT s.qid, s.vec_id,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS DOUBLE),
-        |        list_transform(range(1, len(q.qe) + 1),
-        |          i -> CAST(q.qe[i] AS DOUBLE)
-        |             * CAST(e.embedding[i] AS DOUBLE))),
-        |      (a, b) -> a + b) AS dot
-        |  FROM short s
-        |  JOIN q ON q.qid = s.qid
-        |  JOIN embeddings e ON e.vec_id = s.vec_id),
-        |rk2 AS (SELECT qid, vec_id, dot,
-        |         CAST(row_number() OVER (PARTITION BY qid
-        |              ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
-        |       FROM exact)
-        |SELECT qid, vec_id, dot, rnk FROM rk2 WHERE rnk <= 5""".stripMargin,
+    // the durable build persists the SAME deterministic centroids,
+    // codebooks and codes — one replay serves both queries
+    "ann_ivfpq" -> annIvfPqOracle,
+
+    "ann_ivfpq_durable" -> annIvfPqOracle,
 
     // the ann_pq pipeline widened to a 25-deep shortlist, then re-scored
     // with the exact dot and re-ranked to the final 5

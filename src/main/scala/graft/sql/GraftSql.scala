@@ -714,7 +714,7 @@ class GraftSql(val spark: SparkSession) {
   private val procedures = Set("optimize", "compact", "vacuum", "purge",
     "analyze", "refresh_mview", "create_mview", "clone", "create_bloom",
     "create_index", "history", "restore", "create_vector_index",
-    "drop_vector_index")
+    "drop_vector_index", "create_ivfpq_index", "drop_ivfpq_index")
 
   /**
    * MAINTENANCE through the SQL front door — Spark 4's stored-procedure
@@ -754,7 +754,9 @@ class GraftSql(val spark: SparkSession) {
     "create_bloom" -> Seq("tbl", "col"), "create_index" -> Seq("tbl", "col"),
     "history" -> Seq("tbl"), "restore" -> Seq("tbl", "rel"),
     "create_vector_index" -> Seq("tbl", "col", "centroids", "iters"),
-    "drop_vector_index" -> Seq("tbl"))
+    "drop_vector_index" -> Seq("tbl"),
+    "create_ivfpq_index" -> Seq("tbl", "col", "centroids", "m", "books"),
+    "drop_ivfpq_index" -> Seq("tbl"))
 
   private def runCall(proc: String, c: Call): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, NamedArgumentExpression}
@@ -885,6 +887,14 @@ class GraftSql(val spark: SparkSession) {
       case "drop_vector_index" =>
         arity(1); val (cat, t) = durableOf(str(0))
         cat.dropVectorIndex(t); done
+      case "create_ivfpq_index" =>
+        // centroids + codebooks + the per-vector code table, one map-only
+        // build pass persisted (Catalog.createIvfPqIndex)
+        arity(5); val (cat, t) = durableOf(str(0))
+        cat.createIvfPqIndex(t, str(1), int(2), int(3), int(4)); done
+      case "drop_ivfpq_index" =>
+        arity(1); val (cat, t) = durableOf(str(0))
+        cat.dropIvfPqIndex(t); done
     }
   }
 

@@ -584,6 +584,26 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains("nearest_centroids"), plan)
       assert(plan.contains("WindowGroupLimit"), plan)
     }
+    // the durable probe additionally must NOT re-encode: scoring reads
+    // the STORED code table, so the only nearest_centroids call left in
+    // the plan is the query-routing probe over the broadcast-small query
+    // set (the inline builds carry m-subspace encode + corpus assignment
+    // on top of it)
+    {
+      val plan = executedPlan(
+        SparkEntry.queries("ann_ivfpq_durable")(spark, sfDir))
+      val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)#".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(hashEx == Set("qid"),
+        s"ann_ivfpq_durable: only the rank window may hash-exchange, " +
+          s"got $hashEx:\n$plan")
+      assert(plan.contains("BroadcastExchange"), plan)
+      assert(plan.contains("WindowGroupLimit"), plan)
+      val encodes = "nearest_centroids".r.findAllMatchIn(plan).size
+      assert(encodes == 1,
+        s"ann_ivfpq_durable: expected ONE nearest_centroids (query " +
+          s"routing only — no corpus re-encode), got $encodes:\n$plan")
+    }
   }
 
   test("q_exists_subquery decorrelates to ONE anti join") {

@@ -79,6 +79,46 @@ class VectorIndexSpec extends SparkSpec {
     recheck.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("IVF-PQ index persists; a FRESH catalog probes identically to the inline build") {
+    val wh = Files.createTempDirectory("graft_ivfpq_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("e", "vec_id", embeddings)
+    assert(cat.ivfPqIndex("e").isEmpty)
+    cat.createIvfPqIndex("e", "embedding", nCentroids = 8, m = 4,
+      codebookSize = 4)
+
+    // reopen with a different handle; the stored model + codes probe
+    // must equal the inline build bit for bit (deterministic build)
+    val cat2 = new Catalog(spark, wh)
+    val Some((embCol, builtSeq, cs, pm, codes)) = cat2.ivfPqIndex("e")
+    assert(embCol === "embedding")
+    assert(builtSeq === cat2.getTable("e").opSeq)
+    assert(pm.m === 4)
+    assert(codes.columns.toSet === Set("vec_id", "cid", "code_0", "code_1",
+      "code_2", "code_3"))
+    val live = cat2.getTable("e").snapshot
+      .select(col("vec_id"), col("embedding"))
+    val pre = Similarity.ivfPqProbePrebuilt(live, codes, queries, 4, 10,
+      cs, pm, nProbe = 2)
+    val inline = Similarity.ivfPqRerank(embeddings, queries, 4, kCand = 10,
+      nCentroids = 8, nProbe = 2, m = 4, codebookSize = 4)
+    assert(pre.orderBy("qid", "rnk").collect().map(_.toSeq).toSeq ===
+      inline.orderBy("qid", "rnk").collect().map(_.toSeq).toSeq)
+
+    // index VINTAGE semantics: a vector deleted after the build can
+    // shortlist from its stale code but must DROP at the re-rank's live
+    // join — it can never surface as a neighbor
+    cat2.commit("e", Txn.empty.delete(col("vec_id") % 11 === 0))
+    val liveNow = cat2.getTable("e").snapshot
+      .select(col("vec_id"), col("embedding"))
+    val stale = Similarity.ivfPqProbePrebuilt(liveNow, codes, queries, 4, 10,
+      cs, pm, nProbe = 2)
+    assert(stale.where(col("vec_id") % 11 === 0).count() === 0L)
+
+    cat2.dropIvfPqIndex("e")
+    assert(cat2.ivfPqIndex("e").isEmpty)
+  }
+
   test("drop removes the sidecar; CALL create/drop_vector_index drive the lifecycle") {
     val wh = Files.createTempDirectory("graft_vecidx_call_").toString
     val cat = new Catalog(spark, wh, autoCompact = false)
@@ -88,6 +128,10 @@ class VectorIndexSpec extends SparkSpec {
     assert(cat.vectorIndex("e").isDefined)
     g.sql("CALL graft.drop_vector_index('e')")
     assert(cat.vectorIndex("e").isEmpty)
+    g.sql("CALL graft.create_ivfpq_index('e', 'embedding', 8, 4, 4)")
+    assert(cat.ivfPqIndex("e").isDefined)
+    g.sql("CALL graft.drop_ivfpq_index('e')")
+    assert(cat.ivfPqIndex("e").isEmpty)
     // loud on a missing column
     intercept[IllegalArgumentException](
       cat.createVectorIndex("e", "nope"))
