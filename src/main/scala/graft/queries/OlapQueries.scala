@@ -767,6 +767,41 @@ object OlapQueries {
           .freqItems(col("item"), 64).as("cand")))
       val cand = drained.head().getSeq[String](0)
       exactRecount(skewedItems(Tables(s, d, "orders")), cand)
+    },
+
+    // Time-series GAP FILL (r9): the dashboard/feature-engineering
+    // primitive every event store grows — a dense per-user daily grid
+    // over the observed range, zero-filled counts plus a carried-forward
+    // last-known daily sum. Shape: the day spine derives from a 1-ROW
+    // global bounds aggregate broadcast onto the distinct-user set, so
+    // the grid EXPANDS map-side (explode(sequence)) — no spine table is
+    // ever shuffled; the only exchanges are the daily rollup (map-side
+    // partial), the (user, day) left join (both sides keyed alike), and
+    // the per-user fill window (bounded by the day range, never global).
+    // Sums quantize to floor(value·10⁶) longs per row BEFORE summing —
+    // associative, so the 32-partition Spark agg hash-matches DuckDB.
+    // At 100 TB: days are bounded (time is physical), users shard; the
+    // grid is |users|×|days| keyed rows of longs — no text, no arrays.
+    "q_gap_fill" -> { (s, d) =>
+      val day = 86400L * 1000 * 1000 * 1000 // ns
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), (col("ts") - col("ts") % day).as("day_ns"),
+                col("value"))
+      val daily = ev.groupBy(col("user_id"), col("day_ns"))
+        .agg(count(lit(1)).as("n"),
+             sum(floor(col("value") * 1e6).cast("long")).as("sum_q"))
+      val bounds = daily.agg(min(col("day_ns")).as("lo"),
+                             max(col("day_ns")).as("hi"))
+      val grid = daily.select(col("user_id")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(day))).as("day_ns"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day_ns"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day_ns"), "left")
+        .select(col("user_id"), col("day_ns"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          last(col("sum_q"), ignoreNulls = true).over(w).as("filled_q"))
     }
   )
 
@@ -1132,6 +1167,28 @@ object OlapQueries {
         |              ELSE 'cold_' || o_orderkey END AS item
         |  FROM orders)
         |SELECT item, COUNT(*) AS cnt FROM src GROUP BY item
-        |HAVING COUNT(*) * 16 > (SELECT COUNT(*) FROM src)""".stripMargin
+        |HAVING COUNT(*) * 16 > (SELECT COUNT(*) FROM src)""".stripMargin,
+
+    // dense (user, day) grid from the observed bounds; zero-filled counts;
+    // per-row floor(value*1e6) long quantization BEFORE the sum makes the
+    // daily rollup associative and hash-exact across both engines
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS day_ns,
+        |         COUNT(*) AS n,
+        |         CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(day_ns) AS lo, MAX(day_ns) AS hi FROM daily),
+        |spine AS (SELECT unnest(range(b.lo, b.hi + 1, 86400000000000)) AS day_ns
+        |          FROM b),
+        |grid AS (SELECT u.user_id, s.day_ns
+        |         FROM (SELECT DISTINCT user_id FROM daily) u, spine s)
+        |SELECT g.user_id, g.day_ns,
+        |  CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+        |  last_value(d.sum_q IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day_ns
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_q
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.user_id = d.user_id AND g.day_ns = d.day_ns""".stripMargin
   )
 }
