@@ -1541,8 +1541,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
       val pm = Similarity.pqTrain(corpus, m, codebookSize)
       val base = ivfPqDir(name)
       import spark.implicits._
-      cs.map { case (cid, v) => (cid, v.toSeq, column, meta.opSeq) }
-        .toDF("cid", "ce", "emb_col", "built_seq")
+      // built_epoch pins WHICH op_seq clock built_seq belongs to: a
+      // physical rewrite (compact/vacuum/purge) resets op_seq and bumps
+      // the epoch, so a seq comparison across epochs is meaningless —
+      // refreshIvfPqIndex refuses loud on mismatch instead of
+      // misreading the reset clock as "nothing changed"
+      cs.map { case (cid, v) => (cid, v.toSeq, column, meta.opSeq, meta.epoch) }
+        .toDF("cid", "ce", "emb_col", "built_seq", "built_epoch")
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(new Path(base, "cents").toString)
       pm.books.zipWithIndex.flatMap { case (book, i) =>
@@ -1593,6 +1598,74 @@ final class Catalog(spark: SparkSession, warehouse: String,
   def dropIvfPqIndex(name: String): Unit =
     lock(name).synchronized { withCommitMarker(name) {
       deleteRecursively(ivfPqDir(name))
+    } }
+
+  /**
+   * INCREMENTAL IVF-PQ refresh — close the "additions invisible until
+   * rebuild" gap at DELTA cost, not corpus cost: the rows committed
+   * since `built_seq` come from the CHANGE FEED ([[changesBetween]],
+   * whose `_ver` range predicate pushes to footers — tail files wholly
+   * outside the range never open), the latest in-range upsert per key
+   * survives, keys already coded drop via an anti join against the
+   * slim vec_id projection of the code table (an 8-byte key-column
+   * exchange — embeddings never shuffle), and ONLY the genuinely-new
+   * vectors pay the map-only assign+encode pass before APPENDING to
+   * the code table. At 100 TB: a billion-row day lands on a
+   * trillion-row index for the cost of encoding a billion rows.
+   *
+   * The model (centroids + codebooks) deliberately does NOT retrain —
+   * that is what makes the refreshed index bit-identical to a full
+   * rebuild over the grown corpus (the seeds live below every
+   * realistic key range, so rebuild would find the same model), and
+   * what a production IVF-PQ does between periodic re-trains. Refresh
+   * covers pure ADDITIONS: keys updated since the build keep their
+   * stale code (exact re-rank still scores them full-precision if they
+   * surface); deletions stay lazily dropped at the re-rank's live
+   * join. A physical rewrite (compact/vacuum/purge) since the build
+   * re-stamps history and RESETS the op_seq clock (bumping the meta
+   * epoch), so the delta is unrecoverable — refresh compares the
+   * stored `built_epoch` and refuses LOUD, the rebuild-the-index
+   * signal, never a silent no-op against the reset clock.
+   */
+  def refreshIvfPqIndex(name: String): Unit =
+    lock(name).synchronized { withCommitMarker(name) {
+      import graft.ops.Similarity
+      val idx = ivfPqIndex(name)
+      require(idx.isDefined, s"refreshIvfPqIndex($name): no IVF-PQ index")
+      val (column, builtSeq, cs, pm, codes) = idx.get
+      val meta = readMeta(name)
+      // built_seq only means anything on the op_seq clock that stamped
+      // it: a physical rewrite since the build re-stamped history and
+      // bumped the epoch — the delta is unrecoverable, rebuild instead
+      val builtEpoch = spark.read
+        .parquet(new Path(ivfPqDir(name), "cents").toString)
+        .select(col("built_epoch")).head().getLong(0)
+      require(builtEpoch == meta.epoch,
+        s"refreshIvfPqIndex($name): history since the build was " +
+          s"re-stamped by a physical rewrite (epoch $builtEpoch -> " +
+          s"${meta.epoch}) — the delta is not addressable as change " +
+          "events; rebuild with createIvfPqIndex")
+      if (meta.opSeq != builtSeq) {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("commit_ver").desc)
+        val fresh = changesBetween(name, builtSeq, meta.opSeq)
+          .select(col(meta.key).as("vec_id"), col(column).as("embedding"),
+                  col("commit_ver"), col("op"))
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1 && col("op") === "upsert")
+          .select(col("vec_id"), col("embedding"))
+          .join(codes.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        Similarity.pqEncode(Similarity.assignWith(fresh, cs), pm,
+            Seq(col("vec_id"), col("cid")))
+          .write.mode(SaveMode.Append)
+          .parquet(new Path(ivfPqDir(name), "codes").toString)
+        import spark.implicits._
+        cs.map { case (cid, v) =>
+            (cid, v.toSeq, column, meta.opSeq, meta.epoch) }
+          .toDF("cid", "ce", "emb_col", "built_seq", "built_epoch")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(new Path(ivfPqDir(name), "cents").toString)
+      }
     } }
 
   /**

@@ -62,6 +62,33 @@ object PipelineQueries {
   private val vecIdxCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Warehouse for ann_ivfpq_refresh: the IVF-PQ index is built over a
+    * PARTIAL corpus (vec_id < 400 — comfortably above the 16 seed
+    * centroids and 8 codeword seeds, so the model is the full-corpus
+    * model), the remaining vectors commit AFTER the build, and
+    * [[graft.core.Catalog.refreshIvfPqIndex]] appends their codes at
+    * change-feed cost. The deterministic model makes the refreshed
+    * index bit-identical to a full-corpus build — annIvfPqOracle
+    * serves unchanged, which is itself the correctness claim: refresh
+    * ≡ rebuild for pure additions. */
+  private def vecRefreshWarehouse(s: SparkSession, d: String): String =
+    vecRefreshCache.getOrElseUpdate(d, {
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_ivfpqref_wh_")
+      val cat = new graft.core.Catalog(s, wh, autoCompact = false)
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      cat.createTable("emb_rf", "vec_id", emb.where(col("vec_id") < 400))
+      cat.createIvfPqIndex("emb_rf", "embedding", nCentroids = 16,
+        m = 4, codebookSize = 8)
+      cat.commit("emb_rf",
+        graft.core.Txn.empty.insert(emb.where(col("vec_id") >= 400)))
+      cat.refreshIvfPqIndex("emb_rf")
+      wh
+    })
+
+  private val vecRefreshCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private val stopwords = Seq("the", "a", "and", "of", "to")
 
   private val jsonlCache =
@@ -294,6 +321,75 @@ object PipelineQueries {
         cat.getTable("emb_vi").snapshot
           .select(col("vec_id"), col(embCol).as("embedding")),
         codes, annQueries(s, d).drop("qlabel"), 5, 25, cs, pm, nProbe = 2)
+    },
+
+    // INCREMENTAL index refresh (r9, Catalog.refreshIvfPqIndex + CALL
+    // graft.refresh_ivfpq_index): the index was built over a PARTIAL
+    // corpus; the rest committed afterwards; refresh pulled ONLY the
+    // delta through the change feed (pushed _ver range), encoded it
+    // map-only, and APPENDED to the code table — additions become
+    // visible at delta cost, never a corpus re-encode. The probe here
+    // is byte-identical to ann_ivfpq_durable's read path; matching the
+    // full-rebuild oracle IS the refresh≡rebuild correctness claim.
+    "ann_ivfpq_refresh" -> { (s, d) =>
+      val wh = vecRefreshWarehouse(s, d)
+      val cat = new graft.core.Catalog(s, wh)
+      val Some((embCol, _, cs, pm, codes)) = cat.ivfPqIndex("emb_rf")
+      Similarity.ivfPqProbePrebuilt(
+        cat.getTable("emb_rf").snapshot
+          .select(col("vec_id"), col(embCol).as("embedding")),
+        codes, annQueries(s, d).drop("qlabel"), 5, 25, cs, pm, nProbe = 2)
+    },
+
+    // FILTERED vector search (r9): top-k among vectors satisfying a
+    // metadata predicate — the retrieval shape behind "nearest docs
+    // WHERE lang = 'en'". Strategy is PRE-FILTER + exact scan: for a
+    // selective predicate, IVF buckets thin to uselessness (recall
+    // collapses at fixed nProbe) while the filtered corpus is ~1/sel
+    // of the data — so the predicate belongs IN the scan, not after
+    // scoring. The filter reaches the parquet reader as a pushed
+    // filter + row-group stat prune (PlanAudit pins PushedFilters), so
+    // at 100 TB the engine reads label-matching row groups only, and
+    // never scores — never even materializes — an excluded vector.
+    "ann_filtered" -> { (s, d) =>
+      Similarity.bruteTopK(
+        Tables(s, d, "embeddings").where(col("label") === 3)
+          .select(col("vec_id"), col("embedding")),
+        annQueries(s, d).drop("qlabel"), 5)
+    },
+
+    // BM25 keyword retrieval (r9, ops/Retrieval.bm25TopK): the lexical
+    // half of a production search stack. Log-free odds idf — monotone
+    // in Robertson's idf but free of libm ln — with per-term
+    // contributions quantized to floor(x·10⁶) longs BEFORE the per-doc
+    // sum (associative ⇒ partition-order-free ⇒ hash-exact vs DuckDB).
+    // One corpus scan (dl rides the explode); only query-term postings
+    // shuffle; the global top-k is TakeOrderedAndProject (per-partition
+    // heaps, k rows to the driver) — never a global sort.
+    "text_bm25" -> { (s, d) =>
+      graft.ops.Retrieval.bm25TopK(
+        Tables(s, d, "documents").select(col("doc_id"), col("text")),
+        Seq("vector", "stream", "big"), 10)
+    },
+
+    // HYBRID retrieval (r9, Retrieval.rrfFuse): reciprocal-rank fusion
+    // of the BM25 top-10 and the vector top-10 (query = embedding 0,
+    // doc_id ≡ vec_id in the corpus) — the standard production
+    // combiner, fusing in RANK space so the term-frequency and
+    // dot-product score scales never need calibration. Both inputs are
+    // top-k lists (driver-small by construction); the fuse is a
+    // broadcast-size full outer join + rank.
+    "ann_hybrid" -> { (s, d) =>
+      val lex = graft.ops.Retrieval.bm25TopK(
+        Tables(s, d, "documents").select(col("doc_id"), col("text")),
+        Seq("vector", "stream", "big"), 10)
+      val emb = Tables(s, d, "embeddings")
+      val vec = Similarity.bruteTopK(
+          emb.select(col("vec_id"), col("embedding")),
+          emb.where(col("vec_id") === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qe")), 10)
+        .select(col("vec_id").as("doc_id"), col("rnk"))
+      graft.ops.Retrieval.rrfFuse(lex, vec, 10)
     },
 
     // The SQL front door to similarity search: the SAME brute-force
@@ -1046,6 +1142,38 @@ object PipelineQueries {
          |SELECT t.doc_id, COUNT(*) AS n_hits
          |FROM tg t JOIN bg b ON t.gh = b.gh GROUP BY 1""".stripMargin
 
+  /** DuckDB replay of graft's BM25 (ops/Retrieval.bm25: log-free odds
+    * idf, k1=1.2 b=0.75, floor(x·10⁶)-long per-term contributions) for
+    * the fixed term set (vector, stream, big) — CTE prefix ending at
+    * the per-doc score table `sc`, shared by text_bm25 (ranks it) and
+    * ann_hybrid (fuses it with the vector ranks). */
+  private val bm25OracleCtes: String =
+    """WITH qt AS (SELECT unnest(['vector','stream','big']) AS term),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |       FROM documents),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |dfq AS (SELECT t.term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      |        FROM tok t JOIN qt ON t.term = qt.term GROUP BY 1),
+      |tf AS (SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM tok t JOIN qt ON t.term = qt.term GROUP BY 1, 2),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |    CAST(FLOOR(
+      |      ((CAST(stats.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+      |        / (CAST(dfq.df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf.tf AS DOUBLE) * 2.2)
+      |        / (CAST(tf.tf AS DOUBLE)
+      |           + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))
+      |      * 1000000.0) AS BIGINT) AS cq
+      |  FROM tf JOIN dfq ON tf.term = dfq.term
+      |          JOIN dl ON tf.doc_id = dl.doc_id, stats),
+      |sc AS (SELECT doc_id, CAST(SUM(cq) AS BIGINT) AS score_q
+      |       FROM contrib GROUP BY 1)
+      |""".stripMargin
+
   /** DuckDB replay of IVF-PQ + exact re-rank (16 seed centroids,
     * nProbe 2, 4 subspaces x 8-codeword books, 25-deep shortlist, k 5)
     * — shared verbatim by ann_ivfpq (inline build) and
@@ -1672,6 +1800,10 @@ object PipelineQueries {
 
     "ann_ivfpq_durable" -> annIvfPqOracle,
 
+    // refresh ≡ rebuild for pure additions: the partial-build + delta
+    // refresh must land exactly where a full-corpus build lands
+    "ann_ivfpq_refresh" -> annIvfPqOracle,
+
     // the ann_pq pipeline widened to a 25-deep shortlist, then re-scored
     // with the exact dot and re-ranked to the final 5
     "ann_pq_rerank" ->
@@ -1854,6 +1986,60 @@ object PipelineQueries {
         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
         |       FROM dots)
         |SELECT qid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // pre-filter + exact scan: the predicate restricts the corpus BEFORE
+    // any scoring — the replay is ann_topk's over the filtered corpus
+    "ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE label = 3),
+        |dots AS (
+        |  SELECT q.qid, c.vec_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(q.qe) + 1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dot
+        |  FROM q, c),
+        |rk AS (SELECT qid, vec_id, dot,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+        |       FROM dots)
+        |SELECT qid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // log-free odds idf, pinned association order, floor(x*1e6) long
+    // quantization per term BEFORE the per-doc sum (see ops/Retrieval)
+    "text_bm25" ->
+      (bm25OracleCtes +
+       """SELECT doc_id, score_q,
+         |  CAST(row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS rnk
+         |FROM sc QUALIFY rnk <= 10""".stripMargin),
+
+    // reciprocal-rank fusion of the BM25 top-10 and the vector top-10
+    // (query = embedding 0): rank-space sum 1/(60+r), missing lists
+    // contribute 0; CAST(1 AS DOUBLE) keeps the division double (DuckDB
+    // parses a bare 1.0 as DECIMAL)
+    "ann_hybrid" ->
+      (bm25OracleCtes +
+       """,bm AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS rb
+         |       FROM sc QUALIFY rb <= 10),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |vd AS (SELECT e.vec_id AS doc_id,
+         |         list_reduce(
+         |           list_prepend(CAST(0 AS DOUBLE),
+         |             list_transform(range(1, len(qv.qe) + 1),
+         |               i -> CAST(qv.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+         |           (a, b) -> a + b) AS dot
+         |       FROM embeddings e, qv),
+         |vr AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY dot DESC, doc_id ASC) AS BIGINT) AS rv
+         |       FROM vd QUALIFY rv <= 10),
+         |fused AS (SELECT COALESCE(bm.doc_id, vr.doc_id) AS doc_id,
+         |    COALESCE(CAST(1 AS DOUBLE) / (60 + bm.rb), CAST(0 AS DOUBLE))
+         |      + COALESCE(CAST(1 AS DOUBLE) / (60 + vr.rv), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM bm FULL OUTER JOIN vr ON bm.doc_id = vr.doc_id)
+         |SELECT doc_id, rrf,
+         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rnk
+         |FROM fused QUALIFY rnk <= 10""".stripMargin),
 
     // ann_sql is ann_topk through the SQL front door — same oracle text
     "ann_sql" ->

@@ -714,7 +714,8 @@ class GraftSql(val spark: SparkSession) {
   private val procedures = Set("optimize", "compact", "vacuum", "purge",
     "analyze", "refresh_mview", "create_mview", "clone", "create_bloom",
     "create_index", "history", "restore", "create_vector_index",
-    "drop_vector_index", "create_ivfpq_index", "drop_ivfpq_index")
+    "drop_vector_index", "create_ivfpq_index", "drop_ivfpq_index",
+    "refresh_ivfpq_index")
 
   /**
    * MAINTENANCE through the SQL front door — Spark 4's stored-procedure
@@ -756,7 +757,8 @@ class GraftSql(val spark: SparkSession) {
     "create_vector_index" -> Seq("tbl", "col", "centroids", "iters"),
     "drop_vector_index" -> Seq("tbl"),
     "create_ivfpq_index" -> Seq("tbl", "col", "centroids", "m", "books"),
-    "drop_ivfpq_index" -> Seq("tbl"))
+    "drop_ivfpq_index" -> Seq("tbl"),
+    "refresh_ivfpq_index" -> Seq("tbl"))
 
   private def runCall(proc: String, c: Call): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, NamedArgumentExpression}
@@ -895,6 +897,11 @@ class GraftSql(val spark: SparkSession) {
       case "drop_ivfpq_index" =>
         arity(1); val (cat, t) = durableOf(str(0))
         cat.dropIvfPqIndex(t); done
+      case "refresh_ivfpq_index" =>
+        // incremental: change-feed delta → anti join vs stored keys →
+        // encode + append (Catalog.refreshIvfPqIndex)
+        arity(1); val (cat, t) = durableOf(str(0))
+        cat.refreshIvfPqIndex(t); done
     }
   }
 

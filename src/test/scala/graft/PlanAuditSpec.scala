@@ -698,4 +698,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(winSpecs.nonEmpty && winSpecs.exists(_.contains("_pid")),
       s"expected the rank window keyed by _pid:\n$plan")
   }
+
+  test("ann_filtered pushes the metadata predicate into the corpus scan") {
+    val plan = executedPlan(SparkEntry.queries("ann_filtered")(spark, sfDir))
+    // pre-filter strategy: the label predicate must reach the parquet
+    // reader (pushed filter + row-group stat prune) — at 100 TB the
+    // engine reads label-matching row groups only and never scores an
+    // excluded vector
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(label,3\\)".r
+      .findFirstIn(plan).isDefined,
+      s"expected EqualTo(label,3) pushed to the corpus scan:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("text_bm25 / ann_hybrid take top-k by heap, never a global sort") {
+    for (q <- Seq("text_bm25", "ann_hybrid")) {
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sfDir))
+      // the corpus-sized rank is TakeOrderedAndProject (per-partition
+      // heaps, k rows to the driver); a global Sort would funnel every
+      // scored doc through one reducer
+      assert(plan.contains("TakeOrderedAndProject"), s"$q:\n$plan")
+      // only the k-row ranked tail may sort (the window over ≤k rows)
+      assert("Exchange SinglePartition".r.findAllIn(plan).size <= 2,
+        s"$q: corpus-sized single-partition exchange:\n$plan")
+    }
+  }
 }

@@ -119,6 +119,84 @@ class VectorIndexSpec extends SparkSpec {
     assert(cat2.ivfPqIndex("e").isEmpty)
   }
 
+  test("incremental refresh: delta-built index equals the full rebuild; updates keep stale codes") {
+    val wh = Files.createTempDirectory("graft_ivfpq_refresh_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("e", "vec_id", embeddings.where(col("vec_id") < 300))
+    cat.createIvfPqIndex("e", "embedding", nCentroids = 8, m = 4,
+      codebookSize = 4)
+    val Some((_, seq0, _, _, codes0)) = cat.ivfPqIndex("e")
+    val nBefore = codes0.count()
+
+    // commit the remainder AFTER the build, then refresh: only the
+    // delta's codes append, and built_seq advances
+    cat.commit("e", Txn.empty.insert(embeddings.where(col("vec_id") >= 300)))
+    cat.refreshIvfPqIndex("e")
+    val Some((_, seq1, cs, pm, codes1)) = cat.ivfPqIndex("e")
+    assert(seq1 > seq0)
+    assert(seq1 === cat.getTable("e").opSeq)
+    assert(codes1.count() === embeddings.count())
+    assert(codes1.count() - nBefore ===
+      embeddings.where(col("vec_id") >= 300).count())
+
+    // refresh ≡ rebuild: probe the refreshed index vs the inline
+    // full-corpus build — bit for bit
+    val live = cat.getTable("e").snapshot
+      .select(col("vec_id"), col("embedding"))
+    val viaRefresh = Similarity.ivfPqProbePrebuilt(live, codes1, queries,
+      4, 10, cs, pm, nProbe = 2)
+    val viaRebuild = Similarity.ivfPqRerank(embeddings, queries, 4,
+      kCand = 10, nCentroids = 8, nProbe = 2, m = 4, codebookSize = 4)
+    assert(viaRefresh.orderBy("qid", "rnk").collect().map(_.toSeq).toSeq ===
+      viaRebuild.orderBy("qid", "rnk").collect().map(_.toSeq).toSeq)
+
+    // a no-change refresh is a no-op (same code count, same built_seq)
+    cat.refreshIvfPqIndex("e")
+    val Some((_, seq2, _, _, codes2)) = cat.ivfPqIndex("e")
+    assert(seq2 === seq1 && codes2.count() === codes1.count())
+
+    // an UPDATED key keeps its stale code (refresh covers additions;
+    // the doc'd contract) — no duplicate code rows either
+    cat.commit("e", Txn.empty.update(col("vec_id") === 42L,
+      Map("embedding" -> array((0 until pm.dims).map(_ => lit(9.9f)): _*))))
+    cat.refreshIvfPqIndex("e")
+    val Some((_, _, _, _, codes3)) = cat.ivfPqIndex("e")
+    assert(codes3.where(col("vec_id") === 42L).count() === 1L)
+    assert(codes3.count() === codes1.count())
+  }
+
+  test("CALL refresh_ivfpq_index drives the refresh through SQL") {
+    val wh = Files.createTempDirectory("graft_ivfpq_refresh_sql_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("e", "vec_id", embeddings.where(col("vec_id") < 300))
+    val g = new graft.sql.GraftSql(spark).register("e", cat, "e")
+    g.sql("CALL graft.create_ivfpq_index('e', 'embedding', 8, 4, 4)")
+    cat.commit("e", Txn.empty.insert(embeddings.where(col("vec_id") >= 300)))
+    g.sql("CALL graft.refresh_ivfpq_index('e')")
+    val Some((_, seq, _, _, codes)) = cat.ivfPqIndex("e")
+    assert(seq === cat.getTable("e").opSeq)
+    assert(codes.count() === embeddings.count())
+    // refresh without an index is loud
+    cat.dropIvfPqIndex("e")
+    intercept[IllegalArgumentException](cat.refreshIvfPqIndex("e"))
+  }
+
+  test("a physical rewrite since the build makes refresh refuse LOUD") {
+    val wh = Files.createTempDirectory("graft_ivfpq_refresh_floor_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("e", "vec_id", embeddings.where(col("vec_id") < 300))
+    cat.createIvfPqIndex("e", "embedding", nCentroids = 8, m = 4,
+      codebookSize = 4)
+    cat.commit("e", Txn.empty.insert(embeddings.where(col("vec_id") >= 300)))
+    cat.saveCompacted("e", cat.getTable("e")) // re-stamps history
+    val e = intercept[IllegalArgumentException](cat.refreshIvfPqIndex("e"))
+    assert(e.getMessage.contains("re-stamped"), e.getMessage)
+    // full rebuild is the repair
+    cat.createIvfPqIndex("e", "embedding", nCentroids = 8, m = 4,
+      codebookSize = 4)
+    assert(cat.ivfPqIndex("e").get._5.count() === embeddings.count())
+  }
+
   test("drop removes the sidecar; CALL create/drop_vector_index drive the lifecycle") {
     val wh = Files.createTempDirectory("graft_vecidx_call_").toString
     val cat = new Catalog(spark, wh, autoCompact = false)
