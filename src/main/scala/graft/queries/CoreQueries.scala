@@ -472,6 +472,9 @@ object CoreQueries {
   private val csvCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private val orcCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def baseOrders(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "orders").select(
       col("o_orderkey").as("k"),
@@ -1134,6 +1137,20 @@ object CoreQueries {
       val dir = csvCache.getOrElseUpdate(d,
         graft.sources.TextSources.scratchDir(s, "graft_csv_"))
       graft.sources.TextSources.csvRoundtrip(s, baseOrders(s, d), dir)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+             Exact.sumMoney(col("totalprice")).as("sum_price"))
+    },
+
+    "src_orc" -> { (s, d) =>
+      // ORC roundtrip (r9): the OTHER columnar interchange format a
+      // lakehouse must read and write — same footer-stats pushdown and
+      // column-pruning properties as the native parquet path, different
+      // container. Values survive bit-exactly; the aggregate proves the
+      // write→read path end to end against the parquet-sourced oracle.
+      val dir = orcCache.getOrElseUpdate(d,
+        graft.sources.TextSources.scratchDir(s, "graft_orc_"))
+      graft.sources.TextSources.orcRoundtrip(s, baseOrders(s, d), dir)
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n"),
              Exact.sumMoney(col("totalprice")).as("sum_price"))
@@ -1851,6 +1868,13 @@ object CoreQueries {
         |  AND o_totalprice BETWEEN 50000.0 AND 200000.0""".stripMargin,
 
     "src_csv" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // layout is never semantics: the ORC roundtrip reports the same
+    // rollup the parquet tables do
+    "src_orc" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,

@@ -802,6 +802,54 @@ object OlapQueries {
         .select(col("user_id"), col("day_ns"),
           coalesce(col("n"), lit(0L)).as("n_events"),
           last(col("sum_q"), ignoreNulls = true).over(w).as("filled_q"))
+    },
+
+    // Ordered FUNNEL analysis (r9): how far do users get through
+    // view → click → purchase, each stage required to happen strictly
+    // AFTER the previous one — the event-analytics staple. Each stage
+    // is a keyed min-aggregate semi-joined to the previous stage's
+    // per-user timestamp: three user-keyed shuffles (the same key every
+    // time, so AQE co-partitions the chain), event rows carry only
+    // (user_id, ts) past the type filter, and the stage outputs are one
+    // row per qualifying user — at 100 TB the chain's working set is
+    // |users|, never |events|. No window over the whole event stream,
+    // no per-user event-list collection.
+    "q_funnel" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, Seq("user_id")).where(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, Seq("user_id")).where(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_users"))
+        .select(lit(1L).as("stage"), col("n_users"))
+        .unionByName(s2.agg(count(lit(1)).as("n_users"))
+          .select(lit(2L).as("stage"), col("n_users")))
+        .unionByName(s3.agg(count(lit(1)).as("n_users"))
+          .select(lit(3L).as("stage"), col("n_users")))
+    },
+
+    // COHORT retention (r9): users bucketed by their first active day;
+    // n_users active at each day offset since. The (user, day) active
+    // set is distinct BEFORE the cohort join — the join and both
+    // groupBys key on user/cohort, and the retention matrix is
+    // |cohorts|×|offsets| rows. Day offsets use integer `div` in both
+    // engines (never a double division round-trip).
+    "q_cohort" -> { (s, d) =>
+      val day = 86400L * 1000 * 1000 * 1000
+      val active = Tables(s, d, "events")
+        .select(col("user_id"), (col("ts") - col("ts") % day).as("day_ns"))
+        .distinct()
+      val cohort = active.groupBy(col("user_id"))
+        .agg(min(col("day_ns")).as("cohort_ns"))
+      active.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_ns"),
+          expr(s"(day_ns - cohort_ns) div ${day}L").as("offset_days"))
+        .agg(count(lit(1)).as("n_users"))
     }
   )
 
@@ -1189,6 +1237,35 @@ object OlapQueries {
         |    PARTITION BY g.user_id ORDER BY g.day_ns
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_q
         |FROM grid g LEFT JOIN daily d
-        |  ON g.user_id = d.user_id AND g.day_ns = d.day_ns""".stripMargin
+        |  ON g.user_id = d.user_id AND g.day_ns = d.day_ns""".stripMargin,
+
+    // each stage's min timestamp must be strictly after the previous
+    // stage's — the ordered-funnel contract
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+        |s1 AS (SELECT user_id, MIN(tns) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(tns) AS t2 FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND tns > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(tns) AS t3 FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND tns > t2 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, COUNT(*) AS n_users FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), COUNT(*) FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), COUNT(*) FROM s3""".stripMargin,
+
+    // first-active-day cohorts x integer day offsets; the (user, day)
+    // active set is distinct before the join so COUNT(*) is users
+    "q_cohort" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS day_ns
+        |           FROM events),
+        |c AS (SELECT user_id, MIN(day_ns) AS cohort_ns FROM a GROUP BY 1)
+        |SELECT c.cohort_ns,
+        |  (a.day_ns - c.cohort_ns) // 86400000000000 AS offset_days,
+        |  COUNT(*) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -41,4 +41,15 @@ object TextSources {
     df.write.mode(SaveMode.Overwrite).json(dir)
     spark.read.schema(df.schema).json(dir)
   }
+
+  /** Write `df` as ORC under `dir`, read it back with df's schema — the
+    * other columnar interchange format: ORC reads get the same
+    * footer-stats row-group pruning and column projection the parquet
+    * path does (Spark's native vectorized ORC reader). The explicit
+    * schema keeps the cross-format contract identical: the file's own
+    * footer schema never silently widens a column. */
+  def orcRoundtrip(spark: SparkSession, df: DataFrame, dir: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).orc(dir)
+    spark.read.schema(df.schema).orc(dir)
+  }
 }
