@@ -89,6 +89,36 @@ object PipelineQueries {
   private val vecRefreshCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Warehouse for stream_index — CONTINUOUS indexing: the IVF-PQ index
+    * is built over a partial corpus, the remaining vectors arrive as a
+    * THREE-micro-batch stream (three files, maxFilesPerTrigger=1), and
+    * each batch's durable merge commit is followed by an incremental
+    * index refresh (StreamOps.mergeStream refreshIndex=true) — ingest
+    * and index stay in lockstep at delta cost. The final index must be
+    * bit-identical to a full-corpus build. */
+  private def vecStreamWarehouse(s: SparkSession, d: String): String =
+    vecStreamCache.getOrElseUpdate(d, {
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_ivfpqstrm_wh_")
+      val cat = new graft.core.Catalog(s, wh, autoCompact = false)
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      cat.createTable("emb_si", "vec_id", emb.where(col("vec_id") < 400))
+      cat.createIvfPqIndex("emb_si", "embedding", nCentroids = 16,
+        m = 4, codebookSize = 8)
+      val srcDir = graft.sources.TextSources.scratchDir(s, "graft_ivfpqstrm_src_")
+      (0 until 3).foreach(i =>
+        emb.where(col("vec_id") >= 400 && col("vec_id") % 3 === i)
+          .coalesce(1).write.mode("append").parquet(srcDir))
+      val changes = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      graft.streaming.StreamOps.mergeStream(s, changes, cat, "emb_si",
+        Seq("embedding"), refreshIndex = true)
+      wh
+    })
+
+  private val vecStreamCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private val stopwords = Seq("the", "a", "and", "of", "to")
 
   private val jsonlCache =
@@ -337,6 +367,23 @@ object PipelineQueries {
       val Some((embCol, _, cs, pm, codes)) = cat.ivfPqIndex("emb_rf")
       Similarity.ivfPqProbePrebuilt(
         cat.getTable("emb_rf").snapshot
+          .select(col("vec_id"), col(embCol).as("embedding")),
+        codes, annQueries(s, d).drop("qlabel"), 5, 25, cs, pm, nProbe = 2)
+    },
+
+    // CONTINUOUS indexing (r9, StreamOps.mergeStream refreshIndex=true):
+    // three micro-batches of new vectors each land as one durable merge
+    // commit + one incremental index refresh — ANN probes see ingested
+    // vectors within a batch of arrival, each refresh paying only that
+    // batch's additions (change-feed delta encode + append). The probe
+    // reads the streamed-and-refreshed index; matching the full-rebuild
+    // oracle proves ingest-then-index converges exactly.
+    "stream_index" -> { (s, d) =>
+      val wh = vecStreamWarehouse(s, d)
+      val cat = new graft.core.Catalog(s, wh)
+      val Some((embCol, _, cs, pm, codes)) = cat.ivfPqIndex("emb_si")
+      Similarity.ivfPqProbePrebuilt(
+        cat.getTable("emb_si").snapshot
           .select(col("vec_id"), col(embCol).as("embedding")),
         codes, annQueries(s, d).drop("qlabel"), 5, 25, cs, pm, nProbe = 2)
     },
@@ -1803,6 +1850,9 @@ object PipelineQueries {
     // refresh ≡ rebuild for pure additions: the partial-build + delta
     // refresh must land exactly where a full-corpus build lands
     "ann_ivfpq_refresh" -> annIvfPqOracle,
+
+    // streamed ingest + per-batch refresh converges on the same index
+    "stream_index" -> annIvfPqOracle,
 
     // the ann_pq pipeline widened to a 25-deep shortlist, then re-scored
     // with the exact dot and re-ranked to the final 5

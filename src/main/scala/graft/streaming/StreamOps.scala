@@ -199,7 +199,19 @@ object StreamOps {
                     * source's current version (its own commit records
                     * what it applied), so a missed or repeated call
                     * converges instead of double-applying. */
-                  refreshView: Option[String] = None): Unit = {
+                  refreshView: Option[String] = None,
+                  /** Refresh the table's durable IVF-PQ index after each
+                    * batch's commit ([[graft.core.Catalog
+                    * .refreshIvfPqIndex]]) — CONTINUOUS index
+                    * maintenance: per batch the index pays the batch's
+                    * additions (change-feed delta encode + append),
+                    * never a corpus re-encode, so ANN probes see newly
+                    * ingested vectors within one micro-batch. Crash-safe
+                    * the same way refreshView is: refresh is a catch-up
+                    * to the table's current version keyed on stored
+                    * vec_ids, so a missed or repeated call converges
+                    * (already-coded keys drop at the anti join). */
+                  refreshIndex: Boolean = false): Unit = {
     // Writer identity for idempotent replay detection is derived
     // DETERMINISTICALLY from the checkpoint location, because batch ids
     // are only meaningful relative to their checkpoint: a restart that
@@ -232,6 +244,7 @@ object StreamOps {
         cat.commitStreamBatch(table, graft.core.Txn.empty
           .mergeInto(batch, updateCols, deleteWhen), writerId, batchId)
         refreshView.foreach(cat.refreshMaterializedView)
+        if (refreshIndex) cat.refreshIvfPqIndex(table)
         ()
       }
       .start()

@@ -149,4 +149,34 @@ class StreamMergeSpec extends SparkSpec {
     assert(liveRows === Map(1L -> 11L, 3L -> 33L),
       "restart replayed consumed changes or resurrected a deleted key")
   }
+
+  test("refreshIndex=true keeps the IVF-PQ index in lockstep with streamed ingest") {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft_sm_idx_wh_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    cat.createTable("t", "vec_id", emb.where(col("vec_id") < 300))
+    cat.createIvfPqIndex("t", "embedding", nCentroids = 8, m = 4,
+      codebookSize = 4)
+
+    // three arrival files → maxFilesPerTrigger=1 → three micro-batches,
+    // each one durable commit + one incremental index refresh
+    val srcDir = Files.createTempDirectory("graft_sm_idx_src_").toString
+    (0 until 3).foreach(i =>
+      emb.where(col("vec_id") >= 300 && col("vec_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(srcDir))
+    val changes = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    StreamOps.mergeStream(spark, changes, cat, "t", Seq("embedding"),
+      refreshIndex = true)
+
+    val Some((_, builtSeq, _, _, codes)) = cat.ivfPqIndex("t")
+    val maxVer = cat.getTable("t").lineage
+      .agg(org.apache.spark.sql.functions.max("_ver")).head().getLong(0)
+    assert(maxVer >= 3L, "one commit per micro-batch")
+    assert(builtSeq === maxVer, "index not caught up to the last commit")
+    assert(codes.count() === emb.count(),
+      "every streamed vector must be coded")
+  }
 }
