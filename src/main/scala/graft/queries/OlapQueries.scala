@@ -850,6 +850,27 @@ object OlapQueries {
         .groupBy(col("cohort_ns"),
           expr(s"(day_ns - cohort_ns) div ${day}L").as("offset_days"))
         .agg(count(lit(1)).as("n_users"))
+    },
+
+    // OHLC bars (r9): per-day open/high/low/close over the value stream
+    // — the time-series downsampling primitive. open/close are min_by/
+    // max_by on the (ts, event_id) struct: ONE map-side-combined shuffle
+    // keyed by day (each partition contributes one candidate per day —
+    // no per-day window, whose partition would hold a full day of a
+    // 100 TB stream on one reducer). The (ts, event_id) composite makes
+    // the pick total-ordered even when timestamps collide; values pass
+    // through untouched (no float arithmetic to drift).
+    "q_ohlc" -> { (s, d) =>
+      val day = 86400L * 1000 * 1000 * 1000
+      Tables(s, d, "events")
+        .select((col("ts") - col("ts") % day).as("day_ns"),
+                struct(col("ts"), col("event_id")).as("ord"), col("value"))
+        .groupBy(col("day_ns"))
+        .agg(min_by(col("value"), col("ord")).as("open"),
+             max(col("value")).as("high"),
+             min(col("value")).as("low"),
+             max_by(col("value"), col("ord")).as("close"),
+             count(lit(1)).as("n"))
     }
   )
 
@@ -1266,6 +1287,26 @@ object OlapQueries {
         |  (a.day_ns - c.cohort_ns) // 86400000000000 AS offset_days,
         |  COUNT(*) AS n_users
         |FROM a JOIN c ON a.user_id = c.user_id
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // open/close replay by day-partitioned row_number (the oracle is
+    // single-node, so the window the engine avoids is fine HERE); the
+    // (tns, event_id) composite order mirrors the engine's struct key
+    "q_ohlc" ->
+      """WITH e AS (SELECT epoch_ns(ts) AS tns, event_id, value,
+        |             epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS day_ns
+        |           FROM events),
+        |r AS (SELECT day_ns, value,
+        |        row_number() OVER (PARTITION BY day_ns
+        |          ORDER BY tns ASC, event_id ASC) AS ra,
+        |        row_number() OVER (PARTITION BY day_ns
+        |          ORDER BY tns DESC, event_id DESC) AS rd
+        |      FROM e)
+        |SELECT day_ns,
+        |  MAX(CASE WHEN ra = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rd = 1 THEN value END) AS close,
+        |  COUNT(*) AS n
+        |FROM r GROUP BY 1""".stripMargin
   )
 }
