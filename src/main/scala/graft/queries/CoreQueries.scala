@@ -1142,6 +1142,17 @@ object CoreQueries {
              Exact.sumMoney(col("totalprice")).as("sum_price"))
     },
 
+    "sql_describe" -> { (s, d) =>
+      // SQL-only discoverability (r9): DESCRIBE a registered table
+      // through the front door — column names, engine types, the
+      // lineage key marked. SHOW TABLES IN graft is the sibling
+      // (GraftSqlSpec drives both, plus the pass-through guards for
+      // qualified namespaces). Metadata-only: no data file opens.
+      val g = new graft.sql.GraftSql(s)
+      g.register("orders_d", LineageTable.fromBase("k", baseOrders(s, d)))
+      g.sql("DESCRIBE TABLE orders_d")
+    },
+
     "src_orc" -> { (s, d) =>
       // ORC roundtrip (r9): the OTHER columnar interchange format a
       // lakehouse must read and write — same footer-stats pushdown and
@@ -1871,6 +1882,15 @@ object CoreQueries {
       """SELECT o_orderstatus AS status, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // the front-door schema report is a metadata contract — the oracle
+    // is the expected projection schema, literally
+    "sql_describe" ->
+      """SELECT * FROM (VALUES
+        |  ('k', 'bigint', 'key'),
+        |  ('custkey', 'bigint', ''),
+        |  ('status', 'string', ''),
+        |  ('totalprice', 'double', '')) AS t(col_name, data_type, info)""".stripMargin,
 
     // layout is never semantics: the ORC roundtrip reports the same
     // rollup the parquet tables do

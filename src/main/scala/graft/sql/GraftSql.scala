@@ -3,7 +3,7 @@ package graft.sql
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedNamespace, UnresolvedRelation, UnresolvedStar, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{CheckConstraint, EqualNullSafe, EqualTo, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.{col, lit}
@@ -282,6 +282,35 @@ class GraftSql(val spark: SparkSession) {
           s"graft SQL RENAME COLUMN: unsupported field reference $other")
       }
       refreshView(name); spark.emptyDataFrame
+    // SHOW TABLES IN graft / DESCRIBE <registered> — SQL-only
+    // DISCOVERABILITY for the front door. The ADVICE-r8 qualification
+    // rule applies in this direction too: only the EXPLICIT `graft`
+    // namespace is intercepted for SHOW (a bare SHOW TABLES or a
+    // spark_catalog namespace passes through untouched), and DESCRIBE
+    // intercepts single-part registered names only.
+    case st: ShowTables if (st.namespace match {
+        case ns: UnresolvedNamespace =>
+          ns.multipartIdentifier == Seq("graft")
+        case _ => false
+      }) =>
+      import spark.implicits._
+      (session.keysIterator.map((_, "session")) ++
+        durable.keysIterator.map((_, "durable")))
+        .toSeq.sorted.toDF("table_name", "scope")
+    case dr: DescribeRelation if (dr.relation match {
+        case u: UnresolvedTableOrView =>
+          u.multipartIdentifier.length == 1 &&
+            isRegistered(u.multipartIdentifier.head)
+        case _ => false
+      }) =>
+      import spark.implicits._
+      val name = dr.relation.asInstanceOf[UnresolvedTableOrView]
+        .multipartIdentifier.head
+      val t = table(name)
+      t.snapshot.schema.fields.toSeq
+        .map(f => (f.name, f.dataType.simpleString,
+          if (f.name == t.keyCol) "key" else ""))
+        .toDF("col_name", "data_type", "info")
     case c: Call if procedureOf(c).isDefined =>
       noTxn("CALL"); runCall(procedureOf(c).get, c)
     // DML that would pass through to spark.sql cannot join the staged

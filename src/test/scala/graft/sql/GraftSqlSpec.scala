@@ -665,4 +665,28 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception](
       g.sql("SELECT * FROM spark_catalog.nosuchdb.t VERSION AS OF 0").collect())
   }
+
+  test("SHOW TABLES IN graft lists registrations; DESCRIBE reports the live schema") {
+    val wh = Files.createTempDirectory("graft_sql_show_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("d", "k", Seq((1L, "x")).toDF("k", "v"))
+    val g = fixture().register("d", cat, "d")
+    val listed = g.sql("SHOW TABLES IN graft").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(listed === Set(("t", "session"), ("d", "durable")))
+    val desc = g.sql("DESCRIBE TABLE t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(desc === Seq(("k", "bigint", "key"), ("custkey", "bigint", ""),
+      ("status", "string", ""), ("totalprice", "double", "")))
+    // DESCRIBE tracks evolution: ALTER TABLE ADD COLUMN shows up
+    g.sql("ALTER TABLE d ADD COLUMN note string")
+    assert(g.sql("DESCRIBE TABLE d").collect()
+      .map(_.getString(0)).toSeq === Seq("k", "v", "note"))
+    // only the EXPLICIT graft namespace / single-part registered names
+    // intercept — qualified forms pass through to spark.sql
+    intercept[Exception](
+      g.sql("SHOW TABLES IN spark_catalog.nosuchdb").collect())
+    intercept[Exception](
+      g.sql("DESCRIBE TABLE spark_catalog.nosuchdb.t").collect())
+  }
 }
