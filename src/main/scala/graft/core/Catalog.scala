@@ -2059,6 +2059,27 @@ final class Catalog(spark: SparkSession, warehouse: String,
   def dropTable(name: String): Unit = deleteRecursively(dir(name))
 
   /**
+   * RENAME TABLE — one atomic directory rename: every table artifact
+   * (meta, base, tail, projections, bloom/vector/IVF-PQ sidecars,
+   * snapshots) lives UNDER the table directory by construction, so the
+   * whole identity moves in one POSIX rename with zero data I/O at any
+   * table size. The quiesce-then-rename order matters: acquiring (and
+   * releasing) the commit marker first proves no commit is in flight;
+   * the engine-wide single-writer-per-table discipline makes the gap
+   * between release and rename benign — the renamer IS the writer.
+   * History, constraints and indexes all travel with the directory
+   * (CatalogSpec pins a versioned read and an index probe through the
+   * new name).
+   */
+  def renameTable(from: String, to: String): Unit =
+    lock(from).synchronized {
+      require(isDir(dir(from)), s"renameTable: no such table $from")
+      require(!isDir(dir(to)), s"renameTable: target $to already exists")
+      withCommitMarker(from) {} // quiesce: no in-flight commit
+      move(dir(from), dir(to))
+    }
+
+  /**
    * Schema evolution — ADD COLUMN (the Delta/Iceberg semantics): a
    * metadata-only op, crash-atomic via the staged meta write, that never
    * touches a data file. Every row written before the add — across ALL

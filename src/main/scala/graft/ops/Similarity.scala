@@ -277,6 +277,43 @@ object Similarity {
   }
 
   /**
+   * MATRYOSHKA two-stage retrieval (Kusupati et al.'s MRL deployment
+   * recipe): shortlist by the dot over the FIRST `prefixDims`
+   * dimensions — an MRL-trained embedding front-loads semantic mass,
+   * so a short prefix ranks nearly as well as the full vector — then
+   * exact full-dimension re-rank on the Q×kCand shortlist. The
+   * compute win is D/prefixDims per scored pair at any layout; the
+   * BANDWIDTH win at 100 TB additionally wants the prefix stored as
+   * its own column/projection (the engine's projection machinery —
+   * here the slice happens post-scan, which this scaladoc is honest
+   * about). Same deterministic conventions as every ANN path: fixed-
+   * order dots, vec_id-asc ties, the shortlist is rank ≤ kCand on the
+   * prefix score.
+   */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     kCand: Int = 25, prefixDims: Int = 16): DataFrame = {
+    require(kCand >= k, s"matryoshkaTopK: kCand=$kCand must be >= k=$k")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("pdot").desc, col("vec_id").asc)
+    val cand = corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        dot(slice(col("qe"), 1, prefixDims),
+            slice(col("embedding"), 1, prefixDims)).as("pdot"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= kCand)
+      .select(col("qid").as("_cqid"), col("vec_id").as("_cvid"))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    corpus.join(broadcast(cand), col("vec_id") === col("_cvid"))
+      .join(broadcast(queries), col("qid") === col("_cqid"))
+      .select(col("qid"), col("vec_id"),
+        dot(col("qe"), col("embedding")).as("dot"))
+      .withColumn("rnk", row_number().over(w2).cast("bigint"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("dot"), col("rnk"))
+  }
+
+  /**
    * IVF-PQ + exact re-rank — the FULL production ANN recipe (Jégou et
    * al.'s IVFADC): IVF restricts WHICH vectors each query scores (the
    * nProbe routed buckets, ~nProbe/C of the corpus), PQ restricts WHAT

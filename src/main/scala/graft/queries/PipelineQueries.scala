@@ -388,6 +388,19 @@ object PipelineQueries {
         codes, annQueries(s, d).drop("qlabel"), 5, 25, cs, pm, nProbe = 2)
     },
 
+    // MATRYOSHKA retrieval (r9, Similarity.matryoshkaTopK — Kusupati et
+    // al.'s MRL deployment recipe): shortlist on the FIRST 16 of 64
+    // dimensions (MRL-trained embeddings front-load semantic mass),
+    // exact full-dim re-rank on the 25-deep shortlist — the compute per
+    // scored pair drops x4 corpus-wide while full precision touches 25
+    // vectors per query. The third shortlist family next to PQ (code
+    // bytes) and IVF (bucket routing); all three compose.
+    "ann_matryoshka" -> { (s, d) =>
+      Similarity.matryoshkaTopK(
+        Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        annQueries(s, d).drop("qlabel"), 5, kCand = 25, prefixDims = 16)
+    },
+
     // FILTERED vector search (r9): top-k among vectors satisfying a
     // metadata predicate — the retrieval shape behind "nearest docs
     // WHERE lang = 'en'". Strategy is PRE-FILTER + exact scan: for a
@@ -2035,6 +2048,37 @@ object PipelineQueries {
         |rk AS (SELECT qid, vec_id, dot,
         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
         |       FROM dots)
+        |SELECT qid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // prefix-dot shortlist (first 16 dims), exact full-dim re-rank —
+    // both stages replayed with the fixed-order fold
+    "ann_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |pd AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, 17),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS pdot
+        |  FROM q, embeddings e),
+        |short AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |         ORDER BY pdot DESC, vec_id ASC) AS rnk FROM pd)
+        |  WHERE rnk <= 25),
+        |exact AS (
+        |  SELECT s.qid, s.vec_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(q.qe) + 1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dot
+        |  FROM short s JOIN q ON q.qid = s.qid
+        |  JOIN embeddings e ON e.vec_id = s.vec_id),
+        |rk AS (SELECT qid, vec_id, dot,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |              ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+        |       FROM exact)
         |SELECT qid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin,
 
     // pre-filter + exact scan: the predicate restricts the corpus BEFORE

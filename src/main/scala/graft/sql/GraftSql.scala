@@ -282,6 +282,29 @@ class GraftSql(val spark: SparkSession) {
           s"graft SQL RENAME COLUMN: unsupported field reference $other")
       }
       refreshView(name); spark.emptyDataFrame
+    // ALTER TABLE ... RENAME TO — one atomic directory rename for
+    // durable tables (Catalog.renameTable: every artifact lives under
+    // the table directory, so history/constraints/indexes travel with
+    // zero data I/O); a map move for in-session ones. The registered
+    // view follows the name.
+    case rt: RenameTable if targetOf(rt.child).exists(isRegistered) =>
+      noTxn("ALTER TABLE")
+      val from = targetOf(rt.child).get
+      require(rt.newName.length == 1, "graft SQL RENAME TO: qualified " +
+        s"target names are not supported (${rt.newName.mkString(".")})")
+      val to = rt.newName.head
+      require(!isRegistered(to),
+        s"graft SQL RENAME TO: '$to' is already registered")
+      session.remove(from) match {
+        case Some(t) => session.put(to, t)
+        case None =>
+          val (cat, tbl) = durable(from)
+          cat.renameTable(tbl, to)
+          durable.remove(from); durable.put(to, (cat, to))
+      }
+      spark.catalog.dropTempView(from)
+      refreshView(to)
+      spark.emptyDataFrame
     // SHOW TABLES IN graft / DESCRIBE <registered> — SQL-only
     // DISCOVERABILITY for the front door. The ADVICE-r8 qualification
     // rule applies in this direction too: only the EXPLICIT `graft`

@@ -205,4 +205,40 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.ivfPqRerank(corpus, q, 5, kCand = 3))
   }
+
+  test("matryoshka: full-prefix degenerate = brute force; short prefix re-ranks exact") {
+    import spark.implicits._
+    val corpus = (0 until 12).map { i =>
+      (i.toLong, (0 until 8).map(j =>
+        math.cos(i * 5 + j).toFloat * 0.4f + (if (j == (i % 8)) 1.0f else 0.0f)))
+    }.toDF("vec_id", "embedding")
+    val q = Seq((100L, (0 until 8).map(j => (0.5f - 0.05f * j))))
+      .toDF("qid", "qe")
+
+    // prefixDims = D and kCand ≥ corpus ⇒ the prefix IS the full dot
+    // and the shortlist keeps everything: must equal brute force bit
+    // for bit (pins that the two-stage plumbing loses nothing)
+    val full = Similarity.matryoshkaTopK(corpus, q, 5, kCand = 12,
+        prefixDims = 8)
+      .orderBy("qid", "rnk").collect().map(_.toSeq).toSeq
+    val brute = Similarity.bruteTopK(corpus, q, 5)
+      .select(col("qid"), col("vec_id"), col("dot"), col("rnk"))
+      .orderBy("qid", "rnk").collect().map(_.toSeq).toSeq
+    assert(full === brute)
+
+    // a SHORT prefix shortlist: reported dots are still the exact
+    // full-dimension dot (re-rank recovers precision), and with a
+    // kCand-wide-enough shortlist the top-k survives prefix truncation
+    val short = Similarity.matryoshkaTopK(corpus, q, 3, kCand = 12,
+      prefixDims = 2)
+    val dots = short.join(corpus, "vec_id")
+      .join(q.withColumnRenamed("qid", "q2"), col("qid") === col("q2"))
+      .select(col("dot"), Similarity.dotHof(col("qe"), col("embedding")).as("ref"))
+      .collect()
+    dots.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    assert(short.count() === 3L)
+
+    intercept[IllegalArgumentException](
+      Similarity.matryoshkaTopK(corpus, q, 5, kCand = 3))
+  }
 }

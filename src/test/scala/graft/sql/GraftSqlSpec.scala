@@ -689,4 +689,30 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception](
       g.sql("DESCRIBE TABLE spark_catalog.nosuchdb.t").collect())
   }
+
+  test("ALTER TABLE RENAME TO: the whole identity moves — history and index included") {
+    val (g, cat) = durableFixture()
+    cat.createIndex("t", "custkey") // physical layout op — before history
+    g.sql("UPDATE t SET status = 'U' WHERE k = 1") // some history
+    g.sql("ALTER TABLE t RENAME TO t2")
+    // the new name serves reads, the version history and the index
+    assert(g.sql("SELECT status FROM t2 WHERE k = 1").head().getString(0) === "U")
+    assert(cat.getTable("t2").asOfRelative(-1).where($"k" === 1L)
+      .head().getAs[String]("status") === "A")
+    assert(cat.indexOf("t2") === Some("custkey"))
+    // the old name is gone everywhere (engine, catalog dir, view)
+    assert(!cat.tableNames.contains("t"))
+    intercept[Exception](g.sql("INSERT INTO t VALUES (9, 9, 'Z', 9.0)"))
+    // target collisions refuse loud
+    val wh2 = Files.createTempDirectory("graft_sql_ren2_").toString
+    val cat2 = new Catalog(spark, wh2, autoCompact = false)
+    cat2.createTable("u", "k", Seq((1L, 1L, "A", 1.0))
+      .toDF("k", "custkey", "status", "totalprice"))
+    g.register("u", cat2, "u")
+    intercept[IllegalArgumentException](g.sql("ALTER TABLE u RENAME TO t2"))
+    // in-session rename is a map move
+    val gs = fixture()
+    gs.sql("ALTER TABLE t RENAME TO s2")
+    assert(gs.sql("SELECT COUNT(*) AS n FROM s2").head().getLong(0) === 3L)
+  }
 }
