@@ -871,6 +871,89 @@ object OlapQueries {
              min(col("value")).as("low"),
              max_by(col("value"), col("ord")).as("close"),
              count(lit(1)).as("n"))
+    },
+
+    // UNPIVOT / melt (r9): wide per-flag measures → long (flag, measure,
+    // value) triples — the inverse of q_pivot and the shape every
+    // generic metrics sink wants. Spark plans unpivot as Expand: each
+    // input row fans to |measures| rows MAP-SIDE, zero extra shuffle —
+    // and because the melt sits ABOVE the aggregate, the fan-out
+    // multiplies group cardinality (3 flags), never the fact table.
+    "q_unpivot" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          (sum(Exact.cents(col("l_quantity"))) / 100.0).as("qty"),
+          (sum(Exact.cents(col("l_extendedprice"))) / 100.0).as("price"),
+          count(lit(1)).cast("double").as("cnt"))
+        .unpivot(
+          Array(col("flag")),
+          Array(col("qty"), col("price"), col("cnt")),
+          "measure", "value")
+    },
+
+    // RANGE-frame window (r9): the value-based frame class — per
+    // customer, the rolling 31-day order total, where the frame is
+    // bounded by the ORDER column's VALUE (orders 30 days back),
+    // not a row count. Deterministic by construction: a range frame's
+    // membership ignores tie order entirely, and the sum is exact
+    // cents. Same single key-partitioned shuffle as every window here.
+    "q_window_range" -> { (s, d) =>
+      val w = Window.partitionBy(col("custkey")).orderBy(col("day"))
+        .rangeBetween(-30, Window.currentRow)
+      Tables(s, d, "orders")
+        .where(col("o_custkey") < 150)
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderkey").as("orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .as("day"),
+          Exact.cents(col("o_totalprice")).as("cents"))
+        .select(col("custkey"), col("orderkey"),
+          (sum(col("cents")).over(w) / 100.0).as("win_sum"),
+          count(lit(1)).over(w).as("win_n"))
+    },
+
+    // EWMA smoothing (r9): per-user exponentially-weighted moving
+    // average over the event stream with BINARY weights (α=1/2, depth
+    // 4) — smoothing as integer arithmetic: cents div 2^k terms summed
+    // as longs, so the distributed result is bit-identical to any
+    // replay (SURVEY §4; a float EWMA recursion would drift with
+    // partitioning). One key-partitioned window, lag-only frame —
+    // state per row is 4 longs regardless of history length.
+    "q_ema" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          Exact.cents(col("value")).as("vc"))
+        .select(col("user_id"), col("event_id"), col("vc"),
+          coalesce(lag(col("vc"), 1).over(w), lit(0L)).as("l1"),
+          coalesce(lag(col("vc"), 2).over(w), lit(0L)).as("l2"),
+          coalesce(lag(col("vc"), 3).over(w), lit(0L)).as("l3"))
+        .selectExpr("user_id", "event_id",
+          "vc + (l1 div 2) + (l2 div 4) + (l3 div 8) AS ema_q")
+    },
+
+    // PageRank (r9, ops/Graph): entity importance over the symmetrized
+    // supplier↔customer trade graph (distinct lineitem⋈orders pairs;
+    // node ids disjoint via ×2 / ×2+1), 3 synchronous rounds, damping
+    // 0.85, ranks as scaled longs — integer arithmetic end to end, so
+    // the distributed result hash-matches the oracle's unrolled replay
+    // exactly. Per round: two key shuffles (send on src, receive on
+    // dst), per-round state |V| rows; the edge list and outdegrees are
+    // computed once (see Graph.pagerank's scale notes).
+    "q_pagerank" -> { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("a"),
+                (col("o_custkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      graft.ops.Graph.pagerank(edges, 3)
     }
   )
 
@@ -1307,6 +1390,79 @@ object OlapQueries {
         |  MAX(value) AS high, MIN(value) AS low,
         |  MAX(CASE WHEN rd = 1 THEN value END) AS close,
         |  COUNT(*) AS n
-        |FROM r GROUP BY 1""".stripMargin
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // the melt replayed as UNION ALL (portable UNPIVOT); exact decimal
+    // sums cast to double per the q1_agg convention
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price,
+        |    CAST(COUNT(*) AS DOUBLE) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag, 'qty' AS measure, qty AS value FROM wide
+        |UNION ALL SELECT flag, 'price' AS measure, price AS value FROM wide
+        |UNION ALL SELECT flag, 'cnt' AS measure, cnt AS value FROM wide""".stripMargin,
+
+    // identical value-based frame; decimal window sum cast to double =
+    // the engine's cents-long sum / 100.0
+    "q_window_range" ->
+      """WITH o AS (SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |             date_diff('day', DATE '1970-01-01',
+        |                       CAST(o_orderdate AS DATE)) AS day,
+        |             CAST(o_totalprice AS DECIMAL(12,2)) AS p
+        |           FROM orders WHERE o_custkey < 150)
+        |SELECT custkey, orderkey,
+        |  CAST(SUM(p) OVER win AS DOUBLE) AS win_sum,
+        |  COUNT(*) OVER win AS win_n
+        |FROM o
+        |WINDOW win AS (PARTITION BY custkey ORDER BY day
+        |               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // binary-weight EWMA replayed with the same integer shifts (// is
+    // truncate-toward-zero like Spark's div; all terms non-negative)
+    "q_ema" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS vc,
+        |             COALESCE(lag(CAST(round(value * 100) AS BIGINT), 1) OVER win, 0) AS l1,
+        |             COALESCE(lag(CAST(round(value * 100) AS BIGINT), 2) OVER win, 0) AS l2,
+        |             COALESCE(lag(CAST(round(value * 100) AS BIGINT), 3) OVER win, 0) AS l3
+        |           FROM events
+        |           WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |SELECT user_id, event_id,
+        |  vc + (l1 // 2) + (l2 // 4) + (l3 // 8) AS ema_q
+        |FROM e""".stripMargin,
+
+    // 3 pagerank rounds unrolled; integer shares (// ≡ div on the
+    // all-positive ranks) make the replay exact at any partitioning
+    "q_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_q FROM nodes),
+        |c1 AS (SELECT e.dst AS node, CAST(SUM(r.rank_q // o.outdeg) AS BIGINT) AS recv_q
+        |       FROM edges e JOIN outdeg o ON o.src = e.src
+        |       JOIN r0 r ON r.node = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |         CAST(150000000 AS BIGINT) + (85 * COALESCE(c.recv_q, 0)) // 100 AS rank_q
+        |       FROM nodes n LEFT JOIN c1 c ON c.node = n.node),
+        |c2 AS (SELECT e.dst AS node, CAST(SUM(r.rank_q // o.outdeg) AS BIGINT) AS recv_q
+        |       FROM edges e JOIN outdeg o ON o.src = e.src
+        |       JOIN r1 r ON r.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |         CAST(150000000 AS BIGINT) + (85 * COALESCE(c.recv_q, 0)) // 100 AS rank_q
+        |       FROM nodes n LEFT JOIN c2 c ON c.node = n.node),
+        |c3 AS (SELECT e.dst AS node, CAST(SUM(r.rank_q // o.outdeg) AS BIGINT) AS recv_q
+        |       FROM edges e JOIN outdeg o ON o.src = e.src
+        |       JOIN r2 r ON r.node = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |         CAST(150000000 AS BIGINT) + (85 * COALESCE(c.recv_q, 0)) // 100 AS rank_q
+        |       FROM nodes n LEFT JOIN c3 c ON c.node = n.node)
+        |SELECT node, rank_q FROM r3""".stripMargin
   )
 }

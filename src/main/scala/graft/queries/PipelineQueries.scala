@@ -979,6 +979,29 @@ object PipelineQueries {
         Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")))
     },
 
+    // Random-projection dimensionality reduction (r9): 64-dim embeddings
+    // → 8 dims via a SEEDED ±1 sign matrix (Achlioptas' database-friendly
+    // JL projection — signs from integer hash((i,j)), never stored, never
+    // random at runtime). MAP-ONLY: zero shuffle, zero state — the
+    // 8× bandwidth cut a 100 TB corpus wants BEFORE any ANN/clustering
+    // pass. Determinism: per-dim products are exact (float × ±1.0), the
+    // fold is fixed left-to-right in both engines (the ann_topk oracle
+    // convention), so doubles hash-match bit for bit.
+    "emb_project" -> { (s, d) =>
+      val projs = (0 until 8).map { j =>
+        expr(
+          s"""aggregate(
+             |  zip_with(embedding, sequence(0, size(embedding) - 1),
+             |    (e, i) -> CAST(e AS DOUBLE) *
+             |      CAST(1 - 2 * (((i * 2654435761L + ${j}L * 40503L)
+             |                     div 128L) % 2) AS DOUBLE)),
+             |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+          .as(s"p$j")
+      }
+      Tables(s, d, "embeddings")
+        .select(col("vec_id") +: projs: _*)
+    },
+
     // Benchmark decontamination: every serious LLM corpus removes training
     // docs that overlap the eval sets. Benchmark = deterministic 1% slice
     // (doc_id % 97 = 0); its distinct 5-gram set BROADCASTS, the training
@@ -1053,6 +1076,28 @@ object PipelineQueries {
     // state — and is DETERMINISTIC (integer counts + one fixed IEEE op
     // sequence), so the oracle replays it bit-for-bit, unlike an
     // approx_percentile sketch whose internals are engine-specific.
+    // Streaming OHLC (r9): q_ohlc's incremental twin — per-day
+    // open/high/low/close maintained as a streaming aggregation.
+    // min_by/max_by on the (ts, event_id) composite are declarative
+    // aggregates, so the state store holds ONE candidate row per day
+    // (never the day's events) and each micro-batch merges map-side —
+    // the bars update continuously at O(#days) state. Batch/stream
+    // parity by construction: same plan, same oracle as q_ohlc.
+    "stream_ohlc" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val day = 86400L * 1000 * 1000 * 1000
+      val bars = StreamOps.fileSource(s, d, "events")
+        .select((col("ts") - col("ts") % day).as("day_ns"),
+                struct(col("ts"), col("event_id")).as("ord"), col("value"))
+        .groupBy(col("day_ns"))
+        .agg(min_by(col("value"), col("ord")).as("open"),
+             max(col("value")).as("high"),
+             min(col("value")).as("low"),
+             max_by(col("value"), col("ord")).as("close"),
+             count(lit(1)).as("n"))
+      StreamOps.drainComplete(s, bars)
+    },
+
     "stream_quantile" -> { (s, d) =>
       import graft.streaming.StreamOps
       val width = 25.0
@@ -1391,6 +1436,21 @@ object PipelineQueries {
         |SELECT qid, cid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same seeded sign matrix ((i,j) integer hash, 0-indexed dim = the
+    // 1-based list position - 1), same fixed-order fold — the ann_topk
+    // replay convention applied per output dim
+    "emb_project" -> {
+      val cols = (0 until 8).map { j =>
+        s"""  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(range(1, len(embedding) + 1),
+           |      i -> CAST(embedding[i] AS DOUBLE) *
+           |        CAST(1 - 2 * ((((i - 1) * 2654435761 + $j * 40503)
+           |                       // 128) % 2) AS DOUBLE))),
+           |    (a, b) -> a + b) AS p$j""".stripMargin
+      }.mkString(",\n")
+      s"SELECT vec_id,\n$cols\nFROM embeddings"
+    },
+
     // float→double widening is exact; fixed-order IEEE arithmetic and
     // floor(v+0.5) rounding are engine-identical (never round(): half-even
     // vs half-away diverges). qsig hashes the int vector as text — the one
@@ -2393,6 +2453,25 @@ object PipelineQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // identical to q_ohlc's replay: the streaming result table IS the
+    // batch bars at drain time
+    "stream_ohlc" ->
+      """WITH e AS (SELECT epoch_ns(ts) AS tns, event_id, value,
+        |             epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS day_ns
+        |           FROM events),
+        |r AS (SELECT day_ns, value,
+        |        row_number() OVER (PARTITION BY day_ns
+        |          ORDER BY tns ASC, event_id ASC) AS ra,
+        |        row_number() OVER (PARTITION BY day_ns
+        |          ORDER BY tns DESC, event_id DESC) AS rd
+        |      FROM e)
+        |SELECT day_ns,
+        |  MAX(CASE WHEN ra = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rd = 1 THEN value END) AS close,
+        |  COUNT(*) AS n
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),

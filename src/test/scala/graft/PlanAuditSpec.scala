@@ -723,4 +723,43 @@ class PlanAuditSpec extends SparkSpec {
         s"$q: corpus-sized single-partition exchange:\n$plan")
     }
   }
+
+  test("ann_matryoshka: both stages hash-exchange only the per-query window") {
+    // stage 1 (prefix shortlist) and stage 2 (exact re-rank) each rank
+    // per query; the corpus joins the broadcast query/shortlist sides —
+    // no corpus-keyed Exchange anywhere
+    val plan = executedPlan(SparkEntry.queries("ann_matryoshka")(spark, sfDir))
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(hashEx == Set("qid"),
+      s"ann_matryoshka: only the rank windows may hash-exchange, got $hashEx:\n$plan")
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(vec_id"), plan)
+  }
+
+  test("emb_project is map-only: zero Exchange, scan pruned to 2 columns") {
+    val df = SparkEntry.queries("emb_project")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Exchange"),
+      s"random projection must not shuffle:\n$plan")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+      .get.group(1)
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("vec_id", "embedding"), s"scan reads: $cols")
+  }
+
+  test("q_unpivot melts above the aggregate: Expand over group-cardinality rows") {
+    val plan = executedPlan(SparkEntry.queries("q_unpivot")(spark, sfDir))
+    assert(plan.contains("Expand"), plan)
+    // the only hash Exchange is the flag aggregate; the Expand fans out
+    // AFTER reduction (3 groups × 3 measures), never the fact table
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    // the exchange keys on the aggregate's input attribute (pre-alias)
+    assert(hashEx == Set("l_returnflag"), s"got $hashEx:\n$plan")
+    // Expand must sit ABOVE the final aggregate (printed before it)
+    assert(plan.indexOf("Expand") < plan.indexOf("HashAggregate"), plan)
+  }
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PageRank's integer-quantized update, pinned against hand-computed
+  * exact values — the quantized arithmetic means there is no epsilon
+  * anywhere: a single bit of drift is a failure. */
+class GraphSpec extends SparkSpec {
+
+  private val Q = Graph.scaleQ
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pagerank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a 2-cycle is a fixpoint: ranks stay exactly 1.0 at any depth") {
+    // share = 1e9 div 1; update = 0.15e9 + (85 × 1e9) div 100 = 1e9 exact
+    val r = ranks(Seq((1L, 2L), (2L, 1L)), 3)
+    assert(r === Map(1L -> Q, 2L -> Q))
+  }
+
+  test("symmetric star: hub and leaves land on the hand-computed longs") {
+    val edges = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val r = ranks(edges, 1)
+    // hub receives 4 whole shares: 0.15e9 + (85 × 4e9) div 100
+    assert(r(0L) === 150000000L + 3400000000L)
+    // each leaf receives 1e9 div 4: 0.15e9 + (85 × 250e6) div 100
+    (1L to 4L).foreach(l => assert(r(l) === 150000000L + 212500000L))
+  }
+
+  test("dangling node keeps the floor; its pre-dangling mass drains") {
+    // a → b only: b never sends, a never receives
+    val r1 = ranks(Seq((10L, 20L)), 1)
+    assert(r1(10L) === 150000000L) // receives nothing
+    assert(r1(20L) === Q)          // 0.15e9 + 0.85 × 1e9 exactly
+    val r2 = ranks(Seq((10L, 20L)), 2)
+    assert(r2(10L) === 150000000L)
+    // round 2: b receives a's floored rank: 0.15e9 + (85 × 150e6) div 100
+    assert(r2(20L) === 150000000L + 127500000L)
+  }
+
+  test("multi-edges weight the share like parallel links") {
+    // a sends 2 shares to b, 1 to c; outdeg counts multi-edges (3)
+    val r = ranks(Seq((1L, 2L), (1L, 2L), (1L, 3L)), 1)
+    val share = Q / 3 // 333333333 (div truncates)
+    assert(r(2L) === 150000000L + (85L * (2 * share)) / 100)
+    assert(r(3L) === 150000000L + (85L * share) / 100)
+  }
+
+  test("iters must be positive") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](
+      Graph.pagerank(Seq((1L, 2L)).toDF("src", "dst"), 0))
+  }
+}
