@@ -1314,6 +1314,31 @@ object CoreQueries {
               |FROM sqlc_big GROUP BY status""".stripMargin)
     },
 
+    // ALTER TABLE RENAME TO end to end (r9, Catalog.renameTable): a
+    // durable table accumulates history, is renamed — ONE atomic
+    // directory rename, zero data I/O at any table size (every
+    // artifact lives under the table dir by construction) — and then
+    // serves BOTH a current read and a versioned read through the new
+    // name: the rename moved the identity, not a copy of the data.
+    "sql_rename" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_sqlrename_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      val g = new graft.sql.GraftSql(s).attach(cat)
+      baseOrders(s, d).createOrReplaceTempView("sqlren_src")
+      g.sql("""CREATE TABLE sqlr_t USING graft OPTIONS ('key' = 'k')
+              |AS SELECT k, custkey, status, totalprice FROM sqlren_src
+              |WHERE k % 5 = 0""".stripMargin)
+      g.sql("UPDATE sqlr_t SET status = 'R' WHERE k % 10 = 0")
+      g.sql("ALTER TABLE sqlr_t RENAME TO sqlr_renamed")
+      g.sql("""SELECT 'now' AS vintage, status, count(*) AS n,
+              |       CAST(sum(custkey) AS BIGINT) AS ck
+              |FROM sqlr_renamed GROUP BY status
+              |UNION ALL
+              |SELECT 'v0' AS vintage, status, count(*) AS n,
+              |       CAST(sum(custkey) AS BIGINT) AS ck
+              |FROM sqlr_renamed VERSION AS OF 0 GROUP BY status""".stripMargin)
+    },
+
     "sql_dml" -> { (s, d) =>
       val g = new graft.sql.GraftSql(s)
         .register("sqldml_t", LineageTable.fromBase("k", baseOrders(s, d)))
@@ -1958,6 +1983,25 @@ object CoreQueries {
          |SELECT k, custkey, status, totalprice FROM s3 WHERE k % 100 = 0""".stripMargin,
 
     // the three-statement SQL transcript replayed as CTE stages
+    // rename moves identity, not data: 'now' replays CTAS+UPDATE,
+    // 'v0' replays the CTAS alone — both read through the NEW name
+    "sql_rename" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |t0 AS (SELECT * FROM base WHERE k % 5 = 0),
+        |t1 AS (SELECT k, custkey,
+        |         CASE WHEN k % 10 = 0 THEN 'R' ELSE status END AS status,
+        |         totalprice FROM t0)
+        |SELECT 'now' AS vintage, status, COUNT(*) AS n,
+        |       CAST(SUM(custkey) AS BIGINT) AS ck
+        |FROM t1 GROUP BY status
+        |UNION ALL
+        |SELECT 'v0' AS vintage, status, COUNT(*) AS n,
+        |       CAST(SUM(custkey) AS BIGINT) AS ck
+        |FROM t0 GROUP BY status""".stripMargin,
+
     // the SQL-created tables must land exactly the filtered/updated
     // states a direct relational pipeline computes
     "sql_create" ->
