@@ -23,14 +23,20 @@ import org.apache.spark.sql.functions._
  * ~10^8 nodes; a 100 TB graph drops scaleQ a decade per ×10 nodes
  * (the caller owns the trade — documented, not silent).
  *
- * Scale shape: each round is TWO key shuffles — edges ⋈ ranks on src
- * (contribution send) and a groupBy(dst) sum (receive, map-side
- * combinable) — then a left join back to the static node set for
- * dangling nodes. The edge list and its outdegrees are computed ONCE
- * and localCheckpoint'd; per-round state is |V| rows (node, rank), never
- * |E|. Rounds localCheckpoint + free their predecessor exactly like
- * [[Components]] — the fixpoint-graph idiom that keeps the plan flat
- * and the block store bounded.
+ * Scale shape — the |E| vs |V| split is the whole design. The edge
+ * list is materialized ONCE to scratch parquet and re-read per round:
+ * an iterative operator must NOT pin |E| in executor block memory
+ * (the first cut localCheckpoint'd 117M symmetrized edges at the 100×
+ * fixture — ~GBs of pinned storage squeezing execution memory until
+ * the round's hash aggregates died with UNABLE_TO_ACQUIRE_MEMORY; a
+ * file-backed edge table is also simply what a 100 TB graph IS).
+ * Per round, |E|-sized work is exactly: ONE equi-join of the edge
+ * scan against the |V|-row send table (shares pre-joined at |V| —
+ * never two passes over edges) and ONE map-side-combined groupBy(dst).
+ * Everything |V|-sized (outdegrees, node set, per-round ranks) DOES
+ * localCheckpoint, with superseded rounds freed exactly like
+ * [[Components]] — the fixpoint-graph idiom that keeps plans flat and
+ * the block store bounded by O(|V|), not O(|E|).
  */
 object Graph {
 
@@ -42,7 +48,12 @@ object Graph {
     * after exactly `iters` synchronous rounds, damping 0.85. */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"pagerank: iters=$iters must be >= 1")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val spark = edges.sparkSession
+    // |E| lives in files, not block memory (see scaladoc)
+    val dir = graft.sources.TextSources.scratchDir(spark, "graft_pagerank_")
+    edges.select(col("src"), col("dst"))
+      .write.mode("overwrite").parquet(dir)
+    val e = spark.read.parquet(dir)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
@@ -53,16 +64,25 @@ object Graph {
     // plan's LogicalRDDs, so a NON-checkpointed initial rank would hand
     // the shared `nodes` checkpoint to round 1's free
     var rank = nodes.withColumn("rank_q", lit(scaleQ)).localCheckpoint()
+    // |V| is already materialized (the nodes checkpoint), so the count
+    // is one cheap scan — it decides the per-round join strategy: a
+    // broadcastable send table (16 bytes/node; ≤4M nodes ≈ ≤64 MB)
+    // makes each round a MAP-ONLY pass over the edge files + one
+    // map-combined groupBy — no per-round sort of |E|. Measured at the
+    // 100× fixture (117M edges, 1.5M nodes): 66s → the sort-merge
+    // rounds were the wall. Beyond the threshold the join falls back
+    // to shuffle (the only option at 10⁹ nodes; a production deploy
+    // pre-buckets edges and ranks by src to get co-location back).
+    val broadcastSend = nodes.count() <= 4000000L
     for (_ <- 1 to iters) {
-      // send: each edge carries src_rank div outdeg to its dst. The join
-      // keys both big sides on src (one shuffle); the groupBy(dst) sum is
-      // the second, map-side combined.
-      val recv = e
-        .join(outdeg, "src")
-        .join(rank.select(col("node").as("src"), col("rank_q")), "src")
-        .select(col("dst").as("node"),
-          expr("rank_q div outdeg").as("share"))
-        .groupBy(col("node")).agg(sum(col("share")).as("recv_q"))
+      // shares resolve at |V|: rank ⋈ outdeg BEFORE touching edges, so
+      // the |E| scan joins one slim (src, share) table, not two
+      val send = rank
+        .join(outdeg, col("node") === col("src"))
+        .select(col("src"), expr("rank_q div outdeg").as("share"))
+      // the round's |E| work: one equi-join + one map-combined groupBy
+      val recv = e.join(if (broadcastSend) broadcast(send) else send, "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("share")).as("recv_q"))
       val next = nodes
         .join(recv, Seq("node"), "left")
         .select(col("node"),
@@ -72,9 +92,19 @@ object Graph {
       freeCheckpoint(rank)
       rank = next
     }
-    freeCheckpoint(e); freeCheckpoint(outdeg); freeCheckpoint(nodes)
+    freeCheckpoint(outdeg); freeCheckpoint(nodes)
+    // the final rank is its own checkpoint — the edge files can go
+    deleteQuietly(spark, dir)
     rank
   }
+
+  private def deleteQuietly(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true); ()
+    } catch { case _: Exception => () }
 
   /** Release a superseded localCheckpoint's blocks now (see
     * [[Components.freeCheckpoint]] for why unpersist alone is not it). */

@@ -934,6 +934,26 @@ object OlapQueries {
           "vc + (l1 div 2) + (l2 div 4) + (l3 div 8) AS ema_q")
     },
 
+    // MODE aggregate (r9): the most frequent order priority per status,
+    // with a TOTAL tie order (count desc, then priority asc) — bare
+    // mode()/max_by ties are engine-undefined, the q_argmax lesson.
+    // Two-level associative shape: count groupBy on the composite key
+    // (map-side combined — the only fact-sized shuffle), then min_by
+    // over the lexicographic (-cnt, prio) struct reduces each status's
+    // candidate rows WITHOUT a window sort; at 100 TB level 2 sees
+    // |statuses × priorities| rows, never facts.
+    "q_mode" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("status"),
+                 col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("status"))
+        .agg(min_by(struct(col("prio"), col("cnt")),
+                    struct((-col("cnt")).as("nc"), col("prio"))).as("m"))
+        .select(col("status"), col("m.prio").as("mode_prio"),
+                col("m.cnt").as("n"))
+    },
+
     // PageRank (r9, ops/Graph): entity importance over the symmetrized
     // supplier↔customer trade graph (distinct lineitem⋈orders pairs;
     // node ids disjoint via ×2 / ×2+1), 3 synchronous rounds, damping
@@ -951,8 +971,15 @@ object OlapQueries {
         .select((col("l_suppkey") * 2).as("a"),
                 (col("o_custkey") * 2 + 1).as("b"))
         .distinct()
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      // symmetrize via explode, not union: a union of two selects over
+      // `pairs` evaluates the fact join + distinct TWICE; the explode
+      // doubles map-side in the same pass (measured at 100×: the join
+      // is ~59M distinct pairs off a 60M-row fact — paying it once is
+      // material)
+      val edges = pairs.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.ops.Graph.pagerank(edges, 3)
     }
   )
@@ -1433,6 +1460,17 @@ object OlapQueries {
         |SELECT user_id, event_id,
         |  vc + (l1 // 2) + (l2 // 4) + (l3 // 8) AS ema_q
         |FROM e""".stripMargin,
+
+    // the same total tie order spelled as a rank: count desc, prio asc
+    "q_mode" ->
+      """WITH c AS (SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |             COUNT(*) AS cnt
+        |           FROM orders GROUP BY 1, 2),
+        |r AS (SELECT status, prio, cnt,
+        |        row_number() OVER (PARTITION BY status
+        |          ORDER BY cnt DESC, prio ASC) AS rn
+        |      FROM c)
+        |SELECT status, prio AS mode_prio, cnt AS n FROM r WHERE rn = 1""".stripMargin,
 
     // 3 pagerank rounds unrolled; integer shares (// ≡ div on the
     // all-positive ranks) make the replay exact at any partitioning
