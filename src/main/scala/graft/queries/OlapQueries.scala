@@ -934,6 +934,69 @@ object OlapQueries {
           "vc + (l1 div 2) + (l2 div 4) + (l3 div 8) AS ema_q")
     },
 
+    // GINI coefficient (r9): per-status inequality of order value —
+    // G = (2·Σ rankᵢ·vᵢ − (n+1)·Σvᵢ) / (n·Σvᵢ) over values sorted
+    // ascending. Ranks come from the q_percentile machinery (range
+    // partitions + local row_number + broadcast offset histogram —
+    // NEVER one reducer per group); rank ties among equal values can't
+    // move Σ rank·v (equal v ⇒ permuting ranks is a no-op), and the
+    // (cents, orderkey) order is total anyway. Sums are exact: per-row
+    // cents·rank products are longs (headroom to rank ~1.5·10⁸ at
+    // 5·10⁷ max cents), summed as DECIMAL(38,0) so no scale overflows
+    // the accumulator; the final statistic is ONE fixed IEEE op
+    // sequence over the exact sums (the q_stats_agg convention).
+    "q_gini" -> { (s, d) =>
+      val keys = Seq(col("o_orderstatus"), col("cents"), col("o_orderkey"))
+      val parts = Tables(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+                Exact.cents(col("o_totalprice")).as("cents"))
+        .repartitionByRange(
+          s.conf.get("spark.sql.shuffle.partitions").toInt, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy(col("pid"), col("o_orderstatus"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      val local = parts.withColumn("lrn", row_number().over(wLocal))
+      val hist = local.groupBy(col("pid"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+      val wOff = Window.partitionBy(col("o_orderstatus")).orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = hist
+        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        .select(col("pid").as("opid"), col("o_orderstatus").as("ost"),
+                col("off"))
+      local
+        .join(broadcast(offs),
+          col("pid") === col("opid") && col("o_orderstatus") === col("ost"))
+        .withColumn("rn", col("lrn") + col("off"))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(sum((col("cents") * col("rn")).cast("decimal(38,0)")).as("a"),
+             sum(col("cents").cast("decimal(38,0)")).as("b"),
+             count(lit(1)).as("n"))
+        .select(col("status"), col("n"),
+          ((lit(2.0) * col("a").cast("double")
+            - (col("n") + 1).cast("double") * col("b").cast("double"))
+           / (col("n").cast("double") * col("b").cast("double")))
+            .as("gini"))
+    },
+
+    // BENFORD first-digit profile (r9): the data-quality screen — the
+    // distribution of first significant digits of order values. The
+    // digit extracts from the STRING of the exact cents long (never a
+    // double format round-trip: long→text is identical in every
+    // engine); one map-combined 9-group aggregate + a broadcast total.
+    "q_benford" -> { (s, d) =>
+      val c = Tables(s, d, "orders")
+        .select(substring(Exact.cents(col("o_totalprice"))
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val total = c.agg(sum(col("n")).as("total"))
+      c.join(broadcast(total))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("total").cast("double"))
+            .as("share"))
+    },
+
     // MODE aggregate (r9): the most frequent order priority per status,
     // with a TOTAL tie order (count desc, then priority asc) — bare
     // mode()/max_by ties are engine-undefined, the q_argmax lesson.
@@ -1460,6 +1523,38 @@ object OlapQueries {
         |SELECT user_id, event_id,
         |  vc + (l1 // 2) + (l2 // 4) + (l3 // 8) AS ema_q
         |FROM e""".stripMargin,
+
+    // single-node ranks replay the distributed rank machinery exactly:
+    // equal-value rank permutations cannot move Σ rank·v, and the
+    // final statistic is the same textual IEEE op sequence
+    "q_gini" ->
+      """WITH o AS (SELECT o_orderstatus AS status, o_orderkey,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |r AS (SELECT status, cents,
+        |        row_number() OVER (PARTITION BY status
+        |          ORDER BY cents, o_orderkey) AS rn
+        |      FROM o),
+        |g AS (SELECT status,
+        |        SUM(CAST(cents * rn AS DECIMAL(38,0))) AS a,
+        |        SUM(CAST(cents AS DECIMAL(38,0))) AS b,
+        |        COUNT(*) AS n
+        |      FROM r GROUP BY 1)
+        |SELECT status, n,
+        |  (2.0 * CAST(a AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(b AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(b AS DOUBLE)) AS gini
+        |FROM g""".stripMargin,
+
+    // long→text is engine-identical; the double share is one division
+    // of two exact longs
+    "q_benford" ->
+      """WITH c AS (SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |                         AS VARCHAR), 1, 1) AS digit,
+        |             COUNT(*) AS n
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM c, t""".stripMargin,
 
     // the same total tie order spelled as a rank: count desc, prio asc
     "q_mode" ->

@@ -1076,6 +1076,26 @@ object PipelineQueries {
     // state — and is DETERMINISTIC (integer counts + one fixed IEEE op
     // sequence), so the oracle replays it bit-for-bit, unlike an
     // approx_percentile sketch whose internals are engine-specific.
+    // Streaming MODE (r9): q_mode's incremental twin — the level-1
+    // composite-key counts maintain as a streaming aggregation (state =
+    // |status×priority| rows, map-side merged per micro-batch); the
+    // level-2 argmax runs batch-side over the drained group-cardinality
+    // table, exactly like stream_quantile's post-processing. Same total
+    // tie order, same oracle as q_mode.
+    "stream_mode" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val counts = StreamOps.fileSource(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("status"),
+                 col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("cnt"))
+      StreamOps.drainComplete(s, counts)
+        .groupBy(col("status"))
+        .agg(min_by(struct(col("prio"), col("cnt")),
+                    struct((-col("cnt")).as("nc"), col("prio"))).as("m"))
+        .select(col("status"), col("m.prio").as("mode_prio"),
+                col("m.cnt").as("n"))
+    },
+
     // Streaming OHLC (r9): q_ohlc's incremental twin — per-day
     // open/high/low/close maintained as a streaming aggregation.
     // min_by/max_by on the (ts, event_id) composite are declarative
@@ -2453,6 +2473,18 @@ object PipelineQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // identical to q_mode's replay: the drained counts ARE the batch
+    // counts, the argmax is the same total order
+    "stream_mode" ->
+      """WITH c AS (SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |             COUNT(*) AS cnt
+        |           FROM orders GROUP BY 1, 2),
+        |r AS (SELECT status, prio, cnt,
+        |        row_number() OVER (PARTITION BY status
+        |          ORDER BY cnt DESC, prio ASC) AS rn
+        |      FROM c)
+        |SELECT status, prio AS mode_prio, cnt AS n FROM r WHERE rn = 1""".stripMargin,
 
     // identical to q_ohlc's replay: the streaming result table IS the
     // batch bars at drain time
