@@ -936,43 +936,54 @@ object OlapQueries {
 
     // GINI coefficient (r9): per-status inequality of order value —
     // G = (2·Σ rankᵢ·vᵢ − (n+1)·Σvᵢ) / (n·Σvᵢ) over values sorted
-    // ascending. Ranks come from the q_percentile machinery (range
-    // partitions + local row_number + broadcast offset histogram —
-    // NEVER one reducer per group); rank ties among equal values can't
-    // move Σ rank·v (equal v ⇒ permuting ranks is a no-op), and the
-    // (cents, orderkey) order is total anyway. Sums are exact: per-row
-    // cents·rank products are longs (headroom to rank ~1.5·10⁸ at
-    // 5·10⁷ max cents), summed as DECIMAL(38,0) so no scale overflows
-    // the accumulator; the final statistic is ONE fixed IEEE op
-    // sequence over the exact sums (the q_stats_agg convention).
+    // ascending. The global rank-weighted sum DECOMPOSES: with
+    // per-partition local ranks l and the partition's group offset
+    // O_p (rows of the group in earlier range partitions),
+    // Σ rank·v = Σ_p [Σ l·v + O_p·Σv] — so ONE pass computes
+    // per-(partition, group) aggregates (Σ l·v, Σv, n) and everything
+    // after runs on |partitions|×|groups| rows. The first cut joined
+    // broadcast offsets back to the ranked rows (the q_percentile
+    // shape, which NEEDS the row at its global rank) — that evaluated
+    // the range shuffle + sort TWICE and paid a 150M-row join for a
+    // 3-row statistic: measured 57s at 1000×; the decomposition took
+    // it to one shuffle+sort. Rank ties among equal values can't move
+    // Σ rank·v (equal v ⇒ permuting ranks is a no-op). Exactness:
+    // per-row cents·lrn products stay in long headroom, DECIMAL(38,0)
+    // accumulators absorb any scale, and the final statistic is ONE
+    // fixed IEEE op sequence over exact sums (q_stats_agg convention).
     "q_gini" -> { (s, d) =>
       val keys = Seq(col("o_orderstatus"), col("cents"), col("o_orderkey"))
-      val parts = Tables(s, d, "orders")
+      val perPart = Tables(s, d, "orders")
         .select(col("o_orderstatus"), col("o_orderkey"),
                 Exact.cents(col("o_totalprice")).as("cents"))
+        // session parallelism, not a constant: right on local[32], and
+        // a 1000-executor cluster raises it with its shuffle width
         .repartitionByRange(
           s.conf.get("spark.sql.shuffle.partitions").toInt, keys: _*)
+        // the explicit per-partition sort LOOKS redundant next to the
+        // rank window's own (pid, status, cents, orderkey) sort — but
+        // removing it measured consistently SLOWER at 1000× (46.8s →
+        // 64.6/65.8s twice): the window's sorter then ingests raw
+        // shuffle output instead of a presorted run. Kept on evidence.
         .sortWithinPartitions(keys: _*)
         .withColumn("pid", spark_partition_id())
-      val wLocal = Window.partitionBy(col("pid"), col("o_orderstatus"))
-        .orderBy(col("cents"), col("o_orderkey"))
-      val local = parts.withColumn("lrn", row_number().over(wLocal))
-      val hist = local.groupBy(col("pid"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("cnt"))
-      val wOff = Window.partitionBy(col("o_orderstatus")).orderBy(col("pid"))
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy(col("pid"), col("o_orderstatus"))
+            .orderBy(col("cents"), col("o_orderkey"))))
+        .groupBy(col("pid"), col("o_orderstatus").as("status"))
+        .agg(sum((col("cents") * col("lrn")).cast("decimal(38,0)")).as("ap"),
+             sum(col("cents").cast("decimal(38,0)")).as("sp"),
+             count(lit(1)).as("np"))
+      // ≤ |partitions|×|groups| rows from here on
+      val wOff = Window.partitionBy(col("status")).orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = hist
-        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
-        .select(col("pid").as("opid"), col("o_orderstatus").as("ost"),
-                col("off"))
-      local
-        .join(broadcast(offs),
-          col("pid") === col("opid") && col("o_orderstatus") === col("ost"))
-        .withColumn("rn", col("lrn") + col("off"))
-        .groupBy(col("o_orderstatus").as("status"))
-        .agg(sum((col("cents") * col("rn")).cast("decimal(38,0)")).as("a"),
-             sum(col("cents").cast("decimal(38,0)")).as("b"),
-             count(lit(1)).as("n"))
+      perPart
+        .withColumn("off", coalesce(sum(col("np")).over(wOff), lit(0L)))
+        .groupBy(col("status"))
+        .agg(sum(col("ap")
+               + col("off").cast("decimal(38,0)") * col("sp")).as("a"),
+             sum(col("sp")).as("b"),
+             sum(col("np")).as("n"))
         .select(col("status"), col("n"),
           ((lit(2.0) * col("a").cast("double")
             - (col("n") + 1).cast("double") * col("b").cast("double"))
