@@ -750,6 +750,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(cols == Set("vec_id", "embedding"), s"scan reads: $cols")
   }
 
+  test("q_gini: one range exchange over facts; hash exchanges touch group rows only") {
+    val plan = executedPlan(SparkEntry.queries("q_gini")(spark, sfDir))
+    // the fact table crosses the wire exactly once — the range
+    // partitioning that defines local ranks; the decomposition means
+    // no join back, so no second fact-sized exchange can exist
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1, plan)
+    // remaining hash exchanges carry per-(partition, group) aggregate
+    // rows (status-keyed), never order rows
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(hashEx.subsetOf(Set("status", "pid")), s"got $hashEx:\n$plan")
+    assert(!plan.contains("Join"), s"decomposition must not join back:\n$plan")
+  }
+
   test("q_unpivot melts above the aggregate: Expand over group-cardinality rows") {
     val plan = executedPlan(SparkEntry.queries("q_unpivot")(spark, sfDir))
     assert(plan.contains("Expand"), plan)
