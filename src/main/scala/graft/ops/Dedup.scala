@@ -83,7 +83,32 @@ object Dedup {
    * sf0.1), so planted-dup recall — and the oracle hash — are unchanged.
    */
   def jaccardPairs(corpus: DataFrame, threshold: Double,
-                   maxShingleDf: Int = 128): DataFrame = {
+                   maxShingleDf: Int = 128): DataFrame =
+    overlapPairs(corpus, maxShingleDf)
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jac"))
+
+  /**
+   * N-gram CONTAINMENT near-dup pairs: inter / min(|A|, |B|) — the
+   * asymmetric overlap measure that catches SUBSET duplication (a short
+   * document wholly quoted inside a longer one), which symmetric Jaccard
+   * dilutes toward 0 as the length ratio grows: a doc fully contained in
+   * one 3× its size has containment 1.0 but Jaccard ≤ 1/3. Same blocking
+   * structure, same boilerplate cap, same shuffle profile as
+   * [[jaccardPairs]] — only the final scalar differs (one division of
+   * exact longs in both engines).
+   */
+  def containmentPairs(corpus: DataFrame, threshold: Double,
+                       maxShingleDf: Int = 128): DataFrame =
+    overlapPairs(corpus, maxShingleDf)
+      .withColumn("cont", col("inter") / least(col("na"), col("nb")))
+      .where(col("cont") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("cont"))
+
+  /** Shared shingle-overlap core of [[jaccardPairs]]/[[containmentPairs]]:
+    * (a, b, inter, na, nb) for every pair sharing ≥1 sub-cap shingle. */
+  private def overlapPairs(corpus: DataFrame, maxShingleDf: Int): DataFrame = {
     import graft.functions.CollectCapped.collectCapped
     // group on the 60-bit md5 shingle hash, not the shingle string: the
     // grouping shuffle ships 8-byte keys instead of ~30-byte 5-grams. The
@@ -113,9 +138,6 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
-      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
-      .where(col("jac") >= threshold)
-      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jac"))
   }
 
   /**

@@ -833,6 +833,74 @@ object OlapQueries {
           .select(lit(3L).as("stage"), col("n_users")))
     },
 
+    // Streaming FUNNEL (r9): q_funnel's incremental twin — per-user
+    // stage progression via flatMapGroupsWithState (streaming/Funnel):
+    // state is three longs per user (the stage completion times), each
+    // micro-batch folds its per-user slice in event-time order, and a
+    // stage completion — final under the in-order batch contract — emits
+    // once in append mode. The 3-row count rollup runs batch-side over
+    // the drained hits (stream_quantile post-processing). Same output,
+    // same oracle as q_funnel; q_funnel's three-join chain re-scans the
+    // event table per stage, this maintains all stages in ONE pass.
+    "stream_funnel" -> { (s, d) =>
+      graft.streaming.Funnel.funnelCounts(s, d)
+    },
+
+    // Markov TRANSITIONS (r9): the per-user event-type transition
+    // matrix — next-event prediction's sufficient statistic. One window
+    // keyed by user (parallel across users; a user's event list is the
+    // partition, never the stream), lead() pairs each event with its
+    // successor under the TOTAL (ts, event_id) order, then a
+    // map-combined |types²|-group count. Transition probabilities are
+    // ONE IEEE division of two exact longs (n / row-total) — identical
+    // doubles in both engines, no float accumulation anywhere.
+    "q_markov" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val c = Tables(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type").as("src"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .where(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      val tot = c.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+      c.join(tot, "src")
+        .select(col("src"), col("dst"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double")).as("p"))
+    },
+
+    // Z-SCORE anomaly screen (r9): the aggregate→broadcast-back shape —
+    // per-type mean/std from exact micro-quantized sums (ONE map-side
+    // combined pass), the |types|-row stats broadcast back onto the
+    // facts (map-only join, zero fact shuffle), each event scored with
+    // one fixed IEEE op sequence, and the top-20 outliers by |z| picked
+    // via TakeOrderedAndProject under the TOTAL (|z| desc, event_id)
+    // order. At 100 TB: one fact scan for stats, one for scoring —
+    // never a window over the stream, never a fact-keyed exchange.
+    "q_zscore" -> { (s, d) =>
+      val v = floor(col("value") * 1e6).cast("long") // exact micro-units
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"), v.as("vq"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sv"),
+             // per-row squares fit a long (vq ≤ ~5.6e8 → vq² ≤ 3.2e17);
+             // their SUM does not — DECIMAL(38,0) accumulator (the
+             // q_gini convention; DuckDB's SUM(BIGINT)→HUGEINT mirrors)
+             sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("svv"))
+        .where(col("n") > 1)
+        .select(col("event_type"),
+          expr("CAST(sv AS DOUBLE) / n").as("mean_q"),
+          expr("sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1))")
+            .as("std_q"))
+        .where(col("std_q") > 0.0)
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("vq").cast("double") - col("mean_q")) / col("std_q")).as("z"))
+        .where(abs(col("z")) > lit(3.0))
+        .orderBy(abs(col("z")).desc, col("event_id").asc)
+        .limit(20)
+    },
+
     // COHORT retention (r9): users bucketed by their first active day;
     // n_users active at each day offset since. The (user, day) active
     // set is distinct BEFORE the cohort join — the join and both
@@ -932,6 +1000,27 @@ object OlapQueries {
           coalesce(lag(col("vc"), 3).over(w), lit(0L)).as("l3"))
         .selectExpr("user_id", "event_id",
           "vc + (l1 div 2) + (l2 div 4) + (l3 div 8) AS ema_q")
+    },
+
+    // Co-purchase mining (r9): top-20 part pairs by joint order count —
+    // the market-basket co-occurrence primitive. Self-equi-join on the
+    // order key (one shuffle; per-order pair fan-out is C(k,2) with k
+    // bounded by order size, so output ≈ a small constant × |lineitem|),
+    // p1 < p2 canonicalizes pairs, distinct-per-order first so repeat
+    // lines don't inflate counts. The global top-20 is orderBy+limit =
+    // TakeOrderedAndProject (per-partition heaps, 20 rows to the
+    // driver — never a global sort); (joint desc, p1, p2) is a TOTAL
+    // order so the selected set is deterministic.
+    "q_copurchase" -> { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("joint"))
+        .orderBy(col("joint").desc, col("p1").asc, col("p2").asc)
+        .limit(20)
     },
 
     // GINI coefficient (r9): per-status inequality of order value —
@@ -1460,6 +1549,60 @@ object OlapQueries {
         |UNION ALL SELECT CAST(2 AS BIGINT), COUNT(*) FROM s2
         |UNION ALL SELECT CAST(3 AS BIGINT), COUNT(*) FROM s3""".stripMargin,
 
+    // the incremental operator must land exactly where the batch funnel
+    // does — same oracle as q_funnel
+    "stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+        |s1 AS (SELECT user_id, MIN(tns) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(tns) AS t2 FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND tns > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(tns) AS t3 FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND tns > t2 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, COUNT(*) AS n_users FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), COUNT(*) FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), COUNT(*) FROM s3""".stripMargin,
+
+    // successor pairs under the same total (tns, event_id) order; p is
+    // one division of two exact integers in both engines
+    "q_markov" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id,
+        |             event_type FROM events),
+        |pr AS (SELECT event_type AS src,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY tns ASC, event_id ASC) AS dst
+        |       FROM e),
+        |c AS (SELECT src, dst, COUNT(*) AS n FROM pr
+        |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.src, c.dst, c.n,
+        |       CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+        |FROM c JOIN t ON c.src = t.src""".stripMargin,
+
+    // same micro-quantized exact sums (SUM(BIGINT)->HUGEINT is exact),
+    // same textual IEEE op sequence for mean/std/z; (|z| desc, event_id)
+    // is a total order so the LIMIT set is deterministic
+    "q_zscore" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |             CAST(floor(value * 1e6) AS BIGINT) AS vq FROM events),
+        |s AS (SELECT event_type, COUNT(*) AS n, SUM(vq) AS sv,
+        |        SUM(vq * vq) AS svv FROM e GROUP BY 1),
+        |st AS (SELECT event_type, CAST(sv AS DOUBLE) / n AS mean_q,
+        |         sqrt((CAST(svv AS DOUBLE)
+        |           - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1))
+        |           AS std_q
+        |       FROM s WHERE n > 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       (CAST(e.vq AS DOUBLE) - st.mean_q) / st.std_q AS z
+        |FROM e JOIN st ON e.event_type = st.event_type
+        |WHERE st.std_q > 0
+        |  AND abs((CAST(e.vq AS DOUBLE) - st.mean_q) / st.std_q) > 3.0
+        |ORDER BY abs((CAST(e.vq AS DOUBLE) - st.mean_q) / st.std_q) DESC,
+        |         e.event_id ASC
+        |LIMIT 20""".stripMargin,
+
     // first-active-day cohorts x integer day offsets; the (user, day)
     // active set is distinct before the join so COUNT(*) is users
     "q_cohort" ->
@@ -1534,6 +1677,17 @@ object OlapQueries {
         |SELECT user_id, event_id,
         |  vc + (l1 // 2) + (l2 // 4) + (l3 // 8) AS ema_q
         |FROM e""".stripMargin,
+
+    // the same canonical pair join; LIMIT is safe because the order is
+    // total (joint desc, p1, p2)
+    "q_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS joint
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                         AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2)
+        |SELECT p1, p2, joint FROM p
+        |ORDER BY joint DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin,
 
     // single-node ranks replay the distributed rank machinery exactly:
     // equal-value rank permutations cannot move Σ rank·v, and the

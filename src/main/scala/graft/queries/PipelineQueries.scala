@@ -165,6 +165,11 @@ object PipelineQueries {
 
     "dedup_ngram_jaccard" -> { (s, d) => Dedup.jaccardPairs(docCorpus(s, d), 0.6) },
 
+    // Asymmetric overlap: inter/min(|A|,|B|) — catches a short doc wholly
+    // QUOTED inside a longer one, which symmetric Jaccard dilutes toward
+    // 0 as the length ratio grows. Same blocking, same shuffle profile.
+    "dedup_containment" -> { (s, d) => Dedup.containmentPairs(docCorpus(s, d), 0.65) },
+
     "dedup_minhash" -> { (s, d) => Dedup.minhashCandidates(docCorpus(s, d)) },
 
     "dedup_simhash" -> { (s, d) => Dedup.simhashPairs(docCorpus(s, d)) },
@@ -174,6 +179,25 @@ object PipelineQueries {
     // (cluster id = min doc_id; one keeper per cluster).
     "dedup_clusters" -> { (s, d) =>
       graft.ops.Components.components(Dedup.minhashCandidates(docCorpus(s, d)))
+    },
+
+    // Keep-best dedup (r9): the step AFTER clustering — one keeper per
+    // near-dup cluster by a TOTAL quality order (longest text, doc_id
+    // tiebreak). Pure composition: the minhash-LSH clusters feed a
+    // min_by over the lexicographic (-len, doc_id) struct — associative
+    // argmax per cluster (the q_argmax/q_mode shape), never a window
+    // over the corpus; text lengths ride the existing corpus scan.
+    "dedup_keep_best" -> { (s, d) =>
+      val lens = docCorpus(s, d)
+        .select(col("doc_id"), length(col("text")).as("len"))
+      graft.ops.Components.components(Dedup.minhashCandidates(docCorpus(s, d)))
+        .join(lens, "doc_id")
+        .groupBy(col("cluster"))
+        .agg(min_by(struct(col("doc_id"), col("len")),
+                    struct((-col("len")).as("nl"), col("doc_id"))).as("k"),
+             count(lit(1)).as("n_docs"))
+        .select(col("cluster"), col("k.doc_id").as("keeper"),
+                col("k.len").as("keeper_len"), col("n_docs"))
     },
 
     // Incremental ingestion: the planted copies (doc_id >= 100000) arrive
@@ -558,6 +582,29 @@ object PipelineQueries {
             .when(fr > 0 && fr >= de, "fr")
             .when(de > 0, "de")
             .otherwise("und").as("lang_pred"))
+    },
+
+    // Readability scoring (r9): Flesch-Kincaid-style reading ease from
+    // three exact counts — whitespace words, sentence-punctuation runs,
+    // vowel runs as the syllable proxy (all disjoint-class regexes, so
+    // Java regex and RE2 agree token for token; the text_subwords
+    // precedent). The score is a fixed IEEE op sequence over exact
+    // longs (two divisions, two products, two subtractions — textually
+    // identical in the oracle). Map-only, zero shuffle.
+    "text_readability" -> { (s, d) =>
+      val w = size(split(col("text"), " ")).cast("long")
+      val sents = greatest(regexp_count(col("text"), lit("[.!?]+")),
+        lit(1)).cast("long")
+      val syll = regexp_count(col("text"), lit("[aeiouAEIOU]+")).cast("long")
+      Tables(s, d, "documents")
+        .select(col("doc_id"), w.as("n_words"), sents.as("n_sents"),
+                syll.as("n_syll"))
+        .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+          (lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double")
+                            / col("n_sents").cast("double"))
+            - lit(84.6) * (col("n_syll").cast("double")
+                           / col("n_words").cast("double"))).as("fk"))
     },
 
     "text_fingerprint" -> { (s, d) =>
@@ -1733,6 +1780,24 @@ object PipelineQueries {
          |JOIN szs nb ON p.b = nb.doc_id
          |WHERE p.inter / (na.n + nb.n - p.inter) >= 0.6""".stripMargin,
 
+    // same shared-shingle pairs; only the final scalar differs (one
+    // division of exact longs — least() of two BIGINTs in both engines)
+    "dedup_containment" ->
+      s"""WITH $corpusCte,
+         |$shingleCtes,
+         |szs AS (SELECT doc_id, len(shingles) AS n FROM sh0),
+         |sh2 AS (SELECT doc_id,
+         |        CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
+         |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+         |          FROM sh2 a JOIN sh2 b ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT p.a, p.b, p.inter, na.n AS na, nb.n AS nb,
+         |       p.inter / least(na.n, nb.n) AS cont
+         |FROM pairs p
+         |JOIN szs na ON p.a = na.doc_id
+         |JOIN szs nb ON p.b = nb.doc_id
+         |WHERE p.inter / least(na.n, nb.n) >= 0.65""".stripMargin,
+
     // transitive min over the reachable set == min id of the (undirected)
     // component; recursive UNION dedups, so the tuple count is bounded by
     // sum of component sizes squared — tiny for near-dup clusters
@@ -1756,6 +1821,53 @@ object PipelineQueries {
          |  UNION
          |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v)
          |SELECT v AS doc_id, MIN(l) AS cluster FROM reach GROUP BY 1""".stripMargin,
+
+    // same three disjoint-class counts, same textual IEEE formula
+    "text_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |         AS BIGINT) AS n_sents,
+        |    CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+        |         AS BIGINT) AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+        |    - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)) AS fk
+        |FROM t""".stripMargin,
+
+    // the clusters replay + a per-cluster argmax in the same total
+    // order (len desc, doc_id asc)
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $corpusCte,
+         |$shingleCtes,
+         |mh AS (SELECT doc_id, ${(0 until 8).map(duckHash).mkString(", ")}
+         |       FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR)||'_'||CAST(mh1 AS VARCHAR) AS bucket FROM mh
+         |  UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR)||'_'||CAST(mh3 AS VARCHAR) FROM mh
+         |  UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR)||'_'||CAST(mh5 AS VARCHAR) FROM mh
+         |  UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR)||'_'||CAST(mh7 AS VARCHAR) FROM mh),
+         |prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |        FROM bands a JOIN bands b
+         |        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT a AS src, b AS dst FROM prs
+         |          UNION SELECT b, a FROM prs),
+         |reach(v, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v),
+         |cl AS (SELECT v AS doc_id, MIN(l) AS cluster FROM reach GROUP BY 1),
+         |j AS (SELECT cl.cluster, cl.doc_id, length(c.text) AS len
+         |      FROM cl JOIN corpus c ON c.doc_id = cl.doc_id),
+         |r AS (SELECT cluster, doc_id, len,
+         |        row_number() OVER (PARTITION BY cluster
+         |          ORDER BY len DESC, doc_id ASC) AS rn,
+         |        COUNT(*) OVER (PARTITION BY cluster) AS n_docs
+         |      FROM j)
+         |SELECT cluster, doc_id AS keeper, len AS keeper_len, n_docs
+         |FROM r WHERE rn = 1""".stripMargin,
 
     // dedup_clusters' recursive-CTE components + longest-member argmax
     "pipe_canonical" ->

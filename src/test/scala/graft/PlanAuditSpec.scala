@@ -776,4 +776,49 @@ class PlanAuditSpec extends SparkSpec {
     // Expand must sit ABOVE the final aggregate (printed before it)
     assert(plan.indexOf("Expand") < plan.indexOf("HashAggregate"), plan)
   }
+
+  test("q_copurchase: keyed self-join, heap top-20, never a global sort") {
+    val plan = executedPlan(SparkEntry.queries("q_copurchase")(spark, sfDir))
+    // the pair join is an EQUI-join on the order key (p1 < p2 rides as a
+    // join condition, never a cartesian fan-out over the table)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the global top-20 over pair counts is TakeOrderedAndProject
+    // (per-partition heaps, 20 rows to the driver) — a global Sort of
+    // the pair table would funnel |pairs| rows through one reducer
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("dedup_keep_best: per-cluster argmax aggregates, no corpus window") {
+    val plan = executedPlan(SparkEntry.queries("dedup_keep_best")(spark, sfDir))
+    // the keeper pick is associative min_by over (-len, doc_id) — partial
+    // runs map-side, the cluster shuffle carries one candidate per
+    // (cluster, partition); a row_number window would sort whole clusters
+    // on single reducers
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min_by"), plan)
+  }
+
+  test("q_markov: user-keyed window + group-cardinality joins, no fact funnel") {
+    val plan = executedPlan(SparkEntry.queries("q_markov")(spark, sfDir))
+    // successor pairing parallelizes across users; the transition counts
+    // and row totals are |types²|-sized — nothing corpus-sized may ever
+    // pass through a single partition
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_zscore: stats broadcast back, facts never hash-exchanged") {
+    val plan = executedPlan(SparkEntry.queries("q_zscore")(spark, sfDir))
+    // the scoring join must be broadcast (|types| rows onto the facts)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // top-20 via per-partition heaps, never a global sort of the facts
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the only hash Exchange is the per-type stats aggregation — the
+    // fact side reaches the broadcast join unshuffled
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(hashEx == Set("event_type"), s"got $hashEx:\n$plan")
+  }
 }
