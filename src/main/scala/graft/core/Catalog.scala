@@ -1875,6 +1875,80 @@ final class Catalog(spark: SparkSession, warehouse: String,
       getTable(view)
     }
 
+  /** Slim star join for a JOIN materialized view: the dim contributes
+    * ONLY its key and the group columns it owns (never the wide row),
+    * renamed-key equi-join so a fact fk named like the dim key stays
+    * unambiguous. At scale the dim side is the broadcast-small one —
+    * the fact (or its delta) is never exchanged for the join. */
+  private def mvJoinDim(factRows: org.apache.spark.sql.DataFrame,
+                        dt: LineageTable, fk: String,
+                        dimGroups: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val dimSlim = dt.snapshot
+      .select((dt.keyCol +: dimGroups).distinct.map(col): _*)
+      .withColumnRenamed(dt.keyCol, "_dimk")
+    factRows.join(dimSlim, col(fk) === col("_dimk"), "inner").drop("_dimk")
+  }
+
+  /**
+   * JOIN materialized view — the star-schema rollup a dashboard actually
+   * asks for: `SELECT g..., count(*), sum(m)... FROM fact JOIN dim ON
+   * fact.fk = dim.key GROUP BY g...`, maintained incrementally under
+   * FACT changes. Group columns may come from either side (a name on
+   * both resolves to the fact); measures must come from the fact — the
+   * delta side — which together with the static dim is exactly the
+   * self-maintainable boundary: Δview = Δfact ⋈ dim aggregated, the
+   * same per-group long-delta algebra as the single-table form.
+   *
+   * DIM changes degrade, never corrupt: the refresh records the dim's
+   * (op_seq, epoch) it joined against, and a refresh finding the dim
+   * moved takes the full-recompute path (one atomic delete-all+insert
+   * commit) — the classical IVM line (a dim update can touch every
+   * group of every fact row that references it; maintaining that is a
+   * fact-sized join, not a delta). Dims change rarely; facts stream.
+   *
+   * Rows whose fk has no dim match contribute nothing (inner join) on
+   * every path — create, full recompute, and differential agree.
+   */
+  def createJoinMaterializedView(view: String, fact: String, dim: String,
+                                 fkCol: String, groupCols: Seq[String],
+                                 sumCols: Seq[String]): LineageTable =
+    lock(view).synchronized {
+      require(!metaExists(view), s"table $view already exists")
+      // epochs/seqs read BEFORE the states (the createMaterializedView
+      // convention): a rewrite landing between the reads leaves a stale
+      // recording and the next refresh conservatively full-recomputes
+      val factEpoch = readMeta(fact).epoch
+      val dimMeta = readMeta(dim)
+      val ft = getTable(fact)
+      val dt = getTable(dim)
+      require(groupCols.nonEmpty && sumCols.nonEmpty,
+        "view needs at least one group column and one measure")
+      require(groupCols.distinct == groupCols && sumCols.distinct == sumCols,
+        "duplicate columns in view definition")
+      require(ft.dataCols.contains(fkCol),
+        s"join column $fkCol must be a $fact column")
+      require(sumCols.forall(ft.dataCols.contains),
+        s"measures must come from the fact side (the delta side): " +
+          sumCols.filterNot(ft.dataCols.contains).mkString(","))
+      require(groupCols.intersect(sumCols).isEmpty,
+        "group and measure columns must be distinct")
+      val dimGroups = groupCols.filterNot(ft.dataCols.contains)
+      require(dimGroups.forall(dt.dataCols.contains),
+        s"group columns must exist on the fact or the dim: " +
+          dimGroups.filterNot(dt.dataCols.contains).mkString(","))
+      require(!dimGroups.contains(dt.keyCol),
+        s"group by the fact's $fkCol instead of the dim key ${dt.keyCol}")
+      val key = if (groupCols.size == 1) groupCols.head else "_gkey"
+      createTable(view, key,
+        mvAgg(mvJoinDim(ft.snapshot, dt, fkCol, dimGroups), groupCols, sumCols))
+      writeMeta(view, readMeta(view).copy(
+        mvSrc = Some(fact), mvSums = sumCols, mvGroups = groupCols,
+        mvSeq = ft.opSeq, mvEpoch = factEpoch,
+        mvDim = Some(dim), mvFk = Some(fkCol),
+        mvDimSeq = dt.opSeq, mvDimEpoch = dimMeta.epoch))
+      getTable(view)
+    }
+
   /**
    * Advance a materialized view to the source's current version with
    * work proportional to WHAT CHANGED, not to either table:
@@ -1917,6 +1991,27 @@ final class Catalog(spark: SparkSession, warehouse: String,
       val newSeq = st.opSeq
       val fromSeq = vm.mvSeq
       val sameEpoch = srcMeta.epoch == vm.mvEpoch
+      // JOIN views ([[createJoinMaterializedView]]): every aggregation —
+      // full recompute, old state, new state — runs over fact ⋈ dim.
+      // Dim meta/state read once here; a dim commit racing this refresh
+      // leaves the recorded seq stale, so the NEXT refresh conservatively
+      // full-recomputes (never a wrong delta).
+      val dimState = vm.mvDim.map(dn => (getTable(dn), readMeta(dn)))
+      val dimGroups = dimState.fold(Seq.empty[String]) { case (dt, _) =>
+        groups.filterNot(st.dataCols.contains) }
+      def viewRows(factRows: org.apache.spark.sql.DataFrame) =
+        dimState match {
+          case None => mvAgg(factRows, groups, sums)
+          case Some((dt, _)) =>
+            mvAgg(mvJoinDim(factRows, dt, vm.mvFk.get, dimGroups),
+              groups, sums)
+        }
+      // incremental requires the dim EXACTLY as last joined: a moved dim
+      // invalidates every group's old contribution (a dim row update can
+      // re-group every fact row referencing it) — full recompute, which
+      // re-records the dim vintage below
+      val dimUnchanged = dimState.forall { case (dt, dm) =>
+        dt.opSeq == vm.mvDimSeq && dm.epoch == vm.mvDimEpoch }
       // LOST-REFRESH detection (ADVICE r8): the last refresh recorded the
       // view op_seq its adjustment rows were stamped with; the
       // meta-before-rows write order means a crash inside that refresh
@@ -1932,19 +2027,20 @@ final class Catalog(spark: SparkSession, warehouse: String,
         getTable(view).lineage
           .where(col(LineageTable.VER) === vm.mvLastVer).limit(1)
           .take(1).nonEmpty
-      if (newSeq == fromSeq && sameEpoch && lastLanded) return getTable(view)
+      if (newSeq == fromSeq && sameEpoch && lastLanded && dimUnchanged)
+        return getTable(view)
       // incremental only while the source history at mv_seq is still
       // addressable: any physical re-stamp bumps the source epoch
       // (op_seq alone cannot reveal a saveCompacted clock reset). The
       // post-read epoch check closes the read race — a rewrite landing
       // between the meta read and the state read would otherwise hand
       // the delta derivation a re-stamped lineage under the old epoch.
-      val incremental = sameEpoch && lastLanded &&
+      val incremental = sameEpoch && lastLanded && dimUnchanged &&
         fromSeq >= srcMeta.tailFloor &&
         newSeq > fromSeq && readMeta(src).epoch == srcMeta.epoch
       val txn =
         if (!incremental)
-          Txn.empty.delete(lit(true)).insert(mvAgg(st.snapshot, groups, sums))
+          Txn.empty.delete(lit(true)).insert(viewRows(st.snapshot))
         else {
           val keys = st.lineage
             .where(col(LineageTable.VER) > fromSeq)
@@ -1952,8 +2048,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
           def pre(side: String)(d: org.apache.spark.sql.DataFrame) =
             d.select(groups.map(g => col(g).as(s"_${side}_$g")) ++
               measures.map(m => col(m).as(s"_${side}_$m")): _*)
-          val o = pre("o")(mvAgg(st.asOfVersionKeys(fromSeq, keys), groups, sums))
-          val n = pre("n")(mvAgg(st.probeWithCandidates(keys, lit(true)), groups, sums))
+          val o = pre("o")(viewRows(st.asOfVersionKeys(fromSeq, keys)))
+          val n = pre("n")(viewRows(st.probeWithCandidates(keys, lit(true))))
           // group-migrating updates contribute to BOTH sides of the full
           // outer join: minus on the old group, plus on the new one.
           // Composite groups join on every group column null-safely —
@@ -1990,7 +2086,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
         }
       tryCommitMeta(view, txn, vm.opSeq, None, None,
         m => m.copy(mvSeq = newSeq, mvEpoch = srcMeta.epoch,
-          mvLastVer = m.opSeq))
+          mvLastVer = m.opSeq,
+          // re-record the dim vintage this refresh joined against (the
+          // incremental path verified it unchanged; the full path adopts
+          // whatever it just rebuilt with)
+          mvDimSeq = dimState.fold(m.mvDimSeq)(_._1.opSeq),
+          mvDimEpoch = dimState.fold(m.mvDimEpoch)(_._2.epoch)))
         .fold(e => throw e, identity)
     }
 
@@ -2019,7 +2120,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
     tableNames.iterator
       .map(n => (n, Try(readMeta(n)).toOption))
       .collectFirst { case (n, Some(m))
-          if m.mvSrc.contains(src) &&
+          // join views answer fact⋈dim aggregates, not single-table ones
+          // — the rewrite front door must never route onto them
+          if m.mvDim.isEmpty && m.mvSrc.contains(src) &&
             (if (m.mvGroups.nonEmpty) m.mvGroups.toSet else Set(m.key))
               == want &&
             m.mvSums.nonEmpty && m.mvSeq == sm.opSeq &&
@@ -2488,7 +2591,21 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * re-stamp) emits them, so point probes
                             * row-group-skip on a column whose sort order
                             * is spent elsewhere. */
-                          bloomCols: Seq[String] = Nil)
+                          bloomCols: Seq[String] = Nil,
+                          /** JOIN materialized view
+                            * ([[createJoinMaterializedView]]): the dim
+                            * table inner-joined to the source on
+                            * src.`mvFk` = dim.key before grouping. The
+                            * dim's (op_seq, epoch) at the view's last
+                            * (re)build: the incremental path requires the
+                            * dim UNCHANGED since (star-schema IVM — fact
+                            * deltas maintain, dim changes force a full
+                            * recompute, the classical self-maintainability
+                            * boundary). */
+                          mvDim: Option[String] = None,
+                          mvFk: Option[String] = None,
+                          mvDimSeq: Long = -1L,
+                          mvDimEpoch: Long = -1L)
 
   // Metadata names are restricted to identifier characters at write time,
   // so the flat JSON below round-trips through the regex reader with no
@@ -2571,7 +2688,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
       s""""mv_seq": ${m.mvSeq}, "mv_last_ver": ${m.mvLastVer}, """ +
       s""""epoch": ${m.epoch}, "mv_epoch": ${m.mvEpoch}, """ +
       s""""bloom_cols": [${m.bloomCols.map(c => "\"" + checked(c) + "\"")
-        .mkString(", ")}]}"""
+        .mkString(", ")}], """ +
+      s""""mv_dim": ${m.mvDim.map(v => "\"" + checked(v) + "\"").getOrElse("null")}, """ +
+      s""""mv_fk": ${m.mvFk.map(v => "\"" + checked(v) + "\"").getOrElse("null")}, """ +
+      s""""mv_dim_seq": ${m.mvDimSeq}, "mv_dim_epoch": ${m.mvDimEpoch}}"""
   }
 
   private def readMeta(name: String): Meta = {
@@ -2651,7 +2771,15 @@ final class Catalog(spark: SparkSession, warehouse: String,
       strList("con_names"), strList("con_exprs"),
       mvSrc, strList("mv_sums"), strList("mv_groups"), mvSeq, mvLastVer,
       epoch, mvEpoch,
-      strList("bloom_cols"))
+      strList("bloom_cols"),
+      "\"mv_dim\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(json).map(_.group(1)),
+      "\"mv_fk\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(json).map(_.group(1)),
+      "\"mv_dim_seq\"\\s*:\\s*(-?\\d+)".r
+        .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L),
+      "\"mv_dim_epoch\"\\s*:\\s*(-?\\d+)".r
+        .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L))
   }
 
   // Crash recovery on open — the reference's Database.open contract. At

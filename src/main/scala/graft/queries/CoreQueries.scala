@@ -407,6 +407,40 @@ object CoreQueries {
     scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
 
   /**
+   * JOIN materialized view fixture ([[Catalog.createJoinMaterializedView]]):
+   * orders (fact) × customer (dim) rolled up by the DIM's market segment —
+   * the star-schema dashboard shape. The transcript exercises all three
+   * refresh modes: a fact update lands DIFFERENTIALLY (Δfact ⋈ dim), a
+   * dim re-segmentation forces the documented FULL-RECOMPUTE degradation
+   * (and re-records the dim vintage), then a fact delete refreshes
+   * differentially again against the new dim.
+   */
+  def mviewJoinOrders(spark: SparkSession, sfDir: String): (Catalog, String) =
+    mviewJoinCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_jmv_wh_")
+      val cat = new Catalog(spark, wh, autoCompact = false)
+      cat.createTable("orders_jf", "k", baseOrders(spark, sfDir))
+      cat.createTable("cust_jd", "ckey",
+        Tables(spark, sfDir, "customer").select(
+          col("c_custkey").as("ckey"), col("c_mktsegment").as("seg")))
+      cat.createJoinMaterializedView("orders_by_seg", "orders_jf", "cust_jd",
+        "custkey", Seq("seg"), Seq("totalprice"))
+      cat.commit("orders_jf", Txn.empty
+        .update(col("k") % 4 === 0,
+          Map("totalprice" -> (col("totalprice") + lit(5.0)))))
+      cat.refreshMaterializedView("orders_by_seg")
+      cat.commit("cust_jd", Txn.empty
+        .update(col("ckey") % 10 === 0, Map("seg" -> lit("SEGX"))))
+      cat.refreshMaterializedView("orders_by_seg")
+      cat.commit("orders_jf", Txn.empty.delete(col("k") % 13 === 0))
+      cat.refreshMaterializedView("orders_by_seg")
+      (cat, "orders_by_seg")
+    })
+
+  private val mviewJoinCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
+
+  /**
    * COMPOSITE-group, multi-measure materialized view fixture (r9,
    * [[Catalog.createMaterializedView]] general form): the standard
    * transcript against a table widened with a second group column
@@ -760,6 +794,21 @@ object CoreQueries {
       val (cat, v) = mviewOrders(s, d)
       cat.getTable(v).snapshot
         .select(col("status"), col("n_rows"),
+          (col("cents") / 100.0).as("total"))
+    },
+
+    // JOIN materialized view (r9): the star-schema rollup — orders ⋈
+    // customer grouped by the DIM's segment, maintained under fact
+    // changes at Δfact ⋈ dim cost (the dim side joins broadcast-slim:
+    // key + group column only, never the wide row). A dim change takes
+    // the documented full-recompute degradation — never a wrong delta —
+    // and differential maintenance resumes against the re-recorded dim
+    // vintage (JoinMviewSpec pins all three modes; the fixture
+    // transcript exercises them end to end).
+    "cat_mview_join" -> { (s, d) =>
+      val (cat, v) = mviewJoinOrders(s, d)
+      cat.getTable(v).snapshot
+        .select(col("seg"), col("n_rows"),
           (col("cents") / 100.0).as("total"))
     },
 
@@ -1569,6 +1618,24 @@ object CoreQueries {
          |SELECT status, COUNT(*) AS n_rows,
          |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM snap GROUP BY status""".stripMargin,
+
+    // three refreshes (differential, dim-forced full recompute,
+    // differential again) must land exactly the direct join rollup over
+    // the final fact/dim states
+    "cat_mview_join" ->
+      """WITH f AS (SELECT o_orderkey AS k, o_custkey AS custkey,
+        |             CASE WHEN o_orderkey % 4 = 0
+        |                  THEN o_totalprice + 5.0
+        |                  ELSE o_totalprice END AS totalprice
+        |           FROM orders WHERE o_orderkey % 13 <> 0),
+        |d AS (SELECT c_custkey AS ckey,
+        |        CASE WHEN c_custkey % 10 = 0 THEN 'SEGX'
+        |             ELSE c_mktsegment END AS seg
+        |      FROM customer)
+        |SELECT d.seg, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM f JOIN d ON f.custkey = d.ckey
+        |GROUP BY 1""".stripMargin,
 
     // the startingTimestamp attach lands on the same commit-2+ events
     // sql_changes addresses by version range
