@@ -869,6 +869,17 @@ object OlapQueries {
           (col("n").cast("double") / col("tot").cast("double")).as("p"))
     },
 
+    // Streaming MARKOV transitions (r9): q_markov's incremental twin —
+    // per-user successor pairs via flatMapGroupsWithState (streaming/
+    // Transitions): state is ONE event per user (the most recent), each
+    // micro-batch folds its per-user slice in (ts, event_id) order, and
+    // every consecutive pair emits once in append mode. Counts and
+    // probabilities run batch-side over the drained edges — identical
+    // post-processing, identical oracle to q_markov.
+    "stream_markov" -> { (s, d) =>
+      graft.streaming.Transitions.transitionCounts(s, d)
+    },
+
     // Z-SCORE anomaly screen (r9): the aggregate→broadcast-back shape —
     // per-type mean/std from exact micro-quantized sums (ONE map-side
     // combined pass), the |types|-row stats broadcast back onto the
@@ -899,6 +910,74 @@ object OlapQueries {
         .where(abs(col("z")) > lit(3.0))
         .orderBy(abs(col("z")).desc, col("event_id").asc)
         .limit(20)
+    },
+
+    // RFM SEGMENTATION (r9): the classic customer-value cube — per-
+    // customer Recency (days to an anchor date, integer), Frequency
+    // (order count) and Monetary (exact cents) metrics, each cut at its
+    // EXACT global quintile boundaries, rolled up to the 5×5×5 segment
+    // grid. The boundaries come from the q_percentile distributed-rank
+    // machinery over the |customers|-row metric table (range partitions
+    // + local row_number + broadcast offsets — never one global-order
+    // window, whose single reducer would hold every customer); the
+    // three 1-row cut tables broadcast back onto the metrics, so
+    // bucket assignment is map-only integer comparisons. Boundary ties
+    // collapse to the lower segment in BOTH engines (value comparison,
+    // not rank), and every derived number is integer or one exact-long
+    // division — no float accumulation anywhere. The metric table
+    // recomputes per cut pass (4 fact scans total — each a pruned
+    // 3-column aggregate; at 100 TB a persisted metrics temp would
+    // trade one scan for triple reuse, a caller's choice).
+    "q_rfm" -> { (s, d) =>
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      def cust = Tables(s, d, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(col("o_orderdate")).as("last_ts"),
+             count(lit(1)).as("freq"),
+             sum(Exact.cents(col("o_totalprice"))).as("mon"))
+        .select(col("custkey"),
+          datediff(to_date(lit("1999-01-01")), col("last_ts").cast("date"))
+            .cast("long").as("rec"),
+          col("freq"), col("mon"))
+      val qs = Seq(20, 40, 60, 80)
+      def cuts(v: String, p: String): DataFrame = {
+        val keys = Seq(col(v), col("custkey"))
+        val parts = cust.select(keys: _*)
+          .repartitionByRange(nPart, keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .withColumn("pid", spark_partition_id())
+        val local = parts.withColumn("lrn",
+          row_number().over(Window.partitionBy(col("pid"))
+            .orderBy(col(v), col("custkey"))))
+        val hist = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        // the offset/total windows run over ≤ nPart histogram rows
+        val wOff = Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = hist
+          .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+          .select(col("pid").as("opid"), col("off"))
+        val tot = hist.agg(sum(col("cnt")).as("n"))
+        def target(q: Int) = ceil(lit(q / 100.0) * col("n")).cast("long")
+        local.join(broadcast(offs), col("pid") === col("opid"))
+          .crossJoin(broadcast(tot))
+          .withColumn("rn", col("lrn") + col("off"))
+          .where(qs.map(q => col("rn") === target(q)).reduce(_ || _))
+          .agg(max(when(col("rn") === target(qs.head), col(v)))
+                 .as(s"$p${qs.head}"),
+               qs.tail.map(q =>
+                 max(when(col("rn") === target(q), col(v))).as(s"$p$q")): _*)
+      }
+      def seg(v: String, p: String) = qs
+        .map(q => (col(v) > col(s"$p$q")).cast("long"))
+        .foldLeft(lit(1L): Column)(_ + _).as(s"${p}_seg")
+      cust
+        .crossJoin(broadcast(cuts("rec", "r")))
+        .crossJoin(broadcast(cuts("freq", "f")))
+        .crossJoin(broadcast(cuts("mon", "m")))
+        .select(seg("rec", "r"), seg("freq", "f"), seg("mon", "m"), col("mon"))
+        .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+        .agg(count(lit(1)).as("n_cust"),
+             (sum(col("mon")) / 100.0).as("monetary"))
     },
 
     // COHORT retention (r9): users bucketed by their first active day;
@@ -1581,6 +1660,22 @@ object OlapQueries {
         |       CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
         |FROM c JOIN t ON c.src = t.src""".stripMargin,
 
+    // the incremental edge stream must land exactly where the batch
+    // lead() pairing does — same oracle as q_markov
+    "stream_markov" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id,
+        |             event_type FROM events),
+        |pr AS (SELECT event_type AS src,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY tns ASC, event_id ASC) AS dst
+        |       FROM e),
+        |c AS (SELECT src, dst, COUNT(*) AS n FROM pr
+        |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.src, c.dst, c.n,
+        |       CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+        |FROM c JOIN t ON c.src = t.src""".stripMargin,
+
     // same micro-quantized exact sums (SUM(BIGINT)->HUGEINT is exact),
     // same textual IEEE op sequence for mean/std/z; (|z| desc, event_id)
     // is a total order so the LIMIT set is deterministic
@@ -1615,6 +1710,56 @@ object OlapQueries {
         |  COUNT(*) AS n_users
         |FROM a JOIN c ON a.user_id = c.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // single-node ranks replay the distributed cut machinery exactly
+    // (same (v, custkey) total order, same ceil(q·n) targets); segment
+    // assignment is the same value comparisons, so boundary ties land
+    // identically
+    "q_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(datediff('day', CAST(MAX(o_orderdate) AS DATE),
+        |         DATE '1999-01-01') AS BIGINT) AS rec,
+        |    COUNT(*) AS freq,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS mon
+        |  FROM orders GROUP BY 1),
+        |rr AS (SELECT rec AS v, row_number() OVER (ORDER BY rec, custkey)
+        |         AS rn, COUNT(*) OVER () AS n FROM cust),
+        |rc AS (SELECT
+        |  MAX(CASE WHEN rn = CAST(ceil(0.2*n) AS BIGINT) THEN v END) AS r20,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.4*n) AS BIGINT) THEN v END) AS r40,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.6*n) AS BIGINT) THEN v END) AS r60,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.8*n) AS BIGINT) THEN v END) AS r80
+        |  FROM rr),
+        |fr AS (SELECT freq AS v, row_number() OVER (ORDER BY freq, custkey)
+        |         AS rn, COUNT(*) OVER () AS n FROM cust),
+        |fc AS (SELECT
+        |  MAX(CASE WHEN rn = CAST(ceil(0.2*n) AS BIGINT) THEN v END) AS f20,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.4*n) AS BIGINT) THEN v END) AS f40,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.6*n) AS BIGINT) THEN v END) AS f60,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.8*n) AS BIGINT) THEN v END) AS f80
+        |  FROM fr),
+        |mr AS (SELECT mon AS v, row_number() OVER (ORDER BY mon, custkey)
+        |         AS rn, COUNT(*) OVER () AS n FROM cust),
+        |mc AS (SELECT
+        |  MAX(CASE WHEN rn = CAST(ceil(0.2*n) AS BIGINT) THEN v END) AS m20,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.4*n) AS BIGINT) THEN v END) AS m40,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.6*n) AS BIGINT) THEN v END) AS m60,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.8*n) AS BIGINT) THEN v END) AS m80
+        |  FROM mr),
+        |seg AS (SELECT
+        |  1 + CAST(rec > r20 AS BIGINT) + CAST(rec > r40 AS BIGINT)
+        |    + CAST(rec > r60 AS BIGINT) + CAST(rec > r80 AS BIGINT) AS r_seg,
+        |  1 + CAST(freq > f20 AS BIGINT) + CAST(freq > f40 AS BIGINT)
+        |    + CAST(freq > f60 AS BIGINT) + CAST(freq > f80 AS BIGINT) AS f_seg,
+        |  1 + CAST(mon > m20 AS BIGINT) + CAST(mon > m40 AS BIGINT)
+        |    + CAST(mon > m60 AS BIGINT) + CAST(mon > m80 AS BIGINT) AS m_seg,
+        |  mon
+        |  FROM cust, rc, fc, mc)
+        |SELECT r_seg, f_seg, m_seg, COUNT(*) AS n_cust,
+        |       CAST(SUM(mon) AS DOUBLE) / 100.0 AS monetary
+        |FROM seg GROUP BY 1, 2, 3""".stripMargin,
 
     // open/close replay by day-partitioned row_number (the oracle is
     // single-node, so the window the engine avoids is fine HERE); the

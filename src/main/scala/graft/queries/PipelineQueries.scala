@@ -1017,6 +1017,44 @@ object PipelineQueries {
         "label")
     },
 
+    // Embedding COVARIANCE matrix (r9): the D×D second-moment statistic
+    // behind whitening / PCA-style dimensionality analysis. Per row the
+    // upper-triangle quantized products expand MAP-SIDE (nested
+    // transform + slice — D(D+1)/2 longs per vector, all codegen), and
+    // the only shuffle carries ≤ D²·partitions partial sums into the
+    // |D²|-group aggregate (DECIMAL(38,0) accumulators — products are
+    // exact ≤1e12 longs, their corpus sums are not). Dim means come
+    // from a second slim aggregate; both join broadcast (≤ D rows).
+    // Every covariance is ONE fixed IEEE op sequence over exact sums
+    // (the q_stats_agg convention). At 100 TB: no corpus-keyed
+    // exchange, CPU-bound map expansion, 4096-row result.
+    "emb_cov" -> { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> " +
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("qv"))
+      val pairs = e.select(explode(expr(
+          "flatten(transform(qv, (x, i) -> " +
+            "transform(slice(qv, i + 1, size(qv) - i), (y, k) -> " +
+            "struct(CAST(i AS BIGINT) AS i, CAST(i + k AS BIGINT) AS j, " +
+            "x * y AS p))))")).as("t"))
+        .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      val spq = pairs.groupBy(col("i"), col("j"))
+        .agg(sum(col("p").cast("decimal(38,0)")).as("spq"))
+      val sums = e.select(posexplode(col("qv")).as(Seq("pos", "q")))
+        .select(col("pos").cast("long").as("dim"), col("q"))
+        .groupBy(col("dim"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      spq
+        .join(broadcast(sums.select(col("dim").as("i"),
+          col("sq").as("si"), col("n"))), "i")
+        .join(broadcast(sums.select(col("dim").as("j"),
+          col("sq").as("sj"))), "j")
+        .select(col("i"), col("j"), expr(
+          "(CAST(spq AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / n)" +
+            " / (n - 1) / 1000000.0 / 1000000.0").as("cov"))
+    },
+
     // One Lloyd k-means step over the embedding corpus: seed centroids →
     // exact max-dot assignment → quantized-exact centroid update. The
     // data-curation clustering primitive (domain discovery, stratified
@@ -1567,6 +1605,28 @@ object PipelineQueries {
         |  CAST(SUM(s.q) AS BIGINT) AS sum_q,
         |  CAST(CAST(SUM(s.q) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_q
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // same quantization, same upper-triangle pairs via a self-join on
+    // vec_id (single-node; the engine expands map-side instead), same
+    // textual IEEE covariance formula over exact integer sums
+    "emb_cov" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'dim': i - 1,
+        |          'q': CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000)
+        |               AS BIGINT)})) AS s
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, CAST(s.dim AS BIGINT) AS dim, s.q AS q FROM x),
+        |sums AS (SELECT dim, SUM(q) AS sq, COUNT(*) AS n FROM e GROUP BY 1),
+        |p AS (SELECT a.dim AS i, b.dim AS j, SUM(a.q * b.q) AS spq
+        |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |      GROUP BY 1, 2)
+        |SELECT p.i, p.j,
+        |  (CAST(spq AS DOUBLE) - CAST(si.sq AS DOUBLE) * CAST(sj.sq AS DOUBLE)
+        |     / si.n) / (si.n - 1) / 1000000.0 / 1000000.0 AS cov
+        |FROM p
+        |JOIN sums si ON p.i = si.dim
+        |JOIN sums sj ON p.j = sj.dim""".stripMargin,
 
     // assignment twin of ann_ivf_build (fixed-order double dot, argmax with
     // cid-asc tiebreak), update twin of emb_centroid

