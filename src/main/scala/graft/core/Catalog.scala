@@ -2131,6 +2131,33 @@ final class Catalog(spark: SparkSession, warehouse: String,
           m.mvSums.map(s => s -> centsCol(m.mvSums, s)).toMap) }
   }
 
+  /** The JOIN materialized view that can ANSWER `fact ⋈ dim ON fk = key
+    * GROUP BY groupCols`, if one exists and is CURRENT at BOTH sides'
+    * (op_seq, epoch) — a stale or epoch-crossed view on either side must
+    * never serve (freshness is correctness, exactly as [[currentViewFor]]).
+    * `dimKey` must be the dim's lineage key (the only join the view
+    * maintains). O(tables) metadata reads, zero data I/O. */
+  def currentJoinViewFor(fact: String, dim: String, fk: String,
+                         dimKey: String, groupCols: Seq[String])
+      : Option[(String, Seq[String], Map[String, String])] = {
+    val fm = readMeta(fact)
+    val dm = readMeta(dim)
+    if (dm.key != dimKey) return None
+    val want = groupCols.toSet
+    tableNames.iterator
+      .map(n => (n, Try(readMeta(n)).toOption))
+      .collectFirst { case (n, Some(m))
+          if m.mvSrc.contains(fact) && m.mvDim.contains(dim) &&
+            m.mvFk.contains(fk) &&
+            (if (m.mvGroups.nonEmpty) m.mvGroups.toSet else Set(m.key))
+              == want &&
+            m.mvSums.nonEmpty &&
+            m.mvSeq == fm.opSeq && m.mvEpoch == fm.epoch &&
+            m.mvDimSeq == dm.opSeq && m.mvDimEpoch == dm.epoch =>
+        (n, m.mvSums,
+          m.mvSums.map(s => s -> centsCol(m.mvSums, s)).toMap) }
+  }
+
   /** The `startingVersion` equivalent of a wall-clock
     * `startingTimestamp` ([[graft.streaming.StreamOps.changeFeed]]):
     * the newest LOGGED commit version stamped STRICTLY BEFORE `ts` —

@@ -945,6 +945,24 @@ object CoreQueries {
           (col("cents_custval") / 100.0).as("cv"))
     },
 
+    // Star-join query rewrite (r9, GraftSql.routeAggregate join shape):
+    // `fact JOIN dim ON fk = key GROUP BY dim-attr` routes onto the
+    // CURRENT join view — the dashboard reads |groups| maintained rows
+    // and the fact table is never scanned, joined, or aggregated. Both
+    // side orders and qualified equalities route; staleness on EITHER
+    // side (fact or dim vintage) falls back to the always-correct
+    // direct path (GraftSqlSpec pins all directions).
+    "q_mview_route_join" -> { (s, d) =>
+      val (cat, view) = mviewJoinOrders(s, d)
+      val g = new graft.sql.GraftSql(s)
+        .register("orders_jf", cat, "orders_jf")
+        .register("cust_jd", cat, "cust_jd")
+        .register(view, cat, view)
+      g.sql("""SELECT seg, count(*) AS n_orders, sum(totalprice) AS sum_price
+              |FROM orders_jf JOIN cust_jd ON custkey = ckey
+              |GROUP BY seg""".stripMargin)
+    },
+
     // Query rewrite WITH a routed filter (r9, GraftSql.routeToView): a
     // WHERE over the GROUP column removes whole groups — exactly
     // filtering the view's rows — so the filtered dashboard aggregate
@@ -1714,6 +1732,24 @@ object CoreQueries {
          |         AS total,
          |       CAST(SUM(CAST(custkey AS DECIMAL(18,2))) AS DOUBLE) AS cv
          |FROM snap GROUP BY 1, 2""".stripMargin,
+
+    // the routed star aggregate must equal the direct join rollup over
+    // the final fact/dim states
+    "q_mview_route_join" ->
+      """WITH f AS (SELECT o_orderkey AS k, o_custkey AS custkey,
+        |             CASE WHEN o_orderkey % 4 = 0
+        |                  THEN o_totalprice + 5.0
+        |                  ELSE o_totalprice END AS totalprice
+        |           FROM orders WHERE o_orderkey % 13 <> 0),
+        |d AS (SELECT c_custkey AS ckey,
+        |        CASE WHEN c_custkey % 10 = 0 THEN 'SEGX'
+        |             ELSE c_mktsegment END AS seg
+        |      FROM customer)
+        |SELECT d.seg, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM f JOIN d ON f.custkey = d.ckey
+        |GROUP BY 1""".stripMargin,
 
     // the routed-with-filter aggregate must equal the directly-filtered
     // rollup — the view-side filter is invisible to results

@@ -691,17 +691,46 @@ class GraftSql(val spark: SparkSession) {
           case Filter(cond, c) => (c, Some(cond))
           case c => (c, None)
         }
-        for {
-          src <- targetOf(rel)
-          if durable.contains(src) && {
-            rel match {
-              case _: UnresolvedRelation => true
-              case SubqueryAlias(_, _: UnresolvedRelation) => true
-              case _ => false
-            }
+        def relName(p: LogicalPlan): Option[String] = p match {
+          case _: UnresolvedRelation => targetOf(p)
+          case SubqueryAlias(_, _: UnresolvedRelation) => targetOf(p)
+          case _ => None
+        }
+        // the statement's FROM: a bare registered table (single-table
+        // views) or `fact JOIN dim ON fk = key` (join views — both sides
+        // registered in the SAME catalog, equality of two plain columns;
+        // fact/dim and fk/key orders all tried, the dim-key check in
+        // currentJoinViewFor disambiguates)
+        val hit: Option[(Catalog, String, Seq[String], Map[String, String])] =
+          rel match {
+            case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+                Some(EqualTo(x: UnresolvedAttribute, y: UnresolvedAttribute)),
+                _) =>
+              def tryOrder(factP: LogicalPlan, dimP: LogicalPlan,
+                           fk: String, dk: String) =
+                for {
+                  fsrc <- relName(factP)
+                  dsrc <- relName(dimP)
+                  if durable.contains(fsrc) && durable.contains(dsrc)
+                  (fcat, ftbl) = durable(fsrc)
+                  (dcat, dtbl) = durable(dsrc)
+                  if fcat eq dcat
+                  h <- fcat.currentJoinViewFor(ftbl, dtbl, fk, dk, gs)
+                } yield (fcat, h._1, h._2, h._3)
+              val xs = x.nameParts.last; val ys = y.nameParts.last
+              tryOrder(l, r, xs, ys).orElse(tryOrder(l, r, ys, xs))
+                .orElse(tryOrder(r, l, xs, ys))
+                .orElse(tryOrder(r, l, ys, xs))
+            case _ =>
+              for {
+                src <- relName(rel)
+                if durable.contains(src)
+                (cat, tbl) = durable(src)
+                h <- cat.currentViewFor(tbl, gs)
+              } yield (cat, h._1, h._2, h._3)
           }
-          (cat, tbl) = durable(src)
-          (view, sumCols, centsOf) <- cat.currentViewFor(tbl, gs)
+        for {
+          (cat, view, sumCols, centsOf) <- hit
           // the WHERE routes only when every column it names is a group
           // column and it calls no functions (a nondeterministic rand()
           // gate must not be re-evaluated against different rows) and no
@@ -764,7 +793,8 @@ class GraftSql(val spark: SparkSession) {
   }
 
   private val procedures = Set("optimize", "compact", "vacuum", "purge",
-    "analyze", "refresh_mview", "create_mview", "clone", "create_bloom",
+    "analyze", "refresh_mview", "create_mview", "create_join_mview",
+    "clone", "create_bloom",
     "create_index", "history", "restore", "create_vector_index",
     "drop_vector_index", "create_ivfpq_index", "drop_ivfpq_index",
     "refresh_ivfpq_index")
@@ -803,6 +833,8 @@ class GraftSql(val spark: SparkSession) {
     "vacuum" -> Seq("tbl", "keep"), "purge" -> Seq("tbl", "predicate"),
     "refresh_mview" -> Seq("view"),
     "create_mview" -> Seq("view", "src", "group_col", "sum_col"),
+    "create_join_mview" ->
+      Seq("view", "fact", "dim", "fk", "group_col", "sum_col"),
     "clone" -> Seq("src", "dst"),
     "create_bloom" -> Seq("tbl", "col"), "create_index" -> Seq("tbl", "col"),
     "history" -> Seq("tbl"), "restore" -> Seq("tbl", "rel"),
@@ -913,6 +945,20 @@ class GraftSql(val spark: SparkSession) {
           str(i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         cat.createMaterializedView(str(0), srcT, cols(2), cols(3))
         register(str(0), cat, str(0)); done
+      case "create_join_mview" =>
+        // the star-schema form: fact and dim must live in ONE catalog
+        // (a view cannot span warehouses); comma-separated lists as in
+        // create_mview; the result auto-registers like create_mview
+        arity(6); val (fcat, factT) = durableOf(str(1))
+        val (dcat, dimT) = durableOf(str(2))
+        require(fcat eq dcat,
+          s"graft SQL CALL $proc: '${str(1)}' and '${str(2)}' are " +
+            "registered against different catalogs")
+        def jcols(i: Int): Seq[String] =
+          str(i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        fcat.createJoinMaterializedView(str(0), factT, dimT, str(3),
+          jcols(4), jcols(5))
+        register(str(0), fcat, str(0)); done
       case "clone" =>
         arity(2); val (cat, src) = durableOf(str(0))
         cat.cloneTable(src, str(1))

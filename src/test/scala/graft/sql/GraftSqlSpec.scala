@@ -715,4 +715,78 @@ class GraftSqlSpec extends SparkSpec {
     gs.sql("ALTER TABLE t RENAME TO s2")
     assert(gs.sql("SELECT COUNT(*) AS n FROM s2").head().getLong(0) === 3L)
   }
+
+  private def starFixture(): (GraftSql, Catalog) = {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft_sql_jmv_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("f", "k",
+      Seq((1L, 10L, 5.00), (2L, 10L, 2.50), (3L, 20L, 4.00))
+        .toDF("k", "rid", "amount"))
+    cat.createTable("d", "r",
+      Seq((10L, "east"), (20L, "west")).toDF("r", "region"))
+    (new GraftSql(spark).register("f", cat, "f").register("d", cat, "d"),
+      cat)
+  }
+
+  private def planFiles(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("a star-join aggregate routes to the CURRENT join view; staleness on either side falls back") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (g, cat) = starFixture()
+    cat.createJoinMaterializedView("jv", "f", "d", "rid",
+      Seq("region"), Seq("amount"))
+    g.register("jv", cat, "jv")
+    val q = """SELECT region, count(*) AS n, sum(amount) AS s
+              |FROM f JOIN d ON rid = r GROUP BY region""".stripMargin
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val routed = g.sql(q)
+    assert(planFiles(routed).contains("/jv"),
+      "expected the star aggregate to read the JOIN VIEW's files")
+    assert(rowsOf(routed) === Set(("east", 2L, 7.5), ("west", 1L, 4.0)))
+    // reversed sides and qualified equality route identically
+    val flipped = g.sql("""SELECT region, count(*) AS n, sum(amount) AS s
+                          |FROM d JOIN f ON d.r = f.rid
+                          |GROUP BY region""".stripMargin)
+    assert(planFiles(flipped).contains("/jv"))
+    assert(rowsOf(flipped) === rowsOf(routed))
+    // FACT committed, view not refreshed → direct path with fresh rows
+    g.sql("UPDATE f SET amount = amount + 1.0 WHERE k = 3")
+    val direct = g.sql(q)
+    assert(!planFiles(direct).contains("/jv"),
+      "a fact-stale join view must never serve")
+    assert(rowsOf(direct) === Set(("east", 2L, 7.5), ("west", 1L, 5.0)))
+    g.sql("CALL graft.refresh_mview('jv')")
+    assert(planFiles(g.sql(q)).contains("/jv"))
+    // DIM committed → dim-stale view must not serve either
+    cat.commit("d", graft.core.Txn.empty
+      .update(col("r") === 10L, Map("region" -> lit("ne"))))
+    assert(!planFiles(g.sql(q)).contains("/jv"),
+      "a dim-stale join view must never serve")
+    g.sql("CALL graft.refresh_mview('jv')")
+    val rerouted = g.sql(q)
+    assert(planFiles(rerouted).contains("/jv"))
+    assert(rowsOf(rerouted) === Set(("ne", 2L, 7.5), ("west", 1L, 5.0)))
+    // an unmaintained aggregate over the join passes through untouched
+    assert(!planFiles(g.sql(
+      """SELECT region, min(amount) AS m FROM f JOIN d ON rid = r
+        |GROUP BY region""".stripMargin)).contains("/jv"))
+  }
+
+  test("CALL graft.create_join_mview completes the SQL-only star lifecycle") {
+    val (g, _) = starFixture()
+    g.sql("CALL graft.create_join_mview('jv2', 'f', 'd', 'rid', " +
+      "'region', 'amount')")
+    val routed = g.sql("""SELECT region, count(*) AS n, sum(amount) AS s
+                         |FROM f JOIN d ON rid = r
+                         |GROUP BY region""".stripMargin)
+    assert(planFiles(routed).contains("/jv2"))
+    assert(routed.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ===
+      Set(("east", 2L, 7.5), ("west", 1L, 4.0)))
+  }
 }
