@@ -880,6 +880,39 @@ object OlapQueries {
       graft.streaming.Transitions.transitionCounts(s, d)
     },
 
+    // Streaming Z-SCORE (r9): q_zscore's incremental twin in the
+    // stream_hh shape — the per-type moment sums (n, Σv, Σv² — the
+    // DECIMAL(38,0) square accumulator merges map-side per micro-batch)
+    // maintain as a |types|-row streaming aggregation in complete mode,
+    // then the drained stats broadcast onto ONE batch scoring pass over
+    // the table (same fixed IEEE op sequence, same total top-20 order,
+    // same oracle as q_zscore). A standing anomaly monitor pays the
+    // changes for stats and one scan to score.
+    "stream_zscore" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val vq = floor(col("value") * 1e6).cast("long")
+      val statsPlan = StreamOps.fileSource(s, d, "events")
+        .select(col("event_type"), vq.as("vq"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sv"),
+             sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("svv"))
+      val stats = StreamOps.drainComplete(s, statsPlan)
+        .where(col("n") > 1)
+        .select(col("event_type"),
+          expr("CAST(sv AS DOUBLE) / n").as("mean_q"),
+          expr("sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1))")
+            .as("std_q"))
+        .where(col("std_q") > 0.0)
+      Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"), vq.as("vq"))
+        .join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("vq").cast("double") - col("mean_q")) / col("std_q")).as("z"))
+        .where(abs(col("z")) > lit(3.0))
+        .orderBy(abs(col("z")).desc, col("event_id").asc)
+        .limit(20)
+    },
+
     // Z-SCORE anomaly screen (r9): the aggregate→broadcast-back shape —
     // per-type mean/std from exact micro-quantized sums (ONE map-side
     // combined pass), the |types|-row stats broadcast back onto the
@@ -1099,6 +1132,41 @@ object OlapQueries {
         .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
         .agg(count(lit(1)).as("joint"))
         .orderBy(col("joint").desc, col("p1").asc, col("p2").asc)
+        .limit(20)
+    },
+
+    // ASSOCIATION RULES (r9): q_copurchase extended to the full
+    // support/confidence/lift mining surface. Same canonical-pair join
+    // (ONE order-key shuffle, C(k,2) fan-out bounded by order width);
+    // per-item order counts are a second |parts|-group aggregate that
+    // joins the pair table broadcast at realistic catalog sizes (AQE
+    // decides); the 1-row order total crossJoins broadcast. Every
+    // statistic is a fixed IEEE op sequence over exact longs; the
+    // min-support gate (joint ≥ 3) bounds the rule set and the top-20
+    // by (lift desc, p1, p2) — a TOTAL order — is TakeOrderedAndProject.
+    "q_assoc_rules" -> { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val itemN = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      val totN = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("joint"))
+        .where(col("joint") >= 3)
+        .join(itemN.select(col("l_partkey").as("p1"), col("cnt").as("n1")), "p1")
+        .join(itemN.select(col("l_partkey").as("p2"), col("cnt").as("n2")), "p2")
+        .crossJoin(broadcast(totN))
+        .select(col("p1"), col("p2"), col("joint"), col("n1"), col("n2"),
+          (col("joint").cast("double") / col("n_orders").cast("double"))
+            .as("support"),
+          (col("joint").cast("double") / col("n1").cast("double"))
+            .as("conf12"),
+          (col("joint").cast("double") * col("n_orders").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double"))).as("lift"))
+        .orderBy(col("lift").desc, col("p1").asc, col("p2").asc)
         .limit(20)
     },
 
@@ -1698,6 +1766,27 @@ object OlapQueries {
         |         e.event_id ASC
         |LIMIT 20""".stripMargin,
 
+    // the streamed moment sums must score identically — same oracle as
+    // q_zscore
+    "stream_zscore" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |             CAST(floor(value * 1e6) AS BIGINT) AS vq FROM events),
+        |s AS (SELECT event_type, COUNT(*) AS n, SUM(vq) AS sv,
+        |        SUM(vq * vq) AS svv FROM e GROUP BY 1),
+        |st AS (SELECT event_type, CAST(sv AS DOUBLE) / n AS mean_q,
+        |         sqrt((CAST(svv AS DOUBLE)
+        |           - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1))
+        |           AS std_q
+        |       FROM s WHERE n > 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       (CAST(e.vq AS DOUBLE) - st.mean_q) / st.std_q AS z
+        |FROM e JOIN st ON e.event_type = st.event_type
+        |WHERE st.std_q > 0
+        |  AND abs((CAST(e.vq AS DOUBLE) - st.mean_q) / st.std_q) > 3.0
+        |ORDER BY abs((CAST(e.vq AS DOUBLE) - st.mean_q) / st.std_q) DESC,
+        |         e.event_id ASC
+        |LIMIT 20""".stripMargin,
+
     // first-active-day cohorts x integer day offsets; the (user, day)
     // active set is distinct before the join so COUNT(*) is users
     "q_cohort" ->
@@ -1822,6 +1911,28 @@ object OlapQueries {
         |SELECT user_id, event_id,
         |  vc + (l1 // 2) + (l2 // 4) + (l3 // 8) AS ema_q
         |FROM e""".stripMargin,
+
+    // same pair/item/total counts; every statistic the same textual
+    // IEEE sequence over exact integers; (lift desc, p1, p2) is total
+    "q_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |i AS (SELECT l_partkey, COUNT(*) AS cnt FROM li GROUP BY 1),
+        |t AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+        |p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS joint
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                         AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2)
+        |SELECT p1, p2, joint, i1.cnt AS n1, i2.cnt AS n2,
+        |  CAST(joint AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+        |  CAST(joint AS DOUBLE) / CAST(i1.cnt AS DOUBLE) AS conf12,
+        |  CAST(joint AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |    / (CAST(i1.cnt AS DOUBLE) * CAST(i2.cnt AS DOUBLE)) AS lift
+        |FROM p
+        |JOIN i i1 ON p.p1 = i1.l_partkey
+        |JOIN i i2 ON p.p2 = i2.l_partkey
+        |CROSS JOIN t
+        |WHERE joint >= 3
+        |ORDER BY lift DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin,
 
     // the same canonical pair join; LIMIT is safe because the order is
     // total (joint desc, p1, p2)
