@@ -880,6 +880,37 @@ object OlapQueries {
       graft.streaming.Transitions.transitionCounts(s, d)
     },
 
+    // Two-sample WELCH z-TEST (r9): the experimentation primitive — is
+    // the mean event value of 'view' different from 'click'? Both
+    // groups' moment sums come from ONE map-combined aggregate over the
+    // type-filtered scan (pushed filter), the two 1-row branches
+    // crossJoin broadcast, and the statistic is ONE fixed IEEE op
+    // sequence over exact quantized sums (the q_stats_agg convention;
+    // the 1e6 quanta cancel between numerator and denominator
+    // algebraically, and both engines run the identical op order so
+    // the doubles match bitwise). At 100 TB: one scan, \|2\| groups.
+    "q_ttest" -> { (s, d) =>
+      val vq = floor(col("value") * 1e6).cast("long")
+      val st = Tables(s, d, "events")
+        .where(col("event_type").isin("view", "click"))
+        .select(col("event_type"), vq.as("vq"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sv"),
+             sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("svv"))
+      val a = st.where(col("event_type") === "view")
+        .select(col("n").as("n1"), col("sv").as("sv1"), col("svv").as("svv1"))
+      val b = st.where(col("event_type") === "click")
+        .select(col("n").as("n2"), col("sv").as("sv2"), col("svv").as("svv2"))
+      a.crossJoin(broadcast(b)).select(
+        col("n1"), col("n2"),
+        expr("CAST(sv1 AS DOUBLE) / n1 / 1000000.0").as("mean1"),
+        expr("CAST(sv2 AS DOUBLE) / n2 / 1000000.0").as("mean2"),
+        expr("(CAST(sv1 AS DOUBLE) / n1 - CAST(sv2 AS DOUBLE) / n2) / " +
+          "sqrt((CAST(svv1 AS DOUBLE) - CAST(sv1 AS DOUBLE) * CAST(sv1 AS DOUBLE) / n1) / (n1 - 1) / n1 + " +
+          "(CAST(svv2 AS DOUBLE) - CAST(sv2 AS DOUBLE) * CAST(sv2 AS DOUBLE) / n2) / (n2 - 1) / n2)")
+          .as("z"))
+    },
+
     // Streaming Z-SCORE (r9): q_zscore's incremental twin in the
     // stream_hh shape — the per-type moment sums (n, Σv, Σv² — the
     // DECIMAL(38,0) square accumulator merges map-side per micro-batch)
@@ -1765,6 +1796,26 @@ object OlapQueries {
         |ORDER BY abs((CAST(e.vq AS DOUBLE) - st.mean_q) / st.std_q) DESC,
         |         e.event_id ASC
         |LIMIT 20""".stripMargin,
+
+    // same exact moment sums, same textual Welch formula — the single
+    // output row matches bitwise
+    "q_ttest" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(floor(value * 1e6) AS BIGINT) AS vq FROM events
+        |           WHERE event_type IN ('view', 'click')),
+        |s AS (SELECT event_type, COUNT(*) AS n, SUM(vq) AS sv,
+        |        SUM(vq * vq) AS svv FROM e GROUP BY 1),
+        |a AS (SELECT n AS n1, sv AS sv1, svv AS svv1 FROM s
+        |      WHERE event_type = 'view'),
+        |b AS (SELECT n AS n2, sv AS sv2, svv AS svv2 FROM s
+        |      WHERE event_type = 'click')
+        |SELECT n1, n2,
+        |  CAST(sv1 AS DOUBLE) / n1 / 1000000.0 AS mean1,
+        |  CAST(sv2 AS DOUBLE) / n2 / 1000000.0 AS mean2,
+        |  (CAST(sv1 AS DOUBLE) / n1 - CAST(sv2 AS DOUBLE) / n2) /
+        |  sqrt((CAST(svv1 AS DOUBLE) - CAST(sv1 AS DOUBLE) * CAST(sv1 AS DOUBLE) / n1) / (n1 - 1) / n1 +
+        |       (CAST(svv2 AS DOUBLE) - CAST(sv2 AS DOUBLE) * CAST(sv2 AS DOUBLE) / n2) / (n2 - 1) / n2) AS z
+        |FROM a, b""".stripMargin,
 
     // the streamed moment sums must score identically — same oracle as
     // q_zscore

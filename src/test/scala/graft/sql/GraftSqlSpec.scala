@@ -777,6 +777,22 @@ class GraftSqlSpec extends SparkSpec {
         |GROUP BY region""".stripMargin)).contains("/jv"))
   }
 
+  test("HAVING / ORDER BY / LIMIT compose over the routed star join") {
+    val (g, cat) = starFixture()
+    cat.createJoinMaterializedView("jv", "f", "d", "rid",
+      Seq("region"), Seq("amount"))
+    g.register("jv", cat, "jv")
+    val topn = g.sql("""SELECT region, count(*) AS n, sum(amount) AS s
+                       |FROM f JOIN d ON rid = r GROUP BY region
+                       |HAVING sum(amount) > 1.0
+                       |ORDER BY s DESC LIMIT 1""".stripMargin)
+    assert(planFiles(topn).contains("/jv"),
+      "the full dashboard top-n must route onto the join view")
+    assert(topn.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq(("east", 2L, 7.5)))
+  }
+
   test("CALL graft.create_join_mview completes the SQL-only star lifecycle") {
     val (g, _) = starFixture()
     g.sql("CALL graft.create_join_mview('jv2', 'f', 'd', 'rid', " +
