@@ -911,6 +911,157 @@ object OlapQueries {
           .as("z"))
     },
 
+    // Streaming WELCH z-TEST (r9): q_ttest's incremental twin in the
+    // stream_zscore shape — the two groups' moment sums (n, Σv, Σv²)
+    // maintain as a 2-row streaming aggregation in complete mode (the
+    // DECIMAL(38,0) square accumulator merges map-side per micro-batch;
+    // the type filter prunes the stream before any state), then the
+    // drained 2-row stats take the SAME fixed IEEE op sequence as
+    // q_ttest — a standing experiment monitor pays only the changes.
+    // Same oracle as q_ttest: the streamed sums are the batch sums.
+    "stream_ttest" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val vq = floor(col("value") * 1e6).cast("long")
+      val statsPlan = StreamOps.fileSource(s, d, "events")
+        .where(col("event_type").isin("view", "click"))
+        .select(col("event_type"), vq.as("vq"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sv"),
+             sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("svv"))
+      val st = StreamOps.drainComplete(s, statsPlan)
+      val a = st.where(col("event_type") === "view")
+        .select(col("n").as("n1"), col("sv").as("sv1"), col("svv").as("svv1"))
+      val b = st.where(col("event_type") === "click")
+        .select(col("n").as("n2"), col("sv").as("sv2"), col("svv").as("svv2"))
+      a.crossJoin(broadcast(b)).select(
+        col("n1"), col("n2"),
+        expr("CAST(sv1 AS DOUBLE) / n1 / 1000000.0").as("mean1"),
+        expr("CAST(sv2 AS DOUBLE) / n2 / 1000000.0").as("mean2"),
+        expr("(CAST(sv1 AS DOUBLE) / n1 - CAST(sv2 AS DOUBLE) / n2) / " +
+          "sqrt((CAST(svv1 AS DOUBLE) - CAST(sv1 AS DOUBLE) * CAST(sv1 AS DOUBLE) / n1) / (n1 - 1) / n1 + " +
+          "(CAST(svv2 AS DOUBLE) - CAST(sv2 AS DOUBLE) * CAST(sv2 AS DOUBLE) / n2) / (n2 - 1) / n2)")
+          .as("z"))
+    },
+
+    // Per-group SIMPLE OLS (r9): extendedprice regressed on quantity per
+    // returnflag — slope / intercept / R² from the q_stats_agg moment-sum
+    // recipe (ONE map-side combined scan into |groups| rows of exact
+    // sums; the quantity·price and price² per-row products overflow a
+    // long at 100 TB row counts, so those two accumulate as
+    // DECIMAL(38,0), the q_zscore convention). slope computes once per
+    // group and intercept REFERENCES it (both engines reuse the alias —
+    // one shared IEEE value, no textual duplication drift). At 100 TB:
+    // one scan, zero joins, |groups| output rows.
+    "q_linreg" -> { (s, d) =>
+      val x = Exact.cents(col("l_quantity"))
+      val y = Exact.cents(col("l_extendedprice"))
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(x).as("sx"), sum(y).as("sy"),
+             sum((x * x).cast("decimal(38,0)")).as("sxx"),
+             sum((y * y).cast("decimal(38,0)")).as("syy"),
+             sum((x * y).cast("decimal(38,0)")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          expr("(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / " +
+               "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)")
+            .as("slope"),
+          col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
+        .select(col("l_returnflag"), col("n"), col("slope"),
+          expr("(CAST(sy AS DOUBLE) / n - slope * (CAST(sx AS DOUBLE) / n)) / 100.0")
+            .as("intercept"),
+          expr("((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) * " +
+               " (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)) / " +
+               "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) * " +
+               " (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))")
+            .as("r2"))
+    },
+
+    // CHI-SQUARED independence cells (r9): is order status independent of
+    // priority? ONE scan map-combines into the |status|×|priority| cell
+    // table; row totals, column totals and N are RE-AGGREGATIONS of the
+    // tiny cell table (the fact is scanned exactly once), broadcast back
+    // onto the cells. Expected counts and per-cell contributions are one
+    // fixed IEEE sequence over exact longs; `expected` computes once and
+    // `contrib` references the alias (shared value in both engines). The
+    // per-cell rows ARE the result — a grand total would sum doubles in
+    // engine-dependent order; the caller folds the ≤|cells| rows any way
+    // it likes. At 100 TB: one scan, |cells| rows after it.
+    "q_chi2" -> { (s, d) =>
+      val cells = Tables(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("status"),
+                 col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy(col("status")).agg(sum(col("obs")).as("rt"))
+      val ct = cells.groupBy(col("prio")).agg(sum(col("obs")).as("ct"))
+      val tot = cells.agg(sum(col("obs")).as("total"))
+      cells.join(broadcast(rt), "status").join(broadcast(ct), "prio")
+        .crossJoin(broadcast(tot))
+        .select(col("status"), col("prio"), col("obs"),
+          expr("CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / total")
+            .as("expected"))
+        .select(col("status"), col("prio"), col("obs"), col("expected"),
+          expr("(obs - expected) * (obs - expected) / expected")
+            .as("contrib"))
+    },
+
+    // TRIANGLE COUNTING (r9): the co-purchase graph's clustering — nodes
+    // = parts, edges = part pairs sharing an order. The MR-classic
+    // DEGREE-ORIENTED algorithm: orient every edge toward the higher
+    // (degree, id) endpoint, enumerate wedges at each edge's SOURCE
+    // (out-degrees under this orientation are O(√m)-bounded, so the
+    // wedge set never explodes at a hub the way naive neighbor-pairing
+    // does), and close each wedge against the oriented edge set — every
+    // triangle counted exactly once, at its lowest-(deg,id) corner.
+    // Three hash-partitioned joins (edge⋈degree ×2, wedge⋈edge), all
+    // key-shuffles of id/degree longs — never an all-pairs product.
+    // Wedge totals Σ d(d−1)/2 are exact longs; transitivity is one IEEE
+    // divide. The oracle counts the same triangles declaratively
+    // (lo<hi three-way join — same integer, different plan).
+    "q_triangles" -> { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("lo"), col("b.l_partkey").as("hi"))
+        .distinct()
+      val deg = e.select(col("lo").as("v"))
+        .unionAll(e.select(col("hi").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      // orient: src = the (deg, id)-smaller endpoint; carry the dst's
+      // rank so wedge endpoints order without a third degree join
+      val ed = e
+        .join(deg.select(col("v").as("lo"), col("deg").as("dlo")), "lo")
+        .join(deg.select(col("v").as("hi"), col("deg").as("dhi")), "hi")
+      val loFirst = col("dlo") < col("dhi") ||
+        (col("dlo") === col("dhi") && col("lo") < col("hi"))
+      val ori = ed.select(
+        when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
+        when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
+        when(loFirst, col("dhi")).otherwise(col("dlo")).as("ddst"))
+      // wedge (b, c) at src with π(b) < π(c); the closing edge is b→c
+      val wedges = ori.as("x").join(ori.as("y"),
+          col("x.src") === col("y.src") &&
+            (col("x.ddst") < col("y.ddst") ||
+             (col("x.ddst") === col("y.ddst") &&
+              col("x.dst") < col("y.dst"))))
+        .select(col("x.dst").as("b"), col("y.dst").as("c"))
+      val tri = wedges.as("w").join(ori.as("z"),
+          col("w.b") === col("z.src") && col("w.c") === col("z.dst"))
+        .agg(count(lit(1)).as("n_tri"))
+      // Σ d(d−1) stays an exact long; the halving is an integer DIV
+      // (d(d−1) is even) — never a double division on the path
+      val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg") * (col("deg") - 1)).as("w2"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"),
+          expr("w2 DIV 2").as("n_wedges"), col("n_tri"),
+          expr("CAST(3 * n_tri AS DOUBLE) / CAST(w2 DIV 2 AS DOUBLE)")
+            .as("transitivity"))
+    },
+
     // Streaming Z-SCORE (r9): q_zscore's incremental twin in the
     // stream_hh shape — the per-type moment sums (n, Σv, Σv² — the
     // DECIMAL(38,0) square accumulator merges map-side per micro-batch)
@@ -1816,6 +1967,85 @@ object OlapQueries {
         |  sqrt((CAST(svv1 AS DOUBLE) - CAST(sv1 AS DOUBLE) * CAST(sv1 AS DOUBLE) / n1) / (n1 - 1) / n1 +
         |       (CAST(svv2 AS DOUBLE) - CAST(sv2 AS DOUBLE) * CAST(sv2 AS DOUBLE) / n2) / (n2 - 1) / n2) AS z
         |FROM a, b""".stripMargin,
+
+    // the streamed moment sums ARE the batch sums — same oracle as q_ttest
+    "stream_ttest" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(floor(value * 1e6) AS BIGINT) AS vq FROM events
+        |           WHERE event_type IN ('view', 'click')),
+        |s AS (SELECT event_type, COUNT(*) AS n, SUM(vq) AS sv,
+        |        SUM(vq * vq) AS svv FROM e GROUP BY 1),
+        |a AS (SELECT n AS n1, sv AS sv1, svv AS svv1 FROM s
+        |      WHERE event_type = 'view'),
+        |b AS (SELECT n AS n2, sv AS sv2, svv AS svv2 FROM s
+        |      WHERE event_type = 'click')
+        |SELECT n1, n2,
+        |  CAST(sv1 AS DOUBLE) / n1 / 1000000.0 AS mean1,
+        |  CAST(sv2 AS DOUBLE) / n2 / 1000000.0 AS mean2,
+        |  (CAST(sv1 AS DOUBLE) / n1 - CAST(sv2 AS DOUBLE) / n2) /
+        |  sqrt((CAST(svv1 AS DOUBLE) - CAST(sv1 AS DOUBLE) * CAST(sv1 AS DOUBLE) / n1) / (n1 - 1) / n1 +
+        |       (CAST(svv2 AS DOUBLE) - CAST(sv2 AS DOUBLE) * CAST(sv2 AS DOUBLE) / n2) / (n2 - 1) / n2) AS z
+        |FROM a, b""".stripMargin,
+
+    // single-node moment sums are the same exact integers; slope computes
+    // once in the CTE and intercept/r2 reference it — the identical
+    // shared-value reuse the Spark side performs
+    "q_linreg" ->
+      """WITH m AS (SELECT l_returnflag,
+        |             CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |           FROM lineitem),
+        |s AS (SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        |      FROM m GROUP BY 1),
+        |t AS (SELECT l_returnflag, n,
+        |        (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+        |        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS slope,
+        |        sx, sy, sxx, syy, sxy FROM s)
+        |SELECT l_returnflag, n, slope,
+        |  (CAST(sy AS DOUBLE) / n - slope * (CAST(sx AS DOUBLE) / n)) / 100.0 AS intercept,
+        |  ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) *
+        |   (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)) /
+        |  ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
+        |   (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS r2
+        |FROM t""".stripMargin,
+
+    // exact cell/marginal counts; expected computes once and contrib
+    // references it, as on the Spark side
+    "q_chi2" ->
+      """WITH cells AS (SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |                 COUNT(*) AS obs FROM orders GROUP BY 1, 2),
+        |r AS (SELECT status, SUM(obs) AS rt FROM cells GROUP BY 1),
+        |c AS (SELECT prio, SUM(obs) AS ct FROM cells GROUP BY 1),
+        |t AS (SELECT SUM(obs) AS total FROM cells),
+        |e AS (SELECT status, prio, obs,
+        |        CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / total AS expected
+        |      FROM cells JOIN r USING (status) JOIN c USING (prio)
+        |      CROSS JOIN t)
+        |SELECT status, prio, obs, expected,
+        |  (obs - expected) * (obs - expected) / expected AS contrib
+        |FROM e""".stripMargin,
+
+    // declarative triangle count: each triangle once via lo<hi edge
+    // ordering (e1=(a,b), e2=(b,c), e3=(a,c)) — same integer the
+    // degree-oriented plan produces
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                         AND a.l_partkey < b.l_partkey),
+        |d AS (SELECT v, COUNT(*) AS deg
+        |      FROM (SELECT lo AS v FROM e UNION ALL SELECT hi FROM e)
+        |      GROUP BY 1),
+        |tri AS (SELECT COUNT(*) AS n_tri FROM e e1
+        |        JOIN e e2 ON e2.lo = e1.hi
+        |        JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        |nd AS (SELECT COUNT(*) AS n_nodes,
+        |         CAST(SUM(deg * (deg - 1)) AS BIGINT) AS w2 FROM d),
+        |ed AS (SELECT COUNT(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, w2 // 2 AS n_wedges, n_tri,
+        |  CAST(3 * n_tri AS DOUBLE) / CAST(w2 // 2 AS DOUBLE) AS transitivity
+        |FROM nd, ed, tri""".stripMargin,
 
     // the streamed moment sums must score identically — same oracle as
     // q_zscore

@@ -762,6 +762,45 @@ object PipelineQueries {
         .select(col("bg"), col("n"), col("rnk"))
     },
 
+    // COLLOCATION MINING (r9): PMI-ranked bigrams (reported as the PMI
+    // RATIO P(xy)/(P(x)P(y)) — exp(PMI), the same ranking through pure
+    // divisions; ln() is not bitwise-portable across engines' libm,
+    // the one transcendental the exact-arithmetic convention bans) —
+    // the phrase detector
+    // every tokenizer-training / vocab-merge pipeline runs before BPE.
+    // RAW (non-distinct) bigram and unigram counts from one pass each
+    // (the shifted-slice zip is O(tokens) per doc, the shingles recipe
+    // minus the dedup); counts shuffle map-combined word/pair partials.
+    // The cxy ≥ 5 support prefilter shrinks the pair table BEFORE the
+    // two vocabulary joins (key-partitioned on the word — the vocab is
+    // |V| counted rows, never broadcast-assumed), the two 1-row totals
+    // broadcast, and PMI is one fixed IEEE sequence over exact longs.
+    // Top-20 under a total order via TakeOrderedAndProject.
+    "text_collocations" -> { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      val docs = Tables(s, d, "documents").select(toks.as("t"))
+      val uni = docs.select(explode(col("t")).as("w"))
+      val cu = uni.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val nu = uni.agg(count(lit(1)).as("nu"))
+      val m = size(col("t")) - 1
+      val bg = docs.where(size(col("t")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("t"), lit(1), m), slice(col("t"), lit(2), m))).as("p"))
+        .select(col("p.0").as("w1"), col("p.1").as("w2"))
+      val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+      val nb = bg.agg(count(lit(1)).as("nb"))
+      cb.where(col("cxy") >= 5)
+        .join(cu.select(col("w").as("w1"), col("cw").as("cx")), "w1")
+        .join(cu.select(col("w").as("w2"), col("cw").as("cy")), "w2")
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+        .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"),
+          expr("CAST(cxy AS DOUBLE) / nb / " +
+               "(CAST(cx AS DOUBLE) / nu * (CAST(cy AS DOUBLE) / nu))")
+            .as("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+    },
+
     // JSON metadata parsing — the sidecar format every pipeline stage
     // actually receives (crawl records, dataset cards, annotation
     // payloads). The fixture builds each record's JSON EXPLICITLY (same
@@ -2498,6 +2537,29 @@ object PipelineQueries {
         |SELECT bg, n,
         |       CAST(row_number() OVER (ORDER BY n DESC, bg ASC) AS BIGINT) AS rnk
         |FROM c QUALIFY rnk <= 100""".stripMargin,
+
+    // same raw bigram/unigram counts single-node; PMI is the identical
+    // textual op sequence over the same exact longs
+    "text_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |cu AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY 1),
+        |nu AS (SELECT COUNT(*) AS nu FROM uni),
+        |bg AS (SELECT unnest(list_transform(range(1, len(t)),
+        |         i -> {'w1': t[i], 'w2': t[i+1]}), recursive := true)
+        |       FROM toks WHERE len(t) >= 2),
+        |cb AS (SELECT w1, w2, COUNT(*) AS cxy FROM bg GROUP BY 1, 2),
+        |nb AS (SELECT COUNT(*) AS nb FROM bg)
+        |SELECT w1, w2, cxy, cx, cy,
+        |  CAST(cxy AS DOUBLE) / nb /
+        |  (CAST(cx AS DOUBLE) / nu * (CAST(cy AS DOUBLE) / nu)) AS pmi_ratio
+        |FROM cb
+        |JOIN (SELECT w AS w1, cw AS cx FROM cu) c1 USING (w1)
+        |JOIN (SELECT w AS w2, cw AS cy FROM cu) c2 USING (w2)
+        |CROSS JOIN nb CROSS JOIN nu
+        |WHERE cxy >= 5
+        |ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
+        |LIMIT 20""".stripMargin,
 
     // same explicit JSON bytes, parsed with DuckDB's json functions
     "text_json" ->
