@@ -229,10 +229,61 @@ final class Catalog(spark: SparkSession, warehouse: String,
   private def metaExists(name: String): Boolean =
     pathExists(metaPath(name)) || pathExists(metaTmpPath(name))
 
+  // ------------------------------------------------------- durable views
+
+  private def viewsDir = new Path(root, "_views")
+  private def viewPath(name: String) = new Path(viewsDir, s"$name.sql")
+
+  /** CREATE VIEW: persist the view's SQL TEXT — never a plan, never a
+    * materialization. A view is a NAME for a query (the Hive/Delta/
+    * Iceberg-view contract): it re-parses at every read, so results
+    * always reflect the live tables underneath and the text composes
+    * with whatever the SQL front door supports at READ time (DML'd
+    * tables, time travel inside the text, mview routing of the
+    * expanded aggregate). Storing an analyzed plan instead would
+    * freeze resolution at creation — the classic stale-temp-view trap.
+    * Atomic tmp+rename publish; `_views/` can never collide with a
+    * table ([[tableNames]] keys on `_graft.json`, and table names that
+    * start with `_` are rejected at create). */
+  def createView(name: String, sqlText: String,
+                 replace: Boolean = false): Unit = {
+    require(name.nonEmpty && !name.startsWith("_"),
+      s"view name '$name' is reserved")
+    require(!metaExists(name),
+      s"createView: '$name' is a table in this warehouse")
+    require(sqlText.trim.nonEmpty, "createView: empty view text")
+    if (!replace) require(!pathExists(viewPath(name)),
+      s"view '$name' already exists (use CREATE OR REPLACE VIEW)")
+    fs.mkdirs(viewsDir)
+    val tmp = new Path(viewsDir, s"$name.sql.tmp")
+    writeString(tmp, sqlText)
+    fs.delete(viewPath(name), false)
+    move(tmp, viewPath(name))
+  }
+
+  /** The stored view text, if `name` is a durable view. */
+  def viewSql(name: String): Option[String] =
+    if (pathExists(viewPath(name))) Some(readString(viewPath(name)))
+    else None
+
+  def dropView(name: String): Unit = {
+    require(pathExists(viewPath(name)), s"no such view: $name")
+    fs.delete(viewPath(name), false); ()
+  }
+
+  def viewNames: Seq[String] =
+    if (!isDir(viewsDir)) Seq.empty
+    else fs.listStatus(viewsDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".sql"))
+      .map(_.stripSuffix(".sql")).sorted
+
   /** Create a table from initial rows (reference: Database.create_table). */
   def createTable(name: String, keyCol: String,
                   rows: org.apache.spark.sql.DataFrame): LineageTable = {
     require(!metaExists(name), s"table $name already exists")
+    require(viewSql(name).isEmpty,
+      s"createTable: '$name' is a view in this warehouse")
     val t = LineageTable.fromBase(keyCol, rows)
     fs.mkdirs(dir(name))
     writeMeta(name, Meta(keyCol, rows.columns.toSeq, index = None, opSeq = 0))

@@ -98,6 +98,57 @@ object Graph {
     rank
   }
 
+  /**
+   * Multi-source BFS: minimum hop distance from any `sources` row to every
+   * reachable node, bounded at `maxHops` synchronous rounds. `edges` is
+   * (src, dst) directed — pass a symmetrized table for undirected
+   * semantics; `sources` is a 1-column ("node") seed table (stays a
+   * DataFrame so a data-derived seed — "the min node" — never collects).
+   *
+   * Scale shape (the pagerank lessons applied): |E| lives in FILES and is
+   * re-read once per round (never pinned in block memory — the 100× OOM
+   * that redesigned pagerank); per round ONE equi-join of the edge files
+   * against the frontier (AQE broadcasts a small frontier, falls back to
+   * shuffle when a hop saturates the graph) + one distinct at |frontier|
+   * + one anti join against the visited set. Visited state is |reached|
+   * rows, localCheckpoint'd with predecessors freed each round; an
+   * exhausted frontier short-circuits — the emptiness probe scans the
+   * just-materialized checkpoint, not a recompute.
+   */
+  def bfs(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"bfs: maxHops=$maxHops must be >= 0")
+    val spark = edges.sparkSession
+    val dir = graft.sources.TextSources.scratchDir(spark, "graft_bfs_")
+    edges.select(col("src"), col("dst")).write.mode("overwrite").parquet(dir)
+    val e = spark.read.parquet(dir)
+    var visited = sources.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    // round 1's frontier IS the seed checkpoint — never free both handles
+    var frontier = visited
+    var hop = 1
+    while (hop <= maxHops && frontier != null) {
+      val next = e.join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop.toLong).as("dist"))
+        .localCheckpoint()
+      if (next.isEmpty) { freeCheckpoint(next); frontier = null }
+      else {
+        val grown = visited.unionByName(next).localCheckpoint()
+        // grown is materialized: the superseded visited and the previous
+        // frontier's blocks are garbage; `next` lives on as the frontier
+        if (frontier ne visited) freeCheckpoint(frontier)
+        freeCheckpoint(visited)
+        visited = grown
+        frontier = next
+      }
+      hop += 1
+    }
+    if (frontier != null && (frontier ne visited)) freeCheckpoint(frontier)
+    deleteQuietly(spark, dir)
+    visited
+  }
+
   private def deleteQuietly(spark: org.apache.spark.sql.SparkSession,
                             dir: String): Unit =
     try {

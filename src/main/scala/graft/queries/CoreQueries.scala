@@ -1406,6 +1406,43 @@ object CoreQueries {
               |FROM sqlr_renamed VERSION AS OF 0 GROUP BY status""".stripMargin)
     },
 
+    // DURABLE SQL VIEWS end to end (r9, Catalog.createView + GraftSql
+    // CreateView/DropView/expandDurableViews): CREATE VIEW stores the
+    // SQL TEXT in the warehouse — never a plan, never a materialization
+    // — so (a) DML issued AFTER view creation is visible through the
+    // view (text re-parses at every read; an analyzed-plan temp view
+    // would have frozen the old snapshot), (b) views stack (the rollup
+    // view reads the filter view reads the table — recursive expansion
+    // behind a cycle guard), and (c) a FRESH session over the same
+    // warehouse reads the view with zero re-declaration. Expansion is
+    // driver-side plan surgery; the executed plan is identical to
+    // writing the view text inline — no second execution path.
+    "sql_view" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_sqlview_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      val g = new graft.sql.GraftSql(s).attach(cat)
+      baseOrders(s, d).createOrReplaceTempView("sqlview_src")
+      g.sql("""CREATE TABLE sqlv_t USING graft OPTIONS ('key' = 'k')
+              |AS SELECT k, custkey, status, totalprice FROM sqlview_src
+              |WHERE k % 3 = 0""".stripMargin)
+      g.sql("""CREATE VIEW sqlv_big AS
+              |SELECT k, custkey, status, totalprice FROM sqlv_t
+              |WHERE totalprice > 100000.0""".stripMargin)
+      g.sql("""CREATE VIEW sqlv_roll AS
+              |SELECT status, count(*) AS n,
+              |       CAST(sum(custkey) AS BIGINT) AS ck
+              |FROM sqlv_big GROUP BY status""".stripMargin)
+      // DML after creation: the views must track it
+      g.sql("UPDATE sqlv_t SET status = 'V' WHERE k % 6 = 0")
+      // a fresh catalog handle + fresh front door (a new session over
+      // the same warehouse): the durable view serves with no setup
+      // beyond registering the base table
+      val cat2 = new Catalog(s, wh, autoCompact = false)
+      val g2 = new graft.sql.GraftSql(s).attach(cat2)
+      g2.register("sqlv_t", cat2, "sqlv_t")
+      g2.sql("SELECT status, n, ck FROM sqlv_roll")
+    },
+
     "sql_dml" -> { (s, d) =>
       val g = new graft.sql.GraftSql(s)
         .register("sqldml_t", LineageTable.fromBase("k", baseOrders(s, d)))
@@ -2104,6 +2141,21 @@ object CoreQueries {
         |SELECT 'v0' AS vintage, status, COUNT(*) AS n,
         |       CAST(SUM(custkey) AS BIGINT) AS ck
         |FROM t0 GROUP BY status""".stripMargin,
+
+    // the stacked views over the DML'd table must equal the inline
+    // pipeline: filter-view over updated rows, rollup-view over that
+    "sql_view" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |t AS (SELECT k, custkey,
+        |        CASE WHEN k % 6 = 0 THEN 'V' ELSE status END AS status,
+        |        totalprice
+        |      FROM base WHERE k % 3 = 0),
+        |big AS (SELECT * FROM t WHERE totalprice > 100000.0)
+        |SELECT status, COUNT(*) AS n, CAST(SUM(custkey) AS BIGINT) AS ck
+        |FROM big GROUP BY status""".stripMargin,
 
     // the SQL-created tables must land exactly the filtered/updated
     // states a direct relational pipeline computes

@@ -1062,6 +1062,172 @@ object OlapQueries {
             .as("transitivity"))
     },
 
+    // AUTOCORRELATION (r9): lag-1..7 Pearson ACF of the daily event-count
+    // series — the seasonality probe before any forecasting. ONE fact
+    // scan map-combines into the |days|-row daily series; the 7 lagged
+    // pairings come from a 7-way map-side explode of that TINY table
+    // joined back to itself on day index (a key join of |days| rows —
+    // never a global-order window, whose single partition is the
+    // classic time-series trap); per-lag moment sums are exact longs
+    // (DECIMAL(38,0) products — day counts square past long headroom at
+    // 100 TB) and each r_k is ONE fixed IEEE sequence. At 100 TB: one
+    // fact scan, then arithmetic on thousands of rows.
+    "q_acf" -> { (s, d) =>
+      val day = 86400L * 1000 * 1000 * 1000
+      val daily = Tables(s, d, "events")
+        .groupBy(expr(s"ts div $day").as("idx"))
+        .agg(count(lit(1)).as("cnt"))
+      val probe = daily.select(col("idx"), col("cnt").as("x"),
+          explode(array((1 to 7).map(lit(_)): _*)).as("k"))
+        .select((col("idx") + col("k")).as("yidx"), col("k"), col("x"))
+      probe.join(daily.select(col("idx").as("yidx"), col("cnt").as("y")),
+          "yidx")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("m"),
+             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+             sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+             sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+             sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+        .select(col("k").cast("long").as("lag"), col("m"),
+          expr("(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / m) / " +
+               "sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) * " +
+               "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / m))")
+            .as("acf"))
+    },
+
+    // MEDIAN ABSOLUTE DEVIATION (r9): the robust twin of q_zscore — a
+    // long-tailed metric swamps mean/std, while median ± MAD ignores any
+    // minority of outliers entirely. TWO passes of the q_percentile
+    // distributed-rank machinery (range partitions + local row_number +
+    // broadcast offsets — never one reducer per group): median of the
+    // micro-quantized value, then median of |v − med| with the |groups|-
+    // row median table broadcast back between passes. Ranks pick EXACT
+    // integers (tie-broken by event_id), so both engines agree to the
+    // bit; the /1e6 re-scale is the only IEEE op.
+    "q_mad" -> { (s, d) =>
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val ev = Tables(s, d, "events")
+        .select(col("event_type"),
+          floor(col("value") * 1e6).cast("long").as("vq"), col("event_id"))
+      val med = rankValue(ev, "event_type", "vq", "event_id", 0.5, nPart)
+        .withColumnRenamed("qval", "med_q")
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"),
+          abs(col("vq") - col("med_q")).as("dq"), col("event_id"))
+      val mad = rankValue(dev, "event_type", "dq", "event_id", 0.5, nPart)
+        .withColumnRenamed("qval", "mad_q")
+      med.join(broadcast(mad), "event_type")
+        .select(col("event_type"),
+          expr("CAST(med_q AS DOUBLE) / 1000000.0").as("median"),
+          expr("CAST(mad_q AS DOUBLE) / 1000000.0").as("mad"))
+    },
+
+    // SIMPSON DIVERSITY (r9): per-user behavioral diversity 1 − Σpᵢ² over
+    // event types — the entropy-class statistic that stays inside the
+    // exact-arithmetic convention (Shannon's ln() is not bitwise-portable
+    // across libms; Gini–Simpson ranks the same way through pure
+    // divisions). Two-level map-combined aggregation: (user, type) counts
+    // → per-user (n, Σc²) with DECIMAL(38,0) squares; top-20 most diverse
+    // under the TOTAL (simpson desc, user asc) order via
+    // TakeOrderedAndProject — per-partition heaps, never a global sort.
+    "q_diversity" -> { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+             sum((col("c") * col("c")).cast("decimal(38,0)")).as("ss"))
+        .select(col("user_id"), col("n"), col("n_types"),
+          expr("1.0 - CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))")
+            .as("simpson"))
+        .orderBy(col("simpson").desc, col("user_id").asc)
+        .limit(20)
+    },
+
+    // BFS HOP DISTANCES (r9, ops/Graph.bfs): reachability rings around
+    // the min-id supplier in the symmetrized supplier↔customer trade
+    // graph (the q_pagerank edge set) — "how far does influence spread
+    // in k hops". The seed stays a DATAFRAME (min over the edge table —
+    // never a collect); per round one equi-join of the file-backed edge
+    // table against the frontier + an anti join against the |reached|
+    // visited state (localCheckpoint'd, predecessors freed — the
+    // Components idiom). The oracle walks the same graph with a
+    // recursive CTE — frontier semantics in declarative form.
+    "q_bfs" -> { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("a"),
+                (col("o_custkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val seed = edges.agg(min(col("src")).as("node"))
+      graft.ops.Graph.bfs(edges, seed, 3)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+    },
+
+    // LAST-TOUCH ATTRIBUTION (r9): each purchase credits the user's most
+    // recent preceding non-purchase event (the marketing-channel classic;
+    // no prior touch = 'direct'). ONE window keyed by user under the
+    // TOTAL (ts, event_id) order — a user's history is the partition,
+    // never the stream — with last(..., ignoreNulls) over the strict
+    // past; revenue sums exact cents (one IEEE /100 at the end). At
+    // 100 TB: one key shuffle, |channels| output rows.
+    "q_attribution" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d, "events")
+        .withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+               ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+             (sum(Exact.cents(col("value"))) / 100.0).as("revenue"))
+    },
+
+    // STREAMING OLS TREND (r9): the drift monitor — per-type regression
+    // of the metric on the event's DAY INDEX, maintained as a |types|-row
+    // streaming aggregation of the six OLS moment sums (stream_ttest's
+    // shape: DECIMAL(38,0) squares/cross-products merge map-side per
+    // micro-batch), then the drained stats take q_linreg's fixed IEEE
+    // finale batch-side. slope is value-units/day (the /1e6 de-quantize);
+    // a standing "is this metric drifting" monitor pays only the changes.
+    "stream_linreg" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val day = 86400L * 1000 * 1000 * 1000
+      val statsPlan = StreamOps.fileSource(s, d, "events")
+        .select(col("event_type"), expr(s"ts div $day").as("x"),
+                floor(col("value") * 1e6).cast("long").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+             sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+             sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+             sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      StreamOps.drainComplete(s, statsPlan)
+        .select(col("event_type"), col("n"),
+          expr("(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / " +
+               "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)")
+            .as("slope_q"),
+          col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
+        .select(col("event_type"), col("n"),
+          expr("slope_q / 1000000.0").as("slope"),
+          expr("(CAST(sy AS DOUBLE) / n - slope_q * (CAST(sx AS DOUBLE) / n)) / 1000000.0")
+            .as("intercept"),
+          expr("((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) * " +
+               " (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)) / " +
+               "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) * " +
+               " (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))")
+            .as("r2"))
+    },
+
     // Streaming Z-SCORE (r9): q_zscore's incremental twin in the
     // stream_hh shape — the per-type moment sums (n, Σv, Σv² — the
     // DECIMAL(38,0) square accumulator merges map-side per micro-batch)
@@ -1475,6 +1641,40 @@ object OlapQueries {
       graft.ops.Graph.pagerank(edges, 3)
     }
   )
+
+  /** Value at global rank ceil(q·n) per group under the TOTAL (value,
+    * tiebreak) order — the q_percentile distributed-rank machinery
+    * factored for reuse (q_mad runs it twice): range partitions + local
+    * row_number + broadcast per-partition offsets, never one reducer per
+    * group. Returns (group, qval) — one row per group. */
+  private def rankValue(df: DataFrame, group: String, value: String,
+                        tie: String, q: Double, nPart: Int): DataFrame = {
+    val keys = Seq(col(group), col(value), col(tie))
+    val parts = df.select(keys: _*)
+      .repartitionByRange(nPart, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid"), col(group))
+      .orderBy(col(value), col(tie))
+    val local = parts.withColumn("lrn", row_number().over(wLocal))
+    val hist = local.groupBy(col("pid"), col(group))
+      .agg(count(lit(1)).as("cnt"))
+    val wOff = Window.partitionBy(col(group)).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("n",
+        sum(col("cnt")).over(Window.partitionBy(col(group))))
+      .select(col("pid").as("opid"), col(group).as("og"),
+              col("off"), col("n"))
+    local
+      .join(broadcast(offs),
+        col("pid") === col("opid") && col(group) === col("og"))
+      .withColumn("rn", col("lrn") + col("off"))
+      .where(col("rn") === ceil(lit(q) * col("n")).cast("long"))
+      .groupBy(col(group))
+      .agg(max(col(value)).as("qval"))
+  }
 
   /** The skewed heavy-hitter fixture column: half the mass in 3 hot
     * items, the rest singletons — shared by the batch and streaming
@@ -2046,6 +2246,120 @@ object OlapQueries {
         |SELECT n_nodes, n_edges, w2 // 2 AS n_wedges, n_tri,
         |  CAST(3 * n_tri AS DOUBLE) / CAST(w2 // 2 AS DOUBLE) AS transitivity
         |FROM nd, ed, tri""".stripMargin,
+
+    // same daily counts, same lag pairing, same fixed IEEE sequence over
+    // the exact moment sums
+    "q_acf" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS idx,
+        |                 COUNT(*) AS cnt FROM events GROUP BY 1),
+        |probe AS (SELECT idx + k AS yidx, k, cnt AS x FROM daily
+        |          CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7]) AS k)),
+        |p AS (SELECT pr.k, pr.x, d.cnt AS y FROM probe pr
+        |      JOIN daily d ON d.idx = pr.yidx),
+        |s AS (SELECT k, COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        |      FROM p GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS lag, m,
+        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / m) /
+        |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) *
+        |  (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / m)) AS acf
+        |FROM s""".stripMargin,
+
+    // single-node exact ranks pick the same integers; only the /1e6
+    // re-scale is IEEE
+    "q_mad" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(floor(value * 1e6) AS BIGINT) AS vq, event_id
+        |           FROM events),
+        |r1 AS (SELECT event_type, vq,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY vq, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |med AS (SELECT event_type,
+        |          MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |              THEN vq END) AS med_q
+        |        FROM r1 GROUP BY 1),
+        |dev AS (SELECT e.event_type, abs(e.vq - m.med_q) AS dq, e.event_id
+        |        FROM e JOIN med m USING (event_type)),
+        |r2 AS (SELECT event_type, dq,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY dq, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n FROM dev),
+        |mad AS (SELECT event_type,
+        |          MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |              THEN dq END) AS mad_q
+        |        FROM r2 GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(med_q AS DOUBLE) / 1000000.0 AS median,
+        |  CAST(mad_q AS DOUBLE) / 1000000.0 AS mad
+        |FROM med JOIN mad USING (event_type)""".stripMargin,
+
+    // same two-level exact counts; 1 − Σc²/n² is the identical op
+    // sequence; user_id tiebreak makes the top-20 total-ordered
+    "q_diversity" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+        |        COUNT(*) AS n_types, SUM(c*c) AS ss FROM c GROUP BY 1)
+        |SELECT user_id, n, n_types,
+        |  1.0 - CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    AS simpson
+        |FROM u
+        |ORDER BY simpson DESC, user_id ASC
+        |LIMIT 20""".stripMargin,
+
+    // the recursive CTE walks the same symmetrized graph: UNION dedups
+    // (node, dist) per level so the working set is frontier-like, and
+    // min-dist per node is exactly BFS's first-visit distance
+    "q_bfs" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM pairs
+        |      UNION ALL SELECT b, a FROM pairs),
+        |seed AS (SELECT MIN(src) AS node FROM e),
+        |walk AS (SELECT node, 0 AS dist FROM seed
+        |         UNION
+        |         SELECT e.dst, w.dist + 1 FROM walk w
+        |         JOIN e ON e.src = w.node WHERE w.dist < 3),
+        |best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1)
+        |SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes
+        |FROM best GROUP BY 1""".stripMargin,
+
+    // same strict-past IGNORE-NULLS window under the same total order;
+    // exact-cents revenue with the one trailing IEEE division
+    "q_attribution" ->
+      """WITH t AS (SELECT user_id, event_type, value,
+        |  last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+        |             IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'direct') AS channel,
+        |       COUNT(*) AS n_purchases,
+        |       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    // the streamed moment sums ARE the batch sums — the oracle regresses
+    // the same day-index/micro-quantized series
+    "stream_linreg" ->
+      """WITH m AS (SELECT event_type,
+        |             epoch_ns(ts) // 86400000000000 AS x,
+        |             CAST(floor(value * 1e6) AS BIGINT) AS y FROM events),
+        |s AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        |      FROM m GROUP BY 1),
+        |t AS (SELECT event_type, n,
+        |        (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+        |        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS slope_q,
+        |        sx, sy, sxx, syy, sxy FROM s)
+        |SELECT event_type, n, slope_q / 1000000.0 AS slope,
+        |  (CAST(sy AS DOUBLE) / n - slope_q * (CAST(sx AS DOUBLE) / n)) / 1000000.0 AS intercept,
+        |  ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) *
+        |   (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)) /
+        |  ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
+        |   (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS r2
+        |FROM t""".stripMargin,
 
     // the streamed moment sums must score identically — same oracle as
     // q_zscore

@@ -172,6 +172,31 @@ object PipelineQueries {
 
     "dedup_minhash" -> { (s, d) => Dedup.minhashCandidates(docCorpus(s, d)) },
 
+    // EDIT-DISTANCE near-dup (r9): the filter-verify dedup family's
+    // strictest verifier — LSH blocks the candidates (never all-pairs),
+    // then exact Levenshtein over a fixed 256-char prefix confirms each
+    // pair at ≤20% relative distance (integer math: dist·5 ≤ max length —
+    // no double threshold). Edit distance catches in-place edits
+    // (typo/boilerplate variants) that shingle Jaccard dilutes and
+    // SimHash's bag-of-words signature can't see at all. The O(len²) DP
+    // is bounded by the prefix cap × the LSH-bounded candidate count;
+    // texts join the slim pair table key-partitioned, never broadcast-
+    // assumed. Spark's codegen levenshtein ≡ DuckDB's (unit-cost edits).
+    "dedup_edit" -> { (s, d) =>
+      val corpus = docCorpus(s, d)
+      val cand = Dedup.minhashCandidates(corpus)
+      val txt = corpus.select(col("doc_id"),
+        substring(col("text"), 1, 256).as("t"))
+      cand
+        .join(txt.select(col("doc_id").as("a"), col("t").as("ta")), "a")
+        .join(txt.select(col("doc_id").as("b"), col("t").as("tb")), "b")
+        .select(col("a"), col("b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+          greatest(length(col("ta")), length(col("tb"))).as("mx"))
+        .where(col("edit_dist") * 5 <= col("mx"))
+        .select(col("a"), col("b"), col("edit_dist"))
+    },
+
     "dedup_simhash" -> { (s, d) => Dedup.simhashPairs(docCorpus(s, d)) },
 
     // Cluster formation: connected components over the minhash candidate
@@ -2034,6 +2059,26 @@ object PipelineQueries {
          |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+
+    // same LSH candidates, same 256-char prefixes, same unit-cost
+    // Levenshtein and the same integer threshold
+    "dedup_edit" ->
+      s"""WITH $corpusCte,
+         |$shingleCtes,
+         |mh AS (SELECT doc_id, ${(0 until 8).map(duckHash).mkString(", ")}
+         |       FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR)||'_'||CAST(mh1 AS VARCHAR) AS bucket FROM mh
+         |  UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR)||'_'||CAST(mh3 AS VARCHAR) FROM mh
+         |  UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR)||'_'||CAST(mh5 AS VARCHAR) FROM mh
+         |  UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR)||'_'||CAST(mh7 AS VARCHAR) FROM mh),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |t AS (SELECT doc_id, substr(text, 1, 256) AS t FROM corpus)
+         |SELECT c.a, c.b, levenshtein(ta.t, tb.t) AS edit_dist
+         |FROM cand c JOIN t ta ON ta.doc_id = c.a JOIN t tb ON tb.doc_id = c.b
+         |WHERE levenshtein(ta.t, tb.t) * 5 <= greatest(length(ta.t), length(tb.t))""".stripMargin,
 
     // Replicates the signature computation exactly: per token occurrence,
     // ±1 into each of 60 bit sums keyed by the 15-hex-digit md5 token hash

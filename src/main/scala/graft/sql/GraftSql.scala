@@ -318,7 +318,8 @@ class GraftSql(val spark: SparkSession) {
       }) =>
       import spark.implicits._
       (session.keysIterator.map((_, "session")) ++
-        durable.keysIterator.map((_, "durable")))
+        durable.keysIterator.map((_, "durable")) ++
+        attached.iterator.flatMap(_.viewNames).map((_, "view")))
         .toSeq.sorted.toDF("table_name", "scope")
     case dr: DescribeRelation if (dr.relation match {
         case u: UnresolvedTableOrView =>
@@ -334,6 +335,45 @@ class GraftSql(val spark: SparkSession) {
         .map(f => (f.name, f.dataType.simpleString,
           if (f.name == t.keyCol) "key" else ""))
         .toDF("col_name", "data_type", "info")
+    // CREATE [OR REPLACE] VIEW — durable TEXT views in the attached
+    // catalog (the Hive/Delta/Iceberg-view contract: store the SQL, not
+    // a plan or a materialization; re-parse at every read so results
+    // track the live tables). The opt-in is the ATTACHED catalog +
+    // single-part name: qualified names, temp views (a different parse
+    // node), and sessions without attach() all pass through to Spark's
+    // own view machinery untouched.
+    case cv: CreateView if attached.isDefined && (cv.child match {
+        case ui: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+          ui.nameParts.length == 1
+        case _ => false
+      }) =>
+      noTxn("CREATE VIEW")
+      val name = cv.child
+        .asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier]
+        .nameParts.head
+      require(cv.userSpecifiedColumns.isEmpty, "graft SQL CREATE VIEW: " +
+        "a column alias list is not supported — alias inside the SELECT")
+      require(cv.properties.isEmpty,
+        "graft SQL CREATE VIEW: TBLPROPERTIES are not supported")
+      require(!isRegistered(name),
+        s"graft SQL CREATE VIEW: '$name' is a registered table")
+      val text = cv.originalText.getOrElse(throw new IllegalArgumentException(
+        "graft SQL CREATE VIEW: the parser delivered no original text"))
+      val cat = attached.get
+      if (!(cv.allowExisting && cat.viewSql(name).isDefined))
+        cat.createView(name, text, replace = cv.replace)
+      spark.emptyDataFrame
+    case dv: DropView if attached.isDefined && (dv.child match {
+        case ui: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+          ui.nameParts.length == 1 &&
+            attached.exists(_.viewSql(ui.nameParts.head).isDefined)
+        case _ => false
+      }) =>
+      noTxn("DROP VIEW")
+      attached.get.dropView(dv.child
+        .asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier]
+        .nameParts.head)
+      spark.emptyDataFrame
     case c: Call if procedureOf(c).isDefined =>
       noTxn("CALL"); runCall(procedureOf(c).get, c)
     // DML that would pass through to spark.sql cannot join the staged
@@ -347,11 +387,52 @@ class GraftSql(val spark: SparkSession) {
       throw new IllegalArgumentException("graft SQL: DML on an " +
         "unregistered table inside a transaction — only registered " +
         "durable graft tables can join the atomic commit")
-    case p => resolveTimeTravel(p)
-      .map(Bridge.ofRows(spark, _))
-      .orElse(routeToView(p))
-      .getOrElse(spark.sql(statement))
+    case p =>
+      // durable-view expansion first: the expanded plan is what time
+      // travel and mview routing should see (a view OF an aggregate can
+      // still route; a view text using VERSION AS OF still resolves)
+      val expanded = expandDurableViews(p)
+      val q = expanded.getOrElse(p)
+      resolveTimeTravel(q)
+        .map(Bridge.ofRows(spark, _))
+        .orElse(routeToView(q))
+        .orElse(expanded.map(Bridge.ofRows(spark, _)))
+        .getOrElse(spark.sql(statement))
   }
+
+  /** Substitute DURABLE VIEW references (attached-catalog stored SQL
+    * text) into a parsed plan: each SINGLE-PART UnresolvedRelation whose
+    * name is a stored view (and not a registered table — registrations
+    * win) becomes a SubqueryAlias over the view text's parsed plan,
+    * recursively (views on views) behind a seen-set cycle guard.
+    * Qualified names pass through untouched (the ADVICE-r8
+    * qualification rule), and subquery expressions are traversed too.
+    * Returns None when the plan references no view — the statement then
+    * takes the untouched spark.sql path. */
+  private def expandDurableViews(p: LogicalPlan): Option[LogicalPlan] =
+    attached.flatMap { cat =>
+      val views = cat.viewNames.toSet
+      if (views.isEmpty) None
+      else {
+        var hit = false
+        def expand(plan: LogicalPlan, seen: Set[String]): LogicalPlan =
+          plan.transformUpWithSubqueries {
+            case u: UnresolvedRelation
+                if u.multipartIdentifier.length == 1 &&
+                  views.contains(u.multipartIdentifier.head) &&
+                  !isRegistered(u.multipartIdentifier.head) =>
+              val name = u.multipartIdentifier.head
+              require(!seen.contains(name),
+                s"graft SQL: view definition cycle through '$name'")
+              hit = true
+              SubqueryAlias(name,
+                expand(Bridge.parsePlan(spark, cat.viewSql(name).get),
+                       seen + name))
+          }
+        val out = expand(p, Set.empty)
+        if (hit) Some(out) else None
+      }
+    }
 
   /** The catalog handle behind a registered DURABLE table, or a loud
     * error naming the statement kind — schema evolution and maintenance

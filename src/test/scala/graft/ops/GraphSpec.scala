@@ -56,4 +56,41 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.pagerank(Seq((1L, 2L)).toDF("src", "dst"), 0))
   }
+
+  private def dists(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                    maxHops: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.bfs(edges.toDF("src", "dst"), seeds.toDF("node"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("bfs: first-visit distance wins on a diamond with a shortcut") {
+    // 1→2→3→4 plus 1→4: node 4 is dist 1, never 3
+    val r = dists(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)), Seq(1L), 3)
+    assert(r === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("bfs: maxHops truncates the walk; unreached nodes are absent") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val r = dists(chain, Seq(1L), 2)
+    assert(r === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfs: exhausted frontier short-circuits before maxHops") {
+    val r = dists(Seq((1L, 2L)), Seq(1L), 10)
+    assert(r === Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("bfs: multi-source takes the min distance over seeds") {
+    // seeds 1 and 5 close in on 3 from both ends of a chain
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+                    (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))
+    val r = dists(chain, Seq(1L, 5L), 3)
+    assert(r === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
+  test("bfs: a cycle never revisits (dist is first-visit, walk halts)") {
+    val r = dists(Seq((1L, 2L), (2L, 3L), (3L, 1L)), Seq(1L), 9)
+    assert(r === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
 }

@@ -805,4 +805,51 @@ class GraftSqlSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ===
       Set(("east", 2L, 7.5), ("west", 1L, 4.0)))
   }
+
+  test("durable views: text semantics, stacking, fresh-session read, guards") {
+    val wh = Files.createTempDirectory("graft_sql_view_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    val g = new GraftSql(spark).attach(cat)
+    g.sql("CREATE TABLE vt (k BIGINT, grp STRING, v BIGINT) USING graft " +
+      "OPTIONS ('key' = 'k')")
+    g.sql("INSERT INTO vt VALUES (1, 'a', 10), (2, 'b', 20), (3, 'a', 30)")
+    g.sql("CREATE VIEW v_a AS SELECT k, grp, v FROM vt WHERE grp = 'a'")
+    g.sql("CREATE VIEW v_sum AS SELECT grp, CAST(sum(v) AS BIGINT) AS sv " +
+      "FROM v_a GROUP BY grp")
+    // a view is TEXT: DML issued after creation is visible through it
+    g.sql("INSERT INTO vt VALUES (4, 'a', 40)")
+    assert(g.sql("SELECT sv FROM v_sum").collect().map(_.getLong(0)).toSeq
+      === Seq(80L))
+    // stacking resolved recursively; the filter view sees 3 'a' rows
+    assert(g.sql("SELECT count(*) AS n FROM v_a").collect()
+      .head.getLong(0) === 3L)
+    // fresh session over the same warehouse: zero re-declaration
+    val g2 = new GraftSql(spark).attach(new Catalog(spark, wh,
+      autoCompact = false))
+    g2.register("vt", new Catalog(spark, wh, autoCompact = false), "vt")
+    assert(g2.sql("SELECT sv FROM v_sum").collect().head.getLong(0) === 80L)
+    // SHOW TABLES lists views in their own scope
+    val shown = g.sql("SHOW TABLES IN graft").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(shown.contains(("v_a", "view")) && shown.contains(("v_sum", "view")))
+    // guards: duplicate create is loud; OR REPLACE and IF NOT EXISTS land
+    intercept[IllegalArgumentException](
+      g.sql("CREATE VIEW v_a AS SELECT 1 AS one"))
+    g.sql("CREATE VIEW IF NOT EXISTS v_a AS SELECT 1 AS one") // no-op kept
+    assert(g.sql("SELECT count(*) AS n FROM v_a").collect()
+      .head.getLong(0) === 3L)
+    g.sql("CREATE OR REPLACE VIEW v_sum AS " +
+      "SELECT grp, CAST(count(*) AS BIGINT) AS sv FROM v_a GROUP BY grp")
+    assert(g2.sql("SELECT sv FROM v_sum").collect().head.getLong(0) === 3L)
+    // a view name can't be shadowed by a table; a cycle fails loud
+    intercept[IllegalArgumentException](cat.createTable("v_a", "k",
+      Seq((1L, 1L)).toDF("k", "v")))
+    cat.createView("cyc", "SELECT * FROM cyc2")
+    cat.createView("cyc2", "SELECT * FROM cyc")
+    intercept[IllegalArgumentException](g.sql("SELECT * FROM cyc"))
+    // DROP VIEW removes durably; the name then resolves nowhere
+    g.sql("DROP VIEW v_sum")
+    assert(cat.viewSql("v_sum").isEmpty)
+    intercept[Exception](g2.sql("SELECT sv FROM v_sum").collect())
+  }
 }
