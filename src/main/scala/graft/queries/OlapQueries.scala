@@ -1171,6 +1171,137 @@ object OlapQueries {
         .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
     },
 
+    // 2-D SKYLINE / Pareto frontier (r9): parts where no other part is
+    // both cheaper-or-equal AND larger-or-equal (strict somewhere) — the
+    // multi-objective shortlist. The naive form is an all-pairs NOT
+    // EXISTS (the oracle's declarative shape — O(n²), fine single-node);
+    // distributed it is ONE range partition in (price asc, size desc)
+    // order over the DISTINCT (price, size) pairs + a per-partition
+    // running max + the broadcast prefix-max of partition maxima (the
+    // q_percentile offset machinery generalized from counts to MAX):
+    // a pair is on the frontier iff its size exceeds every strict
+    // predecessor's — one pass, no self-join, no single reducer. Exact
+    // cents make the order engine-identical.
+    "q_skyline" -> { (s, d) =>
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val pairs = Tables(s, d, "part")
+        .select(Exact.cents(col("p_retailprice")).as("pc"),
+                col("p_size").cast("long").as("sz"))
+        .groupBy(col("pc"), col("sz")).agg(count(lit(1)).as("n_parts"))
+      val parts = pairs
+        .repartitionByRange(nPart, col("pc").asc, col("sz").desc)
+        .sortWithinPartitions(col("pc").asc, col("sz").desc)
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy(col("pid"))
+        .orderBy(col("pc").asc, col("sz").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // hist hangs off `local` (not `parts`): its subtree then shares the
+      // window's Exchange via ReusedExchange — one scan, one shuffle
+      // (building it off `parts` re-evaluates the whole input; the
+      // q_gini 2×-evaluation lesson)
+      val local = parts.withColumn("lmax", max(col("sz")).over(wLocal))
+      val hist = local.groupBy(col("pid")).agg(max(col("sz")).as("pmax"))
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = hist
+        .withColumn("off", max(col("pmax")).over(wOff))
+        .select(col("pid").as("opid"), col("off"))
+      local.join(broadcast(offs), col("pid") === col("opid"))
+        .where(col("sz") > greatest(
+          coalesce(col("lmax"), lit(Long.MinValue)),
+          coalesce(col("off"), lit(Long.MinValue))))
+        .select(col("pc").as("price_c"), col("sz").as("size"),
+                col("n_parts"))
+    },
+
+    // WEIGHTED MEDIAN (r9): the quantity-weighted median price per
+    // returnflag — "the price the median UNIT shipped at", not the
+    // median line. The q_percentile machinery generalized from row
+    // ranks to CUMULATIVE WEIGHTS: range partitions in (group, value)
+    // order, per-partition running weight, broadcast per-partition
+    // weight offsets; the answer is the unique row whose cumulative
+    // interval (cw−w, cw] contains the threshold t = ⌈W/2⌉ — exact
+    // integers end to end (rows with equal values can land in any
+    // order: whichever one crosses, the OUTPUT value is the same).
+    "q_wmedian" -> { (s, d) =>
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val l = Tables(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"),
+                Exact.cents(col("l_extendedprice")).as("v"),
+                round(col("l_quantity")).cast("long").as("w"))
+      val parts = l.repartitionByRange(nPart, col("g"), col("v"))
+        .sortWithinPartitions(col("g"), col("v"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy(col("pid"), col("g"))
+        .orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = parts.withColumn("lcw", sum(col("w")).over(wLocal))
+      // the partition-group's weight total IS its LAST running weight
+      // (max(lcw)). Honest plan note: the offsets subtree still
+      // re-evaluates the scan+shuffles — the join's null-filters
+      // de-canonicalize the two exchange subtrees, so neither static nor
+      // AQE exchange reuse fires (measured: max(lcw) ≡ sum(w) at sf10,
+      // 23.8s both ways). That double evaluation is the q_percentile
+      // family's standing cost (its plan double-scans the same way at
+      // ×6.6 on a 10× smaller fact); ×11.4 at 100× here is
+      // family-consistent and data-proportional, so it stands.
+      val hist = local.groupBy(col("pid"), col("g"))
+        .agg(max(col("lcw")).as("pw"))
+      val wOff = Window.partitionBy(col("g")).orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = hist
+        .withColumn("off", coalesce(sum(col("pw")).over(wOff), lit(0L)))
+        .withColumn("tw",
+          sum(col("pw")).over(Window.partitionBy(col("g"))))
+        .select(col("pid").as("opid"), col("g").as("og"),
+                col("off"), col("tw"))
+      local
+        .join(broadcast(offs),
+          col("pid") === col("opid") && col("g") === col("og"))
+        .withColumn("cw", col("lcw") + col("off"))
+        .withColumn("t", expr("(tw + 1) div 2"))
+        .where(col("cw") >= col("t") && col("cw") - col("w") < col("t"))
+        .select(col("g").as("l_returnflag"),
+          expr("CAST(v AS DOUBLE) / 100.0").as("wmedian"),
+          col("tw").as("total_w"))
+    },
+
+    // BOLLINGER BANDS (r9): trailing-7-day mean ± 2σ envelope over the
+    // daily total series — the volatility-adjusted anomaly band on a
+    // metric dashboard. ONE fact scan map-combines into the |days|-row
+    // daily totals; each day's window membership explodes map-side off
+    // that tiny table (the q_acf shape — never a global-order window);
+    // window moment sums are exact (DECIMAL(38,0) squares of
+    // micro-quantized daily totals) and the band arithmetic is one
+    // fixed IEEE sequence. Full 7-day windows only (m = 7) — partial
+    // leading windows would make the row set depend on the horizon.
+    "q_bollinger" -> { (s, d) =>
+      val day = 86400L * 1000 * 1000 * 1000
+      val daily = Tables(s, d, "events")
+        .groupBy(expr(s"ts div $day").as("idx"))
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      daily
+        .select(col("idx"), col("x"),
+          explode(array((0 to 6).map(lit(_)): _*)).as("off"))
+        .select((col("idx") + col("off")).as("tgt"), col("x"))
+        .join(daily.select(col("idx").as("tgt")), "tgt")
+        .groupBy(col("tgt"))
+        .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+             // a DAILY TOTAL squares past long headroom even at small
+             // SF (unlike per-row products elsewhere) — widen BEFORE
+             // the multiply, not just the sum
+             sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+        .where(col("m") === 7)
+        .select(col("tgt").as("day_idx"),
+          expr("CAST(sx AS DOUBLE) / m / 1000000.0").as("mean"),
+          expr("(CAST(sx AS DOUBLE) / m + 2.0 * sqrt((CAST(sxx AS DOUBLE) - " +
+               "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0")
+            .as("upper"),
+          expr("(CAST(sx AS DOUBLE) / m - 2.0 * sqrt((CAST(sxx AS DOUBLE) - " +
+               "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0")
+            .as("lower"))
+    },
+
     // LAST-TOUCH ATTRIBUTION (r9): each purchase credits the user's most
     // recent preceding non-purchase event (the marketing-channel classic;
     // no prior touch = 'direct'). ONE window keyed by user under the
@@ -2325,6 +2456,54 @@ object OlapQueries {
         |best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1)
         |SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes
         |FROM best GROUP BY 1""".stripMargin,
+
+    // the oracle takes the O(n²) declarative dominance form over the
+    // same exact-cents distinct pairs — same frontier, different plan
+    "q_skyline" ->
+      """WITH pr AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS pc,
+        |              CAST(p_size AS BIGINT) AS sz FROM part),
+        |pairs AS (SELECT pc, sz, COUNT(*) AS n_parts FROM pr GROUP BY 1, 2)
+        |SELECT p.pc AS price_c, p.sz AS size, p.n_parts
+        |FROM pairs p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pairs q
+        |  WHERE q.pc <= p.pc AND q.sz >= p.sz
+        |    AND (q.pc < p.pc OR q.sz > p.sz))""".stripMargin,
+
+    // single-node cumulative weights over the same (group, value) order;
+    // equal-value rows may cross in any order — the output value is the
+    // same; only the /100 re-scale is IEEE
+    "q_wmedian" ->
+      """WITH l AS (SELECT l_returnflag AS g,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |             CAST(round(l_quantity) AS BIGINT) AS w FROM lineitem),
+        |o AS (SELECT g, v, w,
+        |        SUM(w) OVER (PARTITION BY g ORDER BY v
+        |                     ROWS UNBOUNDED PRECEDING) AS cw,
+        |        SUM(w) OVER (PARTITION BY g) AS tw FROM l)
+        |SELECT g AS l_returnflag, CAST(v AS DOUBLE) / 100.0 AS wmedian,
+        |       CAST(tw AS BIGINT) AS total_w
+        |FROM o
+        |WHERE cw >= (tw + 1) // 2 AND cw - w < (tw + 1) // 2""".stripMargin,
+
+    // same daily totals, same 7-day membership, same fixed IEEE band
+    // sequence over exact sums
+    "q_bollinger" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS idx,
+        |                 SUM(CAST(floor(value * 1e6) AS BIGINT)) AS x
+        |               FROM events GROUP BY 1),
+        |mem AS (SELECT d.idx + o.off AS tgt, d.x FROM daily d
+        |        CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS off) o),
+        |w AS (SELECT m.tgt, COUNT(*) AS m, SUM(m.x) AS sx,
+        |        SUM(CAST(m.x AS HUGEINT) * m.x) AS sxx
+        |      FROM mem m JOIN daily t ON t.idx = m.tgt GROUP BY 1)
+        |SELECT tgt AS day_idx,
+        |  CAST(sx AS DOUBLE) / m / 1000000.0 AS mean,
+        |  (CAST(sx AS DOUBLE) / m + 2.0 * sqrt((CAST(sxx AS DOUBLE) -
+        |   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0 AS upper,
+        |  (CAST(sx AS DOUBLE) / m - 2.0 * sqrt((CAST(sxx AS DOUBLE) -
+        |   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0 AS lower
+        |FROM w WHERE m = 7""".stripMargin,
 
     // same strict-past IGNORE-NULLS window under the same total order;
     // exact-cents revenue with the one trailing IEEE division
