@@ -1323,6 +1323,40 @@ object OlapQueries {
              (sum(Exact.cents(col("value"))) / 100.0).as("revenue"))
     },
 
+    // STREAMING BOLLINGER (r9): the standing volatility band — the
+    // |days|-row daily totals maintain as a streaming aggregation
+    // (map-side merged longs per micro-batch; state is one long per
+    // day), then the drained tiny table takes q_bollinger's exact
+    // window-membership explode + fixed IEEE band sequence batch-side.
+    // A live metric dashboard pays only the changes for the series and
+    // re-derives bands from |days| rows; same oracle as the batch form.
+    "stream_bollinger" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val day = 86400L * 1000 * 1000 * 1000
+      val dailyPlan = StreamOps.fileSource(s, d, "events")
+        .select(expr(s"ts div $day").as("idx"),
+                floor(col("value") * 1e6).cast("long").as("vq"))
+        .groupBy(col("idx")).agg(sum(col("vq")).as("x"))
+      val daily = StreamOps.drainComplete(s, dailyPlan)
+      daily
+        .select(col("idx"), col("x"),
+          explode(array((0 to 6).map(lit(_)): _*)).as("off"))
+        .select((col("idx") + col("off")).as("tgt"), col("x"))
+        .join(daily.select(col("idx").as("tgt")), "tgt")
+        .groupBy(col("tgt"))
+        .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+             sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+        .where(col("m") === 7)
+        .select(col("tgt").as("day_idx"),
+          expr("CAST(sx AS DOUBLE) / m / 1000000.0").as("mean"),
+          expr("(CAST(sx AS DOUBLE) / m + 2.0 * sqrt((CAST(sxx AS DOUBLE) - " +
+               "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0")
+            .as("upper"),
+          expr("(CAST(sx AS DOUBLE) / m - 2.0 * sqrt((CAST(sxx AS DOUBLE) - " +
+               "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0")
+            .as("lower"))
+    },
+
     // STREAMING OLS TREND (r9): the drift monitor — per-type regression
     // of the metric on the event's DAY INDEX, maintained as a |types|-row
     // streaming aggregation of the six OLS moment sums (stream_ttest's
@@ -2518,6 +2552,25 @@ object OlapQueries {
         |       COUNT(*) AS n_purchases,
         |       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS revenue
         |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    // the streamed daily totals ARE the batch totals — same oracle shape
+    // as q_bollinger
+    "stream_bollinger" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS idx,
+        |                 SUM(CAST(floor(value * 1e6) AS BIGINT)) AS x
+        |               FROM events GROUP BY 1),
+        |mem AS (SELECT d.idx + o.off AS tgt, d.x FROM daily d
+        |        CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS off) o),
+        |w AS (SELECT m.tgt, COUNT(*) AS m, SUM(m.x) AS sx,
+        |        SUM(CAST(m.x AS HUGEINT) * m.x) AS sxx
+        |      FROM mem m JOIN daily t ON t.idx = m.tgt GROUP BY 1)
+        |SELECT tgt AS day_idx,
+        |  CAST(sx AS DOUBLE) / m / 1000000.0 AS mean,
+        |  (CAST(sx AS DOUBLE) / m + 2.0 * sqrt((CAST(sxx AS DOUBLE) -
+        |   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0 AS upper,
+        |  (CAST(sx AS DOUBLE) / m - 2.0 * sqrt((CAST(sxx AS DOUBLE) -
+        |   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0 AS lower
+        |FROM w WHERE m = 7""".stripMargin,
 
     // the streamed moment sums ARE the batch sums — the oracle regresses
     // the same day-index/micro-quantized series

@@ -787,6 +787,38 @@ object PipelineQueries {
         .select(col("bg"), col("n"), col("rnk"))
     },
 
+    // CROSS-DOC LINE DEDUP (r9): the CCNet/RefinedWeb pass — sentences
+    // repeated across ≥3 documents (headers, footers, templated
+    // boilerplate) are REMOVED from every document and the documents
+    // REASSEMBLED in original order. Lines shuffle as md5 SIGNATURES
+    // (never text) for the distinct-doc frequency count; the hot-line
+    // set anti-joins back key-partitioned; reassembly is one
+    // map-combined per-doc aggregate (collect positions+lines, sort,
+    // join — bounded by the document's own length, never a window).
+    // Both engines split on the identical literal '. ' (Spark's split
+    // keeps trailing empties like DuckDB's string_split — verified) and
+    // the rebuilt text compares by md5, so a single byte of divergence
+    // in the reassembly fails the gate.
+    "pipe_line_dedup" -> { (s, d) =>
+      val lines = Tables(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+        .withColumnRenamed("col", "line")
+      val hot = lines
+        .groupBy(md5(col("line")).as("h"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .where(col("ndocs") >= 3)
+        .select(col("h"))
+      lines
+        .join(hot, md5(col("line")) === col("h"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("line")))),
+              x => x("line")),
+            ". ")).as("clean_sig"))
+    },
+
     // COLLOCATION MINING (r9): PMI-ranked bigrams (reported as the PMI
     // RATIO P(xy)/(P(x)P(y)) — exp(PMI), the same ranking through pure
     // divisions; ln() is not bitwise-portable across engines' libm,
@@ -2582,6 +2614,25 @@ object PipelineQueries {
         |SELECT bg, n,
         |       CAST(row_number() OVER (ORDER BY n DESC, bg ASC) AS BIGINT) AS rnk
         |FROM c QUALIFY rnk <= 100""".stripMargin,
+
+    // same literal split, same ≥3-doc hot-line set, same ordered
+    // reassembly — the md5 of the rebuilt text must match to the byte
+    "pipe_line_dedup" ->
+      """WITH l AS (SELECT doc_id,
+        |             unnest(list_transform(
+        |               range(1, len(string_split(text, '. ')) + 1),
+        |               i -> {'pos': i, 'line': string_split(text, '. ')[i]}),
+        |               recursive := true)
+        |           FROM documents),
+        |hot AS (SELECT md5(line) AS h
+        |        FROM l GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT doc_id, pos, line FROM l
+        |         WHERE md5(line) NOT IN (SELECT h FROM hot))
+        |SELECT doc_id, COUNT(*) AS n_kept,
+        |  md5(array_to_string(
+        |    list_transform(list_sort(list({'pos': pos, 'line': line})),
+        |                   x -> x.line), '. ')) AS clean_sig
+        |FROM kept GROUP BY 1""".stripMargin,
 
     // same raw bigram/unigram counts single-node; PMI is the identical
     // textual op sequence over the same exact longs
