@@ -1098,23 +1098,24 @@ object OlapQueries {
     // MEDIAN ABSOLUTE DEVIATION (r9): the robust twin of q_zscore — a
     // long-tailed metric swamps mean/std, while median ± MAD ignores any
     // minority of outliers entirely. TWO passes of the q_percentile
-    // distributed-rank machinery (range partitions + local row_number +
-    // broadcast offsets — never one reducer per group): median of the
-    // micro-quantized value, then median of |v − med| with the |groups|-
-    // row median table broadcast back between passes. Ranks pick EXACT
-    // integers (tie-broken by event_id), so both engines agree to the
-    // bit; the /1e6 re-scale is the only IEEE op.
+    // distributed-rank machinery (factored as rankValue, which collapses
+    // equal values to counts FIRST — range partitions + local running
+    // counts + broadcast offsets move |distinct values| rows, never the
+    // fact; no single reducer per group): median of the micro-quantized
+    // value, then median of |v − med| with the |groups|-row median table
+    // broadcast back between passes. Ranks pick EXACT integers — the
+    // rank-t value is tiebreak-independent by construction — so both
+    // engines agree to the bit; the /1e6 re-scale is the only IEEE op.
     "q_mad" -> { (s, d) =>
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
       val ev = Tables(s, d, "events")
         .select(col("event_type"),
-          floor(col("value") * 1e6).cast("long").as("vq"), col("event_id"))
-      val med = rankValue(ev, "event_type", "vq", "event_id", 0.5, nPart)
+          floor(col("value") * 1e6).cast("long").as("vq"))
+      val med = rankValue(ev, "event_type", "vq", 0.5, nPart)
         .withColumnRenamed("qval", "med_q")
       val dev = ev.join(broadcast(med), "event_type")
-        .select(col("event_type"),
-          abs(col("vq") - col("med_q")).as("dq"), col("event_id"))
-      val mad = rankValue(dev, "event_type", "dq", "event_id", 0.5, nPart)
+        .select(col("event_type"), abs(col("vq") - col("med_q")).as("dq"))
+      val mad = rankValue(dev, "event_type", "dq", 0.5, nPart)
         .withColumnRenamed("qval", "mad_q")
       med.join(broadcast(mad), "event_type")
         .select(col("event_type"),
@@ -1225,10 +1226,16 @@ object OlapQueries {
     // order: whichever one crosses, the OUTPUT value is the same).
     "q_wmedian" -> { (s, d) =>
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // equal values collapse FIRST (map-combined): the range exchange
+      // and windows then move |distinct (group, value)| rows, never
+      // |lineitem| — the rankValue scale upgrade applied to weights
+      // (the 1000× fixture measured the uncollapsed form at 219s: a
+      // 600M-row double range sort; see BENCH_SCALE1000 protocol)
       val l = Tables(s, d, "lineitem")
         .select(col("l_returnflag").as("g"),
                 Exact.cents(col("l_extendedprice")).as("v"),
                 round(col("l_quantity")).cast("long").as("w"))
+        .groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
       val parts = l.repartitionByRange(nPart, col("g"), col("v"))
         .sortWithinPartitions(col("g"), col("v"))
         .withColumn("pid", spark_partition_id())
@@ -1236,15 +1243,12 @@ object OlapQueries {
         .orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = parts.withColumn("lcw", sum(col("w")).over(wLocal))
-      // the partition-group's weight total IS its LAST running weight
-      // (max(lcw)). Honest plan note: the offsets subtree still
-      // re-evaluates the scan+shuffles — the join's null-filters
-      // de-canonicalize the two exchange subtrees, so neither static nor
-      // AQE exchange reuse fires (measured: max(lcw) ≡ sum(w) at sf10,
-      // 23.8s both ways). That double evaluation is the q_percentile
-      // family's standing cost (its plan double-scans the same way at
-      // ×6.6 on a 10× smaller fact); ×11.4 at 100× here is
-      // family-consistent and data-proportional, so it stands.
+      // the partition-group's weight total IS its LAST running weight.
+      // Plan note: the offsets subtree re-evaluates its input (the
+      // join's null-filters de-canonicalize the exchanges, so reuse
+      // can't fire) — harmless now that the input is the COLLAPSED
+      // (g, v) table; the fact itself is scanned once per consumer
+      // through a map-combined aggregate, never range-sorted.
       val hist = local.groupBy(col("pid"), col("g"))
         .agg(max(col("lcw")).as("pw"))
       val wOff = Window.partitionBy(col("g")).orderBy(col("pid"))
@@ -1807,36 +1811,44 @@ object OlapQueries {
     }
   )
 
-  /** Value at global rank ceil(q·n) per group under the TOTAL (value,
-    * tiebreak) order — the q_percentile distributed-rank machinery
-    * factored for reuse (q_mad runs it twice): range partitions + local
-    * row_number + broadcast per-partition offsets, never one reducer per
-    * group. Returns (group, qval) — one row per group. */
+  /** Value at global rank ceil(q·n) per group — the q_percentile
+    * distributed-rank machinery factored for reuse (q_mad runs it
+    * twice), with one scale upgrade: EQUAL VALUES COLLAPSE to
+    * (group, value, count) FIRST (a map-combined aggregate), so the
+    * range exchange and windows move |distinct values| rows, never
+    * |rows| — at 1000× this took q_mad's fact-sized double range sort
+    * out of the plan entirely (92s → re-measured after, see
+    * BENCH_SCALE1000). The value at rank t is the unique collapsed row
+    * whose cumulative-count interval (cc−cnt, cc] contains t — provably
+    * identical to the row-rank pick under ANY tiebreak, because rank t
+    * falls inside one value's run. Returns (group, qval). */
   private def rankValue(df: DataFrame, group: String, value: String,
-                        tie: String, q: Double, nPart: Int): DataFrame = {
-    val keys = Seq(col(group), col(value), col(tie))
-    val parts = df.select(keys: _*)
-      .repartitionByRange(nPart, keys: _*)
-      .sortWithinPartitions(keys: _*)
+                        q: Double, nPart: Int): DataFrame = {
+    val c = df.groupBy(col(group), col(value)).agg(count(lit(1)).as("cnt"))
+    val parts = c.repartitionByRange(nPart, col(group), col(value))
+      .sortWithinPartitions(col(group), col(value))
       .withColumn("pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("pid"), col(group))
-      .orderBy(col(value), col(tie))
-    val local = parts.withColumn("lrn", row_number().over(wLocal))
+      .orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts.withColumn("lcc", sum(col("cnt")).over(wLocal))
+    // the partition-group's count total is its LAST running count
     val hist = local.groupBy(col("pid"), col(group))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(max(col("lcc")).as("pc"))
     val wOff = Window.partitionBy(col(group)).orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = hist
-      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("off", coalesce(sum(col("pc")).over(wOff), lit(0L)))
       .withColumn("n",
-        sum(col("cnt")).over(Window.partitionBy(col(group))))
+        sum(col("pc")).over(Window.partitionBy(col(group))))
       .select(col("pid").as("opid"), col(group).as("og"),
               col("off"), col("n"))
     local
       .join(broadcast(offs),
         col("pid") === col("opid") && col(group) === col("og"))
-      .withColumn("rn", col("lrn") + col("off"))
-      .where(col("rn") === ceil(lit(q) * col("n")).cast("long"))
+      .withColumn("cc", col("lcc") + col("off"))
+      .withColumn("t", ceil(lit(q) * col("n")).cast("long"))
+      .where(col("cc") >= col("t") && col("cc") - col("cnt") < col("t"))
       .groupBy(col(group))
       .agg(max(col(value)).as("qval"))
   }
