@@ -647,6 +647,16 @@ class GraftSql(val spark: SparkSession) {
     case GlobalLimit(org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _),
         LocalLimit(_, child)) =>
       routeToView(child).map(_.limit(n))
+    // a durable VIEW whose text is itself a routable aggregate:
+    // expandDurableViews wraps the parsed text in SubqueryAlias (plus a
+    // star Project for `SELECT * FROM v`) — peel the no-op wrappers and
+    // route what's inside, so a dashboard VIEW serves from its mview at
+    // |groups| cost. A real projection/filter on top takes the direct
+    // path (the expanded plan still executes correctly either way).
+    case SubqueryAlias(_, inner) => routeToView(inner)
+    case Project(pl, child) if pl.nonEmpty &&
+        pl.forall(_.isInstanceOf[UnresolvedStar]) =>
+      routeToView(child)
     case _ => None
   }
 

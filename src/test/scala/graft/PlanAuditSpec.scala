@@ -852,4 +852,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx.subsetOf(Set("i", "j", "dim")), s"got $hashEx:\n$plan")
     assert(plan.contains("partial_sum"), plan)
   }
+
+  test("r9 sixth-session additions hold their plan shapes") {
+    // q_attribution: ONE user-keyed window; no product joins. (Spark
+    // additionally semi-join-prunes non-purchasing users before the
+    // window — an optimizer win we accept, not require.)
+    val pa = executedPlan(SparkEntry.queries("q_attribution")(spark, sfDir))
+    assert("Window ".r.findAllIn(pa).size == 1, pa)
+    assert(pa.contains("hashpartitioning(user_id"), pa)
+    assert(!pa.contains("CartesianProduct"), pa)
+    // q_diversity: pure two-level aggregation — no window anywhere, and
+    // the top-20 is a per-partition heap, never a global sort
+    val pd = executedPlan(SparkEntry.queries("q_diversity")(spark, sfDir))
+    assert(!pd.contains("Window"), pd)
+    assert(pd.contains("TakeOrderedAndProject"), pd)
+    // q_acf / q_bollinger: the lag/window membership explodes off the
+    // |days| aggregate — NO row-level window over the fact
+    for (q <- Seq("q_acf", "q_bollinger")) {
+      val p = executedPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("Window"), s"$q grew a window:\n$p")
+    }
+    // q_skyline: offsets arrive by broadcast; the only sort-shuffles are
+    // the range partition — never a merge join or product
+    val ps = executedPlan(SparkEntry.queries("q_skyline")(spark, sfDir))
+    assert(ps.contains("rangepartitioning"), ps)
+    assert(!ps.contains("SortMergeJoin") && !ps.contains("CartesianProduct"),
+      ps)
+    // q_mad (collapsed rankValue): the machinery runs on counted values —
+    // running sums, no row_number; the fact reaches it through a
+    // map-combined partial aggregate below the range exchange
+    val pm = executedPlan(SparkEntry.queries("q_mad")(spark, sfDir))
+    assert(!pm.contains("row_number"), pm)
+    assert(pm.contains("rangepartitioning") && pm.contains("partial_count"),
+      pm)
+    // graph/verify joins stay key joins — never an unkeyed product of
+    // data-sized inputs (the broadcast nested-loop joins q_triangles
+    // DOES carry are the 1-row scalar-total crossJoins; a
+    // CartesianProduct would mean a data×data pairing escaped)
+    for (q <- Seq("q_triangles", "dedup_edit")) {
+      val p = executedPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
 }

@@ -852,4 +852,29 @@ class GraftSqlSpec extends SparkSpec {
     assert(cat.viewSql("v_sum").isEmpty)
     intercept[Exception](g2.sql("SELECT sv FROM v_sum").collect())
   }
+
+  test("a durable VIEW over a routable aggregate serves from the mview") {
+    val (g0, cat) = durableFixture()
+    val g = g0.attach(cat)
+    cat.createMaterializedView("mv", "t", "status", "totalprice")
+    g.register("mv", cat, "mv")
+    cat.createView("v_dash",
+      "SELECT status, count(*) AS n, sum(totalprice) AS s " +
+      "FROM t GROUP BY status")
+    val routed = g.sql("SELECT * FROM v_dash")
+    routed.queryExecution.toRdd.count()
+    assert(routed.queryExecution.executedPlan.toString.contains("/mv"),
+      "the expanded view text must route onto the materialized view")
+    assert(routed.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ===
+      Set(("A", 1L, 100.0), ("B", 1L, 200.0), ("C", 1L, 300.0)))
+    // staleness still falls back THROUGH the view
+    g.sql("UPDATE t SET totalprice = totalprice + 1.0 WHERE k = 1")
+    val direct = g.sql("SELECT * FROM v_dash")
+    direct.queryExecution.toRdd.count()
+    assert(!direct.queryExecution.executedPlan.toString.contains("/mv"))
+    assert(direct.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ===
+      Set(("A", 1L, 101.0), ("B", 1L, 200.0), ("C", 1L, 300.0)))
+  }
 }
