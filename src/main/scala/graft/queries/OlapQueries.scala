@@ -1172,6 +1172,31 @@ object OlapQueries {
         .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
     },
 
+    // FORECAST BACKTEST (r9): seasonal-naive — predict each day's
+    // per-type total with the value 7 days earlier, score MAE/MAPE over
+    // every day with both sides present. The eval harness behind any
+    // real forecasting deploy: before shipping a model, beat this
+    // baseline. ONE fact scan into the |types×days| totals; the lag
+    // pairing is a key self-join of that tiny table; absolute errors
+    // are exact micro-longs and the two scores are IEEE divisions of
+    // exact sums. At 100 TB: one scan, arithmetic after it.
+    "q_backtest" -> { (s, d) =>
+      val day = 86400L * 1000 * 1000 * 1000
+      val daily = Tables(s, d, "events")
+        .groupBy(col("event_type"), expr(s"ts div $day").as("idx"))
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      val fc = daily.select(col("event_type"),
+        (col("idx") + 7).as("idx"), col("x").as("pred"))
+      daily.join(fc, Seq("event_type", "idx"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+             sum(abs(col("x") - col("pred"))).as("sae"),
+             sum(abs(col("x"))).as("sax"))
+        .select(col("event_type"), col("n_days"),
+          expr("CAST(sae AS DOUBLE) / n_days / 1000000.0").as("mae"),
+          expr("CAST(sae AS DOUBLE) / CAST(sax AS DOUBLE)").as("wape"))
+    },
+
     // 2-D SKYLINE / Pareto frontier (r9): parts where no other part is
     // both cheaper-or-equal AND larger-or-equal (strict somewhere) — the
     // multi-objective shortlist. The naive form is an all-pairs NOT
@@ -2502,6 +2527,24 @@ object OlapQueries {
         |best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1)
         |SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes
         |FROM best GROUP BY 1""".stripMargin,
+
+    // same daily totals, same 7-day lag pairing, same exact error sums
+    "q_backtest" ->
+      """WITH daily AS (SELECT event_type,
+        |                 epoch_ns(ts) // 86400000000000 AS idx,
+        |                 SUM(CAST(floor(value * 1e6) AS BIGINT)) AS x
+        |               FROM events GROUP BY 1, 2),
+        |j AS (SELECT d.event_type, d.x, f.x AS pred
+        |      FROM daily d JOIN daily f
+        |        ON f.event_type = d.event_type AND f.idx + 7 = d.idx),
+        |s AS (SELECT event_type, COUNT(*) AS n_days,
+        |        CAST(SUM(abs(x - pred)) AS BIGINT) AS sae,
+        |        CAST(SUM(abs(x)) AS BIGINT) AS sax
+        |      FROM j GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CAST(sae AS DOUBLE) / n_days / 1000000.0 AS mae,
+        |  CAST(sae AS DOUBLE) / CAST(sax AS DOUBLE) AS wape
+        |FROM s""".stripMargin,
 
     // the oracle takes the O(n²) declarative dominance form over the
     // same exact-cents distinct pairs — same frontier, different plan

@@ -787,6 +787,62 @@ object PipelineQueries {
         .select(col("bg"), col("n"), col("rnk"))
     },
 
+    // DEDUP RECALL/PRECISION EVAL (r9): how good is the LSH blocking,
+    // MEASURED — candidates from minhash banding scored against the
+    // ground truth (exact shingle-Jaccard ≥ 0.6 pairs, the
+    // dedup_ngram_jaccard definition). tp via a key semi join of the
+    // two slim pair tables; precision/recall are IEEE divisions of
+    // exact longs. The eval harness every production dedup deploy runs
+    // before trusting its blocking parameters — and the honest-recall
+    // counterpart of RecallProbe for the dedup family. One row out.
+    "dedup_eval" -> { (s, d) =>
+      val corpus = docCorpus(s, d)
+      val cand = Dedup.minhashCandidates(corpus)
+      val truth = Dedup.jaccardPairs(corpus, 0.6)
+        .select(col("a"), col("b"))
+      val tp = cand.join(truth, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("tp"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val nt = truth.agg(count(lit(1)).as("n_true"))
+      tp.crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
+        .select(col("tp"), col("n_cand"), col("n_true"),
+          expr("CAST(tp AS DOUBLE) / n_cand").as("precision"),
+          expr("CAST(tp AS DOUBLE) / n_true").as("recall"))
+    },
+
+    // EMBEDDING OUTLIERS (r9): the top-20 vectors farthest from their
+    // label's centroid — the mislabeled-example / anomaly screen run
+    // before training on labeled embeddings. EXACT ranking: the scaled
+    // distance Σ(qᵢ·n − Σqᵢ)² multiplies the mean through by the label
+    // count, so the statistic is pure integer arithmetic (DECIMAL(38,0)
+    // squares) with ONE double cast at the end — same rounding in both
+    // engines, vec_id tiebreak total-orders the top-20. Centroid sums
+    // aggregate once (|labels|×D rows), re-assemble as ordered arrays,
+    // and BROADCAST back — the corpus is never exchanged; per-row work
+    // is a codegen zip_with/aggregate fold. The distance-to-centroid
+    // map-only pass is the same shape ann/kmeans assignment uses.
+    "emb_outliers" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val cent = graft.ops.Similarity.centroidStats(
+          emb.select(col("label"), col("embedding")), "label")
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n"),
+          transform(
+            array_sort(collect_list(struct(col("dim"), col("sum_q")))),
+            x => x("sum_q")).as("sq"))
+      val dq = "CAST(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT) " +
+        "* n - s AS DECIMAL(38,0))"
+      emb.join(broadcast(cent), "label")
+        .select(col("vec_id"), col("label"),
+          expr("CAST(aggregate(zip_with(embedding, sq, " +
+               s"(v, s) -> $dq * $dq), " +
+               "CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x) AS DOUBLE)")
+            .as("d2"))
+        .orderBy(col("d2").desc, col("vec_id").asc)
+        .limit(20)
+    },
+
     // CROSS-DOC LINE DEDUP (r9): the CCNet/RefinedWeb pass — sentences
     // repeated across ≥3 documents (headers, footers, templated
     // boilerplate) are REMOVED from every document and the documents
@@ -2614,6 +2670,65 @@ object PipelineQueries {
         |SELECT bg, n,
         |       CAST(row_number() OVER (ORDER BY n DESC, bg ASC) AS BIGINT) AS rnk
         |FROM c QUALIFY rnk <= 100""".stripMargin,
+
+    // candidates = the dedup_minhash recipe; truth = the
+    // dedup_ngram_jaccard recipe at 0.6; the scores are divisions of
+    // the same exact longs
+    "dedup_eval" ->
+      s"""WITH $corpusCte,
+         |$shingleCtes,
+         |szs AS (SELECT doc_id, len(shingles) AS n FROM sh0),
+         |sh2 AS (SELECT doc_id,
+         |        CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
+         |op AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+         |       FROM sh2 a JOIN sh2 b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |truth AS (SELECT p.a, p.b FROM op p
+         |          JOIN szs na ON p.a = na.doc_id
+         |          JOIN szs nb ON p.b = nb.doc_id
+         |          WHERE p.inter / (na.n + nb.n - p.inter) >= 0.6),
+         |mh AS (SELECT doc_id, ${(0 until 8).map(duckHash).mkString(", ")}
+         |       FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR)||'_'||CAST(mh1 AS VARCHAR) AS bucket FROM mh
+         |  UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR)||'_'||CAST(mh3 AS VARCHAR) FROM mh
+         |  UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR)||'_'||CAST(mh5 AS VARCHAR) FROM mh
+         |  UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR)||'_'||CAST(mh7 AS VARCHAR) FROM mh),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |m AS (SELECT
+         |        (SELECT COUNT(*) FROM cand c
+         |         WHERE EXISTS (SELECT 1 FROM truth t
+         |                       WHERE t.a = c.a AND t.b = c.b)) AS tp,
+         |        (SELECT COUNT(*) FROM cand) AS n_cand,
+         |        (SELECT COUNT(*) FROM truth) AS n_true)
+         |SELECT tp, n_cand, n_true,
+         |  CAST(tp AS DOUBLE) / n_cand AS precision,
+         |  CAST(tp AS DOUBLE) / n_true AS recall
+         |FROM m""".stripMargin,
+
+    // same quantized sums, same integer scaled distance, one double
+    // cast at the end; vec_id total-orders the top-20
+    "emb_outliers" ->
+      """WITH x AS (
+        |  SELECT vec_id, label,
+        |    unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'dim': i - 1,
+        |            'q': CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000)
+        |                 AS BIGINT)})) AS s
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label, CAST(s.dim AS BIGINT) AS dim,
+        |        s.q AS q FROM x),
+        |c AS (SELECT label, dim, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sq
+        |      FROM e GROUP BY 1, 2),
+        |d AS (SELECT e.vec_id, e.label,
+        |        SUM((CAST(e.q AS HUGEINT) * c.n - c.sq) *
+        |            (CAST(e.q AS HUGEINT) * c.n - c.sq)) AS d2q
+        |      FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+        |      GROUP BY 1, 2)
+        |SELECT vec_id, label, CAST(d2q AS DOUBLE) AS d2
+        |FROM d ORDER BY d2 DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     // same literal split, same ≥3-doc hot-line set, same ordered
     // reassembly — the md5 of the rebuilt text must match to the byte
