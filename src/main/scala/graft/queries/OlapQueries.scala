@@ -1172,6 +1172,67 @@ object OlapQueries {
         .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
     },
 
+    // DIFFERENCE-IN-DIFFERENCES (r9): the quasi-experiment estimator —
+    // did the treated group's metric move MORE than the control's
+    // across the cutover? Four (group × period) cells of exact
+    // micro-quantized (n, Σv) from ONE map-combined scan (the period
+    // boundary is a fixed literal day — 2024-01-16 = epoch-day 19738),
+    // conditional aggregation so no second scan; the estimate is one
+    // fixed IEEE sequence over the four exact cells. 1 output row.
+    "q_did" -> { (s, d) =>
+      val day = 86400L * 1000 * 1000 * 1000
+      Tables(s, d, "events")
+        .where(col("event_type").isin("view", "click"))
+        .select(col("event_type").as("g"),
+          (expr(s"ts div $day") >= 19738L).as("post"),
+          floor(col("value") * 1e6).cast("long").as("vq"))
+        .agg(
+          sum(when(col("g") === "click" && !col("post"), col("vq"))).as("s_t0"),
+          count(when(col("g") === "click" && !col("post"), lit(1))).as("n_t0"),
+          sum(when(col("g") === "click" && col("post"), col("vq"))).as("s_t1"),
+          count(when(col("g") === "click" && col("post"), lit(1))).as("n_t1"),
+          sum(when(col("g") === "view" && !col("post"), col("vq"))).as("s_c0"),
+          count(when(col("g") === "view" && !col("post"), lit(1))).as("n_c0"),
+          sum(when(col("g") === "view" && col("post"), col("vq"))).as("s_c1"),
+          count(when(col("g") === "view" && col("post"), lit(1))).as("n_c1"))
+        .select(col("n_t0"), col("n_t1"), col("n_c0"), col("n_c1"),
+          expr("(CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0) / 1000000.0")
+            .as("delta_treat"),
+          expr("(CAST(s_c1 AS DOUBLE) / n_c1 - CAST(s_c0 AS DOUBLE) / n_c0) / 1000000.0")
+            .as("delta_ctrl"),
+          expr("((CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0) - " +
+               " (CAST(s_c1 AS DOUBLE) / n_c1 - CAST(s_c0 AS DOUBLE) / n_c0)) / 1000000.0")
+            .as("did"))
+    },
+
+    // WINSORIZED MEAN (r9): the robust mean — per-type values clamped
+    // to the exact [p05, p95] before averaging, so a handful of extreme
+    // rows can't move the metric. The p05/p95 cuts come from TWO
+    // rankValue passes (the collapsed machinery — |distinct values|
+    // rows through the exchange, the fact only map-aggregates), the
+    // two |groups|-row cut tables broadcast back, clamping is map-only
+    // integer min/max, and both means are one IEEE sequence over exact
+    // sums. Raw mean alongside shows what the tails were doing.
+    "q_winsorize" -> { (s, d) =>
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val ev = Tables(s, d, "events")
+        .select(col("event_type"),
+          floor(col("value") * 1e6).cast("long").as("vq"))
+      val lo = rankValue(ev, "event_type", "vq", 0.05, nPart)
+        .withColumnRenamed("qval", "p05")
+      val hi = rankValue(ev, "event_type", "vq", 0.95, nPart)
+        .withColumnRenamed("qval", "p95")
+      ev.join(broadcast(lo), "event_type").join(broadcast(hi), "event_type")
+        .select(col("event_type"), col("vq"),
+          greatest(col("p05"), least(col("vq"), col("p95"))).as("wq"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vq")).as("sv"),
+             sum(col("wq")).as("sw"))
+        .select(col("event_type"), col("n"),
+          expr("CAST(sv AS DOUBLE) / n / 1000000.0").as("mean_raw"),
+          expr("CAST(sw AS DOUBLE) / n / 1000000.0").as("mean_winsor"))
+    },
+
     // FORECAST BACKTEST (r9): seasonal-naive — predict each day's
     // per-type total with the value 7 days earlier, score MAE/MAPE over
     // every day with both sides present. The eval harness behind any
@@ -1350,6 +1411,21 @@ object OlapQueries {
         .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
         .agg(count(lit(1)).as("n_purchases"),
              (sum(Exact.cents(col("value"))) / 100.0).as("revenue"))
+    },
+
+    // STREAMING ATTRIBUTION (r9, streaming/Attribution): q_attribution's
+    // incremental twin via flatMapGroupsWithState — each purchase is
+    // credited to its channel the moment it ARRIVES, with ONE carried
+    // touch per user as state (O(users), stream-length-independent; the
+    // Transitions state shape). Per micro-batch the user's slice folds
+    // in (ts, event_id) order: purchases emit once with the channel
+    // current at that fold point (the batch window's strict-past
+    // semantics), non-purchases advance the touch; the cross-batch seam
+    // resolves through the carried state (AttributionSpec pins fold
+    // semantics, the seam, and stream ≡ batch parity). Rollup
+    // batch-side; same oracle as q_attribution.
+    "stream_attribution" -> { (s, d) =>
+      graft.streaming.Attribution.channelRevenue(s, d)
     },
 
     // STREAMING BOLLINGER (r9): the standing volatility band — the
@@ -2528,6 +2604,52 @@ object OlapQueries {
         |SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes
         |FROM best GROUP BY 1""".stripMargin,
 
+    // four exact cells from one conditional scan; delta_treat/delta_ctrl
+    // compute once and did composes the same op sequence
+    "q_did" ->
+      """WITH e AS (SELECT event_type AS g,
+        |             epoch_ns(ts) // 86400000000000 >= 19738 AS post,
+        |             CAST(floor(value * 1e6) AS BIGINT) AS vq
+        |           FROM events WHERE event_type IN ('view', 'click')),
+        |c AS (SELECT
+        |  CAST(SUM(CASE WHEN g = 'click' AND NOT post THEN vq END) AS BIGINT) AS s_t0,
+        |  COUNT(CASE WHEN g = 'click' AND NOT post THEN 1 END) AS n_t0,
+        |  CAST(SUM(CASE WHEN g = 'click' AND post THEN vq END) AS BIGINT) AS s_t1,
+        |  COUNT(CASE WHEN g = 'click' AND post THEN 1 END) AS n_t1,
+        |  CAST(SUM(CASE WHEN g = 'view' AND NOT post THEN vq END) AS BIGINT) AS s_c0,
+        |  COUNT(CASE WHEN g = 'view' AND NOT post THEN 1 END) AS n_c0,
+        |  CAST(SUM(CASE WHEN g = 'view' AND post THEN vq END) AS BIGINT) AS s_c1,
+        |  COUNT(CASE WHEN g = 'view' AND post THEN 1 END) AS n_c1
+        |  FROM e)
+        |SELECT n_t0, n_t1, n_c0, n_c1,
+        |  (CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0) / 1000000.0 AS delta_treat,
+        |  (CAST(s_c1 AS DOUBLE) / n_c1 - CAST(s_c0 AS DOUBLE) / n_c0) / 1000000.0 AS delta_ctrl,
+        |  ((CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0) -
+        |   (CAST(s_c1 AS DOUBLE) / n_c1 - CAST(s_c0 AS DOUBLE) / n_c0)) / 1000000.0 AS did
+        |FROM c""".stripMargin,
+
+    // single-node exact p05/p95 ranks pick the same cut integers; the
+    // clamp and both means are the identical op sequence
+    "q_winsorize" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(floor(value * 1e6) AS BIGINT) AS vq FROM events),
+        |r AS (SELECT event_type, vq,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vq) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |lo AS (SELECT event_type,
+        |         MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+        |             THEN vq END) AS p05 FROM r GROUP BY 1),
+        |hi AS (SELECT event_type,
+        |         MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |             THEN vq END) AS p95 FROM r GROUP BY 1),
+        |w AS (SELECT e.event_type, e.vq,
+        |        greatest(lo.p05, least(e.vq, hi.p95)) AS wq
+        |      FROM e JOIN lo USING (event_type) JOIN hi USING (event_type))
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(vq) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_raw,
+        |  CAST(CAST(SUM(wq) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_winsor
+        |FROM w GROUP BY 1""".stripMargin,
+
     // same daily totals, same 7-day lag pairing, same exact error sums
     "q_backtest" ->
       """WITH daily AS (SELECT event_type,
@@ -2597,6 +2719,20 @@ object OlapQueries {
     // same strict-past IGNORE-NULLS window under the same total order;
     // exact-cents revenue with the one trailing IEEE division
     "q_attribution" ->
+      """WITH t AS (SELECT user_id, event_type, value,
+        |  last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+        |             IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'direct') AS channel,
+        |       COUNT(*) AS n_purchases,
+        |       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    // the streamed per-purchase credits ARE the batch window's — same
+    // oracle as q_attribution
+    "stream_attribution" ->
       """WITH t AS (SELECT user_id, event_type, value,
         |  last_value(CASE WHEN event_type != 'purchase' THEN event_type END
         |             IGNORE NULLS)
