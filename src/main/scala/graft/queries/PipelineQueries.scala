@@ -787,6 +787,42 @@ object PipelineQueries {
         .select(col("bg"), col("n"), col("rnk"))
     },
 
+    // SEMANTIC DEDUP CLUSTERS (r9): connected components over the
+    // embedding-cosine near-dup pairs — the SemDeDup-style grouping
+    // (paraphrases and re-encodes that share no n-grams cluster here;
+    // the minhash clusters can't see them). Same hyperplane-LSH pair
+    // generation as dedup_embedding, same iterative min-label
+    // propagation as dedup_clusters (diameter-bounded rounds, per-round
+    // localCheckpoint freed) — composition, not new machinery.
+    "dedup_semantic" -> { (s, d) =>
+      graft.ops.Components.components(
+          Dedup.embeddingPairs(embCorpus(s, d), 0.95)
+            .select(col("a"), col("b")))
+        .select(col("doc_id").as("vec_id"), col("cluster"))
+    },
+
+    // CLASS REBALANCING / oversampling (r9): minority-language docs
+    // replicated toward the majority count — the balancing pass before
+    // training on skewed data. Deterministic integer replication: per
+    // class factor = min(target div n, 8) (capped ×8, the standard
+    // guard against degenerate minority blow-up), applied as a
+    // MAP-SIDE explode of a broadcast |classes|-row factor table — the
+    // corpus is never shuffled to replicate; the verification rollup is
+    // the only (tiny) aggregation.
+    "pipe_oversample" -> { (s, d) =>
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("lang"))
+      val cnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val target = cnt.agg(max(col("n")).as("tgt"))
+      val factors = cnt.crossJoin(broadcast(target))
+        .select(col("lang"), least(expr("tgt div n"), lit(8L)).as("f"))
+      docs.join(broadcast(factors), "lang")
+        .select(col("lang"), col("doc_id"),
+          explode(expr("sequence(1, f)")).as("rep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_after"),
+             countDistinct(col("doc_id")).as("n_docs"))
+    },
+
     // DEDUP RECALL/PRECISION EVAL (r9): how good is the LSH blocking,
     // MEASURED — candidates from minhash banding scored against the
     // ground truth (exact shingle-Jaccard ≥ 0.6 pairs, the
@@ -2670,6 +2706,40 @@ object PipelineQueries {
         |SELECT bg, n,
         |       CAST(row_number() OVER (ORDER BY n DESC, bg ASC) AS BIGINT) AS rnk
         |FROM c QUALIFY rnk <= 100""".stripMargin,
+
+    // same brute-force cosine pairs as dedup_embedding (recall-1 at the
+    // 0.95 exact-copy threshold), same min-label reach recursion as
+    // dedup_clusters
+    "dedup_semantic" ->
+      """WITH RECURSIVE emb AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000 AS vec_id, embedding
+        |    FROM embeddings WHERE vec_id % 10 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |  WHERE list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(a.embedding) + 1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+        |      (x, y) -> x + y) >= 0.95),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION SELECT b, a FROM pairs),
+        |reach(v, l) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v)
+        |SELECT v AS vec_id, MIN(l) AS cluster FROM reach GROUP BY 1""".stripMargin,
+
+    // no unnest needed single-node: the exploded row count per class is
+    // n·f by construction
+    "pipe_oversample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT MAX(n) AS tgt FROM c),
+        |f AS (SELECT lang, least(tgt // n, 8) AS f FROM c CROSS JOIN t)
+        |SELECT d.lang, CAST(SUM(f.f) AS BIGINT) AS n_after,
+        |       COUNT(DISTINCT d.doc_id) AS n_docs
+        |FROM documents d JOIN f USING (lang) GROUP BY 1""".stripMargin,
 
     // candidates = the dedup_minhash recipe; truth = the
     // dedup_ngram_jaccard recipe at 0.6; the scores are divisions of
