@@ -1172,6 +1172,37 @@ object OlapQueries {
         .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
     },
 
+    // HISTOGRAM QUANTILES (r9): p50/p95/p99 per group as [lo, hi)
+    // BRACKETS off a fixed-bin histogram — the cheap-at-scale
+    // alternative to q_percentile's exact ranks: ONE map-combined
+    // aggregate (|groups × occupied buckets| rows out, the fact never
+    // range-sorted), every window below runs over that tiny table, and
+    // the one-bucket-width error bound is explicit in the output
+    // (stream_quantile is this operator's streaming twin — same
+    // deterministic integer histogram, so both oracle exactly).
+    "q_quantile_hist" -> { (s, d) =>
+      val width = 25.0
+      val h = Tables(s, d, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / width).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = h
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n",
+          sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      Seq(0.5, 0.95, 0.99).map { q =>
+        cum.where(col("cum") >= ceil(lit(q) * col("n")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("bucket"))))
+          .where(col("rk") === 1)
+          .select(col("event_type"), lit(q).as("q"),
+            (col("bucket") * width).as("est_lo"),
+            ((col("bucket") + 1) * width).as("est_hi"), col("n"))
+      }.reduce(_ unionByName _)
+    },
+
     // DIFFERENCE-IN-DIFFERENCES (r9): the quasi-experiment estimator —
     // did the treated group's metric move MORE than the control's
     // across the cutover? Four (group × period) cells of exact
@@ -2603,6 +2634,25 @@ object OlapQueries {
         |best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1)
         |SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes
         |FROM best GROUP BY 1""".stripMargin,
+
+    // same integer histogram, same crossing rule — brackets match
+    // exactly because bucket counts are deterministic longs
+    "q_quantile_hist" ->
+      """WITH h AS (SELECT event_type,
+        |             CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+        |             COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, bucket, cnt,
+        |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+        |                       ROWS UNBOUNDED PRECEDING) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+        |p AS (SELECT unnest([0.5, 0.95, 0.99]) AS q),
+        |x AS (SELECT c.event_type, p.q, c.bucket, c.n,
+        |        ROW_NUMBER() OVER (PARTITION BY c.event_type, p.q
+        |                           ORDER BY c.bucket) AS rk
+        |      FROM c JOIN p ON c.cum >= ceil(p.q * c.n))
+        |SELECT event_type, q, bucket * 25.0 AS est_lo,
+        |       (bucket + 1) * 25.0 AS est_hi, CAST(n AS BIGINT) AS n
+        |FROM x WHERE rk = 1""".stripMargin,
 
     // four exact cells from one conditional scan; delta_treat/delta_ctrl
     // compute once and did composes the same op sequence
