@@ -1172,6 +1172,51 @@ object OlapQueries {
         .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
     },
 
+    // HYPERLOGLOG distinct estimate (r9): the register-based NDV sketch
+    // next to the KMV family — 1024 registers of max leading-zero rank
+    // over the 60-bit md5 prefix, fully DECLARATIVE and fully ORACLED:
+    // registers are exact integers (bucket = top 10 bits, rho from the
+    // bit length of the 50-bit remainder — string length of the binary
+    // form, no log2), and the harmonic estimate folds 2^-M terms in
+    // BUCKET ORDER via an ordered-list fold, so the IEEE sum is
+    // engine-identical (2^-M values are exact doubles — 1/(1<<M), no
+    // pow()). Raw estimate only (the small-range correction needs
+    // ln(), the banned transcendental) — v_empty is emitted so a caller
+    // can see when that regime applies; n_exact alongside for honesty.
+    // One map-combined pass; state is 1024 registers at any scale.
+    "q_hll" -> { (s, d) =>
+      val h = graft.functions.Md5HighBits.hash60(
+        col("l_orderkey").cast("string"))
+      val regs = Tables(s, d, "lineitem")
+        .select(h.as("h"))
+        .select(expr("shiftright(h, 50)").as("bucket"),
+                expr("h & 1125899906842623").as("w"))
+        .select(col("bucket"),
+          when(col("w") === 0, lit(51))
+            .otherwise(lit(51) - length(bin(col("w")))).as("rho"))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("mreg"))
+      val exact = Tables(s, d, "lineitem")
+        .agg(countDistinct(h).as("n_exact"))
+      regs
+        .agg(sort_array(collect_list(struct(col("bucket"), col("mreg"))))
+          .as("rs"))
+        .select(size(col("rs")).cast("long").as("occ"),
+          expr("aggregate(rs, CAST(0.0 AS DOUBLE), (acc, x) -> " +
+               "acc + 1.0 / CAST(shiftleft(CAST(1 AS BIGINT), x.mreg) AS DOUBLE))")
+            .as("z_occ"))
+        .crossJoin(broadcast(exact))
+        // α·m² computed in SCALA doubles: a bare `0.7213` inside expr()
+        // parses as DECIMAL in Spark SQL but DOUBLE in DuckDB — the
+        // decimal-evaluated constant subtree drifted the estimate at
+        // 1e-10 (caught by the gate); Scala's left-to-right IEEE ops
+        // are exactly DuckDB's constant fold
+        .select(lit(1024L).as("m"), (lit(1024L) - col("occ")).as("v_empty"),
+          (lit(0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0) /
+            (col("z_occ") + expr("CAST(1024 - occ AS DOUBLE)")))
+            .as("estimate"),
+          col("n_exact"))
+    },
+
     // HISTOGRAM QUANTILES (r9): p50/p95/p99 per group as [lo, hi)
     // BRACKETS off a fixed-bin histogram — the cheap-at-scale
     // alternative to q_percentile's exact ranks: ONE map-combined
@@ -2634,6 +2679,32 @@ object OlapQueries {
         |best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1)
         |SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes
         |FROM best GROUP BY 1""".stripMargin,
+
+    // same exact registers (hex-parse hash, binary-string bit length),
+    // same bucket-ordered fold — the estimate matches to the bit
+    "q_hll" ->
+      """WITH h AS (SELECT
+        |    CAST(('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,15))
+        |         AS BIGINT) AS h FROM lineitem),
+        |r AS (SELECT h // 1125899906842624 AS bucket,
+        |        CASE WHEN h % 1125899906842624 = 0 THEN 51
+        |             ELSE 51 - length(printf('%b', h % 1125899906842624))
+        |        END AS rho
+        |      FROM h),
+        |regs AS (SELECT bucket, MAX(rho) AS mreg FROM r GROUP BY 1),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS occ,
+        |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(list(mreg ORDER BY bucket),
+        |            m -> 1.0 / CAST(1::BIGINT << m AS DOUBLE))),
+        |          (x, y) -> x + y) AS z_occ
+        |      FROM regs),
+        |e AS (SELECT COUNT(DISTINCT h) AS n_exact FROM h)
+        |SELECT CAST(1024 AS BIGINT) AS m,
+        |  CAST(1024 - occ AS BIGINT) AS v_empty,
+        |  (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 /
+        |    (z_occ + CAST(1024 - occ AS DOUBLE)) AS estimate,
+        |  n_exact
+        |FROM f, e""".stripMargin,
 
     // same integer histogram, same crossing rule — brackets match
     // exactly because bucket counts are deterministic longs
