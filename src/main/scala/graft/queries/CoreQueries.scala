@@ -1406,6 +1406,32 @@ object CoreQueries {
               |FROM sqlr_renamed VERSION AS OF 0 GROUP BY status""".stripMargin)
     },
 
+    // INSERT OVERWRITE end to end (r9): delete-all + insert as ONE
+    // atomic commit (one `_ver`) — readers see old or new contents,
+    // never a truncated middle, and because the table is versioned the
+    // overwritten state stays time-travelable: the query reads the
+    // post-overwrite contents AND the pre-overwrite CTAS state through
+    // VERSION AS OF. The lakehouse "replace the partition/table" op
+    // without losing history.
+    "sql_overwrite" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_sqlow_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      val g = new graft.sql.GraftSql(s).attach(cat)
+      baseOrders(s, d).createOrReplaceTempView("sqlow_src")
+      g.sql("""CREATE TABLE sqlo_t USING graft OPTIONS ('key' = 'k')
+              |AS SELECT k, custkey, status, totalprice FROM sqlow_src
+              |WHERE k % 4 = 0""".stripMargin)
+      g.sql("""INSERT OVERWRITE TABLE sqlo_t
+              |SELECT k, custkey, status, totalprice FROM sqlow_src
+              |WHERE k % 5 = 0""".stripMargin)
+      g.sql("""SELECT 'now' AS vintage, count(*) AS n,
+              |       CAST(sum(k) AS BIGINT) AS sk FROM sqlo_t
+              |UNION ALL
+              |SELECT 'v0' AS vintage, count(*) AS n,
+              |       CAST(sum(k) AS BIGINT) AS sk
+              |FROM sqlo_t VERSION AS OF 0""".stripMargin)
+    },
+
     // DURABLE SQL VIEWS end to end (r9, Catalog.createView + GraftSql
     // CreateView/DropView/expandDurableViews): CREATE VIEW stores the
     // SQL TEXT in the warehouse — never a plan, never a materialization
@@ -2141,6 +2167,19 @@ object CoreQueries {
         |SELECT 'v0' AS vintage, status, COUNT(*) AS n,
         |       CAST(SUM(custkey) AS BIGINT) AS ck
         |FROM t0 GROUP BY status""".stripMargin,
+
+    // new contents = the %5 set; v0 = the %4 CTAS set — both states
+    // recomputed directly
+    "sql_overwrite" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k FROM orders),
+        |nw AS (SELECT k FROM base WHERE k % 5 = 0),
+        |v0 AS (SELECT k FROM base WHERE k % 4 = 0)
+        |SELECT 'now' AS vintage, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sk
+        |FROM nw
+        |UNION ALL
+        |SELECT 'v0' AS vintage, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sk
+        |FROM v0""".stripMargin,
 
     // the stacked views over the DML'd table must equal the inline
     // pipeline: filter-view over updated rows, rollup-view over that

@@ -1217,6 +1217,44 @@ object OlapQueries {
           col("n_exact"))
     },
 
+    // STREAMING HYPERLOGLOG (r9): the register sketch maintained
+    // incrementally — bucket-max registers are an associative streaming
+    // aggregation (state is ≤1024 rows at ANY stream length, merged
+    // map-side per micro-batch; the register-NDV twin of stream_ndv's
+    // KMV), with q_hll's bucket-ordered fold + estimate batch-side over
+    // the drained registers. Distinct customers over the orders stream;
+    // every addition in the fold is exact (register spread < 52 bits),
+    // so the streamed estimate oracles bit-for-bit.
+    "stream_hll" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val h = graft.functions.Md5HighBits.hash60(
+        col("o_custkey").cast("string"))
+      val regsPlan = StreamOps.fileSource(s, d, "orders")
+        .select(h.as("h"))
+        .select(expr("shiftright(h, 50)").as("bucket"),
+                expr("h & 1125899906842623").as("w"))
+        .select(col("bucket"),
+          when(col("w") === 0, lit(51))
+            .otherwise(lit(51) - length(bin(col("w")))).as("rho"))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("mreg"))
+      val exact = Tables(s, d, "orders")
+        .agg(countDistinct(graft.functions.Md5HighBits.hash60(
+          col("o_custkey").cast("string"))).as("n_exact"))
+      StreamOps.drainComplete(s, regsPlan)
+        .agg(sort_array(collect_list(struct(col("bucket"), col("mreg"))))
+          .as("rs"))
+        .select(size(col("rs")).cast("long").as("occ"),
+          expr("aggregate(rs, CAST(0.0 AS DOUBLE), (acc, x) -> " +
+               "acc + 1.0 / CAST(shiftleft(CAST(1 AS BIGINT), x.mreg) AS DOUBLE))")
+            .as("z_occ"))
+        .crossJoin(broadcast(exact))
+        .select(lit(1024L).as("m"), (lit(1024L) - col("occ")).as("v_empty"),
+          (lit(0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0) /
+            (col("z_occ") + expr("CAST(1024 - occ AS DOUBLE)")))
+            .as("estimate"),
+          col("n_exact"))
+    },
+
     // HISTOGRAM QUANTILES (r9): p50/p95/p99 per group as [lo, hi)
     // BRACKETS off a fixed-bin histogram — the cheap-at-scale
     // alternative to q_percentile's exact ranks: ONE map-combined
@@ -2686,6 +2724,32 @@ object OlapQueries {
       """WITH h AS (SELECT
         |    CAST(('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,15))
         |         AS BIGINT) AS h FROM lineitem),
+        |r AS (SELECT h // 1125899906842624 AS bucket,
+        |        CASE WHEN h % 1125899906842624 = 0 THEN 51
+        |             ELSE 51 - length(printf('%b', h % 1125899906842624))
+        |        END AS rho
+        |      FROM h),
+        |regs AS (SELECT bucket, MAX(rho) AS mreg FROM r GROUP BY 1),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS occ,
+        |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(list(mreg ORDER BY bucket),
+        |            m -> 1.0 / CAST(1::BIGINT << m AS DOUBLE))),
+        |          (x, y) -> x + y) AS z_occ
+        |      FROM regs),
+        |e AS (SELECT COUNT(DISTINCT h) AS n_exact FROM h)
+        |SELECT CAST(1024 AS BIGINT) AS m,
+        |  CAST(1024 - occ AS BIGINT) AS v_empty,
+        |  (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 /
+        |    (z_occ + CAST(1024 - occ AS DOUBLE)) AS estimate,
+        |  n_exact
+        |FROM f, e""".stripMargin,
+
+    // the streamed registers ARE the batch registers (bucket-max is
+    // associative) — same fold, same estimate, over orders customers
+    "stream_hll" ->
+      """WITH h AS (SELECT
+        |    CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15))
+        |         AS BIGINT) AS h FROM orders),
         |r AS (SELECT h // 1125899906842624 AS bucket,
         |        CASE WHEN h % 1125899906842624 = 0 THEN 51
         |             ELSE 51 - length(printf('%b', h % 1125899906842624))

@@ -1109,8 +1109,11 @@ class GraftSql(val spark: SparkSession) {
   }
 
   private def runInsert(name: String, i: InsertIntoStatement): DataFrame = {
-    require(!i.overwrite, "graft SQL: INSERT OVERWRITE is not supported — " +
-      "graft tables are versioned; use DELETE + INSERT (both stay in history)")
+    // INSERT OVERWRITE = delete-all + insert in ONE atomic commit (one
+    // `_ver`): readers see either the old contents or the new, never a
+    // truncated middle — and because graft tables are versioned, the
+    // overwritten state stays time-travelable (VERSION AS OF the prior
+    // commit), unlike a filesystem truncate
     val q = Bridge.ofRows(spark, i.query)
     val cols = table(name).dataCols
     // positional VALUES/SELECT get the table's column names; an explicit
@@ -1136,7 +1139,10 @@ class GraftSql(val spark: SparkSession) {
     val target = table(name).snapshot.schema
     val casted = named.select(cols.map(c =>
       col(c).cast(target(c).dataType).as(c)): _*)
-    apply(name, Txn.empty.insert(casted))
+    val txn =
+      if (i.overwrite) Txn.empty.delete(lit(true)).insert(casted)
+      else Txn.empty.insert(casted)
+    apply(name, txn)
   }
 
   private def runMerge(name: String, m: MergeIntoTable): DataFrame = {

@@ -31,6 +31,13 @@ class GraftSqlSpec extends SparkSpec {
       (3L, 30L, "C", 300.0), (4L, 40L, "D", 400.0)))
     // int literals widened to the table's bigint/double — ANSI INSERT
     assert(g.table("t").snapshot.schema("k").dataType.typeName === "long")
+    // INSERT OVERWRITE: delete-all + insert; history kept — the
+    // pre-overwrite TABLE state reads back via table-level version
+    // addressing (asOfRelative is per-record and clamps new keys to
+    // their base, so it can't express "the table before the overwrite")
+    g.sql("INSERT OVERWRITE TABLE t VALUES (9, 90, 'Z', 900.0)")
+    assert(rows(g) === Seq((9L, 90L, "Z", 900.0)))
+    assert(g.table("t").asOfVersion(1L).count() === 4L)
   }
 
   test("INSERT INTO t (cols...) reorders by name; INSERT ... SELECT reads views") {
@@ -140,10 +147,8 @@ class GraftSqlSpec extends SparkSpec {
               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(e2.getMessage.contains("ON must equate the key"))
-    val e3 = intercept[IllegalArgumentException] {
-      g.sql("INSERT OVERWRITE t VALUES (1, 2, 'a', 1.0)")
-    }
-    assert(e3.getMessage.contains("INSERT OVERWRITE"))
+    // (INSERT OVERWRITE graduated from rejected to supported in r9 —
+    // covered in the INSERT test above)
     // a DELETE gate on TARGET columns would silently rebind to the
     // same-named SOURCE column (inverting intent) — rejected loud
     val e4 = intercept[IllegalArgumentException] {
