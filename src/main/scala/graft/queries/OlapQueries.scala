@@ -1217,6 +1217,54 @@ object OlapQueries {
           col("n_exact"))
     },
 
+    // KOLMOGOROV–SMIRNOV two-sample test (r9): the distribution-drift
+    // detector — max |CDF₁ − CDF₂| between the view and click value
+    // distributions (the statistic behind "did the data shift" checks
+    // on ML features). The collapse machinery with TWO counters: equal
+    // values collapse to (v, c₁, c₂) map-side, range partition in value
+    // order, per-partition running sums of BOTH counters + broadcast
+    // prefix offsets (partition totals read off the running sums'
+    // maxima); D evaluates per distinct value from exact integer
+    // cumulative counts (two IEEE divisions + abs), and the argmax is
+    // TakeOrderedAndProject under the total (d desc, v asc) order.
+    "q_ks" -> { (s, d) =>
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val c = Tables(s, d, "events")
+        .where(col("event_type").isin("view", "click"))
+        .select(col("event_type"),
+          floor(col("value") * 1e6).cast("long").as("vq"))
+        .groupBy(col("vq"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+               .as("c1"),
+             sum(when(col("event_type") === "click", 1L).otherwise(0L))
+               .as("c2"))
+      val parts = c.repartitionByRange(nPart, col("vq"))
+        .sortWithinPartitions(col("vq"))
+        .withColumn("pid", spark_partition_id())
+      val w = Window.partitionBy(col("pid")).orderBy(col("vq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = parts
+        .withColumn("l1", sum(col("c1")).over(w))
+        .withColumn("l2", sum(col("c2")).over(w))
+      val hist = local.groupBy(col("pid"))
+        .agg(max(col("l1")).as("p1"), max(col("l2")).as("p2"))
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = hist
+        .withColumn("o1", coalesce(sum(col("p1")).over(wOff), lit(0L)))
+        .withColumn("o2", coalesce(sum(col("p2")).over(wOff), lit(0L)))
+        .select(col("pid").as("opid"), col("o1"), col("o2"))
+      val tot = c.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      local.join(broadcast(offs), col("pid") === col("opid"))
+        .crossJoin(broadcast(tot))
+        .select(col("vq"), col("n1"), col("n2"),
+          expr("abs(CAST(l1 + o1 AS DOUBLE) / n1 - " +
+               "CAST(l2 + o2 AS DOUBLE) / n2)").as("ks_d"))
+        .orderBy(col("ks_d").desc, col("vq").asc).limit(1)
+        .select(expr("CAST(vq AS DOUBLE) / 1000000.0").as("at_value"),
+          col("ks_d"), col("n1"), col("n2"))
+    },
+
     // STREAMING HYPERLOGLOG (r9): the register sketch maintained
     // incrementally — bucket-max registers are an associative streaming
     // aggregation (state is ≤1024 rows at ANY stream length, merged
@@ -2743,6 +2791,27 @@ object OlapQueries {
         |    (z_occ + CAST(1024 - occ AS DOUBLE)) AS estimate,
         |  n_exact
         |FROM f, e""".stripMargin,
+
+    // same collapsed two-counter cumulatives single-node; identical
+    // IEEE divisions and the same total argmax order
+    "q_ks" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(floor(value * 1e6) AS BIGINT) AS vq FROM events
+        |           WHERE event_type IN ('view', 'click')),
+        |c AS (SELECT vq,
+        |        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+        |        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+        |      FROM e GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |             CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+        |cum AS (SELECT vq,
+        |          SUM(c1) OVER (ORDER BY vq ROWS UNBOUNDED PRECEDING) AS a1,
+        |          SUM(c2) OVER (ORDER BY vq ROWS UNBOUNDED PRECEDING) AS a2
+        |        FROM c)
+        |SELECT CAST(vq AS DOUBLE) / 1000000.0 AS at_value,
+        |  abs(CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2) AS ks_d,
+        |  n1, n2
+        |FROM cum, t ORDER BY ks_d DESC, vq ASC LIMIT 1""".stripMargin,
 
     // the streamed registers ARE the batch registers (bucket-max is
     // associative) — same fold, same estimate, over orders customers

@@ -787,6 +787,28 @@ object PipelineQueries {
         .select(col("bg"), col("n"), col("rnk"))
     },
 
+    // QUALITY-WEIGHTED SAMPLING (r9): keep each document with
+    // probability proportional to its quality proxy (n_chars / max) —
+    // the DCLM-style curation move that keeps MORE of the better data
+    // instead of uniform thinning. DETERMINISTIC: the per-doc uniform
+    // is the 60-bit md5 of the doc id (never rand() — re-runs, retries
+    // and both engines agree), the keep test is one IEEE compare of two
+    // exact-integer divisions, and the max normalizer is a 1-row
+    // broadcast. Map-only gate; the verification rollup is the only
+    // (tiny) aggregation.
+    "pipe_sample_weighted" -> { (s, d) =>
+      val u = graft.functions.Md5HighBits.hash60(
+        col("doc_id").cast("string"))
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val mx = docs.agg(max(col("n_chars")).as("mx"))
+      docs.crossJoin(broadcast(mx))
+        .where(u.cast("double") / lit(1152921504606846976.0) <
+               col("n_chars").cast("double") / col("mx").cast("double"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+    },
+
     // SEMANTIC DEDUP CLUSTERS (r9): connected components over the
     // embedding-cosine near-dup pairs — the SemDeDup-style grouping
     // (paraphrases and re-encodes that share no n-grams cluster here;
@@ -2706,6 +2728,17 @@ object PipelineQueries {
         |SELECT bg, n,
         |       CAST(row_number() OVER (ORDER BY n DESC, bg ASC) AS BIGINT) AS rnk
         |FROM c QUALIFY rnk <= 100""".stripMargin,
+
+    // same md5 uniform, same two exact divisions, same IEEE compare
+    "pipe_sample_weighted" ->
+      """WITH m AS (SELECT MAX(n_chars) AS mx FROM documents),
+        |k AS (SELECT d.lang, d.n_chars FROM documents d CROSS JOIN m
+        |      WHERE CAST(CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))
+        |                 AS BIGINT) AS DOUBLE) / 1152921504606846976.0 <
+        |            CAST(d.n_chars AS DOUBLE) / CAST(m.mx AS DOUBLE))
+        |SELECT lang, COUNT(*) AS n_kept,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM k GROUP BY 1""".stripMargin,
 
     // same brute-force cosine pairs as dedup_embedding (recall-1 at the
     // 0.95 exact-copy threshold), same min-label reach recursion as
