@@ -658,14 +658,16 @@ object OlapQueries {
     // fallback when ±ε is acceptable.
     "q_percentile" -> { (s, d) =>
       val keys = Seq(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
-      val parts = Tables(s, d, "orders")
-        .select(keys: _*)
-        // session shuffle parallelism, not a constant: 32 is right on
-        // local[32] but would under-partition a 1000-executor cluster
-        .repartitionByRange(
-          s.conf.get("spark.sql.shuffle.partitions").toInt, keys: _*)
-        .sortWithinPartitions(keys: _*)
-        .withColumn("pid", spark_partition_id())
+      // pid from the VALUE (exact cents — monotone in the 2dp price),
+      // never spark_partition_id over a sampled range exchange: the
+      // offsets branch re-evaluates, and sampled boundaries are
+      // rdd-id-seeded (see withBucket) — equal prices share a bucket,
+      // so the (price, orderkey) tiebreak window stays total
+      val parts = withBucket(
+          Tables(s, d, "orders").select(keys: _*)
+            .withColumn("_pc", Exact.cents(col("o_totalprice"))),
+          "_pc", s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .drop("_pc")
       val wLocal = Window.partitionBy(col("pid"), col("o_orderstatus"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
       val local = parts.withColumn("lrn", row_number().over(wLocal))
@@ -1228,41 +1230,77 @@ object OlapQueries {
     // cumulative counts (two IEEE divisions + abs), and the argmax is
     // TakeOrderedAndProject under the total (d desc, v asc) order.
     "q_ks" -> { (s, d) =>
-      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val c = Tables(s, d, "events")
-        .where(col("event_type").isin("view", "click"))
-        .select(col("event_type"),
-          floor(col("value") * 1e6).cast("long").as("vq"))
-        .groupBy(col("vq"))
-        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
-               .as("c1"),
-             sum(when(col("event_type") === "click", 1L).otherwise(0L))
-               .as("c2"))
-      val parts = c.repartitionByRange(nPart, col("vq"))
-        .sortWithinPartitions(col("vq"))
-        .withColumn("pid", spark_partition_id())
-      val w = Window.partitionBy(col("pid")).orderBy(col("vq"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = parts
-        .withColumn("l1", sum(col("c1")).over(w))
-        .withColumn("l2", sum(col("c2")).over(w))
-      val hist = local.groupBy(col("pid"))
-        .agg(max(col("l1")).as("p1"), max(col("l2")).as("p2"))
-      val wOff = Window.orderBy(col("pid"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = hist
-        .withColumn("o1", coalesce(sum(col("p1")).over(wOff), lit(0L)))
-        .withColumn("o2", coalesce(sum(col("p2")).over(wOff), lit(0L)))
-        .select(col("pid").as("opid"), col("o1"), col("o2"))
-      val tot = c.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-      local.join(broadcast(offs), col("pid") === col("opid"))
-        .crossJoin(broadcast(tot))
+      twoSampleCum(s, d)
         .select(col("vq"), col("n1"), col("n2"),
-          expr("abs(CAST(l1 + o1 AS DOUBLE) / n1 - " +
-               "CAST(l2 + o2 AS DOUBLE) / n2)").as("ks_d"))
+          expr("abs(CAST(a1 AS DOUBLE) / n1 - " +
+               "CAST(a2 AS DOUBLE) / n2)").as("ks_d"))
         .orderBy(col("ks_d").desc, col("vq").asc).limit(1)
         .select(expr("CAST(vq AS DOUBLE) / 1000000.0").as("at_value"),
           col("ks_d"), col("n1"), col("n2"))
+    },
+
+    // MANN–WHITNEY U (r9): the rank-sum test — "does one group's value
+    // distribution stochastically dominate the other's" without any
+    // normality assumption (the nonparametric sibling of q_ttest). From
+    // the SAME collapsed two-counter cumulatives as q_ks: with ties
+    // collapsed, 2·U₁ = Σ_v c₁(v)·(2·cum₂(<v) + c₂(v)) is an EXACT
+    // integer (DECIMAL(38,0) accumulator — per-value products pass long
+    // headroom at 100 TB), and the normal-approximation z is one fixed
+    // IEEE sequence over (2U, n₁, n₂). The tie-corrected variance is
+    // deliberately omitted (documented): the untied form is the
+    // portable one, and 2U itself is exact either way.
+    "q_mwu" -> { (s, d) =>
+      twoSampleCum(s, d)
+        .select(col("n1"), col("n2"),
+          (col("c1").cast("decimal(38,0)") *
+            (lit(2) * (col("a2") - col("c2")) + col("c2"))).as("t"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(sum(col("t")).as("u2"))
+        .select(col("n1"), col("n2"),
+          expr("CAST(u2 AS DOUBLE) / 2.0").as("u1"),
+          expr("(CAST(u2 AS DOUBLE) / 2.0 - " +
+               "CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) / " +
+               "sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+               "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) / 12.0)")
+            .as("z"))
+    },
+
+    // CRAMÉR'S V (r9): q_chi2 completed into the [0,1] association
+    // strength — the chi² total folds the per-cell contributions in
+    // (status, prio) ORDER (an ordered-list fold over ≤|cells| doubles,
+    // the q_hll idiom — a bare SUM of doubles would be
+    // partition-order-dependent and could never oracle), and
+    // V = sqrt(chi²/(n·min(r−1, c−1))) is one fixed IEEE sequence.
+    // Same one-scan cell table as q_chi2; everything after is
+    // arithmetic on ≤|cells| rows.
+    "q_cramer" -> { (s, d) =>
+      val cells = Tables(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("status"),
+                 col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy(col("status")).agg(sum(col("obs")).as("rt"))
+      val ct = cells.groupBy(col("prio")).agg(sum(col("obs")).as("ct"))
+      val tot = cells.agg(sum(col("obs")).as("total"))
+      cells.join(broadcast(rt), "status").join(broadcast(ct), "prio")
+        .crossJoin(broadcast(tot))
+        .select(col("status"), col("prio"), col("obs"),
+          expr("CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / total")
+            .as("expected"))
+        .select(col("status"), col("prio"), col("obs"),
+          expr("(obs - expected) * (obs - expected) / expected")
+            .as("contrib"))
+        .agg(countDistinct(col("status")).as("r"),
+             countDistinct(col("prio")).as("c"),
+             sum(col("obs")).as("n"),
+             sort_array(collect_list(
+               struct(col("status"), col("prio"), col("contrib"))))
+               .as("cs"))
+        .select(col("r"), col("c"), col("n"),
+          expr("aggregate(cs, CAST(0.0 AS DOUBLE), " +
+               "(acc, x) -> acc + x.contrib)").as("chi2"))
+        .select(col("r"), col("c"), col("n"), col("chi2"),
+          expr("sqrt(chi2 / (CAST(n AS DOUBLE) * " +
+               "CAST(least(r - 1, c - 1) AS DOUBLE)))").as("cramer_v"))
     },
 
     // STREAMING HYPERLOGLOG (r9): the register sketch maintained
@@ -1437,10 +1475,10 @@ object OlapQueries {
         .select(Exact.cents(col("p_retailprice")).as("pc"),
                 col("p_size").cast("long").as("sz"))
         .groupBy(col("pc"), col("sz")).agg(count(lit(1)).as("n_parts"))
-      val parts = pairs
-        .repartitionByRange(nPart, col("pc").asc, col("sz").desc)
-        .sortWithinPartitions(col("pc").asc, col("sz").desc)
-        .withColumn("pid", spark_partition_id())
+      // bucket on the PRIMARY order key only (price) — equal prices
+      // share a bucket, so the within-bucket (pc asc, sz desc) window
+      // composes with the cross-bucket prefix over pid
+      val parts = withBucket(pairs, "pc", nPart)
       val wLocal = Window.partitionBy(col("pid"))
         .orderBy(col("pc").asc, col("sz").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1484,9 +1522,7 @@ object OlapQueries {
                 Exact.cents(col("l_extendedprice")).as("v"),
                 round(col("l_quantity")).cast("long").as("w"))
         .groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
-      val parts = l.repartitionByRange(nPart, col("g"), col("v"))
-        .sortWithinPartitions(col("g"), col("v"))
-        .withColumn("pid", spark_partition_id())
+      val parts = withBucket(l, "v", nPart)
       val wLocal = Window.partitionBy(col("pid"), col("g"))
         .orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1755,10 +1791,9 @@ object OlapQueries {
       val qs = Seq(20, 40, 60, 80)
       def cuts(v: String, p: String): DataFrame = {
         val keys = Seq(col(v), col("custkey"))
-        val parts = cust.select(keys: _*)
-          .repartitionByRange(nPart, keys: _*)
-          .sortWithinPartitions(keys: _*)
-          .withColumn("pid", spark_partition_id())
+        // value-derived pid (see withBucket): both branch evaluations
+        // bucket identically by construction
+        val parts = withBucket(cust.select(keys: _*), v, nPart)
         val local = parts.withColumn("lrn",
           row_number().over(Window.partitionBy(col("pid"))
             .orderBy(col(v), col("custkey"))))
@@ -2074,6 +2109,73 @@ object OlapQueries {
     }
   )
 
+  /** Monotone VALUE-DERIVED bucket id in [0, nPart): ((v − lo)·nPart)
+    * div (hi − lo + 1) against the broadcast global (lo, hi) — pure
+    * integer arithmetic on the data itself, so EVERY evaluation of the
+    * plan buckets identically. This replaces repartitionByRange +
+    * spark_partition_id() in the offset machinery: sampled range
+    * boundaries are seeded by physical rdd ids, so the offsets branch —
+    * which re-evaluates its exchange (join null-filters defeat reuse) —
+    * could bucket differently from the rows branch and misalign the
+    * prefix totals. Found LIVE this session: q_mwu's exact integer sum
+    * drifted across runs (Σcum varied per evaluation); rank-extraction
+    * queries mostly dodge it (corruption is boundary-local) but carry
+    * the same hazard — the whole family now buckets deterministically.
+    * Balance note: buckets split the VALUE RANGE, not the row count —
+    * a skewed distribution concentrates buckets (documented; the
+    * sampled partitioner balanced rows but was the correctness hazard).
+    * Equal values always share a bucket, so per-bucket windows with any
+    * tiebreak stay total. */
+  private def withBucket(df: DataFrame, value: String,
+                         nPart: Int): DataFrame = {
+    val mm = df.agg(min(col(value)).as("_lo"), max(col(value)).as("_hi"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("pid",
+        expr(s"(($value - _lo) * $nPart) div (_hi - _lo + 1)"))
+      .drop("_lo", "_hi")
+  }
+
+  /** The two-sample cumulative table shared by q_ks and q_mwu: view vs
+    * click values collapse to (vq, c1, c2) map-side, range partition in
+    * value order, per-partition running sums of BOTH counters +
+    * broadcast prefix offsets (partition totals read off the running
+    * maxima — the q_wmedian trick, so the offsets subtree keeps the
+    * window). Returns one row per distinct value: (vq, c1, c2, a1, a2,
+    * n1, n2) with a_i the INCLUSIVE cumulative counts — everything an
+    * EDF statistic needs, all exact integers. */
+  private def twoSampleCum(s: SparkSession, d: String): DataFrame = {
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val c = Tables(s, d, "events")
+      .where(col("event_type").isin("view", "click"))
+      .select(col("event_type"),
+        floor(col("value") * 1e6).cast("long").as("vq"))
+      .groupBy(col("vq"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+             .as("c1"),
+           sum(when(col("event_type") === "click", 1L).otherwise(0L))
+             .as("c2"))
+    val parts = withBucket(c, "vq", nPart)
+    val w = Window.partitionBy(col("pid")).orderBy(col("vq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts
+      .withColumn("l1", sum(col("c1")).over(w))
+      .withColumn("l2", sum(col("c2")).over(w))
+    val hist = local.groupBy(col("pid"))
+      .agg(max(col("l1")).as("p1"), max(col("l2")).as("p2"))
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist
+      .withColumn("o1", coalesce(sum(col("p1")).over(wOff), lit(0L)))
+      .withColumn("o2", coalesce(sum(col("p2")).over(wOff), lit(0L)))
+      .select(col("pid").as("opid"), col("o1"), col("o2"))
+    val tot = c.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    local.join(broadcast(offs), col("pid") === col("opid"))
+      .crossJoin(broadcast(tot))
+      .select(col("vq"), col("c1"), col("c2"),
+        (col("l1") + col("o1")).as("a1"), (col("l2") + col("o2")).as("a2"),
+        col("n1"), col("n2"))
+  }
+
   /** Value at global rank ceil(q·n) per group — the q_percentile
     * distributed-rank machinery factored for reuse (q_mad runs it
     * twice), with one scale upgrade: EQUAL VALUES COLLAPSE to
@@ -2088,9 +2190,7 @@ object OlapQueries {
   private def rankValue(df: DataFrame, group: String, value: String,
                         q: Double, nPart: Int): DataFrame = {
     val c = df.groupBy(col(group), col(value)).agg(count(lit(1)).as("cnt"))
-    val parts = c.repartitionByRange(nPart, col(group), col(value))
-      .sortWithinPartitions(col(group), col(value))
-      .withColumn("pid", spark_partition_id())
+    val parts = withBucket(c, value, nPart)
     val wLocal = Window.partitionBy(col("pid"), col(group))
       .orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2791,6 +2891,55 @@ object OlapQueries {
         |    (z_occ + CAST(1024 - occ AS DOUBLE)) AS estimate,
         |  n_exact
         |FROM f, e""".stripMargin,
+
+    // exact 2U from the same collapsed cumulatives; identical z sequence
+    "q_mwu" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(floor(value * 1e6) AS BIGINT) AS vq FROM events
+        |           WHERE event_type IN ('view', 'click')),
+        |c AS (SELECT vq,
+        |        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+        |        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+        |      FROM e GROUP BY 1),
+        |cum AS (SELECT vq, c1, c2,
+        |          SUM(c2) OVER (ORDER BY vq ROWS UNBOUNDED PRECEDING) AS a2
+        |        FROM c),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |             CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+        |u AS (SELECT SUM(c1 * (2 * (a2 - c2) + c2)) AS u2 FROM cum)
+        |SELECT n1, n2, CAST(u2 AS DOUBLE) / 2.0 AS u1,
+        |  (CAST(u2 AS DOUBLE) / 2.0 -
+        |   CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+        |  sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+        |       (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) / 12.0) AS z
+        |FROM u, t""".stripMargin,
+
+    // same cells and expected values as q_chi2; the chi2 total folds
+    // contributions in the same (status, prio) order
+    "q_cramer" ->
+      """WITH cells AS (SELECT o_orderstatus AS status,
+        |                 o_orderpriority AS prio, COUNT(*) AS obs
+        |               FROM orders GROUP BY 1, 2),
+        |r AS (SELECT status, SUM(obs) AS rt FROM cells GROUP BY 1),
+        |c AS (SELECT prio, SUM(obs) AS ct FROM cells GROUP BY 1),
+        |t AS (SELECT SUM(obs) AS total FROM cells),
+        |e AS (SELECT status, prio, obs,
+        |        CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / total AS expected
+        |      FROM cells JOIN r USING (status) JOIN c USING (prio)
+        |      CROSS JOIN t),
+        |x AS (SELECT status, prio, obs,
+        |        (obs - expected) * (obs - expected) / expected AS contrib
+        |      FROM e),
+        |f AS (SELECT COUNT(DISTINCT status) AS r, COUNT(DISTINCT prio) AS c,
+        |        CAST(SUM(obs) AS BIGINT) AS n,
+        |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list(contrib ORDER BY status, prio)), (a, b) -> a + b)
+        |          AS chi2
+        |      FROM x)
+        |SELECT r, c, n, chi2,
+        |  sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE)))
+        |    AS cramer_v
+        |FROM f""".stripMargin,
 
     // same collapsed two-counter cumulatives single-node; identical
     // IEEE divisions and the same total argmax order
