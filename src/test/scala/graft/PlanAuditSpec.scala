@@ -310,13 +310,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Join"), plan)
   }
 
-  test("q_percentile ranks in range partitions, never one reducer per group") {
+  test("q_percentile ranks in value buckets, never one reducer per group") {
     // the naive exact-quantile plan windows over partitionBy(status) — 3
-    // reducers total, measured ~x95 on 100x data. The parallel form range-
-    // partitions first and windows over (partition-id, group).
+    // reducers total, measured ~x95 on 100x data. The parallel form
+    // buckets by VALUE (withBucket — data-derived pids, the r9
+    // determinism fix replacing the sampled range partitioner) and
+    // windows over (bucket, group).
     val plan = executedPlan(SparkEntry.queries("q_percentile")(spark, sfDir))
-    assert(plan.contains("rangepartitioning"), plan)
-    // the row-ranking window shuffles on (partition-id, group) — balanced
+    // no sampled range exchange anywhere — the bucket id is a column
+    assert(!plan.contains("rangepartitioning"), plan)
+    // the row-ranking window shuffles on (bucket-id, group) — balanced
     // over all reducers (the tiny histogram/result aggregations may hash
     // on the group alone; they carry a handful of rows)
     assert("hashpartitioning\\(pid#\\d+".r.findFirstIn(plan).isDefined, plan)
@@ -822,15 +825,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx == Set("event_type"), s"got $hashEx:\n$plan")
   }
 
-  test("q_rfm: ranks in range partitions; cuts broadcast back onto metrics") {
+  test("q_rfm: ranks in value buckets; cuts broadcast back onto metrics") {
     val plan = executedPlan(SparkEntry.queries("q_rfm")(spark, sfDir))
-    // each metric's quintile cuts rank inside range partitions (the
-    // q_percentile machinery) — one DISTINCT range exchange per metric
-    // (ReusedExchange references repeat the text; count plan ids), never
-    // a global-order window over the customer table
-    val rangeIds = "Exchange rangepartitioning[^\\[]*\\[plan_id=(\\d+)\\]".r
-      .findAllMatchIn(plan).map(_.group(1)).toSet
-    assert(rangeIds.size == 3, s"got $rangeIds:\n$plan")
+    // each metric's quintile cuts rank inside VALUE buckets (withBucket
+    // — the r9 determinism fix; no sampled range exchange anywhere),
+    // never a global-order window over the customer table
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert("hashpartitioning\\(pid#\\d+".r.findFirstIn(plan).isDefined, plan)
     // the three 1-row cut tables and the per-partition offsets reach the
     // metric rows by broadcast — segment assignment is map-only
     assert("BroadcastExchange".r.findAllIn(plan).nonEmpty, plan)
@@ -872,18 +873,19 @@ class PlanAuditSpec extends SparkSpec {
       val p = executedPlan(SparkEntry.queries(q)(spark, sfDir))
       assert(!p.contains("Window"), s"$q grew a window:\n$p")
     }
-    // q_skyline: offsets arrive by broadcast; the only sort-shuffles are
-    // the range partition — never a merge join or product
+    // q_skyline: offsets arrive by broadcast; pids are value-derived
+    // columns (withBucket — zero sampled range exchanges), and the
+    // frontier check is never a merge join or product
     val ps = executedPlan(SparkEntry.queries("q_skyline")(spark, sfDir))
-    assert(ps.contains("rangepartitioning"), ps)
+    assert(!ps.contains("rangepartitioning"), ps)
     assert(!ps.contains("SortMergeJoin") && !ps.contains("CartesianProduct"),
       ps)
     // q_mad (collapsed rankValue): the machinery runs on counted values —
     // running sums, no row_number; the fact reaches it through a
-    // map-combined partial aggregate below the range exchange
+    // map-combined partial aggregate, and bucketing is data-derived
     val pm = executedPlan(SparkEntry.queries("q_mad")(spark, sfDir))
     assert(!pm.contains("row_number"), pm)
-    assert(pm.contains("rangepartitioning") && pm.contains("partial_count"),
+    assert(!pm.contains("rangepartitioning") && pm.contains("partial_count"),
       pm)
     // graph/verify joins stay key joins — never an unkeyed product of
     // data-sized inputs (the broadcast nested-loop joins q_triangles
