@@ -1219,6 +1219,56 @@ object OlapQueries {
           col("n_exact"))
     },
 
+    // HERFINDAHL–HIRSCHMAN INDEX (r9): revenue concentration per nation
+    // — "is this market a monopoly" as one number. FULLY exact without
+    // any ordered fold: HHI = Σsᵢ²/S² where sᵢ = each supplier's exact
+    // cents — Σsᵢ² accumulates as DECIMAL(38,0) map-side (associative,
+    // order-free), and the single division of two exact quantities is
+    // the only IEEE op. Two aggregations (supplier totals → nation
+    // moments) + one broadcast dim join; |nations| rows out.
+    "q_herfindahl" -> { (s, d) =>
+      val sup = Tables(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(Exact.cents(col("l_extendedprice"))).as("c"))
+      val nat = Tables(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      sup.join(broadcast(nat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+             sum(col("c")).as("sc"),
+             sum(col("c").cast("decimal(38,0)") * col("c")).as("scc"))
+        .select(col("nationkey"), col("n_suppliers"),
+          expr("CAST(scc AS DOUBLE) / " +
+               "(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))").as("hhi"))
+    },
+
+    // PARETO SHARE (r9): what fraction of revenue do the top-decile
+    // customers hold — the 80/20 dashboard number. The p90 cut comes
+    // from ONE deterministic rankValue pass over per-customer exact
+    // revenue (collapsed values + withBucket); the share is a
+    // conditional sum against the broadcast 1-row cut — exact cents
+    // end to end, one IEEE division. Decile membership is by VALUE
+    // (ties at the cut all count — deterministic in both engines).
+    "q_pareto_share" -> { (s, d) =>
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val cust = Tables(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(Exact.cents(col("o_totalprice"))).as("rev"))
+        .withColumn("g", lit(1))
+      val cut = rankValue(cust, "g", "rev", 0.9, nPart)
+        .withColumnRenamed("qval", "p90")
+      cust.join(broadcast(cut), "g")
+        .agg(count(lit(1)).as("n_cust"),
+             sum(when(col("rev") >= col("p90"), 1L).otherwise(0L))
+               .as("n_top"),
+             sum(col("rev")).as("total"),
+             sum(when(col("rev") >= col("p90"), col("rev")).otherwise(0L))
+               .as("top_rev"))
+        .select(col("n_cust"), col("n_top"),
+          expr("CAST(top_rev AS DOUBLE) / CAST(total AS DOUBLE)")
+            .as("top_share"))
+    },
+
     // KOLMOGOROV–SMIRNOV two-sample test (r9): the distribution-drift
     // detector — max |CDF₁ − CDF₂| between the view and click value
     // distributions (the statistic behind "did the data shift" checks
@@ -1301,6 +1351,33 @@ object OlapQueries {
         .select(col("r"), col("c"), col("n"), col("chi2"),
           expr("sqrt(chi2 / (CAST(n AS DOUBLE) * " +
                "CAST(least(r - 1, c - 1) AS DOUBLE)))").as("cramer_v"))
+    },
+
+    // STREAMING CHI-SQUARED cells (r9): q_chi2's incremental twin — the
+    // |status×priority| contingency cells maintain as a streaming
+    // aggregation (state = |cells| rows at any stream length, merged
+    // map-side per micro-batch), then the drained tiny table takes
+    // q_chi2's marginal/expected/contribution arithmetic batch-side.
+    // A standing independence monitor pays only the changes; same
+    // oracle as the batch form.
+    "stream_chi2" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val cellsPlan = StreamOps.fileSource(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("status"),
+                 col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("obs"))
+      val cells = StreamOps.drainComplete(s, cellsPlan)
+      val rt = cells.groupBy(col("status")).agg(sum(col("obs")).as("rt"))
+      val ct = cells.groupBy(col("prio")).agg(sum(col("obs")).as("ct"))
+      val tot = cells.agg(sum(col("obs")).as("total"))
+      cells.join(broadcast(rt), "status").join(broadcast(ct), "prio")
+        .crossJoin(broadcast(tot))
+        .select(col("status"), col("prio"), col("obs"),
+          expr("CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / total")
+            .as("expected"))
+        .select(col("status"), col("prio"), col("obs"), col("expected"),
+          expr("(obs - expected) * (obs - expected) / expected")
+            .as("contrib"))
     },
 
     // STREAMING HYPERLOGLOG (r9): the register sketch maintained
@@ -2766,6 +2843,21 @@ object OlapQueries {
         |  (obs - expected) * (obs - expected) / expected AS contrib
         |FROM e""".stripMargin,
 
+    // the streamed cells ARE the batch cells — same oracle as q_chi2
+    "stream_chi2" ->
+      """WITH cells AS (SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |                 COUNT(*) AS obs FROM orders GROUP BY 1, 2),
+        |r AS (SELECT status, SUM(obs) AS rt FROM cells GROUP BY 1),
+        |c AS (SELECT prio, SUM(obs) AS ct FROM cells GROUP BY 1),
+        |t AS (SELECT SUM(obs) AS total FROM cells),
+        |e AS (SELECT status, prio, obs,
+        |        CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / total AS expected
+        |      FROM cells JOIN r USING (status) JOIN c USING (prio)
+        |      CROSS JOIN t)
+        |SELECT status, prio, obs, expected,
+        |  (obs - expected) * (obs - expected) / expected AS contrib
+        |FROM e""".stripMargin,
+
     // declarative triangle count: each triangle once via lo<hi edge
     // ordering (e1=(a,b), e2=(b,c), e3=(a,c)) — same integer the
     // degree-oriented plan produces
@@ -2891,6 +2983,39 @@ object OlapQueries {
         |    (z_occ + CAST(1024 - occ AS DOUBLE)) AS estimate,
         |  n_exact
         |FROM f, e""".stripMargin,
+
+    // Σs² is order-free exact arithmetic; the one division matches
+    "q_herfindahl" ->
+      """WITH sup AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS c
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT s.s_nationkey AS nationkey, sup.c
+        |      FROM sup JOIN supplier s ON sup.l_suppkey = s.s_suppkey)
+        |SELECT nationkey, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) /
+        |  (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) *
+        |   CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)) AS hhi
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // same p90 rank cut (ceil(0.9·n) over per-customer exact revenue),
+    // same value-membership rule at the cut
+    "q_pareto_share" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev) AS rn,
+        |        COUNT(*) OVER () AS n FROM cust),
+        |cut AS (SELECT MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |          THEN rev END) AS p90 FROM r)
+        |SELECT COUNT(*) AS n_cust,
+        |  CAST(SUM(CASE WHEN rev >= p90 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_top,
+        |  CAST(CAST(SUM(CASE WHEN rev >= p90 THEN rev ELSE 0 END) AS BIGINT)
+        |       AS DOUBLE) /
+        |  CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE) AS top_share
+        |FROM cust CROSS JOIN cut""".stripMargin,
 
     // exact 2U from the same collapsed cumulatives; identical z sequence
     "q_mwu" ->
