@@ -92,7 +92,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
   private val root = new Path(warehouse)
   private val fs: FileSystem = root.getFileSystem(hconf)
 
-  private def dir(table: String) = new Path(root, table)
+  /** Every path-forming table name funnels through here: the identifier
+    * check is the SAME invariant commitMulti enforces, applied at the
+    * chokepoint so no create/rename/clone/drop path can smuggle a '/'
+    * or '..' and resolve (then write or recursively delete) outside the
+    * warehouse root. */
+  private def dir(table: String) = new Path(root, checked(table))
   private def metaPath(table: String) = new Path(dir(table), "_graft.json")
   private def metaTmpPath(table: String) = new Path(dir(table), "_graft.json.tmp")
   private def projDir(table: String, column: String) =
@@ -232,7 +237,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
   // ------------------------------------------------------- durable views
 
   private def viewsDir = new Path(root, "_views")
-  private def viewPath(name: String) = new Path(viewsDir, s"$name.sql")
+  // same chokepoint rule as [[dir]]: a view name forms a path too
+  private def viewPath(name: String) =
+    new Path(viewsDir, s"${checked(name)}.sql")
 
   /** CREATE VIEW: persist the view's SQL TEXT — never a plan, never a
     * materialization. A view is a NAME for a query (the Hive/Delta/
@@ -2404,10 +2411,20 @@ final class Catalog(spark: SparkSession, warehouse: String,
     tableNames.foreach { n =>
       Try(readMeta(n)).foreach { m =>
         if (m.mvSrc.contains(name)) {
+          // the fact side: group/measure columns AND the join-mview fk —
+          // dropping the fk would fail every later refresh far from the
+          // cause (ADVICE r9)
           val used = (if (m.mvGroups.nonEmpty) m.mvGroups
-                      else Seq(m.key)) ++ m.mvSums
+                      else Seq(m.key)) ++ m.mvSums ++ m.mvFk.toSeq
           require(!used.contains(column),
             s"$name: materialized view $n aggregates $column — drop the view first")
+        }
+        if (m.mvDim.contains(name)) {
+          // the dim side of a join mview: group columns may resolve
+          // against the dim after the fk join (the join target — the dim
+          // key — is already structural-protected above)
+          require(!m.mvGroups.contains(column),
+            s"$name: join materialized view $n reads $column from this dim — drop the view first")
         }
       }
     }
@@ -2847,7 +2864,18 @@ final class Catalog(spark: SparkSession, warehouse: String,
       strList("stats_cols"), numList("stats_ndv"), sRows,
       numList("snaps"), dropped,
       strList("con_names"), strList("con_exprs"),
-      mvSrc, strList("mv_sums"), strList("mv_groups"), mvSeq, mvLastVer,
+      // legacy fallback: metas persisted before the multi-measure format
+      // carried a scalar "mv_sum" — without this, an old view reads back
+      // with mvSums=Nil and its next refresh silently rewrites the view
+      // WITHOUT its measure column (ADVICE r9)
+      mvSrc,
+      {
+        val sums = strList("mv_sums")
+        if (sums.nonEmpty) sums
+        else "\"mv_sum\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(json).map(_.group(1)).toSeq
+      },
+      strList("mv_groups"), mvSeq, mvLastVer,
       epoch, mvEpoch,
       strList("bloom_cols"),
       "\"mv_dim\"\\s*:\\s*\"([^\"]+)\"".r

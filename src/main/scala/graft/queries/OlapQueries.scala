@@ -645,52 +645,29 @@ object OlapQueries {
     // so values hash-match (interpolating `percentile` definitions differ
     // between engines; picking a real element doesn't).
     //
-    // Parallel-exact shape: a naive row_number over partitionBy(group)
-    // puts each GROUP on one reducer — with 3 statuses that is 3 busy
-    // cores of 32, and the first cut of this query measured ~x95 on 100×
-    // data for exactly that reason. Instead: (1) range-partition the rows
-    // by (group, value, key) so partition i's values all precede partition
-    // i+1's; (2) local ranks via a window over (partition-id, group) —
-    // balanced across all reducers; (3) global rank = local rank + the
-    // group's cumulative count of earlier partitions (a tiny broadcast
-    // histogram). Exact, deterministic, and every stage is spread over
-    // the full cluster. approx_percentile remains the constant-memory
-    // fallback when ±ε is acceptable.
+    // Collapsed parallel-exact shape (the whole rank family's machinery,
+    // factored as rankValues): equal prices collapse to (status, cents,
+    // count) FIRST — a map-combined aggregate — so the range exchange and
+    // windows move |distinct prices| rows, never the fact. This was the
+    // last raw-row range sort in the family (r9 measured it ×6.5 at 100×
+    // where the collapsed members sit at ×1.4-2.1; the same collapse took
+    // q_mad from 92s to seconds at 1000×). Both quantiles are rank picks
+    // off ONE collapsed cumulative table. The value at rank ceil(q·n) is
+    // tiebreak-independent by construction (rank t falls inside one
+    // value's run), so it is exactly the element the oracle's
+    // row_number-over-(price, orderkey) picks; cents/100.0 re-lands on
+    // the stored 2dp double bit-exactly (the sumMoney convention).
+    // approx_percentile remains the constant-memory fallback when ±ε is
+    // acceptable.
     "q_percentile" -> { (s, d) =>
-      val keys = Seq(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
-      // pid from the VALUE (exact cents — monotone in the 2dp price),
-      // never spark_partition_id over a sampled range exchange: the
-      // offsets branch re-evaluates, and sampled boundaries are
-      // rdd-id-seeded (see withBucket) — equal prices share a bucket,
-      // so the (price, orderkey) tiebreak window stays total
-      val parts = withBucket(
-          Tables(s, d, "orders").select(keys: _*)
-            .withColumn("_pc", Exact.cents(col("o_totalprice"))),
-          "_pc", s.conf.get("spark.sql.shuffle.partitions").toInt)
-        .drop("_pc")
-      val wLocal = Window.partitionBy(col("pid"), col("o_orderstatus"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      val local = parts.withColumn("lrn", row_number().over(wLocal))
-      val hist = local.groupBy(col("pid"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("cnt"))
-      val wOff = Window.partitionBy(col("o_orderstatus")).orderBy(col("pid"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = hist
-        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("o_orderstatus"))))
-        .select(col("pid").as("opid"), col("o_orderstatus").as("ost"),
-                col("off"), col("n"))
-      local
-        .join(broadcast(offs),
-          col("pid") === col("opid") && col("o_orderstatus") === col("ost"))
-        .withColumn("rn", col("lrn") + col("off"))
-        .where(col("rn") === ceil(lit(0.5) * col("n")).cast("long") ||
-               col("rn") === ceil(lit(0.95) * col("n")).cast("long"))
-        .groupBy(col("o_orderstatus"))
-        .agg(max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),
-               col("o_totalprice"))).as("p50"),
-             max(when(col("rn") === ceil(lit(0.95) * col("n")).cast("long"),
-               col("o_totalprice"))).as("p95"))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderstatus"),
+          Exact.cents(col("o_totalprice")).as("pc"))
+      rankValues(o, "o_orderstatus", "pc", Seq(0.5, 0.95),
+          s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .select(col("o_orderstatus"),
+          (col("qval0") / 100.0).as("p50"),
+          (col("qval1") / 100.0).as("p95"))
     },
 
     // KMV distinct-count sketch (functions/KMinValues): the k smallest
@@ -1866,32 +1843,21 @@ object OlapQueries {
             .cast("long").as("rec"),
           col("freq"), col("mon"))
       val qs = Seq(20, 40, 60, 80)
-      def cuts(v: String, p: String): DataFrame = {
-        val keys = Seq(col(v), col("custkey"))
-        // value-derived pid (see withBucket): both branch evaluations
-        // bucket identically by construction
-        val parts = withBucket(cust.select(keys: _*), v, nPart)
-        val local = parts.withColumn("lrn",
-          row_number().over(Window.partitionBy(col("pid"))
-            .orderBy(col(v), col("custkey"))))
-        val hist = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-        // the offset/total windows run over ≤ nPart histogram rows
-        val wOff = Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offs = hist
-          .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
-          .select(col("pid").as("opid"), col("off"))
-        val tot = hist.agg(sum(col("cnt")).as("n"))
-        def target(q: Int) = ceil(lit(q / 100.0) * col("n")).cast("long")
-        local.join(broadcast(offs), col("pid") === col("opid"))
-          .crossJoin(broadcast(tot))
-          .withColumn("rn", col("lrn") + col("off"))
-          .where(qs.map(q => col("rn") === target(q)).reduce(_ || _))
-          .agg(max(when(col("rn") === target(qs.head), col(v)))
-                 .as(s"$p${qs.head}"),
-               qs.tail.map(q =>
-                 max(when(col("rn") === target(q), col(v))).as(s"$p$q")): _*)
-      }
+      // the 4 quintile boundaries of one metric — rankValues over a
+      // constant group: equal metric values COLLAPSE to counts first, so
+      // the range exchange and windows move |distinct values| rows,
+      // never |customers| (the r9 monetary cut ranked raw customer rows
+      // — the last remaining raw-row member of the rank family). The
+      // rank-t value is tiebreak-independent, so it is exactly the
+      // element the old row_number-over-(v, custkey) form picked. The
+      // constant group key is non-foldable (pmod trick): a foldable
+      // partition key would be stripped and the windows go global.
+      def cuts(v: String, p: String): DataFrame =
+        rankValues(
+            cust.select(col(v), pmod(col("custkey"), lit(1)).as("gz")),
+            "gz", v, qs.map(_ / 100.0), nPart)
+          .select(qs.zipWithIndex.map { case (q, i) =>
+            col(s"qval$i").as(s"$p$q") }: _*)
       def seg(v: String, p: String) = qs
         .map(q => (col(v) > col(s"$p$q")).cast("long"))
         .foldLeft(lit(1L): Column)(_ + _).as(s"${p}_seg")
@@ -2186,30 +2152,61 @@ object OlapQueries {
     }
   )
 
-  /** Monotone VALUE-DERIVED bucket id in [0, nPart): ((v − lo)·nPart)
-    * div (hi − lo + 1) against the broadcast global (lo, hi) — pure
-    * integer arithmetic on the data itself, so EVERY evaluation of the
-    * plan buckets identically. This replaces repartitionByRange +
+  /** Monotone VALUE-DERIVED bucket id in [0, nPart), EQUI-DEPTH and
+    * deterministic. This replaces repartitionByRange +
     * spark_partition_id() in the offset machinery: sampled range
     * boundaries are seeded by physical rdd ids, so the offsets branch —
     * which re-evaluates its exchange (join null-filters defeat reuse) —
     * could bucket differently from the rows branch and misalign the
-    * prefix totals. Found LIVE this session: q_mwu's exact integer sum
-    * drifted across runs (Σcum varied per evaluation); rank-extraction
-    * queries mostly dodge it (corruption is boundary-local) but carry
-    * the same hazard — the whole family now buckets deterministically.
-    * Balance note: buckets split the VALUE RANGE, not the row count —
-    * a skewed distribution concentrates buckets (documented; the
-    * sampled partitioner balanced rows but was the correctness hazard).
-    * Equal values always share a bucket, so per-bucket windows with any
-    * tiebreak stay total. */
-  private def withBucket(df: DataFrame, value: String,
-                         nPart: Int): DataFrame = {
-    val mm = df.agg(min(col(value)).as("_lo"), max(col(value)).as("_hi"))
-    df.crossJoin(broadcast(mm))
+    * prefix totals (found LIVE in r9: q_mwu's exact integer sum drifted
+    * across runs; DeterminismSpec pins the fix). The r9 cut split the
+    * VALUE RANGE ((v−lo)·nPart div (hi−lo+1)) — deterministic but
+    * skew-sensitive: a heavy-tailed distribution (log-normal revenue)
+    * lands most rows in a few buckets and the per-bucket window degrades
+    * toward one reducer. This cut derives EQUI-DEPTH boundaries, still
+    * purely from the data so every evaluation buckets identically:
+    *  1. per-distinct-value row weights (map-combined count — the weight
+    *     that matters is the number of INPUT rows a bucket will carry
+    *     into its window);
+    *  2. a KMV-style deterministic uniform sample of distinct values —
+    *     the 128·nPart smallest xxhash64 values (TakeOrderedAndProject,
+    *     per-partition heaps; a pure function of the data, no rng, no
+    *     rdd ids) with their exact weights. When |distinct| ≤ the sample
+    *     cap this is the ENTIRE histogram and the depths are exact;
+    *  3. weighted cumulative over the sample in value order (a ≤128·nPart
+    *     row window on a non-foldable constant partition) → the boundary
+    *     value opening each equal-weight step;
+    *  4. pid = |{boundaries ≤ v}| via a broadcast sorted array and a
+    *     codegen HOF — monotone in v by construction.
+    * Equal values always share a bucket (boundaries are data values), so
+    * per-bucket windows with any tiebreak stay total; a single value
+    * heavier than W/nPart cannot be split by ANY order-preserving
+    * partitioner — it occupies one bucket and the neighbors stay
+    * balanced, which is the best possible outcome. */
+  private[graft] def withBucket(df: DataFrame, value: String,
+                                nPart: Int): DataFrame = {
+    val sampleK = 128 * nPart
+    val w = df.groupBy(col(value)).agg(count(lit(1)).as("_w"))
+      .withColumn("_h", xxhash64(col(value)))
+    // total order (hash, value) — hash ties cannot make the cut unstable
+    val samp = w.orderBy(col("_h"), col(value)).limit(sampleK)
+    // the window partitions on a NON-FOLDABLE constant: a foldable key
+    // is stripped by the optimizer and the window silently goes global
+    // on a plain orderBy (the documented lit(0) trap)
+    val one = pmod(col("_h"), lit(1))
+    val wCum = Window.partitionBy(one).orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = samp
+      .withColumn("_cw", sum(col("_w")).over(wCum))
+      .withColumn("_tw", sum(col("_w")).over(Window.partitionBy(one)))
+      .withColumn("_b", expr(s"((_cw - 1) * $nPart) div _tw"))
+      .where(col("_b") >= 1)
+      .groupBy(col("_b")).agg(min(col(value)).as("_bv"))
+      .agg(sort_array(collect_list(col("_bv"))).as("_bs"))
+    df.crossJoin(broadcast(bounds))
       .withColumn("pid",
-        expr(s"(($value - _lo) * $nPart) div (_hi - _lo + 1)"))
-      .drop("_lo", "_hi")
+        size(filter(col("_bs"), x => x <= col(value))))
+      .drop("_bs")
   }
 
   /** The two-sample cumulative table shared by q_ks and q_mwu: view vs
@@ -2265,7 +2262,19 @@ object OlapQueries {
     * identical to the row-rank pick under ANY tiebreak, because rank t
     * falls inside one value's run. Returns (group, qval). */
   private def rankValue(df: DataFrame, group: String, value: String,
-                        q: Double, nPart: Int): DataFrame = {
+                        q: Double, nPart: Int): DataFrame =
+    rankValues(df, group, value, Seq(q), nPart)
+      .withColumnRenamed("qval0", "qval")
+
+  /** [[rankValue]] generalized to MANY quantiles per group off ONE
+    * collapsed cumulative table: the collapse, range exchange, windows
+    * and offset broadcast are all built once, and each requested rank is
+    * one more conditional aggregate over the same |distinct values| rows
+    * — k quantiles cost one quantile plus k cheap finales, never k rank
+    * passes (q_percentile asks for p50 AND p95). Returns
+    * (group, qval0..qval{k-1}) in `qs` order. */
+  private def rankValues(df: DataFrame, group: String, value: String,
+                         qs: Seq[Double], nPart: Int): DataFrame = {
     val c = df.groupBy(col(group), col(value)).agg(count(lit(1)).as("cnt"))
     val parts = withBucket(c, value, nPart)
     val wLocal = Window.partitionBy(col("pid"), col(group))
@@ -2283,14 +2292,21 @@ object OlapQueries {
         sum(col("pc")).over(Window.partitionBy(col(group))))
       .select(col("pid").as("opid"), col(group).as("og"),
               col("off"), col("n"))
-    local
+    val cum = local
       .join(broadcast(offs),
         col("pid") === col("opid") && col(group) === col("og"))
       .withColumn("cc", col("lcc") + col("off"))
-      .withColumn("t", ceil(lit(q) * col("n")).cast("long"))
-      .where(col("cc") >= col("t") && col("cc") - col("cnt") < col("t"))
+    // the value at rank t is the unique collapsed row whose
+    // cumulative-count interval (cc−cnt, cc] contains t
+    def hit(q: Double): Column = {
+      val t = ceil(lit(q) * col("n")).cast("long")
+      col("cc") >= t && col("cc") - col("cnt") < t
+    }
+    val picks = qs.zipWithIndex.map { case (q, i) =>
+      max(when(hit(q), col(value))).as(s"qval$i") }
+    cum.where(qs.map(hit).reduce(_ || _))
       .groupBy(col(group))
-      .agg(max(col(value)).as("qval"))
+      .agg(picks.head, picks.tail: _*)
   }
 
   /** The skewed heavy-hitter fixture column: half the mass in 3 hot

@@ -674,6 +674,18 @@ class GraftSql(val spark: SparkSession) {
       case agg: Aggregate =>
         for {
           (df, gs, sumCols, centsOf) <- routeAggregate(agg)
+          // the translated predicate references the view's RAW measure
+          // columns (n_rows, cents[_x]) and is applied after the select
+          // aliased them away — Spark's ResolveMissingReferences then
+          // resolves them from the child. If a USER alias shadows one of
+          // those names (… sum(v) AS n_rows … HAVING count(*) > 5), the
+          // predicate would silently bind to the user column and filter
+          // the wrong measure — fall back to the direct path (ADVICE r9).
+          internal = "n_rows" +: centsOf.values.toSeq
+          userAliases = agg.aggregateExpressions.collect {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias => a.name
+          }
+          if userAliases.intersect(internal).isEmpty
           cond <- translateHaving(h.havingCondition, gs, sumCols, centsOf)
         } yield df.where(cond)
       case _ => None

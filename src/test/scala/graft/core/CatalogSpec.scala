@@ -607,4 +607,49 @@ class CatalogSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     assert(inv === Set(("a", 3L, 3), ("b", 2L, 3)))
   }
+
+  test("path-forming names are identifier-checked on every route (ADVICE r9)") {
+    val (cat, wh) = freshCatalog()
+    cat.createTable("ok_name", "k", base)
+    // a traversal name must be rejected BEFORE any path resolves — on
+    // create, rename, clone, drop, and the view routes
+    for (bad <- Seq("../evil", "a/b", "a..b/c", "", "a b", "a'b")) {
+      intercept[IllegalArgumentException](cat.createTable(bad, "k", base))
+      intercept[IllegalArgumentException](cat.renameTable("ok_name", bad))
+      intercept[IllegalArgumentException](cat.dropTable(bad))
+      intercept[IllegalArgumentException](cat.createView(bad, "SELECT 1"))
+      intercept[IllegalArgumentException](cat.dropView(bad))
+    }
+    // nothing escaped the warehouse root
+    val parent = new java.io.File(wh).getParentFile
+    assert(!new java.io.File(parent, "evil").exists())
+  }
+
+  test("legacy scalar mv_sum metas read back as mvSums (ADVICE r9)") {
+    val (cat, wh) = freshCatalog()
+    import spark.implicits._
+    cat.createTable("f", "k",
+      Seq((1L, "a", 5.0), (2L, "a", 7.0), (3L, "b", 1.0)).toDF("k", "g", "m"))
+    cat.createMaterializedView("mv_leg", "f", Seq("g"), Seq("m"))
+    // rewrite the persisted meta to the pre-r9 single-measure format
+    val metaFile = new java.io.File(s"$wh/mv_leg/_graft.json")
+    val json = new String(java.nio.file.Files.readAllBytes(metaFile.toPath))
+    assert(json.contains("\"mv_sums\": [\"m\"]"), json)
+    val legacy = json.replace("\"mv_sums\": [\"m\"]", "\"mv_sum\": \"m\"")
+    java.nio.file.Files.write(metaFile.toPath, legacy.getBytes)
+    // the rewrite bypassed Hadoop's ChecksumFileSystem — drop the sidecar
+    new java.io.File(s"$wh/mv_leg/._graft.json.crc").delete()
+    // a reopened catalog must still know the measure: the refresh path
+    // would otherwise silently rewrite the view WITHOUT its cents column
+    val re = new Catalog(spark, wh)
+    val ok = re.tryCommit("f",
+      Txn.empty.update(col("k") === 1L, Map("m" -> lit(6.0))),
+      re.getTable("f").opSeq)
+    assert(ok.isRight, ok.toString)
+    re.refreshMaterializedView("mv_leg")
+    val got = re.getTable("mv_leg").snapshot
+      .select(col("g"), col("n_rows"), (col("cents") / 100.0).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set(("a", 2L, 13.0), ("b", 1L, 1.0)))
+  }
 }

@@ -165,4 +165,18 @@ class JoinMviewSpec extends SparkSpec {
         Seq("region"), Seq("amount"))
     }
   }
+
+  test("fk and dim-side group columns are load-bearing (ADVICE r9)") {
+    val cat = fresh(); build(cat)
+    // dropping the fact's fk would fail every later refresh far from
+    // the cause — rejected up front, like measures/groups
+    val e1 = intercept[IllegalArgumentException](cat.dropColumn("f", "rid"))
+    assert(e1.getMessage.contains("v"), e1.getMessage)
+    // the dim-side group column the view reads through the join
+    val e2 = intercept[IllegalArgumentException](cat.dropColumn("d", "region"))
+    assert(e2.getMessage.contains("v"), e2.getMessage)
+    // a non-load-bearing dim column still evolves freely
+    cat.addColumn("d", "note", "string")
+    cat.dropColumn("d", "note")
+  }
 }

@@ -523,6 +523,15 @@ class GraftSqlSpec extends SparkSpec {
     val minHaving = g.sql("""SELECT status, count(*) AS n FROM t
                             |GROUP BY status HAVING min(totalprice) > 0""".stripMargin)
     assert(!plan(minHaving).contains("/v"))
+    // a user alias shadowing a view-internal measure name (n_rows /
+    // cents) would capture the translated predicate — the statement must
+    // take the direct path and still answer correctly (ADVICE r9)
+    val shadow = g.sql("""SELECT status, sum(totalprice) AS n_rows FROM t
+                         |GROUP BY status HAVING count(*) >= 1""".stripMargin)
+    assert(!plan(shadow).contains("/v"),
+      "an n_rows-shadowing alias must not route")
+    assert(shadow.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ===
+      Set(("A", 100.0), ("B", 200.0), ("C", 300.0)))
   }
 
   test("ORDER BY / LIMIT above a routable aggregate routes — the dashboard top-n") {
