@@ -1834,6 +1834,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
   private def centsCol(sums: Seq[String], s: String): String =
     if (sums.size == 1) "cents" else "cents_" + s
 
+  /** min/max measure columns are always qualified (no historical
+    * single-measure name to preserve — the family is new in r10). */
+  private def minCol(c: String): String = "minc_" + c
+  private def maxCol(c: String): String = "maxc_" + c
+
   /** Injective composite-group key: each group value's string form,
     * LENGTH-PREFIXED (`len:value`, `N` for NULL) and concatenated — the
     * prefix makes parsing unambiguous for ANY value content (a plain
@@ -1849,21 +1854,30 @@ final class Catalog(spark: SparkSession, warehouse: String,
 
   private def mvAgg(rows: org.apache.spark.sql.DataFrame,
                     groups: Seq[String],
-                    sums: Seq[String]): org.apache.spark.sql.DataFrame = {
+                    sums: Seq[String],
+                    mins: Seq[String] = Nil,
+                    maxs: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val measures = count(lit(1)).as("n_rows") +:
-      sums.map(sc =>
+      (sums.map(sc =>
         // total over nulls: a group whose every value is NULL sums to
         // NULL declaratively, but the incremental path's long arithmetic
         // would rebuild it as 0 — pin 0 on EVERY path (create, full
         // recompute, differential) so the two can never drift (MviewSpec
         // covers the all-null group)
         coalesce(sum(graft.functions.Exact.cents(col(sc))), lit(0L))
-          .as(centsCol(sums, sc)))
+          .as(centsCol(sums, sc))) ++
+      // min/max stay NULL for an all-null group on every path (the SQL
+      // convention; the incremental combine's least/greatest skips
+      // nulls, and the rescan path re-aggregates declaratively)
+      mins.map(c => min(graft.functions.Exact.cents(col(c))).as(minCol(c))) ++
+      maxs.map(c => max(graft.functions.Exact.cents(col(c))).as(maxCol(c))))
     val agg = rows.groupBy(groups.map(col): _*)
       .agg(measures.head, measures.tail: _*)
+    val names = "n_rows" +: (sums.map(centsCol(sums, _)) ++
+      mins.map(minCol) ++ maxs.map(maxCol))
     if (groups.size == 1) agg
     else agg.select(gkeyExpr(groups).as("_gkey") +: groups.map(col) ++:
-      ("n_rows" +: sums.map(centsCol(sums, _))).map(col): _*)
+      names.map(col): _*)
   }
 
   /**
@@ -1879,11 +1893,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
    *
    * Count + sum (avg derived) is the SELF-MAINTAINABLE aggregate family:
    * maintainable from the delta plus the old values of changed keys
-   * alone. min/max are deliberately absent — a deletion of the current
-   * extremum forces a full re-scan of its group, which is exactly the
-   * unbounded cost this feature exists to avoid (the classical IVM
-   * distinction; Materialize/Flink draw the same line for their
-   * append-retract rollups).
+   * alone. min/max sit across the classical IVM line (a deletion of the
+   * current extremum cannot be maintained from the delta) — r10 adds
+   * them with the standard answer: inserts and non-extremum removals
+   * maintain incrementally (least/greatest combine), and ONLY a removal
+   * touching a group's recorded extremum re-scans — restricted to that
+   * group via a semi-join, never the table (the Materialize/Flink
+   * retract-rescan compromise). Pass `minCols`/`maxCols` on the general
+   * overload to opt in.
    *
    * Crash windows: view created but definition meta not yet written →
    * refresh fails loud ("not a materialized view"); drop and recreate.
@@ -1908,7 +1925,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
    */
   def createMaterializedView(view: String, src: String,
                              groupCols: Seq[String],
-                             sumCols: Seq[String]): LineageTable =
+                             sumCols: Seq[String],
+                             minCols: Seq[String] = Nil,
+                             maxCols: Seq[String] = Nil): LineageTable =
     lock(view).synchronized {
       require(!metaExists(view), s"table $view already exists")
       // source epoch read BEFORE the state: if a rewrite lands between the
@@ -1916,19 +1935,23 @@ final class Catalog(spark: SparkSession, warehouse: String,
       // the conservative full-recompute path — never the wrong delta
       val srcEpoch = readMeta(src).epoch
       val st = getTable(src)
-      require(groupCols.nonEmpty && sumCols.nonEmpty,
+      require(groupCols.nonEmpty && (sumCols ++ minCols ++ maxCols).nonEmpty,
         "view needs at least one group column and one measure")
-      require(groupCols.distinct == groupCols && sumCols.distinct == sumCols,
+      require(groupCols.distinct == groupCols && sumCols.distinct == sumCols &&
+          minCols.distinct == minCols && maxCols.distinct == maxCols,
         s"duplicate columns in view definition: " +
           s"group=${groupCols.mkString(",")} sum=${sumCols.mkString(",")}")
-      require((groupCols ++ sumCols).forall(st.dataCols.contains) &&
-          groupCols.intersect(sumCols).isEmpty,
+      require((groupCols ++ sumCols ++ minCols ++ maxCols)
+          .forall(st.dataCols.contains) &&
+          groupCols.intersect(sumCols ++ minCols ++ maxCols).isEmpty,
         s"view needs distinct source columns, got " +
           s"group=${groupCols.mkString(",")} sum=${sumCols.mkString(",")}")
       val key = if (groupCols.size == 1) groupCols.head else "_gkey"
-      createTable(view, key, mvAgg(st.snapshot, groupCols, sumCols))
+      createTable(view, key,
+        mvAgg(st.snapshot, groupCols, sumCols, minCols, maxCols))
       writeMeta(view, readMeta(view).copy(
         mvSrc = Some(src), mvSums = sumCols, mvGroups = groupCols,
+        mvMins = minCols, mvMaxs = maxCols,
         mvSeq = st.opSeq, mvEpoch = srcEpoch))
       getTable(view)
     }
@@ -2043,7 +2066,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
       val groups = if (vm.mvGroups.nonEmpty) vm.mvGroups else Seq(vm.key)
       val composite = groups.size > 1
       val cents = sums.map(centsCol(sums, _))
+      // delta-algebra measures (long adds) vs extremum measures
+      // (least/greatest combine + extremum-removal rescan)
       val measures = "n_rows" +: cents
+      val extrema = vm.mvMins.map(minCol) ++ vm.mvMaxs.map(maxCol)
       val srcMeta = readMeta(src)
       val st = getTable(src)
       val newSeq = st.opSeq
@@ -2059,10 +2085,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
         groups.filterNot(st.dataCols.contains) }
       def viewRows(factRows: org.apache.spark.sql.DataFrame) =
         dimState match {
-          case None => mvAgg(factRows, groups, sums)
+          case None => mvAgg(factRows, groups, sums, vm.mvMins, vm.mvMaxs)
           case Some((dt, _)) =>
             mvAgg(mvJoinDim(factRows, dt, vm.mvFk.get, dimGroups),
-              groups, sums)
+              groups, sums, vm.mvMins, vm.mvMaxs)
         }
       // incremental requires the dim EXACTLY as last joined: a moved dim
       // invalidates every group's old contribution (a dim row update can
@@ -2105,7 +2131,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
             .select(col(st.keyCol).as("_match_key")).distinct()
           def pre(side: String)(d: org.apache.spark.sql.DataFrame) =
             d.select(groups.map(g => col(g).as(s"_${side}_$g")) ++
-              measures.map(m => col(m).as(s"_${side}_$m")): _*)
+              (measures ++ extrema).map(m => col(m).as(s"_${side}_$m")): _*)
           val o = pre("o")(viewRows(st.asOfVersionKeys(fromSeq, keys)))
           val n = pre("n")(viewRows(st.probeWithCandidates(keys, lit(true))))
           // group-migrating updates contribute to BOTH sides of the full
@@ -2119,8 +2145,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
           val adj = n.join(o, on, "full_outer")
             .select(groups.map(g =>
                 coalesce(col(s"_n_$g"), col(s"_o_$g")).as(g)) ++
-              measures.map(m => delta(m).as(s"_d_$m")): _*)
-            .where(measures.map(m => col(s"_d_$m") =!= 0).reduce(_ || _))
+              measures.map(m => delta(m).as(s"_d_$m")) ++
+              // extrema carry both sides raw: the combine/rescan decision
+              // below needs the removed side's extremum, not a delta
+              extrema.flatMap(m => Seq(col(s"_n_$m"), col(s"_o_$m"))): _*)
+            .where((measures.map(m => col(s"_d_$m") =!= 0) ++
+              // an update can move an extremum with every long delta zero
+              extrema.map(m => !(col(s"_n_$m") <=> col(s"_o_$m"))))
+              .reduce(_ || _))
           // the view's own current rows for the touched groups, probed by
           // the view's lineage key (the group column itself, or _gkey for
           // composite groups — re-derived from the adjustment's columns)
@@ -2132,14 +2164,65 @@ final class Catalog(spark: SparkSession, warehouse: String,
             .probeWithCandidates(
               adjKeyed.select(col(viewKey).as("_match_key")), lit(true))
             .select(col(viewKey).as("_vk") +:
-              measures.map(m => col(m).as(s"_v_$m")): _*)
-          val merged = adjKeyed.join(cur, col(viewKey) <=> col("_vk"),
+              (measures ++ extrema).map(m => col(m).as(s"_v_$m")): _*)
+          val withCur = adjKeyed.join(cur, col(viewKey) <=> col("_vk"),
               "left_outer")
-            .select((if (composite) col("_gkey") +: groups.map(col)
-                     else groups.map(col)) ++
-              measures.map(m =>
-                (coalesce(col(s"_v_$m"), lit(0L)) + col(s"_d_$m")).as(m)): _*)
-          Txn.empty.mergeInto(merged, measures,
+          val outGroups = if (composite) col("_gkey") +: groups.map(col)
+                          else groups.map(col)
+          def deltaMeasures = measures.map(m =>
+            (coalesce(col(s"_v_$m"), lit(0L)) + col(s"_d_$m")).as(m))
+          val merged =
+            if (extrema.isEmpty)
+              withCur.select(outGroups ++ deltaMeasures: _*)
+            else {
+              // extremum maintenance (the classical IVM boundary): while
+              // the REMOVED side's extremum was not the group's recorded
+              // one, the new extremum is least/greatest(view, new side) —
+              // pure delta work. Only when a removal touches the recorded
+              // extremum is the group re-aggregated, and only that group:
+              // the rescan reads the source once through a broadcast
+              // semi-join on the affected group values.
+              val rescan = extrema.map { m =>
+                col(s"_o_$m").isNotNull &&
+                  (col(s"_v_$m").isNull || col(s"_o_$m") <=> col(s"_v_$m"))
+              }.reduce(_ || _)
+              def combine(m: String): Column =
+                (if (vm.mvMins.map(minCol).contains(m))
+                   least(col(s"_v_$m"), col(s"_n_$m"))
+                 else greatest(col(s"_v_$m"), col(s"_n_$m"))).as(m)
+              val flagged = withCur.withColumn("_rescan", rescan)
+              val combined = flagged.where(!col("_rescan"))
+                .select(outGroups ++ deltaMeasures ++ extrema.map(combine): _*)
+              // rescan groups: counts/sums still come from the delta
+              // algebra (exact longs — bit-identical to a recompute);
+              // extrema re-aggregate from the source's live rows of
+              // exactly these groups. An emptied group finds no rescan
+              // row (NULL extrema) and is deleted by n_rows == 0 anyway.
+              val rescanDelta = flagged.where(col("_rescan"))
+                .select(outGroups ++ deltaMeasures: _*)
+              val factRows = dimState match {
+                case None => st.snapshot
+                case Some((dt, _)) =>
+                  mvJoinDim(st.snapshot, dt, vm.mvFk.get, dimGroups)
+              }
+              val rg = rescanDelta
+                .select(groups.map(g => col(g).as(s"_r_$g")): _*)
+              val rescanCond = groups.map(g => col(g) <=> col(s"_r_$g"))
+                .reduce(_ && _)
+              val rescanAgg = mvAgg(
+                  factRows.join(broadcast(rg), rescanCond, "left_semi"),
+                  groups, sums, vm.mvMins, vm.mvMaxs)
+                .select(groups.map(g => col(g).as(s"_ra_$g")) ++
+                  extrema.map(m => col(m).as(s"_ra_$m")): _*)
+              val raJoin = groups.map(g => col(g) <=> col(s"_ra_$g"))
+                .reduce(_ && _)
+              val rescanned = rescanDelta
+                .join(broadcast(rescanAgg), raJoin, "left_outer")
+                .select(outGroups ++ measures.map(col) ++
+                  extrema.map(m => col(s"_ra_$m").as(m)): _*)
+              combined.unionByName(rescanned)
+            }
+          Txn.empty.mergeInto(merged, measures ++ extrema,
             deleteWhen = Some(col("n_rows") === 0L))
         }
       tryCommitMeta(view, txn, vm.opSeq, None, None,
@@ -2165,14 +2248,17 @@ final class Catalog(spark: SparkSession, warehouse: String,
    */
   def currentViewOf(src: String, groupCol: String): Option[(String, String)] =
     currentViewFor(src, Seq(groupCol))
-      .collect { case (n, Seq(s), _) => (n, s) }
+      .collect { case (n, Seq(s), _, _, _) => (n, s) }
 
   /** General form: the view answering an aggregate grouped by EXACTLY
     * `groupCols` (as a set — `GROUP BY a, b` ≡ `GROUP BY b, a`), if one
     * exists and is current. Returns (view name, summed columns in
-    * definition order, measure column name per summed column). */
+    * definition order, measure column name per summed column, maintained
+    * min column per source column, maintained max column per source
+    * column). */
   def currentViewFor(src: String, groupCols: Seq[String])
-      : Option[(String, Seq[String], Map[String, String])] = {
+      : Option[(String, Seq[String], Map[String, String],
+                Map[String, String], Map[String, String])] = {
     val sm = readMeta(src)
     val want = groupCols.toSet
     tableNames.iterator
@@ -2183,10 +2269,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
           if m.mvDim.isEmpty && m.mvSrc.contains(src) &&
             (if (m.mvGroups.nonEmpty) m.mvGroups.toSet else Set(m.key))
               == want &&
-            m.mvSums.nonEmpty && m.mvSeq == sm.opSeq &&
+            (m.mvSums ++ m.mvMins ++ m.mvMaxs).nonEmpty &&
+            m.mvSeq == sm.opSeq &&
             m.mvEpoch == sm.epoch =>
         (n, m.mvSums,
-          m.mvSums.map(s => s -> centsCol(m.mvSums, s)).toMap) }
+          m.mvSums.map(s => s -> centsCol(m.mvSums, s)).toMap,
+          m.mvMins.map(c => c -> minCol(c)).toMap,
+          m.mvMaxs.map(c => c -> maxCol(c)).toMap) }
   }
 
   /** The JOIN materialized view that can ANSWER `fact ⋈ dim ON fk = key
@@ -2415,7 +2504,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
           // dropping the fk would fail every later refresh far from the
           // cause (ADVICE r9)
           val used = (if (m.mvGroups.nonEmpty) m.mvGroups
-                      else Seq(m.key)) ++ m.mvSums ++ m.mvFk.toSeq
+                      else Seq(m.key)) ++ m.mvSums ++ m.mvMins ++
+            m.mvMaxs ++ m.mvFk.toSeq
           require(!used.contains(column),
             s"$name: materialized view $n aggregates $column — drop the view first")
         }
@@ -2657,6 +2747,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
                           mvSrc: Option[String] = None,
                           mvSums: Seq[String] = Nil,
                           mvGroups: Seq[String] = Nil,
+                          /** min/max-maintained measure columns (r10):
+                            * maintained incrementally while the removed
+                            * side's extremum is not the group's; a
+                            * deletion OF the extremum re-scans that
+                            * group only ([[refreshMaterializedView]]). */
+                          mvMins: Seq[String] = Nil,
+                          mvMaxs: Seq[String] = Nil,
                           mvSeq: Long = -1L,
                           /** The view op_seq whose adjustment rows the
                             * LAST refresh appended (−1 before any
@@ -2778,6 +2875,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
       s""""mv_src": ${m.mvSrc.map(v => "\"" + checked(v) + "\"").getOrElse("null")}, """ +
       s""""mv_sums": [${m.mvSums.map(v => "\"" + checked(v) + "\"")
         .mkString(", ")}], """ +
+      s""""mv_mins": [${m.mvMins.map(v => "\"" + checked(v) + "\"")
+        .mkString(", ")}], """ +
+      s""""mv_maxs": [${m.mvMaxs.map(v => "\"" + checked(v) + "\"")
+        .mkString(", ")}], """ +
       s""""mv_groups": [${m.mvGroups.map(v => "\"" + checked(v) + "\"")
         .mkString(", ")}], """ +
       s""""mv_seq": ${m.mvSeq}, "mv_last_ver": ${m.mvLastVer}, """ +
@@ -2875,7 +2976,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
         else "\"mv_sum\"\\s*:\\s*\"([^\"]+)\"".r
           .findFirstMatchIn(json).map(_.group(1)).toSeq
       },
-      strList("mv_groups"), mvSeq, mvLastVer,
+      strList("mv_groups"),
+      strList("mv_mins"), strList("mv_maxs"),
+      mvSeq, mvLastVer,
       epoch, mvEpoch,
       strList("bloom_cols"),
       "\"mv_dim\"\\s*:\\s*\"([^\"]+)\"".r

@@ -407,6 +407,47 @@ object CoreQueries {
     scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
 
   /**
+   * min/max materialized-view fixture (r10 — [[Catalog
+   * .createMaterializedView]] with `minCols`/`maxCols`): per-status
+   * count + exact-cents sum + min/max price, advanced through THREE
+   * differential refreshes that exercise both extremum paths:
+   * a price raise (least/greatest combine, possible in-place extremum
+   * move), an insert batch with a brand-new group, then a commit that
+   * DELETES every row above a price threshold — removing group MAXIMA,
+   * the case the classical IVM boundary is about — plus a floor update
+   * that moves group MINIMA. The extremum-removal groups re-aggregate
+   * via the group-restricted rescan; everything else stays delta work.
+   */
+  def mviewMinmaxOrders(spark: SparkSession, sfDir: String): (Catalog, String) =
+    mviewMinmaxCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_mvmm_wh_")
+      val cat = new Catalog(spark, wh, autoCompact = false)
+      cat.createTable("orders_mm", "k", baseOrders(spark, sfDir))
+      cat.createMaterializedView("orders_mm_px", "orders_mm",
+        Seq("status"), Seq("totalprice"),
+        minCols = Seq("totalprice"), maxCols = Seq("totalprice"))
+      cat.commit("orders_mm", Txn.empty
+        .update(col("k") % 11 === 0,
+          Map("totalprice" -> (col("totalprice") + lit(2.0)))))
+      cat.refreshMaterializedView("orders_mm_px")
+      cat.commit("orders_mm", Txn.empty
+        .insert(baseOrders(spark, sfDir).where(col("k") % 50 === 0)
+          .select((col("k") + 90000000L).as("k"), col("custkey"),
+            lit("NX").as("status"),
+            (col("totalprice") + lit(0.25)).as("totalprice"))))
+      cat.refreshMaterializedView("orders_mm_px")
+      cat.commit("orders_mm", Txn.empty
+        .delete(col("totalprice") > 400000.0)
+        .update(col("totalprice") < 1200.0,
+          Map("totalprice" -> (col("totalprice") - lit(0.75)))))
+      cat.refreshMaterializedView("orders_mm_px")
+      (cat, "orders_mm_px")
+    })
+
+  private val mviewMinmaxCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
+
+  /**
    * JOIN materialized view fixture ([[Catalog.createJoinMaterializedView]]):
    * orders (fact) × customer (dim) rolled up by the DIM's market segment —
    * the star-schema dashboard shape. The transcript exercises all three
@@ -595,8 +636,10 @@ object CoreQueries {
    * (two compose on orders_sx, proving per-table statement ordering) and
    * land as ONE staged atomic commit. A first transaction is ROLLED BACK
    * before it: any trace of it in the final state breaks the oracle hash.
-   * The INSERT..SELECT inside the transaction reads the pre-transaction
-   * snapshot (the documented snapshot-isolation read rule).
+   * The INSERT..SELECT inside the transaction reads the 'en' rows, which
+   * no staged op touches — its result is identical under r9's snapshot
+   * isolation and r10's read-your-own-writes overlay (the RYOW-sensitive
+   * transcript is sql_txn_ryow).
    */
   def sqlTxnTables(spark: SparkSession, sfDir: String): Catalog =
     sqlTxnCache.getOrElseUpdate(sfDir, {
@@ -795,6 +838,21 @@ object CoreQueries {
       cat.getTable(v).snapshot
         .select(col("status"), col("n_rows"),
           (col("cents") / 100.0).as("total"))
+    },
+
+    // min/max materialized view (r10): the fixture's third commit deletes
+    // every row above a price threshold — group maxima go away and those
+    // groups re-aggregate through the group-restricted rescan; the floor
+    // update moves minima the same way. Three differential refreshes must
+    // land bit-identical to the oracle's sequential replay (exact cents
+    // end to end; min/max are exact longs, /100.0 is one IEEE divide).
+    "cat_mview_minmax" -> { (s, d) =>
+      val (cat, v) = mviewMinmaxOrders(s, d)
+      cat.getTable(v).snapshot
+        .select(col("status"), col("n_rows"),
+          (col("cents") / 100.0).as("total"),
+          (col("minc_totalprice") / 100.0).as("lo"),
+          (col("maxc_totalprice") / 100.0).as("hi"))
     },
 
     // JOIN materialized view (r9): the star-schema rollup — orders ⋈
@@ -1347,6 +1405,43 @@ object CoreQueries {
       orders.unionByName(docs)
     },
 
+    // READ-YOUR-OWN-WRITES inside BEGIN..COMMIT (r10, GraftSql.stash):
+    // the reference's Transaction.run executes each op immediately
+    // (transaction.py:26), so a later query in the same transaction sees
+    // earlier writes. graft stages everything for the atomic commit but
+    // re-registers each touched table's view as the pre-transaction
+    // snapshot + staged ops applied IN MEMORY. This transcript is
+    // RYOW-sensitive three ways: the mid-transaction SELECT aggregates
+    // rows only the staged UPDATE created ('RW' status — under r9's
+    // snapshot isolation it returned zero such rows), the INSERT..SELECT
+    // copies those same staged rows, and the DELETE prunes by the staged
+    // status. The oracle replays the statements sequentially in SQL.
+    // The mid-transaction frame is analyzed (and its file listing
+    // pinned) before COMMIT, so evaluating it later still reads the
+    // pre-commit snapshot + in-memory ops — both phases return together.
+    "sql_txn_ryow" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_ryow_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      cat.createTable("ord_ry", "k", baseOrders(s, d))
+      val g = new graft.sql.GraftSql(s).register("ord_ry", cat, "ord_ry")
+      g.sql("BEGIN")
+      g.sql("""UPDATE ord_ry SET totalprice = totalprice + 5.0,
+              |status = 'RW' WHERE k % 4 = 0""".stripMargin)
+      val mid = g.sql(
+        """SELECT 'mid' AS phase, status, count(*) AS n,
+          |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0 AS val
+          |FROM ord_ry WHERE status = 'RW' GROUP BY 1, 2""".stripMargin)
+      g.sql("""INSERT INTO ord_ry SELECT k + 9000000, custkey, 'CP',
+              |totalprice FROM ord_ry WHERE status = 'RW'""".stripMargin)
+      g.sql("DELETE FROM ord_ry WHERE status = 'RW' AND k % 8 = 0")
+      g.sql("COMMIT")
+      val fin = g.sql(
+        """SELECT 'final' AS phase, status, count(*) AS n,
+          |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0 AS val
+          |FROM ord_ry GROUP BY 1, 2""".stripMargin)
+      mid.unionByName(fin)
+    },
+
     // The full SQL WRITE surface in one flow (graft.sql.GraftSql):
     // UPDATE, DELETE, then an INSERT ... SELECT that reads the table's
     // own refreshed snapshot view MID-TRANSCRIPT — three ANSI statements
@@ -1699,6 +1794,24 @@ object CoreQueries {
          |SELECT status, COUNT(*) AS n_rows,
          |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM snap GROUP BY status""".stripMargin,
+
+    // sequential replay of the min/max fixture's three commits
+    "cat_mview_minmax" ->
+      """WITH s0 AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    o_totalprice AS p FROM orders),
+        |s1 AS (SELECT k, status,
+        |    CASE WHEN k % 11 = 0 THEN p + 2.0 ELSE p END AS p FROM s0),
+        |s2 AS (SELECT * FROM s1
+        |  UNION ALL
+        |  SELECT k + 90000000, 'NX', p + 0.25 FROM s0 WHERE k % 50 = 0),
+        |s3 AS (SELECT * FROM s2 WHERE p <= 400000.0),
+        |s4 AS (SELECT k, status,
+        |    CASE WHEN p < 1200.0 THEN p - 0.75 ELSE p END AS p FROM s3)
+        |SELECT status, COUNT(*) AS n_rows,
+        |  SUM(CAST(ROUND(p * 100) AS BIGINT)) / 100.0 AS total,
+        |  MIN(CAST(ROUND(p * 100) AS BIGINT)) / 100.0 AS lo,
+        |  MAX(CAST(ROUND(p * 100) AS BIGINT)) / 100.0 AS hi
+        |FROM s4 GROUP BY 1""".stripMargin,
 
     // three refreshes (differential, dim-forced full recompute,
     // differential again) must land exactly the direct join rollup over
@@ -2301,6 +2414,28 @@ object CoreQueries {
         |UNION ALL
         |SELECT 'docs', 'xx', COUNT(*), CAST(SUM(n_chars) AS DOUBLE)
         |FROM documents WHERE lang = 'en'""".stripMargin,
+
+    // sequential replay of the transaction: each CTE is the table state
+    // after one statement — exactly what read-your-own-writes must see
+    "sql_txn_ryow" ->
+      """WITH s0 AS (SELECT o_orderkey AS k, o_custkey AS custkey,
+        |    o_orderstatus AS status, o_totalprice AS totalprice FROM orders),
+        |s1 AS (SELECT k, custkey,
+        |    CASE WHEN k % 4 = 0 THEN 'RW' ELSE status END AS status,
+        |    totalprice + CASE WHEN k % 4 = 0 THEN 5.0 ELSE 0.0 END AS totalprice
+        |  FROM s0),
+        |s2 AS (SELECT * FROM s1
+        |  UNION ALL
+        |  SELECT k + 9000000, custkey, 'CP', totalprice
+        |  FROM s1 WHERE status = 'RW'),
+        |s3 AS (SELECT * FROM s2 WHERE NOT (status = 'RW' AND k % 8 = 0))
+        |SELECT 'mid' AS phase, status, COUNT(*) AS n,
+        |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0 AS val
+        |FROM s1 WHERE status = 'RW' GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'final', status, COUNT(*),
+        |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0
+        |FROM s3 GROUP BY 1, 2""".stripMargin,
 
     // the oracle recomputes the footer stats by scanning — exact numeric
     // stats make the cheap path and the expensive path hash-identical

@@ -120,10 +120,14 @@ class GraftSql(val spark: SparkSession) {
    *     handle or a non-graft table has no staging to join — loud error);
    *   - statements accumulate per table IN ORDER and land as one commit
    *     per table inside the one cross-table commit point;
-   *   - reads inside the transaction see the PRE-transaction snapshots
-   *     (snapshot isolation without read-your-own-writes: nothing is
-   *     staged until COMMIT — the registered views deliberately do not
-   *     move mid-transaction);
+   *   - reads inside the transaction see READ-YOUR-OWN-WRITES overlays:
+   *     each staged statement re-registers its table's view as the
+   *     pre-transaction snapshot with the accumulated ops applied IN
+   *     MEMORY (nothing persists until COMMIT — the durable state and
+   *     every other session's view of it do not move). This matches the
+   *     reference's Transaction.run, which executes each op immediately;
+   *     materialized-view routing is suspended while writes are staged
+   *     (the mview is current vs durable state but stale vs the overlay);
    *   - COMMIT: every table's accumulated ops stage, gate through CHECK
    *     constraints (any violation aborts the WHOLE transaction —
    *     nothing lands anywhere), then roll forward from the atomic
@@ -143,7 +147,11 @@ class GraftSql(val spark: SparkSession) {
         openTxn = Some(scala.collection.mutable.LinkedHashMap.empty)
       case "ROLLBACK" =>
         require(inTxn, "graft SQL: ROLLBACK without an open transaction")
+        val stashed = openTxn.get
         openTxn = None
+        // the RYOW overlays die with the transaction — restore the
+        // durable snapshots
+        stashed.keys.foreach(refreshView)
       case "COMMIT" =>
         require(inTxn, "graft SQL: COMMIT without an open transaction")
         val stashed = openTxn.get
@@ -160,15 +168,26 @@ class GraftSql(val spark: SparkSession) {
             "two registered names alias the same stored table " +
             s"(${stored.mkString(", ")}) — route the statements through " +
             "one name")
-          cats.head.commitMulti(
+          // refreshView in FINALLY: on success the views adopt the new
+          // durable state; on abort (constraint violation — nothing
+          // landed anywhere) they revert from the RYOW overlay to the
+          // intact pre-transaction snapshots
+          try cats.head.commitMulti(
             stashed.map { case (n, t) => (durable(n)._2, t) }.toMap)
-          stashed.keys.foreach(refreshView)
+          finally stashed.keys.foreach(refreshView)
         }
     }
     spark.emptyDataFrame
   }
 
-  /** Stash a statement's op into the open transaction. */
+  /** Stash a statement's op into the open transaction, then re-register
+    * the table's view as the READ-YOUR-OWN-WRITES overlay: the
+    * pre-transaction snapshot with every staged op applied in memory
+    * ([[Txn.commit]] is a pure LineageTable fold — nothing persists, so
+    * ROLLBACK stays free and the durable commit point is untouched). A
+    * later SELECT in the same transaction now sees earlier writes — the
+    * reference's Transaction.run semantics (transaction.py:26 executes
+    * each op immediately), which pure snapshot isolation diverged from. */
   private def stash(name: String, txn: Txn): DataFrame = {
     require(durable.contains(name), "graft SQL: DML on in-session table " +
       s"'$name' inside a transaction — atomic transactions need the " +
@@ -176,6 +195,8 @@ class GraftSql(val spark: SparkSession) {
       "run the statement outside BEGIN..COMMIT")
     val m = openTxn.get
     m(name) = m.get(name).fold(txn)(_.andThen(txn))
+    val (cat, tbl) = durable(name)
+    m(name).commit(cat.getTable(tbl)).snapshot.createOrReplaceTempView(name)
     spark.emptyDataFrame
   }
 
@@ -395,7 +416,11 @@ class GraftSql(val spark: SparkSession) {
       val q = expanded.getOrElse(p)
       resolveTimeTravel(q)
         .map(Bridge.ofRows(spark, _))
-        .orElse(routeToView(q))
+        // inside a transaction with staged writes, a materialized view is
+        // CURRENT vs the durable state but STALE vs the read-your-own-
+        // writes overlay — serve aggregates from the overlay views, never
+        // the mview, until COMMIT lands (then routing resumes)
+        .orElse(if (openTxn.exists(_.nonEmpty)) None else routeToView(q))
         .orElse(expanded.map(Bridge.ofRows(spark, _)))
         .getOrElse(spark.sql(statement))
   }
@@ -673,7 +698,7 @@ class GraftSql(val spark: SparkSession) {
     h.child match {
       case agg: Aggregate =>
         for {
-          (df, gs, sumCols, centsOf) <- routeAggregate(agg)
+          (df, gs, sumCols, centsOf, minOf, maxOf) <- routeAggregate(agg)
           // the translated predicate references the view's RAW measure
           // columns (n_rows, cents[_x]) and is applied after the select
           // aliased them away — Spark's ResolveMissingReferences then
@@ -681,12 +706,14 @@ class GraftSql(val spark: SparkSession) {
           // those names (… sum(v) AS n_rows … HAVING count(*) > 5), the
           // predicate would silently bind to the user column and filter
           // the wrong measure — fall back to the direct path (ADVICE r9).
-          internal = "n_rows" +: centsOf.values.toSeq
+          internal = "n_rows" +: (centsOf.values.toSeq ++
+            minOf.values ++ maxOf.values)
           userAliases = agg.aggregateExpressions.collect {
             case a: org.apache.spark.sql.catalyst.expressions.Alias => a.name
           }
           if userAliases.intersect(internal).isEmpty
-          cond <- translateHaving(h.havingCondition, gs, sumCols, centsOf)
+          cond <- translateHaving(h.havingCondition, gs, sumCols, centsOf,
+            minOf, maxOf)
         } yield df.where(cond)
       case _ => None
     }
@@ -740,7 +767,10 @@ class GraftSql(val spark: SparkSession) {
     * function, a non-group column, a subquery) fails the route. */
   private def translateHaving(cond: Expression, gs: Seq[String],
                               sumCols: Seq[String],
-                              centsOf: Map[String, String]): Option[Column] = {
+                              centsOf: Map[String, String],
+                              minOf: Map[String, String] = Map.empty,
+                              maxOf: Map[String, String] = Map.empty)
+      : Option[Column] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
     var ok = true
     // explicit top-down recursion, NOT transformUp/Down: bottom-up would
@@ -759,6 +789,14 @@ class GraftSql(val spark: SparkSession) {
           if sumArgOf(args, sumCols).isDefined =>
         Bridge.expression(
           col(centsOf(sumArgOf(args, sumCols).get)) / 100.0 / col("n_rows"))
+      case UnresolvedFunction(Seq("min"), args, false, None, false, Nil, false)
+          if sumArgOf(args, minOf.keys.toSeq).isDefined =>
+        Bridge.expression(
+          col(minOf(sumArgOf(args, minOf.keys.toSeq).get)) / 100.0)
+      case UnresolvedFunction(Seq("max"), args, false, None, false, Nil, false)
+          if sumArgOf(args, maxOf.keys.toSeq).isDefined =>
+        Bridge.expression(
+          col(maxOf(sumArgOf(args, maxOf.keys.toSeq).get)) / 100.0)
       case _: UnresolvedFunction => ok = false; e
       case _: SubqueryExpression => ok = false; e
       case a: UnresolvedAttribute =>
@@ -774,7 +812,8 @@ class GraftSql(val spark: SparkSession) {
     * the routed frame plus the translation context (group columns,
     * summed columns, measure-column names) a HAVING above needs. */
   private def routeAggregate(aggPlan: Aggregate)
-      : Option[(DataFrame, Seq[String], Seq[String], Map[String, String])] = {
+      : Option[(DataFrame, Seq[String], Seq[String], Map[String, String],
+                Map[String, String], Map[String, String])] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction}
     import org.apache.spark.sql.catalyst.expressions.Alias
     aggPlan match {
@@ -804,7 +843,8 @@ class GraftSql(val spark: SparkSession) {
         // registered in the SAME catalog, equality of two plain columns;
         // fact/dim and fk/key orders all tried, the dim-key check in
         // currentJoinViewFor disambiguates)
-        val hit: Option[(Catalog, String, Seq[String], Map[String, String])] =
+        val hit: Option[(Catalog, String, Seq[String], Map[String, String],
+                         Map[String, String], Map[String, String])] =
           rel match {
             case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
                 Some(EqualTo(x: UnresolvedAttribute, y: UnresolvedAttribute)),
@@ -819,7 +859,9 @@ class GraftSql(val spark: SparkSession) {
                   (dcat, dtbl) = durable(dsrc)
                   if fcat eq dcat
                   h <- fcat.currentJoinViewFor(ftbl, dtbl, fk, dk, gs)
-                } yield (fcat, h._1, h._2, h._3)
+                  // join views maintain count/sum only — no extrema maps
+                } yield (fcat, h._1, h._2, h._3,
+                  Map.empty[String, String], Map.empty[String, String])
               val xs = x.nameParts.last; val ys = y.nameParts.last
               tryOrder(l, r, xs, ys).orElse(tryOrder(l, r, ys, xs))
                 .orElse(tryOrder(r, l, xs, ys))
@@ -830,10 +872,10 @@ class GraftSql(val spark: SparkSession) {
                 if durable.contains(src)
                 (cat, tbl) = durable(src)
                 h <- cat.currentViewFor(tbl, gs)
-              } yield (cat, h._1, h._2, h._3)
+              } yield (cat, h._1, h._2, h._3, h._4, h._5)
           }
         for {
-          (cat, view, sumCols, centsOf) <- hit
+          (cat, view, sumCols, centsOf, minOf, maxOf) <- hit
           // the WHERE routes only when every column it names is a group
           // column and it calls no functions (a nondeterministic rand()
           // gate must not be re-evaluated against different rows) and no
@@ -867,6 +909,15 @@ class GraftSql(val spark: SparkSession) {
                   name) if sumArgOf(args, sumCols).isDefined =>
                 Some((col(centsOf(sumArgOf(args, sumCols).get)) / 100.0
                   / col("n_rows")).as(name))
+              // min/max serve from the maintained extremum columns (r10)
+              case Alias(UnresolvedFunction(Seq("min"), args, false, None, false, Nil, false),
+                  name) if sumArgOf(args, minOf.keys.toSeq).isDefined =>
+                Some((col(minOf(sumArgOf(args, minOf.keys.toSeq).get))
+                  / 100.0).as(name))
+              case Alias(UnresolvedFunction(Seq("max"), args, false, None, false, Nil, false),
+                  name) if sumArgOf(args, maxOf.keys.toSeq).isDefined =>
+                Some((col(maxOf(sumArgOf(args, maxOf.keys.toSeq).get))
+                  / 100.0).as(name))
               case _ => None
             }
             if (translated.forall(_.isDefined)) Some(translated.map(_.get))
@@ -875,7 +926,7 @@ class GraftSql(val spark: SparkSession) {
         } yield {
           val base = cat.getTable(view).snapshot
           (filt.fold(base)(c => base.where(rebased(c))).select(cols: _*),
-            gs, sumCols, centsOf)
+            gs, sumCols, centsOf, minOf, maxOf)
         }
       case _ => None
     }
@@ -1430,8 +1481,9 @@ class GraftSql(val spark: SparkSession) {
 
   /** Execute the op on the registered handle; DML returns empty (the
     * Spark command convention) and the read view refreshes. Inside an
-    * open transaction the op is STASHED instead — nothing executes or
-    * becomes visible until COMMIT. */
+    * open transaction the op is STASHED instead — nothing lands durably
+    * until COMMIT; this session's reads see the in-memory
+    * read-your-own-writes overlay ([[stash]]). */
   private def apply(name: String, txn: Txn): DataFrame = {
     if (inTxn) return stash(name, txn)
     session.get(name) match {

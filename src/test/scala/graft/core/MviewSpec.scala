@@ -336,4 +336,92 @@ class MviewSpec extends SparkSpec {
     assert(cat2.getTable("v").opSeq === before)
   }
 
+  // ------------------------------------------------- min/max views (r10)
+
+  /** The min/max view's state vs a declarative recompute — every refresh
+    * path (combine, rescan, full) must agree with this bit-for-bit. */
+  private def minmaxState(cat: Catalog, v: String): Set[Row4] =
+    cat.getTable(v).snapshot
+      .select(col("g"), col("n_rows"), col("minc_price"), col("maxc_price"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+  private type Row4 = (String, Long, Option[Long], Option[Long])
+  private def minmaxRecompute(cat: Catalog, src: String): Set[Row4] =
+    cat.getTable(src).snapshot
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.min(
+          graft.functions.Exact.cents(col("price"))).as("mn"),
+        org.apache.spark.sql.functions.max(
+          graft.functions.Exact.cents(col("price"))).as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+
+  test("min/max views maintain incrementally; extremum deletion rescans that group only") {
+    val cat = fresh()
+    cat.createTable("t", "k", base)
+    cat.createMaterializedView("v", "t", Seq("g"), Nil,
+      minCols = Seq("price"), maxCols = Seq("price"))
+    assert(minmaxState(cat, "v") === minmaxRecompute(cat, "t"))
+    // combine path: inserts extend extrema with least/greatest, no rescan
+    cat.commit("t", Txn.empty.insert(
+      Seq((10L, "a", 0.50), (11L, "b", 99.00), (12L, "d", 3.00))
+        .toDF("k", "g", "price")))
+    cat.refreshMaterializedView("v")
+    assert(minmaxState(cat, "v") === minmaxRecompute(cat, "t"))
+    // combine path: delete a NON-extremum row (a's 1.25 sits strictly
+    // between 0.50 and 10.50)
+    cat.commit("t", Txn.empty.delete(col("k") === 2L))
+    cat.refreshMaterializedView("v")
+    assert(minmaxState(cat, "v") === minmaxRecompute(cat, "t"))
+    // rescan path: delete group a's MAXIMUM (10.50) — the recorded
+    // extremum goes away and the group re-aggregates
+    cat.commit("t", Txn.empty.delete(col("k") === 1L))
+    cat.refreshMaterializedView("v")
+    assert(minmaxState(cat, "v") === minmaxRecompute(cat, "t"))
+    assert(minmaxState(cat, "v").exists(r =>
+      r._1 == "a" && r._3 == Some(50L) && r._4 == Some(50L)),
+      s"group a must have re-aggregated to its single 0.50 row: ${minmaxState(cat, "v")}")
+    // rescan path: an UPDATE that lowers the recorded maximum in place
+    cat.commit("t", Txn.empty.update(col("k") === 11L,
+      Map("price" -> lit(1.00))))
+    cat.refreshMaterializedView("v")
+    assert(minmaxState(cat, "v") === minmaxRecompute(cat, "t"))
+    // emptied group disappears from the view
+    cat.commit("t", Txn.empty.delete(col("g") === "d"))
+    cat.refreshMaterializedView("v")
+    assert(minmaxState(cat, "v") === minmaxRecompute(cat, "t"))
+    assert(!minmaxState(cat, "v").exists(_._1 == "d"))
+    // group migration moves the extremum across groups
+    cat.commit("t", Txn.empty.update(col("k") === 10L, Map("g" -> lit("c"))))
+    cat.refreshMaterializedView("v")
+    assert(minmaxState(cat, "v") === minmaxRecompute(cat, "t"))
+    // min/max columns are load-bearing for evolution
+    intercept[IllegalArgumentException](cat.dropColumn("t", "price"))
+  }
+
+  test("min/max views survive reopen and route through currentViewFor") {
+    val wh = Files.createTempDirectory("graft_mv_spec_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("t", "k", base)
+    cat.createMaterializedView("v", "t", Seq("g"), Seq("price"),
+      minCols = Seq("price"), maxCols = Seq("price"))
+    val hit = cat.currentViewFor("t", Seq("g"))
+    assert(hit.isDefined)
+    val (name, sums, centsOf, minOf, maxOf) = hit.get
+    assert(name === "v" && sums === Seq("price"))
+    assert(centsOf === Map("price" -> "cents"))
+    assert(minOf === Map("price" -> "minc_price"))
+    assert(maxOf === Map("price" -> "maxc_price"))
+    // definition survives the meta round-trip: a reopened catalog still
+    // maintains extrema (rescan after extremum delete)
+    val cat2 = new Catalog(spark, wh, autoCompact = false)
+    cat2.commit("t", Txn.empty.delete(col("k") === 1L)) // a's max
+    cat2.refreshMaterializedView("v")
+    assert(minmaxState(cat2, "v") === minmaxRecompute(cat2, "t"))
+  }
 }

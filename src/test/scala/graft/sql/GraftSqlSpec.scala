@@ -410,10 +410,10 @@ class GraftSqlSpec extends SparkSpec {
     g.sql("UPDATE a SET status = 'U' WHERE k <= 2")
     g.sql("DELETE FROM a WHERE k = 3")       // composes on the same table
     g.sql("DELETE FROM b WHERE lang = 'zh'")
-    // reads inside the transaction see the PRE-transaction snapshot
-    // (snapshot isolation, no read-your-own-writes)
-    assert(g.sql("SELECT count(*) AS n FROM a").head().getLong(0) === 3L)
-    // nothing is durable before COMMIT
+    // reads inside the transaction see their own staged writes (r10:
+    // the RYOW overlay — the reference's Transaction.run semantics)
+    assert(g.sql("SELECT count(*) AS n FROM a").head().getLong(0) === 2L)
+    // but nothing is durable before COMMIT
     assert(cat.getTable("a").currentVersion === aSeqBefore)
     g.sql("COMMIT")
     assert(g.table("a").snapshot.orderBy("k").collect()
@@ -425,6 +425,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(cat.getTable("a").currentVersion === aSeqBefore + 2)
   }
 
+  test("reads inside a transaction see earlier writes; isolation holds outside (r10 RYOW)") {
+    val (g, cat) = twoTableFixture()
+    g.sql("BEGIN")
+    g.sql("UPDATE a SET status = 'RW', totalprice = totalprice + 1.0 WHERE k = 1")
+    // the staged update is visible to this session's SQL reads...
+    val mid = g.sql("SELECT k, status, totalprice FROM a WHERE status = 'RW'")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(mid.toSeq === Seq((1L, "RW", 101.0)))
+    // ...and to a dependent write: the INSERT..SELECT copies the staged row
+    g.sql("INSERT INTO a SELECT k + 100, custkey, 'CP', totalprice FROM a WHERE status = 'RW'")
+    assert(g.sql("SELECT count(*) AS n FROM a").head().getLong(0) === 4L)
+    // the durable state did not move — another reader still sees pre-txn
+    assert(cat.getTable("a").snapshot.where("status = 'RW'").count() === 0L)
+    g.sql("COMMIT")
+    assert(g.table("a").snapshot.where("status IN ('RW','CP')").count() === 2L)
+  }
+
   test("ROLLBACK discards everything; constraint violation aborts the WHOLE transaction") {
     val (g, cat) = twoTableFixture()
     g.sql("BEGIN")
@@ -433,6 +450,11 @@ class GraftSqlSpec extends SparkSpec {
     g.sql("ROLLBACK")
     assert(g.table("a").snapshot.where("status = 'ZZ'").count() === 0L)
     assert(g.table("b").snapshot.count() === 2L)
+    // ROLLBACK also tears down the RYOW overlays: the registered views
+    // revert to the durable snapshots
+    assert(g.sql("SELECT count(*) AS n FROM b").head().getLong(0) === 2L)
+    assert(g.sql("SELECT count(*) AS n FROM a WHERE status = 'ZZ'")
+      .head().getLong(0) === 0L)
     // a CHECK violation on ONE table at COMMIT rolls back BOTH tables'
     // statements — the staged commit is both-or-neither
     cat.addConstraint("a", "price_pos", "totalprice > 0.0")
@@ -444,6 +466,8 @@ class GraftSqlSpec extends SparkSpec {
     assert(g.table("b").snapshot.count() === 2L,
       "the clean table's statement must not survive the aborted transaction")
     assert(g.table("a").snapshot.where("totalprice < 0").count() === 0L)
+    // the abort also reverted the RYOW overlays to the durable snapshots
+    assert(g.sql("SELECT count(*) AS n FROM b").head().getLong(0) === 2L)
     // the failed COMMIT cleared the transaction: new statements autocommit
     g.sql("UPDATE a SET status = 'OK' WHERE k = 1")
     assert(g.table("a").snapshot.where("status = 'OK'").count() === 1L)
@@ -532,6 +556,44 @@ class GraftSqlSpec extends SparkSpec {
       "an n_rows-shadowing alias must not route")
     assert(shadow.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ===
       Set(("A", 100.0), ("B", 200.0), ("C", 300.0)))
+  }
+
+  test("min/max aggregates route onto a min/max-maintained view (r10)") {
+    val (g, cat) = durableFixture()
+    cat.createMaterializedView("vx", "t", Seq("status"), Seq("totalprice"),
+      minCols = Seq("totalprice"), maxCols = Seq("totalprice"))
+    g.register("vx", cat, "vx")
+    def plan(df: org.apache.spark.sql.DataFrame): String = {
+      df.queryExecution.toRdd.count()
+      df.queryExecution.executedPlan.toString
+    }
+    val q = g.sql("""SELECT status, min(totalprice) AS lo,
+                    |max(totalprice) AS hi, count(*) AS n
+                    |FROM t GROUP BY status""".stripMargin)
+    assert(plan(q).contains("/vx"), "min/max must serve from the view")
+    assert(q.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet ===
+      Set(("A", 100.0, 100.0, 1L), ("B", 200.0, 200.0, 1L),
+          ("C", 300.0, 300.0, 1L)))
+    // HAVING over a maintained max routes too
+    val h = g.sql("""SELECT status, count(*) AS n FROM t GROUP BY status
+                    |HAVING max(totalprice) > 150.0""".stripMargin)
+    assert(plan(h).contains("/vx"))
+    assert(h.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("B", 1L), ("C", 1L)))
+    // after an extremum-deleting write + refresh, routing still serves
+    // the (rescanned) truth
+    g.sql("DELETE FROM t WHERE k = 3")
+    cat.refreshMaterializedView("vx")
+    val q2 = g.sql("""SELECT status, max(totalprice) AS hi FROM t
+                     |GROUP BY status""".stripMargin)
+    assert(plan(q2).contains("/vx"))
+    assert(q2.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ===
+      Set(("A", 100.0), ("B", 200.0)))
+    // a min over a NON-maintained column must not route
+    val direct = g.sql("""SELECT status, min(custkey) AS m FROM t
+                         |GROUP BY status""".stripMargin)
+    assert(!plan(direct).contains("/vx"))
   }
 
   test("ORDER BY / LIMIT above a routable aggregate routes — the dashboard top-n") {
