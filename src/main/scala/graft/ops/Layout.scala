@@ -50,11 +50,24 @@ object Layout {
    * makes them selective on that column only).
    */
   def morton(a: Column, b: Column, bits: Int): Column =
+    morton(Seq(a, b), bits)
+
+  /** N-column Morton interleave (r10): bit i of column j lands at
+    * position i·n + j — the 2-column layout generalized, bit-identical
+    * to the historical form for n = 2. n·bits must fit a long's
+    * non-sign bits, so 3 columns keep the default 16 bits (48 used)
+    * and 4 columns need bits ≤ 15. */
+  def morton(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"morton needs at least 2 columns, got $n")
+    require(n * bits <= 63,
+      s"morton: $n columns x $bits bits overflows a long — lower bits")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      cols.zipWithIndex.foldLeft(acc) { case (z, (c, j)) =>
+        z.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      }
     }
+  }
 
   /**
    * Z-order re-layout by two columns — the multi-column generalization of
@@ -68,25 +81,37 @@ object Layout {
    * prunes to the files whose rectangle intersects it.
    */
   def zorder(df: DataFrame, cA: String, cB: String,
-             bits: Int = 16, partitions: Int = 0): DataFrame = {
+             bits: Int = 16, partitions: Int = 0): DataFrame =
+    zorder(df, Seq(cA, cB), bits, partitions)
+
+  /** N-column form (r10): each column min-max scales to `bits` bits
+    * against its own in-plan broadcast stats, the N-way morton codes
+    * range-partition the rows, and every output file covers a bounded
+    * N-dimensional box — a range probe on ANY of the columns row-group-
+    * prunes to the files whose box intersects it (3-4 column layouts
+    * are routine lakehouse practice; selectivity per column dilutes as
+    * N grows, the usual guidance to stop near 4). */
+  def zorder(df: DataFrame, cols: Seq[String],
+             bits: Int, partitions: Int): DataFrame = {
     val nParts = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val stats = df.agg(
-      min(col(cA).cast("double")).as("_minA"),
-      max(col(cA).cast("double")).as("_maxA"),
-      min(col(cB).cast("double")).as("_minB"),
-      max(col(cB).cast("double")).as("_maxB"))
+      min(col(cols.head).cast("double")).as(s"_min_${cols.head}"),
+      cols.tail.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"_min_$c"),
+        max(col(c).cast("double")).as(s"_max_$c"))) :+
+        max(col(cols.head).cast("double")).as(s"_max_${cols.head}"): _*)
     val top = (1L << bits) - 1
-    def scaled(c: String, lo: Column, hi: Column): Column =
+    def scaled(c: String): Column = {
+      val (lo, hi) = (col(s"_min_$c"), col(s"_max_$c"))
       when(hi === lo, lit(0L)).otherwise(
         floor((col(c).cast("double") - lo) / (hi - lo) * top).cast("long"))
+    }
     df.crossJoin(broadcast(stats))
-      .withColumn("_z", morton(
-        scaled(cA, col("_minA"), col("_maxA")),
-        scaled(cB, col("_minB"), col("_maxB")), bits))
+      .withColumn("_z", morton(cols.map(scaled), bits))
       .repartitionByRange(nParts, col("_z"))
       .sortWithinPartitions(col("_z"))
-      .drop("_minA", "_maxA", "_minB", "_maxB", "_z")
+      .drop(cols.flatMap(c => Seq(s"_min_$c", s"_max_$c")) :+ "_z": _*)
   }
 
   /**

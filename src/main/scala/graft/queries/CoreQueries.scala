@@ -159,6 +159,22 @@ object CoreQueries {
   private val zorderCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** 3-column Z-order fixture (r10 — Layout.zorder N-column form): one
+    * layout serving range probes on custkey, totalprice AND the key. */
+  def zordered3Orders(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = zorder3Cache.getOrElseUpdate(sfDir, {
+      val d = graft.sources.TextSources.scratchDir(spark, "graft_zorder3_")
+      graft.ops.Layout.zorder(baseOrders(spark, sfDir),
+        Seq("custkey", "totalprice", "k"), 16, 0)
+        .write.mode("overwrite").parquet(d)
+      d
+    })
+    spark.read.parquet(dir)
+  }
+
+  private val zorder3Cache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /**
    * Schema-evolution fixture (built once per sf dir): orders committed,
    * updated, then ALTERed with a `priority` column (Catalog.addColumn — a
@@ -1254,6 +1270,19 @@ object CoreQueries {
         .select(col("k"), col("custkey"), col("status"), col("totalprice"))
     },
 
+    "idx_zorder3" -> { (s, d) =>
+      // 3-d range probe over the N-column Z-order (r10): the SAME single
+      // layout also min-max-prunes on the THIRD column (k) — each parquet
+      // file covers a bounded box in (custkey, totalprice, k) space.
+      // Results are layout-independent (plain-filter oracle); LayoutSpec
+      // measures the third column's row-group skipping.
+      zordered3Orders(s, d)
+        .where(col("custkey").between(10L, 60L) &&
+               col("totalprice").between(50000.0, 200000.0) &&
+               col("k") <= 300000L)
+        .select(col("k"), col("custkey"), col("status"), col("totalprice"))
+    },
+
     "src_csv" -> { (s, d) =>
       // CSV roundtrip (the reference's durability format): write the
       // orders projection as headered CSV, read it back with an explicit
@@ -2181,6 +2210,14 @@ object CoreQueries {
         |FROM orders
         |WHERE o_custkey BETWEEN 10 AND 60
         |  AND o_totalprice BETWEEN 50000.0 AND 200000.0""".stripMargin,
+
+    "idx_zorder3" ->
+      """SELECT o_orderkey AS k, o_custkey AS custkey,
+        |       o_orderstatus AS status, o_totalprice AS totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 10 AND 60
+        |  AND o_totalprice BETWEEN 50000.0 AND 200000.0
+        |  AND o_orderkey <= 300000""".stripMargin,
 
     "src_csv" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n,

@@ -1502,6 +1502,38 @@ object PipelineQueries {
           (unix_micros(col("pts")) - unix_micros(col("vts"))).as("gap_us")))
     },
 
+    // Stream-stream LEFT OUTER join (r10) — the other half of the funnel
+    // class: views with NO purchase inside the attribution window emit
+    // with a NULL purchase side once the watermark proves no match can
+    // arrive (Spark runs no-data batches after the data drains, so state
+    // eviction fires inside one AvailableNow run). The un-expirable tail
+    // — views younger than (min of both sides' final watermarks) minus
+    // the join window — stays in state and never emits; the oracle
+    // reproduces exactly that boundary from the batch left join
+    // (watermarks are millisecond-truncated: Spark's event-time stats
+    // track max at ms precision — the oracle mirrors the floor).
+    "stream_outer_join" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      def side(tpe: String, idAs: String, tsAs: String) =
+        StreamOps.fileSource(s, d, "events")
+          .where(col("event_type") === tpe)
+          .select(col("user_id"),
+            col("event_id").as(idAs),
+            timestamp_micros(expr("ts div 1000")).as(tsAs))
+          .withWatermark(tsAs, "2 hours")
+      val views = side("view", "view_id", "vts")
+      val purch = side("purchase", "purchase_id", "pts")
+        .withColumnRenamed("user_id", "p_user_id")
+      StreamOps.drainAppend(s,
+        views.join(purch,
+          col("user_id") === col("p_user_id") &&
+          col("pts") >= col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 2 HOURS"),
+          "left_outer")
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          (unix_micros(col("pts")) - unix_micros(col("vts"))).as("gap_us")))
+    },
+
     // Stream-STATIC join: the events file stream interval-joined (same
     // bucketized RangeJoin operator as batch q_range_join) to the static
     // periods table, aggregated per period. Covers the third streaming
@@ -3012,6 +3044,29 @@ object PipelineQueries {
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
         | AND (epoch_ns(p.ts) // 1000) >= (epoch_ns(v.ts) // 1000)
         | AND (epoch_ns(p.ts) // 1000) - (epoch_ns(v.ts) // 1000) <= 7200000000""".stripMargin,
+
+    // the batch left join, with null-side rows restricted to views the
+    // final watermark can expire: W = min of both sides' (ms-floored
+    // max event time − 2h delay); a view emits its null row iff
+    // vts + 2h (its last possible match instant) < W. The tail window
+    // stays in state and never emits — exactly Spark's outer-join
+    // eviction rule, reproduced declaratively.
+    "stream_outer_join" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id,
+        |             epoch_ns(ts)//1000 AS vts
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |        epoch_ns(ts)//1000 AS pts
+        |      FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT LEAST(
+        |        (SELECT ((MAX(vts)//1000) - 7200000) * 1000 FROM v),
+        |        (SELECT ((MAX(pts)//1000) - 7200000) * 1000 FROM p)) AS wm),
+        |j AS (SELECT v.user_id, v.view_id, p.purchase_id,
+        |        p.pts - v.vts AS gap_us, v.vts
+        |      FROM v LEFT JOIN p ON v.user_id = p.user_id
+        |        AND p.pts >= v.vts AND p.pts - v.vts <= 7200000000)
+        |SELECT user_id, view_id, purchase_id, gap_us FROM j, w
+        |WHERE purchase_id IS NOT NULL OR vts + 7200000000 < wm""".stripMargin,
 
     // streaming twin of pipe_decontaminate: identical result by design
     "stream_decontam" -> decontamOracle,

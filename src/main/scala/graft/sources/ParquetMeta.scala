@@ -143,16 +143,21 @@ object ParquetMeta {
     val schema = StructType(Seq(
       StructField("tbl", StringType, nullable = false),
       StructField("n_rows", LongType, nullable = false)))
-    val counted = spark.sparkContext
+    // per-file counts stay an RDD map (no shuffle); the per-table sum is
+    // a SQL aggregate so its exchange uses the UnsafeRow serializer — an
+    // RDD reduceByKey would instantiate Kryo, whose Java-17 registration
+    // of java.nio buffers needs --add-opens flags a bare `java` launch
+    // lacks (the r9 cat_tables false negative in the driver gate)
+    val perFile = spark.sparkContext
       .parallelize(pairs, math.min(pairs.size max 1, 64))
       .mapPartitions { it =>
         val conf = new Configuration(false)
         bcConf.value.foreach { case (k, v) => conf.set(k, v) }
-        it.map { case (name, file) => (name, footerRowCount(conf, file)) }
+        it.map { case (name, file) => Row(name, footerRowCount(conf, file)) }
       }
-      .reduceByKey(_ + _)
-      .map { case (name, n) => Row(name, n) }
-    spark.createDataFrame(counted, schema)
+    spark.createDataFrame(perFile, schema)
+      .groupBy(col("tbl"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_rows")).as("n_rows"))
   }
 
   /**

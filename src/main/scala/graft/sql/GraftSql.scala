@@ -496,39 +496,55 @@ class GraftSql(val spark: SparkSession) {
    */
   private def resolveTimeTravel(p: LogicalPlan): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedTableValuedFunction}
-    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.{Literal, NamedArgumentExpression}
     var touched = false
     val out = p.transformUp {
-      // `FROM table_changes('t', from [, to])` — batch CDC as a table-
-      // valued function: change events of the commits in the EXCLUSIVE-
-      // INCLUSIVE range (from, to] (default to = current version) — i.e.
-      // `from` is the version the caller is ALREADY AT, and the result is
-      // what happened since. NOTE this bound differs from Delta's
-      // table_changes, whose startingVersion is INCLUSIVE — a Delta user
-      // porting SQL must pass their old startingVersion - 1 (the
-      // resume-token shape here composes directly with a stored "last
-      // version seen"). Same row shape as the streaming changeFeed;
-      // filters above compose into the pushed `_ver` range. Durable
-      // tables guard against re-stamped history (Catalog.changesBetween);
-      // in-session tables read direct.
+      // `FROM table_changes('t', from [, to] [, inclusive => true])` —
+      // batch CDC as a table-valued function: change events of the
+      // commits in the EXCLUSIVE-INCLUSIVE range (from, to] (default
+      // to = current version) — i.e. `from` is the version the caller is
+      // ALREADY AT, and the result is what happened since (the
+      // resume-token shape: composes directly with a stored "last
+      // version seen"). Delta's table_changes treats startingVersion as
+      // INCLUSIVE — `inclusive => true` adopts that convention for
+      // version-number bounds (r10), so a ported statement needs no
+      // off-by-one rewrite. Wall-clock STRING bounds are already
+      // at-or-after the instant on every path, so the flag rejects them
+      // rather than silently double-shifting. Same row shape as the
+      // streaming changeFeed; filters above compose into the pushed
+      // `_ver` range. Durable tables guard against re-stamped history
+      // (Catalog.changesBetween); in-session tables read direct.
       case UnresolvedTableValuedFunction(Seq("table_changes"),
           Literal(tn: org.apache.spark.unsafe.types.UTF8String, _) +: rest, _)
-          if isRegistered(tn.toString) && rest.length <= 2 &&
+          if isRegistered(tn.toString) && rest.count {
+              case _: NamedArgumentExpression => false
+              case _ => true
+            } <= 2 &&
             rest.forall {
               case Literal(_: Number, _) => true
               case Literal(_: org.apache.spark.unsafe.types.UTF8String, _) => true
+              case NamedArgumentExpression("inclusive",
+                Literal(_: Boolean, _)) => true
               case _ => false
             } =>
         val name = tn.toString
         touched = true
+        val (named, positional) = rest.partition(_.isInstanceOf[NamedArgumentExpression])
+        val inclusive = named.collectFirst {
+          case NamedArgumentExpression("inclusive", Literal(b: Boolean, _)) => b
+        }.getOrElse(false)
         // r9: bounds may also be wall-clock STRING literals, resolved
         // through the commit log (durable tables only — the log is
         // catalog metadata): `from` = the newest commit strictly before
         // the instant (so events at-or-after it emit), `to` = the last
         // commit at-or-before it
-        val longs = rest.zipWithIndex.map {
+        val longs = positional.zipWithIndex.map {
           case (Literal(v: Number, _), _) => v.longValue
           case (Literal(s: org.apache.spark.unsafe.types.UTF8String, _), i) =>
+            require(!(inclusive && i == 0), "graft SQL table_changes: " +
+              "inclusive => true applies to version-number bounds; a " +
+              "wall-clock 'from' already includes commits at-or-after " +
+              "the instant")
             val (c, t) = durable.getOrElse(name,
               throw new IllegalArgumentException("graft SQL table_changes: " +
                 s"timestamp bounds resolve through the commit log — '$name' " +
@@ -537,7 +553,10 @@ class GraftSql(val spark: SparkSession) {
             if (i == 0) c.versionBefore(t, ms) else c.versionBefore(t, ms + 1)
           case (other, _) => throw new IllegalStateException(other.toString)
         }
-        val from = longs.headOption.getOrElse(0L)
+        // Delta compat: an inclusive numeric `from` is our exclusive
+        // (from − 1) — the caller's startingVersion itself then emits
+        val from = longs.headOption.getOrElse(0L) -
+          (if (inclusive && longs.nonEmpty) 1L else 0L)
         val to = longs.lift(1).getOrElse(table(name).currentVersion)
         val df = durable.get(name)
           .map { case (c, t) => c.changesBetween(t, from, to) }

@@ -84,6 +84,40 @@ class LayoutSpec extends SparkSpec {
     assert(zCust < total / 2, s"zorder custkey probe $zCust of $total")
   }
 
+  test("3-column zorder prunes row groups on the THIRD column too (r10)") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val total = orders.count()
+    val z3 = Layout.zorder(orders,
+      Seq("o_custkey", "o_totalprice", "o_orderkey"), 16, 16)
+    // re-layout changes nothing but physical order
+    assert(z3.count() == total)
+    assert(z3.exceptAll(orders).isEmpty && orders.exceptAll(z3).isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_z3spec_").toString
+    z3.write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    def scanRows(probed: org.apache.spark.sql.DataFrame): Long = {
+      probed.collect()
+      probed.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    // a range probe on EACH dimension individually row-group-prunes —
+    // including the third (the 2-column layout cannot serve o_orderkey)
+    val byKey = scanRows(t.where(col("o_orderkey") <= total / 20))
+    val byCust = scanRows(t.where(col("o_custkey") <= 20L))
+    val byPrice = scanRows(t.where(col("o_totalprice").between(50000.0, 80000.0)))
+    assert(byKey < total / 2, s"zorder3 key probe $byKey of $total")
+    // dilution is real and expected: 16 files = 4 z-prefix bits ≈ 1.3
+    // bits per dimension, so a per-dimension probe prunes coarsely at
+    // this scale — it must still skip a measurable share (more files =
+    // more prefix bits = finer boxes at production scale)
+    assert(byCust < total * 3 / 4, s"zorder3 custkey probe $byCust of $total")
+    assert(byPrice < total * 3 / 4, s"zorder3 price probe $byPrice of $total")
+    // 4-column x 16 bits overflows a long — rejected loud
+    intercept[IllegalArgumentException](Layout.zorder(orders,
+      Seq("o_custkey", "o_totalprice", "o_orderkey", "o_custkey"), 16, 16))
+  }
+
   test("salted join equals the plain join and keys on (key, salt)") {
     val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))

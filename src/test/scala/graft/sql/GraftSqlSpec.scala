@@ -325,6 +325,19 @@ class GraftSqlSpec extends SparkSpec {
     assert(events(
       "SELECT k, commit_ver, op FROM table_changes('t', 1, 2) WHERE k = 2") ===
       Set((2L, 2L, "delete")))
+    // Delta-compat inclusive `from` (r10): version 1's own commit emits —
+    // table_changes('t', 1, inclusive => true) ≡ table_changes('t', 0)
+    assert(events(
+      "SELECT k, commit_ver, op FROM table_changes('t', 1, inclusive => true)") ===
+      Set((1L, 1L, "upsert"), (2L, 2L, "delete")))
+    // and the default exclusive bound is unchanged by inclusive => false
+    assert(events(
+      "SELECT k, commit_ver, op FROM table_changes('t', 1, inclusive => false)") ===
+      Set((2L, 2L, "delete")))
+    // the flag rejects wall-clock bounds (they are already at-or-after)
+    val eIncl = intercept[IllegalArgumentException](g.sql(
+      "SELECT * FROM table_changes('t', '1970-01-01 00:00:00', inclusive => true)").collect())
+    assert(eIncl.getMessage.contains("version-number bounds"))
     // a physical rewrite re-stamps history: the pre-floor range must error
     cat.foldTail("t")
     val e = intercept[IllegalArgumentException](
