@@ -871,6 +871,22 @@ object CoreQueries {
           (col("maxc_totalprice") / 100.0).as("hi"))
     },
 
+    // min/max ROUTING through the SQL front door (r10): the dashboard
+    // statement with min()/max()/HAVING-over-max serves from the
+    // maintained extremum columns at |groups| cost — the fact is never
+    // scanned. Same fixture as cat_mview_minmax; the oracle replays the
+    // transcript and applies the HAVING declaratively (routed arithmetic
+    // is the view's exact cents longs /100.0 — bit-identical).
+    "q_mview_route_minmax" -> { (s, d) =>
+      val (cat, _) = mviewMinmaxOrders(s, d)
+      val g = new graft.sql.GraftSql(s)
+        .register("orders_mm", cat, "orders_mm")
+      g.sql("""SELECT status, count(*) AS n, sum(totalprice) AS total,
+              |  min(totalprice) AS lo, max(totalprice) AS hi
+              |FROM orders_mm GROUP BY status
+              |HAVING max(totalprice) > 1000.0""".stripMargin)
+    },
+
     // JOIN materialized view (r9): the star-schema rollup — orders ⋈
     // customer grouped by the DIM's segment, maintained under fact
     // changes at Δfact ⋈ dim cost (the dim side joins broadcast-slim:
@@ -1841,6 +1857,25 @@ object CoreQueries {
         |  MIN(CAST(ROUND(p * 100) AS BIGINT)) / 100.0 AS lo,
         |  MAX(CAST(ROUND(p * 100) AS BIGINT)) / 100.0 AS hi
         |FROM s4 GROUP BY 1""".stripMargin,
+
+    // the same replay, HAVING applied over the exact cents max
+    "q_mview_route_minmax" ->
+      """WITH s0 AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    o_totalprice AS p FROM orders),
+        |s1 AS (SELECT k, status,
+        |    CASE WHEN k % 11 = 0 THEN p + 2.0 ELSE p END AS p FROM s0),
+        |s2 AS (SELECT * FROM s1
+        |  UNION ALL
+        |  SELECT k + 90000000, 'NX', p + 0.25 FROM s0 WHERE k % 50 = 0),
+        |s3 AS (SELECT * FROM s2 WHERE p <= 400000.0),
+        |s4 AS (SELECT k, status,
+        |    CASE WHEN p < 1200.0 THEN p - 0.75 ELSE p END AS p FROM s3)
+        |SELECT status, COUNT(*) AS n,
+        |  SUM(CAST(ROUND(p * 100) AS BIGINT)) / 100.0 AS total,
+        |  MIN(CAST(ROUND(p * 100) AS BIGINT)) / 100.0 AS lo,
+        |  MAX(CAST(ROUND(p * 100) AS BIGINT)) / 100.0 AS hi
+        |FROM s4 GROUP BY 1
+        |HAVING MAX(CAST(ROUND(p * 100) AS BIGINT)) / 100.0 > 1000.0""".stripMargin,
 
     // three refreshes (differential, dim-forced full recompute,
     // differential again) must land exactly the direct join rollup over

@@ -1534,6 +1534,36 @@ object PipelineQueries {
           (unix_micros(col("pts")) - unix_micros(col("vts"))).as("gap_us")))
     },
 
+    // Stream-stream FULL OUTER join (r10) — completes the join class:
+    // unmatched VIEWS emit (view, NULL) as in stream_outer_join, and
+    // unmatched PURCHASES emit (NULL, purchase) once the watermark
+    // proves no view can still match them. The right side's eviction
+    // boundary differs from the left's: a purchase at pts is matchable
+    // by views with vts ∈ [pts − 2h, pts], and a non-late future view
+    // must have vts > W — so the purchase expires when pts ≤ W (no
+    // +window shift). The oracle reproduces both boundaries.
+    "stream_full_outer_join" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      def side(tpe: String, idAs: String, tsAs: String) =
+        StreamOps.fileSource(s, d, "events")
+          .where(col("event_type") === tpe)
+          .select(col("user_id"),
+            col("event_id").as(idAs),
+            timestamp_micros(expr("ts div 1000")).as(tsAs))
+          .withWatermark(tsAs, "2 hours")
+      val views = side("view", "view_id", "vts")
+      val purch = side("purchase", "purchase_id", "pts")
+        .withColumnRenamed("user_id", "p_user_id")
+      StreamOps.drainAppend(s,
+        views.join(purch,
+          col("user_id") === col("p_user_id") &&
+          col("pts") >= col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 2 HOURS"),
+          "full_outer")
+        .select(coalesce(col("user_id"), col("p_user_id")).as("uid"),
+          col("view_id"), col("purchase_id")))
+    },
+
     // Stream-STATIC join: the events file stream interval-joined (same
     // bucketized RangeJoin operator as batch q_range_join) to the static
     // periods table, aggregated per period. Covers the third streaming
@@ -3067,6 +3097,29 @@ object PipelineQueries {
         |        AND p.pts >= v.vts AND p.pts - v.vts <= 7200000000)
         |SELECT user_id, view_id, purchase_id, gap_us FROM j, w
         |WHERE purchase_id IS NOT NULL OR vts + 7200000000 < wm""".stripMargin,
+
+    // both outer boundaries: an unmatched VIEW expires when its last
+    // match instant (vts + window) passes W; an unmatched PURCHASE when
+    // pts itself does (a non-late future view must have vts > W and the
+    // condition needs vts ≤ pts — no +window shift on the right side)
+    "stream_full_outer_join" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id,
+        |             epoch_ns(ts)//1000 AS vts
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+        |        epoch_ns(ts)//1000 AS pts
+        |      FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT LEAST(
+        |        (SELECT ((MAX(vts)//1000) - 7200000) * 1000 FROM v),
+        |        (SELECT ((MAX(pts)//1000) - 7200000) * 1000 FROM p)) AS wm),
+        |j AS (SELECT COALESCE(v.user_id, p.p_user_id) AS uid,
+        |        v.view_id, p.purchase_id, v.vts, p.pts
+        |      FROM v FULL JOIN p ON v.user_id = p.p_user_id
+        |        AND p.pts >= v.vts AND p.pts - v.vts <= 7200000000)
+        |SELECT uid, view_id, purchase_id FROM j, w
+        |WHERE (view_id IS NOT NULL AND purchase_id IS NOT NULL)
+        |   OR (purchase_id IS NULL AND vts + 7200000000 < wm)
+        |   OR (view_id IS NULL AND pts < wm)""".stripMargin,
 
     // streaming twin of pipe_decontaminate: identical result by design
     "stream_decontam" -> decontamOracle,

@@ -1005,7 +1005,8 @@ class GraftSql(val spark: SparkSession) {
     "optimize" -> Seq("tbl"), "compact" -> Seq("tbl"),
     "vacuum" -> Seq("tbl", "keep"), "purge" -> Seq("tbl", "predicate"),
     "refresh_mview" -> Seq("view"),
-    "create_mview" -> Seq("view", "src", "group_col", "sum_col"),
+    "create_mview" -> Seq("view", "src", "group_col", "sum_col",
+      "min_col", "max_col"),
     "create_join_mview" ->
       Seq("view", "fact", "dim", "fk", "group_col", "sum_col"),
     "clone" -> Seq("src", "dst"),
@@ -1054,16 +1055,21 @@ class GraftSql(val spark: SparkSession) {
       case e =>
         fill(pos, value(e)); pos += 1
     }
-    val argv: Seq[Any] = (0 until slots.size).map(i =>
-      slots.getOrElse(i, throw new IllegalArgumentException(
+    // optional TRAILING parameters (create_mview's min_col/max_col) may
+    // leave gaps when named args skip slots — argv carries Options and
+    // the required-parameter error moves into the accessors
+    val argv: Seq[Option[Any]] =
+      (0 to slots.keys.maxOption.getOrElse(-1)).map(slots.get)
+    def required(i: Int): Any = argv.lift(i).flatten.getOrElse(
+      throw new IllegalArgumentException(
         s"graft SQL CALL $proc: parameter ${params.lift(i).getOrElse(i + 1)} " +
-          "not provided")))
-    def str(i: Int): String = argv(i) match {
+          "not provided"))
+    def str(i: Int): String = required(i) match {
       case s: String => s
       case other => throw new IllegalArgumentException(
         s"graft SQL CALL $proc: argument ${i + 1} must be a string, got $other")
     }
-    def int(i: Int): Int = argv(i) match {
+    def int(i: Int): Int = required(i) match {
       case n: Int => n
       // a Long literal past Int range must not silently truncate
       case n: Long if n >= Int.MinValue && n <= Int.MaxValue => n.toInt
@@ -1076,8 +1082,15 @@ class GraftSql(val spark: SparkSession) {
         s"graft SQL CALL $proc: '$name' is not a registered durable table " +
           "— maintenance is physical storage work; register(name, catalog, " +
           "table) first"))
-    def arity(n: Int): Unit = require(argv.length == n,
-      s"graft SQL CALL $proc: expected $n arguments, got ${argv.length}")
+    def arity(n: Int): Unit = require(argv.length == n && slots.size == n,
+      s"graft SQL CALL $proc: expected $n arguments, got ${slots.size}")
+    // `lo` required leading slots; anything up to params.size may follow
+    def arityAtLeast(lo: Int): Unit = {
+      (0 until lo).foreach(required)
+      require(argv.length <= params.size,
+        s"graft SQL CALL $proc: expected at most ${params.size} arguments, " +
+          s"got ${argv.length}")
+    }
     val done = spark.emptyDataFrame
     proc match {
       case "optimize" =>
@@ -1113,10 +1126,17 @@ class GraftSql(val spark: SparkSession) {
         // dropped to the Scala register() API)
         // group_col / sum_col take comma-separated lists — the composite-
         // group / multi-measure form through the same procedure
-        arity(4); val (cat, srcT) = durableOf(str(1))
+        // min_col / max_col (r10): optional trailing comma-separated
+        // lists — extremum measures through the same procedure; an empty
+        // string means none (so max-only views can be spelled
+        // positionally: '', 'price')
+        arityAtLeast(4); val (cat, srcT) = durableOf(str(1))
         def cols(i: Int): Seq[String] =
           str(i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        cat.createMaterializedView(str(0), srcT, cols(2), cols(3))
+        def optCols(i: Int): Seq[String] =
+          argv.lift(i).flatten.fold(Seq.empty[String])(_ => cols(i))
+        cat.createMaterializedView(str(0), srcT, cols(2), cols(3),
+          minCols = optCols(4), maxCols = optCols(5))
         register(str(0), cat, str(0)); done
       case "create_join_mview" =>
         // the star-schema form: fact and dim must live in ONE catalog

@@ -211,6 +211,18 @@ class GraftSqlSpec extends SparkSpec {
     assert(cat.bloomColsOf("t") === Seq("custkey"))
     g.sql("CALL graft.clone('t', 't2')")
     assert(cat.getTable("t2").snapshot.count() === 3L)
+    // min/max measures through the procedure (r10): named trailing args
+    g.sql("""CALL graft.create_mview('vmm', 't', 'status', 'totalprice',
+            |min_col => 'totalprice', max_col => 'totalprice')""".stripMargin)
+    val mm = g.table("vmm").snapshot
+      .select("status", "minc_totalprice", "maxc_totalprice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mm === Set(("A", 10000L, 10000L), ("B", 20000L, 20000L),
+      ("C", 31000L, 31000L)))
+    // positional empty-string min slot spells a max-only view
+    g.sql("CALL graft.create_mview('vmx', 't', 'status', 'totalprice', '', 'totalprice')")
+    assert(g.table("vmx").snapshot.columns.toSeq ===
+      Seq("status", "n_rows", "cents", "maxc_totalprice"))
   }
 
   test("a matching aggregate routes to the CURRENT view; stale falls back") {
