@@ -2186,7 +2186,19 @@ object OlapQueries {
   private[graft] def withBucket(df: DataFrame, value: String,
                                 nPart: Int): DataFrame = {
     val sampleK = 128 * nPart
-    val w = df.groupBy(col(value)).agg(count(lit(1)).as("_w"))
+    // ONE materialization of the input: every caller passes a COLLAPSED
+    // frame (distinct values with counts — small), but its derivation is
+    // typically a map-combined aggregate of the raw fact, and without
+    // this it re-evaluates once per consuming subtree — the boundary
+    // sample below, the bucketed output, and the offset machinery's own
+    // branches downstream (the q_gini 2x-evaluation lesson; join
+    // null-filters defeat exchange reuse). localCheckpoint pins the
+    // collapsed rows to local storage so every branch re-reads |distinct
+    // values| rows instead of re-scanning the fact (measured at 1000x:
+    // q_wmedian 29.5s -> re-benched after this change; the r9 form paid
+    // the same double scan for its min/max agg).
+    val d = df.localCheckpoint()
+    val w = d.groupBy(col(value)).agg(count(lit(1)).as("_w"))
       .withColumn("_h", xxhash64(col(value)))
     // total order (hash, value) — hash ties cannot make the cut unstable
     val samp = w.orderBy(col("_h"), col(value)).limit(sampleK)
@@ -2203,7 +2215,7 @@ object OlapQueries {
       .where(col("_b") >= 1)
       .groupBy(col("_b")).agg(min(col(value)).as("_bv"))
       .agg(sort_array(collect_list(col("_bv"))).as("_bs"))
-    df.crossJoin(broadcast(bounds))
+    d.crossJoin(broadcast(bounds))
       .withColumn("pid",
         size(filter(col("_bs"), x => x <= col(value))))
       .drop("_bs")
