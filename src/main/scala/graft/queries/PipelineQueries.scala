@@ -1473,6 +1473,88 @@ object PipelineQueries {
       StreamOps.drainAppend(s, Sessionize.sessionsStream(s, d).toDF())
     },
 
+    // Spark's NATIVE session_window operator (r10) — the declarative
+    // sibling of the custom flatMapGroupsWithState sessionizer above
+    // (use the built-in when plain gap sessions suffice; drop to custom
+    // state only for semantics it can't express — SURVEY's preference
+    // order). Boundary semantics differ from q_sessionize at exact
+    // gap spacing: session_window's window is [ts, ts+gap), so an event
+    // EXACTLY gap after the last one starts a NEW session (the oracle's
+    // new-session test is >= where q_sessionize's is >), and the window
+    // end is last_ts + gap, not last_ts. Timestamps µs-truncate first so
+    // both engines see identical values.
+    "q_session_window" -> { (s, d) =>
+      Tables(s, d, "events")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ets"))
+        .groupBy(col("user_id"),
+          session_window(col("ets"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n_events"))
+    },
+
+    // SLIDING event-time windows (r10, the native window(size, slide)
+    // operator) — the overlapping-window shape tumbling can't express:
+    // each event contributes to size/slide windows (here 2). The oracle
+    // replays the overlap as a UNION of the two shifted tumbling
+    // assignments (epoch-aligned starts, the operator's default).
+    "q_sliding_window" -> { (s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("ets"), col("value"))
+        .groupBy(window(col("ets"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.sumMoney(col("value")).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("window_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+    },
+
+    // Sliding windows run INCREMENTALLY (r10): watermarked append mode
+    // emits a window's final aggregate once the watermark passes its
+    // end; each event updates size/slide open windows. The oracle keeps
+    // the batch windows whose end ≤ the final ms-floored watermark.
+    "stream_sliding_window" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val e = StreamOps.fileSource(s, d, "events")
+        .select(col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("ets"), col("value"))
+        .withWatermark("ets", "2 hours")
+      StreamOps.drainAppend(s,
+        e.groupBy(window(col("ets"), "2 hours", "1 hour").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Exact.sumMoney(col("value")).as("sum_value"))
+          .select(unix_micros(col("w.start")).as("window_start_us"),
+            col("event_type"), col("n"), col("sum_value")))
+    },
+
+    // Native session_window run INCREMENTALLY (r10): the built-in
+    // sessionizer's streaming form — watermarked append mode emits a
+    // session once the watermark proves it can no longer extend. State
+    // is merged per session window (bounded by open sessions, not stream
+    // length). The oracle reproduces the emission boundary from the
+    // batch sessions: emitted iff session_end (last event + gap) < W,
+    // the ms-floored final watermark.
+    "stream_session_window" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val e = StreamOps.fileSource(s, d, "events")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ets"))
+        .withWatermark("ets", "2 hours")
+      StreamOps.drainAppend(s,
+        e.groupBy(col("user_id"),
+            session_window(col("ets"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("sw.start")).as("session_start_us"),
+            unix_micros(col("sw.end")).as("session_end_us"),
+            col("n_events")))
+    },
+
     // Stream-STREAM join: views and purchases are two event STREAMS,
     // inner-joined per user with an event-time range (purchase within 2h
     // after the view) and 2h watermarks on BOTH sides — the watermark +
@@ -3171,6 +3253,66 @@ object PipelineQueries {
         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id, _sid""".stripMargin,
+
+    // native session_window semantics: new session at diff >= gap (the
+    // window is [ts, ts+gap)), window end = last event + gap
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS tus FROM events),
+        |f AS (SELECT user_id, tus,
+        |  CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+        |       >= 1800000000 THEN 1 ELSE 0 END AS _new FROM e),
+        |s AS (SELECT user_id, tus,
+        |  SUM(_new) OVER (PARTITION BY user_id ORDER BY tus) AS _sid FROM f)
+        |SELECT user_id, MIN(tus) AS session_start_us,
+        |       MAX(tus) + 1800000000 AS session_end_us,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, _sid""".stripMargin,
+
+    // every event lands in exactly two 2h/1h windows: its floor-hour
+    // start and the hour before
+    "q_sliding_window" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts)//1000 AS tus, value
+        |           FROM events),
+        |x AS (SELECT event_type, value,
+        |        (tus - tus % 3600000000) AS h FROM e),
+        |u AS (SELECT event_type, value, h AS ws FROM x
+        |      UNION ALL
+        |      SELECT event_type, value, h - 3600000000 FROM x)
+        |SELECT ws AS window_start_us, event_type, COUNT(*) AS n,
+        |  SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
+    // the batch sliding windows whose end the final watermark passed
+    "stream_sliding_window" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts)//1000 AS tus, value
+        |           FROM events),
+        |x AS (SELECT event_type, value, tus,
+        |        (tus - tus % 3600000000) AS h FROM e),
+        |u AS (SELECT event_type, value, h AS ws FROM x
+        |      UNION ALL
+        |      SELECT event_type, value, h - 3600000000 FROM x),
+        |w AS (SELECT ((MAX(tus)//1000) - 7200000) * 1000 AS wm FROM e)
+        |SELECT ws AS window_start_us, event_type, COUNT(*) AS n,
+        |  SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        |FROM u, w GROUP BY 1, 2, wm
+        |HAVING ws + 7200000000 < wm""".stripMargin,
+
+    // the batch sessions, kept iff the final ms-floored watermark can
+    // close them (session_end < W — the un-closable tail stays in state)
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS tus FROM events),
+        |f AS (SELECT user_id, tus,
+        |  CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+        |       >= 1800000000 THEN 1 ELSE 0 END AS _new FROM e),
+        |s AS (SELECT user_id, tus,
+        |  SUM(_new) OVER (PARTITION BY user_id ORDER BY tus) AS _sid FROM f),
+        |g AS (SELECT user_id, MIN(tus) AS session_start_us,
+        |       MAX(tus) + 1800000000 AS session_end_us,
+        |       COUNT(*) AS n_events
+        |      FROM s GROUP BY user_id, _sid),
+        |w AS (SELECT ((MAX(tus)//1000) - 7200000) * 1000 AS wm FROM e)
+        |SELECT user_id, session_start_us, session_end_us, n_events
+        |FROM g, w WHERE session_end_us < wm""".stripMargin,
 
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),

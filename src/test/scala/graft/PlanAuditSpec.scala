@@ -896,4 +896,29 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }
   }
+
+  test("q_mview_route_minmax serves min/max from the view — the fact is never scanned") {
+    val p = executedPlan(SparkEntry.queries("q_mview_route_minmax")(spark, sfDir))
+    // the routed read scans the VIEW's lineage (its maintained extremum
+    // columns appear as scan output); the fact table contributes nothing
+    assert(p.contains("minc_totalprice") && p.contains("maxc_totalprice"), p)
+    // every scan is of the VIEW (WindowProbe may add candidate-probe
+    // scans of the same files): the fact's raw double column never
+    // appears in any scan schema
+    assert(!p.contains("totalprice:double"), p)
+    // no aggregation of fact rows anywhere: the only aggregates permitted
+    // are none — the routed plan is scan → snapshot window → project
+    assert(!p.contains("partial_sum") && !p.contains("partial_min") &&
+      !p.contains("partial_max"), p)
+  }
+
+  test("equi-depth withBucket: sample is a heap top-k, never a global sort") {
+    // the boundary sample inside the rank family's bucketing is
+    // TakeOrderedAndProject over the collapsed values (per-partition
+    // heaps, sampleK rows) — and the family stays free of sampled range
+    // exchanges (the r9 determinism rule)
+    val p = executedPlan(SparkEntry.queries("q_percentile")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
 }
