@@ -1019,15 +1019,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
     lock(name).synchronized { withCommitMarker(name) {
       // history collapses — retained snapshots collapse with it
       val meta = dropSnapshots(name, readMeta(name))
-      val layoutCol = meta.index.getOrElse(t.keyCol)
       val staged = new Path(dir(name), "base_staged")
       // stage FIRST: `t` may have been read through the baseDir fallback
       // (base missing, base_old live after an interrupted swap), so its
       // plan references whichever directory exists — nothing may be moved
       // or deleted until the new state is fully written out.
-      lineageWriter(t.compact.lineage
-        .repartitionByRange(col(layoutCol))
-        .sortWithinPartitions(col(layoutCol)), meta)
+      lineageWriter(layoutOrdered(t.compact.lineage, meta), meta)
         .mode(SaveMode.Overwrite).parquet(staged.toString)
       dropProjectionFiles(name, meta) // crash ⇒ probe falls back, never stale
       swapBase(name)
@@ -1220,13 +1217,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
       org.apache.spark.sql.DataFrame, opSeqNew: Long,
       multiPossible: Boolean,
       retainSnapshot: Boolean = false): LineageTable = {
-    val layoutCol = meta.index.getOrElse(meta.key)
     val staged = new Path(dir(name), "base_staged")
-    lineageWriter(ranked
+    lineageWriter(layoutOrdered(ranked
       .withColumn(LineageTable.VER, lit(opSeqNew) + 1 - col("_rn"))
-      .drop("_rn")
-      .repartitionByRange(col(layoutCol))
-      .sortWithinPartitions(col(layoutCol)), meta)
+      .drop("_rn"), meta), meta)
       .mode(SaveMode.Overwrite).parquet(staged.toString)
     val hasMulti = multiPossible && !spark.read.parquet(staged.toString)
       .where(col(LineageTable.VER) < opSeqNew).isEmpty
@@ -1361,7 +1355,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
     lock(name).synchronized { withCommitMarker(name) {
       val t = getTable(name)
       require(t.dataCols.contains(column), s"no such column: $column")
-      writeMeta(name, readMeta(name).copy(index = Some(column)))
+      writeMeta(name, readMeta(name).copy(index = Some(column),
+        zorderCols = Nil))
       saveCompacted(name, t)
       getTable(name)
     } }
@@ -1370,13 +1365,59 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * forget the metadata and restore the default key layout. */
   def dropIndex(name: String): LineageTable =
     lock(name).synchronized { withCommitMarker(name) {
-      writeMeta(name, readMeta(name).copy(index = None))
+      writeMeta(name, readMeta(name).copy(index = None, zorderCols = Nil))
       saveCompacted(name, getTable(name))
       getTable(name)
     } }
 
   /** The indexed column, if an index exists (reference: Index surface). */
   def indexOf(name: String): Option[String] = readMeta(name).index
+
+  /** The ONE physical order every base rewrite lays out: the Z-order
+    * morton code when [[zorderTable]] chose multi-column clustering,
+    * else the indexed column, else the key. Applied by saveCompacted and
+    * every re-stamp (fold/vacuum/purge), so the layout SURVIVES
+    * maintenance — the Delta OPTIMIZE ZORDER BY contract. */
+  private def layoutOrdered(df: org.apache.spark.sql.DataFrame,
+                            meta: Meta): org.apache.spark.sql.DataFrame =
+    if (meta.zorderCols.size >= 2)
+      graft.ops.Layout.zorder(df, meta.zorderCols, 16, 0)
+    else {
+      val c = meta.index.getOrElse(meta.key)
+      df.repartitionByRange(col(c)).sortWithinPartitions(col(c))
+    }
+
+  /**
+   * Multi-column Z-ORDER re-layout of a durable table (r10 — the Delta
+   * `OPTIMIZE t ZORDER BY (a, b, ...)` analog, [[graft.ops.Layout
+   * .zorder]] wired into the catalog lifecycle): the base rewrites with
+   * every file covering a bounded N-dimensional box over `columns`, so
+   * range probes on ANY of them row-group-prune from one layout; the
+   * clustering is recorded in the table metadata and every later rewrite
+   * (compaction, vacuum, purge) re-applies it. Mutually exclusive with
+   * the single-column [[createIndex]] — both spend the one physical
+   * order (setting either clears the other); [[dropIndex]] restores the
+   * default key layout from either. Like createIndex, the rewrite is
+   * [[saveCompacted]]: history collapses to the live snapshot.
+   */
+  def zorderTable(name: String, columns: Seq[String]): LineageTable =
+    lock(name).synchronized { withCommitMarker(name) {
+      val t = getTable(name)
+      require(columns.size >= 2,
+        s"zorderTable: need >= 2 columns, got ${columns.mkString(",")} " +
+          "(use createIndex for a single column)")
+      require(columns.distinct == columns,
+        s"zorderTable: duplicate columns: ${columns.mkString(",")}")
+      columns.foreach(c => require(t.dataCols.contains(c),
+        s"no such column: $c"))
+      writeMeta(name, readMeta(name).copy(index = None,
+        zorderCols = columns))
+      saveCompacted(name, t)
+      getTable(name)
+    } }
+
+  /** The Z-order clustering columns, if [[zorderTable]] set them. */
+  def zorderColsOf(name: String): Seq[String] = readMeta(name).zorderCols
 
   /**
    * HASH-SKIPPING index: parquet bloom filters on `column` in every data
@@ -2493,6 +2534,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
     }
     require(!meta.index.contains(column),
       s"$name: $column is the index layout column — dropIndex first")
+    require(!meta.zorderCols.contains(column),
+      s"$name: $column is a Z-order layout column — dropIndex first")
     require(!meta.projCols.contains(column),
       s"$name: $column has a projection — dropProjection first")
     require(!meta.bloomCols.contains(column),
@@ -2754,6 +2797,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * group only ([[refreshMaterializedView]]). */
                           mvMins: Seq[String] = Nil,
                           mvMaxs: Seq[String] = Nil,
+                          /** Multi-column Z-order layout (r10,
+                            * [[zorderTable]]): when ≥2 columns, the
+                            * physical order of every base rewrite is the
+                            * morton code over these columns instead of
+                            * the single index/key sort — one layout
+                            * serving range probes on all of them.
+                            * Mutually exclusive with `index`. */
+                          zorderCols: Seq[String] = Nil,
                           mvSeq: Long = -1L,
                           /** The view op_seq whose adjustment rows the
                             * LAST refresh appended (−1 before any
@@ -2879,6 +2930,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
         .mkString(", ")}], """ +
       s""""mv_maxs": [${m.mvMaxs.map(v => "\"" + checked(v) + "\"")
         .mkString(", ")}], """ +
+      s""""zorder_cols": [${m.zorderCols.map(v => "\"" + checked(v) + "\"")
+        .mkString(", ")}], """ +
       s""""mv_groups": [${m.mvGroups.map(v => "\"" + checked(v) + "\"")
         .mkString(", ")}], """ +
       s""""mv_seq": ${m.mvSeq}, "mv_last_ver": ${m.mvLastVer}, """ +
@@ -2978,6 +3031,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
       },
       strList("mv_groups"),
       strList("mv_mins"), strList("mv_maxs"),
+      strList("zorder_cols"),
       mvSeq, mvLastVer,
       epoch, mvEpoch,
       strList("bloom_cols"),

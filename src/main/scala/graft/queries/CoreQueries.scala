@@ -175,6 +175,24 @@ object CoreQueries {
   private val zorder3Cache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Durable-table Z-order fixture (r10 — Catalog.zorderTable via CALL
+    * graft.zorder): the clustering is table METADATA, re-applied by
+    * every later rewrite, and commits after it keep working (the tail
+    * rides on top until the next fold). */
+  def zorderTableFixture(spark: SparkSession, sfDir: String): (Catalog, String) =
+    zorderTableCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_zt_wh_")
+      val cat = new Catalog(spark, wh, autoCompact = false)
+      cat.createTable("orders_zt", "k", baseOrders(spark, sfDir))
+      val g = new graft.sql.GraftSql(spark).register("orders_zt", cat, "orders_zt")
+      g.sql("CALL graft.zorder('orders_zt', 'custkey,totalprice')")
+      g.sql("UPDATE orders_zt SET status = 'Z' WHERE k % 97 = 0")
+      (cat, "orders_zt")
+    })
+
+  private val zorderTableCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
+
   /**
    * Schema-evolution fixture (built once per sf dir): orders committed,
    * updated, then ALTERed with a `priority` column (Catalog.addColumn — a
@@ -1299,6 +1317,20 @@ object CoreQueries {
         .select(col("k"), col("custkey"), col("status"), col("totalprice"))
     },
 
+    "idx_zorder_table" -> { (s, d) =>
+      // DURABLE-table Z-order (r10, Catalog.zorderTable through CALL
+      // graft.zorder — the OPTIMIZE ZORDER BY analog): the multi-column
+      // clustering becomes table metadata applied by every base rewrite,
+      // and a post-layout UPDATE commits normally (tail rides on top).
+      // The 2-d probe row-group-prunes on both columns; results are
+      // layout-independent (replay oracle).
+      val (cat, t) = zorderTableFixture(s, d)
+      cat.getTable(t).snapshot
+        .where(col("custkey").between(10L, 60L) &&
+               col("totalprice").between(50000.0, 200000.0))
+        .select(col("k"), col("custkey"), col("status"), col("totalprice"))
+    },
+
     "src_csv" -> { (s, d) =>
       // CSV roundtrip (the reference's durability format): write the
       // orders projection as headered CSV, read it back with an explicit
@@ -2253,6 +2285,16 @@ object CoreQueries {
         |WHERE o_custkey BETWEEN 10 AND 60
         |  AND o_totalprice BETWEEN 50000.0 AND 200000.0
         |  AND o_orderkey <= 300000""".stripMargin,
+
+    // the transcript replay: layout is never semantics
+    "idx_zorder_table" ->
+      """SELECT o_orderkey AS k, o_custkey AS custkey,
+        |  CASE WHEN o_orderkey % 97 = 0 THEN 'Z'
+        |       ELSE o_orderstatus END AS status,
+        |  o_totalprice AS totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 10 AND 60
+        |  AND o_totalprice BETWEEN 50000.0 AND 200000.0""".stripMargin,
 
     "src_csv" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n,

@@ -1541,7 +1541,11 @@ object PipelineQueries {
     // the ms-floored final watermark.
     "stream_session_window" -> { (s, d) =>
       import graft.streaming.StreamOps
-      val e = StreamOps.fileSource(s, d, "events")
+      // session state ∝ |users with an open session| — corpus-scale at a
+      // bounded drain's single batch, so this operator opts into the
+      // RocksDB state store (the in-memory default OOMed the 1000×
+      // fixture; with RocksDB it completes at an O(disk) ceiling)
+      val e = StreamOps.fileSource(s, d, "events", rocksdb = true)
         .select(col("user_id"),
           timestamp_micros(expr("ts div 1000")).as("ets"))
         .withWatermark("ets", "2 hours")

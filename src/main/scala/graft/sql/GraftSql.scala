@@ -968,7 +968,7 @@ class GraftSql(val spark: SparkSession) {
   private val procedures = Set("optimize", "compact", "vacuum", "purge",
     "analyze", "refresh_mview", "create_mview", "create_join_mview",
     "clone", "create_bloom",
-    "create_index", "history", "restore", "create_vector_index",
+    "create_index", "zorder", "history", "restore", "create_vector_index",
     "drop_vector_index", "create_ivfpq_index", "drop_ivfpq_index",
     "refresh_ivfpq_index")
 
@@ -1011,6 +1011,7 @@ class GraftSql(val spark: SparkSession) {
       Seq("view", "fact", "dim", "fk", "group_col", "sum_col"),
     "clone" -> Seq("src", "dst"),
     "create_bloom" -> Seq("tbl", "col"), "create_index" -> Seq("tbl", "col"),
+    "zorder" -> Seq("tbl", "cols"),
     "history" -> Seq("tbl"), "restore" -> Seq("tbl", "rel"),
     "create_vector_index" -> Seq("tbl", "col", "centroids", "iters"),
     "drop_vector_index" -> Seq("tbl"),
@@ -1118,6 +1119,12 @@ class GraftSql(val spark: SparkSession) {
       case "refresh_mview" =>
         arity(1); val (cat, t) = durableOf(str(0))
         cat.refreshMaterializedView(t); refreshView(str(0)); done
+      case "zorder" =>
+        // CALL graft.zorder('t', 'a,b,c') — the OPTIMIZE ZORDER BY analog
+        arity(2); val (cat, zt) = durableOf(str(0))
+        cat.zorderTable(zt,
+          str(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        refreshView(str(0)); done
       case "create_mview" =>
         // auto-register the created view as a durable SQL table: the
         // catalog handle is in hand, and without it the advertised

@@ -50,6 +50,29 @@ object StreamOps {
       clone
     })
 
+  private val rocksSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  /** Clone whose stateful operators use the RocksDB state store: state
+    * spills to local disk instead of living on the heap. The in-memory
+    * default is right for BOUNDED state (watermarked windows, TTL dedup,
+    * sketch aggregates); an operator whose state is proportional to the
+    * corpus at a point in time (session windows over every user, wide
+    * join states) must opt in or a large enough input simply OOMs — the
+    * 1000× fixture measured exactly that on stream_session_window. On a
+    * cluster this is the Databricks-default large-state configuration;
+    * locally it trades per-batch commit overhead for an O(disk) ceiling. */
+  private def rocksSession(spark: SparkSession): SparkSession =
+    rocksSessions.computeIfAbsent(spark, s => {
+      val clone = streamSession(s).newSession()
+      clone.conf.set("spark.sql.shuffle.partitions",
+        streamSession(s).conf.get("spark.sql.shuffle.partitions"))
+      clone.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      clone
+    })
+
   /** Incremental source over `<sfDir>/<table>.parquet` with the table's
     * DECLARED schema (graft.queries.Tables.streamSchemas — no inference,
     * no batch peek; a production deploy must neither pay nor trust an
@@ -59,8 +82,9 @@ object StreamOps {
     * matches LEAF file names only, so globbing for `table.parquet` over a
     * directory-shaped table silently yields an EMPTY stream — every part
     * file is named part-*.parquet. */
-  def fileSource(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    val s = streamSession(spark)
+  def fileSource(spark: SparkSession, sfDir: String, table: String,
+                 rocksdb: Boolean = false): DataFrame = {
+    val s = if (rocksdb) rocksSession(spark) else streamSession(spark)
     val hconf = s.sparkContext.hadoopConfiguration
     val declared = graft.queries.Tables.streamSchemaOf(table)
     val path = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")

@@ -608,6 +608,49 @@ class CatalogSpec extends SparkSpec {
     assert(inv === Set(("a", 3L, 3), ("b", 2L, 3)))
   }
 
+  test("zorderTable: durable multi-column clustering survives maintenance (r10)") {
+    val (cat, _) = freshCatalog(autoCompact = false)
+    import spark.implicits._
+    val rows = (1L to 2000L).map(k => (k, k % 131, (k * 7919) % 1000))
+      .toDF("k", "a", "b")
+    cat.createTable("t", "k", rows)
+    cat.zorderTable("t", Seq("a", "b"))
+    assert(cat.zorderColsOf("t") === Seq("a", "b"))
+    // snapshot unchanged (layout is never semantics)
+    assert(cat.getTable("t").snapshot.count() === 2000L)
+    // the layout prunes probes on BOTH columns
+    def scanRows(pred: org.apache.spark.sql.Column): Long = {
+      val probed = cat.getTable("t").snapshot.where(pred)
+      probed.collect()
+      probed.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    }
+    assert(scanRows(col("a") <= 10) < 2000L, "a-probe must prune")
+    assert(scanRows(col("b") <= 50) < 2000L, "b-probe must prune")
+    // commits after the layout work; a FOLD re-applies the clustering
+    val ok = cat.tryCommit("t",
+      Txn.empty.update(col("k") === 1L, Map("b" -> lit(999L))),
+      cat.getTable("t").opSeq)
+    assert(ok.isRight, ok.toString)
+    cat.foldTail("t")
+    assert(cat.zorderColsOf("t") === Seq("a", "b"),
+      "the clustering must survive the re-stamp")
+    assert(scanRows(col("b") <= 50) < 2000L, "post-fold b-probe must prune")
+    // mutual exclusion: the one physical order
+    cat.createIndex("t", "a")
+    assert(cat.zorderColsOf("t").isEmpty && cat.indexOf("t") === Some("a"))
+    cat.zorderTable("t", Seq("a", "b"))
+    assert(cat.indexOf("t").isEmpty && cat.zorderColsOf("t") === Seq("a", "b"))
+    // layout columns are load-bearing
+    intercept[IllegalArgumentException](cat.dropColumn("t", "b"))
+    // dropIndex restores the default key layout from either
+    cat.dropIndex("t")
+    assert(cat.zorderColsOf("t").isEmpty && cat.indexOf("t").isEmpty)
+    // guards: single column and unknown columns reject loud
+    intercept[IllegalArgumentException](cat.zorderTable("t", Seq("a")))
+    intercept[IllegalArgumentException](cat.zorderTable("t", Seq("a", "nope")))
+  }
+
   test("path-forming names are identifier-checked on every route (ADVICE r9)") {
     val (cat, wh) = freshCatalog()
     cat.createTable("ok_name", "k", base)

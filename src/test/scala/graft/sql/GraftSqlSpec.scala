@@ -619,6 +619,12 @@ class GraftSqlSpec extends SparkSpec {
     val direct = g.sql("""SELECT status, min(custkey) AS m FROM t
                          |GROUP BY status""".stripMargin)
     assert(!plan(direct).contains("/vx"))
+    // the dashboard top-n over a maintained max routes end to end
+    val topn = g.sql("""SELECT status, max(totalprice) AS hi FROM t
+                       |GROUP BY status ORDER BY hi DESC LIMIT 1""".stripMargin)
+    assert(plan(topn).contains("/vx"))
+    assert(topn.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      Seq(("B", 200.0)))
   }
 
   test("ORDER BY / LIMIT above a routable aggregate routes — the dashboard top-n") {
