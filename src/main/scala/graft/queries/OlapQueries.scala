@@ -337,6 +337,33 @@ object OlapQueries {
                 col("o_date").as("matched_date"))
     },
 
+    // As-of NEAREST (r10): the feature-join variant that matches the
+    // closest order on EITHER side of the event date (backward-only
+    // as-of is q_asof_join) — sensor-fusion / feature-store alignment.
+    // Total tiebreak (|gap| asc, date asc, key asc) keeps both engines
+    // on the same row; same cost class as q_asof_join: a user-keyed
+    // join then one per-event rank window.
+    "q_asof_nearest" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .where(col("event_id") % 20 === 0)
+        .select(col("event_id"), col("user_id"),
+          date_add(lit("1995-01-01").cast("date"),
+                   (col("event_id") % 2400).cast("int")).as("event_date"))
+      val ord = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+                col("o_orderdate").cast("date").as("o_date"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(abs(datediff(col("o_date"), col("event_date"))).asc,
+          col("o_date").asc, col("o_orderkey").asc)
+      ev.join(ord, col("user_id") === col("o_custkey"))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_date"),
+                col("o_orderkey").as("matched_order"),
+                col("o_date").as("matched_date"),
+                datediff(col("o_date"), col("event_date")).as("gap_days"))
+    },
+
     // ROLLUP grouping sets: subtotal + grand-total rows in one pass —
     // Spark expands the sets map-side, still a single shuffle.
     "q_rollup" -> { (s, d) =>
@@ -2470,6 +2497,23 @@ object OlapQueries {
         |                      AND CAST(o_orderdate AS DATE) <= event_date)
         |SELECT event_id, user_id, event_date,
         |       o_orderkey AS matched_order, o_date AS matched_date
+        |FROM j WHERE _rn = 1""".stripMargin,
+
+    // nearest on either side; total tiebreak mirrors the Spark window
+    "q_asof_nearest" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |         DATE '1995-01-01' + CAST(event_id % 2400 AS INTEGER) AS event_date
+        |  FROM events WHERE event_id % 20 = 0),
+        |j AS (
+        |  SELECT ev.*, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY ABS(CAST(o_orderdate AS DATE) - event_date) ASC,
+        |               CAST(o_orderdate AS DATE) ASC, o_orderkey ASC) AS _rn
+        |  FROM ev JOIN orders ON user_id = o_custkey)
+        |SELECT event_id, user_id, event_date,
+        |       o_orderkey AS matched_order, o_date AS matched_date,
+        |       CAST(o_date - event_date AS BIGINT) AS gap_days
         |FROM j WHERE _rn = 1""".stripMargin,
 
     "q_rollup" ->

@@ -649,6 +649,20 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // Deterministic K-FOLD split (r10): fold = md5(doc_id) mod k — the
+    // train/val/test assignment a data pipeline must be able to REPLAY
+    // (rand() splits are unjoinable against themselves later; a hash
+    // split is a pure function of the id, stable across engines, reruns
+    // and partitionings). Map-only; the per-(fold, lang) rollup audits
+    // stratification drift — the check run before accepting a split.
+    "pipe_kfold" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("lang"), col("n_chars"),
+          (TextOps.md5Gate(col("doc_id")) % 5).as("fold"))
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    },
+
     // Stratified balanced sample: exactly 50 docs per language, chosen by
     // deterministic hash order (md5 of the id — reproducible across
     // engines and reruns, never rand()). The per-stratum top-N runs
@@ -2839,6 +2853,13 @@ object PipelineQueries {
     "pipe_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 10 = 0""".stripMargin,
+
+    "pipe_kfold" ->
+      """SELECT CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 5
+        |         AS fold,
+        |       lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     // the oracle takes the naive single-reducer window the engine avoids;
     // md5 hex is lowercase [0-9a-f] in both engines, so ASCII string
