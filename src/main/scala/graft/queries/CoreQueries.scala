@@ -324,6 +324,26 @@ object CoreQueries {
   private val mviewTgtCache =
     scala.collection.concurrent.TrieMap.empty[String, (Catalog, String, String)]
 
+  /** Streaming JOIN-mview fixture (r10): a star schema whose FACT takes
+    * the change stream — the dim stays put, so every per-batch refresh
+    * runs the differential Δfact ⋈ dim path. */
+  def mviewJoinTargetOrders(spark: SparkSession,
+                            sfDir: String): (Catalog, String, String) =
+    mviewJoinTgtCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_sjv_wh_")
+      val cat = new Catalog(spark, wh, autoCompact = false)
+      cat.createTable("orders_sjv", "k", baseOrders(spark, sfDir))
+      cat.createTable("cust_sjv", "ck",
+        Tables(spark, sfDir, "customer").select(
+          col("c_custkey").as("ck"), col("c_mktsegment").as("seg")))
+      cat.createJoinMaterializedView("orders_sjv_rollup",
+        "orders_sjv", "cust_sjv", "custkey", Seq("seg"), Seq("totalprice"))
+      (cat, "orders_sjv", "orders_sjv_rollup")
+    })
+
+  private val mviewJoinTgtCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Catalog, String, String)]
+
   /**
    * Bloom-index fixture ([[Catalog.createBloomFilter]]): the standard
    * transcript with parquet bloom filters on `custkey` created
@@ -947,6 +967,33 @@ object CoreQueries {
         Seq("status", "totalprice"), refreshView = Some(view))
       cat.getTable(view).snapshot
         .select(col("status"), col("n_rows"),
+          (col("cents") / 100.0).as("total"))
+    },
+
+    // Continuously-maintained STAR-SCHEMA rollup (r10): the change
+    // stream merges into the FACT of a join materialized view, and each
+    // micro-batch's refresh advances the view differentially at
+    // Δfact ⋈ dim cost (the dim never moves, so the full-recompute
+    // degradation never fires). The dashboard's segment rollup tracks a
+    // live ingest stream without ever re-scanning or re-joining the
+    // fact. Oracle = the direct join rollup of the fully-merged state.
+    "stream_mview_join" -> { (s, d) =>
+      val (cat, tbl, view) = mviewJoinTargetOrders(s, d)
+      def arm(where: Column => Column, proj: DataFrame => DataFrame) =
+        proj(graft.streaming.StreamOps.fileSource(s, d, "orders")
+          .where(where(col("o_orderkey"))))
+      val changes = arm(_ % 10 === 0, _.select(
+          col("o_orderkey").as("k"), col("o_custkey").as("custkey"),
+          lit("M").as("status"),
+          (col("o_totalprice") + lit(1000.0)).as("totalprice")))
+        .unionByName(arm(_ % 1000 === 0, _.select(
+          (col("o_orderkey") + 3000000L).as("k"),
+          col("o_custkey").as("custkey"),
+          lit("N").as("status"), col("o_totalprice").as("totalprice"))))
+      graft.streaming.StreamOps.mergeStream(s, changes, cat, tbl,
+        Seq("status", "totalprice"), refreshView = Some(view))
+      cat.getTable(view).snapshot
+        .select(col("seg"), col("n_rows"),
           (col("cents") / 100.0).as("total"))
     },
 
@@ -2101,6 +2148,27 @@ object CoreQueries {
         |SELECT status, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY status""".stripMargin,
+
+    // the continuously-maintained star rollup must equal the direct
+    // join rollup of the fully-merged fact against the static dim
+    "stream_mview_join" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_totalprice AS totalprice
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, custkey,
+        |         CASE WHEN k % 10 = 0 THEN totalprice + 1000.0
+        |              ELSE totalprice END AS totalprice
+        |  FROM base),
+        |ins AS (
+        |  SELECT k + 3000000 AS k, custkey, totalprice
+        |  FROM base WHERE k % 1000 = 0),
+        |merged AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT c_mktsegment AS seg, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged JOIN customer ON custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     // the tail rows the three warehouse ops appended, with their commit
     // stamps: commit 1's update → _ver 1, commit 2's update → _ver 2,
