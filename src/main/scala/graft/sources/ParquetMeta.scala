@@ -252,9 +252,15 @@ object ParquetMeta {
         // an empty table (or all-null column) never saw a value: the ±inf
         // initializers are sentinels, not bounds
         val known = s.filter(_._1 != Double.PositiveInfinity)
+        // + 0.0 normalizes IEEE negative zero: parquet footer stats use
+        // the total order, where -0.0 sorts BELOW 0.0 and becomes the
+        // recorded min, while a scan's MIN treats them equal and reports
+        // whichever it met — the two surfaces must agree (-0.0 == 0.0
+        // numerically, so the bound is unchanged; found live at sf0.1,
+        // where the events fixture contains a -0.0)
         Row(name, cname,
-          known.map(v => Double.box(v._1)).orNull,
-          known.map(v => Double.box(v._2)).orNull,
+          known.map(v => Double.box(v._1 + 0.0)).orNull,
+          known.map(v => Double.box(v._2 + 0.0)).orNull,
           s.map(v => Long.box(v._3)).orNull, rows)
       }
     spark.createDataFrame(stats, schema)
