@@ -1654,21 +1654,7 @@ object OlapQueries {
           explode(array((0 to 6).map(lit(_)): _*)).as("off"))
         .select((col("idx") + col("off")).as("tgt"), col("x"))
         .join(daily.select(col("idx").as("tgt")), "tgt")
-        .groupBy(col("tgt"))
-        .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
-             // a DAILY TOTAL squares past long headroom even at small
-             // SF (unlike per-row products elsewhere) — widen BEFORE
-             // the multiply, not just the sum
-             sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
-        .where(col("m") === 7)
-        .select(col("tgt").as("day_idx"),
-          expr("CAST(sx AS DOUBLE) / m / 1000000.0").as("mean"),
-          expr("(CAST(sx AS DOUBLE) / m + 2.0 * sqrt((CAST(sxx AS DOUBLE) - " +
-               "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0")
-            .as("upper"),
-          expr("(CAST(sx AS DOUBLE) / m - 2.0 * sqrt((CAST(sxx AS DOUBLE) - " +
-               "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0")
-            .as("lower"))
+        .transform(bollingerBand)
     },
 
     // LAST-TOUCH ATTRIBUTION (r9): each purchase credits the user's most
@@ -1727,18 +1713,7 @@ object OlapQueries {
           explode(array((0 to 6).map(lit(_)): _*)).as("off"))
         .select((col("idx") + col("off")).as("tgt"), col("x"))
         .join(daily.select(col("idx").as("tgt")), "tgt")
-        .groupBy(col("tgt"))
-        .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
-             sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
-        .where(col("m") === 7)
-        .select(col("tgt").as("day_idx"),
-          expr("CAST(sx AS DOUBLE) / m / 1000000.0").as("mean"),
-          expr("(CAST(sx AS DOUBLE) / m + 2.0 * sqrt((CAST(sxx AS DOUBLE) - " +
-               "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0")
-            .as("upper"),
-          expr("(CAST(sx AS DOUBLE) / m - 2.0 * sqrt((CAST(sxx AS DOUBLE) - " +
-               "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0")
-            .as("lower"))
+        .transform(bollingerBand)
     },
 
     // STREAMING OLS TREND (r9): the drift monitor — per-type regression
@@ -2178,6 +2153,36 @@ object OlapQueries {
       graft.ops.Graph.pagerank(edges, 3)
     }
   )
+
+  /** The Bollinger band finale shared by q_bollinger/stream_bollinger,
+    * over per-window (tgt, member x) rows. The variance NUMERATOR
+    * m·Σx² − (Σx)² is computed in EXACT decimal arithmetic and cast to
+    * double ONCE: the r9 form cast Σx² (~1e21 at tiny SF — far past
+    * 2^53) and then SUBTRACTED near-equal doubles, so the cancellation
+    * amplified a 1-ulp cast difference between engines into visible
+    * drift (DuckDB's hugeint→double is two roundings, not one; found
+    * live running the full gate at sf0.001). With the exact numerator
+    * there is no cancellation after the cast, and the 4-decimal output
+    * rounding absorbs the residual ≤1-ulp divergence. */
+  private def bollingerBand(grouped: DataFrame): DataFrame =
+    grouped
+      .groupBy(col("tgt"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+           // a DAILY TOTAL squares past long headroom even at small
+           // SF (unlike per-row products elsewhere) — widen BEFORE
+           // the multiply, not just the sum
+           sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .where(col("m") === 7)
+      .withColumn("vnum",
+        expr("m * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .select(col("tgt").as("day_idx"),
+        expr("ROUND(CAST(sx AS DOUBLE) / m / 1000000.0, 4)").as("mean"),
+        expr("ROUND((CAST(sx AS DOUBLE) / m + 2.0 * " +
+             "sqrt(CAST(vnum AS DOUBLE) / m / (m - 1))) / 1000000.0, 4)")
+          .as("upper"),
+        expr("ROUND((CAST(sx AS DOUBLE) / m - 2.0 * " +
+             "sqrt(CAST(vnum AS DOUBLE) / m / (m - 1))) / 1000000.0, 4)")
+          .as("lower"))
 
   /** Monotone VALUE-DERIVED bucket id in [0, nPart), EQUI-DEPTH and
     * deterministic. This replaces repartitionByRange +
@@ -3307,14 +3312,16 @@ object OlapQueries {
         |        CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS off) o),
         |w AS (SELECT m.tgt, COUNT(*) AS m, SUM(m.x) AS sx,
         |        SUM(CAST(m.x AS HUGEINT) * m.x) AS sxx
-        |      FROM mem m JOIN daily t ON t.idx = m.tgt GROUP BY 1)
+        |      FROM mem m JOIN daily t ON t.idx = m.tgt GROUP BY 1),
+        |v2 AS (SELECT tgt, m, sx, m * sxx - CAST(sx AS HUGEINT) * sx AS vnum
+        |      FROM w WHERE m = 7)
         |SELECT tgt AS day_idx,
-        |  CAST(sx AS DOUBLE) / m / 1000000.0 AS mean,
-        |  (CAST(sx AS DOUBLE) / m + 2.0 * sqrt((CAST(sxx AS DOUBLE) -
-        |   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0 AS upper,
-        |  (CAST(sx AS DOUBLE) / m - 2.0 * sqrt((CAST(sxx AS DOUBLE) -
-        |   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0 AS lower
-        |FROM w WHERE m = 7""".stripMargin,
+        |  ROUND(CAST(sx AS DOUBLE) / m / 1000000.0, 4) AS mean,
+        |  ROUND((CAST(sx AS DOUBLE) / m + 2.0 *
+        |   sqrt(CAST(vnum AS DOUBLE) / m / (m - 1))) / 1000000.0, 4) AS upper,
+        |  ROUND((CAST(sx AS DOUBLE) / m - 2.0 *
+        |   sqrt(CAST(vnum AS DOUBLE) / m / (m - 1))) / 1000000.0, 4) AS lower
+        |FROM v2""".stripMargin,
 
     // same strict-past IGNORE-NULLS window under the same total order;
     // exact-cents revenue with the one trailing IEEE division
@@ -3354,14 +3361,16 @@ object OlapQueries {
         |        CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS off) o),
         |w AS (SELECT m.tgt, COUNT(*) AS m, SUM(m.x) AS sx,
         |        SUM(CAST(m.x AS HUGEINT) * m.x) AS sxx
-        |      FROM mem m JOIN daily t ON t.idx = m.tgt GROUP BY 1)
+        |      FROM mem m JOIN daily t ON t.idx = m.tgt GROUP BY 1),
+        |v2 AS (SELECT tgt, m, sx, m * sxx - CAST(sx AS HUGEINT) * sx AS vnum
+        |      FROM w WHERE m = 7)
         |SELECT tgt AS day_idx,
-        |  CAST(sx AS DOUBLE) / m / 1000000.0 AS mean,
-        |  (CAST(sx AS DOUBLE) / m + 2.0 * sqrt((CAST(sxx AS DOUBLE) -
-        |   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0 AS upper,
-        |  (CAST(sx AS DOUBLE) / m - 2.0 * sqrt((CAST(sxx AS DOUBLE) -
-        |   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m) / (m - 1))) / 1000000.0 AS lower
-        |FROM w WHERE m = 7""".stripMargin,
+        |  ROUND(CAST(sx AS DOUBLE) / m / 1000000.0, 4) AS mean,
+        |  ROUND((CAST(sx AS DOUBLE) / m + 2.0 *
+        |   sqrt(CAST(vnum AS DOUBLE) / m / (m - 1))) / 1000000.0, 4) AS upper,
+        |  ROUND((CAST(sx AS DOUBLE) / m - 2.0 *
+        |   sqrt(CAST(vnum AS DOUBLE) / m / (m - 1))) / 1000000.0, 4) AS lower
+        |FROM v2""".stripMargin,
 
     // the streamed moment sums ARE the batch sums — the oracle regresses
     // the same day-index/micro-quantized series
