@@ -1381,7 +1381,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
   private def layoutOrdered(df: org.apache.spark.sql.DataFrame,
                             meta: Meta): org.apache.spark.sql.DataFrame =
     if (meta.zorderCols.size >= 2)
-      graft.ops.Layout.zorder(df, meta.zorderCols, 16, 0)
+      // bits derive from the column count (n·bits must fit a long's 63
+      // non-sign bits), so ANY accepted column set lays out successfully
+      // — a durable zorderCols that saveCompacted cannot re-apply would
+      // poison every later rewrite (fold/vacuum/purge) until dropIndex
+      graft.ops.Layout.zorder(df, meta.zorderCols,
+        math.min(16, 63 / meta.zorderCols.size), 0)
     else {
       val c = meta.index.getOrElse(meta.key)
       df.repartitionByRange(col(c)).sortWithinPartitions(col(c))
@@ -1408,6 +1413,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
           "(use createIndex for a single column)")
       require(columns.distinct == columns,
         s"zorderTable: duplicate columns: ${columns.mkString(",")}")
+      // 63 interleave bits shared across n columns: past ~6 columns the
+      // per-dimension resolution (63/n bits) is too coarse to prune —
+      // reject up front rather than persist a layout that cannot help
+      require(columns.size <= 6,
+        s"zorderTable: ${columns.size} columns share 63 interleave bits " +
+          "— per-column selectivity dilutes past usefulness; cluster by " +
+          "at most 6 (lakehouse guidance is 2-4)")
       columns.foreach(c => require(t.dataCols.contains(c),
         s"no such column: $c"))
       writeMeta(name, readMeta(name).copy(index = None,

@@ -47,13 +47,25 @@ object Graph {
     * every node appearing as src or dst; rank_q = PageRank × scaleQ
     * after exactly `iters` synchronous rounds, damping 0.85. */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
-    require(iters >= 1, s"pagerank: iters=$iters must be >= 1")
     val spark = edges.sparkSession
     // |E| lives in files, not block memory (see scaladoc)
     val dir = graft.sources.TextSources.scratchDir(spark, "graft_pagerank_")
     edges.select(col("src"), col("dst"))
       .write.mode("overwrite").parquet(dir)
-    val e = spark.read.parquet(dir)
+    val out = pagerankOn(spark.read.parquet(dir), iters)
+    deleteQuietly(spark, dir)
+    out
+  }
+
+  /** [[pagerank]] over an edge frame that ALREADY lives in files — the
+    * standing-table path ([[standingEdges]]): a bucketed-by-src edge
+    * table is built once and probed by every ranking run, so the
+    * per-query cost is the rounds alone, and each round's |E|-join
+    * needs no Exchange on the edge side (its bucketing IS the join
+    * distribution). The caller owns the layout contract: `e` must be
+    * file-backed (scanned per round, never pinned). */
+  def pagerankOn(e: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"pagerank: iters=$iters must be >= 1")
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
@@ -93,9 +105,7 @@ object Graph {
       rank = next
     }
     freeCheckpoint(outdeg); freeCheckpoint(nodes)
-    // the final rank is its own checkpoint — the edge files can go
-    deleteQuietly(spark, dir)
-    rank
+    rank // its own checkpoint — the caller may drop the edge files
   }
 
   /**
@@ -116,11 +126,41 @@ object Graph {
    * just-materialized checkpoint, not a recompute.
    */
   def bfs(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
-    require(maxHops >= 0, s"bfs: maxHops=$maxHops must be >= 0")
     val spark = edges.sparkSession
     val dir = graft.sources.TextSources.scratchDir(spark, "graft_bfs_")
     edges.select(col("src"), col("dst")).write.mode("overwrite").parquet(dir)
-    val e = spark.read.parquet(dir)
+    val out = bfsOn(spark.read.parquet(dir), sources, maxHops)
+    deleteQuietly(spark, dir)
+    out
+  }
+
+  /**
+   * The STANDING edge table (r11 — the production path this file's
+   * scaladoc promised since the pagerank redesign): symmetrize/derive
+   * edges ONCE, write them bucketed by `src` ([[Layout.writeBucketed]]),
+   * and let every traversal probe the layout. Two things amortize:
+   * the |E| derivation (the per-run scratch materialization that
+   * dominated q_bfs at 1000× — ~1.17B symmetrized edges rebuilt per
+   * query), and the per-hop Exchange+Sort of |E| — the bucketed scan's
+   * partitioning IS the join distribution, so a saturated-frontier
+   * sort-merge hop shuffles only the |frontier| side and never re-sorts
+   * the edge files. Build-if-absent keyed by the caller's name: the
+   * cache key is the caller's contract (same name ⇒ same edge
+   * derivation), exactly like a lakehouse standing table.
+   */
+  def standingEdges(edges: => DataFrame, spark: org.apache.spark.sql.SparkSession,
+                    table: String, buckets: Int = 32): DataFrame = {
+    if (!spark.catalog.tableExists(table))
+      Layout.writeBucketed(edges.select(col("src"), col("dst")),
+        table, "src", buckets)
+    spark.table(table)
+  }
+
+  /** [[bfs]] over an edge frame that ALREADY lives in files (see
+    * [[standingEdges]]); per-hop cost on a bucketed-by-src table is a
+    * co-located probe — no Exchange, no Sort on the |E| side. */
+  def bfsOn(e: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"bfs: maxHops=$maxHops must be >= 0")
     var visited = sources.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("dist")).localCheckpoint()
     // round 1's frontier IS the seed checkpoint — never free both handles
@@ -145,7 +185,6 @@ object Graph {
       hop += 1
     }
     if (frontier != null && (frontier ne visited)) freeCheckpoint(frontier)
-    deleteQuietly(spark, dir)
     visited
   }
 

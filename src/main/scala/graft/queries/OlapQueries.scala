@@ -1161,20 +1161,14 @@ object OlapQueries {
     // Components idiom). The oracle walks the same graph with a
     // recursive CTE — frontier semantics in declarative form.
     "q_bfs" -> { (s, d) =>
-      val li = Tables(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val o = Tables(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select((col("l_suppkey") * 2).as("a"),
-                (col("o_custkey") * 2 + 1).as("b"))
-        .distinct()
-      val edges = pairs.select(explode(array(
-          struct(col("a").as("src"), col("b").as("dst")),
-          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      val seed = edges.agg(min(col("src")).as("node"))
-      graft.ops.Graph.bfs(edges, seed, 3)
+      // the STANDING bucketed edge table (r11): the symmetrized trade
+      // graph is derived and bucketed-by-src ONCE per corpus and probed
+      // by every traversal — the per-run ~|E| scratch materialization
+      // (1.17B edges at 1000×) and the per-hop Exchange+Sort of |E|
+      // both amortize away (Graph.standingEdges)
+      val e = tradeEdges(s, d)
+      val seed = e.agg(min(col("src")).as("node"))
+      graft.ops.Graph.bfsOn(e, seed, 3)
         .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
     },
 
@@ -2133,6 +2127,22 @@ object OlapQueries {
     // dst), per-round state |V| rows; the edge list and outdegrees are
     // computed once (see Graph.pagerank's scale notes).
     "q_pagerank" -> { (s, d) =>
+      // probes the SAME standing bucketed edge table as q_bfs — one
+      // corpus-level build serves every traversal (r11)
+      graft.ops.Graph.pagerankOn(tradeEdges(s, d), 3)
+    }
+  )
+
+  /** The symmetrized supplier↔customer trade graph as a STANDING
+    * bucketed-by-src table (Graph.standingEdges): distinct lineitem ⋈
+    * orders pairs, node ids disjoint via ×2 / ×2+1, symmetrized via
+    * explode rather than a union of two selects (a union evaluates the
+    * fact join + distinct TWICE; the explode doubles map-side in the
+    * same pass — measured at 100×: ~59M distinct pairs off a 60M-row
+    * fact). Built once per corpus (the table name keys on the sf dir),
+    * probed by q_bfs and q_pagerank. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    graft.ops.Graph.standingEdges({
       val li = Tables(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
       val o = Tables(s, d, "orders")
@@ -2141,18 +2151,11 @@ object OlapQueries {
         .select((col("l_suppkey") * 2).as("a"),
                 (col("o_custkey") * 2 + 1).as("b"))
         .distinct()
-      // symmetrize via explode, not union: a union of two selects over
-      // `pairs` evaluates the fact join + distinct TWICE; the explode
-      // doubles map-side in the same pass (measured at 100×: the join
-      // is ~59M distinct pairs off a 60M-row fact — paying it once is
-      // material)
-      val edges = pairs.select(explode(array(
+      pairs.select(explode(array(
           struct(col("a").as("src"), col("b").as("dst")),
           struct(col("b").as("src"), col("a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      graft.ops.Graph.pagerank(edges, 3)
-    }
-  )
+    }, s, s"graft_trade_edges_${java.lang.Integer.toHexString(d.hashCode)}")
 
   /** The Bollinger band finale shared by q_bollinger/stream_bollinger,
     * over per-window (tgt, member x) rows. The variance NUMERATOR

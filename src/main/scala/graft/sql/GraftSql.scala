@@ -85,11 +85,16 @@ class GraftSql(val spark: SparkSession) {
   // ------------------------------------------------- SQL transactions
 
   /** Open transaction: statement-ordered per-table [[Txn]] accumulation
-    * (None = autocommit). LinkedHashMap keeps first-touch order for
-    * error messages; commit order is [[Catalog.commitMulti]]'s sorted
-    * global order. */
-  private var openTxn:
-      Option[scala.collection.mutable.LinkedHashMap[String, Txn]] = None
+    * (None = autocommit), each alongside the table's BASE pinned at its
+    * FIRST stash — every RYOW overlay re-registration folds the staged
+    * ops over that one base, so a concurrent commit by another process
+    * mid-transaction cannot shift the overlay between statements (the
+    * durable COMMIT target is deliberately NOT pinned: ops land on
+    * whatever state holds the commit point, the lakehouse rule).
+    * LinkedHashMap keeps first-touch order for error messages; commit
+    * order is [[Catalog.commitMulti]]'s sorted global order. */
+  private var openTxn: Option[scala.collection.mutable.LinkedHashMap[
+      String, (graft.core.LineageTable, Txn)]] = None
 
   private def inTxn: Boolean = openTxn.isDefined
 
@@ -173,7 +178,7 @@ class GraftSql(val spark: SparkSession) {
           // landed anywhere) they revert from the RYOW overlay to the
           // intact pre-transaction snapshots
           try cats.head.commitMulti(
-            stashed.map { case (n, t) => (durable(n)._2, t) }.toMap)
+            stashed.map { case (n, (_, t)) => (durable(n)._2, t) }.toMap)
           finally stashed.keys.foreach(refreshView)
         }
     }
@@ -181,22 +186,41 @@ class GraftSql(val spark: SparkSession) {
   }
 
   /** Stash a statement's op into the open transaction, then re-register
-    * the table's view as the READ-YOUR-OWN-WRITES overlay: the
-    * pre-transaction snapshot with every staged op applied in memory
-    * ([[Txn.commit]] is a pure LineageTable fold — nothing persists, so
-    * ROLLBACK stays free and the durable commit point is untouched). A
-    * later SELECT in the same transaction now sees earlier writes — the
-    * reference's Transaction.run semantics (transaction.py:26 executes
-    * each op immediately), which pure snapshot isolation diverged from. */
+    * the table's view as the READ-YOUR-OWN-WRITES overlay: the table's
+    * base as pinned at its FIRST stash with every staged op applied in
+    * memory ([[Txn.commit]] is a pure LineageTable fold — nothing
+    * persists, so ROLLBACK stays free and the durable commit point is
+    * untouched). A later SELECT in the same transaction now sees earlier
+    * writes — the reference's Transaction.run semantics
+    * (transaction.py:26 executes each op immediately), which pure
+    * snapshot isolation diverged from.
+    *
+    * The overlay snapshot is EAGERLY MATERIALIZED (`localCheckpoint`)
+    * before the view registers. A lazy overlay pins only a PLAN — its
+    * leaf file listing can be invalidated by unrelated catalog traffic
+    * between stash and evaluation, so a mid-transaction SELECT (or the
+    * source of a staged INSERT..SELECT, which resolves against this
+    * same view) evaluated after COMMIT could silently re-read
+    * post-commit state. Checkpointing pins VALUES: everything that read
+    * the overlay returns the same rows no matter when or where it is
+    * executed — the reference's immediate-execution semantics. The cost
+    * is one O(overlay) materialization per staged statement, bounded by
+    * the open-transaction lifetime; that is the price of
+    * read-your-own-writes, not an implementation artifact. */
   private def stash(name: String, txn: Txn): DataFrame = {
     require(durable.contains(name), "graft SQL: DML on in-session table " +
       s"'$name' inside a transaction — atomic transactions need the " +
       "durable staged-commit path; register(name, catalog, table) or " +
       "run the statement outside BEGIN..COMMIT")
     val m = openTxn.get
-    m(name) = m.get(name).fold(txn)(_.andThen(txn))
     val (cat, tbl) = durable(name)
-    m(name).commit(cat.getTable(tbl)).snapshot.createOrReplaceTempView(name)
+    val (base, acc) = m.get(name) match {
+      case Some((b, t0)) => (b, t0.andThen(txn))
+      case None => (cat.getTable(tbl), txn)
+    }
+    m(name) = (base, acc)
+    acc.commit(base).snapshot
+      .localCheckpoint(true).createOrReplaceTempView(name)
     spark.emptyDataFrame
   }
 
@@ -554,9 +578,12 @@ class GraftSql(val spark: SparkSession) {
           case (other, _) => throw new IllegalStateException(other.toString)
         }
         // Delta compat: an inclusive numeric `from` is our exclusive
-        // (from − 1) — the caller's startingVersion itself then emits
-        val from = longs.headOption.getOrElse(0L) -
-          (if (inclusive && longs.nonEmpty) 1L else 0L)
+        // (from − 1) — the caller's startingVersion itself then emits.
+        // Clamped at 0: graft versions start at 1, so Delta's common
+        // `startingVersion = 0` means "full history", not a range
+        // reaching below the version floor
+        val from = math.max(longs.headOption.getOrElse(0L) -
+          (if (inclusive && longs.nonEmpty) 1L else 0L), 0L)
         val to = longs.lift(1).getOrElse(table(name).currentVersion)
         val df = durable.get(name)
           .map { case (c, t) => c.changesBetween(t, from, to) }

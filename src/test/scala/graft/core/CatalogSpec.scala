@@ -649,6 +649,22 @@ class CatalogSpec extends SparkSpec {
     // guards: single column and unknown columns reject loud
     intercept[IllegalArgumentException](cat.zorderTable("t", Seq("a")))
     intercept[IllegalArgumentException](cat.zorderTable("t", Seq("a", "nope")))
+    // ADVICE r10: 4+ columns must lay out successfully (bits derive from
+    // the column count) — a persisted zorderCols that saveCompacted
+    // cannot re-apply would poison every later rewrite until dropIndex
+    cat.addColumn("t", "c", "bigint")
+    cat.addColumn("t", "d", "bigint")
+    cat.zorderTable("t", Seq("a", "b", "c", "d"))
+    assert(cat.getTable("t").snapshot.count() === 2000L)
+    cat.foldTail("t") // the rewrite the stale metadata used to break
+    assert(cat.zorderColsOf("t") === Seq("a", "b", "c", "d"))
+    assert(cat.getTable("t").snapshot.count() === 2000L)
+    // past 6 columns the per-dimension resolution is useless — reject
+    // BEFORE the metadata persists
+    intercept[IllegalArgumentException](
+      cat.zorderTable("t", Seq("k", "a", "b", "c", "d", "k2", "k3")))
+    assert(cat.zorderColsOf("t") === Seq("a", "b", "c", "d"),
+      "a rejected layout must not clobber the persisted one")
   }
 
   test("path-forming names are identifier-checked on every route (ADVICE r9)") {

@@ -93,4 +93,44 @@ class GraphSpec extends SparkSpec {
     val r = dists(Seq((1L, 2L), (2L, 3L), (3L, 1L)), Seq(1L), 9)
     assert(r === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("standing edge table: built once, probed co-located, results " +
+      "bit-match the scratch path (r11)") {
+    import spark.implicits._
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+                  (2L, 1L), (3L, 2L), (4L, 3L), (4L, 1L))
+    val edges = raw.toDF("src", "dst")
+    val tbl = "graft_edges_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    var builds = 0
+    val e = Graph.standingEdges({ builds += 1; edges }, spark, tbl, 4)
+    // a second resolve must NOT re-derive the edges — build-once is the
+    // whole amortization story
+    Graph.standingEdges(
+      { builds += 1; fail("standing table rebuilt"); edges }, spark, tbl, 4)
+    assert(builds === 1)
+    // traversals over the standing table bit-match the scratch path
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Graph.bfsOn(e, Seq(1L).toDF("node"), 3)) ===
+      m(Graph.bfs(edges, Seq(1L).toDF("node"), 3)))
+    assert(m(Graph.pagerankOn(e, 3)) === m(Graph.pagerank(edges, 3)))
+    // the plan pin: with broadcast off, a frontier probe exchanges ONLY
+    // the frontier side — the bucketed edge scan's partitioning IS the
+    // join distribution (no Exchange, no re-Sort of |E| per hop)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = e.join(Seq(1L, 2L).toDF("src"), "src")
+      probe.collect()
+      // AQE's toString prints Final AND Initial plans — audit the final
+      val plan = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("Exchange hashpartitioning\\(src".r.findAllIn(plan).size === 1,
+        s"expected only the frontier-side exchange:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"edge side must read its bucket layout:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }

@@ -346,6 +346,12 @@ class GraftSqlSpec extends SparkSpec {
     assert(events(
       "SELECT k, commit_ver, op FROM table_changes('t', 1, inclusive => false)") ===
       Set((2L, 2L, "delete")))
+    // ADVICE r10: Delta's common `startingVersion = 0` — inclusive from 0
+    // clamps to the version floor and returns FULL history instead of
+    // tripping the re-stamp guard with a misleading error
+    assert(events(
+      "SELECT k, commit_ver, op FROM table_changes('t', 0, inclusive => true)") ===
+      Set((1L, 1L, "upsert"), (2L, 2L, "delete")))
     // the flag rejects wall-clock bounds (they are already at-or-after)
     val eIncl = intercept[IllegalArgumentException](g.sql(
       "SELECT * FROM table_changes('t', '1970-01-01 00:00:00', inclusive => true)").collect())
@@ -465,6 +471,62 @@ class GraftSqlSpec extends SparkSpec {
     assert(cat.getTable("a").snapshot.where("status = 'RW'").count() === 0L)
     g.sql("COMMIT")
     assert(g.table("a").snapshot.where("status IN ('RW','CP')").count() === 2L)
+  }
+
+  test("mid-transaction reads hold their value when evaluated AFTER commit " +
+      "under cache invalidation (r11 — the driver-gate flake)") {
+    val wh = Files.createTempDirectory("graft_sql_ryow_env_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("a", "k",
+      Seq((1L, 10L, "A", 100.0), (2L, 20L, "B", 200.0),
+          (3L, 30L, "C", 300.0)).toDF("k", "custkey", "status", "totalprice"))
+    val g = new GraftSql(spark).register("a", cat, "a")
+    g.sql("BEGIN")
+    g.sql("UPDATE a SET status = 'RW', totalprice = totalprice + 5.0 WHERE k <= 2")
+    // the mid frame is NOT collected here — it must be safe to evaluate
+    // at any later point, in any cache state (the r10 full-sweep flake:
+    // a lazy overlay's pinned file listing went stale under unrelated
+    // catalog traffic and the frame silently re-read post-commit state)
+    val mid = g.sql(
+      "SELECT count(*) AS n, sum(totalprice) AS v FROM a WHERE status = 'RW'")
+    g.sql("INSERT INTO a SELECT k + 100, custkey, 'CP', totalprice FROM a " +
+      "WHERE status = 'RW'")
+    g.sql("DELETE FROM a WHERE status = 'RW' AND k = 2")
+    g.sql("COMMIT")
+    // adversarial environment: drop every cached relation and re-list the
+    // table's files, then touch the durable state again
+    spark.catalog.clearCache()
+    spark.catalog.refreshByPath(wh)
+    g.sql("UPDATE a SET totalprice = totalprice + 1000.0 WHERE status = 'CP'")
+    // the mid frame still reports the PRE-commit overlay: both staged
+    // rows, at the staged (not post-commit) prices
+    val r = mid.head()
+    assert(r.getLong(0) === 2L, "mid frame must see both staged RW rows")
+    assert(math.abs(r.getDouble(1) - (105.0 + 205.0)) < 1e-9,
+      s"mid frame re-read post-commit state: ${r.getDouble(1)}")
+    // and the staged INSERT..SELECT copied the overlay values, untouched
+    // by the delete that followed it in the same transaction
+    assert(g.table("a").snapshot.where("status = 'CP'").count() === 2L)
+  }
+
+  test("the RYOW overlay base pins at FIRST stash — a concurrent commit " +
+      "mid-transaction cannot shift reads between statements (ADVICE r10)") {
+    val (g, cat) = twoTableFixture()
+    g.sql("BEGIN")
+    g.sql("UPDATE a SET status = 'T1' WHERE k = 1")
+    // another writer commits to the SAME durable table mid-transaction
+    cat.commit("a", graft.core.Txn.empty.update(
+      org.apache.spark.sql.functions.col("k") === 3L,
+      Map("status" -> org.apache.spark.sql.functions.lit("X"))))
+    // a second statement re-registers the overlay — it must fold over the
+    // base pinned at BEGIN-time, not the shifted durable state
+    g.sql("UPDATE a SET status = 'T2' WHERE k = 2")
+    assert(g.sql("SELECT status FROM a WHERE k = 3").head().getString(0)
+      === "C", "overlay base shifted to the concurrent commit")
+    g.sql("ROLLBACK")
+    // outside the transaction the concurrent commit is of course visible
+    assert(g.sql("SELECT status FROM a WHERE k = 3").head().getString(0)
+      === "X")
   }
 
   test("ROLLBACK discards everything; constraint violation aborts the WHOLE transaction") {
