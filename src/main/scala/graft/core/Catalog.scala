@@ -287,17 +287,71 @@ final class Catalog(spark: SparkSession, warehouse: String,
 
   /** Create a table from initial rows (reference: Database.create_table). */
   def createTable(name: String, keyCol: String,
-                  rows: org.apache.spark.sql.DataFrame): LineageTable = {
+                  rows: org.apache.spark.sql.DataFrame): LineageTable =
+    createTable(name, keyCol, rows, partitionBy = None)
+
+  /** [[createTable]] with a PARTITION COLUMN (r11 — the lakehouse
+    * `PARTITIONED BY (col)`): the base lays out as one directory per
+    * partition value and [[partitionSnapshot]] reads prune whole
+    * directories below the snapshot window. The partition value is
+    * immutable per key (write-guarded) and the column cannot be the key
+    * (one directory per row is a layout catastrophe, not a layout). */
+  def createTable(name: String, keyCol: String,
+                  rows: org.apache.spark.sql.DataFrame,
+                  partitionBy: Option[String]): LineageTable = {
     require(!metaExists(name), s"table $name already exists")
     require(viewSql(name).isEmpty,
       s"createTable: '$name' is a view in this warehouse")
+    partitionBy.foreach { p =>
+      require(rows.columns.contains(p), s"createTable: partition column " +
+        s"'$p' not in (${rows.columns.mkString(", ")})")
+      require(p != keyCol, "createTable: partitioning by the unique key " +
+        "would write one directory per record — partition by a " +
+        "low-cardinality column (date, tenant, category)")
+    }
     val t = LineageTable.fromBase(keyCol, rows)
     fs.mkdirs(dir(name))
-    writeMeta(name, Meta(keyCol, rows.columns.toSeq, index = None, opSeq = 0))
-    t.lineage.write.mode(SaveMode.Overwrite)
-      .parquet(new Path(dir(name), "base").toString)
+    val meta = Meta(keyCol, rows.columns.toSeq, index = None, opSeq = 0,
+      partCol = partitionBy,
+      partType = partitionBy.map(p =>
+        rows.schema(p).dataType.simpleString).getOrElse(""))
+    writeMeta(name, meta)
+    writeBaseData(
+      if (partitionBy.isDefined) layoutOrdered(t.lineage, meta)
+      else t.lineage,
+      meta, new Path(dir(name), "base"))
     getTable(name)
   }
+
+  /** The ONE base-directory writer: partitioned tables lay out as
+    * `_pd=p<value>/` directories (`_pd` duplicates the partition column
+    * as a `p`-prefixed STRING so directory-value inference can never
+    * mangle the real column's type — the data column itself stays in
+    * the files), everything else writes flat. Every base rewrite
+    * ([[createTable]], [[saveCompacted]], [[restampSwap]]) goes through
+    * here, so the partition layout survives all maintenance. */
+  private def writeBaseData(df: org.apache.spark.sql.DataFrame, meta: Meta,
+                            path: Path): Unit =
+    meta.partCol match {
+      case Some(p) =>
+        // `df` carries LOGICAL names here; lineageWriter maps them to
+        // physical and retains `_pd`
+        lineageWriter(df.withColumn("_pd",
+            concat(lit("p"), col(p).cast("string"))), meta)
+          .mode(SaveMode.Overwrite).partitionBy("_pd")
+          .parquet(path.toString)
+        // an EMPTY input writes no data files under partitionBy (no
+        // value → no directory), leaving the base schema uninferable —
+        // write the schema-bearing flat empty instead (CREATE TABLE with
+        // a declared column list); the first data rewrite re-partitions
+        if (!fs.listStatus(path).exists(s =>
+            s.isDirectory && s.getPath.getName.startsWith("_pd=")))
+          lineageWriter(df.drop("_pd"), meta).mode(SaveMode.Overwrite)
+            .parquet(path.toString)
+      case None =>
+        lineageWriter(df, meta).mode(SaveMode.Overwrite)
+          .parquet(path.toString)
+    }
 
   /** Load a table (reference: Database.get_table). Reading base ∪ tail
     * reconstructs exactly the state last saved. */
@@ -354,7 +408,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * retained pre-rewrite state, same mechanics over `_snap/<id>/`). */
   private def assembleTable(meta: Meta,
                             base: org.apache.spark.sql.DataFrame,
-                            tailDir: Path): LineageTable = {
+                            tailDir: Path,
+                            /** Partition restriction pushed into the
+                              * tail scan ([[partitionSnapshot]]) —
+                              * physical column names. */
+                            tailFilter: Option[org.apache.spark.sql.Column] = None): LineageTable = {
     val hasTail = isDir(tailDir) && hasParquet(tailDir)
     // allowMissingColumns only when schema evolution is in play: files
     // written before an addColumn legitimately lack the added column (and
@@ -371,10 +429,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
     // metadata reads, no data scan.
     val unioned =
       if (hasTail) {
-        val tail =
+        val tail0 =
           if (evolved)
             spark.read.option("mergeSchema", "true").parquet(tailDir.toString)
           else spark.read.parquet(tailDir.toString)
+        val tail = tailFilter.fold(tail0)(tail0.where)
         base.unionByName(tail, allowMissingColumns = evolved)
       } else base
     // a column NO file carries yet exists only in metadata — materialize
@@ -398,8 +457,51 @@ final class Catalog(spark: SparkSession, warehouse: String,
     // property that makes an indexed layout answer secondary probes by
     // pruning alone.
     LineageTable.fromPersisted(meta.key, meta.columns, lineage, meta.opSeq,
-      tailEmpty = !hasTail && !meta.multiVer)
+      tailEmpty = !hasTail && !meta.multiVer, partCol = meta.partCol)
   }
+
+  /**
+   * Directory-pruned read of ONE partition (r11): the snapshot of a
+   * [[createTable]]`(partitionBy = ...)` table restricted to
+   * `partCol = value`, with the restriction applied BELOW the snapshot
+   * window — the base scan reads only the partition's directory
+   * (`PartitionFilters` on `_pd`, whole files skipped at planning), the
+   * flat tail scan gets the same predicate pushed to its row groups, and
+   * only then does the per-key window reconstruct versions. Sound
+   * because a key's partition value is immutable (write-guarded in
+   * [[LineageTable]]): every version of every surviving key lives inside
+   * the pruned file set. `value` is the partition value in its canonical
+   * cast-to-string form (what the directory name carries).
+   */
+  def partitionSnapshot(name: String, value: String): org.apache.spark.sql.DataFrame = {
+    val meta = readMeta(name)
+    val p = meta.partCol.getOrElse(throw new IllegalArgumentException(
+      s"partitionSnapshot: '$name' is not partitioned (createTable with " +
+        "partitionBy, or CREATE TABLE ... PARTITIONED BY)"))
+    require(!hasManifest(name),
+      s"partitionSnapshot: '$name' is a shallow clone — fold it first")
+    val r0 = if (isEvolved(meta))
+      spark.read.option("mergeSchema", "true") else spark.read
+    val raw = r0.parquet(baseDir(name).toString)
+    // `_pd` is absent only for a base written before the table was
+    // partitioned — impossible today (partitioning is create-only), but
+    // fall back to the pushed data filter rather than miscount
+    val prunedBase =
+      (if (raw.columns.contains("_pd")) raw.where(col("_pd") === lit("p" + value))
+       else raw.where(col(physOf(meta, p)).cast("string") === value))
+        .drop("_pd")
+    val tailDir = new Path(dir(name), "tail")
+    healLeftoverTail(tailDir, meta.tailFloor)
+    assembleTable(meta, prunedBase, tailDir,
+      tailFilter = Some(col(physOf(meta, p)).cast("string") === value))
+      .snapshot
+  }
+
+  /** The partition column of a table, if [[createTable]] set one. */
+  def partitionColOf(name: String): Option[String] = readMeta(name).partCol
+
+  /** Declared type of the partition column (empty when unpartitioned). */
+  def partitionTypeOf(name: String): String = readMeta(name).partType
 
   /**
    * Crash-window heal for the re-stamp swap ([[vacuum]]/[[purge]]/
@@ -484,7 +586,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
       val r = if (isEvolved(meta))
         spark.read.option("mergeSchema", "true") else spark.read
       r.parquet(files: _*)
-    } else spark.read.parquet(baseDir(name).toString)
+    } else {
+      // a partitioned base restores `_pd` from the directory names — a
+      // storage artifact, not a table column (the real partition column
+      // lives IN the files); the pruned read path filters on it BEFORE
+      // this drop ([[partitionSnapshot]])
+      spark.read.parquet(baseDir(name).toString).drop("_pd")
+    }
 
   /**
    * Zero-copy shallow clone (the Delta `CREATE TABLE ... SHALLOW CLONE`
@@ -516,6 +624,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
     lock(src).synchronized {
       require(!metaExists(dst), s"table $dst already exists")
       val meta = readMeta(src)
+      require(meta.partCol.isEmpty, s"cloneTable: '$src' is partitioned — " +
+        "the flat file manifest cannot carry directory-partition values; " +
+        "materialize a copy instead (CTAS)")
       // frozen view: under src's lock no writer is mid-commit, so
       // base ∪ tail (or src's own manifest, for a clone of a clone) is
       // exactly src's current durable state
@@ -574,7 +685,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
       if (meta.renLogical.isEmpty) rows
       else rows.select(meta.columns.map(lc =>
         col(lc).as(physOf(meta, lc))) ++
-        Seq(LineageTable.VER, LineageTable.DEL).map(col): _*)
+        Seq(LineageTable.VER, LineageTable.DEL).map(col) ++
+        // the partition-directory key rides through the rename mapping
+        // untouched ([[writeBaseData]])
+        (if (rows.columns.contains("_pd")) Seq(col("_pd")) else Nil): _*)
     meta.bloomCols.foldLeft(mapped.write) { (w, c) =>
       val ndv = meta.statsCols.indexOf(c) match {
         case i if i >= 0 => meta.statsNdv(i)
@@ -1024,8 +1138,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
       // (base missing, base_old live after an interrupted swap), so its
       // plan references whichever directory exists — nothing may be moved
       // or deleted until the new state is fully written out.
-      lineageWriter(layoutOrdered(t.compact.lineage, meta), meta)
-        .mode(SaveMode.Overwrite).parquet(staged.toString)
+      writeBaseData(layoutOrdered(t.compact.lineage, meta), meta, staged)
       dropProjectionFiles(name, meta) // crash ⇒ probe falls back, never stale
       swapBase(name)
       fs.delete(cloneManifestPath(name), false) // clone detach, see restampSwap
@@ -1218,10 +1331,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
       multiPossible: Boolean,
       retainSnapshot: Boolean = false): LineageTable = {
     val staged = new Path(dir(name), "base_staged")
-    lineageWriter(layoutOrdered(ranked
+    writeBaseData(layoutOrdered(ranked
       .withColumn(LineageTable.VER, lit(opSeqNew) + 1 - col("_rn"))
-      .drop("_rn"), meta), meta)
-      .mode(SaveMode.Overwrite).parquet(staged.toString)
+      .drop("_rn"), meta), meta, staged)
     val hasMulti = multiPossible && !spark.read.parquet(staged.toString)
       .where(col(LineageTable.VER) < opSeqNew).isEmpty
     val conservative = meta.multiVer || multiPossible
@@ -1380,7 +1492,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * maintenance — the Delta OPTIMIZE ZORDER BY contract. */
   private def layoutOrdered(df: org.apache.spark.sql.DataFrame,
                             meta: Meta): org.apache.spark.sql.DataFrame =
-    if (meta.zorderCols.size >= 2)
+    if (meta.partCol.isDefined) {
+      // partitioned layout: cluster rows by (partition, key-or-index) so
+      // each write task holds contiguous runs per partition directory —
+      // few files per directory, sorted within for row-group pruning
+      val p = meta.partCol.get
+      val c = meta.index.getOrElse(meta.key)
+      df.repartitionByRange(col(p), col(c)).sortWithinPartitions(col(p), col(c))
+    } else if (meta.zorderCols.size >= 2)
       // bits derive from the column count (n·bits must fit a long's 63
       // non-sign bits), so ANY accepted column set lays out successfully
       // — a durable zorderCols that saveCompacted cannot re-apply would
@@ -1408,6 +1527,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
   def zorderTable(name: String, columns: Seq[String]): LineageTable =
     lock(name).synchronized { withCommitMarker(name) {
       val t = getTable(name)
+      require(readMeta(name).partCol.isEmpty,
+        s"zorderTable: '$name' is partitioned — the directory layout is " +
+          "the physical order (rows sort by key within partitions)")
       require(columns.size >= 2,
         s"zorderTable: need >= 2 columns, got ${columns.mkString(",")} " +
           "(use createIndex for a single column)")
@@ -2546,6 +2668,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
     }
     require(!meta.index.contains(column),
       s"$name: $column is the index layout column — dropIndex first")
+    require(!meta.partCol.contains(column),
+      s"$name: $column is the partition column — structural, not evolvable")
     require(!meta.zorderCols.contains(column),
       s"$name: $column is a Z-order layout column — dropIndex first")
     require(!meta.projCols.contains(column),
@@ -2860,7 +2984,25 @@ final class Catalog(spark: SparkSession, warehouse: String,
                           mvDim: Option[String] = None,
                           mvFk: Option[String] = None,
                           mvDimSeq: Long = -1L,
-                          mvDimEpoch: Long = -1L)
+                          mvDimEpoch: Long = -1L,
+                          /** PARTITION COLUMN (r11, the lakehouse
+                            * PARTITIONED BY): the base lays out as
+                            * `base/_pd=p<value>/` directories (the `p`
+                            * prefix forces string partition-value
+                            * inference, so types and leading zeros
+                            * survive the round-trip; the real column
+                            * stays IN the files with its exact type) and
+                            * a partition-scoped read prunes whole
+                            * directories below the snapshot window
+                            * ([[partitionSnapshot]]). The TAIL stays
+                            * flat — the column is a pushed data filter
+                            * there — so crash-heal and footer machinery
+                            * are untouched and the pruning win lands
+                            * where the bytes are (the compacted base).
+                            * Sound because a key's partition value is
+                            * IMMUTABLE ([[LineageTable]] write guards). */
+                          partCol: Option[String] = None,
+                          partType: String = "")
 
   // Metadata names are restricted to identifier characters at write time,
   // so the flat JSON below round-trips through the regex reader with no
@@ -2952,7 +3094,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
         .mkString(", ")}], """ +
       s""""mv_dim": ${m.mvDim.map(v => "\"" + checked(v) + "\"").getOrElse("null")}, """ +
       s""""mv_fk": ${m.mvFk.map(v => "\"" + checked(v) + "\"").getOrElse("null")}, """ +
-      s""""mv_dim_seq": ${m.mvDimSeq}, "mv_dim_epoch": ${m.mvDimEpoch}}"""
+      s""""mv_dim_seq": ${m.mvDimSeq}, "mv_dim_epoch": ${m.mvDimEpoch}, """ +
+      s""""part_col": ${m.partCol.map(v => "\"" + checked(v) + "\"")
+        .getOrElse("null")}, """ +
+      s""""part_type": ${if (m.partType.isEmpty) "null"
+        else "\"" + checked(m.partType) + "\""}}"""
   }
 
   private def readMeta(name: String): Meta = {
@@ -3054,7 +3200,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
       "\"mv_dim_seq\"\\s*:\\s*(-?\\d+)".r
         .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L),
       "\"mv_dim_epoch\"\\s*:\\s*(-?\\d+)".r
-        .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L))
+        .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L),
+      "\"part_col\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(json).map(_.group(1)),
+      "\"part_type\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse(""))
   }
 
   // Crash recovery on open — the reference's Database.open contract. At

@@ -56,7 +56,13 @@ final class LineageTable private (
       * probe is a pure pushed-down parquet scan, which is what makes
       * [[Catalog.createIndex]]'s sorted layout a real index (min-max
       * pruning with zero reconstruction overhead). Any write op clears it. */
-    private val compactedOnly: Boolean) {
+    private val compactedOnly: Boolean,
+    /** The table's partition column, when [[Catalog]] created it
+      * PARTITIONED BY (r11). Write ops enforce the invariant pruned
+      * reads depend on — a key's partition value never changes: UPDATE
+      * may not assign it, and every appended row is guarded against
+      * moving an existing key across partitions ([[withAppend]]). */
+    private val partCol: Option[String] = None) {
 
   import LineageTable.{DEL, VER}
 
@@ -212,6 +218,11 @@ final class LineageTable private (
    * current column values (so `increment` is `c -> col(c) + 1`).
    */
   def update(predicate: Column, set: Map[String, Column]): LineageTable = {
+    // the partition column is immutable per key (directory pruning
+    // soundness) — the lakehouse rule: move a record by delete + insert
+    partCol.foreach(p => require(!set.contains(p),
+      s"UPDATE may not assign partition column '$p' — a key's partition " +
+        "is immutable (delete + insert under the new value instead)"))
     val current = snapshotMeta.where(predicate)
     // each assignment CASTS to the column's declared type (ANSI UPDATE):
     // a bare int literal into a bigint column must widen, or the delta
@@ -401,7 +412,7 @@ final class LineageTable private (
   def compact: LineageTable =
     new LineageTable(keyCol, dataCols,
       snapshotMeta.withColumn(VER, lit(0L)).withColumn(DEL, lit(0)),
-      opSeq = 0, delta = None, compactedOnly = true)
+      opSeq = 0, delta = None, compactedOnly = true, partCol)
 
   /**
    * Retention vacuum (storage reclaim): keep only the newest `keep`
@@ -421,7 +432,7 @@ final class LineageTable private (
     // durable through a later Catalog.commit (vacuum trims HISTORY, it
     // must never eat a write). Only Catalog.vacuum persists retention.
     new LineageTable(keyCol, dataCols, retained(keep).drop("_rn"), opSeq,
-      delta, compactedOnly = false)
+      delta, compactedOnly = false, partCol)
 
   /** The retention core shared by [[vacuum]] and [[Catalog.vacuum]] (ONE
     * implementation of the safety-critical rules): newest `keep` rows per
@@ -464,7 +475,7 @@ final class LineageTable private (
     // later commit, not just in-memory reads (contrast vacuum, which
     // passes the delta through untouched because it only trims history)
     new LineageTable(keyCol, dataCols, scrub(lineage), opSeq,
-      delta.map(scrub), compactedOnly)
+      delta.map(scrub), compactedOnly, partCol)
   }
 
   /**
@@ -532,12 +543,44 @@ final class LineageTable private (
     new LineageTable(keyCol, dataCols,
       lineage.localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER), opSeq,
-      delta, compactedOnly)
+      delta, compactedOnly, partCol)
 
-  /** Chain an op: append its rows to the lineage AND to the pending delta. */
-  private def withAppend(rows: DataFrame): LineageTable =
-    new LineageTable(keyCol, dataCols, lineage.unionByName(rows), opSeq + 1,
-      Some(delta.fold(rows)(_.unionByName(rows))), compactedOnly = false)
+  /** Chain an op: append its rows to the lineage AND to the pending delta.
+    *
+    * Partitioned tables guard EVERY appended row here — the one
+    * chokepoint all ops funnel through — against moving an existing key
+    * across partitions (directory-pruned reads would otherwise resurrect
+    * the old partition's shadowed versions after a fold). The guard is a
+    * lazy `raise_error` folded INTO the partition column itself (a
+    * side-channel check column would be pruned away unevaluated): each
+    * appended row left-joins the existing distinct (key → partition)
+    * pairs — a two-column dictionary-encoded scan, the documented
+    * write-path price of upsert-by-key into a partitioned layout; update/
+    * delete/merge-matched rows inherit their partition from the snapshot
+    * and pass structurally. */
+  private def withAppend(rows: DataFrame): LineageTable = {
+    val guarded = partCol match {
+      case None => rows
+      case Some(p) =>
+        val existing = lineage
+          .select(col(keyCol).as("_gk"), col(p).cast("string").as("_gp"))
+          .distinct()
+        rows.join(existing, col(keyCol) <=> col("_gk"), "left")
+          .withColumn(p,
+            when(col("_gk").isNotNull && !(col("_gp") <=> col(p).cast("string")),
+              raise_error(concat(
+                lit(s"partition column '$p' is immutable per key: key "),
+                col(keyCol).cast("string"),
+                lit(" already lives in partition "), col("_gp")))
+                .cast(rows.schema(p).dataType))
+            .otherwise(col(p)))
+          .drop("_gk", "_gp")
+          .select(rows.columns.map(col): _*)
+    }
+    new LineageTable(keyCol, dataCols, lineage.unionByName(guarded), opSeq + 1,
+      Some(delta.fold(guarded)(_.unionByName(guarded))),
+      compactedOnly = false, partCol)
+  }
 }
 
 object LineageTable {
@@ -548,9 +591,10 @@ object LineageTable {
     * [[Catalog]] when reopening a warehouse table. */
   private[core] def fromPersisted(keyCol: String, dataCols: Seq[String],
                                   lineage: DataFrame, maxVer: Long,
-                                  tailEmpty: Boolean): LineageTable =
+                                  tailEmpty: Boolean,
+                                  partCol: Option[String] = None): LineageTable =
     new LineageTable(keyCol, dataCols, lineage, maxVer, delta = None,
-      compactedOnly = tailEmpty)
+      compactedOnly = tailEmpty, partCol)
 
   /** Bootstrap a lineage table from plain rows (all base, version 0). */
   def fromBase(keyCol: String, rows: DataFrame): LineageTable = {

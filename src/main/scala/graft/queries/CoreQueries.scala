@@ -1600,6 +1600,56 @@ object CoreQueries {
               |FROM sqlc_big GROUP BY status""".stripMargin)
     },
 
+    // PARTITION COLUMNS end to end (r11, Catalog partitionBy + GraftSql
+    // PARTITIONED BY / INSERT ... PARTITION): the most common lakehouse
+    // layout — CREATE TABLE PARTITIONED BY (status), a bulk load, a
+    // partition-scoped OVERWRITE (tombstone ONE partition + refill, one
+    // atomic commit, old state still time-travelable), and a
+    // static-partition append. The base lays out as one directory per
+    // status value and every rewrite re-applies the layout.
+    "sql_partition" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_sqlpart_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      val g = new graft.sql.GraftSql(s).attach(cat)
+      baseOrders(s, d).createOrReplaceTempView("sqlpart_src")
+      g.sql("""CREATE TABLE part_t (k BIGINT, custkey BIGINT,
+              |status STRING, totalprice DOUBLE) USING graft
+              |OPTIONS ('key' = 'k') PARTITIONED BY (status)""".stripMargin)
+      g.sql("""INSERT INTO part_t SELECT k, custkey, status, totalprice
+              |FROM sqlpart_src""".stripMargin)
+      g.sql("""INSERT OVERWRITE part_t PARTITION (status = 'F')
+              |SELECT k, custkey, totalprice + 1.0 FROM sqlpart_src
+              |WHERE status = 'F' AND k % 2 = 0""".stripMargin)
+      g.sql("""INSERT INTO part_t PARTITION (status = 'Z')
+              |SELECT k + 9000000, custkey, totalprice FROM sqlpart_src
+              |WHERE k % 100 = 0""".stripMargin)
+      g.sql("""SELECT status, count(*) AS n,
+              |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS cents
+              |FROM part_t GROUP BY status""".stripMargin)
+    },
+
+    // Directory-pruned partition probe (r11, Catalog.partitionSnapshot):
+    // the partition restriction lands BELOW the snapshot window — the
+    // base scan plans only `_pd=pO/` (PartitionFilters, whole files
+    // skipped), the flat tail gets the same predicate pushed to row
+    // groups, and only then does the per-key window reconstruct
+    // versions (sound: a key's partition value is write-guarded
+    // immutable). PlanAuditSpec pins the pruned file count.
+    "q_partition_prune" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_partprune_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      cat.createTable("po", "k", baseOrders(s, d),
+        partitionBy = Some("status"))
+      cat.commit("po", graft.core.Txn.empty
+        .update(col("k") % 10 === 0,
+          Map("totalprice" -> (col("totalprice") + lit(2.0)))))
+      cat.commit("po", graft.core.Txn.empty.delete(col("k") % 1000 === 0))
+      cat.partitionSnapshot("po", "O")
+        .groupBy((col("custkey") % 10).as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(totalprice * 100) AS BIGINT)")).as("cents"))
+    },
+
     // ALTER TABLE RENAME TO end to end (r9, Catalog.renameTable): a
     // durable table accumulates history, is renamed — ONE atomic
     // directory rename, zero data I/O at any table size (every
@@ -2490,6 +2540,44 @@ object CoreQueries {
         |big AS (SELECT * FROM t WHERE totalprice > 100000.0)
         |SELECT status, COUNT(*) AS n, CAST(SUM(custkey) AS BIGINT) AS ck
         |FROM big GROUP BY status""".stripMargin,
+
+    // sequential replay of the partition lifecycle: bulk load, the 'F'
+    // partition overwritten by the halved+bumped rows, the 'Z' static
+    // append — per-partition counts and exact cents must match
+    "sql_partition" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |fnew AS (SELECT k, custkey, 'F' AS status,
+        |           totalprice + 1.0 AS totalprice
+        |         FROM base WHERE status = 'F' AND k % 2 = 0),
+        |znew AS (SELECT k + 9000000 AS k, custkey, 'Z' AS status,
+        |           totalprice
+        |         FROM base WHERE k % 100 = 0),
+        |final AS (SELECT * FROM base WHERE status <> 'F'
+        |          UNION ALL SELECT * FROM fnew
+        |          UNION ALL SELECT * FROM znew)
+        |SELECT status, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM final GROUP BY status""".stripMargin,
+
+    // the pruned partition must hold exactly the filtered post-DML state
+    "q_partition_prune" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |s1 AS (SELECT k, custkey, status,
+        |         CASE WHEN k % 10 = 0 THEN totalprice + 2.0
+        |              ELSE totalprice END AS totalprice
+        |       FROM base),
+        |s2 AS (SELECT * FROM s1 WHERE k % 1000 <> 0)
+        |SELECT custkey % 10 AS g, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM s2 WHERE status = 'O' GROUP BY 1""".stripMargin,
 
     // the SQL-created tables must land exactly the filtered/updated
     // states a direct relational pipeline computes

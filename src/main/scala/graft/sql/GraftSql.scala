@@ -309,11 +309,13 @@ class GraftSql(val spark: SparkSession) {
     case ct: CreateTable if providerIsGraft(ct.tableSpec) =>
       noTxn("CREATE TABLE")
       runCreate(createName(ct.name), ct.ignoreIfExists,
-        specOptions(ct.tableSpec), Left(ct.columns), ct.partitioning.nonEmpty)
+        specOptions(ct.tableSpec), Left(ct.columns),
+        partitionColOf(ct.partitioning))
     case cas: CreateTableAsSelect if providerIsGraft(cas.tableSpec) =>
       noTxn("CREATE TABLE")
       runCreate(createName(cas.name), cas.ignoreIfExists,
-        specOptions(cas.tableSpec), Right(cas.query), cas.partitioning.nonEmpty)
+        specOptions(cas.tableSpec), Right(cas.query),
+        partitionColOf(cas.partitioning))
     case r: RenameColumn if targetOf(r.table).exists(isRegistered) =>
       noTxn("ALTER TABLE")
       val name = targetOf(r.table).get
@@ -1249,14 +1251,51 @@ class GraftSql(val spark: SparkSession) {
     // `_ver`): readers see either the old contents or the new, never a
     // truncated middle — and because graft tables are versioned, the
     // overwritten state stays time-travelable (VERSION AS OF the prior
-    // commit), unlike a filesystem truncate
+    // commit), unlike a filesystem truncate.
+    // A static PARTITION (p = 'v') spec scopes both halves to ONE
+    // partition (r11): OVERWRITE deletes only that partition's rows,
+    // and the query provides the remaining columns — the Hive/Spark
+    // INSERT OVERWRITE ... PARTITION contract, versioned.
+    val partSpec: Option[(String, String)] =
+      if (i.partitionSpec.isEmpty) None
+      else {
+        require(i.partitionSpec.size == 1, "graft SQL INSERT: one " +
+          "partition column (tables partition by a single column), got " +
+          i.partitionSpec.keys.mkString(", "))
+        val (pc, pv) = i.partitionSpec.head
+        val declared = durable.get(name)
+          .flatMap { case (c, t) => c.partitionColOf(t) }
+        require(declared.contains(pc), s"graft SQL INSERT PARTITION: " +
+          s"'$name' is ${declared.fold("not partitioned")(d =>
+            s"partitioned by '$d'")}, got '$pc'")
+        val v = pv.getOrElse(throw new IllegalArgumentException(
+          "graft SQL INSERT PARTITION: dynamic partition values are not " +
+            "supported — rows carry the column; omit the PARTITION clause"))
+        Some((pc, v))
+      }
     val q = Bridge.ofRows(spark, i.query)
     val cols = table(name).dataCols
+    // a static PARTITION (p='v') fills the partition column — the query
+    // provides the remaining columns in table order
+    val filled = partSpec match {
+      case None => q
+      case Some((pc, v)) =>
+        val rest = cols.filterNot(_ == pc)
+        require(i.userSpecifiedCols.isEmpty, "graft SQL INSERT PARTITION: " +
+          "combine with a column list is not supported — provide the " +
+          s"non-partition columns positionally (${rest.mkString(", ")})")
+        require(q.columns.length == rest.size, "graft SQL INSERT " +
+          s"PARTITION: expected ${rest.size} columns (${rest.mkString(", ")})" +
+          s", got ${q.columns.length}")
+        q.toDF(rest: _*).withColumn(pc, lit(v))
+          .select(cols.map(col): _*)
+    }
     // positional VALUES/SELECT get the table's column names; an explicit
     // column list renames then fills like SQL does (missing → NULL would
     // break lineage NOT NULL keys, so require full coverage instead)
     val named =
-      if (i.userSpecifiedCols.nonEmpty) {
+      if (partSpec.isDefined) filled
+      else if (i.userSpecifiedCols.nonEmpty) {
         require(i.userSpecifiedCols.size == q.columns.length,
           s"graft SQL INSERT: ${i.userSpecifiedCols.size} target columns " +
             s"but ${q.columns.length} provided")
@@ -1275,9 +1314,16 @@ class GraftSql(val spark: SparkSession) {
     val target = table(name).snapshot.schema
     val casted = named.select(cols.map(c =>
       col(c).cast(target(c).dataType).as(c)): _*)
-    val txn =
-      if (i.overwrite) Txn.empty.delete(lit(true)).insert(casted)
-      else Txn.empty.insert(casted)
+    val txn = (i.overwrite, partSpec) match {
+      // partition-scoped overwrite: tombstone ONLY the named partition,
+      // then insert — one atomic commit, the overwritten partition state
+      // stays time-travelable
+      case (true, Some((pc, v))) =>
+        Txn.empty.delete(col(pc) === lit(v).cast(target(pc).dataType))
+          .insert(casted)
+      case (true, None) => Txn.empty.delete(lit(true)).insert(casted)
+      case (false, _) => Txn.empty.insert(casted)
+    }
     apply(name, txn)
   }
 
@@ -1454,13 +1500,28 @@ class GraftSql(val spark: SparkSession) {
    * durable table ADOPTS it (registers, creates nothing) — the Delta
    * no-op shape with the table left usable.
    */
+  /** The single IDENTITY partition column of a CREATE TABLE's
+    * PARTITIONED BY clause (r11), or None. Bucket/transform partitioning
+    * (`PARTITIONED BY (bucket(8, c))`, `days(ts)`) is rejected loud —
+    * bucketing has its own lever ([[graft.ops.Layout.writeBucketed]]),
+    * and derived-value partitioning belongs in an explicit column. */
+  private def partitionColOf(transforms: Seq[org.apache.spark.sql.connector
+      .expressions.Transform]): Option[String] = transforms match {
+    case Seq() => None
+    case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1 =>
+      Some(t.references.head.fieldNames.head)
+    case other => throw new IllegalArgumentException(
+      "graft SQL PARTITIONED BY: exactly one identity column is " +
+        s"supported (a directory level per value), got ${other.map(_.describe)
+          .mkString(", ")} — for bucketing use Layout.writeBucketed, for " +
+        "derived values add the column explicitly")
+  }
+
   private def runCreate(name: String, ifNotExists: Boolean,
                         opts: Map[String, String],
                         source: Either[Seq[ColumnDefinition], LogicalPlan],
-                        partitioned: Boolean): DataFrame = {
-    require(!partitioned, "graft SQL CREATE TABLE: PARTITIONED BY is not " +
-      "supported — physical layout is a maintenance concern (CALL " +
-      "graft.create_index / create_bloom; Layout.zorder)")
+                        partitioned: Option[String]): DataFrame = {
     val unknown = opts.keySet - "key"
     require(unknown.isEmpty, "graft SQL CREATE TABLE: unknown option(s) " +
       s"${unknown.mkString(", ")} (supported: 'key')")
@@ -1491,9 +1552,12 @@ class GraftSql(val spark: SparkSession) {
           require(ifNotExists, s"graft SQL CREATE TABLE: '$name' already " +
             "exists in the attached catalog (CREATE TABLE IF NOT EXISTS " +
             "adopts it)")
-        } else cat.createTable(name, key, rows)
+        } else cat.createTable(name, key, rows, partitionBy = partitioned)
         register(name, cat, name)
       case None =>
+        require(partitioned.isEmpty, "graft SQL CREATE TABLE: PARTITIONED " +
+          "BY needs a durable table (the partition layout is directories " +
+          "on disk) — attach(catalog) first")
         register(name, LineageTable.fromBase(key, rows))
     }
     spark.emptyDataFrame

@@ -261,6 +261,23 @@ class PlanAuditSpec extends SparkSpec {
       s"probe should not reshuffle on the indexed column:\n$plan")
   }
 
+  test("q_partition_prune: the base scan plans ONLY the probed partition " +
+      "(r11 — PartitionFilters below the snapshot window)") {
+    val q = SparkEntry.queries("q_partition_prune")(spark, sfDir)
+    q.collect()
+    val plan = executedPlan(q)
+    // the directory filter reached the base scan (whole partitions are
+    // planned away — PartitionSpec pins the strict file-count drop)...
+    assert("PartitionFilters: \\[[^\\]]*_pd[^\\]]*= pO".r
+      .findFirstIn(plan).isDefined, s"expected a _pd partition filter:\n$plan")
+    // ...and the flat tail got the same predicate pushed to its scan
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(status,O\\)".r
+      .findFirstIn(plan).isDefined, s"expected pushed tail filter:\n$plan")
+    // both BELOW the snapshot window: the Window sits above the union
+    assert(plan.indexOf("PartitionFilters") > plan.indexOf("Window"),
+      s"pruning must be below the reconstruction window:\n$plan")
+  }
+
   test("q_bucketed_join: fact-fact join + same-key agg with ZERO Exchange") {
     // at bench SFs one side broadcasts (correct there); the 100 TB claim
     // is the broadcast-impossible case, so audit with broadcast disabled:

@@ -1,0 +1,183 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Partition-column tables (r11 — PARTITIONED BY): directory layout,
+  * pruned reads below the snapshot window, immutability guards,
+  * layout survival through maintenance, and the partition-scoped
+  * overwrite. The invariant under test everywhere: partitionSnapshot
+  * ≡ snapshot.where(partCol = v), with the base scan reading ONLY the
+  * partition's directory. */
+class PartitionSpec extends SparkSpec {
+
+  private def fresh(autoCompact: Boolean = false): (Catalog, String) = {
+    val wh = Files.createTempDirectory("graft_part_").toString
+    (new Catalog(spark, wh, autoCompact = autoCompact), wh)
+  }
+
+  private def rows = {
+    import spark.implicits._
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L),
+        (4L, "c", 40L), (5L, "b", 50L), (6L, "a", 60L))
+      .toDF("k", "cat", "v")
+  }
+
+  private def m(df: org.apache.spark.sql.DataFrame): Map[Long, (String, Long)] =
+    df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("create lays out one directory per partition value; reads round-trip") {
+    val (cat, wh) = fresh()
+    cat.createTable("t", "k", rows, partitionBy = Some("cat"))
+    val baseDir = new java.io.File(s"$wh/t/base")
+    val dirs = baseDir.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("_pd=pa", "_pd=pb", "_pd=pc"))
+    // the full snapshot is unchanged by the layout — and the partition
+    // column reads back with its exact file type, not a directory guess
+    assert(m(cat.getTable("t").snapshot) === m(rows))
+    assert(cat.getTable("t").snapshot.schema("cat").dataType.typeName === "string")
+    assert(cat.partitionColOf("t") === Some("cat"))
+    assert(cat.partitionTypeOf("t") === "string")
+  }
+
+  test("partitionSnapshot equals the filtered snapshot, through tail writes") {
+    val (cat, _) = fresh()
+    cat.createTable("t", "k", rows, partitionBy = Some("cat"))
+    // tail traffic in ALL partitions: update, delete, fresh insert
+    import spark.implicits._
+    cat.commit("t", Txn.empty
+      .update(col("k") === 1L, Map("v" -> lit(11L)))
+      .delete(col("k") === 5L)
+      .insert(Seq((7L, "a", 70L)).toDF("k", "cat", "v")))
+    for (v <- Seq("a", "b", "c")) {
+      assert(m(cat.partitionSnapshot("t", v)) ===
+        m(cat.getTable("t").snapshot.where(col("cat") === v)),
+        s"partition $v diverged")
+    }
+    // ...and through a FOLD (the layout must survive the re-stamp)
+    cat.foldTail("t")
+    for (v <- Seq("a", "b", "c"))
+      assert(m(cat.partitionSnapshot("t", v)) ===
+        m(cat.getTable("t").snapshot.where(col("cat") === v)))
+  }
+
+  test("the pruned base scan reads ONLY the partition's directory") {
+    val (cat, _) = fresh()
+    cat.createTable("t", "k", rows, partitionBy = Some("cat"))
+    cat.foldTail("t") // everything in the partitioned base
+    val probe = cat.partitionSnapshot("t", "a")
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert("_pd#\\d+ = pa".r.findFirstIn(plan).isDefined ||
+      plan.contains("_pd = pa"), s"expected a _pd partition filter:\n$plan")
+    // file-level proof: the scan touched fewer files than the base holds
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    val total = cat.getTable("t").snapshot.count() // force nothing; count files:
+    val allFiles = {
+      val full = cat.getTable("t").snapshot
+      full.collect()
+      full.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    }
+    assert(total === 6L)
+    assert(scanned > 0 && scanned < allFiles,
+      s"pruning read $scanned of $allFiles files")
+  }
+
+  test("partition values are immutable per key: update guard + insert guard") {
+    val (cat, _) = fresh()
+    cat.createTable("t", "k", rows, partitionBy = Some("cat"))
+    // UPDATE may not assign the partition column — rejected before commit
+    val e1 = intercept[IllegalArgumentException](
+      cat.commit("t", Txn.empty.update(col("k") === 1L,
+        Map("cat" -> lit("z")))))
+    assert(e1.getMessage.contains("immutable"))
+    // an upsert INSERT moving a live key across partitions fails loud
+    import spark.implicits._
+    val e2 = intercept[Exception](
+      cat.commit("t", Txn.empty.insert(
+        Seq((1L, "b", 99L)).toDF("k", "cat", "v"))))
+    assert(e2.getMessage.contains("immutable") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("immutable"),
+      e2.getMessage)
+    // ...and a resurrect-into-another-partition too (tombstones count)
+    cat.commit("t", Txn.empty.delete(col("k") === 2L))
+    val e3 = intercept[Exception](
+      cat.commit("t", Txn.empty.insert(
+        Seq((2L, "c", 99L)).toDF("k", "cat", "v"))))
+    assert(e3.getMessage.contains("immutable") ||
+      e3.getCause != null && e3.getCause.getMessage.contains("immutable"))
+    // same-partition upsert and resurrect stay legal (reference semantics)
+    cat.commit("t", Txn.empty.insert(
+      Seq((1L, "a", 100L), (2L, "b", 21L)).toDF("k", "cat", "v")))
+    assert(m(cat.getTable("t").snapshot)(1L) === ("a", 100L))
+    assert(m(cat.getTable("t").snapshot)(2L) === ("b", 21L))
+  }
+
+  test("partition overwrite: delete+insert in ONE commit, time-travelable") {
+    val (cat, _) = fresh()
+    cat.createTable("t", "k", rows, partitionBy = Some("cat"))
+    import spark.implicits._
+    val verBefore = cat.getTable("t").currentVersion
+    // INSERT OVERWRITE PARTITION (cat='a'): one atomic commit
+    cat.commit("t", Txn.empty
+      .delete(col("cat") === "a")
+      .insert(Seq((10L, "a", 1000L), (11L, "a", 1100L)).toDF("k", "cat", "v")))
+    val after = cat.getTable("t")
+    assert(m(after.snapshot.where(col("cat") === "a")) ===
+      Map(10L -> ("a", 1000L), 11L -> ("a", 1100L)))
+    // the other partitions are untouched
+    assert(after.snapshot.where(col("cat") =!= "a").count() === 3L)
+    // the overwritten state is still addressable
+    assert(after.asOfVersion(verBefore).where(col("cat") === "a")
+      .count() === 3L)
+  }
+
+  test("structural guards: clone, zorder, drop/rename of the partition column") {
+    val (cat, _) = fresh()
+    cat.createTable("t", "k", rows, partitionBy = Some("cat"))
+    assert(intercept[IllegalArgumentException](
+      cat.cloneTable("t", "t2")).getMessage.contains("partitioned"))
+    assert(intercept[IllegalArgumentException](
+      cat.zorderTable("t", Seq("cat", "v"))).getMessage.contains("partitioned"))
+    assert(intercept[IllegalArgumentException](
+      cat.dropColumn("t", "cat")).getMessage.contains("partition"))
+    assert(intercept[IllegalArgumentException](
+      cat.renameColumn("t", "cat", "cat2")).getMessage.contains("partition"))
+    // partitioning by the key is a layout catastrophe — rejected at create
+    assert(intercept[IllegalArgumentException](
+      cat.createTable("t3", "k", rows, partitionBy = Some("k")))
+      .getMessage.contains("key"))
+  }
+
+  test("reopen from disk: partition metadata and pruning survive") {
+    val (cat, wh) = fresh()
+    cat.createTable("t", "k", rows, partitionBy = Some("cat"))
+    cat.commit("t", Txn.empty.update(col("k") === 3L, Map("v" -> lit(33L))))
+    val cat2 = new Catalog(spark, wh, autoCompact = false)
+    assert(cat2.partitionColOf("t") === Some("cat"))
+    assert(m(cat2.partitionSnapshot("t", "a")) ===
+      Map(1L -> ("a", 10L), 3L -> ("a", 33L), 6L -> ("a", 60L)))
+    // vacuum keeps the layout too
+    cat2.vacuum("t")
+    assert(m(cat2.partitionSnapshot("t", "a")) ===
+      Map(1L -> ("a", 10L), 3L -> ("a", 33L), 6L -> ("a", 60L)))
+  }
+
+  test("a bigint partition column round-trips type and values exactly") {
+    val (cat, _) = fresh()
+    import spark.implicits._
+    val r = Seq((1L, 202401L, 1.0), (2L, 202402L, 2.0), (3L, 202401L, 3.0))
+      .toDF("k", "month", "x")
+    cat.createTable("t", "k", r, partitionBy = Some("month"))
+    assert(cat.getTable("t").snapshot.schema("month").dataType.typeName === "long")
+    assert(cat.partitionSnapshot("t", "202401").count() === 2L)
+    assert(cat.partitionSnapshot("t", "202401").schema("month")
+      .dataType.typeName === "long")
+  }
+}

@@ -473,6 +473,47 @@ class GraftSqlSpec extends SparkSpec {
     assert(g.table("a").snapshot.where("status IN ('RW','CP')").count() === 2L)
   }
 
+  test("PARTITIONED BY + INSERT ... PARTITION: the SQL partition surface (r11)") {
+    val wh = Files.createTempDirectory("graft_sql_part_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    val g = new GraftSql(spark).attach(cat)
+    g.sql("""CREATE TABLE pt (k BIGINT, cat STRING, v BIGINT) USING graft
+            |OPTIONS ('key' = 'k') PARTITIONED BY (cat)""".stripMargin)
+    assert(cat.partitionColOf("pt") === Some("cat"))
+    g.sql("INSERT INTO pt VALUES (1, 'a', 10), (2, 'b', 20), (3, 'a', 30)")
+    // partition-scoped overwrite: only 'a' rows replaced
+    g.sql("INSERT OVERWRITE pt PARTITION (cat = 'a') SELECT 10, 100")
+    assert(g.sql("SELECT k, v FROM pt WHERE cat = 'a'").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((10L, 100L)))
+    assert(g.sql("SELECT v FROM pt WHERE cat = 'b'").head().getLong(0) === 20L)
+    // static-partition append fills the column
+    g.sql("INSERT INTO pt PARTITION (cat = 'c') SELECT 20, 200")
+    assert(g.sql("SELECT cat FROM pt WHERE k = 20").head().getString(0) === "c")
+    // guards: dynamic partition, wrong column, unpartitioned target,
+    // in-session partitioned create
+    assert(intercept[IllegalArgumentException](g.sql(
+      "INSERT OVERWRITE pt PARTITION (cat) SELECT 1, 'a', 1"))
+      .getMessage.contains("dynamic"))
+    assert(intercept[IllegalArgumentException](g.sql(
+      "INSERT INTO pt PARTITION (v = 5) SELECT 1, 'a'"))
+      .getMessage.contains("partitioned by 'cat'"))
+    g.sql("""CREATE TABLE flat (k BIGINT, v BIGINT) USING graft
+            |OPTIONS ('key' = 'k')""".stripMargin)
+    assert(intercept[IllegalArgumentException](g.sql(
+      "INSERT INTO flat PARTITION (v = 5) SELECT 1"))
+      .getMessage.contains("not partitioned"))
+    val g2 = new GraftSql(spark) // no attached catalog
+    assert(intercept[IllegalArgumentException](g2.sql(
+      """CREATE TABLE mem (k BIGINT, c STRING) USING graft
+        |OPTIONS ('key' = 'k') PARTITIONED BY (c)""".stripMargin))
+      .getMessage.contains("durable"))
+    // bucket/transform partitioning rejects loud
+    assert(intercept[IllegalArgumentException](g.sql(
+      """CREATE TABLE bt (k BIGINT, c STRING) USING graft
+        |OPTIONS ('key' = 'k') PARTITIONED BY (bucket(4, c))""".stripMargin))
+      .getMessage.contains("identity"))
+  }
+
   test("mid-transaction reads hold their value when evaluated AFTER commit " +
       "under cache invalidation (r11 — the driver-gate flake)") {
     val wh = Files.createTempDirectory("graft_sql_ryow_env_").toString
