@@ -1280,6 +1280,45 @@ final class Catalog(spark: SparkSession, warehouse: String,
     } }
 
   /**
+   * TIME-BASED retention (r11 — the Delta `VACUUM ... RETAIN n HOURS` /
+   * wall-clock rule): physically drop every version superseded at-or-
+   * before instant `ts`, keeping each key's state AS OF the bound plus
+   * all newer history. The instant resolves through the COMMIT LOG
+   * ([[commitAt]] entries — what `CALL graft.history` shows): the bound
+   * is the newest logged commit at-or-before `ts`, so retention and
+   * timestamp time travel share one clock. After the vacuum, deep
+   * relative-version reads CLAMP at the bound state (the ranked clamp —
+   * Delta's "time travel is bounded by retention"), and `asOfTimestamp`
+   * beyond the horizon fails LOUD (snapshots dropped + log re-stamped —
+   * never fabricates). A table with no logged commits has no clock to
+   * resolve against — loud error, use the count-based [[vacuum]].
+   */
+  def vacuumOlderThan(name: String, ts: Long): LineageTable =
+    lock(name).synchronized { withCommitMarker(name) {
+      val meta0 = readMeta(name)
+      require(meta0.commitVers.nonEmpty,
+        s"vacuumOlderThan: '$name' has no logged commits to resolve the " +
+          "instant against — commit with commitAt (wall-clock commits) " +
+          "or use the count-based vacuum(keep)")
+      val bound = meta0.commitVers.zip(meta0.commitTs)
+        .collect { case (v, t) if t <= ts => v }.sorted.lastOption
+        .getOrElse(0L)
+      // retention drops retained snapshots too — they hold FULL
+      // pre-rewrite history, and a retention pass that left them behind
+      // would not have dropped anything
+      val meta = dropSnapshots(name, meta0)
+      val t = getTable(name)
+      restampSwap(name, meta, rankByVerDesc(meta.key, t.retainedSince(bound)),
+        t.opSeq + depthBudget(meta.key, t.lineage), multiPossible = true)
+      // the instant-addressable history below the bound is GONE even if
+      // no snapshot ever existed — mark the horizon so a pre-bound
+      // asOfTimestamp fails loud instead of silently clamping to a
+      // state the caller's instant never saw
+      writeMeta(name, readMeta(name).copy(snapsDropped = true))
+      getTable(name)
+    } }
+
+  /**
    * Persist a hard purge (see [[LineageTable.purge]]) — right-to-be-
    * forgotten erasure of every version of matching keys, with version
    * addressing preserved for every other key. The surviving lineage is

@@ -454,6 +454,30 @@ final class LineageTable private (
       .drop("_kcnt")
   }
 
+  /** TIME-BASED retention core ([[Catalog.vacuumOlderThan]] — the Delta
+    * `VACUUM ... RETAIN n HOURS` shape over versioned lineage): keep
+    * every row stamped ABOVE `bound` (the newest logged commit at-or-
+    * before the retention instant) plus each key's newest row at-or-
+    * below it — the key's state AS OF the bound, which any read at-or-
+    * after the instant may still need; everything older is superseded
+    * history. The snapshot is invariant by construction (each key's
+    * newest row always survives); deep relative-version reads clamp at
+    * the bound state. Same lone-tombstone rule as [[retained]]: a key
+    * whose entire kept history is one tombstone is fully dead and goes
+    * entirely. Two windows over one key partitioning — one shuffle. */
+  private[core] def retainedSince(bound: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+    val byKeyOld = Window.partitionBy(col(keyCol), col("_old"))
+    lineage
+      .withColumn("_old", (col(VER) <= bound).cast("int"))
+      .withColumn("_rno", row_number().over(byKeyOld.orderBy(col(VER).desc)))
+      .where(col("_old") === 0 || col("_rno") === 1)
+      .drop("_old", "_rno")
+      .withColumn("_kcnt", count(lit(1)).over(byKey))
+      .where(!(col("_kcnt") === 1 && col(DEL) === 1))
+      .drop("_kcnt")
+  }
+
   /**
    * Hard purge (right-to-be-forgotten): physically remove EVERY version
    * of every key any of whose lineage rows matches `predicate` — unlike

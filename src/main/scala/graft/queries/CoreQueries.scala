@@ -1451,6 +1451,33 @@ object CoreQueries {
         .where(col("k").between(0L, 2000L))
     },
 
+    // TIME-BASED retention (r11, Catalog.vacuumOlderThan — the Delta
+    // `VACUUM ... RETAIN` rule on wall-clock commits): three logged
+    // commits at ts 1000/2000/3000, retention at 2500 resolves through
+    // the commit log to the ts-2000 commit — every version superseded
+    // at-or-before it is physically gone, the snapshot is invariant,
+    // and deep version addressing clamps at the RETENTION-BOUND state
+    // (the ts-2000 state), not base. Phase 'asof' differs from base
+    // exactly by commits 1+2; a wrong bound shifts both phases.
+    "ls_vacuum_time" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_vactime_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      cat.createTable("vt", "k", baseOrders(s, d))
+      cat.commitAt("vt", graft.core.Txn.empty.update(col("k") % 3 === 0,
+        Map("totalprice" -> (col("totalprice") + lit(10.0)))), 1000L)
+      cat.commitAt("vt", graft.core.Txn.empty.update(col("k") % 5 === 0,
+        Map("totalprice" -> (col("totalprice") + lit(100.0)))), 2000L)
+      cat.commitAt("vt", graft.core.Txn.empty
+        .delete(col("k") % 7 === 0), 3000L)
+      cat.vacuumOlderThan("vt", 2500L)
+      val t = cat.getTable("vt")
+      def agg(df: DataFrame, phase: String): DataFrame =
+        df.agg(count(lit(1)).as("n"),
+            sum(expr("CAST(ROUND(totalprice * 100) AS BIGINT)")).as("cents"))
+          .select(lit(phase).as("phase"), col("n"), col("cents"))
+      agg(t.snapshot, "snap").unionByName(agg(t.asOfRelative(-9), "asof"))
+    },
+
     "ls_evolve" -> { (s, d) =>
       // ADD COLUMN end to end: updated rows carry their set value, every
       // pre-evolve row (and version) reads null — read through a tail
@@ -2540,6 +2567,29 @@ object CoreQueries {
         |big AS (SELECT * FROM t WHERE totalprice > 100000.0)
         |SELECT status, COUNT(*) AS n, CAST(SUM(custkey) AS BIGINT) AS ck
         |FROM big GROUP BY status""".stripMargin,
+
+    // the retention bound resolves to the ts-2000 commit: 'snap' is the
+    // full replay, 'asof' is the replay through commit 2 only
+    "ls_vacuum_time" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |s1 AS (SELECT k, custkey, status,
+        |         CASE WHEN k % 3 = 0 THEN totalprice + 10.0
+        |              ELSE totalprice END AS totalprice FROM base),
+        |s2 AS (SELECT k, custkey, status,
+        |         CASE WHEN k % 5 = 0 THEN totalprice + 100.0
+        |              ELSE totalprice END AS totalprice FROM s1),
+        |s3 AS (SELECT * FROM s2 WHERE k % 7 <> 0)
+        |SELECT 'snap' AS phase, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM s3
+        |UNION ALL
+        |SELECT 'asof', COUNT(*),
+        |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM s2""".stripMargin,
 
     // sequential replay of the partition lifecycle: bulk load, the 'F'
     // partition overwritten by the halved+bumped rows, the 'Z' static

@@ -1032,7 +1032,8 @@ class GraftSql(val spark: SparkSession) {
     * ambiguous there — positional only). */
   private val procParams: Map[String, Seq[String]] = Map(
     "optimize" -> Seq("tbl"), "compact" -> Seq("tbl"),
-    "vacuum" -> Seq("tbl", "keep"), "purge" -> Seq("tbl", "predicate"),
+    "vacuum" -> Seq("tbl", "keep", "retain"),
+    "purge" -> Seq("tbl", "predicate"),
     "refresh_mview" -> Seq("view"),
     "create_mview" -> Seq("view", "src", "group_col", "sum_col",
       "min_col", "max_col"),
@@ -1131,8 +1132,19 @@ class GraftSql(val spark: SparkSession) {
         cat.saveCompacted(t, cat.getTable(t).compact)
         refreshView(str(0)); done
       case "vacuum" =>
-        arity(2); val (cat, t) = durableOf(str(0))
-        cat.vacuum(t, int(1)); refreshView(str(0)); done
+        // count-based: vacuum('t', 2). Time-based (r11, the Delta RETAIN
+        // shape): vacuum('t', retain => '2024-01-02 00:00:00') — the
+        // instant resolves through the commit log (Catalog
+        // .vacuumOlderThan); exactly one of the two forms
+        arityAtLeast(1); val (cat, t) = durableOf(str(0))
+        val keepOpt = argv.lift(1).flatten
+        val retainOpt = argv.lift(2).flatten
+        require(keepOpt.isDefined != retainOpt.isDefined,
+          "graft SQL CALL vacuum: provide exactly one of keep (count-" +
+            "based) or retain => '<wall-clock instant>' (time-based)")
+        if (keepOpt.isDefined) cat.vacuum(t, int(1))
+        else cat.vacuumOlderThan(t, wallClockMillis(str(2)))
+        refreshView(str(0)); done
       case "purge" =>
         arity(2); val (cat, t) = durableOf(str(0))
         cat.purge(t, rebased(Bridge.parseExpression(spark, str(1))))

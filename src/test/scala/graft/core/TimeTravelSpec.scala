@@ -165,4 +165,59 @@ class TimeTravelSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("retention horizon"))
   }
+
+  test("vacuumOlderThan: versions clamp at the retention bound, loud past it (r11)") {
+    val (cat, _) = freshCatalog()
+    cat.createTable("t", "k", base)
+    cat.commitAt("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(11L))),
+      ts = 1000L)
+    cat.commitAt("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(12L))),
+      ts = 2000L)
+    cat.commitAt("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(13L))),
+      ts = 3000L)
+    cat.commitAt("t", Txn.empty.delete(col("k") === 2L), ts = 4000L)
+    cat.vacuumOlderThan("t", 2500L)
+    val t = cat.getTable("t")
+    // the snapshot is invariant through retention
+    assert(t.snapshot.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 13L), (3L, 30L)))
+    // deep version addressing CLAMPS at the retention-bound state (the
+    // ts-2000 commit): v=12 for key 1, never the physically-gone 11 or 10;
+    // the deleted key 2 reads back at its bound state
+    val deep = t.asOfRelative(-99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(deep === Map(1L -> 12L, 2L -> 20L, 3L -> 30L))
+    // wall-clock travel past the horizon fails loud, never fabricates
+    val e = intercept[IllegalArgumentException](
+      cat.asOfTimestamp("t", 1500L).collect())
+    assert(e.getMessage.contains("retention horizon"))
+    // a table with no logged commits has no clock: loud error
+    val (cat2, _) = freshCatalog()
+    cat2.createTable("u", "k", base)
+    cat2.commit("u", Txn.empty.update(col("k") === 1L, Map("v" -> lit(1L))))
+    assert(intercept[IllegalArgumentException](
+      cat2.vacuumOlderThan("u", 99L)).getMessage.contains("no logged"))
+  }
+
+  test("CALL graft.vacuum(retain => ts) is the SQL spelling of time retention (r11)") {
+    val (cat, _) = freshCatalog()
+    cat.createTable("t", "k", base)
+    cat.commitAt("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(11L))),
+      ts = 1000L)
+    cat.commitAt("t", Txn.empty.update(col("k") === 1L, Map("v" -> lit(12L))),
+      ts = java.time.Instant.parse("2024-06-01T00:00:00Z").toEpochMilli)
+    val g = new graft.sql.GraftSql(spark).register("t", cat, "t")
+    g.sql("CALL graft.vacuum('t', retain => '2024-01-01 00:00:00')")
+    // the ts-1000 version is gone; the clamp lands on v=11 (the newest
+    // commit at-or-before the retained instant)
+    assert(cat.getTable("t").asOfRelative(-99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap ===
+      Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
+    // exactly one of keep/retain
+    assert(intercept[IllegalArgumentException](g.sql(
+      "CALL graft.vacuum('t', 2, retain => '2024-01-01 00:00:00')"))
+      .getMessage.contains("exactly one"))
+    assert(intercept[IllegalArgumentException](g.sql(
+      "CALL graft.vacuum('t')")).getMessage.contains("exactly one"))
+  }
 }
