@@ -2177,10 +2177,18 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * the fact (or its delta) is never exchanged for the join. */
   private def mvJoinDim(factRows: org.apache.spark.sql.DataFrame,
                         dt: LineageTable, fk: String,
-                        dimGroups: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val dimSlim = dt.snapshot
-      .select((dt.keyCol +: dimGroups).distinct.map(col): _*)
-      .withColumnRenamed(dt.keyCol, "_dimk")
+                        dimGroups: Seq[String]): org.apache.spark.sql.DataFrame =
+    mvJoinDimRows(factRows, dt.snapshot, dt.keyCol, fk, dimGroups)
+
+  /** [[mvJoinDim]] against caller-supplied dim rows — the Δdim refresh
+    * joins the SAME fact slice against the dim's old and new states. */
+  private def mvJoinDimRows(factRows: org.apache.spark.sql.DataFrame,
+                            dimRows: org.apache.spark.sql.DataFrame,
+                            dimKey: String, fk: String,
+                            dimGroups: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val dimSlim = dimRows
+      .select((dimKey +: dimGroups).distinct.map(col): _*)
+      .withColumnRenamed(dimKey, "_dimk")
     factRows.join(dimSlim, col(fk) === col("_dimk"), "inner").drop("_dimk")
   }
 
@@ -2336,18 +2344,54 @@ final class Catalog(spark: SparkSession, warehouse: String,
       val incremental = sameEpoch && lastLanded && dimUnchanged &&
         fromSeq >= srcMeta.tailFloor &&
         newSeq > fromSeq && readMeta(src).epoch == srcMeta.epoch
-      val txn =
-        if (!incremental)
-          Txn.empty.delete(lit(true)).insert(viewRows(st.snapshot))
-        else {
+      // Δdim incremental (r11, the remaining IVM axis): the FACT is
+      // unchanged but the DIM moved — a dim row's group attribute
+      // changed, a dim key appeared, or one was deleted. The classical
+      // "a dim update can touch every group" problem restricts to the
+      // candidates: only fact rows whose fk references a CHANGED dim key
+      // can change any group's contribution, so old/new contributions
+      // re-aggregate over that slice alone (broadcast semi-join on the
+      // changed dim keys — the minmax-rescan candidate machinery), and
+      // the shared full-outer delta merge below does the rest. Both
+      // sides moved → conservative full recompute, as before.
+      val dimIncremental = !incremental && dimState.exists { case (dt, dm) =>
+        sameEpoch && lastLanded && newSeq == fromSeq &&
+          dt.opSeq > vm.mvDimSeq && dm.epoch == vm.mvDimEpoch &&
+          vm.mvDimSeq >= dm.tailFloor &&
+          readMeta(vm.mvDim.get).epoch == dm.epoch
+      }
+      def pre(side: String)(d: org.apache.spark.sql.DataFrame) =
+        d.select(groups.map(g => col(g).as(s"_${side}_$g")) ++
+          (measures ++ extrema).map(m => col(m).as(s"_${side}_$m")): _*)
+      def sides: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+        if (incremental) {
           val keys = st.lineage
             .where(col(LineageTable.VER) > fromSeq)
             .select(col(st.keyCol).as("_match_key")).distinct()
-          def pre(side: String)(d: org.apache.spark.sql.DataFrame) =
-            d.select(groups.map(g => col(g).as(s"_${side}_$g")) ++
-              (measures ++ extrema).map(m => col(m).as(s"_${side}_$m")): _*)
-          val o = pre("o")(viewRows(st.asOfVersionKeys(fromSeq, keys)))
-          val n = pre("n")(viewRows(st.probeWithCandidates(keys, lit(true))))
+          (pre("o")(viewRows(st.asOfVersionKeys(fromSeq, keys))),
+           pre("n")(viewRows(st.probeWithCandidates(keys, lit(true)))))
+        } else {
+          val (dt, _) = dimState.get
+          val fk = vm.mvFk.get
+          val dKeys = dt.lineage
+            .where(col(LineageTable.VER) > vm.mvDimSeq)
+            .select(col(dt.keyCol).as("_match_key")).distinct()
+          // the affected fact slice: rows referencing a changed dim key
+          // (dim deltas are small — broadcast; the fact probe is a
+          // pushed semi-join, never a full re-aggregation)
+          val affFact = st.snapshot.join(broadcast(dKeys),
+            col(fk) <=> col("_match_key"), "left_semi")
+          def agg(dimRows: org.apache.spark.sql.DataFrame) =
+            mvAgg(mvJoinDimRows(affFact, dimRows, dt.keyCol, fk, dimGroups),
+              groups, sums, vm.mvMins, vm.mvMaxs)
+          (pre("o")(agg(dt.asOfVersionKeys(vm.mvDimSeq, dKeys))),
+           pre("n")(agg(dt.probeWithCandidates(dKeys, lit(true)))))
+        }
+      val txn =
+        if (!incremental && !dimIncremental)
+          Txn.empty.delete(lit(true)).insert(viewRows(st.snapshot))
+        else {
+          val (o, n) = sides
           // group-migrating updates contribute to BOTH sides of the full
           // outer join: minus on the old group, plus on the new one.
           // Composite groups join on every group column null-safely —

@@ -83,24 +83,63 @@ class JoinMviewSpec extends SparkSpec {
     assert(viewState(cat, "v") === recomputed(cat))
   }
 
-  test("a DIM change forces a full recompute — then incremental resumes") {
+  test("a DIM change maintains INCREMENTALLY: only affected groups touched (r11)") {
     val cat = fresh(); build(cat)
-    // rename a region: every east fact row re-groups; a delta from fact
-    // changes alone cannot express this
+    val rowsBefore = cat.getTable("v").lineage.count()
+    // rename a region: every east fact row re-groups — the Δdim path
+    // re-aggregates ONLY fact rows referencing the changed dim key
     cat.commit("d", Txn.empty
       .update(col("r") === 10L, Map("region" -> lit("northeast"))))
     cat.refreshMaterializedView("v")
     assert(viewState(cat, "v") ===
       Set(("northeast", 2L, 750L), ("west", 1L, 400L)))
     assert(viewState(cat, "v") === recomputed(cat))
-    // the dim vintage re-recorded: a fact-only change now refreshes
-    // differentially (one appended group row, not a rebuild)
-    val rowsBefore = cat.getTable("v").lineage.count()
+    // delta-cost pin: east emptied (one tombstone) + northeast inserted
+    // (one row) = 2 appended rows; a full recompute would rewrite west too
+    val appended = cat.getTable("v").lineage.count() - rowsBefore
+    assert(appended === 2L, s"Δdim must touch 2 group rows, got $appended")
+    val newVer = cat.getTable("v").currentVersion
+    assert(cat.getTable("v").lineage
+      .where(col(LineageTable.VER) === newVer && col("region") === "west")
+      .count() === 0L, "the untouched group must not be rewritten")
+    // the dim vintage re-recorded: a fact-only change refreshes
+    // differentially on top (one appended group row)
+    val rows2 = cat.getTable("v").lineage.count()
     cat.commit("f", Txn.empty
       .update(col("k") === 3L, Map("amount" -> lit(4.50))))
     cat.refreshMaterializedView("v")
-    assert(cat.getTable("v").lineage.count() - rowsBefore === 1L,
-      "post-dim-rebuild refresh must be differential again")
+    assert(cat.getTable("v").lineage.count() - rows2 === 1L,
+      "post-Δdim refresh must be differential again")
+    assert(viewState(cat, "v") === recomputed(cat))
+  }
+
+  test("Δdim covers membership too: dim insert adopts dangling fks, dim " +
+      "delete empties its group; fact+dim together fall back full (r11)") {
+    val cat = fresh(); build(cat)
+    // dim INSERT: fk 30 was dangling — its rows join in now
+    val before = cat.getTable("v").lineage.count()
+    cat.commit("d", Txn.empty.insert(Seq((30L, "south")).toDF("r", "region")))
+    cat.refreshMaterializedView("v")
+    assert(viewState(cat, "v") === recomputed(cat))
+    assert(viewState(cat, "v").exists(_._1 == "south"))
+    assert(cat.getTable("v").lineage.count() - before === 1L,
+      "dim insert must append only the adopted group")
+    // dim DELETE: west's only dim row goes — the group empties (DELETE arm)
+    cat.commit("d", Txn.empty.delete(col("r") === 20L))
+    cat.refreshMaterializedView("v")
+    assert(viewState(cat, "v") === recomputed(cat))
+    assert(!viewState(cat, "v").exists(_._1 == "west"))
+    // a dim change that touches no group attribute nets zero adjustments
+    cat.commit("d", Txn.empty.insert(Seq((40L, "nofacts")).toDF("r", "region")))
+    cat.refreshMaterializedView("v")
+    assert(viewState(cat, "v") === recomputed(cat))
+    // BOTH sides moved since the last refresh: conservative full
+    // recompute, still bit-equal
+    cat.commit("f", Txn.empty
+      .update(col("k") === 1L, Map("amount" -> lit(7.00))))
+    cat.commit("d", Txn.empty
+      .update(col("r") === 10L, Map("region" -> lit("e2"))))
+    cat.refreshMaterializedView("v")
     assert(viewState(cat, "v") === recomputed(cat))
   }
 
