@@ -421,21 +421,43 @@ final class Catalog(spark: SparkSession, warehouse: String,
     // column; an un-evolved table keeps the strict union as a corruption
     // guard.
     val evolved = isEvolved(meta)
+    // TYPE WIDENING ([[widenColumn]]): the base is uniform (written
+    // wholesale), so upcasting its narrow columns is one cast per
+    // widened column...
+    val baseW = meta.widenCols.zip(meta.widenTypes)
+      .foldLeft(base) { case (df, (c, t)) =>
+        if (df.columns.contains(c)) df.withColumn(c, col(c).cast(t)) else df }
     // an evolved table's tail can MIX pre- and post-evolve files; the
     // default parquet read infers the schema from ONE file (first in
     // listing order — random part-file UUIDs), which would silently drop
     // the added column's committed values whenever it sampled a pre-evolve
     // file. mergeSchema unions every footer's schema — O(tail files)
-    // metadata reads, no data scan.
+    // metadata reads, no data scan. ...the TAIL however can mix pre- and
+    // post-widen files for one column, which BOTH inference and
+    // mergeSchema reject — a widened table's tail reads under an
+    // EXPLICIT schema instead (the widened base schema + added columns),
+    // which parquet serves per file with native widening promotions
+    // (int32→bigint, float→double) and null-fills absent columns.
     val unioned =
       if (hasTail) {
         val tail0 =
-          if (evolved)
+          if (meta.widenCols.nonEmpty) {
+            val known = baseW.schema.fieldNames.toSet
+            val extra = meta.addedCols.zip(meta.addedTypes)
+              .filterNot { case (c, _) => known.contains(c) }
+              .map { case (c, t) =>
+                org.apache.spark.sql.types.StructField(
+                  c, org.apache.spark.sql.types.StructType
+                    .fromDDL(s"`$c` $t").head.dataType) }
+            spark.read.schema(org.apache.spark.sql.types.StructType(
+              baseW.schema.fields ++ extra)).parquet(tailDir.toString)
+          } else if (evolved)
             spark.read.option("mergeSchema", "true").parquet(tailDir.toString)
           else spark.read.parquet(tailDir.toString)
         val tail = tailFilter.fold(tail0)(tail0.where)
-        base.unionByName(tail, allowMissingColumns = evolved)
-      } else base
+        baseW.unionByName(tail,
+          allowMissingColumns = evolved || meta.widenCols.nonEmpty)
+      } else baseW
     // a column NO file carries yet exists only in metadata — materialize
     // it at its declared (physical) type; then map physical→logical
     // (renames) and normalize column order to the schema — the one
@@ -627,6 +649,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
       require(meta.partCol.isEmpty, s"cloneTable: '$src' is partitioned — " +
         "the flat file manifest cannot carry directory-partition values; " +
         "materialize a copy instead (CTAS)")
+      require(meta.widenCols.isEmpty, s"cloneTable: '$src' has pending " +
+        "type widenings — the manifest read cannot mix physical types; " +
+        "fold or compact first (a rewrite makes the files uniformly wide)")
       // frozen view: under src's lock no writer is mid-commit, so
       // base ∪ tail (or src's own manifest, for a clone of a clone) is
       // exactly src's current durable state
@@ -1148,7 +1173,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
       // post-compaction commits stamp from 1 again. The commit log resets
       // too — history collapsed, historical stamps are gone.
       writeMeta(name, meta.copy(opSeq = 0, multiVer = false, tailFloor = 0,
-        commitVers = Nil, commitTs = Nil, epoch = meta.epoch + 1))
+        commitVers = Nil, commitTs = Nil, epoch = meta.epoch + 1,
+        // every live file now carries the widened types — the mapping is
+        // vacuous and clearing it restores plain inferred reads
+        widenCols = Nil, widenTypes = Nil))
       rebuildProjections(name, meta)
     } }
 
@@ -1438,7 +1466,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
     fs.delete(cloneManifestPath(name), false)
     var m2 = meta.copy(opSeq = opSeqNew, multiVer = hasMulti,
       tailFloor = opSeqNew, commitVers = Nil, commitTs = Nil,
-      snaps = newSnaps, epoch = meta.epoch + 1)
+      snaps = newSnaps, epoch = meta.epoch + 1,
+      // post-swap the adopted base is uniformly wide (the staged write
+      // read through the widening casts); retained snapshot manifests
+      // keep the pre-rewrite widening for their own files
+      widenCols = Nil, widenTypes = Nil)
     writeMeta(name, m2)
     deleteRecursively(new Path(dir(name), "tail"))
     // retention expiry: meta first (a listed-but-deleted snapshot must
@@ -2734,6 +2766,62 @@ final class Catalog(spark: SparkSession, warehouse: String,
       getTable(name)
     } }
 
+  /** Legal widenings per source type — lossless numeric promotions only
+    * (every value of the narrow type is exactly representable in the
+    * wide one), the Delta type-widening table's integer/float rows. */
+  private val widenable: Map[String, Set[String]] = Map(
+    "tinyint" -> Set("smallint", "int", "bigint"),
+    "smallint" -> Set("int", "bigint"),
+    "int" -> Set("bigint"),
+    "float" -> Set("double"))
+
+  /**
+   * ALTER COLUMN TYPE — metadata-only type WIDENING (r11, completing
+   * the Delta column-mapping family after ADD/DROP/RENAME): int→bigint,
+   * float→double (and the smaller-int chains). No data file is touched:
+   * old files keep the narrow physical type and the read path upcasts
+   * them per file (an EXPLICIT-schema parquet read promotes
+   * int32→bigint / float→double natively — [[assembleTable]]), while
+   * every write from the first post-widen op on carries the wide type,
+   * so a tail can MIX pre- and post-widen files and still read as one
+   * frame. Narrowing and any lossy conversion are rejected loud. The
+   * key, the partition column, and indexed/layout columns widen too —
+   * the promotion is order-preserving, so layouts and probes survive —
+   * but the PARTITION column is rejected (its declared type is baked
+   * into directory-value semantics).
+   */
+  def widenColumn(name: String, column: String, tpe: String): LineageTable =
+    lock(name).synchronized { withCommitMarker(name) {
+      val meta = readMeta(name)
+      require(meta.columns.contains(column), s"$name has no column $column")
+      require(!meta.partCol.contains(column),
+        s"$name: $column is the partition column — its declared type is " +
+          "part of the directory layout, not evolvable")
+      val target = tpe.trim.toLowerCase
+      val current = getTable(name).snapshot.schema(column)
+        .dataType.simpleString
+      require(current != target,
+        s"$name.$column is already $target")
+      require(widenable.get(current).exists(_.contains(target)),
+        s"$name.$column: $current -> $target is not a lossless widening " +
+          s"(supported: ${widenable.map { case (f, ts) =>
+            s"$f -> ${ts.mkString("/")}" }.mkString("; ")})")
+      val phys = physOf(meta, column)
+      val wi = meta.widenCols.indexOf(phys)
+      val (wc, wt) =
+        if (wi >= 0) (meta.widenCols, meta.widenTypes.updated(wi, target))
+        else (meta.widenCols :+ phys, meta.widenTypes :+ target)
+      // an ADDED column's declared type must follow, or the
+      // null-materialization fill re-narrows it on tables whose files
+      // never carried the column
+      val ai = meta.addedCols.indexOf(phys)
+      val at = if (ai >= 0) meta.addedTypes.updated(ai, target)
+               else meta.addedTypes
+      writeMeta(name, meta.copy(widenCols = wc, widenTypes = wt,
+        addedTypes = at))
+      getTable(name)
+    } }
+
   /** Reject dropping/renaming a column something else addresses by name:
     * the key (structural), CHECK constraints, the physical layout
     * (index/projections/blooms — their maintenance and probes name the
@@ -3085,7 +3173,18 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * Sound because a key's partition value is
                             * IMMUTABLE ([[LineageTable]] write guards). */
                           partCol: Option[String] = None,
-                          partType: String = "")
+                          partType: String = "",
+                          /** TYPE WIDENING ([[widenColumn]], the Delta
+                            * type-widening shape, r11): PHYSICAL column
+                            * name → widened type, parallel seqs.
+                            * Metadata-only — old files keep their narrow
+                            * physical type and the reader upcasts
+                            * (explicit-schema parquet reads promote
+                            * int32→bigint / float→double per file);
+                            * writes use the widened type from the first
+                            * post-widen op on. */
+                          widenCols: Seq[String] = Nil,
+                          widenTypes: Seq[String] = Nil)
 
   // Metadata names are restricted to identifier characters at write time,
   // so the flat JSON below round-trips through the regex reader with no
@@ -3181,7 +3280,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
       s""""part_col": ${m.partCol.map(v => "\"" + checked(v) + "\"")
         .getOrElse("null")}, """ +
       s""""part_type": ${if (m.partType.isEmpty) "null"
-        else "\"" + checked(m.partType) + "\""}}"""
+        else "\"" + checked(m.partType) + "\""}, """ +
+      s""""widen_cols": [${m.widenCols.map(c => "\"" + checked(c) + "\"")
+        .mkString(", ")}], """ +
+      s""""widen_types": [${m.widenTypes.map(t => "\"" + checked(t) + "\"")
+        .mkString(", ")}]}"""
   }
 
   private def readMeta(name: String): Meta = {
@@ -3287,7 +3390,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
       "\"part_col\"\\s*:\\s*\"([^\"]+)\"".r
         .findFirstMatchIn(json).map(_.group(1)),
       "\"part_type\"\\s*:\\s*\"([^\"]+)\"".r
-        .findFirstMatchIn(json).map(_.group(1)).getOrElse(""))
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse(""),
+      strList("widen_cols"), strList("widen_types"))
   }
 
   // Crash recovery on open — the reference's Database.open contract. At

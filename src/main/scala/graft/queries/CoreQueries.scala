@@ -1478,6 +1478,36 @@ object CoreQueries {
       agg(t.snapshot, "snap").unionByName(agg(t.asOfRelative(-9), "asof"))
     },
 
+    // ALTER COLUMN TYPE widening end to end (r11, Catalog.widenColumn —
+    // the remaining Delta column-mapping member after ADD/DROP/RENAME):
+    // an int/float table takes a pre-widen commit (narrow tail files),
+    // widens qty→bigint and price→double METADATA-ONLY, then a
+    // post-widen commit pushes qty past int range — the SAME tail now
+    // mixes int32 and int64 files for one column, read back as one
+    // frame (explicit-schema parquet reads promote per file). The
+    // oracle replays with the same narrow→wide casts; values past 2^31
+    // prove the widening is real, not a display cast.
+    "ls_evolve_widen" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_widen_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      val base = baseOrders(s, d).select(col("k"), col("custkey"),
+        (col("custkey") % 1000).cast("int").as("qty"),
+        col("totalprice").cast("float").as("price"))
+      cat.createTable("wt", "k", base)
+      cat.commit("wt", graft.core.Txn.empty.update(col("k") % 3 === 0,
+        Map("qty" -> (col("qty") + lit(1)),
+            "price" -> (col("price") + lit(0.5f)))))
+      cat.widenColumn("wt", "qty", "bigint")
+      cat.widenColumn("wt", "price", "double")
+      cat.commit("wt", graft.core.Txn.empty.update(col("k") % 5 === 0,
+        Map("qty" -> (col("qty") + lit(4000000000L)))))
+      cat.getTable("wt").snapshot
+        .groupBy((col("custkey") % 7).as("g"))
+        .agg(sum(col("qty")).as("qty_sum"),
+          sum(expr("CAST(ROUND(price * 100) AS BIGINT)")).as("cents"),
+          count(lit(1)).as("n"))
+    },
+
     "ls_evolve" -> { (s, d) =>
       // ADD COLUMN end to end: updated rows carry their set value, every
       // pre-evolve row (and version) reads null — read through a tail
@@ -2567,6 +2597,31 @@ object CoreQueries {
         |big AS (SELECT * FROM t WHERE totalprice > 100000.0)
         |SELECT status, COUNT(*) AS n, CAST(SUM(custkey) AS BIGINT) AS ck
         |FROM big GROUP BY status""".stripMargin,
+
+    // narrow→wide replay: float32 arithmetic where the engine ran
+    // float32 (the pre-widen update), exact upcasts after
+    "ls_evolve_widen" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         CAST(o_custkey % 1000 AS INTEGER) AS qty,
+        |         CAST(o_totalprice AS REAL) AS price
+        |  FROM orders),
+        |s1 AS (SELECT k, custkey,
+        |         CASE WHEN k % 3 = 0 THEN qty + 1 ELSE qty END AS qty0,
+        |         CASE WHEN k % 3 = 0
+        |              THEN CAST(price + CAST(0.5 AS REAL) AS REAL)
+        |              ELSE price END AS price
+        |       FROM base),
+        |s2 AS (SELECT k, custkey,
+        |         CAST(CASE WHEN k % 5 = 0 THEN qty0 + 4000000000
+        |              ELSE qty0 END AS BIGINT) AS qty,
+        |         CAST(price AS DOUBLE) AS price
+        |       FROM s1)
+        |SELECT custkey % 7 AS g, CAST(SUM(qty) AS BIGINT) AS qty_sum,
+        |       CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents,
+        |       COUNT(*) AS n
+        |FROM s2 GROUP BY 1""".stripMargin,
 
     // the retention bound resolves to the ts-2000 commit: 'snap' is the
     // full replay, 'asof' is the replay through commit 2 only

@@ -316,6 +316,24 @@ class GraftSql(val spark: SparkSession) {
       runCreate(createName(cas.name), cas.ignoreIfExists,
         specOptions(cas.tableSpec), Right(cas.query),
         partitionColOf(cas.partitioning))
+    // ALTER TABLE ... ALTER COLUMN c TYPE t — metadata-only type
+    // WIDENING (r11, Catalog.widenColumn); comments/positions/defaults
+    // and narrowing reject loud
+    case a: AlterColumns if targetOf(a.table).exists(isRegistered) =>
+      noTxn("ALTER TABLE")
+      val name = targetOf(a.table).get
+      val cat = durableCat(name, "ALTER COLUMN")
+      a.specs.foreach { spec =>
+        require(spec.newDataType.isDefined && spec.newNullability.isEmpty &&
+          spec.newComment.isEmpty && spec.newPosition.isEmpty &&
+          spec.newDefaultExpression.isEmpty,
+          "graft SQL ALTER COLUMN: only TYPE <widening> is supported")
+        require(spec.column.name.length == 1, "graft SQL ALTER COLUMN: " +
+          s"nested fields are not supported (${spec.column.name.mkString(".")})")
+        cat._1.widenColumn(cat._2, spec.column.name.head,
+          spec.newDataType.get.simpleString)
+      }
+      refreshView(name); spark.emptyDataFrame
     case r: RenameColumn if targetOf(r.table).exists(isRegistered) =>
       noTxn("ALTER TABLE")
       val name = targetOf(r.table).get

@@ -233,4 +233,69 @@ class EvolveSpec extends SparkSpec {
     cat.vacuum("t", keep = 1)
     assert(rows(cat.getTable("t").snapshot) === Set(Seq(1L, 10L, "x")))
   }
+
+  test("ALTER COLUMN TYPE widening: mixed-vintage tail, reopen, rewrite (r11)") {
+    import spark.implicits._
+    val (cat, wh) = freshCat(autoCompact = false)
+    cat.createTable("w", "k",
+      Seq((1L, 1, 1.5f), (2L, 2, 2.5f)).toDF("k", "qty", "price"))
+    // pre-widen tail files carry int/float
+    cat.commit("w", Txn.empty.update(col("k") === 1L,
+      Map("qty" -> lit(10), "price" -> lit(10.5f))))
+    cat.widenColumn("w", "qty", "bigint")
+    cat.widenColumn("w", "price", "double")
+    val t = cat.getTable("w")
+    assert(t.snapshot.schema("qty").dataType.typeName === "long")
+    assert(t.snapshot.schema("price").dataType.typeName === "double")
+    // post-widen writes land wide INTO THE SAME TAIL — mixed vintages
+    cat.commit("w", Txn.empty.insert(
+      Seq((3L, 3000000000L, 3.25)).toDF("k", "qty", "price")))
+    cat.commit("w", Txn.empty.update(col("k") === 2L,
+      Map("qty" -> (col("qty") + lit(1L)))))
+    def state(c: Catalog) = c.getTable("w").snapshot.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = Seq((1L, 10L, 10.5), (2L, 3L, 2.5), (3L, 3000000000L, 3.25))
+    assert(state(cat) === want)
+    // reopen from disk: the widening lives in metadata
+    val cat2 = new Catalog(spark, wh, autoCompact = false)
+    assert(state(cat2) === want)
+    assert(cat2.getTable("w").snapshot.schema("qty").dataType.typeName === "long")
+    // a physical rewrite makes every file wide and clears the mapping;
+    // values and schema are unchanged
+    cat2.foldTail("w")
+    assert(state(cat2) === want)
+    // versioned reads survive the widening too
+    assert(cat2.getTable("w").asOfRelative(-9).where(col("k") === 1L)
+      .head().getLong(1) === 1L)
+    // guards: narrowing, lossy, unknown column, partition column
+    assert(intercept[IllegalArgumentException](
+      cat2.widenColumn("w", "qty", "int")).getMessage.contains("widening"))
+    assert(intercept[IllegalArgumentException](
+      cat2.widenColumn("w", "price", "float")).getMessage.contains("widening"))
+    intercept[IllegalArgumentException](cat2.widenColumn("w", "nope", "bigint"))
+    val (cat3, _) = freshCat(autoCompact = false)
+    cat3.createTable("p", "k",
+      Seq((1L, 5, "a")).toDF("k", "v", "c"), partitionBy = Some("c"))
+    intercept[IllegalArgumentException](cat3.widenColumn("p", "c", "bigint"))
+    // ...but a non-partition column of a partitioned table widens fine
+    cat3.widenColumn("p", "v", "bigint")
+    cat3.commit("p", Txn.empty.insert(Seq((2L, 7L, "a")).toDF("k", "v", "c")))
+    assert(cat3.partitionSnapshot("p", "a").orderBy("k").collect()
+      .map(_.getLong(1)).toSeq === Seq(5L, 7L))
+  }
+
+  test("SQL: ALTER TABLE ALTER COLUMN TYPE routes to widenColumn (r11)") {
+    import spark.implicits._
+    val (cat, _) = freshCat(autoCompact = false)
+    cat.createTable("w", "k", Seq((1L, 5)).toDF("k", "qty"))
+    val g = new graft.sql.GraftSql(spark).register("w", cat, "w")
+    g.sql("ALTER TABLE w ALTER COLUMN qty TYPE BIGINT")
+    assert(g.sql("SELECT qty FROM w").schema("qty").dataType.typeName === "long")
+    g.sql("INSERT INTO w VALUES (2, 4000000000)")
+    assert(g.sql("SELECT sum(qty) AS s FROM w").head().getLong(0) === 4000000005L)
+    // narrowing through SQL is loud too
+    assert(intercept[IllegalArgumentException](
+      g.sql("ALTER TABLE w ALTER COLUMN qty TYPE INT"))
+      .getMessage.contains("widening"))
+  }
 }
