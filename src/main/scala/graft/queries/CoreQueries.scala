@@ -1707,6 +1707,26 @@ object CoreQueries {
           sum(expr("CAST(ROUND(totalprice * 100) AS BIGINT)")).as("cents"))
     },
 
+    // The SQL spelling of the pruned partition probe (r11, GraftSql
+    // .routeToPartition): `WHERE status = 'O'` over a registered
+    // partitioned table substitutes the directory-pruned scan — SQL
+    // users get partition pruning without knowing the API exists; the
+    // remaining conjuncts stay applied above the substituted scan.
+    "q_partition_route" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_partroute_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      cat.createTable("pr", "k", baseOrders(s, d),
+        partitionBy = Some("status"))
+      cat.commit("pr", graft.core.Txn.empty
+        .update(col("k") % 9 === 0,
+          Map("totalprice" -> (col("totalprice") + lit(3.0)))))
+      val g = new graft.sql.GraftSql(s).register("pr", cat, "pr")
+      g.sql("""SELECT custkey % 5 AS g, count(*) AS n,
+              |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS cents
+              |FROM pr WHERE status = 'O' AND k % 2 = 1
+              |GROUP BY custkey % 5""".stripMargin)
+    },
+
     // ALTER TABLE RENAME TO end to end (r9, Catalog.renameTable): a
     // durable table accumulates history, is renamed — ONE atomic
     // directory rename, zero data I/O at any table size (every
@@ -2667,6 +2687,22 @@ object CoreQueries {
         |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
         |         AS cents
         |FROM final GROUP BY status""".stripMargin,
+
+    // the routed SQL read must equal the filtered replay exactly
+    "q_partition_route" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |s1 AS (SELECT k, custkey, status,
+        |         CASE WHEN k % 9 = 0 THEN totalprice + 3.0
+        |              ELSE totalprice END AS totalprice
+        |       FROM base)
+        |SELECT custkey % 5 AS g, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM s1 WHERE status = 'O' AND k % 2 = 1
+        |GROUP BY 1""".stripMargin,
 
     // the pruned partition must hold exactly the filtered post-DML state
     "q_partition_prune" ->

@@ -1602,14 +1602,16 @@ object OlapQueries {
         .orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = parts.withColumn("lcw", sum(col("w")).over(wLocal))
-      // the partition-group's weight total IS its LAST running weight.
-      // Plan note: the offsets subtree re-evaluates its input (the
-      // join's null-filters de-canonicalize the exchanges, so reuse
-      // can't fire) — harmless now that the input is the COLLAPSED
-      // (g, v) table; the fact itself is scanned once per consumer
-      // through a map-combined aggregate, never range-sorted.
-      val hist = local.groupBy(col("pid"), col("g"))
-        .agg(max(col("lcw")).as("pw"))
+      // partition-group weight totals need NO window — one map-combined
+      // aggregate over the (checkpointed-in-withBucket) collapsed table.
+      // r11: the r10 form read them off the running window's maxima,
+      // making `local` a two-consumer subtree whose exchanges the join's
+      // null-filters de-canonicalize out of reuse — the window ran twice
+      // (and pinning the running table instead cost MORE: |distinct
+      // cents| rows materialized to the block store, measured +3s at
+      // 1000×). Totals-from-parts leaves the window single-consumer.
+      val hist = parts.groupBy(col("pid"), col("g"))
+        .agg(sum(col("w")).as("pw"))
       val wOff = Window.partitionBy(col("g")).orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offs = hist
@@ -2232,6 +2234,12 @@ object OlapQueries {
     // values| rows instead of re-scanning the fact (measured at 1000x:
     // q_wmedian 29.5s -> re-benched after this change; the r9 form paid
     // the same double scan for its min/max agg).
+    // deserialized default on purpose: the A/B at 1000× (q_wmedian,
+    // whose "collapsed" domain stays fact-scale) measured
+    // MEMORY_AND_DISK_SER at +16% — with memory to hold the blocks,
+    // per-branch re-read deserialization costs more than the heap
+    // footprint saves (contrast LineageTable.checkpointed, where the
+    // pinned frame OOMed as live objects)
     val d = df.localCheckpoint()
     val w = d.groupBy(col(value)).agg(count(lit(1)).as("_w"))
       .withColumn("_h", xxhash64(col(value)))
@@ -2328,9 +2336,11 @@ object OlapQueries {
       .orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parts.withColumn("lcc", sum(col("cnt")).over(wLocal))
-    // the partition-group's count total is its LAST running count
-    val hist = local.groupBy(col("pid"), col(group))
-      .agg(max(col("lcc")).as("pc"))
+    // partition-group count totals from the collapsed table directly —
+    // no window, so `local` stays single-consumer (the q_wmedian r11
+    // restructure; the r10 running-maxima read ran the window twice)
+    val hist = parts.groupBy(col("pid"), col(group))
+      .agg(sum(col("cnt")).as("pc"))
     val wOff = Window.partitionBy(col(group)).orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = hist

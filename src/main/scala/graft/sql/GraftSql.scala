@@ -465,8 +465,73 @@ class GraftSql(val spark: SparkSession) {
         // writes overlay — serve aggregates from the overlay views, never
         // the mview, until COMMIT lands (then routing resumes)
         .orElse(if (openTxn.exists(_.nonEmpty)) None else routeToView(q))
+        // a filter pinning a PARTITIONED table's partition column to a
+        // literal substitutes the directory-pruned scan (r11) — SQL
+        // users get partition pruning without knowing the API exists
+        .orElse(if (openTxn.exists(_.nonEmpty)) None else routeToPartition(q))
         .orElse(expanded.map(Bridge.ofRows(spark, _)))
         .getOrElse(spark.sql(statement))
+  }
+
+  /** Substitute the DIRECTORY-PRUNED partition read (r11, [[Catalog
+    * .partitionSnapshot]]) under any Filter that pins a registered
+    * PARTITIONED durable table's partition column to a literal
+    * (`WHERE p = 'v' AND ...` — the equality may sit among other
+    * conjuncts, which stay applied above, so the rewrite is pure scan
+    * substitution: the pruned set IS exactly the partition). Literals
+    * beyond strings/integrals are skipped (their cast-to-string forms
+    * are engine-sensitive); staged-transaction reads never reach here
+    * (the RYOW overlay must win). */
+  private def routeToPartition(p: LogicalPlan): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Literal}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def canonical(l: Literal): Option[String] = l.value match {
+      case null => None
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case v: Byte => Some(v.toString)
+      case v: Short => Some(v.toString)
+      case v: Int => Some(v.toString)
+      case v: Long => Some(v.toString)
+      case _ => None
+    }
+    def partOf(name: String): Option[String] =
+      durable.get(name).flatMap { case (c, t) => c.partitionColOf(t) }
+    var hit = false
+    def prune(name: String, alias: String, cond: Expression,
+              child: LogicalPlan): LogicalPlan = {
+      val pcol = partOf(name).get
+      def refsPart(a: UnresolvedAttribute): Boolean =
+        a.nameParts.last.equalsIgnoreCase(pcol) &&
+          (a.nameParts.length == 1 ||
+            a.nameParts.init.last.equalsIgnoreCase(alias))
+      conjuncts(cond).collectFirst {
+        case EqualTo(a: UnresolvedAttribute, l: Literal) if refsPart(a) => l
+        case EqualTo(l: Literal, a: UnresolvedAttribute) if refsPart(a) => l
+      }.flatMap(canonical) match {
+        case Some(v) =>
+          hit = true
+          val (cat, tbl) = durable(name)
+          SubqueryAlias(alias, Bridge.planOf(cat.partitionSnapshot(tbl, v)))
+        case None => child
+      }
+    }
+    val out = p.transformUpWithSubqueries {
+      case f @ Filter(cond, r: UnresolvedRelation)
+          if r.multipartIdentifier.length == 1 &&
+            partOf(r.multipartIdentifier.head).isDefined =>
+        val n = r.multipartIdentifier.head
+        Filter(cond, prune(n, n, cond, r))
+      case f @ Filter(cond, SubqueryAlias(id, r: UnresolvedRelation))
+          if r.multipartIdentifier.length == 1 &&
+            partOf(r.multipartIdentifier.head).isDefined =>
+        Filter(cond,
+          prune(r.multipartIdentifier.head, id.name, cond,
+            SubqueryAlias(id, r)))
+    }
+    if (hit) Some(Bridge.ofRows(spark, out)) else None
   }
 
   /** Substitute DURABLE VIEW references (attached-catalog stored SQL

@@ -514,6 +514,43 @@ class GraftSqlSpec extends SparkSpec {
       .getMessage.contains("identity"))
   }
 
+  test("WHERE partcol = literal routes SQL reads onto the pruned scan (r11)") {
+    val wh = Files.createTempDirectory("graft_sql_proute_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    import org.apache.spark.sql.functions.lit
+    cat.createTable("pr", "k",
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L), (4L, "c", 40L))
+        .toDF("k", "cat", "v"),
+      partitionBy = Some("cat"))
+    cat.commit("pr", graft.core.Txn.empty.update(
+      org.apache.spark.sql.functions.col("k") === 1L, Map("v" -> lit(11L))))
+    val g = new GraftSql(spark).register("pr", cat, "pr")
+    val routed = g.sql("SELECT k, v FROM pr WHERE cat = 'a' AND v > 5")
+    assert(routed.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq === Seq((1L, 11L), (3L, 30L)))
+    // the plan carries the directory filter — proof the pruned scan won
+    routed.collect()
+    def pruned(df: org.apache.spark.sql.DataFrame): Boolean =
+      "_pd#\\d+ = pa".r.findFirstIn(
+        df.queryExecution.executedPlan.toString).isDefined
+    assert(pruned(routed), "SQL read did not route onto the pruned scan")
+    // aliased + qualified spelling routes too
+    val aliased = g.sql("SELECT t.v FROM pr AS t WHERE t.cat = 'a'")
+    assert(aliased.collect().map(_.getLong(0)).toSet === Set(11L, 30L))
+    assert(pruned(aliased))
+    // a non-literal or non-partition filter falls through to the view
+    val direct = g.sql("SELECT v FROM pr WHERE v = 20")
+    assert(direct.head().getLong(0) === 20L)
+    assert(!pruned(direct))
+    // inside a transaction with staged writes the RYOW overlay wins —
+    // the staged update must be visible, never the stale pruned scan
+    g.sql("BEGIN")
+    g.sql("UPDATE pr SET v = 99 WHERE k = 3")
+    assert(g.sql("SELECT v FROM pr WHERE cat = 'a' AND k = 3")
+      .head().getLong(0) === 99L)
+    g.sql("ROLLBACK")
+  }
+
   test("mid-transaction reads hold their value when evaluated AFTER commit " +
       "under cache invalidation (r11 — the driver-gate flake)") {
     val wh = Files.createTempDirectory("graft_sql_ryow_env_").toString
