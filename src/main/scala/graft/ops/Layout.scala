@@ -28,7 +28,15 @@ object Layout {
     val loc = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
-    df.write.mode("overwrite")
+    // ONE FILE PER BUCKET: repartition by the key to the bucket count
+    // first (the same murmur3 hash bucketBy assigns with, so each task
+    // holds exactly one bucket's rows). Multi-file buckets make Spark
+    // distrust the written sortBy order and re-SORT the bucketed side
+    // of every join — at 1.17B standing edges that re-sort WAS the
+    // per-round cost (r11, measured on q_pagerank). One build-time
+    // shuffle buys sorted zero-exchange probes forever after.
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
