@@ -1576,56 +1576,32 @@ object OlapQueries {
                 col("n_parts"))
     },
 
-    // WEIGHTED MEDIAN (r9): the quantity-weighted median price per
-    // returnflag — "the price the median UNIT shipped at", not the
-    // median line. The q_percentile machinery generalized from row
-    // ranks to CUMULATIVE WEIGHTS: range partitions in (group, value)
-    // order, per-partition running weight, broadcast per-partition
-    // weight offsets; the answer is the unique row whose cumulative
-    // interval (cw−w, cw] contains the threshold t = ⌈W/2⌉ — exact
-    // integers end to end (rows with equal values can land in any
-    // order: whichever one crosses, the OUTPUT value is the same).
+    // WEIGHTED MEDIAN (r9; r11 one-scan bracket form): the quantity-
+    // weighted median price per returnflag — "the price the median
+    // UNIT shipped at", not the median line. ops/WeightedMedian: the
+    // collapse-first rank machinery moved ~|lineitem| rows here (the
+    // price domain is near-unique — no collapse; 20.2s at 1000× vs
+    // q_mad's 11s) and a naive exact-histogram bracket pays TWO full
+    // scans (measured 9.5s vs 4.7s at 100× — scans dominate). Instead:
+    // a deterministic BLOCK sample (the lexicographically-first part
+    // files, ~3%) estimates a ±10%-quantile-margin bracket, ONE full
+    // scan clamps values to the bracket and collapses map-combined
+    // (out-of-bracket weight folds into two sentinel rows whose
+    // running weight IS the offset), and a sentinel crossing triggers
+    // the loud per-group full-range retry — exact for ANY sample.
     "q_wmedian" -> { (s, d) =>
-      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-      // equal values collapse FIRST (map-combined): the range exchange
-      // and windows then move |distinct (group, value)| rows, never
-      // |lineitem| — the rankValue scale upgrade applied to weights
-      // (the 1000× fixture measured the uncollapsed form at 219s: a
-      // 600M-row double range sort; see BENCH_SCALE1000 protocol)
-      val l = Tables(s, d, "lineitem")
-        .select(col("l_returnflag").as("g"),
-                Exact.cents(col("l_extendedprice")).as("v"),
-                round(col("l_quantity")).cast("long").as("w"))
-        .groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
-      val parts = withBucket(l, "v", nPart)
-      val wLocal = Window.partitionBy(col("pid"), col("g"))
-        .orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = parts.withColumn("lcw", sum(col("w")).over(wLocal))
-      // partition-group weight totals need NO window — one map-combined
-      // aggregate over the (checkpointed-in-withBucket) collapsed table.
-      // r11: the r10 form read them off the running window's maxima,
-      // making `local` a two-consumer subtree whose exchanges the join's
-      // null-filters de-canonicalize out of reuse — the window ran twice
-      // (and pinning the running table instead cost MORE: |distinct
-      // cents| rows materialized to the block store, measured +3s at
-      // 1000×). Totals-from-parts leaves the window single-consumer.
-      val hist = parts.groupBy(col("pid"), col("g"))
-        .agg(sum(col("w")).as("pw"))
-      val wOff = Window.partitionBy(col("g")).orderBy(col("pid"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = hist
-        .withColumn("off", coalesce(sum(col("pw")).over(wOff), lit(0L)))
-        .withColumn("tw",
-          sum(col("pw")).over(Window.partitionBy(col("g"))))
-        .select(col("pid").as("opid"), col("g").as("og"),
-                col("off"), col("tw"))
-      local
-        .join(broadcast(offs),
-          col("pid") === col("opid") && col("g") === col("og"))
-        .withColumn("cw", col("lcw") + col("off"))
-        .withColumn("t", expr("(tw + 1) div 2"))
-        .where(col("cw") >= col("t") && col("cw") - col("w") < col("t"))
+      def slim(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("l_returnflag").as("g"),
+                  Exact.cents(col("l_extendedprice")).as("v"),
+                  round(col("l_quantity")).cast("long").as("w"))
+      val full = slim(Tables(s, d, "lineitem"))
+      // margin ±2% of weight: a ~3% block sample's quantile error is
+      // ~0.1% on this corpus — 2% is a 20× safety factor, and every
+      // extra margin point is ~100k more distinct in-bracket cents the
+      // exact pass must collapse and sort (±10% measured 6.2s vs 3.9s
+      // at 100×); a genuinely unlucky sample only costs the loud retry
+      graft.ops.WeightedMedian
+        .perGroup(full, slim(blockSample(s, d, "lineitem")), marginPct = 2)
         .select(col("g").as("l_returnflag"),
           expr("CAST(v AS DOUBLE) / 100.0").as("wmedian"),
           col("tw").as("total_w"))
@@ -2158,6 +2134,25 @@ object OlapQueries {
           struct(col("b").as("src"), col("a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
     }, s, s"graft_trade_edges_${java.lang.Integer.toHexString(d.hashCode)}")
+
+  /** Deterministic BLOCK sample of a driver table: the lexicographically
+    * first ~3% of its parquet part files (min 1; the whole table when it
+    * ships as a single file — small SFs). Row-level sampling would scan
+    * every file for the same estimate; reading a file subset is the only
+    * sample that actually saves I/O, and the sorted listing makes it a
+    * pure function of the corpus (re-evaluation-safe, like withBucket's
+    * KMV boundaries). Callers own the bias story: estimation-only uses
+    * with an exact verify/retry downstream (ops/WeightedMedian). */
+  private def blockSample(s: SparkSession, d: String, name: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.getFileStatus(p).isFile) Array(p.toString)
+      else fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    Tables.normalizeEventTime(
+      s.read.parquet(files.take(math.max(1, files.length / 32)): _*))
+  }
 
   /** The Bollinger band finale shared by q_bollinger/stream_bollinger,
     * over per-window (tgt, member x) rows. The variance NUMERATOR
