@@ -1685,6 +1685,43 @@ object CoreQueries {
               |FROM part_t GROUP BY status""".stripMargin)
     },
 
+    // DYNAMIC partition overwrite (r11, GraftSql.runInsert under
+    // spark.sql.sources.partitionOverwriteMode=dynamic — Spark's own
+    // conf and contract): INSERT OVERWRITE with NO partition clause
+    // replaces exactly the partitions the incoming rows touch ('F' and
+    // 'O' here), leaves 'P' untouched, lands as ONE atomic versioned
+    // commit — and the pre-overwrite state stays time-travelable
+    // (VERSION AS OF proves both vintages). Static mode (the default)
+    // keeps ANSI truncate-all; the conf is restored either way.
+    "sql_partition_dynamic" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_sqlpdyn_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      val g = new graft.sql.GraftSql(s).attach(cat)
+      baseOrders(s, d).createOrReplaceTempView("sqlpdyn_src")
+      g.sql("""CREATE TABLE pdyn_t (k BIGINT, custkey BIGINT,
+              |status STRING, totalprice DOUBLE) USING graft
+              |OPTIONS ('key' = 'k') PARTITIONED BY (status)""".stripMargin)
+      g.sql("""INSERT INTO pdyn_t SELECT k, custkey, status, totalprice
+              |FROM sqlpdyn_src""".stripMargin)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode",
+        "static")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        g.sql("""INSERT OVERWRITE pdyn_t
+                |SELECT k, custkey, status, totalprice * 2.0
+                |FROM sqlpdyn_src
+                |WHERE status IN ('F', 'O') AND k % 3 = 0""".stripMargin)
+      } finally
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      g.sql("""SELECT 'now' AS phase, status, count(*) AS n,
+              |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS cents
+              |FROM pdyn_t GROUP BY status
+              |UNION ALL
+              |SELECT 'was', status, count(*),
+              |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT))
+              |FROM pdyn_t VERSION AS OF 1 GROUP BY status""".stripMargin)
+    },
+
     // Directory-pruned partition probe (r11, Catalog.partitionSnapshot):
     // the partition restriction lands BELOW the snapshot window — the
     // base scan plans only `_pd=pO/` (PartitionFilters, whole files
@@ -2687,6 +2724,26 @@ object CoreQueries {
         |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
         |         AS cents
         |FROM final GROUP BY status""".stripMargin,
+
+    // dynamic overwrite replaced exactly the F and O partitions; 'was'
+    // is the pre-overwrite bulk state read back through VERSION AS OF
+    "sql_partition_dynamic" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |repl AS (SELECT k, custkey, status, totalprice * 2.0 AS totalprice
+        |         FROM base WHERE status IN ('F', 'O') AND k % 3 = 0),
+        |final AS (SELECT * FROM base WHERE status NOT IN ('F', 'O')
+        |          UNION ALL SELECT * FROM repl)
+        |SELECT 'now' AS phase, status, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM final GROUP BY status
+        |UNION ALL
+        |SELECT 'was', status, COUNT(*),
+        |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM base GROUP BY status""".stripMargin,
 
     // the routed SQL read must equal the filtered replay exactly
     "q_partition_route" ->

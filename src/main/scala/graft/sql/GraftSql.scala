@@ -1416,7 +1416,30 @@ class GraftSql(val spark: SparkSession) {
       case (true, Some((pc, v))) =>
         Txn.empty.delete(col(pc) === lit(v).cast(target(pc).dataType))
           .insert(casted)
-      case (true, None) => Txn.empty.delete(lit(true)).insert(casted)
+      case (true, None) =>
+        // DYNAMIC partition overwrite (r11) — Spark's own conf gates it
+        // (spark.sql.sources.partitionOverwriteMode=dynamic, default
+        // static): on a partitioned table, replace EXACTLY the
+        // partitions the incoming rows touch and leave every other
+        // partition untouched, as one atomic versioned commit. The
+        // touched set is |partitions|-bounded metadata (the distinct
+        // pass reads the source pruned to the one partition column);
+        // static mode keeps ANSI truncate-all semantics, identical to
+        // Spark's contract for a missing PARTITION clause.
+        val dynPc = durable.get(name)
+          .flatMap { case (c, t) => c.partitionColOf(t) }
+          .filter(_ => spark.conf
+            .get("spark.sql.sources.partitionOverwriteMode", "static")
+            .equalsIgnoreCase("dynamic"))
+        dynPc match {
+          case Some(pc) =>
+            val vals = casted.select(col(pc)).distinct().collect()
+              .map(_.get(0))
+            require(!vals.contains(null), "graft SQL INSERT OVERWRITE " +
+              "(dynamic): NULL partition values are not supported")
+            Txn.empty.delete(col(pc).isin(vals.toSeq: _*)).insert(casted)
+          case None => Txn.empty.delete(lit(true)).insert(casted)
+        }
       case (false, _) => Txn.empty.insert(casted)
     }
     apply(name, txn)

@@ -514,6 +514,43 @@ class GraftSqlSpec extends SparkSpec {
       .getMessage.contains("identity"))
   }
 
+  test("dynamic partition overwrite replaces exactly the touched partitions (r11)") {
+    val wh = Files.createTempDirectory("graft_sql_pdyn_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    val g = new GraftSql(spark).attach(cat)
+    g.sql("""CREATE TABLE pd (k BIGINT, cat STRING, v BIGINT) USING graft
+            |OPTIONS ('key' = 'k') PARTITIONED BY (cat)""".stripMargin)
+    g.sql("INSERT INTO pd VALUES (1,'a',10), (2,'b',20), (3,'c',30), (4,'a',40)")
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(conf, "static")
+    try {
+      spark.conf.set(conf, "dynamic")
+      // rows touch 'a' and 'b': both replaced, 'c' untouched, ONE commit
+      g.sql("INSERT OVERWRITE pd VALUES (9,'a',90), (8,'b',80)")
+      assert(g.sql("SELECT cat, k, v FROM pd ORDER BY cat").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+        Seq(("a", 9L, 90L), ("b", 8L, 80L), ("c", 3L, 30L)))
+      // atomic + versioned: the pre-overwrite state is one version back
+      assert(g.sql("SELECT count(*) FROM pd VERSION AS OF 1")
+        .head().getLong(0) === 4L)
+      // NULL partition value rejects loud
+      assert(intercept[IllegalArgumentException](g.sql(
+        "INSERT OVERWRITE pd VALUES (7, NULL, 70)"))
+        .getMessage.contains("NULL partition values"))
+      // unpartitioned table ignores the conf: ANSI truncate-all
+      g.sql("""CREATE TABLE pflat (k BIGINT, v BIGINT) USING graft
+              |OPTIONS ('key' = 'k')""".stripMargin)
+      g.sql("INSERT INTO pflat VALUES (1, 1), (2, 2)")
+      g.sql("INSERT OVERWRITE pflat VALUES (5, 5)")
+      assert(g.sql("SELECT k FROM pflat").collect().map(_.getLong(0))
+        .toSeq === Seq(5L))
+    } finally spark.conf.set(conf, prev)
+    // static mode (default): no-clause overwrite truncates ALL partitions
+    g.sql("INSERT OVERWRITE pd VALUES (6,'z',60)")
+    assert(g.sql("SELECT cat, k FROM pd").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("z", 6L)))
+  }
+
   test("WHERE partcol = literal routes SQL reads onto the pruned scan (r11)") {
     val wh = Files.createTempDirectory("graft_sql_proute_").toString
     val cat = new Catalog(spark, wh, autoCompact = false)
