@@ -525,6 +525,20 @@ object PipelineQueries {
            |SELECT qid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin)
     },
 
+    // Approximate kNN GRAPH via NN-Descent (r11, ops/KnnGraph — the
+    // HNSW-class all-points primitive): deterministic ring init over
+    // the dense id space, 3 rounds of neighbors-of-neighbors proposal
+    // at exploration degree 15 (≤ (2·15)²N canonical pairs per round —
+    // bounded by degree², never N²; 0.995 recall@5 on the spec's
+    // clustered corpus), each proposal scored ONCE with the codegen'd
+    // fixed-order dot, per-point top-5 output under the TOTAL
+    // (dot desc, id) order. The oracle unrolls the three rounds as
+    // CTEs with the same fold-order dot — hash-exact.
+    "ann_knn_graph" -> { (s, d) =>
+      graft.ops.KnnGraph.nnDescent(Tables(s, d, "embeddings"), 5, 3,
+        descentK = 15)
+    },
+
     "text_stats" -> { (s, d) =>
       val toks = TextOps.tokens(col("text"))
       Tables(s, d, "documents").select(
@@ -2693,6 +2707,69 @@ object PipelineQueries {
         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
         |       FROM dots)
         |SELECT qid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // NN-Descent replayed exactly: ring init at exploration degree 15,
+    // three unrolled rounds of neighbors-of-neighbors proposal +
+    // fixed-order-fold scoring + per-point top-15 working lists, then
+    // the top-5 output under the total (dot desc, id) order; pair
+    // dedupe groups on the LONG keys (max of identical doubles)
+    // exactly like the engine — never DISTINCT over the double column
+    "ann_knn_graph" -> {
+      def dot(a: String, b: String): String =
+        s"""list_reduce(
+           |      list_prepend(CAST(0 AS DOUBLE),
+           |        list_transform(range(1, len($a) + 1),
+           |          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+           |      (x, y) -> x + y)""".stripMargin
+      def round(prev: String, r: Int): String =
+        s"""u$r AS (SELECT p, q FROM $prev UNION SELECT q, p FROM $prev),
+           |c$r AS (SELECT DISTINCT x.q AS p, y.q AS q
+           |        FROM u$r x JOIN u$r y ON x.p = y.p AND x.q < y.q),
+           |t$r AS (SELECT c$r.p, c$r.q,
+           |    ${dot("ep.v", "eq.v")} AS dot
+           |  FROM c$r JOIN e ep ON ep.id = c$r.p JOIN e eq ON eq.id = c$r.q),
+           |a$r AS (SELECT p, q, max(dot) AS dot FROM (
+           |          SELECT p, q, dot FROM $prev
+           |          UNION ALL SELECT p, q, dot FROM t$r
+           |          UNION ALL SELECT q AS p, p AS q, dot FROM t$r)
+           |        GROUP BY p, q),
+           |k$r AS (SELECT p, q, dot FROM (
+           |          SELECT p, q, dot, row_number() OVER (
+           |            PARTITION BY p ORDER BY dot DESC, q ASC) AS r
+           |          FROM a$r) WHERE r <= 15)""".stripMargin
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |nn AS (SELECT greatest(1, count(*) // 60) AS nb FROM e),
+         |rk0 AS (SELECT id,
+         |          CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))
+         |            AS BIGINT) % nn.nb AS b
+         |        FROM e, nn),
+         |rk AS (SELECT id, b,
+         |         row_number() OVER (PARTITION BY b ORDER BY id) AS rn
+         |       FROM rk0),
+         |ib AS (SELECT x.id AS p, y.id AS q
+         |       FROM rk x JOIN rk y
+         |       ON x.b = y.b AND y.rn BETWEEN x.rn + 1 AND x.rn + 15),
+         |cx AS (SELECT x.id AS p, y.id AS q
+         |       FROM rk x, nn, range(1, 4) t(d), rk y
+         |       WHERE t.d <= nn.nb - 1
+         |         AND y.b = (x.b + t.d) % nn.nb AND y.rn = x.rn),
+         |i0 AS (SELECT p, q FROM ib UNION ALL SELECT p, q FROM cx),
+         |s0 AS (SELECT i0.p, i0.q,
+         |    ${dot("ep.v", "eq.v")} AS dot
+         |  FROM i0 JOIN e ep ON ep.id = i0.p JOIN e eq ON eq.id = i0.q),
+         |k0 AS (SELECT p, q, dot FROM (
+         |         SELECT p, q, dot, row_number() OVER (
+         |           PARTITION BY p ORDER BY dot DESC, q ASC) AS r
+         |         FROM s0) WHERE r <= 15),
+         |${round("k0", 1)},
+         |${round("k1", 2)},
+         |${round("k2", 3)}
+         |SELECT vec_id, nbr_id, dot, rnk FROM (
+         |  SELECT p AS vec_id, q AS nbr_id, dot,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY p ORDER BY dot DESC, q ASC) AS BIGINT) AS rnk
+         |  FROM k3) WHERE rnk <= 5""".stripMargin
+    },
 
     // prefix-dot shortlist (first 16 dims), exact full-dim re-rank —
     // both stages replayed with the fixed-order fold
