@@ -1610,7 +1610,7 @@ object CoreQueries {
               |status = 'RW' WHERE k % 4 = 0""".stripMargin)
       val mid = g.sql(
         """SELECT 'mid' AS phase, status, count(*) AS n,
-          |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0 AS val
+          |  CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS val
           |FROM ord_ry WHERE status = 'RW' GROUP BY 1, 2""".stripMargin)
       g.sql("""INSERT INTO ord_ry SELECT k + 9000000, custkey, 'CP',
               |totalprice FROM ord_ry WHERE status = 'RW'""".stripMargin)
@@ -1618,7 +1618,7 @@ object CoreQueries {
       g.sql("COMMIT")
       val fin = g.sql(
         """SELECT 'final' AS phase, status, count(*) AS n,
-          |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0 AS val
+          |  CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS val
           |FROM ord_ry GROUP BY 1, 2""".stripMargin)
       mid.unionByName(fin)
     },
@@ -2898,11 +2898,11 @@ object CoreQueries {
         |  FROM s1 WHERE status = 'RW'),
         |s3 AS (SELECT * FROM s2 WHERE NOT (status = 'RW' AND k % 8 = 0))
         |SELECT 'mid' AS phase, status, COUNT(*) AS n,
-        |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0 AS val
+        |  CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS val
         |FROM s1 WHERE status = 'RW' GROUP BY 1, 2
         |UNION ALL
         |SELECT 'final', status, COUNT(*),
-        |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0
+        |  CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE)
         |FROM s3 GROUP BY 1, 2""".stripMargin,
 
     // the oracle recomputes the footer stats by scanning — exact numeric

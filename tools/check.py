@@ -20,8 +20,15 @@ for name in sorted(oracle):
     if not os.path.isdir(res_dir):
         print(f"MISSING  {name} (no spark result)"); n_bad += 1; continue
     try:
-        got = con.execute(
-            f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchdf()
+        # read the spark result via pyarrow, NOT duckdb fetchdf: duckdb
+        # coerces parquet DECIMAL to float64, which would hide exactly the
+        # decimal-vs-double result-type bug this gate exists to catch
+        # (pyarrow surfaces decimals as object/decimal.Decimal, like the
+        # driver's compare does)
+        import pandas as pd
+        got = pd.concat([pd.read_parquet(f) for f in
+                         sorted(glob.glob(f"{res_dir}/*.parquet"))],
+                        ignore_index=True)
         want = con.execute(oracle[name]).fetchdf()
     except Exception as e:
         print(f"ERROR    {name}: {e}"); n_bad += 1; continue
@@ -30,6 +37,28 @@ for name in sorted(oracle):
     if list(got.columns) != list(want.columns):
         print(f"SCHEMA   {name}: spark={list(got.columns)} oracle={list(want.columns)}")
         n_bad += 1; continue
+    # dtype gate: a decimal-vs-double result-type mismatch string-hashes
+    # differently even when values are identical (sql_txn_ryow sat red two
+    # rounds on exactly this). Hard-fail on kind mismatches that change the
+    # string form (object/decimal vs float, float vs int); pure width
+    # differences (int32 vs int64, float32 vs float64) print identically
+    # under pandas str() so warn only.
+    def _kind(dt):
+        s = str(dt)
+        if s.startswith("int") or s.startswith("uint"): return "i"
+        if s.startswith("float"): return "f"
+        if s == "bool": return "b"
+        return "o"
+    dt_bad = [(c, str(got[c].dtype), str(want[c].dtype))
+              for c in got.columns
+              if _kind(got[c].dtype) != _kind(want[c].dtype)]
+    if dt_bad:
+        print(f"SCHEMA   {name}: dtype kind mismatch {dt_bad}")
+        n_bad += 1; continue
+    dt_warn = [(c, str(got[c].dtype), str(want[c].dtype))
+               for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+    if dt_warn:
+        print(f"  note   {name}: dtype width drift {dt_warn}")
     gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
     ws = want.sort_values(by=list(want.columns)).reset_index(drop=True)
     if len(gs) != len(ws):
