@@ -1433,11 +1433,18 @@ class GraftSql(val spark: SparkSession) {
             .equalsIgnoreCase("dynamic"))
         dynPc match {
           case Some(pc) =>
-            val vals = casted.select(col(pc)).distinct().collect()
+            // pin the source ONCE before deriving the touched set: the
+            // tombstone partitions and the inserted rows must come from
+            // the SAME evaluation (a nondeterministic SELECT re-evaluated
+            // for the insert could land rows in a partition missing from
+            // the tombstone set), and at scale it is one source scan
+            // instead of two
+            val pinned = casted.localCheckpoint(eager = true)
+            val vals = pinned.select(col(pc)).distinct().collect()
               .map(_.get(0))
             require(!vals.contains(null), "graft SQL INSERT OVERWRITE " +
               "(dynamic): NULL partition values are not supported")
-            Txn.empty.delete(col(pc).isin(vals.toSeq: _*)).insert(casted)
+            Txn.empty.delete(col(pc).isin(vals.toSeq: _*)).insert(pinned)
           case None => Txn.empty.delete(lit(true)).insert(casted)
         }
       case (false, _) => Txn.empty.insert(casted)

@@ -551,6 +551,33 @@ class GraftSqlSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("z", 6L)))
   }
 
+  test("dynamic overwrite pins the source once: tombstones match inserts (r12)") {
+    val wh = Files.createTempDirectory("graft_sql_pdyn2_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    val g = new GraftSql(spark).attach(cat)
+    g.sql("""CREATE TABLE pd2 (k BIGINT, cat STRING, v BIGINT) USING graft
+            |OPTIONS ('key' = 'k') PARTITIONED BY (cat)""".stripMargin)
+    g.sql("INSERT INTO pd2 VALUES (1,'a',10), (2,'b',20)")
+    // a genuinely nondeterministic source: first three evaluations say
+    // 'a', every later one says 'b'. If the engine derived the tombstone
+    // set from one evaluation and inserted a SECOND evaluation, the rows
+    // would land in 'b' (never tombstoned) next to the old 'b' row.
+    val ctr = new java.util.concurrent.atomic.AtomicInteger()
+    spark.udf.register("flip_nd",
+      org.apache.spark.sql.functions.udf(() =>
+        if (ctr.getAndIncrement() < 3) "a" else "b").asNondeterministic())
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(conf, "static")
+    try {
+      spark.conf.set(conf, "dynamic")
+      g.sql("INSERT OVERWRITE pd2 SELECT id + 100, flip_nd(), id " +
+        "FROM range(0, 3, 1, 1)")
+    } finally spark.conf.set(conf, prev)
+    val got = g.sql("SELECT cat, k FROM pd2 ORDER BY cat, k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 100L), ("a", 101L), ("a", 102L), ("b", 2L)))
+  }
+
   test("WHERE partcol = literal routes SQL reads onto the pruned scan (r11)") {
     val wh = Files.createTempDirectory("graft_sql_proute_").toString
     val cat = new Catalog(spark, wh, autoCompact = false)
