@@ -279,7 +279,8 @@ final class LineageTable private (
    * pays rows, not files.
    */
   def mergeInto(source: DataFrame, updateCols: Seq[String],
-                deleteWhen: Option[Column] = None): LineageTable = {
+                deleteWhen: Option[Column] = None,
+                notMatchedBySourceDelete: Option[Column] = None): LineageTable = {
     require(updateCols.nonEmpty && updateCols.forall(c =>
       dataCols.contains(c) && c != keyCol),
       s"updateCols must be non-key data columns, got ${updateCols.mkString(",")}")
@@ -329,7 +330,27 @@ final class LineageTable private (
     val stamped = joined
       .select(vals :+ (matched && col("_mdel")).cast("int").as(DEL): _*)
       .withColumn(VER, lit(opSeq + 1))
-    withAppend(stamped.select(lineage.columns.map(col): _*))
+    val delta = stamped.select(lineage.columns.map(col): _*)
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE (the Delta sync-job form):
+    // tombstone live target records whose key the source did NOT carry,
+    // optionally gated by a condition over TARGET columns. This arm is
+    // the one place merge pays |target| instead of |source| — inherent
+    // to the semantics ("what vanished from the source?" is a question
+    // about every target row), and it is a key anti-join against a
+    // |source|-sized build side, not a window over history. Same _ver
+    // stamp: the whole merge is still ONE version in the audit trail.
+    val full = notMatchedBySourceDelete match {
+      case None => delta
+      case Some(cond) =>
+        val srcKeys = src.select(col(keyCol).as("_match_key")).distinct()
+        val gone = snapshotMeta
+          .join(srcKeys, col(keyCol) <=> col("_match_key"), "left_anti")
+          .where(coalesce(cond.cast("boolean"), lit(false)))
+          .withColumn(VER, lit(opSeq + 1))
+          .withColumn(DEL, lit(1))
+        delta.unionByName(gone.select(lineage.columns.map(col): _*))
+    }
+    withAppend(full)
   }
 
   /**

@@ -29,8 +29,9 @@ final class Txn private (private val ops: Vector[LineageTable => LineageTable]) 
   /** Queue a MERGE INTO (see [[LineageTable.mergeInto]]) — the upsert
     * spelling of the reference's insert+update+delete transaction. */
   def mergeInto(source: org.apache.spark.sql.DataFrame, updateCols: Seq[String],
-                deleteWhen: Option[org.apache.spark.sql.Column] = None): Txn =
-    add(_.mergeInto(source, updateCols, deleteWhen))
+                deleteWhen: Option[org.apache.spark.sql.Column] = None,
+                notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None): Txn =
+    add(_.mergeInto(source, updateCols, deleteWhen, notMatchedBySourceDelete))
 
   /** Sequential composition: this transaction's ops, then `other`'s —
     * how a multi-statement SQL transaction accumulates per-table work

@@ -842,6 +842,28 @@ object CoreQueries {
       g.table("graft_merge_tgt").snapshot.where(col("k") % 5 === 0)
     },
 
+    // MERGE with WHEN NOT MATCHED BY SOURCE (r12) — the Delta sync-job
+    // form: the source IS the upstream's full current state, so target
+    // rows whose key the source no longer carries deactivate (here the
+    // custkey%7 slice of them, via the AND gate, which evaluates on the
+    // TARGET row — the only row that exists for a vanished record). One
+    // _ver stamp for all three arms. This arm is the one merge shape
+    // that pays |target|: a key anti-join against the |source| build
+    // side — no history window, no fact-side shuffle beyond the probe.
+    "ls_merge_source" -> { (s, d) =>
+      mergeSourceView(s, d)
+      val g = new graft.sql.GraftSql(s)
+        .register("graft_merge_tgt2", ordersLineage(s, d))
+      g.sql("""MERGE INTO graft_merge_tgt2 t USING graft_merge_src s
+              |ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET status = s.status,
+              |                             totalprice = s.totalprice
+              |WHEN NOT MATCHED THEN INSERT *
+              |WHEN NOT MATCHED BY SOURCE AND custkey % 7 = 0 THEN DELETE"""
+        .stripMargin)
+      g.table("graft_merge_tgt2").snapshot.where(col("k") % 5 === 0)
+    },
+
     // DESCRIBE HISTORY: the commit log as a table read — zero data files
     // opened at any table size (the log lives in _graft.json). This is
     // how a user discovers what asOfTimestamp can address.
@@ -2064,6 +2086,32 @@ object CoreQueries {
          |         CASE WHEN s.k IS NOT NULL THEN s.totalprice
          |              ELSE t.totalprice END AS totalprice,
          |         CASE WHEN s.k IS NOT NULL AND s.custkey % 50 = 0
+         |              THEN 1 ELSE 0 END AS dd
+         |  FROM snap t LEFT JOIN src s ON t.k = s.k),
+         |ins AS (
+         |  SELECT s.k, s.custkey, s.status, s.totalprice, 0 AS dd
+         |  FROM src s LEFT JOIN snap t ON s.k = t.k WHERE t.k IS NULL),
+         |merged AS (SELECT * FROM upd WHERE dd = 0
+         |           UNION ALL SELECT * FROM ins)
+         |SELECT k, custkey, status, totalprice FROM merged
+         |WHERE k % 5 = 0""".stripMargin,
+
+    // same merge, with the NOT MATCHED BY SOURCE arm: target rows the
+    // source omitted (s.k IS NULL) drop when the target-side gate holds
+    "ls_merge_source" ->
+      s"""$fixture,
+         |src AS (
+         |  SELECT k, custkey, 'M' AS status, totalprice + 1000.0 AS totalprice
+         |  FROM base WHERE k % 10 = 0
+         |  UNION ALL
+         |  SELECT k + 3000000 AS k, custkey, 'N' AS status, totalprice
+         |  FROM base WHERE k % 1000 = 0),
+         |upd AS (
+         |  SELECT t.k, t.custkey,
+         |         CASE WHEN s.k IS NOT NULL THEN s.status ELSE t.status END AS status,
+         |         CASE WHEN s.k IS NOT NULL THEN s.totalprice
+         |              ELSE t.totalprice END AS totalprice,
+         |         CASE WHEN s.k IS NULL AND t.custkey % 7 = 0
          |              THEN 1 ELSE 0 END AS dd
          |  FROM snap t LEFT JOIN src s ON t.k = s.k),
          |ins AS (

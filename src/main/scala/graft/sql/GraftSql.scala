@@ -1455,9 +1455,6 @@ class GraftSql(val spark: SparkSession) {
   private def runMerge(name: String, m: MergeIntoTable): DataFrame = {
     require(!m.withSchemaEvolution,
       "graft SQL MERGE: WITH SCHEMA EVOLUTION is not supported")
-    require(m.notMatchedBySourceActions.isEmpty,
-      "graft SQL MERGE: WHEN NOT MATCHED BY SOURCE is not supported — " +
-        "the engine's merge touches source keys only (cost ∝ |source|)")
     val t = table(name)
     // ON must equate the primary key across the two sides — the engine's
     // merge contract (key-matched upsert; arbitrary join conditions would
@@ -1536,6 +1533,32 @@ class GraftSql(val spark: SparkSession) {
     require(insertOk, "graft SQL MERGE: exactly one unconditional " +
       "WHEN NOT MATCHED THEN INSERT * (or identity column list) is required " +
       "— the engine's merge always inserts unmatched source rows")
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE [AND cond] — the sync-job
+    // arm (rows that vanished from the source get tombstoned). The
+    // condition evaluates on the TARGET row (the only row that exists
+    // for an unmatched-by-source record), so a source-qualified column
+    // reference is a loud error, mirroring the matched-DELETE guard.
+    val bySourceDelete: Option[Column] = m.notMatchedBySourceActions match {
+      case Seq() => None
+      case Seq(DeleteAction(cond)) =>
+        cond.foreach { c =>
+          val srcAlias = aliasOf(m.sourceTable)
+          c.foreach {
+            case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+                srcAlias.contains(a.nameParts.head) =>
+              throw new IllegalArgumentException("graft SQL MERGE: the " +
+                "NOT MATCHED BY SOURCE condition must gate on TARGET " +
+                s"columns (got ${a.name} — no source row exists for an " +
+                "unmatched-by-source record)")
+            case _ => ()
+          }
+        }
+        Some(cond.map(rebased).getOrElse(lit(true)))
+      case other => throw new IllegalArgumentException(
+        "graft SQL MERGE: WHEN NOT MATCHED BY SOURCE supports exactly " +
+          s"one THEN DELETE [AND cond] action, got $other — express an " +
+          "UPDATE BY SOURCE by joining the snapshot view in USING")
+    }
     require(updateCols.nonEmpty || deleteWhen.isDefined,
       "graft SQL MERGE: at least one WHEN MATCHED action is required")
     // a delete-only merge still needs updateCols for the engine op; the
@@ -1544,7 +1567,8 @@ class GraftSql(val spark: SparkSession) {
       if (updateCols.nonEmpty) updateCols
       else t.dataCols.filterNot(_ == t.keyCol)
     val src = Bridge.ofRows(spark, m.sourceTable)
-    apply(name, Txn.empty.mergeInto(src, effectiveUpdate, deleteWhen))
+    apply(name, Txn.empty.mergeInto(src, effectiveUpdate, deleteWhen,
+      bySourceDelete))
   }
 
   /** `ALTER TABLE t ADD CONSTRAINT c CHECK (expr)` — Spark 4's own

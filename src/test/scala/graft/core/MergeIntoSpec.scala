@@ -116,4 +116,36 @@ class MergeIntoSpec extends SparkSpec {
       .snapshot.collect().map(_.toSeq).toSet
     assert(viaMerge === viaOps)
   }
+
+  test("NOT MATCHED BY SOURCE deletes target rows the source omitted (r12)") {
+    // source carries keys 2 (update) and 9 (insert); 1/3/4 vanish
+    val src = Seq((2L, 222L, "B2"), (9L, 90L, "I")).toDF("k", "v", "s")
+    val out = table.mergeInto(src, Seq("v", "s"),
+        notMatchedBySourceDelete = Some(lit(true)))
+      .snapshot.collect().map(_.toSeq).toSet
+    assert(out === Set(Seq(2L, 222L, "B2"), Seq(9L, 90L, "I")))
+  }
+
+  test("NOT MATCHED BY SOURCE condition gates on target columns; NULL=keep") {
+    val src = Seq((9L, 90L, "I")).toDF("k", "v", "s")
+    // delete vanished rows only when v >= 30; a NULL gate means keep
+    val withNullV = LineageTable.fromBase("k",
+      Seq((1L, Some(10L), "A"), (2L, Some(30L), "B"), (3L, None, "C"))
+        .toDF("k", "v", "s"))
+    val out = withNullV.mergeInto(src, Seq("v"),
+        notMatchedBySourceDelete = Some(col("v") >= 30L))
+      .snapshot.collect().map(r => r.getLong(0)).toSet
+    assert(out === Set(1L, 3L, 9L), "only k=2 (v=30) tombstones; NULL keeps")
+  }
+
+  test("bySource delete shares the merge's single _ver stamp") {
+    val src = Seq((2L, 222L, "B2")).toDF("k", "v", "s")
+    val merged = table.mergeInto(src, Seq("v"),
+      notMatchedBySourceDelete = Some(lit(true)))
+    val vers = merged.lineage.select("_ver").distinct()
+      .as[Long].collect().sorted
+    assert(vers === Array(0L, 1L))
+    // and the snapshot is exactly the source-matched row
+    assert(merged.snapshot.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
 }

@@ -85,6 +85,43 @@ class GraftSqlSpec extends SparkSpec {
     assert(vers === 2, "merge must take exactly one _ver")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE tombstones vanished rows (r12)") {
+    val g = fixture()
+    // the sync-job form: source is the full upstream state; rows absent
+    // from it (k=1, k=3) deactivate — but the condition keeps k=1
+    g.sql("""MERGE INTO t USING (
+            |  SELECT 2 AS k, 20 AS custkey, 'M' AS status, 999.0 AS totalprice
+            |  UNION ALL
+            |  SELECT 9, 90, 'N', 900.0) s
+            |ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE AND custkey >= 30 THEN DELETE""".stripMargin)
+    assert(rows(g) === Seq((1L, 10L, "A", 100.0), (2L, 20L, "M", 999.0),
+      (9L, 90L, "N", 900.0)))
+    // still ONE version stamp for the whole merge
+    assert(g.table("t").lineage.select("_ver").distinct().count() === 2)
+    // a source-qualified column in the BY SOURCE condition is a loud
+    // error: no source row exists for an unmatched-by-source record
+    val e = intercept[IllegalArgumentException] {
+      g.sql("""MERGE INTO t USING (SELECT 1 AS k, 1 AS custkey,
+              |'x' AS status, 1.0 AS totalprice) s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *
+              |WHEN NOT MATCHED BY SOURCE AND s.status = 'x' THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("TARGET columns"))
+    // UPDATE BY SOURCE rejects loud with the workaround
+    val e2 = intercept[IllegalArgumentException] {
+      g.sql("""MERGE INTO t USING (SELECT 1 AS k, 1 AS custkey,
+              |'x' AS status, 1.0 AS totalprice) s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *
+              |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'gone'""".stripMargin)
+    }
+    assert(e2.getMessage.contains("THEN DELETE"))
+  }
+
   test("DML against a durable table is a catalog commit; reopen sees it") {
     val wh = Files.createTempDirectory("graft_sql_wh_").toString
     val cat = new Catalog(spark, wh)
