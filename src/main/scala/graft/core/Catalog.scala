@@ -288,7 +288,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
   /** Create a table from initial rows (reference: Database.create_table). */
   def createTable(name: String, keyCol: String,
                   rows: org.apache.spark.sql.DataFrame): LineageTable =
-    createTable(name, keyCol, rows, partitionBy = None)
+    createTable(name, keyCol, rows, partitionBy = Seq.empty[String])
+
+  /** Single-column [[createTable]] convenience (the r11 signature). */
+  def createTable(name: String, keyCol: String,
+                  rows: org.apache.spark.sql.DataFrame,
+                  partitionBy: Option[String]): LineageTable =
+    createTable(name, keyCol, rows, partitionBy.toSeq)
 
   /** [[createTable]] with a PARTITION COLUMN (r11 — the lakehouse
     * `PARTITIONED BY (col)`): the base lays out as one directory per
@@ -298,10 +304,21 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * (one directory per row is a layout catastrophe, not a layout). */
   def createTable(name: String, keyCol: String,
                   rows: org.apache.spark.sql.DataFrame,
-                  partitionBy: Option[String]): LineageTable = {
+                  partitionBy: Seq[String]): LineageTable = {
     require(!metaExists(name), s"table $name already exists")
     require(viewSql(name).isEmpty,
       s"createTable: '$name' is a view in this warehouse")
+    // reserved names: _ver/_del carry lineage metadata and _pd* are the
+    // partition-directory keys — a data column named `_pd` would
+    // silently vanish on every post-compaction read (internal views may
+    // use OTHER `_`-prefixed names, so only the actual hazards reject)
+    val reserved = "^(_ver|_del|_pd[0-9]*)$".r
+    rows.columns.foreach(c => require(reserved.findFirstIn(c).isEmpty,
+      s"createTable: column name '$c' is reserved (lineage metadata " +
+        "_ver/_del and partition-directory keys _pd*)"))
+    require(partitionBy.distinct.size == partitionBy.size,
+      s"createTable: duplicate partition column in " +
+        s"(${partitionBy.mkString(", ")})")
     partitionBy.foreach { p =>
       require(rows.columns.contains(p), s"createTable: partition column " +
         s"'$p' not in (${rows.columns.mkString(", ")})")
@@ -312,12 +329,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val t = LineageTable.fromBase(keyCol, rows)
     fs.mkdirs(dir(name))
     val meta = Meta(keyCol, rows.columns.toSeq, index = None, opSeq = 0,
-      partCol = partitionBy,
-      partType = partitionBy.map(p =>
-        rows.schema(p).dataType.simpleString).getOrElse(""))
+      partCols = partitionBy,
+      partTypes = partitionBy.map(p => rows.schema(p).dataType.simpleString))
     writeMeta(name, meta)
     writeBaseData(
-      if (partitionBy.isDefined) layoutOrdered(t.lineage, meta)
+      if (partitionBy.nonEmpty) layoutOrdered(t.lineage, meta)
       else t.lineage,
       meta, new Path(dir(name), "base"))
     getTable(name)
@@ -332,26 +348,38 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * here, so the partition layout survives all maintenance. */
   private def writeBaseData(df: org.apache.spark.sql.DataFrame, meta: Meta,
                             path: Path): Unit =
-    meta.partCol match {
-      case Some(p) =>
+    meta.partCols match {
+      case Seq() =>
+        lineageWriter(df, meta).mode(SaveMode.Overwrite)
+          .parquet(path.toString)
+      case ps =>
         // `df` carries LOGICAL names here; lineageWriter maps them to
-        // physical and retains `_pd`
-        lineageWriter(df.withColumn("_pd",
-            concat(lit("p"), col(p).cast("string"))), meta)
-          .mode(SaveMode.Overwrite).partitionBy("_pd")
+        // physical and retains the `_pd*` directory keys. Multi-column
+        // tables nest one directory level per partition column
+        // (`_pd0=.../_pd1=.../`), so a predicate on ANY prefix — or any
+        // single level — prunes whole subtrees at planning.
+        val dirCols = pdColNames(meta)
+        val withDirs = ps.zip(dirCols).foldLeft(df) { case (d, (p, n)) =>
+          d.withColumn(n, concat(lit("p"), col(p).cast("string"))) }
+        lineageWriter(withDirs, meta)
+          .mode(SaveMode.Overwrite).partitionBy(dirCols: _*)
           .parquet(path.toString)
         // an EMPTY input writes no data files under partitionBy (no
         // value → no directory), leaving the base schema uninferable —
         // write the schema-bearing flat empty instead (CREATE TABLE with
         // a declared column list); the first data rewrite re-partitions
         if (!fs.listStatus(path).exists(s =>
-            s.isDirectory && s.getPath.getName.startsWith("_pd=")))
-          lineageWriter(df.drop("_pd"), meta).mode(SaveMode.Overwrite)
+            s.isDirectory && s.getPath.getName.startsWith(dirCols.head + "=")))
+          lineageWriter(df, meta).mode(SaveMode.Overwrite)
             .parquet(path.toString)
-      case None =>
-        lineageWriter(df, meta).mode(SaveMode.Overwrite)
-          .parquet(path.toString)
     }
+
+  /** Directory-key column names for a partitioned table: the r11 single
+    * column keeps its `_pd` name (layout compatibility); multi-column
+    * tables use one `_pdI` per level. */
+  private def pdColNames(meta: Meta): Seq[String] =
+    if (meta.partCols.size <= 1) Seq("_pd")
+    else meta.partCols.indices.map(i => s"_pd$i")
 
   /** Load a table (reference: Database.get_table). Reading base ∪ tail
     * reconstructs exactly the state last saved. */
@@ -479,7 +507,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
     // property that makes an indexed layout answer secondary probes by
     // pruning alone.
     LineageTable.fromPersisted(meta.key, meta.columns, lineage, meta.opSeq,
-      tailEmpty = !hasTail && !meta.multiVer, partCol = meta.partCol)
+      tailEmpty = !hasTail && !meta.multiVer, partCols = meta.partCols)
   }
 
   /**
@@ -497,33 +525,62 @@ final class Catalog(spark: SparkSession, warehouse: String,
    */
   def partitionSnapshot(name: String, value: String): org.apache.spark.sql.DataFrame = {
     val meta = readMeta(name)
-    val p = meta.partCol.getOrElse(throw new IllegalArgumentException(
+    val p = meta.partCols.headOption.getOrElse(throw new IllegalArgumentException(
       s"partitionSnapshot: '$name' is not partitioned (createTable with " +
         "partitionBy, or CREATE TABLE ... PARTITIONED BY)"))
+    partitionSnapshot(name, Map(p -> value))
+  }
+
+  /** Multi-column pruned read (r12): restrict to ANY subset of the
+    * partition columns (`values`: column → canonical string value).
+    * Every named column prunes at its own directory level — a prefix
+    * prunes whole subtrees, a suffix-only predicate still skips every
+    * non-matching leaf directory at planning time. */
+  def partitionSnapshot(name: String,
+                        values: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    val meta = readMeta(name)
+    require(meta.partCols.nonEmpty, s"partitionSnapshot: '$name' is not " +
+      "partitioned (createTable with partitionBy, or CREATE TABLE ... " +
+      "PARTITIONED BY)")
+    require(values.nonEmpty, "partitionSnapshot: no partition values given")
+    val unknown = values.keySet -- meta.partCols.toSet
+    require(unknown.isEmpty, s"partitionSnapshot: not partition columns " +
+      s"of '$name': ${unknown.mkString(", ")} (partitioned by " +
+      s"${meta.partCols.mkString(", ")})")
     require(!hasManifest(name),
       s"partitionSnapshot: '$name' is a shallow clone — fold it first")
+    val dirOf = meta.partCols.zip(pdColNames(meta)).toMap
     val r0 = if (isEvolved(meta))
       spark.read.option("mergeSchema", "true") else spark.read
     val raw = r0.parquet(baseDir(name).toString)
-    // `_pd` is absent only for a base written before the table was
-    // partitioned — impossible today (partitioning is create-only), but
-    // fall back to the pushed data filter rather than miscount
-    val prunedBase =
-      (if (raw.columns.contains("_pd")) raw.where(col("_pd") === lit("p" + value))
-       else raw.where(col(physOf(meta, p)).cast("string") === value))
-        .drop("_pd")
+    // a `_pd*` column is absent only for a base written before the table
+    // was partitioned — impossible today (partitioning is create-only),
+    // but fall back to the pushed data filter rather than miscount
+    val prunedBase = values.foldLeft(raw) { case (df, (c, v)) =>
+      val dc = dirOf(c)
+      if (df.columns.contains(dc)) df.where(col(dc) === lit("p" + v))
+      else df.where(col(physOf(meta, c)).cast("string") === v)
+    }.drop(pdColNames(meta): _*)
+    val tailPred = values.map { case (c, v) =>
+      col(physOf(meta, c)).cast("string") === v }.reduce(_ && _)
     val tailDir = new Path(dir(name), "tail")
     healLeftoverTail(tailDir, meta.tailFloor)
-    assembleTable(meta, prunedBase, tailDir,
-      tailFilter = Some(col(physOf(meta, p)).cast("string") === value))
+    assembleTable(meta, prunedBase, tailDir, tailFilter = Some(tailPred))
       .snapshot
   }
 
-  /** The partition column of a table, if [[createTable]] set one. */
+  /** The FIRST partition column of a table, if [[createTable]] set one. */
   def partitionColOf(name: String): Option[String] = readMeta(name).partCol
 
-  /** Declared type of the partition column (empty when unpartitioned). */
+  /** Declared type of the first partition column (empty when unpartitioned). */
   def partitionTypeOf(name: String): String = readMeta(name).partType
+
+  /** All partition columns, outermost directory level first (r12). */
+  def partitionColsOf(name: String): Seq[String] = readMeta(name).partCols
+
+  /** Declared types of the partition columns, parallel to
+    * [[partitionColsOf]]. */
+  def partitionTypesOf(name: String): Seq[String] = readMeta(name).partTypes
 
   /**
    * Crash-window heal for the re-stamp swap ([[vacuum]]/[[purge]]/
@@ -609,11 +666,13 @@ final class Catalog(spark: SparkSession, warehouse: String,
         spark.read.option("mergeSchema", "true") else spark.read
       r.parquet(files: _*)
     } else {
-      // a partitioned base restores `_pd` from the directory names — a
+      // a partitioned base restores `_pd*` from the directory names — a
       // storage artifact, not a table column (the real partition column
       // lives IN the files); the pruned read path filters on it BEFORE
-      // this drop ([[partitionSnapshot]])
-      spark.read.parquet(baseDir(name).toString).drop("_pd")
+      // this drop ([[partitionSnapshot]]). Unpartitioned tables drop
+      // nothing: a (pre-r12 legacy) data column named `_pd` must survive.
+      val raw = spark.read.parquet(baseDir(name).toString)
+      if (meta.partCols.isEmpty) raw else raw.drop(pdColNames(meta): _*)
     }
 
   /**
@@ -711,9 +770,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
       else rows.select(meta.columns.map(lc =>
         col(lc).as(physOf(meta, lc))) ++
         Seq(LineageTable.VER, LineageTable.DEL).map(col) ++
-        // the partition-directory key rides through the rename mapping
+        // the partition-directory keys ride through the rename mapping
         // untouched ([[writeBaseData]])
-        (if (rows.columns.contains("_pd")) Seq(col("_pd")) else Nil): _*)
+        rows.columns.filter(_.startsWith("_pd")).toSeq.map(col): _*)
     meta.bloomCols.foldLeft(mapped.write) { (w, c) =>
       val ndv = meta.statsCols.indexOf(c) match {
         case i if i >= 0 => meta.statsNdv(i)
@@ -1563,13 +1622,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * maintenance — the Delta OPTIMIZE ZORDER BY contract. */
   private def layoutOrdered(df: org.apache.spark.sql.DataFrame,
                             meta: Meta): org.apache.spark.sql.DataFrame =
-    if (meta.partCol.isDefined) {
-      // partitioned layout: cluster rows by (partition, key-or-index) so
-      // each write task holds contiguous runs per partition directory —
+    if (meta.partCols.nonEmpty) {
+      // partitioned layout: cluster rows by (partitions..., key-or-index)
+      // so each write task holds contiguous runs per partition directory —
       // few files per directory, sorted within for row-group pruning
-      val p = meta.partCol.get
-      val c = meta.index.getOrElse(meta.key)
-      df.repartitionByRange(col(p), col(c)).sortWithinPartitions(col(p), col(c))
+      val cs = meta.partCols.map(col) :+ col(meta.index.getOrElse(meta.key))
+      df.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*)
     } else if (meta.zorderCols.size >= 2)
       // bits derive from the column count (n·bits must fit a long's 63
       // non-sign bits), so ANY accepted column set lays out successfully
@@ -1971,6 +2029,143 @@ final class Catalog(spark: SparkSession, warehouse: String,
           .parquet(new Path(ivfPqDir(name), "cents").toString)
       }
     } }
+
+  // ----------------------------------------------------- kNN-graph index
+
+  private def knnDir(table: String) = new Path(dir(table), "_knn")
+
+  /**
+   * Durable kNN-GRAPH index (r12) — persist [[graft.ops.KnnGraph
+   * .nnDescent]]'s all-points neighbor lists as a sidecar under
+   * `_knn/graph` (vec_id, nbr_id, dot, rnk) with provenance in
+   * `_knn/meta` (emb_col, k, built_seq, built_epoch — the IVF-PQ
+   * vintage pattern, Catalog `_ivfpq`), so the expensive build runs
+   * ONCE and every later session serves reads by graph traversal
+   * ([[knnSearch]]) — the HNSW-class read path. At 100 TB the graph is
+   * k·N edge rows (16-byte keys + a double), ~1000× smaller than the
+   * embeddings it indexes; a search batch touches O(Q·beam·k·hops)
+   * rows of it, never a corpus scan.
+   */
+  def createKnnIndex(name: String, column: String, k: Int = 5,
+                     rounds: Int = 3, descentK: Int = 0): Unit =
+    lock(name).synchronized { withCommitMarker(name) {
+      val meta = readMeta(name)
+      val t = getTable(name)
+      require(t.dataCols.contains(column), s"no such column: $column")
+      val corpus = t.snapshot
+        .select(col(meta.key).as("vec_id"), col(column).as("embedding"))
+      val g = graft.ops.KnnGraph.nnDescent(corpus, k, rounds, descentK)
+      g.write.mode(SaveMode.Overwrite)
+        .parquet(new Path(knnDir(name), "graph").toString)
+      import spark.implicits._
+      Seq((column, k, meta.opSeq, meta.epoch))
+        .toDF("emb_col", "k", "built_seq", "built_epoch")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(new Path(knnDir(name), "meta").toString)
+    } }
+
+  /** The stored kNN graph, if one exists: (embedding column, k, op_seq
+    * at build, lazy graph frame). */
+  def knnIndex(name: String): Option[(String, Int, Long, DataFrame)] = {
+    val base = knnDir(name)
+    if (!pathExists(new Path(base, "meta"))) None
+    else {
+      val m = spark.read.parquet(new Path(base, "meta").toString).collect()
+      if (m.isEmpty) None
+      else Some((m.head.getString(m.head.fieldIndex("emb_col")),
+        m.head.getInt(m.head.fieldIndex("k")),
+        m.head.getLong(m.head.fieldIndex("built_seq")),
+        spark.read.parquet(new Path(base, "graph").toString)))
+    }
+  }
+
+  /** Forget the kNN graph: delete the sidecar. */
+  def dropKnnIndex(name: String): Unit =
+    lock(name).synchronized { withCommitMarker(name) {
+      deleteRecursively(knnDir(name))
+    } }
+
+  /**
+   * Incremental kNN-graph refresh — ADDITIONS attach at delta cost: the
+   * keys committed since `built_seq` come from the change feed (the
+   * [[refreshIvfPqIndex]] recipe: latest in-range upsert per key, keys
+   * already in the graph dropped by an anti join against the slim
+   * vec_id projection), each genuinely-new vector finds its exact
+   * top-k against the live snapshot (one broadcast-delta pass over the
+   * corpus — |delta|·N dots, map-only, the corpus never shuffles), and
+   * the resulting `new → old` edges APPEND to the graph. Old nodes'
+   * adjacency lists are never rewritten: [[graft.ops.KnnGraph
+   * .beamSearch]] traverses the SYMMETRIZED adjacency, so the appended
+   * forward edges already make new nodes reachable from old ones — the
+   * same append-only trick HNSW uses while deferring degree pruning.
+   * Deletions stay lazily dropped at the search's live-corpus scoring
+   * join. A physical rewrite since the build bumps the epoch — refuse
+   * loud, rebuild (the IVF-PQ contract).
+   */
+  def refreshKnnIndex(name: String): Unit =
+    lock(name).synchronized { withCommitMarker(name) {
+      val idx = knnIndex(name)
+      require(idx.isDefined, s"refreshKnnIndex($name): no kNN index")
+      val (column, k, builtSeq, graph) = idx.get
+      val meta = readMeta(name)
+      val builtEpoch = spark.read
+        .parquet(new Path(knnDir(name), "meta").toString)
+        .select(col("built_epoch")).head().getLong(0)
+      require(builtEpoch == meta.epoch,
+        s"refreshKnnIndex($name): history since the build was re-stamped " +
+          s"by a physical rewrite (epoch $builtEpoch -> ${meta.epoch}) — " +
+          "rebuild with createKnnIndex")
+      if (meta.opSeq != builtSeq) {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("commit_ver").desc)
+        val fresh = changesBetween(name, builtSeq, meta.opSeq)
+          .select(col(meta.key).as("vec_id"), col(column).as("embedding"),
+                  col("commit_ver"), col("op"))
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1 && col("op") === "upsert")
+          .select(col("vec_id"), col("embedding"))
+          .join(graph.select(col("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+        val live = getTable(name).snapshot
+          .select(col(meta.key).as("vec_id"), col(column).as("embedding"))
+        // k+1 then drop the self-match (a committed vector is its own
+        // nearest neighbor in the live snapshot) and re-rank to k
+        val wq = Window.partitionBy(col("qid"))
+          .orderBy(col("dot").desc, col("vec_id").asc)
+        val newEdges = graft.ops.Similarity.bruteTopK(live,
+            fresh.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+            k + 1)
+          .where(col("qid") =!= col("vec_id"))
+          .withColumn("rnk", row_number().over(wq).cast("bigint"))
+          .where(col("rnk") <= k)
+          .select(col("qid").as("vec_id"), col("vec_id").as("nbr_id"),
+            col("dot"), col("rnk"))
+        newEdges.write.mode(SaveMode.Append)
+          .parquet(new Path(knnDir(name), "graph").toString)
+        import spark.implicits._
+        Seq((column, k, meta.opSeq, meta.epoch))
+          .toDF("emb_col", "k", "built_seq", "built_epoch")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(new Path(knnDir(name), "meta").toString)
+      }
+    } }
+
+  /** Serve an ANN batch from the stored kNN graph ([[createKnnIndex]])
+    * by greedy beam search — scoring joins the LIVE snapshot, so
+    * deletions since the build never surface. */
+  def knnSearch(name: String, queries: org.apache.spark.sql.DataFrame,
+                k: Int, beam: Int = 5, hops: Int = 3,
+                entries: Int = 4): org.apache.spark.sql.DataFrame = {
+    val idx = knnIndex(name)
+    require(idx.isDefined, s"knnSearch($name): no kNN index — " +
+      "createKnnIndex first")
+    val (column, _, _, graph) = idx.get
+    val meta = readMeta(name)
+    val live = getTable(name).snapshot
+      .select(col(meta.key).as("vec_id"), col(column).as("embedding"))
+    graft.ops.KnnGraph.beamSearch(live, graph, queries, k, beam, hops,
+      entries)
+  }
 
   /**
    * Secondary probe THROUGH a projection: candidate keys come from a
@@ -2794,8 +2989,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
     lock(name).synchronized { withCommitMarker(name) {
       val meta = readMeta(name)
       require(meta.columns.contains(column), s"$name has no column $column")
-      require(!meta.partCol.contains(column),
-        s"$name: $column is the partition column — its declared type is " +
+      require(!meta.partCols.contains(column),
+        s"$name: $column is a partition column — its declared type is " +
           "part of the directory layout, not evolvable")
       val target = tpe.trim.toLowerCase
       val current = getTable(name).snapshot.schema(column)
@@ -2839,8 +3034,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
     }
     require(!meta.index.contains(column),
       s"$name: $column is the index layout column — dropIndex first")
-    require(!meta.partCol.contains(column),
-      s"$name: $column is the partition column — structural, not evolvable")
+    require(!meta.partCols.contains(column),
+      s"$name: $column is a partition column — structural, not evolvable")
     require(!meta.zorderCols.contains(column),
       s"$name: $column is a Z-order layout column — dropIndex first")
     require(!meta.projCols.contains(column),
@@ -3156,9 +3351,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
                           mvFk: Option[String] = None,
                           mvDimSeq: Long = -1L,
                           mvDimEpoch: Long = -1L,
-                          /** PARTITION COLUMN (r11, the lakehouse
-                            * PARTITIONED BY): the base lays out as
-                            * `base/_pd=p<value>/` directories (the `p`
+                          /** PARTITION COLUMNS (r11; multi-column
+                            * r12 — the lakehouse PARTITIONED BY): the
+                            * base lays out as `base/_pd=p<value>/`
+                            * directories (nested `_pd0=/_pd1=/...` for
+                            * multi-column) (the `p`
                             * prefix forces string partition-value
                             * inference, so types and leading zeros
                             * survive the round-trip; the real column
@@ -3172,8 +3369,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * where the bytes are (the compacted base).
                             * Sound because a key's partition value is
                             * IMMUTABLE ([[LineageTable]] write guards). */
-                          partCol: Option[String] = None,
-                          partType: String = "",
+                          partCols: Seq[String] = Nil,
+                          partTypes: Seq[String] = Nil,
                           /** TYPE WIDENING ([[widenColumn]], the Delta
                             * type-widening shape, r11): PHYSICAL column
                             * name → widened type, parallel seqs.
@@ -3184,7 +3381,12 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * writes use the widened type from the first
                             * post-widen op on. */
                           widenCols: Seq[String] = Nil,
-                          widenTypes: Seq[String] = Nil)
+                          widenTypes: Seq[String] = Nil) {
+    /** First partition column — the single-column convenience the r11
+      * surface exposed; multi-column callers read [[partCols]]. */
+    def partCol: Option[String] = partCols.headOption
+    def partType: String = partTypes.headOption.getOrElse("")
+  }
 
   // Metadata names are restricted to identifier characters at write time,
   // so the flat JSON below round-trips through the regex reader with no
@@ -3277,10 +3479,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
       s""""mv_dim": ${m.mvDim.map(v => "\"" + checked(v) + "\"").getOrElse("null")}, """ +
       s""""mv_fk": ${m.mvFk.map(v => "\"" + checked(v) + "\"").getOrElse("null")}, """ +
       s""""mv_dim_seq": ${m.mvDimSeq}, "mv_dim_epoch": ${m.mvDimEpoch}, """ +
-      s""""part_col": ${m.partCol.map(v => "\"" + checked(v) + "\"")
-        .getOrElse("null")}, """ +
-      s""""part_type": ${if (m.partType.isEmpty) "null"
-        else "\"" + checked(m.partType) + "\""}, """ +
+      s""""part_cols": [${m.partCols.map(v => "\"" + checked(v) + "\"")
+        .mkString(", ")}], """ +
+      s""""part_types": [${m.partTypes.map(v => "\"" + checked(v) + "\"")
+        .mkString(", ")}], """ +
       s""""widen_cols": [${m.widenCols.map(c => "\"" + checked(c) + "\"")
         .mkString(", ")}], """ +
       s""""widen_types": [${m.widenTypes.map(t => "\"" + checked(t) + "\"")
@@ -3387,10 +3589,20 @@ final class Catalog(spark: SparkSession, warehouse: String,
         .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L),
       "\"mv_dim_epoch\"\\s*:\\s*(-?\\d+)".r
         .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L),
-      "\"part_col\"\\s*:\\s*\"([^\"]+)\"".r
-        .findFirstMatchIn(json).map(_.group(1)),
-      "\"part_type\"\\s*:\\s*\"([^\"]+)\"".r
-        .findFirstMatchIn(json).map(_.group(1)).getOrElse(""),
+      {
+        // r12 writes part_cols/part_types arrays; a pre-r12 table's meta
+        // carries the singular part_col/part_type — honor both
+        val pcs = strList("part_cols")
+        if (pcs.nonEmpty) pcs
+        else "\"part_col\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(json).map(_.group(1)).toSeq
+      },
+      {
+        val pts = strList("part_types")
+        if (pts.nonEmpty) pts
+        else "\"part_type\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(json).map(_.group(1)).toSeq
+      },
       strList("widen_cols"), strList("widen_types"))
   }
 

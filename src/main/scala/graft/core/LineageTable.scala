@@ -57,12 +57,13 @@ final class LineageTable private (
       * [[Catalog.createIndex]]'s sorted layout a real index (min-max
       * pruning with zero reconstruction overhead). Any write op clears it. */
     private val compactedOnly: Boolean,
-    /** The table's partition column, when [[Catalog]] created it
-      * PARTITIONED BY (r11). Write ops enforce the invariant pruned
-      * reads depend on — a key's partition value never changes: UPDATE
-      * may not assign it, and every appended row is guarded against
-      * moving an existing key across partitions ([[withAppend]]). */
-    private val partCol: Option[String] = None) {
+    /** The table's partition columns, when [[Catalog]] created it
+      * PARTITIONED BY (r11; multi-column r12). Write ops enforce the
+      * invariant pruned reads depend on — a key's partition tuple never
+      * changes: UPDATE may not assign any of them, and every appended
+      * row is guarded against moving an existing key across partitions
+      * ([[withAppend]]). */
+    private val partCols: Seq[String] = Nil) {
 
   import LineageTable.{DEL, VER}
 
@@ -220,7 +221,7 @@ final class LineageTable private (
   def update(predicate: Column, set: Map[String, Column]): LineageTable = {
     // the partition column is immutable per key (directory pruning
     // soundness) — the lakehouse rule: move a record by delete + insert
-    partCol.foreach(p => require(!set.contains(p),
+    partCols.foreach(p => require(!set.contains(p),
       s"UPDATE may not assign partition column '$p' — a key's partition " +
         "is immutable (delete + insert under the new value instead)"))
     val current = snapshotMeta.where(predicate)
@@ -433,7 +434,7 @@ final class LineageTable private (
   def compact: LineageTable =
     new LineageTable(keyCol, dataCols,
       snapshotMeta.withColumn(VER, lit(0L)).withColumn(DEL, lit(0)),
-      opSeq = 0, delta = None, compactedOnly = true, partCol)
+      opSeq = 0, delta = None, compactedOnly = true, partCols)
 
   /**
    * Retention vacuum (storage reclaim): keep only the newest `keep`
@@ -453,7 +454,7 @@ final class LineageTable private (
     // durable through a later Catalog.commit (vacuum trims HISTORY, it
     // must never eat a write). Only Catalog.vacuum persists retention.
     new LineageTable(keyCol, dataCols, retained(keep).drop("_rn"), opSeq,
-      delta, compactedOnly = false, partCol)
+      delta, compactedOnly = false, partCols)
 
   /** The retention core shared by [[vacuum]] and [[Catalog.vacuum]] (ONE
     * implementation of the safety-critical rules): newest `keep` rows per
@@ -520,7 +521,7 @@ final class LineageTable private (
     // later commit, not just in-memory reads (contrast vacuum, which
     // passes the delta through untouched because it only trims history)
     new LineageTable(keyCol, dataCols, scrub(lineage), opSeq,
-      delta.map(scrub), compactedOnly, partCol)
+      delta.map(scrub), compactedOnly, partCols)
   }
 
   /**
@@ -588,7 +589,7 @@ final class LineageTable private (
     new LineageTable(keyCol, dataCols,
       lineage.localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER), opSeq,
-      delta, compactedOnly, partCol)
+      delta, compactedOnly, partCols)
 
   /** Chain an op: append its rows to the lineage AND to the pending delta.
     *
@@ -604,27 +605,36 @@ final class LineageTable private (
     * delete/merge-matched rows inherit their partition from the snapshot
     * and pass structurally. */
   private def withAppend(rows: DataFrame): LineageTable = {
-    val guarded = partCol match {
-      case None => rows
-      case Some(p) =>
+    val guarded = partCols match {
+      case Seq() => rows
+      case ps =>
+        // the guard compares the TUPLE of partition values (r12 multi-
+        // column): one struct of string-casts per side, one null-safe
+        // struct compare — still a two-phase dictionary-friendly scan
+        def tup(c: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          struct(ps.map(p => c(col(p)).cast("string")): _*)
         val existing = lineage
-          .select(col(keyCol).as("_gk"), col(p).cast("string").as("_gp"))
+          .select(col(keyCol).as("_gk"),
+            struct(ps.map(p => col(p).cast("string")): _*).as("_gp"))
           .distinct()
+        val p0 = ps.head
         rows.join(existing, col(keyCol) <=> col("_gk"), "left")
-          .withColumn(p,
-            when(col("_gk").isNotNull && !(col("_gp") <=> col(p).cast("string")),
+          .withColumn(p0,
+            when(col("_gk").isNotNull && !(col("_gp") <=> tup(identity)),
               raise_error(concat(
-                lit(s"partition column '$p' is immutable per key: key "),
+                lit(s"partition columns (${ps.mkString(", ")}) are " +
+                  "immutable per key: key "),
                 col(keyCol).cast("string"),
-                lit(" already lives in partition "), col("_gp")))
-                .cast(rows.schema(p).dataType))
-            .otherwise(col(p)))
+                lit(" already lives in partition "),
+                col("_gp").cast("string")))
+                .cast(rows.schema(p0).dataType))
+            .otherwise(col(p0)))
           .drop("_gk", "_gp")
           .select(rows.columns.map(col): _*)
     }
     new LineageTable(keyCol, dataCols, lineage.unionByName(guarded), opSeq + 1,
       Some(delta.fold(guarded)(_.unionByName(guarded))),
-      compactedOnly = false, partCol)
+      compactedOnly = false, partCols)
   }
 }
 
@@ -637,9 +647,9 @@ object LineageTable {
   private[core] def fromPersisted(keyCol: String, dataCols: Seq[String],
                                   lineage: DataFrame, maxVer: Long,
                                   tailEmpty: Boolean,
-                                  partCol: Option[String] = None): LineageTable =
+                                  partCols: Seq[String] = Nil): LineageTable =
     new LineageTable(keyCol, dataCols, lineage, maxVer, delta = None,
-      compactedOnly = tailEmpty, partCol)
+      compactedOnly = tailEmpty, partCols)
 
   /** Bootstrap a lineage table from plain rows (all base, version 0). */
   def fromBase(keyCol: String, rows: DataFrame): LineageTable = {

@@ -1744,6 +1744,35 @@ object CoreQueries {
               |FROM pdyn_t VERSION AS OF 1 GROUP BY status""".stripMargin)
     },
 
+    // MULTI-COLUMN partitioning (r12, GraftSql PARTITIONED BY (a, b) +
+    // Catalog partCols): one nested directory level per column
+    // (_pd0=/_pd1=), a static PARTITION clause may pin the full tuple
+    // (one leaf directory) or any prefix (a whole subtree), and reads
+    // prune on any subset of the columns. The layouts after the two
+    // scoped overwrites are verified by the final full-table rollup.
+    "sql_partition_multi" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_sqlpmulti_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      val g = new graft.sql.GraftSql(s).attach(cat)
+      baseOrders(s, d).createOrReplaceTempView("sqlpmulti_src")
+      g.sql("""CREATE TABLE pm2 (k BIGINT, grp BIGINT,
+              |status STRING, totalprice DOUBLE) USING graft
+              |OPTIONS ('key' = 'k') PARTITIONED BY (status, grp)""".stripMargin)
+      g.sql("""INSERT INTO pm2 SELECT k, custkey % 3, status, totalprice
+              |FROM sqlpmulti_src""".stripMargin)
+      // full-tuple overwrite: exactly the (F, 1) leaf directory
+      g.sql("""INSERT OVERWRITE pm2 PARTITION (status = 'F', grp = 1)
+              |SELECT k, totalprice + 1.0 FROM sqlpmulti_src
+              |WHERE status = 'F' AND custkey % 3 = 1 AND k % 2 = 0""".stripMargin)
+      // prefix overwrite: the whole status='O' subtree, rows carry grp
+      g.sql("""INSERT OVERWRITE pm2 PARTITION (status = 'O')
+              |SELECT k, custkey % 3, totalprice FROM sqlpmulti_src
+              |WHERE status = 'O' AND k % 5 = 0""".stripMargin)
+      g.sql("""SELECT status, grp, count(*) AS n,
+              |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS cents
+              |FROM pm2 GROUP BY status, grp""".stripMargin)
+    },
+
     // Directory-pruned partition probe (r11, Catalog.partitionSnapshot):
     // the partition restriction lands BELOW the snapshot window — the
     // base scan plans only `_pd=pO/` (PartitionFilters, whole files
@@ -2772,6 +2801,27 @@ object CoreQueries {
         |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
         |         AS cents
         |FROM final GROUP BY status""".stripMargin,
+
+    // multi-column: the (F,1) leaf and the whole O subtree were replaced
+    "sql_partition_multi" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey % 3 AS grp,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |f1 AS (SELECT k, 1 AS grp, 'F' AS status,
+        |         totalprice + 1.0 AS totalprice
+        |       FROM base WHERE status = 'F' AND grp = 1 AND k % 2 = 0),
+        |o5 AS (SELECT k, grp, 'O' AS status, totalprice
+        |       FROM base WHERE status = 'O' AND k % 5 = 0),
+        |final AS (
+        |  SELECT * FROM base
+        |  WHERE NOT (status = 'F' AND grp = 1) AND status <> 'O'
+        |  UNION ALL SELECT * FROM f1
+        |  UNION ALL SELECT * FROM o5)
+        |SELECT status, grp, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM final GROUP BY status, grp""".stripMargin,
 
     // dynamic overwrite replaced exactly the F and O partitions; 'was'
     // is the pre-overwrite bulk state read back through VERSION AS OF

@@ -310,12 +310,12 @@ class GraftSql(val spark: SparkSession) {
       noTxn("CREATE TABLE")
       runCreate(createName(ct.name), ct.ignoreIfExists,
         specOptions(ct.tableSpec), Left(ct.columns),
-        partitionColOf(ct.partitioning))
+        partitionColsOf(ct.partitioning))
     case cas: CreateTableAsSelect if providerIsGraft(cas.tableSpec) =>
       noTxn("CREATE TABLE")
       runCreate(createName(cas.name), cas.ignoreIfExists,
         specOptions(cas.tableSpec), Right(cas.query),
-        partitionColOf(cas.partitioning))
+        partitionColsOf(cas.partitioning))
     // ALTER TABLE ... ALTER COLUMN c TYPE t — metadata-only type
     // WIDENING (r11, Catalog.widenColumn); comments/positions/defaults
     // and narrowing reject loud
@@ -488,45 +488,63 @@ class GraftSql(val spark: SparkSession) {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    def canonical(l: Literal): Option[String] = l.value match {
-      case null => None
-      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
-      case v: Byte => Some(v.toString)
-      case v: Short => Some(v.toString)
-      case v: Int => Some(v.toString)
-      case v: Long => Some(v.toString)
-      case _ => None
-    }
-    def partOf(name: String): Option[String] =
-      durable.get(name).flatMap { case (c, t) => c.partitionColOf(t) }
+    val integral = Set("tinyint", "smallint", "int", "bigint")
+    // TYPED canonicalization (r12, was untyped in r11): the literal is
+    // accepted only when its type FAMILY matches the column's declared
+    // partition type. `WHERE strcol = 1` or `WHERE intcol = '01'` would
+    // match rows under Spark's implicit coercion, but the substituted
+    // pruned scan keys directories off the literal's string form and
+    // would silently drop them — skip the rewrite and read plain.
+    def canonical(l: Literal, declared: String): Option[String] =
+      l.value match {
+        case null => None
+        case s: org.apache.spark.unsafe.types.UTF8String
+            if declared == "string" => Some(s.toString)
+        case v: Byte if integral(declared) => Some(v.toString)
+        case v: Short if integral(declared) => Some(v.toString)
+        case v: Int if integral(declared) => Some(v.toString)
+        case v: Long if integral(declared) => Some(v.toString)
+        case _ => None
+      }
+    def partsOf(name: String): Seq[String] =
+      durable.get(name).map { case (c, t) => c.partitionColsOf(t) }
+        .getOrElse(Nil)
     var hit = false
     def prune(name: String, alias: String, cond: Expression,
               child: LogicalPlan): LogicalPlan = {
-      val pcol = partOf(name).get
-      def refsPart(a: UnresolvedAttribute): Boolean =
+      val (cat, tbl) = durable(name)
+      val pcols = cat.partitionColsOf(tbl)
+      val ptypes = cat.partitionTypesOf(tbl)
+      def refsPart(a: UnresolvedAttribute, pcol: String): Boolean =
         a.nameParts.last.equalsIgnoreCase(pcol) &&
           (a.nameParts.length == 1 ||
             a.nameParts.init.last.equalsIgnoreCase(alias))
-      conjuncts(cond).collectFirst {
-        case EqualTo(a: UnresolvedAttribute, l: Literal) if refsPart(a) => l
-        case EqualTo(l: Literal, a: UnresolvedAttribute) if refsPart(a) => l
-      }.flatMap(canonical) match {
-        case Some(v) =>
-          hit = true
-          val (cat, tbl) = durable(name)
-          SubqueryAlias(alias, Bridge.planOf(cat.partitionSnapshot(tbl, v)))
-        case None => child
+      // every partition column with a type-matching literal equality
+      // prunes its own directory level — any subset routes (r12)
+      val hits: Map[String, String] = pcols.zip(ptypes).flatMap {
+        case (pc, pt) =>
+          conjuncts(cond).collectFirst {
+            case EqualTo(a: UnresolvedAttribute, l: Literal)
+                if refsPart(a, pc) => l
+            case EqualTo(l: Literal, a: UnresolvedAttribute)
+                if refsPart(a, pc) => l
+          }.flatMap(canonical(_, pt)).map(pc -> _)
+      }.toMap
+      if (hits.isEmpty) child
+      else {
+        hit = true
+        SubqueryAlias(alias, Bridge.planOf(cat.partitionSnapshot(tbl, hits)))
       }
     }
     val out = p.transformUpWithSubqueries {
       case f @ Filter(cond, r: UnresolvedRelation)
           if r.multipartIdentifier.length == 1 &&
-            partOf(r.multipartIdentifier.head).isDefined =>
+            partsOf(r.multipartIdentifier.head).nonEmpty =>
         val n = r.multipartIdentifier.head
         Filter(cond, prune(n, n, cond, r))
       case f @ Filter(cond, SubqueryAlias(id, r: UnresolvedRelation))
           if r.multipartIdentifier.length == 1 &&
-            partOf(r.multipartIdentifier.head).isDefined =>
+            partsOf(r.multipartIdentifier.head).nonEmpty =>
         Filter(cond,
           prune(r.multipartIdentifier.head, id.name, cond,
             SubqueryAlias(id, r)))
@@ -1351,45 +1369,48 @@ class GraftSql(val spark: SparkSession) {
     // partition (r11): OVERWRITE deletes only that partition's rows,
     // and the query provides the remaining columns — the Hive/Spark
     // INSERT OVERWRITE ... PARTITION contract, versioned.
-    val partSpec: Option[(String, String)] =
-      if (i.partitionSpec.isEmpty) None
+    val partSpec: Seq[(String, String)] =
+      if (i.partitionSpec.isEmpty) Nil
       else {
-        require(i.partitionSpec.size == 1, "graft SQL INSERT: one " +
-          "partition column (tables partition by a single column), got " +
-          i.partitionSpec.keys.mkString(", "))
-        val (pc, pv) = i.partitionSpec.head
         val declared = durable.get(name)
-          .flatMap { case (c, t) => c.partitionColOf(t) }
-        require(declared.contains(pc), s"graft SQL INSERT PARTITION: " +
-          s"'$name' is ${declared.fold("not partitioned")(d =>
-            s"partitioned by '$d'")}, got '$pc'")
-        val v = pv.getOrElse(throw new IllegalArgumentException(
-          "graft SQL INSERT PARTITION: dynamic partition values are not " +
-            "supported — rows carry the column; omit the PARTITION clause"))
-        Some((pc, v))
+          .map { case (c, t) => c.partitionColsOf(t) }.getOrElse(Nil)
+        // any SUBSET of the partition columns may be pinned statically —
+        // each pinned column scopes the overwrite one directory level
+        // tighter and is filled into the rows
+        i.partitionSpec.toSeq.map { case (pc, pv) =>
+          require(declared.contains(pc), s"graft SQL INSERT PARTITION: " +
+            s"'$name' is ${if (declared.isEmpty) "not partitioned"
+              else s"partitioned by (${declared.mkString(", ")})"}, got '$pc'")
+          val v = pv.getOrElse(throw new IllegalArgumentException(
+            "graft SQL INSERT PARTITION: dynamic partition values are not " +
+              "supported — rows carry the column; omit the PARTITION clause"))
+          (pc, v)
+        }
       }
     val q = Bridge.ofRows(spark, i.query)
     val cols = table(name).dataCols
     // a static PARTITION (p='v') fills the partition column — the query
     // provides the remaining columns in table order
-    val filled = partSpec match {
-      case None => q
-      case Some((pc, v)) =>
-        val rest = cols.filterNot(_ == pc)
+    val filled =
+      if (partSpec.isEmpty) q
+      else {
+        val pinned = partSpec.map(_._1)
+        val rest = cols.filterNot(pinned.contains)
         require(i.userSpecifiedCols.isEmpty, "graft SQL INSERT PARTITION: " +
           "combine with a column list is not supported — provide the " +
           s"non-partition columns positionally (${rest.mkString(", ")})")
         require(q.columns.length == rest.size, "graft SQL INSERT " +
           s"PARTITION: expected ${rest.size} columns (${rest.mkString(", ")})" +
           s", got ${q.columns.length}")
-        q.toDF(rest: _*).withColumn(pc, lit(v))
+        partSpec.foldLeft(q.toDF(rest: _*)) { case (d, (pc, v)) =>
+          d.withColumn(pc, lit(v)) }
           .select(cols.map(col): _*)
-    }
+      }
     // positional VALUES/SELECT get the table's column names; an explicit
     // column list renames then fills like SQL does (missing → NULL would
     // break lineage NOT NULL keys, so require full coverage instead)
     val named =
-      if (partSpec.isDefined) filled
+      if (partSpec.nonEmpty) filled
       else if (i.userSpecifiedCols.nonEmpty) {
         require(i.userSpecifiedCols.size == q.columns.length,
           s"graft SQL INSERT: ${i.userSpecifiedCols.size} target columns " +
@@ -1410,13 +1431,14 @@ class GraftSql(val spark: SparkSession) {
     val casted = named.select(cols.map(c =>
       col(c).cast(target(c).dataType).as(c)): _*)
     val txn = (i.overwrite, partSpec) match {
-      // partition-scoped overwrite: tombstone ONLY the named partition,
-      // then insert — one atomic commit, the overwritten partition state
-      // stays time-travelable
-      case (true, Some((pc, v))) =>
-        Txn.empty.delete(col(pc) === lit(v).cast(target(pc).dataType))
+      // partition-scoped overwrite: tombstone ONLY the named partition
+      // slice (AND of the pinned levels), then insert — one atomic
+      // commit, the overwritten state stays time-travelable
+      case (true, spec) if spec.nonEmpty =>
+        Txn.empty.delete(spec.map { case (pc, v) =>
+            col(pc) === lit(v).cast(target(pc).dataType) }.reduce(_ && _))
           .insert(casted)
-      case (true, None) =>
+      case (true, _) =>
         // DYNAMIC partition overwrite (r11) — Spark's own conf gates it
         // (spark.sql.sources.partitionOverwriteMode=dynamic, default
         // static): on a partitioned table, replace EXACTLY the
@@ -1426,13 +1448,13 @@ class GraftSql(val spark: SparkSession) {
         // pass reads the source pruned to the one partition column);
         // static mode keeps ANSI truncate-all semantics, identical to
         // Spark's contract for a missing PARTITION clause.
-        val dynPc = durable.get(name)
-          .flatMap { case (c, t) => c.partitionColOf(t) }
+        val dynPcs = durable.get(name)
+          .map { case (c, t) => c.partitionColsOf(t) }.getOrElse(Nil)
           .filter(_ => spark.conf
             .get("spark.sql.sources.partitionOverwriteMode", "static")
             .equalsIgnoreCase("dynamic"))
-        dynPc match {
-          case Some(pc) =>
+        dynPcs match {
+          case pcs if pcs.nonEmpty =>
             // pin the source ONCE before deriving the touched set: the
             // tombstone partitions and the inserted rows must come from
             // the SAME evaluation (a nondeterministic SELECT re-evaluated
@@ -1440,12 +1462,24 @@ class GraftSql(val spark: SparkSession) {
             // the tombstone set), and at scale it is one source scan
             // instead of two
             val pinned = casted.localCheckpoint(eager = true)
-            val vals = pinned.select(col(pc)).distinct().collect()
-              .map(_.get(0))
-            require(!vals.contains(null), "graft SQL INSERT OVERWRITE " +
-              "(dynamic): NULL partition values are not supported")
-            Txn.empty.delete(col(pc).isin(vals.toSeq: _*)).insert(pinned)
-          case None => Txn.empty.delete(lit(true)).insert(casted)
+            // the touched set is the DISTINCT TUPLE of partition values —
+            // |partitions|-bounded metadata; the tombstone is an OR of
+            // per-tuple AND-equalities (each a directory subtree)
+            val vals = pinned.select(pcs.map(col): _*).distinct().collect()
+            require(!vals.exists(r => (0 until pcs.size).exists(r.isNullAt)),
+              "graft SQL INSERT OVERWRITE (dynamic): NULL partition " +
+                "values are not supported")
+            // an empty source touches no partitions: overwrite nothing
+            // (Spark's dynamic-mode contract), but still commit the
+            // (empty) insert so the statement is one versioned op
+            val pred =
+              if (vals.isEmpty) lit(false)
+              else vals.map { r =>
+                pcs.zipWithIndex.map { case (pc, j) =>
+                  col(pc) === lit(r.get(j)) }.reduce(_ && _)
+              }.reduce(_ || _)
+            Txn.empty.delete(pred).insert(pinned)
+          case _ => Txn.empty.delete(lit(true)).insert(casted)
         }
       case (false, _) => Txn.empty.insert(casted)
     }
@@ -1649,28 +1683,28 @@ class GraftSql(val spark: SparkSession) {
    * durable table ADOPTS it (registers, creates nothing) — the Delta
    * no-op shape with the table left usable.
    */
-  /** The single IDENTITY partition column of a CREATE TABLE's
-    * PARTITIONED BY clause (r11), or None. Bucket/transform partitioning
+  /** The IDENTITY partition columns of a CREATE TABLE's PARTITIONED BY
+    * clause (r11; multi-column r12 — one nested directory level per
+    * column, declaration order). Bucket/transform partitioning
     * (`PARTITIONED BY (bucket(8, c))`, `days(ts)`) is rejected loud —
     * bucketing has its own lever ([[graft.ops.Layout.writeBucketed]]),
     * and derived-value partitioning belongs in an explicit column. */
-  private def partitionColOf(transforms: Seq[org.apache.spark.sql.connector
-      .expressions.Transform]): Option[String] = transforms match {
-    case Seq() => None
-    case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+  private def partitionColsOf(transforms: Seq[org.apache.spark.sql.connector
+      .expressions.Transform]): Seq[String] = transforms.map {
+    case t if t.name == "identity" && t.references.length == 1 &&
         t.references.head.fieldNames.length == 1 =>
-      Some(t.references.head.fieldNames.head)
+      t.references.head.fieldNames.head
     case other => throw new IllegalArgumentException(
-      "graft SQL PARTITIONED BY: exactly one identity column is " +
-        s"supported (a directory level per value), got ${other.map(_.describe)
-          .mkString(", ")} — for bucketing use Layout.writeBucketed, for " +
-        "derived values add the column explicitly")
+      "graft SQL PARTITIONED BY: identity columns only (a directory " +
+        s"level per value per column), got ${other.describe} — for " +
+        "bucketing use Layout.writeBucketed, for derived values add " +
+        "the column explicitly")
   }
 
   private def runCreate(name: String, ifNotExists: Boolean,
                         opts: Map[String, String],
                         source: Either[Seq[ColumnDefinition], LogicalPlan],
-                        partitioned: Option[String]): DataFrame = {
+                        partitioned: Seq[String]): DataFrame = {
     val unknown = opts.keySet - "key"
     require(unknown.isEmpty, "graft SQL CREATE TABLE: unknown option(s) " +
       s"${unknown.mkString(", ")} (supported: 'key')")

@@ -180,4 +180,125 @@ class PartitionSpec extends SparkSpec {
     assert(cat.partitionSnapshot("t", "202401").schema("month")
       .dataType.typeName === "long")
   }
+
+  // ------------------------------------------------- multi-column (r12)
+
+  private def rows2 = {
+    import spark.implicits._
+    Seq((1L, "a", "x", 10L), (2L, "a", "y", 20L), (3L, "b", "x", 30L),
+        (4L, "b", "y", 40L), (5L, "a", "x", 50L))
+      .toDF("k", "region", "cat", "v")
+  }
+
+  private def m2(df: org.apache.spark.sql.DataFrame): Map[Long, (String, String, Long)] =
+    df.select("k", "region", "cat", "v").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+
+  test("multi-column create nests one directory level per column (r12)") {
+    val (cat, wh) = fresh()
+    cat.createTable("t", "k", rows2, partitionBy = Seq("region", "cat"))
+    val baseDir = new java.io.File(s"$wh/t/base")
+    val l0 = baseDir.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(l0.toSeq === Seq("_pd0=pa", "_pd0=pb"))
+    val l1 = new java.io.File(s"$wh/t/base/_pd0=pa").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(l1.toSeq === Seq("_pd1=px", "_pd1=py"))
+    assert(m2(cat.getTable("t").snapshot) === m2(rows2))
+    assert(cat.partitionColsOf("t") === Seq("region", "cat"))
+    assert(cat.partitionTypesOf("t") === Seq("string", "string"))
+  }
+
+  test("any subset of partition columns prunes; equals the filtered snapshot") {
+    val (cat, _) = fresh()
+    cat.createTable("t", "k", rows2, partitionBy = Seq("region", "cat"))
+    cat.commit("t", Txn.empty
+      .update(col("k") === 1L, Map("v" -> lit(11L)))
+      .delete(col("k") === 4L))
+    val full = cat.getTable("t").snapshot
+    // full tuple
+    assert(m2(cat.partitionSnapshot("t", Map("region" -> "a", "cat" -> "x"))) ===
+      m2(full.where(col("region") === "a" && col("cat") === "x")))
+    // prefix only
+    assert(m2(cat.partitionSnapshot("t", Map("region" -> "b"))) ===
+      m2(full.where(col("region") === "b")))
+    // suffix only (still prunes at its own level)
+    assert(m2(cat.partitionSnapshot("t", Map("cat" -> "y"))) ===
+      m2(full.where(col("cat") === "y")))
+    // single-column legacy API addresses the FIRST column
+    assert(m2(cat.partitionSnapshot("t", "a")) ===
+      m2(full.where(col("region") === "a")))
+    // unknown column rejects loud
+    assert(intercept[IllegalArgumentException](
+      cat.partitionSnapshot("t", Map("v" -> "10")))
+      .getMessage.contains("not partition columns"))
+  }
+
+  test("multi-column pruned scan carries PartitionFilters at each level") {
+    val (cat, _) = fresh()
+    cat.createTable("t", "k", rows2, partitionBy = Seq("region", "cat"))
+    cat.foldTail("t")
+    val probe = cat.partitionSnapshot("t", Map("region" -> "a", "cat" -> "x"))
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("_pd0") && plan.contains("_pd1"), plan)
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    val allFiles = {
+      val full = cat.getTable("t").snapshot
+      full.collect()
+      full.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    }
+    assert(scanned > 0 && scanned < allFiles,
+      s"pruning read $scanned of $allFiles files")
+  }
+
+  test("the partition TUPLE is immutable per key (multi-column guard)") {
+    import spark.implicits._
+    val (cat, _) = fresh()
+    cat.createTable("t", "k", rows2, partitionBy = Seq("region", "cat"))
+    // moving a key across the SECOND level alone must fail too
+    val moved = Seq((1L, "a", "y", 99L)).toDF("k", "region", "cat", "v")
+    val e = intercept[Exception] {
+      cat.commit("t", Txn.empty.insert(moved))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("immutable")), e.toString)
+    // same tuple re-insert is fine (upsert)
+    cat.commit("t", Txn.empty.insert(
+      Seq((1L, "a", "x", 99L)).toDF("k", "region", "cat", "v")))
+    assert(cat.partitionSnapshot("t", Map("cat" -> "x"))
+      .where(col("k") === 1L).head().getLong(3) === 99L)
+  }
+
+  test("multi-column layout + metadata survive fold, vacuum and reopen") {
+    val (cat, wh) = fresh()
+    cat.createTable("t", "k", rows2, partitionBy = Seq("region", "cat"))
+    cat.commit("t", Txn.empty.update(col("k") === 3L, Map("v" -> lit(33L))))
+    cat.foldTail("t")
+    val cat2 = new Catalog(spark, wh, autoCompact = false)
+    assert(cat2.partitionColsOf("t") === Seq("region", "cat"))
+    assert(m2(cat2.partitionSnapshot("t", Map("region" -> "b"))) ===
+      Map(3L -> ("b", "x", 33L), 4L -> ("b", "y", 40L)))
+    cat2.vacuum("t")
+    val l0 = new java.io.File(s"$wh/t/base").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(l0.toSeq === Seq("_pd0=pa", "_pd0=pb"))
+  }
+
+  test("reserved column names reject at create; dup partition cols too") {
+    import spark.implicits._
+    val (cat, _) = fresh()
+    assert(intercept[IllegalArgumentException](
+      cat.createTable("bad", "k", Seq((1L, "x")).toDF("k", "_pd")))
+      .getMessage.contains("reserved"))
+    assert(intercept[IllegalArgumentException](
+      cat.createTable("bad2", "k", Seq((1L, "x")).toDF("k", "_pd0")))
+      .getMessage.contains("reserved"))
+    assert(intercept[IllegalArgumentException](
+      cat.createTable("bad3", "k", rows2, partitionBy = Seq("cat", "cat")))
+      .getMessage.contains("duplicate"))
+  }
 }
