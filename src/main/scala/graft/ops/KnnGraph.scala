@@ -140,6 +140,76 @@ object KnnGraph {
         col("dot"), col("rnk"))
   }
 
+  /**
+   * Graph-served ANN read (r12) — greedy BEAM SEARCH over a stored kNN
+   * graph, the HNSW-class serving path on top of [[nnDescent]]'s build:
+   * start every query at the `entries` lowest-id graph nodes, then for
+   * `hops` rounds expand the current per-query beam through the
+   * SYMMETRIZED adjacency (out-edges ∪ in-edges — so refresh-appended
+   * `new → old` edges make new nodes reachable without rewriting old
+   * adjacency lists), score only UNSEEN candidates against the live
+   * corpus, and keep the best `beam` as the next frontier. The answer
+   * is the top-k of everything scored along the way.
+   *
+   * Spark shape per hop: frontier (Q·beam rows) equi-joins the
+   * adjacency (≤ 2·degree fan-out), an anti-join against the visited
+   * set dedupes, and scoring is one keyed equi-join against the corpus
+   * — the corpus itself never shuffles (the candidate side is
+   * driver-small and broadcasts), so at 100 TB a search batch touches
+   * O(Q · beam · degree · hops) embedding lookups, never a scan.
+   * Deterministic end to end: fixed seeds, fixed hop count, the
+   * codegen'd fixed-order dot, and the TOTAL (dot desc, id asc) order
+   * at every trim — the SQL oracle unrolls the hops as CTEs and
+   * hash-matches. Scoring joins the LIVE corpus, so vectors deleted
+   * since the graph build drop here (stale edges only waste beam
+   * slots), the same vintage contract as the IVF-PQ re-rank.
+   *
+   * `emb`: (vec_id, embedding) live corpus; `graph`: (vec_id, nbr_id)
+   * stored adjacency; `queries`: (qid, qe). Returns (qid, vec_id, dot,
+   * rnk) — k rows per query.
+   */
+  def beamSearch(emb: DataFrame, graph: DataFrame, queries: DataFrame,
+                 k: Int, beam: Int, hops: Int, entries: Int): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 0 && entries >= 1,
+      s"beamSearch: k=$k, beam=$beam, hops=$hops, entries=$entries " +
+        "must all be positive")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val q = queries.select(col("qid"), col("qe"))
+    // undirected traversal over the directed top-k lists: out ∪ in
+    val fwd = graph.select(col("vec_id").as("p"), col("nbr_id").as("c"))
+    val adj = fwd.unionByName(
+        graph.select(col("nbr_id").as("p"), col("vec_id").as("c")))
+      .distinct()
+    val seeds = graph.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(entries)
+    def scoreIds(ids: DataFrame): DataFrame = ids
+      .join(e, "vec_id")
+      .join(q, "qid")
+      .select(col("qid"), col("vec_id"),
+        Similarity.dot(col("qe"), col("embedding")).as("dot"))
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    val s0 = scoreIds(q.select(col("qid")).distinct().crossJoin(seeds))
+    var visited = s0.select(col("qid"), col("vec_id"))
+    var frontier = s0.withColumn("_r", row_number().over(byQ))
+      .where(col("_r") <= beam).drop("_r")
+    var all = s0
+    for (_ <- 1 to hops) {
+      val cand = frontier
+        .join(adj, frontier("vec_id") === adj("p"))
+        .select(col("qid"), col("c").as("vec_id")).distinct()
+        .join(visited, Seq("qid", "vec_id"), "left_anti")
+      val scored = scoreIds(cand)
+      visited = visited.unionByName(scored.select(col("qid"), col("vec_id")))
+      all = all.unionByName(scored)
+      frontier = scored.withColumn("_r", row_number().over(byQ))
+        .where(col("_r") <= beam).drop("_r")
+    }
+    all.withColumn("rnk", row_number().over(byQ).cast("bigint"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("dot"), col("rnk"))
+  }
+
   /** Score pairs with two keyed equi-joins against the corpus — the
     * pair table shuffles, the corpus broadcasts when small. */
   private def score(e: DataFrame, pairs: DataFrame): DataFrame =

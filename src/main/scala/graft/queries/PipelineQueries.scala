@@ -62,6 +62,83 @@ object PipelineQueries {
   private val vecIdxCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Warehouse for the kNN-graph family: embeddings as a catalog table
+    * with the NN-Descent graph persisted as its `_knn` sidecar
+    * ([[graft.core.Catalog.createKnnIndex]]; k=5, 3 rounds, exploration
+    * degree 15 — the ann_knn_graph recipe). Cached per sfDir so
+    * ann_knn_search measures the graph-traversal READ path, not the
+    * build. */
+  private def knnIdxWarehouse(s: SparkSession, d: String): String =
+    knnIdxCache.getOrElseUpdate(d, {
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_knnidx_wh_")
+      val cat = new graft.core.Catalog(s, wh, autoCompact = false)
+      cat.createTable("emb_kg", "vec_id",
+        Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+      cat.createKnnIndex("emb_kg", "embedding", k = 5, rounds = 3,
+        descentK = 15)
+      wh
+    })
+
+  private val knnIdxCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** DuckDB fixed-order dot replay — shared by the kNN-graph oracles. */
+  private def knnDotSql(a: String, b: String): String =
+    s"""list_reduce(
+       |      list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(range(1, len($a) + 1),
+       |          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |      (x, y) -> x + y)""".stripMargin
+
+  /** The NN-Descent build replay (ann_knn_graph's CTE chain, ending at
+    * `k3` — the converged top-15 lists): shared verbatim by the build
+    * oracle and the search oracle so both address the SAME graph. */
+  private lazy val knnGraphCtes: String = {
+    def round(prev: String, r: Int): String =
+      s"""u$r AS (SELECT p, q FROM $prev UNION SELECT q, p FROM $prev),
+         |c$r AS (SELECT DISTINCT x.q AS p, y.q AS q
+         |        FROM u$r x JOIN u$r y ON x.p = y.p AND x.q < y.q),
+         |t$r AS (SELECT c$r.p, c$r.q,
+         |    ${knnDotSql("ep.v", "eq.v")} AS dot
+         |  FROM c$r JOIN e ep ON ep.id = c$r.p JOIN e eq ON eq.id = c$r.q),
+         |a$r AS (SELECT p, q, max(dot) AS dot FROM (
+         |          SELECT p, q, dot FROM $prev
+         |          UNION ALL SELECT p, q, dot FROM t$r
+         |          UNION ALL SELECT q AS p, p AS q, dot FROM t$r)
+         |        GROUP BY p, q),
+         |k$r AS (SELECT p, q, dot FROM (
+         |          SELECT p, q, dot, row_number() OVER (
+         |            PARTITION BY p ORDER BY dot DESC, q ASC) AS r
+         |          FROM a$r) WHERE r <= 15)""".stripMargin
+    s"""e AS MATERIALIZED (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |nn AS (SELECT greatest(1, count(*) // 60) AS nb FROM e),
+       |rk0 AS (SELECT id,
+       |          CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))
+       |            AS BIGINT) % nn.nb AS b
+       |        FROM e, nn),
+       |rk AS (SELECT id, b,
+       |         row_number() OVER (PARTITION BY b ORDER BY id) AS rn
+       |       FROM rk0),
+       |ib AS (SELECT x.id AS p, y.id AS q
+       |       FROM rk x JOIN rk y
+       |       ON x.b = y.b AND y.rn BETWEEN x.rn + 1 AND x.rn + 15),
+       |cx AS (SELECT x.id AS p, y.id AS q
+       |       FROM rk x, nn, range(1, 4) t(d), rk y
+       |       WHERE t.d <= nn.nb - 1
+       |         AND y.b = (x.b + t.d) % nn.nb AND y.rn = x.rn),
+       |i0 AS (SELECT p, q FROM ib UNION ALL SELECT p, q FROM cx),
+       |s0 AS (SELECT i0.p, i0.q,
+       |    ${knnDotSql("ep.v", "eq.v")} AS dot
+       |  FROM i0 JOIN e ep ON ep.id = i0.p JOIN e eq ON eq.id = i0.q),
+       |k0 AS (SELECT p, q, dot FROM (
+       |         SELECT p, q, dot, row_number() OVER (
+       |           PARTITION BY p ORDER BY dot DESC, q ASC) AS r
+       |         FROM s0) WHERE r <= 15),
+       |${round("k0", 1)},
+       |${round("k1", 2)},
+       |${round("k2", 3)}""".stripMargin
+  }
+
   /** Warehouse for ann_ivfpq_refresh: the IVF-PQ index is built over a
     * PARTIAL corpus (vec_id < 400 — comfortably above the 16 seed
     * centroids and 8 codeword seeds, so the model is the full-corpus
@@ -537,6 +614,20 @@ object PipelineQueries {
     "ann_knn_graph" -> { (s, d) =>
       graft.ops.KnnGraph.nnDescent(Tables(s, d, "embeddings"), 5, 3,
         descentK = 15)
+    },
+
+    // graph-SERVED ANN (r12, Catalog.knnSearch over the durable _knn
+    // sidecar): greedy beam search from the 4 lowest-id entry points,
+    // 3 hops at beam 5 over the symmetrized stored adjacency — each hop
+    // is a keyed equi-join against the graph plus one against the LIVE
+    // snapshot for scoring, so a query batch touches O(Q·beam·k·hops)
+    // rows, never a corpus scan. The warehouse fixture persists the
+    // build once; this query measures the deployment read path.
+    "ann_knn_search" -> { (s, d) =>
+      val wh = knnIdxWarehouse(s, d)
+      val cat = new graft.core.Catalog(s, wh)
+      cat.knnSearch("emb_kg", annQueries(s, d).drop("qlabel"),
+        k = 5, beam = 5, hops = 3, entries = 4)
     },
 
     "text_stats" -> { (s, d) =>
@@ -2715,60 +2806,63 @@ object PipelineQueries {
     // dedupe groups on the LONG keys (max of identical doubles)
     // exactly like the engine — never DISTINCT over the double column
     "ann_knn_graph" -> {
-      def dot(a: String, b: String): String =
-        s"""list_reduce(
-           |      list_prepend(CAST(0 AS DOUBLE),
-           |        list_transform(range(1, len($a) + 1),
-           |          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
-           |      (x, y) -> x + y)""".stripMargin
-      def round(prev: String, r: Int): String =
-        s"""u$r AS (SELECT p, q FROM $prev UNION SELECT q, p FROM $prev),
-           |c$r AS (SELECT DISTINCT x.q AS p, y.q AS q
-           |        FROM u$r x JOIN u$r y ON x.p = y.p AND x.q < y.q),
-           |t$r AS (SELECT c$r.p, c$r.q,
-           |    ${dot("ep.v", "eq.v")} AS dot
-           |  FROM c$r JOIN e ep ON ep.id = c$r.p JOIN e eq ON eq.id = c$r.q),
-           |a$r AS (SELECT p, q, max(dot) AS dot FROM (
-           |          SELECT p, q, dot FROM $prev
-           |          UNION ALL SELECT p, q, dot FROM t$r
-           |          UNION ALL SELECT q AS p, p AS q, dot FROM t$r)
-           |        GROUP BY p, q),
-           |k$r AS (SELECT p, q, dot FROM (
-           |          SELECT p, q, dot, row_number() OVER (
-           |            PARTITION BY p ORDER BY dot DESC, q ASC) AS r
-           |          FROM a$r) WHERE r <= 15)""".stripMargin
-      s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-         |nn AS (SELECT greatest(1, count(*) // 60) AS nb FROM e),
-         |rk0 AS (SELECT id,
-         |          CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))
-         |            AS BIGINT) % nn.nb AS b
-         |        FROM e, nn),
-         |rk AS (SELECT id, b,
-         |         row_number() OVER (PARTITION BY b ORDER BY id) AS rn
-         |       FROM rk0),
-         |ib AS (SELECT x.id AS p, y.id AS q
-         |       FROM rk x JOIN rk y
-         |       ON x.b = y.b AND y.rn BETWEEN x.rn + 1 AND x.rn + 15),
-         |cx AS (SELECT x.id AS p, y.id AS q
-         |       FROM rk x, nn, range(1, 4) t(d), rk y
-         |       WHERE t.d <= nn.nb - 1
-         |         AND y.b = (x.b + t.d) % nn.nb AND y.rn = x.rn),
-         |i0 AS (SELECT p, q FROM ib UNION ALL SELECT p, q FROM cx),
-         |s0 AS (SELECT i0.p, i0.q,
-         |    ${dot("ep.v", "eq.v")} AS dot
-         |  FROM i0 JOIN e ep ON ep.id = i0.p JOIN e eq ON eq.id = i0.q),
-         |k0 AS (SELECT p, q, dot FROM (
-         |         SELECT p, q, dot, row_number() OVER (
-         |           PARTITION BY p ORDER BY dot DESC, q ASC) AS r
-         |         FROM s0) WHERE r <= 15),
-         |${round("k0", 1)},
-         |${round("k1", 2)},
-         |${round("k2", 3)}
+      s"""WITH $knnGraphCtes
          |SELECT vec_id, nbr_id, dot, rnk FROM (
          |  SELECT p AS vec_id, q AS nbr_id, dot,
          |    CAST(row_number() OVER (
          |      PARTITION BY p ORDER BY dot DESC, q ASC) AS BIGINT) AS rnk
          |  FROM k3) WHERE rnk <= 5""".stripMargin
+    },
+
+    // graph-SERVED read: the same graph-build replay, then the beam
+    // search unrolled hop by hop — seeds are the 4 lowest graph ids,
+    // each hop expands the current beam through the symmetrized
+    // adjacency, anti-joins everything already scored, scores with the
+    // fixed-order dot, and the answer is the top-5 of all scored
+    "ann_knn_search" -> {
+      def hop(h: Int, frontier: String, visited: String): String =
+        s"""hc$h AS (SELECT DISTINCT f.qid, a.c AS vec_id
+           |        FROM $frontier f JOIN adj a ON a.p = f.vec_id
+           |        WHERE NOT EXISTS (SELECT 1 FROM $visited v
+           |          WHERE v.qid = f.qid AND v.vec_id = a.c)),
+           |sc$h AS (SELECT hc$h.qid, hc$h.vec_id,
+           |    ${knnDotSql("qt.qe", "e.v")} AS dot
+           |  FROM hc$h JOIN qt ON qt.qid = hc$h.qid
+           |  JOIN e ON e.id = hc$h.vec_id),
+           |f$h AS (SELECT qid, vec_id, dot FROM (
+           |         SELECT qid, vec_id, dot, row_number() OVER (
+           |           PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS r
+           |         FROM sc$h) WHERE r <= 5)""".stripMargin
+      s"""WITH $knnGraphCtes,
+         |kg AS MATERIALIZED (SELECT p, q, dot FROM (
+         |         SELECT p, q, dot, row_number() OVER (
+         |           PARTITION BY p ORDER BY dot DESC, q ASC) AS rnk
+         |         FROM k3) WHERE rnk <= 5),
+         |qt AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |       WHERE vec_id < 5),
+         |adj AS (SELECT p, q AS c FROM kg UNION SELECT q, p FROM kg),
+         |seeds AS (SELECT DISTINCT p AS vec_id FROM kg ORDER BY p LIMIT 4),
+         |sc0 AS (SELECT qt.qid, s.vec_id,
+         |    ${knnDotSql("qt.qe", "e.v")} AS dot
+         |  FROM qt CROSS JOIN seeds s JOIN e ON e.id = s.vec_id),
+         |f0 AS (SELECT qid, vec_id, dot FROM (
+         |         SELECT qid, vec_id, dot, row_number() OVER (
+         |           PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS r
+         |         FROM sc0) WHERE r <= 5),
+         |${hop(1, "f0", "sc0")},
+         |v1 AS (SELECT qid, vec_id FROM sc0
+         |       UNION ALL SELECT qid, vec_id FROM sc1),
+         |${hop(2, "f1", "v1")},
+         |v2 AS (SELECT qid, vec_id FROM v1
+         |       UNION ALL SELECT qid, vec_id FROM sc2),
+         |${hop(3, "f2", "v2")},
+         |allsc AS (SELECT * FROM sc0 UNION ALL SELECT * FROM sc1
+         |          UNION ALL SELECT * FROM sc2 UNION ALL SELECT * FROM sc3)
+         |SELECT qid, vec_id, dot, rnk FROM (
+         |  SELECT qid, vec_id, dot,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+         |  FROM allsc) WHERE rnk <= 5""".stripMargin
     },
 
     // prefix-dot shortlist (first 16 dims), exact full-dim re-rank —

@@ -1,0 +1,130 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.{KnnGraph, Similarity}
+
+/** Durable kNN-graph index (r12): NN-Descent built once
+  * ([[Catalog.createKnnIndex]]), served by beam search from any later
+  * session ([[Catalog.knnSearch]]), refreshed at delta cost for
+  * additions, deletions lazily dropped at the live-scoring join —
+  * the IVF-PQ vintage contract on a graph index. */
+class KnnIndexSpec extends SparkSpec {
+
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  private def queries = embeddings.where(col("vec_id") < 3)
+    .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+
+  test("graph persists; a FRESH handle serves reads identical to inline") {
+    val wh = Files.createTempDirectory("graft_knnidx_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("e", "vec_id", embeddings)
+    assert(cat.knnIndex("e").isEmpty)
+    cat.createKnnIndex("e", "embedding", k = 5, rounds = 2, descentK = 10)
+
+    val cat2 = new Catalog(spark, wh)
+    val Some((embCol, k, builtSeq, graph)) = cat2.knnIndex("e")
+    assert(embCol === "embedding" && k === 5)
+    assert(builtSeq === cat2.getTable("e").opSeq)
+    // the stored graph IS the deterministic NN-Descent result
+    val direct = KnnGraph.nnDescent(embeddings, 5, 2, descentK = 10)
+    assert(graph.orderBy("vec_id", "rnk").collect().map(_.toSeq).toSeq ===
+      direct.orderBy("vec_id", "rnk").collect().map(_.toSeq).toSeq)
+    // served read ≡ direct beam search over the same graph + live corpus
+    val served = cat2.knnSearch("e", queries, k = 5, beam = 5, hops = 3)
+    val inline = KnnGraph.beamSearch(embeddings, graph, queries,
+      k = 5, beam = 5, hops = 3, entries = 4)
+    assert(served.orderBy("qid", "rnk").collect().map(_.toSeq).toSeq ===
+      inline.orderBy("qid", "rnk").collect().map(_.toSeq).toSeq)
+    // 5 ranked rows per query, rank 1 is the query itself (it is in
+    // the corpus and reachable from itself through the graph)
+    val byQ = served.collect().groupBy(_.getLong(0))
+    assert(byQ.size === 3 && byQ.values.forall(_.length === 5))
+  }
+
+  test("beam-search recall vs brute force is measured, not assumed") {
+    val wh = Files.createTempDirectory("graft_knnrec_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("e", "vec_id", embeddings)
+    cat.createKnnIndex("e", "embedding", k = 5, rounds = 3, descentK = 15)
+    val qs = embeddings.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val truth = Similarity.bruteTopK(embeddings, qs, 5)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recallAt(beam: Int, hops: Int): Double = {
+      val got = cat.knnSearch("e", qs, k = 5, beam = beam, hops = hops)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val r8 = recallAt(8, 3)
+    val r16 = recallAt(16, 4)
+    println(s"[knn-search] recall@5 beam8/hops3=$r8 beam16/hops4=$r16")
+    // the beam/hop budget is the recall knob (the HNSW ef contract):
+    // more search work must buy recall, and the wide setting must land
+    // high. Floors pinned under the measured values (0.64 / 0.84 on
+    // this corpus) to catch regressions loudly without flaking.
+    assert(r16 >= r8 - 1e-9, s"wider beam lost recall: $r8 -> $r16")
+    assert(r8 >= 0.55, s"recall@5 beam8 = $r8")
+    assert(r16 >= 0.8, s"recall@5 beam16 = $r16")
+  }
+
+  test("refresh attaches additions at delta cost; new nodes reachable") {
+    val wh = Files.createTempDirectory("graft_knnref_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    val n = embeddings.count()
+    cat.createTable("e", "vec_id", embeddings)
+    cat.createKnnIndex("e", "embedding", k = 5, rounds = 2, descentK = 10)
+    val before = cat.knnIndex("e").get._4.count()
+    // commit NEW vectors (shifted copies of the first three, so each
+    // new vector's nearest live neighbor is its source — easy to assert)
+    val fresh = embeddings.where(col("vec_id") < 3)
+      .select((col("vec_id") + lit(n + 1000)).as("vec_id"), col("embedding"))
+    cat.commit("e", Txn.empty.insert(fresh))
+    cat.refreshKnnIndex("e")
+    val Some((_, _, builtSeq, graph)) = cat.knnIndex("e")
+    assert(builtSeq === cat.getTable("e").opSeq)
+    // delta cost: k rows per new vector appended, old lists untouched
+    assert(graph.count() === before + 3 * 5)
+    // a new node is REACHABLE: querying with its own embedding finds it
+    // (the appended new→old edges traverse in reverse via symmetrize)
+    val qNew = cat.getTable("e").snapshot
+      .where(col("vec_id") >= n + 1000)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val hits = cat.knnSearch("e", qNew, k = 5, beam = 8, hops = 3)
+      .where(col("qid") === col("vec_id"))
+    assert(hits.count() === 3,
+      "each new vector must surface for its own query after refresh")
+    // refresh is idempotent at head
+    cat.refreshKnnIndex("e")
+    assert(cat.knnIndex("e").get._4.count() === before + 3 * 5)
+  }
+
+  test("deletions never surface (live-scoring join); epoch bump refuses") {
+    val wh = Files.createTempDirectory("graft_knndel_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("e", "vec_id", embeddings)
+    cat.createKnnIndex("e", "embedding", k = 5, rounds = 2, descentK = 10)
+    // find some id the search surfaces for query 0, then delete it
+    val first = cat.knnSearch("e", queries.where(col("qid") === 0), 5)
+      .orderBy("rnk").collect()
+    val victim = first(1).getLong(1) // rank 2 (rank 1 is the query itself)
+    cat.commit("e", Txn.empty.delete(col("vec_id") === victim))
+    val after = cat.knnSearch("e", queries.where(col("qid") === 0), 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(!after.contains(victim),
+      "a deleted vector must drop at the live-scoring join")
+    // physical rewrite resets the op_seq clock: refresh refuses loud
+    cat.vacuum("e")
+    val e = intercept[IllegalArgumentException](cat.refreshKnnIndex("e"))
+    assert(e.getMessage.contains("rebuild"))
+  }
+}
