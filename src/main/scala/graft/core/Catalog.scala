@@ -3014,6 +3014,24 @@ final class Catalog(spark: SparkSession, warehouse: String,
                else meta.addedTypes
       writeMeta(name, meta.copy(widenCols = wc, widenTypes = wt,
         addedTypes = at))
+      // a projection on the widened column would otherwise accumulate
+      // MIXED physical types: its existing files carry the narrow type
+      // and post-widen commit deltas append wide ones into the same
+      // directory, whose schema-inferred probe read then fails at
+      // execution (or resolves by listing order). Rebuild it NOW from
+      // the widened-typed lineage read — one column-pruned scan, the
+      // createProjection cost, under the same lock so no commit can
+      // interleave (crash mid-rewrite = the dropProjectionFiles
+      // contract: a missing/partial dir reads as fallback on reopen
+      // because the next rewrite rebuilds projections wholesale).
+      if (meta.projCols.contains(column)) {
+        val widened = getTable(name)
+        widened.lineage.select(col(column), col(meta.key))
+          .repartitionByRange(col(column))
+          .sortWithinPartitions(col(column))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(projDir(name, column).toString)
+      }
       getTable(name)
     } }
 

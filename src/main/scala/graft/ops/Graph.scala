@@ -47,6 +47,7 @@ object Graph {
     * every node appearing as src or dst; rank_q = PageRank × scaleQ
     * after exactly `iters` synchronous rounds, damping 0.85. */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"pagerank: iters=$iters must be >= 1")
     val spark = edges.sparkSession
     // |E| lives in files, not block memory (see scaladoc)
     val dir = graft.sources.TextSources.scratchDir(spark, "graft_pagerank_")
@@ -126,6 +127,7 @@ object Graph {
    * just-materialized checkpoint, not a recompute.
    */
   def bfs(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"bfs: maxHops=$maxHops must be >= 0")
     val spark = edges.sparkSession
     val dir = graft.sources.TextSources.scratchDir(spark, "graft_bfs_")
     edges.select(col("src"), col("dst")).write.mode("overwrite").parquet(dir)

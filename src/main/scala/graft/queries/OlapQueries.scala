@@ -1027,11 +1027,17 @@ object OlapQueries {
     "q_triangles" -> { (s, d) =>
       val li = Tables(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // the pair self-join is the expensive subtree and THREE consumers
+      // read it (deg, ed, edges) — materialize it once (MEMORY_AND_DISK:
+      // |E| may exceed block memory at scale) instead of trusting
+      // ReuseExchange to dedupe three logically-equal subtrees
       val e = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("lo"), col("b.l_partkey").as("hi"))
         .distinct()
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val deg = e.select(col("lo").as("v"))
         .unionAll(e.select(col("hi").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -1042,10 +1048,13 @@ object OlapQueries {
         .join(deg.select(col("v").as("hi"), col("deg").as("dhi")), "hi")
       val loFirst = col("dlo") < col("dhi") ||
         (col("dlo") === col("dhi") && col("lo") < col("hi"))
+      // `ori` feeds three join sides (x, y, z) — same treatment
       val ori = ed.select(
         when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
         when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
         when(loFirst, col("dhi")).otherwise(col("dlo")).as("ddst"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       // wedge (b, c) at src with π(b) < π(c); the closing edge is b→c
       val wedges = ori.as("x").join(ori.as("y"),
           col("x.src") === col("y.src") &&
@@ -2133,7 +2142,29 @@ object OlapQueries {
           struct(col("a").as("src"), col("b").as("dst")),
           struct(col("b").as("src"), col("a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    }, s, s"graft_trade_edges_${java.lang.Integer.toHexString(d.hashCode)}")
+    }, s, s"graft_trade_edges_${corpusFingerprint(s, d,
+      Seq("lineitem", "orders"))}")
+
+  /** Content fingerprint of the corpus files a standing table derives
+    * from: md5 over the sorted (path, size, mtime) listing of each input
+    * table's parquet files. Regenerating a fixture in place changes the
+    * fingerprint and therefore the standing-table name, so stale edges
+    * are never probed (the r11 dir-hashCode key was blind to content). */
+  private def corpusFingerprint(s: SparkSession, d: String,
+                                tables: Seq[String]): String = {
+    val listing = tables.flatMap { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Seq(s"${p.getName}:${st.getLen}:${st.getModificationTime}")
+      else fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        .toSeq.sorted
+    }.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+  }
 
   /** Deterministic BLOCK sample of a driver table: the lexicographically
     * first ~3% of its parquet part files (min 1; the whole table when it
