@@ -1027,17 +1027,17 @@ object OlapQueries {
     "q_triangles" -> { (s, d) =>
       val li = Tables(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      // the pair self-join is the expensive subtree and THREE consumers
-      // read it (deg, ed, edges) — materialize it once (MEMORY_AND_DISK:
-      // |E| may exceed block memory at scale) instead of trusting
-      // ReuseExchange to dedupe three logically-equal subtrees
+      // the pair self-join feeds three consumers (deg, ed, edges) —
+      // measured r12: ReusedExchange already dedupes the repeated
+      // subtrees (PlanAuditSpec pins it), and an explicit localCheckpoint
+      // of |E| benched SLOWER (5.8s vs 5.5s at sf0.1: the block-store
+      // materialization costs more than the reuse it would save), so the
+      // declarative shape stays
       val e = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("lo"), col("b.l_partkey").as("hi"))
         .distinct()
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val deg = e.select(col("lo").as("v"))
         .unionAll(e.select(col("hi").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -1048,13 +1048,10 @@ object OlapQueries {
         .join(deg.select(col("v").as("hi"), col("deg").as("dhi")), "hi")
       val loFirst = col("dlo") < col("dhi") ||
         (col("dlo") === col("dhi") && col("lo") < col("hi"))
-      // `ori` feeds three join sides (x, y, z) — same treatment
       val ori = ed.select(
         when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
         when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
         when(loFirst, col("dhi")).otherwise(col("dlo")).as("ddst"))
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       // wedge (b, c) at src with π(b) < π(c); the closing edge is b→c
       val wedges = ori.as("x").join(ori.as("y"),
           col("x.src") === col("y.src") &&
