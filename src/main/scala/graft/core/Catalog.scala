@@ -946,6 +946,17 @@ final class Catalog(spark: SparkSession, warehouse: String,
 
   private def txnRoot = new Path(root, "_txn")
   private def txnRecordPath(id: String) = new Path(txnRoot, id + ".json")
+  private def txnPartPath(id: String) = new Path(txnRoot, id + ".part.json")
+
+  /** This warehouse's fully-qualified root URI — the identity a
+    * cross-catalog transaction record names a participant by. */
+  private[core] def rootUri: String = fs.makeQualified(root).toString
+
+  /** Post-commit maintenance trigger (instance-private conf access for
+    * [[Catalog.commitAcross]], whose coordinator is the companion). */
+  private[core] def postCommitMaintenance(names: Iterable[String]): Unit =
+    if (autoCompact)
+      names.foreach(n => maybeCompact(n, compactRatio, preserveHistory = true))
 
   /** Test-only failpoints: a name in this set makes the next commitMulti
     * throw AT that point, simulating a crash mid-protocol so specs can
@@ -1048,9 +1059,27 @@ final class Catalog(spark: SparkSession, warehouse: String,
     names.map(n => n -> getTable(n)).toMap
   }
 
-  /** Roll a committed transaction record forward (idempotent). */
+  /** Roll a committed transaction record forward (idempotent), then
+    * drop the record file. */
   private def applyTxnRecord(id: String, names: Seq[String],
                              expected: Seq[Long], next: Seq[Long]): Unit = {
+    applyTxnBody(id, names, expected, next)
+    fs.delete(txnRecordPath(id), false)
+  }
+
+  /** Roll THIS participant's share of a committed cross-catalog
+    * transaction forward, then drop the part record. The DECISION file
+    * (at the coordinator) is deliberately untouched — only the
+    * coordinator retires it, once every participant's part is gone. */
+  private def applyTxnPart(id: String, names: Seq[String],
+                           expected: Seq[Long], next: Seq[Long]): Unit = {
+    applyTxnBody(id, names, expected, next)
+    fs.delete(txnPartPath(id), false)
+  }
+
+  /** The shared roll-forward core (idempotent per table). */
+  private def applyTxnBody(id: String, names: Seq[String],
+                           expected: Seq[Long], next: Seq[Long]): Unit = {
     names.lazyZip(expected).lazyZip(next).foreach { (n, e, x) =>
       val meta = readMeta(n)
       if (meta.opSeq == e) writeMeta(n, meta.copy(opSeq = x))
@@ -1083,7 +1112,6 @@ final class Catalog(spark: SparkSession, warehouse: String,
       crashPoint(s"multi-done-$n")
     }
     deleteRecursively(new Path(txnRoot, id))
-    fs.delete(txnRecordPath(id), false)
   }
 
   /**
@@ -1096,28 +1124,101 @@ final class Catalog(spark: SparkSession, warehouse: String,
    */
   def recoverTxns(): Unit = if (isDir(txnRoot)) {
     val entries = fs.listStatus(txnRoot).toSeq
-    entries.filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+    def fields(json: String, field: String): Seq[String] =
+      (s""""$field"\\s*:\\s*\\[([^\\]]*)\\]""").r
+        .findFirstMatchIn(json).map(_.group(1)).filter(_.trim.nonEmpty)
+        .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+        .getOrElse(Nil)
+    def one(json: String, field: String): Option[String] =
+      (s""""$field"\\s*:\\s*"([^"]+)"""").r
+        .findFirstMatchIn(json).map(_.group(1))
+    def ownerAliveFor(id: String): Boolean =
+      try fs.listStatus(new Path(txnRoot, id)).exists(c => c.isDirectory &&
+        pathExists(new Path(dir(c.getPath.getName), "_commit.lock")))
+      catch { case _: java.io.FileNotFoundException => false }
+    // 1. cross-catalog PART records first: this root staged its share of
+    //    a transaction whose commit point lives at the COORDINATOR —
+    //    decision present ⇒ roll MY tables forward; decision absent ⇒
+    //    presumed abort, but only once the staging is past the lease
+    //    with no live owner (the coordinator may be about to decide).
+    entries.filter(s => s.isFile && s.getPath.getName.endsWith(".part.json"))
+      .foreach { s =>
+        val id = s.getPath.getName.stripSuffix(".part.json")
+        val json = readString(s.getPath)
+        val tables = fields(json, "tables")
+        // None = coordinator unreachable (leave everything for a later
+        // pass); Some(true/false) = decision present/absent
+        val decided: Option[Boolean] = one(json, "coordinator").flatMap { c =>
+          try {
+            val decision = new Path(new Path(new Path(c), "_txn"),
+              id + ".json")
+            Some(decision.getFileSystem(hconf).exists(decision))
+          } catch { case _: java.io.IOException => None }
+        }
+        decided match {
+          case Some(true) =>
+            try withLocks(tables.toList.sorted) {
+              withMarkers(tables.toList.sorted) {
+                applyTxnPart(id, tables,
+                  fields(json, "expected").map(_.toLong),
+                  fields(json, "next").map(_.toLong))
+              }
+            } catch { case _: ConcurrentModificationException => () }
+          case Some(false) =>
+            val stale = System.currentTimeMillis() -
+              s.getModificationTime > markerLeaseMs
+            if (stale && !ownerAliveFor(id)) {
+              deleteRecursively(new Path(txnRoot, id))
+              fs.delete(s.getPath, false)
+            }
+          case None => ()
+        }
+      }
+    // 2. record files: single-catalog records roll forward as before; a
+    //    cross-catalog DECISION record (this root coordinated) drives
+    //    every named participant's recovery, then retires once all
+    //    part records are gone — the decision must outlive the last
+    //    participant's roll-forward or a crash mid-fan-out would make
+    //    the survivors read "aborted".
+    entries.filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.endsWith(".part.json"))
       .foreach { s =>
         val id = s.getPath.getName.stripSuffix(".json")
         val json = readString(s.getPath)
-        def many(field: String): Seq[String] =
-          (s""""$field"\\s*:\\s*\\[([^\\]]*)\\]""").r
-            .findFirstMatchIn(json).map(_.group(1)).filter(_.trim.nonEmpty)
-            .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
-            .getOrElse(Nil)
-        val tables = many("tables")
-        // A record whose tables' markers are HELD belongs to a LIVE
-        // writer mid-roll-forward — recovery is for the dead. Skipping
-        // on contention (instead of letting the marker throw escape)
-        // keeps catalog construction and unrelated commitMulti calls
-        // from failing spuriously while a healthy writer finishes; the
-        // next recovery pass completes the record if the writer died.
-        try withLocks(tables.toList.sorted) {
-          withMarkers(tables.toList.sorted) {
-            applyTxnRecord(id, tables,
-              many("expected").map(_.toLong), many("next").map(_.toLong))
+        val participants = fields(json, "participants")
+        if (participants.nonEmpty) {
+          def partPending(uri: String): Boolean =
+            try {
+              val pp = new Path(new Path(new Path(uri), "_txn"),
+                id + ".part.json")
+              pp.getFileSystem(hconf).exists(pp)
+            } catch { case _: java.io.IOException => true }
+          participants.filter(partPending).foreach { uri =>
+            if (uri != rootUri)
+              // a participant Catalog's OWN construction-time recovery
+              // sees this decision and rolls its part forward (it only
+              // READS the decision file — no recursion back here)
+              try { new Catalog(spark, uri, autoCompact = false); () }
+              catch { case scala.util.control.NonFatal(_) => () }
           }
-        } catch { case _: ConcurrentModificationException => () }
+          if (participants.forall(u => !partPending(u)))
+            fs.delete(s.getPath, false)
+        } else {
+          val tables = fields(json, "tables")
+          // A record whose tables' markers are HELD belongs to a LIVE
+          // writer mid-roll-forward — recovery is for the dead.
+          // Skipping on contention keeps catalog construction and
+          // unrelated commitMulti calls from failing spuriously while a
+          // healthy writer finishes; the next pass completes the record
+          // if the writer died.
+          try withLocks(tables.toList.sorted) {
+            withMarkers(tables.toList.sorted) {
+              applyTxnRecord(id, tables,
+                fields(json, "expected").map(_.toLong),
+                fields(json, "next").map(_.toLong))
+            }
+          } catch { case _: ConcurrentModificationException => () }
+        }
       }
     entries.filter(_.isDirectory).foreach { d =>
       val id = d.getPath.getName
@@ -1125,17 +1226,15 @@ final class Catalog(spark: SparkSession, warehouse: String,
         d.getModificationTime > markerLeaseMs
       // NEVER roll back staging whose owner may still be alive: the
       // owner holds every staged table's commit marker for the whole
-      // stage-write ([[commitMulti]]), so a present marker vetoes the
-      // rollback even past the lease — a 100 TB delta write can
-      // legitimately out-live any lease, and GC'ing it would make the
-      // owner's subsequent commit point apply EMPTY staging (silent
-      // loss). Dir mtime staleness remains the trigger; the marker is
-      // the liveness proof.
-      def ownerAlive: Boolean =
-        try fs.listStatus(d.getPath).exists(c => c.isDirectory &&
-          pathExists(new Path(dir(c.getPath.getName), "_commit.lock")))
-        catch { case _: java.io.FileNotFoundException => false }
-      if (!pathExists(txnRecordPath(id)) && stale && !ownerAlive)
+      // stage-write ([[commitMulti]]/[[Catalog.commitAcross]]), so a
+      // present marker vetoes the rollback even past the lease — a
+      // 100 TB delta write can legitimately out-live any lease, and
+      // GC'ing it would make the owner's subsequent commit point apply
+      // EMPTY staging (silent loss). Dir mtime staleness remains the
+      // trigger; the marker is the liveness proof. A live part record
+      // vetoes too: its staging belongs to the decision protocol above.
+      if (!pathExists(txnRecordPath(id)) && !pathExists(txnPartPath(id)) &&
+          stale && !ownerAliveFor(id))
         deleteRecursively(d.getPath)
     }
     if (isDir(txnRoot) && fs.listStatus(txnRoot).isEmpty)
@@ -3631,6 +3730,105 @@ final class Catalog(spark: SparkSession, warehouse: String,
 }
 
 object Catalog {
+
+  /**
+   * ATOMIC commit across CATALOGS (r12) — [[Catalog.commitMulti]] lifted
+   * to N warehouses with ONE commit point, the presumed-abort two-phase
+   * shape every multi-store lakehouse transaction reduces to:
+   *
+   *   1. Every participant stages its tables' deltas to its own
+   *      `_txn/<gid>/<table>/` and writes `_txn/<gid>.part.json` naming
+   *      its tables, op_seq transitions, and the COORDINATOR's root —
+   *      durable intentions, invisible to readers, not a commit.
+   *   2. The coordinator (deterministically the lexicographically
+   *      smallest root URI) creates `_txn/<gid>.json` naming the
+   *      participants. This ONE atomic file create is the cross-catalog
+   *      commit point: before it exists every participant's recovery
+   *      presumes abort (staging rolls back after the lease); from the
+   *      instant it exists, every participant's recovery reads the
+   *      decision THROUGH its part record's coordinator pointer and
+   *      rolls forward.
+   *   3. Fan-out roll-forward per participant (idempotent — any crash
+   *      re-runs under [[recoverTxns]]); the decision file retires LAST,
+   *      once no participant still holds a part record, so a crash
+   *      mid-fan-out can never flip a survivor to "aborted".
+   *
+   * Locks/markers are acquired across all participants in global
+   * (rootUri, table) order — one order, no deadlock. Same read-
+   * atomicity caveat as commitMulti: crash atomicity is both-or-neither
+   * across every table of every catalog; concurrent readers may observe
+   * the fan-out mid-flight (each table individually consistent).
+   */
+  def commitAcross(parts: Seq[(Catalog, Map[String, Txn])]): Unit = {
+    val flat = parts.filter(_._2.nonEmpty)
+    require(flat.nonEmpty, "commitAcross: no work")
+    if (flat.size == 1) { flat.head._1.commitMulti(flat.head._2); return }
+    val uris = flat.map(_._1.rootUri)
+    require(uris.distinct.size == uris.size, "commitAcross: the same " +
+      s"warehouse appears twice (${uris.mkString(", ")}) — merge its " +
+      "tables into one entry")
+    val sorted = flat.sortBy(_._1.rootUri)
+    sorted.foreach { case (c, m) =>
+      m.keys.foreach(c.checked)
+      val aliased = m.keys.toSeq
+      require(aliased.distinct.size == aliased.size, "commitAcross: " +
+        "duplicate table names in one catalog's entry")
+    }
+    // complete any predecessor's pending recovery first (idempotent)
+    sorted.foreach(_._1.recoverTxns())
+    val coord = sorted.head._1
+    val gid = "gx_" + java.util.UUID.randomUUID().toString.replace("-", "_")
+    def withAll(ps: List[(Catalog, String)])(body: => Unit): Unit =
+      ps match {
+        case Nil => body
+        case (c, n) :: t =>
+          c.lock(n).synchronized(c.withCommitMarker(n)(withAll(t)(body)))
+      }
+    val pairs = sorted.flatMap { case (c, m) =>
+      m.keys.toList.sorted.map(c -> _) }.toList
+    withAll(pairs) {
+      // stage EVERY catalog's deltas before anything is visible; a
+      // failing op or CHECK violation aborts here with nothing written
+      val staged = sorted.map { case (c, m) =>
+        val names = m.keys.toList.sorted
+        val expected = names.map(n => c.readMeta(n).opSeq)
+        val next = names.map { n =>
+          val after = m(n).commit(c.getTable(n))
+          c.validateConstraints(n, c.readMeta(n), after.delta)
+          after.delta.foreach(d => c.lineageWriter(d, c.readMeta(n))
+            .mode(SaveMode.Append)
+            .parquet(new Path(new Path(c.txnRoot, gid), n).toString))
+          after.opSeq
+        }
+        (c, names, expected, next)
+      }
+      coord.crashPoint("across-staged")
+      // durable intentions: each participant records its share + the
+      // coordinator pointer its recovery will consult
+      staged.foreach { case (c, names, expected, next) =>
+        c.writeString(c.txnPartPath(gid),
+          s"""{"coordinator": "${coord.rootUri}", """ +
+            s""""tables": [${names.map(n => "\"" + n + "\"")
+              .mkString(", ")}], """ +
+            s""""expected": [${expected.mkString(", ")}], """ +
+            s""""next": [${next.mkString(", ")}]}""")
+      }
+      coord.crashPoint("across-intent")
+      // THE cross-catalog commit point: one atomic file create
+      coord.writeString(coord.txnRecordPath(gid),
+        s"""{"participants": [${sorted.map(p =>
+          "\"" + p._1.rootUri + "\"").mkString(", ")}]}""")
+      coord.crashPoint("across-committed")
+      // fan-out roll-forward; decision retires after the last part
+      staged.foreach { case (c, names, expected, next) =>
+        c.applyTxnPart(gid, names, expected, next)
+        c.crashPoint("across-rolled")
+      }
+      coord.fs.delete(coord.txnRecordPath(gid), false)
+    }
+    sorted.foreach { case (c, m) => c.postCommitMaintenance(m.keys) }
+  }
+
   /** Cap on the per-writer streaming replay map carried in table
     * metadata: the oldest writer entries are dropped past this. A
     * dropped writer's retry then re-applies — but a writer only retries

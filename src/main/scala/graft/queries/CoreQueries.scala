@@ -1645,6 +1645,49 @@ object CoreQueries {
       mid.unionByName(fin)
     },
 
+    // CROSS-CATALOG transaction (r12, Catalog.commitAcross — commitMulti
+    // lifted to N warehouses behind ONE commit point): the SQL
+    // transcript touches a table in catalog A (orders) and a table in
+    // catalog B (documents) inside one BEGIN..COMMIT; the INSERT..SELECT
+    // reads its own staged DELETE (RYOW across the catalog boundary);
+    // COMMIT stages both catalogs' deltas, writes per-participant part
+    // records, then the one decision-file create at the coordinator
+    // makes both visible — both-or-neither under any crash (MultiTxnSpec
+    // drives every window). The oracle replays sequentially.
+    "sql_txn_cross" -> { (s, d) =>
+      val whA = graft.sources.TextSources.scratchDir(s, "graft_gxq_a_")
+      val whB = graft.sources.TextSources.scratchDir(s, "graft_gxq_b_")
+      val ca = new Catalog(s, whA, autoCompact = false)
+      val cb = new Catalog(s, whB, autoCompact = false)
+      ca.createTable("ord_gx", "k", baseOrders(s, d))
+      cb.createTable("docs_gx", "k", Tables(s, d, "documents").select(
+        col("doc_id").as("k"), col("lang"), col("n_chars")))
+      val g = new graft.sql.GraftSql(s)
+        .register("ord_gx", ca, "ord_gx")
+        .register("docs_gx", cb, "docs_gx")
+      g.sql("BEGIN")
+      g.sql("""UPDATE ord_gx SET totalprice = totalprice + 7.0,
+              |status = 'GX' WHERE k % 5 = 0""".stripMargin)
+      g.sql("DELETE FROM docs_gx WHERE lang = 'de'")
+      g.sql("""INSERT INTO docs_gx SELECT k + 20000000, 'gx', n_chars
+              |FROM docs_gx WHERE lang = 'en'""".stripMargin)
+      g.sql("DELETE FROM ord_gx WHERE k % 35 = 0")
+      g.sql("COMMIT")
+      val o = ca.getTable("ord_gx").snapshot
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+             graft.functions.Exact.sumMoney(col("totalprice")).as("val"))
+        .select(lit("orders").as("tbl"), col("status").as("grp"),
+                col("n"), col("val"))
+      val dd = cb.getTable("docs_gx").snapshot
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("n_chars")).cast("double").as("val"))
+        .select(lit("docs").as("tbl"), col("lang").as("grp"),
+                col("n"), col("val"))
+      o.unionByName(dd)
+    },
+
     // The full SQL WRITE surface in one flow (graft.sql.GraftSql):
     // UPDATE, DELETE, then an INSERT ... SELECT that reads the table's
     // own refreshed snapshot view MID-TRANSCRIPT — three ANSI statements
@@ -2980,6 +3023,28 @@ object CoreQueries {
         |UNION ALL
         |SELECT 'docs', 'xx', COUNT(*), CAST(SUM(n_chars) AS DOUBLE)
         |FROM documents WHERE lang = 'en'""".stripMargin,
+
+    // cross-catalog transcript replayed sequentially: o* is catalog A's
+    // orders after each statement, d* catalog B's documents
+    "sql_txn_cross" ->
+      """WITH o0 AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    o_totalprice AS totalprice FROM orders),
+        |o1 AS (SELECT k,
+        |    CASE WHEN k % 5 = 0 THEN 'GX' ELSE status END AS status,
+        |    totalprice + CASE WHEN k % 5 = 0 THEN 7.0 ELSE 0.0 END AS totalprice
+        |  FROM o0),
+        |o2 AS (SELECT * FROM o1 WHERE k % 35 <> 0),
+        |d0 AS (SELECT doc_id AS k, lang, n_chars FROM documents),
+        |d1 AS (SELECT * FROM d0 WHERE lang <> 'de'),
+        |d2 AS (SELECT * FROM d1
+        |  UNION ALL
+        |  SELECT k + 20000000, 'gx', n_chars FROM d1 WHERE lang = 'en')
+        |SELECT 'orders' AS tbl, status AS grp, COUNT(*) AS n,
+        |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) / 100.0 AS val
+        |FROM o2 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'docs', lang, COUNT(*), CAST(SUM(n_chars) AS DOUBLE)
+        |FROM d2 GROUP BY 1, 2""".stripMargin,
 
     // sequential replay of the transaction: each CTE is the table state
     // after one statement — exactly what read-your-own-writes must see

@@ -162,23 +162,31 @@ class GraftSql(val spark: SparkSession) {
         val stashed = openTxn.get
         openTxn = None // cleared FIRST: a failed commit is an abort
         if (stashed.nonEmpty) {
-          val cats = stashed.keys.map(n => durable(n)._1).toSeq.distinct
-          require(cats.size == 1, "graft SQL COMMIT: transaction spans " +
-            s"${cats.size} catalogs — cross-catalog atomicity is not " +
-            "supported (one commit point per catalog)")
-          // two registered names aliasing one stored table would silently
-          // drop one table's statements in the map below — reject loud
-          val stored = stashed.keys.map(n => durable(n)._2).toSeq
+          // two registered names aliasing one stored table (in one
+          // catalog) would silently drop one table's statements in the
+          // maps below — reject loud
+          val stored = stashed.keys
+            .map(n => (durable(n)._1, durable(n)._2)).toSeq
           require(stored.distinct.size == stored.size, "graft SQL COMMIT: " +
             "two registered names alias the same stored table " +
-            s"(${stored.mkString(", ")}) — route the statements through " +
-            "one name")
+            s"(${stored.map(_._2).mkString(", ")}) — route the " +
+            "statements through one name")
+          // group by catalog: one catalog commits through commitMulti's
+          // single commit point; several commit through commitAcross's
+          // cross-catalog two-phase point (r12) — both-or-neither across
+          // every table of every catalog under any crash
+          val parts = stashed.toSeq
+            .groupBy { case (n, _) => durable(n)._1 }
+            .toSeq
+            .map { case (cat, entries) =>
+              cat -> entries.map { case (n, (_, t)) =>
+                (durable(n)._2, t) }.toMap
+            }
           // refreshView in FINALLY: on success the views adopt the new
           // durable state; on abort (constraint violation — nothing
           // landed anywhere) they revert from the RYOW overlay to the
           // intact pre-transaction snapshots
-          try cats.head.commitMulti(
-            stashed.map { case (n, (_, t)) => (durable(n)._2, t) }.toMap)
+          try graft.core.Catalog.commitAcross(parts)
           finally stashed.keys.foreach(refreshView)
         }
     }

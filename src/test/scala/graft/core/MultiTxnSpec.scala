@@ -196,4 +196,120 @@ class MultiTxnSpec extends SparkSpec {
       Txn.empty.update(col("k") === 2L, Map("v" -> col("v") * 2L))))
     assert(stateA(cat) === Set((1L, 10L), (2L, 40L)))
   }
+
+  // --------------------------------------- cross-CATALOG (r12, 2PC)
+
+  private def freshPair(): (Catalog, Catalog, String, String) = {
+    val whA = Files.createTempDirectory("graft_gx_a_").toString
+    val whB = Files.createTempDirectory("graft_gx_b_").toString
+    val ca = new Catalog(spark, whA)
+    val cb = new Catalog(spark, whB)
+    ca.createTable("ta", "k", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    cb.createTable("tb", "k", Seq((1L, "x"), (2L, "y")).toDF("k", "s"))
+    (ca, cb, whA, whB)
+  }
+
+  private def acrossParts(ca: Catalog, cb: Catalog) = Seq(
+    ca -> Map("ta" -> Txn.empty.update(col("k") === 1L,
+        Map("v" -> (col("v") + org.apache.spark.sql.functions.lit(100L))))
+      .insert(Seq((3L, 30L)).toDF("k", "v"))),
+    cb -> Map("tb" -> Txn.empty.delete(col("k") === 2L)
+      .insert(Seq((9L, "z")).toDF("k", "s"))))
+
+  test("commitAcross lands both catalogs' ops; fresh handles agree") {
+    val (ca, cb, whA, whB) = freshPair()
+    Catalog.commitAcross(acrossParts(ca, cb))
+    assert(stateA(ca) === afterA)
+    assert(stateB(cb) === afterB)
+    assert(stateA(new Catalog(spark, whA)) === afterA)
+    assert(stateB(new Catalog(spark, whB)) === afterB)
+  }
+
+  test("commitAcross: one catalog's failing op leaves BOTH untouched") {
+    val (ca, cb, _, _) = freshPair()
+    val bad = Seq(
+      ca -> Map("ta" -> Txn.empty.insert(Seq((4L, 40L)).toDF("k", "v"))),
+      // wrong schema for tb — staging must abort the WHOLE transaction
+      cb -> Map("tb" -> Txn.empty.insert(Seq((5L, 50L)).toDF("k", "v"))))
+    intercept[Exception] { Catalog.commitAcross(bad) }
+    assert(stateA(ca) === beforeA)
+    assert(stateB(cb) === beforeB)
+  }
+
+  test("crash BEFORE the decision: neither catalog changes; retry works") {
+    for (point <- Seq("across-staged", "across-intent")) {
+      val (ca, cb, whA, whB) = freshPair()
+      val coord = if (ca.rootUri < cb.rootUri) ca else cb
+      coord.crashPoints = Set(point)
+      intercept[IllegalStateException] {
+        Catalog.commitAcross(acrossParts(ca, cb))
+      }
+      coord.crashPoints = Set.empty
+      assert(stateA(new Catalog(spark, whA)) === beforeA,
+        s"ta changed after crash at $point")
+      assert(stateB(new Catalog(spark, whB)) === beforeB,
+        s"tb changed after crash at $point")
+      // the retry goes through (staging/part leftovers never block)
+      Catalog.commitAcross(acrossParts(ca, cb))
+      assert(stateA(ca) === afterA)
+      assert(stateB(cb) === afterB)
+    }
+  }
+
+  test("crash AFTER the decision: recovery rolls BOTH catalogs forward") {
+    for (point <- Seq("across-committed", "across-rolled")) {
+      val (ca, cb, whA, whB) = freshPair()
+      val sorted = Seq(ca, cb).sortBy(_.rootUri)
+      val crasher = if (point == "across-committed") sorted.head
+                    else sorted.head // first roll-forward participant
+      crasher.crashPoints = Set(point)
+      intercept[IllegalStateException] {
+        Catalog.commitAcross(acrossParts(ca, cb))
+      }
+      crasher.crashPoints = Set.empty
+      // fresh processes: each participant's construction-time recovery
+      // consults the coordinator's decision through its part record
+      val ca2 = new Catalog(spark, whA)
+      val cb2 = new Catalog(spark, whB)
+      assert(stateA(ca2) === afterA, s"ta incomplete after crash at $point")
+      assert(stateB(cb2) === afterB, s"tb incomplete after crash at $point")
+      // idempotent: nothing re-applies, and the decision record retires
+      assert(stateA(new Catalog(spark, whA)) === afterA)
+      assert(stateB(new Catalog(spark, whB)) === afterB)
+    }
+  }
+
+  test("the coordinator's recovery alone completes every participant") {
+    val (ca, cb, whA, whB) = freshPair()
+    val sorted = Seq(ca, cb).sortBy(_.rootUri)
+    sorted.head.crashPoints = Set("across-committed")
+    intercept[IllegalStateException] {
+      Catalog.commitAcross(acrossParts(ca, cb))
+    }
+    sorted.head.crashPoints = Set.empty
+    // reopen ONLY the coordinator: its decision record fans recovery out
+    // to the other participant's warehouse
+    val coordWh = if (sorted.head eq ca) whA else whB
+    val otherWh = if (sorted.head eq ca) whB else whA
+    new Catalog(spark, coordWh)
+    // the OTHER warehouse, opened read-only-style afterwards, is already
+    // rolled forward (its part record was consumed by the fan-out)
+    val other = new Catalog(spark, otherWh)
+    if (sorted.head eq ca) assert(stateB(other) === afterB)
+    else assert(stateA(other) === afterA)
+  }
+
+  test("duplicate warehouse entries and empty work reject loud") {
+    val (ca, _, whA, _) = freshPair()
+    val ca2 = new Catalog(spark, whA)
+    val e = intercept[IllegalArgumentException] {
+      Catalog.commitAcross(Seq(
+        ca -> Map("ta" -> Txn.empty.insert(Seq((7L, 70L)).toDF("k", "v"))),
+        ca2 -> Map("ta" -> Txn.empty.insert(Seq((8L, 80L)).toDF("k", "v")))))
+    }
+    assert(e.getMessage.contains("same warehouse"))
+    intercept[IllegalArgumentException] {
+      Catalog.commitAcross(Seq.empty)
+    }
+  }
 }

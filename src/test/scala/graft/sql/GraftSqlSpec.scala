@@ -588,6 +588,40 @@ class GraftSqlSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("z", 6L)))
   }
 
+  test("BEGIN..COMMIT spans catalogs: one cross-catalog commit point (r12)") {
+    val whA = Files.createTempDirectory("graft_sql_gx_a_").toString
+    val whB = Files.createTempDirectory("graft_sql_gx_b_").toString
+    val ca = new Catalog(spark, whA, autoCompact = false)
+    val cb = new Catalog(spark, whB, autoCompact = false)
+    ca.createTable("gta", "k", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    cb.createTable("gtb", "k", Seq((1L, 100L)).toDF("k", "w"))
+    val g = new GraftSql(spark)
+      .register("gta", ca, "gta").register("gtb", cb, "gtb")
+    g.sql("BEGIN")
+    g.sql("UPDATE gta SET v = v + 1 WHERE k = 1")
+    g.sql("INSERT INTO gtb VALUES (2, 200)")
+    // RYOW across BOTH catalogs mid-transaction
+    assert(g.sql("SELECT sum(v) FROM gta").head().getLong(0) === 31L)
+    assert(g.sql("SELECT count(*) FROM gtb").head().getLong(0) === 2L)
+    // nothing durable yet
+    assert(ca.getTable("gta").snapshot.where($"k" === 1L)
+      .head().getLong(1) === 10L)
+    g.sql("COMMIT")
+    // both landed; fresh handles over both warehouses agree
+    assert(new Catalog(spark, whA).getTable("gta").snapshot
+      .where($"k" === 1L).head().getLong(1) === 11L)
+    assert(new Catalog(spark, whB).getTable("gtb").snapshot.count() === 2L)
+    // a constraint violation in ONE catalog aborts the WHOLE transaction
+    cb.addConstraint("gtb", "w_pos", "w > 0")
+    g.sql("BEGIN")
+    g.sql("UPDATE gta SET v = v + 1000 WHERE k = 2")
+    g.sql("INSERT INTO gtb VALUES (3, -5)")
+    intercept[Exception] { g.sql("COMMIT") }
+    assert(ca.getTable("gta").snapshot.where($"k" === 2L)
+      .head().getLong(1) === 20L, "sibling catalog mutated by aborted txn")
+    assert(cb.getTable("gtb").snapshot.count() === 2L)
+  }
+
   test("multi-column PARTITIONED BY: create, scoped insert, route (r12)") {
     val wh = Files.createTempDirectory("graft_sql_pmulti_").toString
     val cat = new Catalog(spark, wh, autoCompact = false)
