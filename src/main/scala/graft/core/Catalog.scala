@@ -304,7 +304,37 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * (one directory per row is a layout catastrophe, not a layout). */
   def createTable(name: String, keyCol: String,
                   rows: org.apache.spark.sql.DataFrame,
-                  partitionBy: Seq[String]): LineageTable = {
+                  partitionBy: Seq[String]): LineageTable =
+    createTable(name, keyCol, rows, partitionBy,
+      partitionBy.map(_ => "id"))
+
+  /** [[createTable]] with partition TRANSFORMS (r12): `partitionFuncs`
+    * parallel to `partitionBy`, each "id" (identity — one directory per
+    * value) or "days" (epoch-day bucket of a NON-NEGATIVE
+    * nanos-since-epoch BIGINT column — one directory per day, the
+    * Iceberg days(ts) shape). A days-partitioned event table prunes
+    * time-slice reads to day directories ([[timeSliceSnapshot]]) while
+    * the raw column keeps its exact type in the files. */
+  def createTable(name: String, keyCol: String,
+                  rows: org.apache.spark.sql.DataFrame,
+                  partitionBy: Seq[String],
+                  partitionFuncs: Seq[String]): LineageTable = {
+    require(partitionFuncs.size == partitionBy.size,
+      s"createTable: ${partitionBy.size} partition columns but " +
+        s"${partitionFuncs.size} transforms")
+    partitionBy.zip(partitionFuncs).foreach { case (p, f) =>
+      require(f == "id" || f == "days",
+        s"createTable: unknown partition transform '$f' on '$p' " +
+          "(supported: id, days)")
+      if (f == "days")
+        require(rows.columns.contains(p) &&
+          Seq("bigint", "int", "long").contains(
+            rows.schema.find(_.name == p)
+              .map(_.dataType.simpleString).getOrElse("")),
+          s"createTable: days($p) needs a nanos-since-epoch BIGINT " +
+            s"column, got ${rows.schema.find(_.name == p)
+              .map(_.dataType.simpleString).getOrElse("<missing>")}")
+    }
     require(!metaExists(name), s"table $name already exists")
     require(viewSql(name).isEmpty,
       s"createTable: '$name' is a view in this warehouse")
@@ -330,7 +360,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
     fs.mkdirs(dir(name))
     val meta = Meta(keyCol, rows.columns.toSeq, index = None, opSeq = 0,
       partCols = partitionBy,
-      partTypes = partitionBy.map(p => rows.schema(p).dataType.simpleString))
+      partTypes = partitionBy.map(p => rows.schema(p).dataType.simpleString),
+      partFuncs = partitionFuncs)
     writeMeta(name, meta)
     writeBaseData(
       if (partitionBy.nonEmpty) layoutOrdered(t.lineage, meta)
@@ -359,8 +390,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
         // (`_pd0=.../_pd1=.../`), so a predicate on ANY prefix — or any
         // single level — prunes whole subtrees at planning.
         val dirCols = pdColNames(meta)
-        val withDirs = ps.zip(dirCols).foldLeft(df) { case (d, (p, n)) =>
-          d.withColumn(n, concat(lit("p"), col(p).cast("string"))) }
+        val withDirs = dirCols.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
+          d.withColumn(n, concat(lit("p"), dirValueExpr(meta, i))) }
         lineageWriter(withDirs, meta)
           .mode(SaveMode.Overwrite).partitionBy(dirCols: _*)
           .parquet(path.toString)
@@ -380,6 +411,27 @@ final class Catalog(spark: SparkSession, warehouse: String,
   private def pdColNames(meta: Meta): Seq[String] =
     if (meta.partCols.size <= 1) Seq("_pd")
     else meta.partCols.indices.map(i => s"_pd$i")
+
+  /** Nanos per day — the `days()` transform's bucket width over the
+    * engine's canonical nanos-since-epoch BIGINT event time. */
+  private[core] val dayNanos = 86400000000000L
+
+  /** The DERIVED string value level `i` keys its directory by: identity
+    * = the column's own string form; days = the epoch-day bucket
+    * (integer `div` — exact on the non-negative nanos the transform
+    * requires, no double rounding near midnight). */
+  private def dirValueExpr(meta: Meta, i: Int): org.apache.spark.sql.Column =
+    meta.funcs(i) match {
+      case "id" => col(meta.partCols(i)).cast("string")
+      case "days" =>
+        // integer `div`, NOT `/`: true division routes through DOUBLE,
+        // and 2024-era nanos (~1.7e18) are past 2^53 — a double round
+        // could mis-bucket a row within ~256ns of midnight
+        expr(s"CAST(CAST(`${meta.partCols(i)}` AS BIGINT) div " +
+          s"$dayNanos AS STRING)")
+      case other => throw new IllegalStateException(
+        s"unknown partition transform '$other'")
+    }
 
   /** Load a table (reference: Database.get_table). Reading base ∪ tail
     * reconstructs exactly the state last saved. */
@@ -507,7 +559,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
     // property that makes an indexed layout answer secondary probes by
     // pruning alone.
     LineageTable.fromPersisted(meta.key, meta.columns, lineage, meta.opSeq,
-      tailEmpty = !hasTail && !meta.multiVer, partCols = meta.partCols)
+      tailEmpty = !hasTail && !meta.multiVer,
+      partGuard = meta.partCols.indices
+        .map(i => (meta.partCols(i), dirValueExpr(meta, i))))
   }
 
   /**
@@ -556,17 +610,61 @@ final class Catalog(spark: SparkSession, warehouse: String,
     // a `_pd*` column is absent only for a base written before the table
     // was partitioned — impossible today (partitioning is create-only),
     // but fall back to the pushed data filter rather than miscount
+    // `values` carry the DERIVED canonical string per column (for a
+    // days(ts) level: the epoch-day number)
+    def derivedOf(c: String) = dirValueExpr(meta, meta.partCols.indexOf(c))
     val prunedBase = values.foldLeft(raw) { case (df, (c, v)) =>
       val dc = dirOf(c)
       if (df.columns.contains(dc)) df.where(col(dc) === lit("p" + v))
-      else df.where(col(physOf(meta, c)).cast("string") === v)
+      else df.where(derivedOf(c) === v)
     }.drop(pdColNames(meta): _*)
     val tailPred = values.map { case (c, v) =>
-      col(physOf(meta, c)).cast("string") === v }.reduce(_ && _)
+      derivedOf(c) === v }.reduce(_ && _)
     val tailDir = new Path(dir(name), "tail")
     healLeftoverTail(tailDir, meta.tailFloor)
     assembleTable(meta, prunedBase, tailDir, tailFilter = Some(tailPred))
       .snapshot
+  }
+
+  /**
+   * Directory-pruned TIME-SLICE read (r12) — the payoff of `days(ts)`
+   * partitioning: the snapshot restricted to `loNanos <= ts < hiNanos`,
+   * with the day range applied to the partition DIRECTORIES below the
+   * snapshot window (the planning-time filter parses the day number
+   * back out of the directory string — partition pruning evaluates it
+   * per directory, so a 3-day slice of a 10-year table opens 3 days of
+   * files) and the exact nanos predicate re-applied above. Sound
+   * because the source column is write-guarded immutable per key: every
+   * version of every in-slice key lives inside the pruned directories.
+   */
+  def timeSliceSnapshot(name: String, loNanos: Long,
+                        hiNanos: Long): org.apache.spark.sql.DataFrame = {
+    val meta = readMeta(name)
+    require(loNanos <= hiNanos, s"timeSliceSnapshot: $loNanos > $hiNanos")
+    val i = meta.funcs.indexOf("days")
+    require(i >= 0, s"timeSliceSnapshot: '$name' has no days(...) " +
+      "partition level (createTable with partitionFuncs)")
+    require(!hasManifest(name),
+      s"timeSliceSnapshot: '$name' is a shallow clone — fold it first")
+    val c = meta.partCols(i)
+    val dc = pdColNames(meta)(i)
+    val (dLo, dHi) = (loNanos / dayNanos, hiNanos / dayNanos)
+    val r0 = if (isEvolved(meta))
+      spark.read.option("mergeSchema", "true") else spark.read
+    val raw = r0.parquet(baseDir(name).toString)
+    val exact = col(c) >= lit(loNanos) && col(c) < lit(hiNanos)
+    val prunedBase =
+      (if (raw.columns.contains(dc))
+         // substring(3) strips the "p" prefix (1-based, pos 2 onward);
+         // the cast-compare evaluates per DIRECTORY at planning
+         raw.where(expr(s"CAST(substring(`$dc`, 2) AS BIGINT)")
+           .between(dLo, dHi))
+       else raw.where(exact))
+        .drop(pdColNames(meta): _*)
+    val tailDir = new Path(dir(name), "tail")
+    healLeftoverTail(tailDir, meta.tailFloor)
+    assembleTable(meta, prunedBase, tailDir, tailFilter = Some(exact))
+      .snapshot.where(exact)
   }
 
   /** The FIRST partition column of a table, if [[createTable]] set one. */
@@ -581,6 +679,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
   /** Declared types of the partition columns, parallel to
     * [[partitionColsOf]]. */
   def partitionTypesOf(name: String): Seq[String] = readMeta(name).partTypes
+
+  /** Transforms of the partition columns ("id" | "days"), parallel to
+    * [[partitionColsOf]] (r12). */
+  def partitionFuncsOf(name: String): Seq[String] = readMeta(name).funcs
 
   /**
    * Crash-window heal for the re-stamp swap ([[vacuum]]/[[purge]]/
@@ -3488,6 +3590,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
                             * IMMUTABLE ([[LineageTable]] write guards). */
                           partCols: Seq[String] = Nil,
                           partTypes: Seq[String] = Nil,
+                          /** Partition TRANSFORM per column (r12):
+                            * "id" = identity (the directory value is the
+                            * column's string form), "days" = epoch-day
+                            * bucket of a nanos-since-epoch BIGINT column
+                            * (the Iceberg days(ts) shape — one directory
+                            * per day). Empty = all identity (pre-r12
+                            * metadata). */
+                          partFuncs: Seq[String] = Nil,
                           /** TYPE WIDENING ([[widenColumn]], the Delta
                             * type-widening shape, r11): PHYSICAL column
                             * name → widened type, parallel seqs.
@@ -3503,6 +3613,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
       * surface exposed; multi-column callers read [[partCols]]. */
     def partCol: Option[String] = partCols.headOption
     def partType: String = partTypes.headOption.getOrElse("")
+    /** Transform per partition column, defaulted to identity for
+      * metadata written before r12 carried part_funcs. */
+    def funcs: Seq[String] =
+      if (partFuncs.size == partCols.size) partFuncs
+      else partCols.map(_ => "id")
   }
 
   // Metadata names are restricted to identifier characters at write time,
@@ -3599,6 +3714,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
       s""""part_cols": [${m.partCols.map(v => "\"" + checked(v) + "\"")
         .mkString(", ")}], """ +
       s""""part_types": [${m.partTypes.map(v => "\"" + checked(v) + "\"")
+        .mkString(", ")}], """ +
+      s""""part_funcs": [${m.partFuncs.map(v => "\"" + checked(v) + "\"")
         .mkString(", ")}], """ +
       s""""widen_cols": [${m.widenCols.map(c => "\"" + checked(c) + "\"")
         .mkString(", ")}], """ +
@@ -3720,6 +3837,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
         else "\"part_type\"\\s*:\\s*\"([^\"]+)\"".r
           .findFirstMatchIn(json).map(_.group(1)).toSeq
       },
+      strList("part_funcs"),
       strList("widen_cols"), strList("widen_types"))
   }
 

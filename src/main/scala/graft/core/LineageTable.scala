@@ -57,13 +57,14 @@ final class LineageTable private (
       * [[Catalog.createIndex]]'s sorted layout a real index (min-max
       * pruning with zero reconstruction overhead). Any write op clears it. */
     private val compactedOnly: Boolean,
-    /** The table's partition columns, when [[Catalog]] created it
-      * PARTITIONED BY (r11; multi-column r12). Write ops enforce the
-      * invariant pruned reads depend on — a key's partition tuple never
-      * changes: UPDATE may not assign any of them, and every appended
-      * row is guarded against moving an existing key across partitions
-      * ([[withAppend]]). */
-    private val partCols: Seq[String] = Nil) {
+    /** The table's partition guard, when [[Catalog]] created it
+      * PARTITIONED BY (r11; multi-column + transforms r12): one
+      * (source column, derived directory-value expression) per level.
+      * Write ops enforce the invariant pruned reads depend on — a key's
+      * DERIVED partition tuple never changes: UPDATE may not assign any
+      * source column, and every appended row is guarded against moving
+      * an existing key across directories ([[withAppend]]). */
+    private val partGuard: Seq[(String, Column)] = Nil) {
 
   import LineageTable.{DEL, VER}
 
@@ -221,9 +222,9 @@ final class LineageTable private (
   def update(predicate: Column, set: Map[String, Column]): LineageTable = {
     // the partition column is immutable per key (directory pruning
     // soundness) — the lakehouse rule: move a record by delete + insert
-    partCols.foreach(p => require(!set.contains(p),
+    partGuard.foreach { case (p, _) => require(!set.contains(p),
       s"UPDATE may not assign partition column '$p' — a key's partition " +
-        "is immutable (delete + insert under the new value instead)"))
+        "is immutable (delete + insert under the new value instead)") }
     val current = snapshotMeta.where(predicate)
     // each assignment CASTS to the column's declared type (ANSI UPDATE):
     // a bare int literal into a bigint column must widen, or the delta
@@ -434,7 +435,7 @@ final class LineageTable private (
   def compact: LineageTable =
     new LineageTable(keyCol, dataCols,
       snapshotMeta.withColumn(VER, lit(0L)).withColumn(DEL, lit(0)),
-      opSeq = 0, delta = None, compactedOnly = true, partCols)
+      opSeq = 0, delta = None, compactedOnly = true, partGuard)
 
   /**
    * Retention vacuum (storage reclaim): keep only the newest `keep`
@@ -454,7 +455,7 @@ final class LineageTable private (
     // durable through a later Catalog.commit (vacuum trims HISTORY, it
     // must never eat a write). Only Catalog.vacuum persists retention.
     new LineageTable(keyCol, dataCols, retained(keep).drop("_rn"), opSeq,
-      delta, compactedOnly = false, partCols)
+      delta, compactedOnly = false, partGuard)
 
   /** The retention core shared by [[vacuum]] and [[Catalog.vacuum]] (ONE
     * implementation of the safety-critical rules): newest `keep` rows per
@@ -521,7 +522,7 @@ final class LineageTable private (
     // later commit, not just in-memory reads (contrast vacuum, which
     // passes the delta through untouched because it only trims history)
     new LineageTable(keyCol, dataCols, scrub(lineage), opSeq,
-      delta.map(scrub), compactedOnly, partCols)
+      delta.map(scrub), compactedOnly, partGuard)
   }
 
   /**
@@ -589,7 +590,7 @@ final class LineageTable private (
     new LineageTable(keyCol, dataCols,
       lineage.localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER), opSeq,
-      delta, compactedOnly, partCols)
+      delta, compactedOnly, partGuard)
 
   /** Chain an op: append its rows to the lineage AND to the pending delta.
     *
@@ -605,25 +606,24 @@ final class LineageTable private (
     * delete/merge-matched rows inherit their partition from the snapshot
     * and pass structurally. */
   private def withAppend(rows: DataFrame): LineageTable = {
-    val guarded = partCols match {
+    val guarded = partGuard match {
       case Seq() => rows
       case ps =>
-        // the guard compares the TUPLE of partition values (r12 multi-
-        // column): one struct of string-casts per side, one null-safe
-        // struct compare — still a two-phase dictionary-friendly scan
-        def tup(c: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-          struct(ps.map(p => c(col(p)).cast("string")): _*)
+        // the guard compares the TUPLE of DERIVED directory values (r12
+        // multi-column + transforms — for days(ts) two timestamps in the
+        // same day are the same partition): one struct per side, one
+        // null-safe struct compare — still a dictionary-friendly scan
+        val derived = struct(ps.map(_._2): _*)
         val existing = lineage
-          .select(col(keyCol).as("_gk"),
-            struct(ps.map(p => col(p).cast("string")): _*).as("_gp"))
+          .select(col(keyCol).as("_gk"), derived.as("_gp"))
           .distinct()
-        val p0 = ps.head
+        val p0 = ps.head._1
         rows.join(existing, col(keyCol) <=> col("_gk"), "left")
           .withColumn(p0,
-            when(col("_gk").isNotNull && !(col("_gp") <=> tup(identity)),
+            when(col("_gk").isNotNull && !(col("_gp") <=> derived),
               raise_error(concat(
-                lit(s"partition columns (${ps.mkString(", ")}) are " +
-                  "immutable per key: key "),
+                lit(s"partition columns (${ps.map(_._1).mkString(", ")}) " +
+                  "are immutable per key: key "),
                 col(keyCol).cast("string"),
                 lit(" already lives in partition "),
                 col("_gp").cast("string")))
@@ -634,7 +634,7 @@ final class LineageTable private (
     }
     new LineageTable(keyCol, dataCols, lineage.unionByName(guarded), opSeq + 1,
       Some(delta.fold(guarded)(_.unionByName(guarded))),
-      compactedOnly = false, partCols)
+      compactedOnly = false, partGuard)
   }
 }
 
@@ -647,9 +647,9 @@ object LineageTable {
   private[core] def fromPersisted(keyCol: String, dataCols: Seq[String],
                                   lineage: DataFrame, maxVer: Long,
                                   tailEmpty: Boolean,
-                                  partCols: Seq[String] = Nil): LineageTable =
+                                  partGuard: Seq[(String, Column)] = Nil): LineageTable =
     new LineageTable(keyCol, dataCols, lineage, maxVer, delta = None,
-      compactedOnly = tailEmpty, partCols)
+      compactedOnly = tailEmpty, partGuard)
 
   /** Bootstrap a lineage table from plain rows (all base, version 0). */
   def fromBase(keyCol: String, rows: DataFrame): LineageTable = {

@@ -1816,6 +1816,35 @@ object CoreQueries {
               |FROM pm2 GROUP BY status, grp""".stripMargin)
     },
 
+    // TRANSFORM partitioning + time-slice pruning (r12,
+    // createTable(partitionFuncs = days) + Catalog.timeSliceSnapshot —
+    // the Iceberg days(ts) shape): the event table lays out one
+    // directory per epoch day (integer div over the canonical nanos
+    // BIGINT — no double rounding near midnight), and a 5-day slice
+    // read prunes to 5 day directories BELOW the snapshot window (the
+    // planning-time filter parses the day back out of the directory
+    // string), with the exact nanos predicate re-applied above. The
+    // raw ts column keeps its exact type in the files; a key's ts is
+    // write-guarded immutable so every version of every in-slice key
+    // lives inside the pruned set.
+    "q_partition_time" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_ptime_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      val ev = Tables(s, d, "events").select(col("event_id").as("k"),
+        col("ts"), col("event_type"), col("value"))
+      cat.createTable("evt", "k", ev,
+        partitionBy = Seq("ts"), partitionFuncs = Seq("days"))
+      cat.commit("evt", graft.core.Txn.empty
+        .update(col("k") % 7 === 0,
+          Map("value" -> (col("value") + lit(1.0)))))
+      val day0 = 1704067200000000000L // 2024-01-01, the fixture's epoch
+      val dayNs = 86400000000000L
+      cat.timeSliceSnapshot("evt", day0 + 5 * dayNs, day0 + 10 * dayNs)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             graft.functions.Exact.sumMoney(col("value")).as("sum_value"))
+    },
+
     // Directory-pruned partition probe (r11, Catalog.partitionSnapshot):
     // the partition restriction lands BELOW the snapshot window — the
     // base scan plans only `_pd=pO/` (PartitionFilters, whole files
@@ -2844,6 +2873,18 @@ object CoreQueries {
         |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
         |         AS cents
         |FROM final GROUP BY status""".stripMargin,
+
+    // the time-slice replay: the same 5-day nanos window and the k%7
+    // update applied over raw events
+    "q_partition_time" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(ROUND((value +
+        |    CASE WHEN event_id % 7 = 0 THEN 1.0 ELSE 0.0 END) * 100)
+        |    AS BIGINT)) / 100.0 AS sum_value
+        |FROM events
+        |WHERE epoch_ns(ts) >= 1704067200000000000 + 5 * 86400000000000
+        |  AND epoch_ns(ts) <  1704067200000000000 + 10 * 86400000000000
+        |GROUP BY 1""".stripMargin,
 
     // multi-column: the (F,1) leaf and the whole O subtree were replaced
     "sql_partition_multi" ->

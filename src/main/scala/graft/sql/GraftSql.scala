@@ -318,12 +318,12 @@ class GraftSql(val spark: SparkSession) {
       noTxn("CREATE TABLE")
       runCreate(createName(ct.name), ct.ignoreIfExists,
         specOptions(ct.tableSpec), Left(ct.columns),
-        partitionColsOf(ct.partitioning))
+        partitionSpecsOf(ct.partitioning))
     case cas: CreateTableAsSelect if providerIsGraft(cas.tableSpec) =>
       noTxn("CREATE TABLE")
       runCreate(createName(cas.name), cas.ignoreIfExists,
         specOptions(cas.tableSpec), Right(cas.query),
-        partitionColsOf(cas.partitioning))
+        partitionSpecsOf(cas.partitioning))
     // ALTER TABLE ... ALTER COLUMN c TYPE t — metadata-only type
     // WIDENING (r11, Catalog.widenColumn); comments/positions/defaults
     // and narrowing reject loud
@@ -527,9 +527,13 @@ class GraftSql(val spark: SparkSession) {
         a.nameParts.last.equalsIgnoreCase(pcol) &&
           (a.nameParts.length == 1 ||
             a.nameParts.init.last.equalsIgnoreCase(alias))
-      // every partition column with a type-matching literal equality
-      // prunes its own directory level — any subset routes (r12)
-      val hits: Map[String, String] = pcols.zip(ptypes).flatMap {
+      val pfuncs = cat.partitionFuncsOf(tbl)
+      // every IDENTITY partition column with a type-matching literal
+      // equality prunes its own directory level — any subset routes
+      // (r12); transformed levels never route (the directory value is
+      // derived, not the literal)
+      val hits: Map[String, String] = pcols.zip(ptypes).zip(pfuncs)
+        .collect { case ((pc, pt), "id") => (pc, pt) }.flatMap {
         case (pc, pt) =>
           conjuncts(cond).collectFirst {
             case EqualTo(a: UnresolvedAttribute, l: Literal)
@@ -1385,10 +1389,16 @@ class GraftSql(val spark: SparkSession) {
         // any SUBSET of the partition columns may be pinned statically —
         // each pinned column scopes the overwrite one directory level
         // tighter and is filled into the rows
+        val funcs = durable.get(name)
+          .map { case (c, t) => c.partitionFuncsOf(t) }.getOrElse(Nil)
         i.partitionSpec.toSeq.map { case (pc, pv) =>
           require(declared.contains(pc), s"graft SQL INSERT PARTITION: " +
             s"'$name' is ${if (declared.isEmpty) "not partitioned"
               else s"partitioned by (${declared.mkString(", ")})"}, got '$pc'")
+          require(funcs(declared.indexOf(pc)) == "id", "graft SQL INSERT " +
+            s"PARTITION: '$pc' is a TRANSFORMED partition level — pin " +
+            "transformed partitions with raw-predicate DML or dynamic " +
+            "overwrite on an identity level")
           val v = pv.getOrElse(throw new IllegalArgumentException(
             "graft SQL INSERT PARTITION: dynamic partition values are not " +
               "supported — rows carry the column; omit the PARTITION clause"))
@@ -1457,7 +1467,18 @@ class GraftSql(val spark: SparkSession) {
         // static mode keeps ANSI truncate-all semantics, identical to
         // Spark's contract for a missing PARTITION clause.
         val dynPcs = durable.get(name)
-          .map { case (c, t) => c.partitionColsOf(t) }.getOrElse(Nil)
+          .map { case (c, t) =>
+            val cols = c.partitionColsOf(t)
+            if (cols.nonEmpty && spark.conf
+                .get("spark.sql.sources.partitionOverwriteMode", "static")
+                .equalsIgnoreCase("dynamic"))
+              require(c.partitionFuncsOf(t).forall(_ == "id"),
+                "graft SQL INSERT OVERWRITE (dynamic): transformed " +
+                  "partition levels are not supported — the touched set " +
+                  "is derived from raw row values; overwrite with " +
+                  "raw-predicate DELETE + INSERT instead")
+            cols
+          }.getOrElse(Nil)
           .filter(_ => spark.conf
             .get("spark.sql.sources.partitionOverwriteMode", "static")
             .equalsIgnoreCase("dynamic"))
@@ -1697,22 +1718,27 @@ class GraftSql(val spark: SparkSession) {
     * (`PARTITIONED BY (bucket(8, c))`, `days(ts)`) is rejected loud —
     * bucketing has its own lever ([[graft.ops.Layout.writeBucketed]]),
     * and derived-value partitioning belongs in an explicit column. */
-  private def partitionColsOf(transforms: Seq[org.apache.spark.sql.connector
-      .expressions.Transform]): Seq[String] = transforms.map {
+  private def partitionSpecsOf(transforms: Seq[org.apache.spark.sql.connector
+      .expressions.Transform]): (Seq[String], Seq[String]) = transforms.map {
     case t if t.name == "identity" && t.references.length == 1 &&
         t.references.head.fieldNames.length == 1 =>
-      t.references.head.fieldNames.head
+      (t.references.head.fieldNames.head, "id")
+    case t if t.name == "days" && t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1 =>
+      // days(ts) over the engine's canonical nanos-since-epoch BIGINT —
+      // one directory per day (Catalog validates the column type)
+      (t.references.head.fieldNames.head, "days")
     case other => throw new IllegalArgumentException(
-      "graft SQL PARTITIONED BY: identity columns only (a directory " +
-        s"level per value per column), got ${other.describe} — for " +
-        "bucketing use Layout.writeBucketed, for derived values add " +
-        "the column explicitly")
-  }
+      "graft SQL PARTITIONED BY: identity columns and days(col) only " +
+        s"(a directory level per value/day), got ${other.describe} — " +
+        "for bucketing use Layout.writeBucketed, for other derived " +
+        "values add the column explicitly")
+  }.unzip
 
   private def runCreate(name: String, ifNotExists: Boolean,
                         opts: Map[String, String],
                         source: Either[Seq[ColumnDefinition], LogicalPlan],
-                        partitioned: Seq[String]): DataFrame = {
+                        partitioned: (Seq[String], Seq[String])): DataFrame = {
     val unknown = opts.keySet - "key"
     require(unknown.isEmpty, "graft SQL CREATE TABLE: unknown option(s) " +
       s"${unknown.mkString(", ")} (supported: 'key')")
@@ -1743,10 +1769,11 @@ class GraftSql(val spark: SparkSession) {
           require(ifNotExists, s"graft SQL CREATE TABLE: '$name' already " +
             "exists in the attached catalog (CREATE TABLE IF NOT EXISTS " +
             "adopts it)")
-        } else cat.createTable(name, key, rows, partitionBy = partitioned)
+        } else cat.createTable(name, key, rows,
+          partitionBy = partitioned._1, partitionFuncs = partitioned._2)
         register(name, cat, name)
       case None =>
-        require(partitioned.isEmpty, "graft SQL CREATE TABLE: PARTITIONED " +
+        require(partitioned._1.isEmpty, "graft SQL CREATE TABLE: PARTITIONED " +
           "BY needs a durable table (the partition layout is directories " +
           "on disk) — attach(catalog) first")
         register(name, LineageTable.fromBase(key, rows))

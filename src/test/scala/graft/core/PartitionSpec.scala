@@ -288,6 +288,94 @@ class PartitionSpec extends SparkSpec {
     assert(l0.toSeq === Seq("_pd0=pa", "_pd0=pb"))
   }
 
+  test("days(ts) transform: one directory per day; guard on the DERIVED value") {
+    import spark.implicits._
+    val (cat, wh) = fresh()
+    val day = 86400000000000L
+    val rows = Seq(
+      (1L, 10L * day + 5L, "a"), (2L, 10L * day + 999L, "b"),
+      (3L, 11L * day + 1L, "c"), (4L, 12L * day + 7L, "d"))
+      .toDF("k", "ts", "s")
+    cat.createTable("t", "k", rows,
+      partitionBy = Seq("ts"), partitionFuncs = Seq("days"))
+    val dirs = new java.io.File(s"$wh/t/base").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("_pd=p10", "_pd=p11", "_pd=p12"))
+    assert(cat.partitionFuncsOf("t") === Seq("days"))
+    // partitionSnapshot addresses the DERIVED day value
+    assert(cat.partitionSnapshot("t", "10").collect().map(_.getLong(0))
+      .toSet === Set(1L, 2L))
+    // same-day re-insert of an existing key upserts (derived tuple
+    // unchanged even though the raw ts moved within the day)
+    cat.commit("t", Txn.empty.insert(
+      Seq((1L, 10L * day + 777L, "a2")).toDF("k", "ts", "s")))
+    assert(cat.getTable("t").snapshot.where(col("k") === 1L)
+      .head().getString(2) === "a2")
+    // CROSS-day move of an existing key fails loud
+    val e = intercept[Exception] {
+      cat.commit("t", Txn.empty.insert(
+        Seq((2L, 11L * day, "moved")).toDF("k", "ts", "s")))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("immutable")), e.toString)
+    // UPDATE may not assign the transform's source column
+    assert(intercept[Exception] {
+      cat.commit("t", Txn.empty.update(col("k") === 3L,
+        Map("ts" -> lit(20L * day))))
+    }.getMessage.contains("immutable"))
+  }
+
+  test("timeSliceSnapshot prunes day directories below the window") {
+    import spark.implicits._
+    val (cat, _) = fresh()
+    val day = 86400000000000L
+    val rows = (0L until 40L).map(i =>
+      (i, (i % 8) * day + i * 1000L + 1L, i * 10L)).toDF("k", "ts", "v")
+    cat.createTable("t", "k", rows,
+      partitionBy = Seq("ts"), partitionFuncs = Seq("days"))
+    cat.commit("t", Txn.empty.update(col("k") === 10L,
+      Map("v" -> lit(999L))))
+    cat.foldTail("t")
+    val full = cat.getTable("t").snapshot
+    val (lo, hi) = (2L * day, 5L * day)
+    val slice = cat.timeSliceSnapshot("t", lo, hi)
+    assert(slice.collect().map(_.getLong(0)).toSet ===
+      full.where(col("ts") >= lo && col("ts") < hi)
+        .collect().map(_.getLong(0)).toSet)
+    // updated row in-slice carries the update (k=10 lives in day 2)
+    assert(slice.where(col("k") === 10L).head().getLong(2) === 999L)
+    // pruning proof: the day-range filter lands as a PARTITION filter
+    // (evaluated per directory at planning — whole days skipped); the
+    // numFiles metric hides inside AQE query stages here, so the plan
+    // string is the assertion surface
+    slice.collect()
+    val plan = slice.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("substring(_pd"), plan)
+    // day math is exact integer div: a row 1ns into day 5 is OUT, the
+    // last ns of day 4 is IN
+    assert(cat.timeSliceSnapshot("t", 5L * day - 1, 5L * day)
+      .collect().forall(r => r.getLong(1) < 5L * day))
+  }
+
+  test("days() guards: wrong type, unknown func, SQL surface") {
+    import spark.implicits._
+    val (cat, _) = fresh()
+    assert(intercept[IllegalArgumentException] {
+      cat.createTable("bad", "k", Seq((1L, "x")).toDF("k", "s"),
+        partitionBy = Seq("s"), partitionFuncs = Seq("days"))
+    }.getMessage.contains("BIGINT"))
+    assert(intercept[IllegalArgumentException] {
+      cat.createTable("bad2", "k", Seq((1L, 2L)).toDF("k", "ts"),
+        partitionBy = Seq("ts"), partitionFuncs = Seq("months"))
+    }.getMessage.contains("unknown partition transform"))
+    cat.createTable("flat2", "k", Seq((1L, 2L)).toDF("k", "ts"))
+    assert(intercept[IllegalArgumentException] {
+      cat.timeSliceSnapshot("flat2", 0L, 1L)
+    }.getMessage.contains("days"))
+  }
+
   test("reserved column names reject at create; dup partition cols too") {
     import spark.implicits._
     val (cat, _) = fresh()

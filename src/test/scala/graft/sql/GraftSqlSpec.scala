@@ -665,6 +665,46 @@ class GraftSqlSpec extends SparkSpec {
       "int literal against string partition column must not route")
   }
 
+  test("PARTITIONED BY (days(ts)): SQL create + transform guards (r12)") {
+    val wh = Files.createTempDirectory("graft_sql_pdays_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    val g = new GraftSql(spark).attach(cat)
+    g.sql("""CREATE TABLE pdy (k BIGINT, ts BIGINT, v BIGINT) USING graft
+            |OPTIONS ('key' = 'k') PARTITIONED BY (days(ts))""".stripMargin)
+    val day = 86400000000000L
+    g.sql(s"INSERT INTO pdy VALUES (1, ${2 * day + 5}, 10), " +
+      s"(2, ${3 * day + 9}, 20), (3, ${2 * day + 1}, 30)")
+    assert(cat.partitionFuncsOf("pdy") === Seq("days"))
+    assert(g.sql("SELECT count(*) FROM pdy").head().getLong(0) === 3L)
+    assert(cat.timeSliceSnapshot("pdy", 2 * day, 3 * day)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    // a static PARTITION pin on a transformed level rejects loud
+    assert(intercept[IllegalArgumentException](g.sql(
+      s"INSERT OVERWRITE pdy PARTITION (ts = 5) SELECT 9, 90"))
+      .getMessage.contains("TRANSFORMED"))
+    // dynamic overwrite on a transformed level rejects loud
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(conf, "static")
+    try {
+      spark.conf.set(conf, "dynamic")
+      assert(intercept[IllegalArgumentException](g.sql(
+        s"INSERT OVERWRITE pdy VALUES (9, ${2 * day}, 90)"))
+        .getMessage.contains("transformed"))
+    } finally spark.conf.set(conf, prev)
+    // WHERE ts = literal must NOT route onto a derived directory
+    cat.foldTail("pdy")
+    g.register("pdy", cat, "pdy") // refresh the view over the folded base
+    val q = g.sql(s"SELECT k FROM pdy WHERE ts = ${2 * day + 5}")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(!q.queryExecution.executedPlan.toString.contains("(_pd"),
+      "a raw-ts equality must not route onto the day directory")
+    // unsupported transforms still reject loud
+    assert(intercept[IllegalArgumentException](g.sql(
+      """CREATE TABLE bm (k BIGINT, ts BIGINT) USING graft
+        |OPTIONS ('key' = 'k') PARTITIONED BY (months(ts))""".stripMargin))
+      .getMessage.contains("days(col) only"))
+  }
+
   test("dynamic overwrite pins the source once: tombstones match inserts (r12)") {
     val wh = Files.createTempDirectory("graft_sql_pdyn2_").toString
     val cat = new Catalog(spark, wh, autoCompact = false)
