@@ -1845,6 +1845,33 @@ object CoreQueries {
              graft.functions.Exact.sumMoney(col("value")).as("sum_value"))
     },
 
+    // The SQL spelling of the pruned time slice (r12, GraftSql
+    // .routeToPartition range extension): a bounded `ts >= lo AND
+    // ts < hi` over a registered days(ts)-partitioned table substitutes
+    // Catalog.timeSliceSnapshot — SQL users get day-directory pruning
+    // without knowing the API exists; every conjunct stays applied
+    // above the substituted scan. Equalities route as one-ns slices;
+    // half-open ranges read plain (nothing to prune to).
+    "q_partition_time_route" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_ptroute_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      val ev = Tables(s, d, "events").select(col("event_id").as("k"),
+        col("ts"), col("event_type"), col("value"))
+      cat.createTable("evr", "k", ev,
+        partitionBy = Seq("ts"), partitionFuncs = Seq("days"))
+      cat.commit("evr", graft.core.Txn.empty
+        .delete(col("k") % 11 === 0))
+      val g = new graft.sql.GraftSql(s).register("evr", cat, "evr")
+      val day0 = 1704067200000000000L
+      val dayNs = 86400000000000L
+      g.sql(s"""SELECT event_type, count(*) AS n,
+              |  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+              |FROM evr
+              |WHERE ts >= ${day0 + 12 * dayNs} AND ts < ${day0 + 15 * dayNs}
+              |  AND k % 2 = 0
+              |GROUP BY event_type""".stripMargin)
+    },
+
     // Directory-pruned partition probe (r11, Catalog.partitionSnapshot):
     // the partition restriction lands BELOW the snapshot window — the
     // base scan plans only `_pd=pO/` (PartitionFilters, whole files
@@ -2873,6 +2900,17 @@ object CoreQueries {
         |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
         |         AS cents
         |FROM final GROUP BY status""".stripMargin,
+
+    // the routed slice replay: the same 3-day window, k%11 deletes and
+    // the k%2 residue through raw events
+    "q_partition_time_route" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |WHERE epoch_ns(ts) >= 1704067200000000000 + 12 * 86400000000000
+        |  AND epoch_ns(ts) <  1704067200000000000 + 15 * 86400000000000
+        |  AND event_id % 11 <> 0 AND event_id % 2 = 0
+        |GROUP BY 1""".stripMargin,
 
     // the time-slice replay: the same 5-day nanos window and the k%7
     // update applied over raw events

@@ -530,8 +530,8 @@ class GraftSql(val spark: SparkSession) {
       val pfuncs = cat.partitionFuncsOf(tbl)
       // every IDENTITY partition column with a type-matching literal
       // equality prunes its own directory level — any subset routes
-      // (r12); transformed levels never route (the directory value is
-      // derived, not the literal)
+      // (r12); transformed levels never route on equality (the
+      // directory value is derived, not the literal)
       val hits: Map[String, String] = pcols.zip(ptypes).zip(pfuncs)
         .collect { case ((pc, pt), "id") => (pc, pt) }.flatMap {
         case (pc, pt) =>
@@ -542,10 +542,69 @@ class GraftSql(val spark: SparkSession) {
                 if refsPart(a, pc) => l
           }.flatMap(canonical(_, pt)).map(pc -> _)
       }.toMap
-      if (hits.isEmpty) child
-      else {
-        hit = true
-        SubqueryAlias(alias, Bridge.planOf(cat.partitionSnapshot(tbl, hits)))
+      // a BOUNDED integral range over a days(ts) level routes onto the
+      // directory-pruned time slice (r12, Catalog.timeSliceSnapshot) —
+      // SQL users get day pruning without knowing the API exists. Both
+      // bounds must be literal (a half-open scan prunes nothing); the
+      // Filter above re-applies every conjunct, so the rewrite is pure
+      // scan substitution.
+      import org.apache.spark.sql.catalyst.expressions.{
+        GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+      def longOf(l: Literal): Option[Long] = l.value match {
+        case v: Byte => Some(v.toLong)
+        case v: Short => Some(v.toLong)
+        case v: Int => Some(v.toLong)
+        case v: Long => Some(v)
+        case _ => None
+      }
+      val slice: Option[(Long, Long)] =
+        pcols.zip(pfuncs).collectFirst { case (pc, "days") => pc }
+          .flatMap { pc =>
+            // normalize every shape to [lo, hi): >=x / x<= / >x / x< ...
+            val los = conjuncts(cond).flatMap {
+              case EqualTo(a: UnresolvedAttribute, l: Literal)
+                  if refsPart(a, pc) => longOf(l)
+              case EqualTo(l: Literal, a: UnresolvedAttribute)
+                  if refsPart(a, pc) => longOf(l)
+              case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal)
+                  if refsPart(a, pc) => longOf(l)
+              case GreaterThan(a: UnresolvedAttribute, l: Literal)
+                  if refsPart(a, pc) => longOf(l).map(_ + 1)
+              case LessThanOrEqual(l: Literal, a: UnresolvedAttribute)
+                  if refsPart(a, pc) => longOf(l)
+              case LessThan(l: Literal, a: UnresolvedAttribute)
+                  if refsPart(a, pc) => longOf(l).map(_ + 1)
+              case _ => None
+            }
+            val his = conjuncts(cond).flatMap {
+              case EqualTo(a: UnresolvedAttribute, l: Literal)
+                  if refsPart(a, pc) => longOf(l).map(_ + 1)
+              case EqualTo(l: Literal, a: UnresolvedAttribute)
+                  if refsPart(a, pc) => longOf(l).map(_ + 1)
+              case LessThan(a: UnresolvedAttribute, l: Literal)
+                  if refsPart(a, pc) => longOf(l)
+              case LessThanOrEqual(a: UnresolvedAttribute, l: Literal)
+                  if refsPart(a, pc) => longOf(l).map(_ + 1)
+              case GreaterThan(l: Literal, a: UnresolvedAttribute)
+                  if refsPart(a, pc) => longOf(l)
+              case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute)
+                  if refsPart(a, pc) => longOf(l).map(_ + 1)
+              case _ => None
+            }
+            (los.maxOption, his.minOption) match {
+              case (Some(lo), Some(hi)) if lo <= hi => Some((lo, hi))
+              case _ => None
+            }
+          }
+      (slice, hits) match {
+        case (Some((lo, hi)), _) =>
+          hit = true
+          SubqueryAlias(alias,
+            Bridge.planOf(cat.timeSliceSnapshot(tbl, lo, hi)))
+        case (None, h) if h.nonEmpty =>
+          hit = true
+          SubqueryAlias(alias, Bridge.planOf(cat.partitionSnapshot(tbl, h)))
+        case _ => child
       }
     }
     val out = p.transformUpWithSubqueries {

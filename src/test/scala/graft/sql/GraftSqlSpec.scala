@@ -691,13 +691,23 @@ class GraftSqlSpec extends SparkSpec {
         s"INSERT OVERWRITE pdy VALUES (9, ${2 * day}, 90)"))
         .getMessage.contains("transformed"))
     } finally spark.conf.set(conf, prev)
-    // WHERE ts = literal must NOT route onto a derived directory
+    // a bounded ts RANGE routes onto the day-pruned slice read; the
+    // exact predicate is re-applied above (pure scan substitution)
     cat.foldTail("pdy")
     g.register("pdy", cat, "pdy") // refresh the view over the folded base
-    val q = g.sql(s"SELECT k FROM pdy WHERE ts = ${2 * day + 5}")
-    assert(q.collect().map(_.getLong(0)).toSeq === Seq(1L))
-    assert(!q.queryExecution.executedPlan.toString.contains("(_pd"),
-      "a raw-ts equality must not route onto the day directory")
+    val qr = g.sql(s"SELECT k FROM pdy WHERE ts >= ${2 * day} " +
+      s"AND ts < ${3 * day} ORDER BY k")
+    assert(qr.collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(qr.queryExecution.executedPlan.toString.contains("substring(_pd"),
+      "a bounded ts range must route onto the day directories")
+    // ts equality routes too (a one-ns slice [x, x+1) is value-correct)
+    val qe = g.sql(s"SELECT k FROM pdy WHERE ts = ${2 * day + 5}")
+    assert(qe.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(qe.queryExecution.executedPlan.toString.contains("substring(_pd"))
+    // a HALF-open range (one bound) does not route — nothing to prune to
+    val qh = g.sql(s"SELECT k FROM pdy WHERE ts >= ${2 * day} ORDER BY k")
+    assert(qh.collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(!qh.queryExecution.executedPlan.toString.contains("substring(_pd"))
     // unsupported transforms still reject loud
     assert(intercept[IllegalArgumentException](g.sql(
       """CREATE TABLE bm (k BIGINT, ts BIGINT) USING graft
