@@ -310,11 +310,16 @@ final class Catalog(spark: SparkSession, warehouse: String,
 
   /** [[createTable]] with partition TRANSFORMS (r12): `partitionFuncs`
     * parallel to `partitionBy`, each "id" (identity — one directory per
-    * value) or "days" (epoch-day bucket of a NON-NEGATIVE
+    * value), "days" (epoch-day bucket of a NON-NEGATIVE
     * nanos-since-epoch BIGINT column — one directory per day, the
-    * Iceberg days(ts) shape). A days-partitioned event table prunes
-    * time-slice reads to day directories ([[timeSliceSnapshot]]) while
-    * the raw column keeps its exact type in the files. */
+    * Iceberg days(ts) shape), or "bucket_N" (the Iceberg bucket(N, c)
+    * shape over the engine's portable md5 hash family — N directories
+    * regardless of column cardinality, the high-cardinality-dimension
+    * layout identity partitioning can't hold). A days-partitioned event
+    * table prunes time-slice reads to day directories
+    * ([[timeSliceSnapshot]]); a bucket level prunes equality probes to
+    * ONE directory (hash the literal) while the raw column keeps its
+    * exact type in the files. */
   def createTable(name: String, keyCol: String,
                   rows: org.apache.spark.sql.DataFrame,
                   partitionBy: Seq[String],
@@ -323,9 +328,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
       s"createTable: ${partitionBy.size} partition columns but " +
         s"${partitionFuncs.size} transforms")
     partitionBy.zip(partitionFuncs).foreach { case (p, f) =>
-      require(f == "id" || f == "days",
+      require(f == "id" || f == "days" || f.matches("bucket_[0-9]+"),
         s"createTable: unknown partition transform '$f' on '$p' " +
-          "(supported: id, days)")
+          "(supported: id, days, bucket_N)")
       if (f == "days")
         require(rows.columns.contains(p) &&
           Seq("bigint", "int", "long").contains(
@@ -334,6 +339,23 @@ final class Catalog(spark: SparkSession, warehouse: String,
           s"createTable: days($p) needs a nanos-since-epoch BIGINT " +
             s"column, got ${rows.schema.find(_.name == p)
               .map(_.dataType.simpleString).getOrElse("<missing>")}")
+      if (f.startsWith("bucket_")) {
+        val n = Catalog.bucketModulus(f)
+        require(n >= 2 && n <= 65536,
+          s"createTable: bucket($n, $p) — bucket count must be in " +
+            "[2, 65536] (1 bucket is an unpartitioned table; beyond 64k " +
+            "directories the listing overtakes the pruning)")
+        // the bucket keys off the column's canonical CAST-AS-STRING form
+        // (the hash family's input contract) — restrict to types whose
+        // string form is exact and engine-stable
+        require(rows.columns.contains(p) &&
+          Seq("string", "tinyint", "smallint", "int", "bigint").contains(
+            rows.schema.find(_.name == p)
+              .map(_.dataType.simpleString).getOrElse("")),
+          s"createTable: bucket(n, $p) needs a string or integral " +
+            s"column, got ${rows.schema.find(_.name == p)
+              .map(_.dataType.simpleString).getOrElse("<missing>")}")
+      }
     }
     require(!metaExists(name), s"table $name already exists")
     require(viewSql(name).isEmpty,
@@ -419,7 +441,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
   /** The DERIVED string value level `i` keys its directory by: identity
     * = the column's own string form; days = the epoch-day bucket
     * (integer `div` — exact on the non-negative nanos the transform
-    * requires, no double rounding near midnight). */
+    * requires, no double rounding near midnight); bucket_N = the
+    * engine's portable md5 hash of the canonical string form mod N
+    * (non-negative: the 32-bit hash is < 2^32 — literal probes replay
+    * the same formula via [[Catalog.bucketOf]]). */
   private def dirValueExpr(meta: Meta, i: Int): org.apache.spark.sql.Column =
     meta.funcs(i) match {
       case "id" => col(meta.partCols(i)).cast("string")
@@ -429,6 +454,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
         // could mis-bucket a row within ~256ns of midnight
         expr(s"CAST(CAST(`${meta.partCols(i)}` AS BIGINT) div " +
           s"$dayNanos AS STRING)")
+      case f if f.startsWith("bucket_") =>
+        (graft.functions.Md5HighBits.hash32(
+          col(meta.partCols(i)).cast("string"))
+          % lit(Catalog.bucketModulus(f).toLong)).cast("string")
       case other => throw new IllegalStateException(
         s"unknown partition transform '$other'")
     }
@@ -1826,8 +1855,15 @@ final class Catalog(spark: SparkSession, warehouse: String,
     if (meta.partCols.nonEmpty) {
       // partitioned layout: cluster rows by (partitions..., key-or-index)
       // so each write task holds contiguous runs per partition directory —
-      // few files per directory, sorted within for row-group pruning
-      val cs = meta.partCols.map(col) :+ col(meta.index.getOrElse(meta.key))
+      // few files per directory, sorted within for row-group pruning.
+      // A bucket level clusters by its DERIVED hash value (the raw
+      // column's range order spreads across buckets — clustering raw
+      // would write tasks × buckets files); identity/days raw order
+      // aligns with the directories already.
+      val pcs = meta.partCols.indices.map(i =>
+        if (meta.funcs(i).startsWith("bucket_")) dirValueExpr(meta, i)
+        else col(meta.partCols(i)))
+      val cs = pcs :+ col(meta.index.getOrElse(meta.key))
       df.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*)
     } else if (meta.zorderCols.size >= 2)
       // bits derive from the column count (n·bits must fit a long's 63
@@ -3848,6 +3884,21 @@ final class Catalog(spark: SparkSession, warehouse: String,
 }
 
 object Catalog {
+
+  /** Bucket count out of a "bucket_N" transform tag. */
+  private[graft] def bucketModulus(f: String): Int = {
+    require(f.startsWith("bucket_"), s"not a bucket transform: '$f'")
+    f.stripPrefix("bucket_").toInt
+  }
+
+  /** The bucket a canonical string value lands in under a "bucket_N"
+    * level — the driver-side replay of [[Catalog]]'s per-row
+    * `md5_high_bits(cast(c AS STRING), 32) % N` directory expression,
+    * used by SQL routing to hash a literal into its one directory
+    * (bit-identical: same digest prefix, same non-negative mod). */
+  private[graft] def bucketOf(canonical: String, n: Int): Long =
+    graft.functions.Md5HighBits.compute(
+      canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8), 32) % n
 
   /**
    * ATOMIC commit across CATALOGS (r12) — [[Catalog.commitMulti]] lifted

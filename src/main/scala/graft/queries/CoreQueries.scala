@@ -1816,6 +1816,41 @@ object CoreQueries {
               |FROM pm2 GROUP BY status, grp""".stripMargin)
     },
 
+    // BUCKET transform partitioning (r12, PARTITIONED BY (bucket(8, c))
+    // + Catalog partFuncs "bucket_N" — the Iceberg bucket shape over the
+    // engine's portable md5 hash family): a high-cardinality dimension
+    // lays out as exactly N directories (identity partitioning would
+    // write one per value — a layout catastrophe past ~10^4 values), a
+    // point probe `WHERE custkey = 7` routes to the literal's ONE
+    // hashed directory (GraftSql hashes the literal with the writer's
+    // formula; the re-applied equality drops co-bucketed keys), and the
+    // per-key immutability guard compares DERIVED bucket values — an
+    // update may drift the column within its bucket, never across. The
+    // 'hist' branch replays the bucket formula declaratively over the
+    // full table: buckets must agree with the oracle bit-for-bit.
+    "sql_partition_bucket" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_sqlpbkt_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      val g = new graft.sql.GraftSql(s).attach(cat)
+      baseOrders(s, d).createOrReplaceTempView("sqlpbkt_src")
+      g.sql("""CREATE TABLE pbk (k BIGINT, custkey BIGINT, status STRING,
+              |totalprice DOUBLE) USING graft OPTIONS ('key' = 'k')
+              |PARTITIONED BY (bucket(8, custkey))""".stripMargin)
+      g.sql("""INSERT INTO pbk SELECT k, custkey, status, totalprice
+              |FROM sqlpbkt_src""".stripMargin)
+      g.sql("UPDATE pbk SET totalprice = totalprice + 1.0 WHERE k % 10 = 0")
+      g.sql("DELETE FROM pbk WHERE k % 97 = 0")
+      g.sql("""SELECT 'probe' AS phase, custkey AS gv, count(*) AS n,
+              |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS cents
+              |FROM pbk WHERE custkey = 7 GROUP BY custkey
+              |UNION ALL
+              |SELECT 'hist',
+              |  CAST(conv(substring(md5(CAST(custkey AS STRING)), 1, 8),
+              |            16, 10) AS BIGINT) % 8,
+              |  count(*), SUM(CAST(ROUND(totalprice * 100) AS BIGINT))
+              |FROM pbk GROUP BY 2""".stripMargin)
+    },
+
     // TRANSFORM partitioning + time-slice pruning (r12,
     // createTable(partitionFuncs = days) + Catalog.timeSliceSnapshot —
     // the Iceberg days(ts) shape): the event table lays out one
@@ -2944,6 +2979,27 @@ object CoreQueries {
         |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
         |         AS cents
         |FROM final GROUP BY status, grp""".stripMargin,
+
+    // bucket(8, custkey): the hist branch replays the portable md5
+    // bucket formula; the probe branch is the routed one-directory read
+    "sql_partition_bucket" ->
+      """WITH live AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_totalprice +
+        |           CASE WHEN o_orderkey % 10 = 0 THEN 1.0 ELSE 0.0 END
+        |           AS totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0)
+        |SELECT 'probe' AS phase, custkey AS gv, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM live WHERE custkey = 7 GROUP BY custkey
+        |UNION ALL
+        |SELECT 'hist',
+        |       CAST(('0x' || substr(md5(CAST(custkey AS VARCHAR)), 1, 8))
+        |            AS BIGINT) % 8,
+        |       COUNT(*),
+        |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM live GROUP BY 2""".stripMargin,
 
     // dynamic overwrite replaced exactly the F and O partitions; 'was'
     // is the pre-overwrite bulk state read back through VERSION AS OF

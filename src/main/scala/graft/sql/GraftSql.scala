@@ -528,19 +528,28 @@ class GraftSql(val spark: SparkSession) {
           (a.nameParts.length == 1 ||
             a.nameParts.init.last.equalsIgnoreCase(alias))
       val pfuncs = cat.partitionFuncsOf(tbl)
-      // every IDENTITY partition column with a type-matching literal
-      // equality prunes its own directory level — any subset routes
-      // (r12); transformed levels never route on equality (the
-      // directory value is derived, not the literal)
+      // every IDENTITY or BUCKET partition column with a type-matching
+      // literal equality prunes its own directory level — any subset
+      // routes (r12). An identity hit keys the directory by the literal
+      // itself; a bucket hit hashes the literal into its ONE directory
+      // (same md5 formula as the writer) and the Filter re-applied
+      // above drops the co-bucketed keys — pure scan substitution
+      // either way. days levels never route on equality here (the
+      // bounded-range slice below covers them).
       val hits: Map[String, String] = pcols.zip(ptypes).zip(pfuncs)
-        .collect { case ((pc, pt), "id") => (pc, pt) }.flatMap {
-        case (pc, pt) =>
+        .collect { case ((pc, pt), f)
+            if f == "id" || f.startsWith("bucket_") => (pc, pt, f) }
+        .flatMap { case (pc, pt, f) =>
           conjuncts(cond).collectFirst {
             case EqualTo(a: UnresolvedAttribute, l: Literal)
                 if refsPart(a, pc) => l
             case EqualTo(l: Literal, a: UnresolvedAttribute)
                 if refsPart(a, pc) => l
-          }.flatMap(canonical(_, pt)).map(pc -> _)
+          }.flatMap(canonical(_, pt)).map { v =>
+            pc -> (if (f == "id") v
+                   else graft.core.Catalog.bucketOf(v,
+                     graft.core.Catalog.bucketModulus(f)).toString)
+          }
       }.toMap
       // a BOUNDED integral range over a days(ts) level routes onto the
       // directory-pruned time slice (r12, Catalog.timeSliceSnapshot) —
@@ -1771,12 +1780,14 @@ class GraftSql(val spark: SparkSession) {
    * durable table ADOPTS it (registers, creates nothing) — the Delta
    * no-op shape with the table left usable.
    */
-  /** The IDENTITY partition columns of a CREATE TABLE's PARTITIONED BY
-    * clause (r11; multi-column r12 — one nested directory level per
-    * column, declaration order). Bucket/transform partitioning
-    * (`PARTITIONED BY (bucket(8, c))`, `days(ts)`) is rejected loud —
-    * bucketing has its own lever ([[graft.ops.Layout.writeBucketed]]),
-    * and derived-value partitioning belongs in an explicit column. */
+  /** The partition levels of a CREATE TABLE's PARTITIONED BY clause
+    * (r11; multi-column r12 — one nested directory level per column,
+    * declaration order): identity columns, `days(ts)` (one directory
+    * per epoch day), and `bucket(N, c)` (N hash directories — the
+    * Iceberg bucket transform over the engine's portable md5 family;
+    * equality probes route to ONE directory). Other transforms
+    * (months/years/truncate) are rejected loud — derived-value
+    * partitioning beyond these belongs in an explicit column. */
   private def partitionSpecsOf(transforms: Seq[org.apache.spark.sql.connector
       .expressions.Transform]): (Seq[String], Seq[String]) = transforms.map {
     case t if t.name == "identity" && t.references.length == 1 &&
@@ -1787,11 +1798,23 @@ class GraftSql(val spark: SparkSession) {
       // days(ts) over the engine's canonical nanos-since-epoch BIGINT —
       // one directory per day (Catalog validates the column type)
       (t.references.head.fieldNames.head, "days")
+    case t if t.name == "bucket" && t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1 =>
+      // bucket(N, c): the N literal rides along in the transform's
+      // arguments next to the field reference (Catalog validates range
+      // and column type)
+      val n = t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value.toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft SQL PARTITIONED BY: bucket needs a literal count, got " +
+          t.describe))
+      (t.references.head.fieldNames.head, s"bucket_$n")
     case other => throw new IllegalArgumentException(
-      "graft SQL PARTITIONED BY: identity columns and days(col) only " +
-        s"(a directory level per value/day), got ${other.describe} — " +
-        "for bucketing use Layout.writeBucketed, for other derived " +
-        "values add the column explicitly")
+      "graft SQL PARTITIONED BY: identity columns, days(col) and " +
+        s"bucket(n, col) only (a directory level per value/day/bucket), " +
+        s"got ${other.describe} — for other derived values add the " +
+        "column explicitly")
   }.unzip
 
   private def runCreate(name: String, ifNotExists: Boolean,

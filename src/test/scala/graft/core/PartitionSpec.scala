@@ -376,6 +376,96 @@ class PartitionSpec extends SparkSpec {
     }.getMessage.contains("days"))
   }
 
+  test("bucket(N, c) transform: N hash directories; derived-value reads") {
+    import spark.implicits._
+    val (cat, wh) = fresh()
+    val vals = (1L to 40L).map(i => (i, s"u$i", i * 10L))
+    cat.createTable("t", "k", vals.toDF("k", "u", "v"),
+      partitionBy = Seq("u"), partitionFuncs = Seq("bucket_4"))
+    assert(cat.partitionFuncsOf("t") === Seq("bucket_4"))
+    val dirs = new java.io.File(s"$wh/t/base").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    // every directory is one of the 4 buckets, named by the md5 formula
+    assert(dirs.nonEmpty && dirs.forall(d =>
+      (0 until 4).exists(b => d == s"_pd=p$b")), dirs.mkString(", "))
+    // partitionSnapshot addresses the DERIVED bucket; each bucket read
+    // equals the snapshot filtered by the same formula, and the buckets
+    // tile the table exactly
+    val snap = cat.getTable("t").snapshot
+    var total = 0L
+    for (b <- 0 until 4) {
+      val part = cat.partitionSnapshot("t", b.toString)
+      val expect = vals.filter(x => Catalog.bucketOf(x._2, 4) == b)
+      assert(part.collect().map(_.getLong(0)).toSet ===
+        expect.map(_._1).toSet, s"bucket $b diverged")
+      total += part.count()
+    }
+    assert(total === snap.count())
+    // tail traffic stays addressable: update a key, read through its bucket
+    cat.commit("t", Txn.empty.update(col("k") === 7L, Map("v" -> lit(777L))))
+    val b7 = Catalog.bucketOf("u7", 4).toString
+    assert(cat.partitionSnapshot("t", b7).where(col("k") === 7L)
+      .head().getLong(2) === 777L)
+  }
+
+  test("bucket guard: WITHIN-bucket drift upserts, cross-bucket moves fail") {
+    import spark.implicits._
+    val (cat, _) = fresh()
+    // find two values in the same bucket and one in a different bucket
+    val pool = (1 to 200).map(i => s"u$i")
+    val b0 = Catalog.bucketOf(pool.head, 4)
+    val same = pool.tail.find(v => Catalog.bucketOf(v, 4) == b0).get
+    val other = pool.tail.find(v => Catalog.bucketOf(v, 4) != b0).get
+    cat.createTable("t", "k",
+      Seq((1L, pool.head, 10L)).toDF("k", "u", "v"),
+      partitionBy = Seq("u"), partitionFuncs = Seq("bucket_4"))
+    // the guard compares DERIVED bucket values: same-bucket drift is an
+    // upsert (the layout stays sound — the key never leaves its directory)
+    cat.commit("t", Txn.empty.insert(Seq((1L, same, 11L)).toDF("k", "u", "v")))
+    assert(cat.getTable("t").snapshot.where(col("k") === 1L)
+      .head().getString(1) === same)
+    // a cross-bucket move would strand old versions in another directory
+    val e = intercept[Exception] {
+      cat.commit("t", Txn.empty.insert(
+        Seq((1L, other, 12L)).toDF("k", "u", "v")))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("immutable")), e.toString)
+  }
+
+  test("bucket guards: count bounds, column type; SQL create + routed probe") {
+    import spark.implicits._
+    val (cat, _) = fresh()
+    assert(intercept[IllegalArgumentException] {
+      cat.createTable("bad", "k", Seq((1L, "x")).toDF("k", "s"),
+        partitionBy = Seq("s"), partitionFuncs = Seq("bucket_1"))
+    }.getMessage.contains("bucket count"))
+    assert(intercept[IllegalArgumentException] {
+      cat.createTable("bad2", "k", Seq((1L, 1.5)).toDF("k", "d"),
+        partitionBy = Seq("d"), partitionFuncs = Seq("bucket_4"))
+    }.getMessage.contains("string or integral"))
+    // SQL surface: CREATE ... PARTITIONED BY (bucket(4, u)), equality
+    // probe routes to the literal's hashed directory and returns exactly
+    // the filtered rows (co-bucketed keys dropped by the re-applied
+    // Filter); a type-coerced literal skips the route but stays correct
+    val g = new graft.sql.GraftSql(spark).attach(cat)
+    (1L to 30L).map(i => (i, i % 10, i * 2L)).toDF("k", "u", "v")
+      .createOrReplaceTempView("bkt_src")
+    g.sql("""CREATE TABLE bt (k BIGINT, u BIGINT, v BIGINT) USING graft
+            |OPTIONS ('key' = 'k') PARTITIONED BY (bucket(4, u))""".stripMargin)
+    g.sql("INSERT INTO bt SELECT k, u, v FROM bkt_src")
+    assert(g.sql("SELECT k FROM bt WHERE u = 3 AND k < 20")
+      .collect().map(_.getLong(0)).toSet === Set(3L, 13L))
+    assert(g.sql("SELECT k FROM bt WHERE u = '3' AND k < 20")
+      .collect().map(_.getLong(0)).toSet === Set(3L, 13L))
+    // static PARTITION pins on a bucket level reject loud (the
+    // directory value is derived, not the literal)
+    assert(intercept[IllegalArgumentException] {
+      g.sql("INSERT OVERWRITE bt PARTITION (u = 3) SELECT k, v FROM bkt_src")
+    }.getMessage.contains("TRANSFORMED"))
+  }
+
   test("reserved column names reject at create; dup partition cols too") {
     import spark.implicits._
     val (cat, _) = fresh()

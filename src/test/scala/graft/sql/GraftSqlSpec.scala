@@ -544,10 +544,11 @@ class GraftSqlSpec extends SparkSpec {
       """CREATE TABLE mem (k BIGINT, c STRING) USING graft
         |OPTIONS ('key' = 'k') PARTITIONED BY (c)""".stripMargin))
       .getMessage.contains("durable"))
-    // bucket/transform partitioning rejects loud
+    // unsupported transform partitioning rejects loud (bucket(n, col)
+    // and days(col) are supported as of r12 — PartitionSpec covers them)
     assert(intercept[IllegalArgumentException](g.sql(
       """CREATE TABLE bt (k BIGINT, c STRING) USING graft
-        |OPTIONS ('key' = 'k') PARTITIONED BY (bucket(4, c))""".stripMargin))
+        |OPTIONS ('key' = 'k') PARTITIONED BY (truncate(4, c))""".stripMargin))
       .getMessage.contains("identity"))
   }
 
@@ -712,7 +713,7 @@ class GraftSqlSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](g.sql(
       """CREATE TABLE bm (k BIGINT, ts BIGINT) USING graft
         |OPTIONS ('key' = 'k') PARTITIONED BY (months(ts))""".stripMargin))
-      .getMessage.contains("days(col) only"))
+      .getMessage.contains("bucket(n, col) only"))
   }
 
   test("dynamic overwrite pins the source once: tombstones match inserts (r12)") {
