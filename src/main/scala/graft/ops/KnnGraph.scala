@@ -105,11 +105,26 @@ object KnnGraph {
           col("vec_id").as("p"), col("rn"))
         .join(rhs, Seq("b", "rn"))
         .select(col("p"), col("q")))
+    // Scoring-join strategy (r12, the 1000x ENOSPC fix): the candidate
+    // pairs dominate every round (≤ (2dk)²N rows), and a sort-merge
+    // scoring join would shuffle each pair TWICE with a vector payload
+    // attached — at 5M 64-dim vectors that is hundreds of GB of shuffle
+    // for 16-byte logical pairs. When the corpus itself fits a
+    // broadcast (≤2 GB estimated — 64-dim float corpora to ~8M
+    // vectors), pin it broadcast on BOTH scoring joins: the pairs then
+    // never shuffle for scoring at all, and the only fact-scale
+    // exchanges left are the pair-key distinct and the top-k window
+    // (24-byte rows). Beyond the broadcast regime the hint drops away
+    // and the shuffle join remains the honest cost. Join strategy only
+    // — results are bit-identical either way.
+    val dim = e.select(org.apache.spark.sql.functions
+      .size(col("embedding"))).head.getInt(0)
+    val eScore = if (n * (4L * dim + 24L) <= (2L << 30)) broadcast(e) else e
     val w = Window.partitionBy(col("p"))
       .orderBy(col("dot").desc, col("q").asc)
     // (p, q, dot), ≤ dk per p — the cross links can push a point past
     // dk, so the init trims through the same total order the rounds use
-    var edges = score(e, init)
+    var edges = score(eScore, init)
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= dk).drop("rnk")
       .localCheckpoint()
@@ -121,7 +136,7 @@ object KnnGraph {
           col("x.p") === col("y.p") && col("x.q") < col("y.q"))
         .select(col("x.q").as("p"), col("y.q").as("q"))
         .distinct()
-      val scored = score(e, cand)
+      val scored = score(eScore, cand)
       val next = edges
         .unionByName(scored)
         .unionByName(scored.select(col("q").as("p"), col("p").as("q"),
