@@ -282,10 +282,24 @@ final class LineageTable private (
    */
   def mergeInto(source: DataFrame, updateCols: Seq[String],
                 deleteWhen: Option[Column] = None,
-                notMatchedBySourceDelete: Option[Column] = None): LineageTable = {
+                notMatchedBySourceDelete: Option[Column] = None,
+                notMatchedBySourceUpdate:
+                  Option[(Option[Column], Map[String, Column])] = None):
+      LineageTable = {
     require(updateCols.nonEmpty && updateCols.forall(c =>
       dataCols.contains(c) && c != keyCol),
       s"updateCols must be non-key data columns, got ${updateCols.mkString(",")}")
+    require(notMatchedBySourceDelete.isEmpty ||
+        notMatchedBySourceUpdate.isEmpty,
+      "mergeInto: at most ONE not-matched-by-source action (the engine " +
+        "takes no clause-order semantics — express delete-some/" +
+        "deactivate-rest as two merges)")
+    notMatchedBySourceUpdate.foreach { case (_, asg) =>
+      require(asg.nonEmpty && asg.keys.forall(c =>
+        dataCols.contains(c) && c != keyCol),
+        "mergeInto: BY SOURCE UPDATE assignments must set non-key data " +
+          s"columns, got ${asg.keys.mkString(",")}")
+    }
     // a NULL gate must read as "don't delete": three-valued logic would
     // otherwise stamp a NULL _del, and the appended newest version would
     // fail the snapshot's _del = 0 filter — the record silently VANISHES
@@ -341,15 +355,32 @@ final class LineageTable private (
     // about every target row), and it is a key anti-join against a
     // |source|-sized build side, not a window over history. Same _ver
     // stamp: the whole merge is still ONE version in the audit trail.
-    val full = notMatchedBySourceDelete match {
+    // WHEN NOT MATCHED BY SOURCE THEN UPDATE (r12): re-stamp — not
+    // tombstone — live target records the source no longer carries,
+    // with assignments evaluated over the TARGET row (the only row
+    // that exists), e.g. `SET active = false` in a sync job that
+    // deactivates instead of deleting. Same |target| anti-join shape
+    // and the same single `_ver` stamp as the delete arm.
+    val bySource: Option[(Option[Column], DataFrame => DataFrame)] =
+      (notMatchedBySourceDelete, notMatchedBySourceUpdate) match {
+        case (Some(cond), _) => Some((Some(cond), (df: DataFrame) =>
+          df.withColumn(VER, lit(opSeq + 1)).withColumn(DEL, lit(1))))
+        case (_, Some((gate, asg))) => Some((gate, (df: DataFrame) =>
+          df.select(df.columns.map {
+            case c if asg.contains(c) => asg(c).as(c)
+            case VER => lit(opSeq + 1).as(VER)
+            case c => col(c)
+          }.toSeq: _*)))
+        case _ => None
+      }
+    val full = bySource match {
       case None => delta
-      case Some(cond) =>
+      case Some((cond, restamp)) =>
         val srcKeys = src.select(col(keyCol).as("_match_key")).distinct()
-        val gone = snapshotMeta
+        val gone = restamp(snapshotMeta
           .join(srcKeys, col(keyCol) <=> col("_match_key"), "left_anti")
-          .where(coalesce(cond.cast("boolean"), lit(false)))
-          .withColumn(VER, lit(opSeq + 1))
-          .withColumn(DEL, lit(1))
+          .where(coalesce(cond.getOrElse(lit(true)).cast("boolean"),
+            lit(false))))
         delta.unionByName(gone.select(lineage.columns.map(col): _*))
     }
     withAppend(full)

@@ -30,8 +30,11 @@ final class Txn private (private val ops: Vector[LineageTable => LineageTable]) 
     * spelling of the reference's insert+update+delete transaction. */
   def mergeInto(source: org.apache.spark.sql.DataFrame, updateCols: Seq[String],
                 deleteWhen: Option[org.apache.spark.sql.Column] = None,
-                notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None): Txn =
-    add(_.mergeInto(source, updateCols, deleteWhen, notMatchedBySourceDelete))
+                notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
+                notMatchedBySourceUpdate: Option[(Option[org.apache.spark.sql.Column],
+                  Map[String, org.apache.spark.sql.Column])] = None): Txn =
+    add(_.mergeInto(source, updateCols, deleteWhen, notMatchedBySourceDelete,
+      notMatchedBySourceUpdate))
 
   /** Sequential composition: this transaction's ops, then `other`'s —
     * how a multi-statement SQL transaction accumulates per-table work

@@ -357,4 +357,41 @@ object Dedup {
       .select(col("a"), col("b"), Similarity.dot(col("ea"), col("eb")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /**
+   * SPAN-level duplication profile (r12) — the substring-dedup signal of
+   * Lee et al., "Deduplicating Training Data Makes Language Models
+   * Better" (ACL'22), at shingle granularity: a document's span is
+   * duplicated when the same 5-token shingle appears in ≥ 2 DISTINCT
+   * documents, and the per-doc duplicated-span ratio is what a
+   * substring-dedup pass thresholds on (doc-level dedup misses a
+   * boilerplate header pasted into thousands of otherwise-unique pages;
+   * this is the operator that catches it). Returns one row per doc:
+   * (doc_id, n_spans, dup_spans, dup_ppm) with dup_ppm an exact
+   * integral `dup·10⁶ div n` — no float ratio to drift.
+   *
+   * Shape: explode to distinct per-doc shingles, hash to the portable
+   * 60-bit signature (never the text), ONE groupBy h for the
+   * cross-doc-duplicated hash set, one h-keyed left join back, one
+   * per-doc fold — every exchanged row is (long, long). At 100 TB the
+   * duplicated-hash side is the output of a HAVING over an agg, so the
+   * join's build side is only as large as the duplication actually
+   * present.
+   */
+  def spanDupStats(corpus: DataFrame): DataFrame = {
+    val sh = corpus.select(col("doc_id"),
+        explode(shingles(tokens(col("text")))).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.Md5HighBits.hash60(col("sh")).as("h"))
+    val dup = sh.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("h"), lit(1L).as("isdup"))
+    sh.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(coalesce(col("isdup"), lit(0L))).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        expr("dup_spans * 1000000 div n_spans").as("dup_ppm"))
+  }
 }

@@ -864,6 +864,28 @@ object CoreQueries {
       g.table("graft_merge_tgt2").snapshot.where(col("k") % 5 === 0)
     },
 
+    // MERGE ... WHEN NOT MATCHED BY SOURCE THEN UPDATE (r12): the
+    // deactivate-instead-of-delete sync-job form — target rows whose key
+    // vanished from the source get re-stamped with assignments evaluated
+    // over the TARGET row (`SET status = 'STALE'`), in the SAME single
+    // `_ver` commit as the upsert arms. Same |target| key anti-join
+    // shape as the delete form; a source-qualified reference in the
+    // gate or an assignment rejects loud (no source row exists).
+    "ls_merge_source_upd" -> { (s, d) =>
+      mergeSourceView(s, d)
+      val g = new graft.sql.GraftSql(s)
+        .register("graft_merge_tgt3", ordersLineage(s, d))
+      g.sql("""MERGE INTO graft_merge_tgt3 t USING graft_merge_src s
+              |ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET status = s.status,
+              |                             totalprice = s.totalprice
+              |WHEN NOT MATCHED THEN INSERT *
+              |WHEN NOT MATCHED BY SOURCE AND custkey % 7 = 0
+              |  THEN UPDATE SET status = 'STALE',
+              |                  totalprice = totalprice + 1.0""".stripMargin)
+      g.table("graft_merge_tgt3").snapshot.where(col("k") % 5 === 0)
+    },
+
     // DESCRIBE HISTORY: the commit log as a table read — zero data files
     // opened at any table size (the log lives in _graft.json). This is
     // how a user discovers what asOfTimestamp can address.
@@ -2282,6 +2304,32 @@ object CoreQueries {
          |  FROM src s LEFT JOIN snap t ON s.k = t.k WHERE t.k IS NULL),
          |merged AS (SELECT * FROM upd WHERE dd = 0
          |           UNION ALL SELECT * FROM ins)
+         |SELECT k, custkey, status, totalprice FROM merged
+         |WHERE k % 5 = 0""".stripMargin,
+
+    // same sync-job merge, deactivating instead of deleting: unmatched-
+    // by-source rows passing the gate re-stamp with the assignments
+    "ls_merge_source_upd" ->
+      s"""$fixture,
+         |src AS (
+         |  SELECT k, custkey, 'M' AS status, totalprice + 1000.0 AS totalprice
+         |  FROM base WHERE k % 10 = 0
+         |  UNION ALL
+         |  SELECT k + 3000000 AS k, custkey, 'N' AS status, totalprice
+         |  FROM base WHERE k % 1000 = 0),
+         |upd AS (
+         |  SELECT t.k, t.custkey,
+         |         CASE WHEN s.k IS NOT NULL THEN s.status
+         |              WHEN t.custkey % 7 = 0 THEN 'STALE'
+         |              ELSE t.status END AS status,
+         |         CASE WHEN s.k IS NOT NULL THEN s.totalprice
+         |              WHEN t.custkey % 7 = 0 THEN t.totalprice + 1.0
+         |              ELSE t.totalprice END AS totalprice
+         |  FROM snap t LEFT JOIN src s ON t.k = s.k),
+         |ins AS (
+         |  SELECT s.k, s.custkey, s.status, s.totalprice
+         |  FROM src s LEFT JOIN snap t ON s.k = t.k WHERE t.k IS NULL),
+         |merged AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
          |SELECT k, custkey, status, totalprice FROM merged
          |WHERE k % 5 = 0""".stripMargin,
 

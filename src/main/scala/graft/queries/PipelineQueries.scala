@@ -20,6 +20,29 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 object PipelineQueries {
 
   /** documents + planted exact/near duplicates. */
+  /** Floor-log2 cross-entropy of every doc under the corpus's own
+    * unigram LM (text_perplexity's body — package-visible so the spec
+    * can score a controlled corpus): per token, surprise =
+    * `length(bin(total div cnt)) − 1` exact integer bits. */
+  private[graft] def perplexityOf(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val dt = tok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("m"))
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = docs
+      .agg(sum(size(TextOps.tokens(col("text"))).cast("long")).as("total"))
+    dt.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_tokens"),
+           sum(col("m") *
+             (length(bin(expr("total div cnt"))) - lit(1)).cast("long"))
+             .as("bits"))
+      .select(col("doc_id"), col("n_tokens"), col("bits"),
+        (col("bits").cast("double") / col("n_tokens")).as("bpt"))
+  }
+
   private def docCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
     docs
@@ -248,6 +271,14 @@ object PipelineQueries {
     "dedup_containment" -> { (s, d) => Dedup.containmentPairs(docCorpus(s, d), 0.65) },
 
     "dedup_minhash" -> { (s, d) => Dedup.minhashCandidates(docCorpus(s, d)) },
+
+    // SPAN-level duplication profile (r12, Lee et al. ACL'22 substring
+    // dedup at shingle granularity): the per-doc fraction of 5-token
+    // spans that also appear in ANOTHER document — the signal that
+    // catches a boilerplate header pasted into thousands of otherwise
+    // unique pages, which doc-level dedup never sees. Signature-only
+    // shuffles; dup_ppm is an exact integral ratio.
+    "dedup_spans" -> { (s, d) => Dedup.spanDupStats(docCorpus(s, d)) },
 
     // EDIT-DISTANCE near-dup (r9): the filter-verify dedup family's
     // strictest verifier — LSH blocks the candidates (never all-pairs),
@@ -884,6 +915,23 @@ object PipelineQueries {
         .select(col("tok"), col("n"), col("rnk"),
           expr("(CAST(cum AS DECIMAL(38,0)) * 1000000) div CAST(total AS DECIMAL(38,0))")
             .as("coverage_ppm"))
+    },
+
+    // LM quality scoring (r12, the CCNet perplexity-filter shape): score
+    // every document by its cross-entropy under the corpus's OWN unigram
+    // LM — high bits/token = rare-word soup (OCR junk, gibberish, wrong
+    // language), low = repetitive boilerplate; the standard filter keeps
+    // the middle band. Determinism rule §4 bans ln() (libm is not
+    // bitwise-portable across engines), so the surprise is FLOOR-log2 —
+    // `length(bin(total div cnt)) - 1` — exact integer bit arithmetic
+    // that both engines compute identically at any magnitude, preserving
+    // the ordering a filter consumes (within 1 bit of Shannon). Shape:
+    // one vocab-bounded count shuffle (map-side combine), then the
+    // distinct (doc, token) pairs — not raw occurrences — join the
+    // counts by token: at 100 TB the exchanged rows are signatures and
+    // dedup'd pairs, never text, and the per-doc fold is a partial agg.
+    "text_perplexity" -> { (s, d) =>
+      perplexityOf(Tables(s, d, "documents"))
     },
 
     // Corpus n-gram statistics: top-100 bigrams with deterministic
@@ -2182,6 +2230,21 @@ object PipelineQueries {
         |FROM m""".stripMargin,
 
     // HUGEINT window sum × 1000000 // BIGINT total: integer throughout
+    // floor-log2 surprise: length(bin(total // cnt)) - 1 is exact
+    // integer bit arithmetic in both engines (ln() is banned, §4)
+    "text_perplexity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS m FROM tok GROUP BY 1, 2),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+        |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(m * (length(bin(total // cnt)) - 1)) AS BIGINT) AS bits,
+        |  CAST(SUM(m * (length(bin(total // cnt)) - 1)) AS DOUBLE)
+        |    / CAST(SUM(m) AS BIGINT) AS bpt
+        |FROM dt JOIN c USING (tok), tot
+        |GROUP BY doc_id""".stripMargin,
+
     "text_vocab" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
         |             FROM documents),
@@ -2316,6 +2379,20 @@ object PipelineQueries {
          |JOIN szs na ON p.a = na.doc_id
          |JOIN szs nb ON p.b = nb.doc_id
          |WHERE p.inter / (na.n + nb.n - p.inter) >= 0.6""".stripMargin,
+
+    // the cross-doc-duplicated shingle-hash set, left-joined back per doc
+    "dedup_spans" ->
+      s"""WITH $corpusCte,
+         |$shingleCtes,
+         |shh AS (SELECT doc_id,
+         |        CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
+         |dup AS (SELECT h FROM shh GROUP BY h
+         |        HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |       CAST(COUNT(d.h) AS BIGINT) AS dup_spans,
+         |       CAST(COUNT(d.h) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+         |FROM shh s LEFT JOIN dup d ON s.h = d.h
+         |GROUP BY 1""".stripMargin,
 
     // same shared-shingle pairs; only the final scalar differs (one
     // division of exact longs — least() of two BIGINTs in both engines)

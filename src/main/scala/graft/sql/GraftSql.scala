@@ -1669,27 +1669,51 @@ class GraftSql(val spark: SparkSession) {
     // condition evaluates on the TARGET row (the only row that exists
     // for an unmatched-by-source record), so a source-qualified column
     // reference is a loud error, mirroring the matched-DELETE guard.
-    val bySourceDelete: Option[Column] = m.notMatchedBySourceActions match {
-      case Seq() => None
-      case Seq(DeleteAction(cond)) =>
-        cond.foreach { c =>
-          val srcAlias = aliasOf(m.sourceTable)
-          c.foreach {
-            case a: UnresolvedAttribute if a.nameParts.length > 1 &&
-                srcAlias.contains(a.nameParts.head) =>
-              throw new IllegalArgumentException("graft SQL MERGE: the " +
-                "NOT MATCHED BY SOURCE condition must gate on TARGET " +
-                s"columns (got ${a.name} — no source row exists for an " +
-                "unmatched-by-source record)")
-            case _ => ()
-          }
-        }
-        Some(cond.map(rebased).getOrElse(lit(true)))
-      case other => throw new IllegalArgumentException(
-        "graft SQL MERGE: WHEN NOT MATCHED BY SOURCE supports exactly " +
-          s"one THEN DELETE [AND cond] action, got $other — express an " +
-          "UPDATE BY SOURCE by joining the snapshot view in USING")
+    // every expression in a BY SOURCE clause evaluates on the TARGET row
+    // (the only row that exists for an unmatched-by-source record) — a
+    // source-qualified reference is a loud error, never a silent rebind
+    def requireTargetOnly(e: Expression, what: String): Unit = {
+      val srcAlias = aliasOf(m.sourceTable)
+      e.foreach {
+        case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            srcAlias.contains(a.nameParts.head) =>
+          throw new IllegalArgumentException("graft SQL MERGE: the " +
+            s"NOT MATCHED BY SOURCE $what must reference TARGET " +
+            s"columns (got ${a.name} — no source row exists for an " +
+            "unmatched-by-source record)")
+        case _ => ()
+      }
     }
+    val bySourceDelete: Option[Column] = m.notMatchedBySourceActions match {
+      case Seq(DeleteAction(cond)) =>
+        cond.foreach(requireTargetOnly(_, "condition"))
+        Some(cond.map(rebased).getOrElse(lit(true)))
+      case _ => None
+    }
+    // WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ... [AND cond] (r12):
+    // the deactivate-instead-of-delete sync-job arm — assignments and
+    // gate both evaluate over the target row
+    val bySourceUpdate: Option[(Option[Column], Map[String, Column])] =
+      m.notMatchedBySourceActions match {
+        case Seq(UpdateAction(cond, assigns, _)) =>
+          cond.foreach(requireTargetOnly(_, "condition"))
+          val asg = assigns.map { a =>
+            val tgt = a.key match {
+              case attr: UnresolvedAttribute => attr.nameParts.last
+              case other => throw new IllegalArgumentException(
+                "graft SQL MERGE: BY SOURCE UPDATE SET target must be a " +
+                  s"column, got $other")
+            }
+            requireTargetOnly(a.value, s"assignment to '$tgt'")
+            tgt -> rebased(a.value)
+          }.toMap
+          Some((cond.map(rebased), asg))
+        case Seq() | Seq(DeleteAction(_)) => None
+        case other => throw new IllegalArgumentException(
+          "graft SQL MERGE: WHEN NOT MATCHED BY SOURCE supports exactly " +
+            s"one THEN DELETE [AND cond] or THEN UPDATE SET ... action, " +
+            s"got $other")
+      }
     require(updateCols.nonEmpty || deleteWhen.isDefined,
       "graft SQL MERGE: at least one WHEN MATCHED action is required")
     // a delete-only merge still needs updateCols for the engine op; the
@@ -1699,7 +1723,7 @@ class GraftSql(val spark: SparkSession) {
       else t.dataCols.filterNot(_ == t.keyCol)
     val src = Bridge.ofRows(spark, m.sourceTable)
     apply(name, Txn.empty.mergeInto(src, effectiveUpdate, deleteWhen,
-      bySourceDelete))
+      bySourceDelete, bySourceUpdate))
   }
 
   /** `ALTER TABLE t ADD CONSTRAINT c CHECK (expr)` — Spark 4's own

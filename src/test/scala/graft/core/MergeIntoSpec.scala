@@ -148,4 +148,45 @@ class MergeIntoSpec extends SparkSpec {
     // and the snapshot is exactly the source-matched row
     assert(merged.snapshot.collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
+
+  test("NOT MATCHED BY SOURCE UPDATE re-stamps vanished rows, keeps them live (r12)") {
+    // source carries 2 (update) and 9 (insert); 1/3/4 vanish → deactivate
+    val src = Seq((2L, 222L, "B2"), (9L, 90L, "I")).toDF("k", "v", "s")
+    val out = table.mergeInto(src, Seq("v", "s"),
+        notMatchedBySourceUpdate =
+          Some((None, Map("s" -> lit("STALE"), "v" -> (col("v") + 1L)))))
+      .snapshot.collect().map(_.toSeq).toSet
+    // assignments evaluate over the TARGET row (v increments in place)
+    assert(out === Set(Seq(1L, 11L, "STALE"), Seq(2L, 222L, "B2"),
+      Seq(3L, 31L, "STALE"), Seq(4L, 41L, "STALE"), Seq(9L, 90L, "I")))
+  }
+
+  test("bySource update: gate over target columns, NULL=keep; one _ver stamp") {
+    val src = Seq((9L, 90L, "I")).toDF("k", "v", "s")
+    val withNullV = LineageTable.fromBase("k",
+      Seq((1L, Some(10L), "A"), (2L, Some(30L), "B"), (3L, None, "C"))
+        .toDF("k", "v", "s"))
+    val merged = withNullV.mergeInto(src, Seq("v"),
+      notMatchedBySourceUpdate =
+        Some((Some(col("v") >= 30L), Map("s" -> lit("STALE")))))
+    val out = merged.snapshot.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(1L -> "A", 2L -> "STALE", 3L -> "C", 9L -> "I"),
+      "only k=2 (v=30) re-stamps; the NULL gate keeps k=3 untouched")
+    assert(merged.lineage.select("_ver").distinct().as[Long].collect()
+      .sorted === Array(0L, 1L))
+  }
+
+  test("bySource update guards: both actions reject; key assignment rejects") {
+    val src = Seq((2L, 222L, "B2")).toDF("k", "v", "s")
+    assert(intercept[IllegalArgumentException] {
+      table.mergeInto(src, Seq("v"),
+        notMatchedBySourceDelete = Some(lit(true)),
+        notMatchedBySourceUpdate = Some((None, Map("s" -> lit("X")))))
+    }.getMessage.contains("at most ONE"))
+    assert(intercept[IllegalArgumentException] {
+      table.mergeInto(src, Seq("v"),
+        notMatchedBySourceUpdate = Some((None, Map("k" -> lit(0L)))))
+    }.getMessage.contains("non-key"))
+  }
 }

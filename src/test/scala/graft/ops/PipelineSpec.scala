@@ -27,6 +27,61 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 3), "pair above hamming threshold")
   }
 
+  test("dedup_spans: planted exact copies read 10^6 ppm; distinct text reads 0") {
+    import spark.implicits._
+    val stats = run("dedup_spans").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // planted: every doc_id % 10 == 0 is cloned verbatim as +100000 —
+    // BOTH sides must read fully duplicated (every span shared)
+    val docIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val cloned = docIds.filter(_ % 10 == 0)
+    assert(cloned.nonEmpty)
+    cloned.foreach { id =>
+      assert(stats(id)._3 === 1000000L, s"doc $id not fully duplicated")
+      assert(stats(id + 100000L)._3 === 1000000L)
+      assert(stats(id)._1 === stats(id)._2) // n_spans == dup_spans
+    }
+    // the near-dup clone (+200000, appended tail) shares MOST spans
+    docIds.filter(_ % 7 == 0).foreach { id =>
+      assert(stats(id + 200000L)._3 >= 500000L,
+        s"near-dup ${id + 200000} unexpectedly low: ${stats(id + 200000L)}")
+    }
+    // invariants: dup_spans <= n_spans, ppm is the exact integral ratio
+    stats.values.foreach { case (n, dup, ppm) =>
+      assert(dup <= n && ppm === dup * 1000000L / n)
+    }
+    // a corpus with no cross-doc overlap reads all-zero
+    val solo = Dedup.spanDupStats(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(solo.forall(_ === ((0L, 0L))))
+  }
+
+  test("text_perplexity: floor-log2 surprise orders rare-token docs above common") {
+    val byDoc = run("text_perplexity").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(byDoc.size === docs.count())
+    // invariants: bits >= 0; bpt = bits / n_tokens exactly
+    byDoc.values.foreach { case (n, bits, bpt) =>
+      assert(n > 0 && bits >= 0L)
+      assert(bpt === bits.toDouble / n)
+    }
+    // semantic check on a controlled corpus: a doc of corpus-common
+    // tokens scores strictly fewer bits/token than a doc of singletons
+    import spark.implicits._
+    val tiny = (1 to 50).map(i => (100L + i, "the quick brown fox")) ++
+      Seq((1L, "the the the the"), (2L, "qqq www zzz yyy"))
+    val scored = PipelineQueries.perplexityOf(tiny.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scored(1L) < scored(2L),
+      s"common-token doc ${scored(1L)} should underscore singleton doc ${scored(2L)}")
+  }
+
   test("dedup_embedding finds every planted vector copy at cosine ~1") {
     val pairs = run("dedup_embedding").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
