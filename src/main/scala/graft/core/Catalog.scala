@@ -371,12 +371,18 @@ final class Catalog(spark: SparkSession, warehouse: String,
     require(partitionBy.distinct.size == partitionBy.size,
       s"createTable: duplicate partition column in " +
         s"(${partitionBy.mkString(", ")})")
-    partitionBy.foreach { p =>
+    partitionBy.zip(partitionFuncs).foreach { case (p, f) =>
       require(rows.columns.contains(p), s"createTable: partition column " +
         s"'$p' not in (${rows.columns.mkString(", ")})")
-      require(p != keyCol, "createTable: partitioning by the unique key " +
-        "would write one directory per record — partition by a " +
-        "low-cardinality column (date, tenant, category)")
+      // IDENTITY partitioning by the key writes one directory per record;
+      // bucket(N, key) is fine — N directories, and the classic
+      // point-lookup layout (a key-equality probe prunes to 1/N of the
+      // table at planning, no index needed)
+      require(p != keyCol || f.startsWith("bucket_"),
+        "createTable: identity-partitioning by the unique key would " +
+          "write one directory per record — partition by a " +
+          "low-cardinality column (date, tenant, category), or use " +
+          "bucket(n, key) for a point-lookup layout")
     }
     val t = LineageTable.fromBase(keyCol, rows)
     fs.mkdirs(dir(name))

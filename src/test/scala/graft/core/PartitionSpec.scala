@@ -466,6 +466,26 @@ class PartitionSpec extends SparkSpec {
     }.getMessage.contains("TRANSFORMED"))
   }
 
+  test("bucket(N, key) is the point-lookup layout; identity-by-key still rejects") {
+    import spark.implicits._
+    val (cat, _) = fresh()
+    // identity partitioning by the key stays a loud error
+    assert(intercept[IllegalArgumentException] {
+      cat.createTable("bad", "k", (1L to 9L).map(i => (i, i * 2L)).toDF("k", "v"),
+        partitionBy = Seq("k"))
+    }.getMessage.contains("one directory per record"))
+    // bucket(4, key): 4 directories, and a key-equality probe through the
+    // routed read equals the plain filtered snapshot
+    cat.createTable("t", "k", (1L to 40L).map(i => (i, i * 2L)).toDF("k", "v"),
+      partitionBy = Seq("k"), partitionFuncs = Seq("bucket_4"))
+    cat.commit("t", Txn.empty.update(col("k") === 17L, Map("v" -> lit(999L))))
+    val b17 = Catalog.bucketOf("17", 4).toString
+    assert(cat.partitionSnapshot("t", b17).where(col("k") === 17L)
+      .head().getLong(1) === 999L)
+    val g = new graft.sql.GraftSql(spark).attach(cat).register("t", cat, "t")
+    assert(g.sql("SELECT v FROM t WHERE k = 17").head().getLong(0) === 999L)
+  }
+
   test("reserved column names reject at create; dup partition cols too") {
     import spark.implicits._
     val (cat, _) = fresh()
