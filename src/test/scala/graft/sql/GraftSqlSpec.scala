@@ -111,15 +111,26 @@ class GraftSqlSpec extends SparkSpec {
               |WHEN NOT MATCHED BY SOURCE AND s.status = 'x' THEN DELETE""".stripMargin)
     }
     assert(e.getMessage.contains("TARGET columns"))
-    // UPDATE BY SOURCE rejects loud with the workaround
+    // UPDATE BY SOURCE (r12 session B): vanished rows RE-STAMP with
+    // target-row assignments instead of tombstoning — k=2 and k=9 are in
+    // the source (k=2 matched-updates), everything else reads 'gone'
+    g.sql("""MERGE INTO t USING (SELECT 2 AS k, 20 AS custkey,
+            |'M2' AS status, 998.0 AS totalprice) s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'gone'""".stripMargin)
+    assert(rows(g) === Seq((1L, 10L, "gone", 100.0), (2L, 20L, "M2", 998.0),
+      (9L, 90L, "gone", 900.0)))
+    // a source-qualified ASSIGNMENT value is the same loud error as a
+    // source-qualified gate
     val e2 = intercept[IllegalArgumentException] {
       g.sql("""MERGE INTO t USING (SELECT 1 AS k, 1 AS custkey,
               |'x' AS status, 1.0 AS totalprice) s ON t.k = s.k
               |WHEN MATCHED THEN UPDATE SET *
               |WHEN NOT MATCHED THEN INSERT *
-              |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'gone'""".stripMargin)
+              |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = s.status""".stripMargin)
     }
-    assert(e2.getMessage.contains("THEN DELETE"))
+    assert(e2.getMessage.contains("TARGET columns"))
   }
 
   test("DML against a durable table is a catalog commit; reopen sees it") {
