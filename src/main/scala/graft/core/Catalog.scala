@@ -2300,6 +2300,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
       val g = graft.ops.KnnGraph.nnDescent(corpus, k, rounds, descentK)
       g.write.mode(SaveMode.Overwrite)
         .parquet(new Path(knnDir(name), "graph").toString)
+      // symmetrize ONCE at build (from the just-written files, not the
+      // nnDescent plan — recomputing the descent here would double the
+      // build) and persist: the serving path reads `_knn/adj` directly
+      // instead of paying an O(|E|) union+distinct per query batch
+      graft.ops.KnnGraph.symmetrize(
+          spark.read.parquet(new Path(knnDir(name), "graph").toString))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new Path(knnDir(name), "adj").toString)
       import spark.implicits._
       Seq((column, k, meta.opSeq, meta.epoch))
         .toDF("emb_col", "k", "built_seq", "built_epoch")
@@ -2385,6 +2393,20 @@ final class Catalog(spark: SparkSession, warehouse: String,
             col("dot"), col("rnk"))
         newEdges.write.mode(SaveMode.Append)
           .parquet(new Path(knnDir(name), "graph").toString)
+        // keep the durable adjacency symmetrized: append BOTH directions
+        // of the new edges. No cross-batch dedupe needed — every fresh
+        // vec_id is anti-joined against the stored graph above, so
+        // neither direction of a (new, old) or (new, new) pair can
+        // already exist; within-batch mirror collisions (new1↔new2 each
+        // finding the other) dedupe here.
+        val adjPath = new Path(knnDir(name), "adj")
+        val deltaAdj = graft.ops.KnnGraph.symmetrize(newEdges)
+        if (pathExists(adjPath))
+          deltaAdj.write.mode(SaveMode.Append).parquet(adjPath.toString)
+        else // legacy sidecar built before `_knn/adj`: materialize full
+          graft.ops.KnnGraph.symmetrize(spark.read
+              .parquet(new Path(knnDir(name), "graph").toString))
+            .write.mode(SaveMode.Overwrite).parquet(adjPath.toString)
         import spark.implicits._
         Seq((column, k, meta.opSeq, meta.epoch))
           .toDF("emb_col", "k", "built_seq", "built_epoch")
@@ -2406,7 +2428,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val meta = readMeta(name)
     val live = getTable(name).snapshot
       .select(col(meta.key).as("vec_id"), col(column).as("embedding"))
-    graft.ops.KnnGraph.beamSearch(live, graph, queries, k, beam, hops,
+    // serve from the adjacency symmetrized ONCE at build — O(|E|)
+    // union+distinct per query batch was the 1000× serving bottleneck
+    // (legacy sidecars without `_knn/adj` symmetrize at read)
+    val adjPath = new Path(knnDir(name), "adj")
+    val adj =
+      if (pathExists(adjPath)) spark.read.parquet(adjPath.toString)
+      else graft.ops.KnnGraph.symmetrize(graph)
+    graft.ops.KnnGraph.beamSearch(live, adj, queries, k, beam, hops,
       entries)
   }
 

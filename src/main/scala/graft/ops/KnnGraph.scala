@@ -155,6 +155,19 @@ object KnnGraph {
         col("dot"), col("rnk"))
   }
 
+  /** Undirected adjacency over the directed top-k lists: out ∪ in,
+    * deduped — (p, c). Run ONCE at index build ([[graft.core.Catalog
+    * .createKnnIndex]] persists the result in the `_knn/adj` sidecar)
+    * so the serving path never pays the O(|E|) union+distinct per
+    * query batch (at 1000× that was 50M edges and the dominant cost
+    * of a 25-query read). Symmetrize-at-build ≡ symmetrize-at-read —
+    * the adjacency is a set either way (KnnIndexSpec pins it). */
+  def symmetrize(graph: DataFrame): DataFrame =
+    graph.select(col("vec_id").as("p"), col("nbr_id").as("c"))
+      .unionByName(
+        graph.select(col("nbr_id").as("p"), col("vec_id").as("c")))
+      .distinct()
+
   /**
    * Graph-served ANN read (r12) — greedy BEAM SEARCH over a stored kNN
    * graph, the HNSW-class serving path on top of [[nnDescent]]'s build:
@@ -179,23 +192,21 @@ object KnnGraph {
    * since the graph build drop here (stale edges only waste beam
    * slots), the same vintage contract as the IVF-PQ re-rank.
    *
-   * `emb`: (vec_id, embedding) live corpus; `graph`: (vec_id, nbr_id)
-   * stored adjacency; `queries`: (qid, qe). Returns (qid, vec_id, dot,
-   * rnk) — k rows per query.
+   * `emb`: (vec_id, embedding) live corpus; `adj`: (p, c) SYMMETRIZED
+   * adjacency ([[symmetrize]] — served from the durable `_knn/adj`
+   * sidecar, never recomputed per batch); `queries`: (qid, qe).
+   * Returns (qid, vec_id, dot, rnk) — k rows per query.
    */
-  def beamSearch(emb: DataFrame, graph: DataFrame, queries: DataFrame,
+  def beamSearch(emb: DataFrame, adj: DataFrame, queries: DataFrame,
                  k: Int, beam: Int, hops: Int, entries: Int): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 0 && entries >= 1,
       s"beamSearch: k=$k, beam=$beam, hops=$hops, entries=$entries " +
         "must all be positive")
     val e = emb.select(col("vec_id"), col("embedding"))
     val q = queries.select(col("qid"), col("qe"))
-    // undirected traversal over the directed top-k lists: out ∪ in
-    val fwd = graph.select(col("vec_id").as("p"), col("nbr_id").as("c"))
-    val adj = fwd.unionByName(
-        graph.select(col("nbr_id").as("p"), col("vec_id").as("c")))
-      .distinct()
-    val seeds = graph.select(col("vec_id")).distinct()
+    // every graph node appears as a source in the symmetrized
+    // adjacency, so the p-projection is exactly the node set
+    val seeds = adj.select(col("p").as("vec_id")).distinct()
       .orderBy(col("vec_id")).limit(entries)
     def scoreIds(ids: DataFrame): DataFrame = ids
       .join(e, "vec_id")

@@ -35,10 +35,18 @@ class KnnIndexSpec extends SparkSpec {
     val direct = KnnGraph.nnDescent(embeddings, 5, 2, descentK = 10)
     assert(graph.orderBy("vec_id", "rnk").collect().map(_.toSeq).toSeq ===
       direct.orderBy("vec_id", "rnk").collect().map(_.toSeq).toSeq)
+    // the build-time `_knn/adj` sidecar IS symmetrize(graph): the set
+    // of undirected edges is identical whether symmetrized at build or
+    // at read (the serving path banks on this to skip the per-batch
+    // union+distinct)
+    val storedAdj = spark.read.parquet(s"$wh/e/_knn/adj")
+      .collect().map(_.toSeq).toSet
+    val readAdj = KnnGraph.symmetrize(graph).collect().map(_.toSeq).toSet
+    assert(storedAdj === readAdj)
     // served read ≡ direct beam search over the same graph + live corpus
     val served = cat2.knnSearch("e", queries, k = 5, beam = 5, hops = 3)
-    val inline = KnnGraph.beamSearch(embeddings, graph, queries,
-      k = 5, beam = 5, hops = 3, entries = 4)
+    val inline = KnnGraph.beamSearch(embeddings, KnnGraph.symmetrize(graph),
+      queries, k = 5, beam = 5, hops = 3, entries = 4)
     assert(served.orderBy("qid", "rnk").collect().map(_.toSeq).toSeq ===
       inline.orderBy("qid", "rnk").collect().map(_.toSeq).toSeq)
     // 5 ranked rows per query, rank 1 is the query itself (it is in
@@ -94,6 +102,12 @@ class KnnIndexSpec extends SparkSpec {
     assert(builtSeq === cat.getTable("e").opSeq)
     // delta cost: k rows per new vector appended, old lists untouched
     assert(graph.count() === before + 3 * 5)
+    // refresh keeps the durable adjacency symmetrized: appending both
+    // edge directions lands the same SET as symmetrizing the whole
+    // refreshed graph at read would
+    assert(spark.read.parquet(s"$wh/e/_knn/adj")
+      .collect().map(_.toSeq).toSet ===
+      KnnGraph.symmetrize(graph).collect().map(_.toSeq).toSet)
     // a new node is REACHABLE: querying with its own embedding finds it
     // (the appended new→old edges traverse in reverse via symmetrize)
     val qNew = cat.getTable("e").snapshot
