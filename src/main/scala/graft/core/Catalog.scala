@@ -626,12 +626,26 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * prunes whole subtrees, a suffix-only predicate still skips every
     * non-matching leaf directory at planning time. */
   def partitionSnapshot(name: String,
-                        values: Map[String, String]): org.apache.spark.sql.DataFrame = {
+                        values: Map[String, String]): org.apache.spark.sql.DataFrame =
+    partitionSnapshotIn(name, values.map { case (c, v) => c -> Seq(v) })
+
+  /** IN-LIST pruned read (r13): each named column restricts to a SET of
+    * canonical values — the directory level prunes to exactly that
+    * directory set (`_pd IN (pv1, pv2, ...)` evaluates per directory at
+    * planning; a one-element set optimizes back to the r12 equality
+    * plan), so `WHERE c IN (a, b)` reads |values| directories instead
+    * of the whole table. Same soundness argument as the single-value
+    * form: partition values are write-guarded immutable per key. */
+  def partitionSnapshotIn(name: String,
+                          values: Map[String, Seq[String]]): org.apache.spark.sql.DataFrame = {
     val meta = readMeta(name)
     require(meta.partCols.nonEmpty, s"partitionSnapshot: '$name' is not " +
       "partitioned (createTable with partitionBy, or CREATE TABLE ... " +
       "PARTITIONED BY)")
     require(values.nonEmpty, "partitionSnapshot: no partition values given")
+    require(values.values.forall(_.nonEmpty),
+      "partitionSnapshot: empty value set for " +
+        values.collect { case (c, vs) if vs.isEmpty => c }.mkString(", "))
     val unknown = values.keySet -- meta.partCols.toSet
     require(unknown.isEmpty, s"partitionSnapshot: not partition columns " +
       s"of '$name': ${unknown.mkString(", ")} (partitioned by " +
@@ -648,13 +662,14 @@ final class Catalog(spark: SparkSession, warehouse: String,
     // `values` carry the DERIVED canonical string per column (for a
     // days(ts) level: the epoch-day number)
     def derivedOf(c: String) = dirValueExpr(meta, meta.partCols.indexOf(c))
-    val prunedBase = values.foldLeft(raw) { case (df, (c, v)) =>
+    val prunedBase = values.foldLeft(raw) { case (df, (c, vs)) =>
       val dc = dirOf(c)
-      if (df.columns.contains(dc)) df.where(col(dc) === lit("p" + v))
-      else df.where(derivedOf(c) === v)
+      if (df.columns.contains(dc))
+        df.where(col(dc).isin(vs.map("p" + _): _*))
+      else df.where(derivedOf(c).isin(vs: _*))
     }.drop(pdColNames(meta): _*)
-    val tailPred = values.map { case (c, v) =>
-      derivedOf(c) === v }.reduce(_ && _)
+    val tailPred = values.map { case (c, vs) =>
+      derivedOf(c).isin(vs: _*) }.reduce(_ && _)
     val tailDir = new Path(dir(name), "tail")
     healLeftoverTail(tailDir, meta.tailFloor)
     assembleTable(meta, prunedBase, tailDir, tailFilter = Some(tailPred))

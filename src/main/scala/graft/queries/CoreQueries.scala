@@ -1971,6 +1971,64 @@ object CoreQueries {
               |GROUP BY custkey % 5""".stripMargin)
     },
 
+    // IN-LIST partition routing (r13, GraftSql.routeToPartition In arm +
+    // Catalog.partitionSnapshotIn): `WHERE c IN (...)` over a registered
+    // partitioned table prunes to exactly the named directory SET — on
+    // an identity level the literals key the directories; on a bucket
+    // level each literal hashes to its directory (duplicates collapse:
+    // the probe lists 7 twice) and the re-applied IN drops co-bucketed
+    // keys. The type gate is all-or-nothing: one coercible member and
+    // the whole level reads plain. PlanAuditSpec pins the file counts.
+    "q_partition_in" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_partin_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      cat.createTable("pid", "k", baseOrders(s, d),
+        partitionBy = Some("status"))
+      cat.commit("pid", graft.core.Txn.empty
+        .update(col("k") % 8 === 0,
+          Map("totalprice" -> (col("totalprice") + lit(2.0)))))
+      cat.createTable("pib", "k", baseOrders(s, d),
+        partitionBy = Seq("custkey"), partitionFuncs = Seq("bucket_8"))
+      cat.commit("pib", graft.core.Txn.empty.delete(col("k") % 13 === 0))
+      val g = new graft.sql.GraftSql(s)
+        .register("pid", cat, "pid").register("pib", cat, "pib")
+      g.sql("""SELECT 'id' AS phase, status AS gv, count(*) AS n,
+              |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS cents
+              |FROM pid WHERE status IN ('F', 'P') AND k % 3 = 0
+              |GROUP BY status
+              |UNION ALL
+              |SELECT 'bkt', CAST(custkey AS STRING), count(*),
+              |  SUM(CAST(ROUND(totalprice * 100) AS BIGINT))
+              |FROM pib WHERE custkey IN (7, 11, 7) GROUP BY custkey""".stripMargin)
+    },
+
+    // TIMESTAMP-literal spelling of the routed time slice (r13,
+    // GraftSql.rebaseTsLiterals): bounds written as TIMESTAMP '...' or
+    // a wall-clock string rewrite to the canonical nanos BIGINT (the
+    // sql_asof micros→nanos / UTC-instant conventions) BEFORE slice
+    // extraction, so they route to the same pruned day directories as
+    // the integral spelling — and the re-applied Filter compares
+    // BIGINT to BIGINT (the raw TIMESTAMP comparison would not even
+    // analyze against the nanos column).
+    "q_partition_time_route_ts" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_ptrts_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      val ev = Tables(s, d, "events").select(col("event_id").as("k"),
+        col("ts"), col("event_type"), col("value"))
+      cat.createTable("evts", "k", ev,
+        partitionBy = Seq("ts"), partitionFuncs = Seq("days"))
+      cat.commit("evts", graft.core.Txn.empty
+        .delete(col("k") % 11 === 0))
+      val g = new graft.sql.GraftSql(s).register("evts", cat, "evts")
+      g.sql("""SELECT event_type, count(*) AS n,
+              |  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+              |FROM evts
+              |WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
+              |  AND ts < '2024-01-16'
+              |  AND k % 2 = 0
+              |GROUP BY event_type""".stripMargin)
+    },
+
     // ALTER TABLE RENAME TO end to end (r9, Catalog.renameTable): a
     // durable table accumulates history, is renamed — ONE atomic
     // directory rename, zero data I/O at any table size (every
@@ -3083,6 +3141,39 @@ object CoreQueries {
         |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
         |         AS cents
         |FROM s1 WHERE status = 'O' AND k % 2 = 1
+        |GROUP BY 1""".stripMargin,
+
+    // the routed IN-list reads must equal the filtered replays exactly
+    // (the engine's duplicate literal collapses; IN semantics are the
+    // oracle's own)
+    "q_partition_in" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |s1 AS (SELECT k, custkey, status,
+        |         CASE WHEN k % 8 = 0 THEN totalprice + 2.0
+        |              ELSE totalprice END AS totalprice
+        |       FROM base),
+        |b1 AS (SELECT * FROM base WHERE k % 13 <> 0)
+        |SELECT 'id' AS phase, status AS gv, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM s1 WHERE status IN ('F', 'P') AND k % 3 = 0 GROUP BY status
+        |UNION ALL
+        |SELECT 'bkt', CAST(custkey AS VARCHAR), COUNT(*),
+        |       CAST(SUM(CAST(ROUND(totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM b1 WHERE custkey IN (7, 11) GROUP BY custkey""".stripMargin,
+
+    // the TIMESTAMP spelling routes to the same slice as the integral
+    // one — the oracle is the same nanos-window replay
+    "q_partition_time_route_ts" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |WHERE epoch_ns(ts) >= 1704067200000000000 + 12 * 86400000000000
+        |  AND epoch_ns(ts) <  1704067200000000000 + 15 * 86400000000000
+        |  AND event_id % 11 <> 0 AND event_id % 2 = 0
         |GROUP BY 1""".stripMargin,
 
     // the pruned partition must hold exactly the filtered post-DML state

@@ -529,26 +529,38 @@ class GraftSql(val spark: SparkSession) {
             a.nameParts.init.last.equalsIgnoreCase(alias))
       val pfuncs = cat.partitionFuncsOf(tbl)
       // every IDENTITY or BUCKET partition column with a type-matching
-      // literal equality prunes its own directory level — any subset
-      // routes (r12). An identity hit keys the directory by the literal
-      // itself; a bucket hit hashes the literal into its ONE directory
-      // (same md5 formula as the writer) and the Filter re-applied
-      // above drops the co-bucketed keys — pure scan substitution
-      // either way. days levels never route on equality here (the
+      // literal equality OR IN-list prunes its own directory level —
+      // any subset routes (r12; IN r13). An identity hit keys the
+      // directory set by the literals themselves; a bucket hit hashes
+      // each literal into its directory (same md5 formula as the
+      // writer, duplicates collapsed) and the Filter re-applied above
+      // drops the co-bucketed keys — pure scan substitution either
+      // way. An IN-list routes only when EVERY member passes the type
+      // gate (one coercible member could match rows the pruned set
+      // drops). days levels never route on equality here (the
       // bounded-range slice below covers them).
-      val hits: Map[String, String] = pcols.zip(ptypes).zip(pfuncs)
+      import org.apache.spark.sql.catalyst.expressions.In
+      val hits: Map[String, Seq[String]] = pcols.zip(ptypes).zip(pfuncs)
         .collect { case ((pc, pt), f)
             if f == "id" || f.startsWith("bucket_") => (pc, pt, f) }
         .flatMap { case (pc, pt, f) =>
           conjuncts(cond).collectFirst {
             case EqualTo(a: UnresolvedAttribute, l: Literal)
-                if refsPart(a, pc) => l
+                if refsPart(a, pc) => Seq(l)
             case EqualTo(l: Literal, a: UnresolvedAttribute)
-                if refsPart(a, pc) => l
-          }.flatMap(canonical(_, pt)).map { v =>
-            pc -> (if (f == "id") v
-                   else graft.core.Catalog.bucketOf(v,
-                     graft.core.Catalog.bucketModulus(f)).toString)
+                if refsPart(a, pc) => Seq(l)
+            case In(a: UnresolvedAttribute, ls)
+                if refsPart(a, pc) && ls.nonEmpty &&
+                  ls.forall(_.isInstanceOf[Literal]) =>
+              ls.map(_.asInstanceOf[Literal])
+          }.flatMap { ls =>
+            val canon = ls.map(canonical(_, pt))
+            if (canon.exists(_.isEmpty)) None // all members or no route
+            else Some(pc -> canon.flatten.map { v =>
+              if (f == "id") v
+              else graft.core.Catalog.bucketOf(v,
+                graft.core.Catalog.bucketModulus(f)).toString
+            }.distinct)
           }
       }.toMap
       // a BOUNDED integral range over a days(ts) level routes onto the
@@ -612,8 +624,53 @@ class GraftSql(val spark: SparkSession) {
             Bridge.planOf(cat.timeSliceSnapshot(tbl, lo, hi)))
         case (None, h) if h.nonEmpty =>
           hit = true
-          SubqueryAlias(alias, Bridge.planOf(cat.partitionSnapshot(tbl, h)))
+          SubqueryAlias(alias,
+            Bridge.planOf(cat.partitionSnapshotIn(tbl, h)))
         case _ => child
+      }
+    }
+    // TIMESTAMP-typed and wall-clock-string bounds over a days(ts)
+    // level rewrite to the canonical nanos BIGINT (r13) — the same
+    // micros→nanos / UTC-instant conventions sql_asof established —
+    // BEFORE the slice extraction, so `ts >= TIMESTAMP '2024-01-06'`
+    // routes exactly like its integral spelling. The rewrite lands in
+    // the re-applied Filter too: comparing the BIGINT ts column to a
+    // TIMESTAMP literal would otherwise not even analyze.
+    def rebaseTsLiterals(name: String, alias: String,
+                         cond: Expression): Expression = {
+      val (cat, tbl) = durable(name)
+      val dayCols = cat.partitionColsOf(tbl).zip(cat.partitionFuncsOf(tbl))
+        .collect { case (pc, "days") => pc }.toSet
+      if (dayCols.isEmpty) cond
+      else {
+        import org.apache.spark.sql.catalyst.expressions.BinaryComparison
+        import org.apache.spark.sql.types.{StringType, TimestampType}
+        def refsDay(a: UnresolvedAttribute): Boolean =
+          dayCols.exists(pc => a.nameParts.last.equalsIgnoreCase(pc)) &&
+            (a.nameParts.length == 1 ||
+              a.nameParts.init.last.equalsIgnoreCase(alias))
+        def nanosLit(l: Literal): Option[Literal] = (l.value, l.dataType) match {
+          case (us: Long, TimestampType) =>
+            Some(Literal(math.multiplyExact(us, 1000L)))
+          case (s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            // non-instant strings (e.g. a numeric string meant for the
+            // BIGINT coercion path) pass through untouched
+            try Some(Literal(math.multiplyExact(
+              wallClockMillis(s.toString), 1000000L)))
+            catch { case _: IllegalArgumentException => None }
+          case _ => None
+        }
+        cond.transform {
+          case b: BinaryComparison => (b.left, b.right) match {
+            case (a: UnresolvedAttribute, l: Literal) if refsDay(a) =>
+              nanosLit(l).map(nl => b.withNewChildren(Seq(a, nl)))
+                .getOrElse(b)
+            case (l: Literal, a: UnresolvedAttribute) if refsDay(a) =>
+              nanosLit(l).map(nl => b.withNewChildren(Seq(nl, a)))
+                .getOrElse(b)
+            case _ => b
+          }
+        }
       }
     }
     val out = p.transformUpWithSubqueries {
@@ -621,13 +678,14 @@ class GraftSql(val spark: SparkSession) {
           if r.multipartIdentifier.length == 1 &&
             partsOf(r.multipartIdentifier.head).nonEmpty =>
         val n = r.multipartIdentifier.head
-        Filter(cond, prune(n, n, cond, r))
+        val c2 = rebaseTsLiterals(n, n, cond)
+        Filter(c2, prune(n, n, c2, r))
       case f @ Filter(cond, SubqueryAlias(id, r: UnresolvedRelation))
           if r.multipartIdentifier.length == 1 &&
             partsOf(r.multipartIdentifier.head).nonEmpty =>
-        Filter(cond,
-          prune(r.multipartIdentifier.head, id.name, cond,
-            SubqueryAlias(id, r)))
+        val n = r.multipartIdentifier.head
+        val c2 = rebaseTsLiterals(n, id.name, cond)
+        Filter(c2, prune(n, id.name, c2, SubqueryAlias(id, r)))
     }
     if (hit) Some(Bridge.ofRows(spark, out)) else None
   }
@@ -1698,6 +1756,10 @@ class GraftSql(val spark: SparkSession) {
         case Seq(UpdateAction(cond, assigns, _)) =>
           cond.foreach(requireTargetOnly(_, "condition"))
           val asg = assigns.map { a =>
+            // the assignment TARGET gets the same source-alias rejection
+            // as values and the gate: SET s.col = ... must error loudly,
+            // not silently bind to the bare target column
+            requireTargetOnly(a.key, "assignment target")
             val tgt = a.key match {
               case attr: UnresolvedAttribute => attr.nameParts.last
               case other => throw new IllegalArgumentException(

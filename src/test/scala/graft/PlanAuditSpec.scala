@@ -278,6 +278,38 @@ class PlanAuditSpec extends SparkSpec {
       s"pruning must be below the reconstruction window:\n$plan")
   }
 
+  test("q_partition_in: IN-list routes to the directory SET on both " +
+      "identity and bucket levels (r13)") {
+    val q = SparkEntry.queries("q_partition_in")(spark, sfDir)
+    q.collect()
+    val plan = executedPlan(q)
+    // identity level: the _pd directory filter carries the value SET
+    assert("PartitionFilters: \\[[^\\]]*_pd[^\\]]* IN \\(pF,pP\\)".r
+      .findFirstIn(plan).isDefined,
+      s"expected an IN-list _pd partition filter:\n$plan")
+    // bucket level: the two literals hashed into their directory set
+    // (custkey 7 and 11 land in distinct md5 buckets: 2 and 0)
+    val b7 = graft.core.Catalog.bucketOf("7", 8)
+    val b11 = graft.core.Catalog.bucketOf("11", 8)
+    val set = Seq(b7, b11).sorted.mkString("p", ",p", "")
+    assert(("PartitionFilters: \\[[^\\]]*_pd[^\\]]* IN \\(p" + b7 +
+        ",p" + b11 + "\\)|PartitionFilters: \\[[^\\]]*_pd[^\\]]* IN \\(p" +
+        b11 + ",p" + b7 + "\\)").r.findFirstIn(plan).isDefined,
+      s"expected a bucket-set _pd filter ($set):\n$plan")
+  }
+
+  test("q_partition_time_route_ts: TIMESTAMP-literal bounds route to the " +
+      "pruned day slice like the integral spelling (r13)") {
+    val q = SparkEntry.queries("q_partition_time_route_ts")(spark, sfDir)
+    q.collect()
+    val plan = executedPlan(q)
+    // the day-directory range filter reached the base scan
+    assert("PartitionFilters: \\[[^\\]]*_pd".r.findFirstIn(plan).isDefined,
+      s"expected a _pd day-range partition filter:\n$plan")
+    assert(plan.indexOf("PartitionFilters") > plan.indexOf("Window"),
+      s"pruning must be below the reconstruction window:\n$plan")
+  }
+
   test("q_bucketed_join: fact-fact join + same-key agg with ZERO Exchange") {
     // at bench SFs one side broadcasts (correct there); the 100 TB claim
     // is the broadcast-impossible case, so audit with broadcast disabled:

@@ -89,6 +89,28 @@ class PartitionSpec extends SparkSpec {
       s"pruning read $scanned of $allFiles files")
   }
 
+  test("partitionSnapshotIn prunes to EXACTLY the named directory set (r13)") {
+    val (cat, _) = fresh()
+    cat.createTable("t", "k", rows, partitionBy = Some("cat"))
+    cat.foldTail("t") // everything in the partitioned base: 1 file/dir
+    // semantics: ≡ snapshot.where(cat IN (a, c)), at any subset size
+    assert(m(cat.partitionSnapshotIn("t", Map("cat" -> Seq("a", "c")))) ===
+      m(cat.getTable("t").snapshot.where(col("cat").isin("a", "c"))))
+    // strict file count: 2 of the 3 partition directories planned
+    val probe = cat.partitionSnapshotIn("t", Map("cat" -> Seq("a", "c")))
+    probe.collect()
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    assert(scanned === 2L, s"IN-list pruning read $scanned files, expected 2")
+    // the one-element set is the r12 equality read exactly
+    assert(m(cat.partitionSnapshotIn("t", Map("cat" -> Seq("b")))) ===
+      m(cat.partitionSnapshot("t", "b")))
+    // empty value set refuses loud
+    val e = intercept[IllegalArgumentException](
+      cat.partitionSnapshotIn("t", Map("cat" -> Seq.empty)))
+    assert(e.getMessage.contains("empty value set"))
+  }
+
   test("partition values are immutable per key: update guard + insert guard") {
     val (cat, _) = fresh()
     cat.createTable("t", "k", rows, partitionBy = Some("cat"))

@@ -131,6 +131,16 @@ class GraftSqlSpec extends SparkSpec {
               |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = s.status""".stripMargin)
     }
     assert(e2.getMessage.contains("TARGET columns"))
+    // ... and so is a source-qualified assignment TARGET: SET s.col=...
+    // must not silently bind to the bare target column (r13 advice)
+    val e3 = intercept[IllegalArgumentException] {
+      g.sql("""MERGE INTO t USING (SELECT 1 AS k, 1 AS custkey,
+              |'x' AS status, 1.0 AS totalprice) s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *
+              |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET s.status = 'gone'""".stripMargin)
+    }
+    assert(e3.getMessage.contains("TARGET columns"))
   }
 
   test("DML against a durable table is a catalog commit; reopen sees it") {
