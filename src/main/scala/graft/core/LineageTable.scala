@@ -284,7 +284,8 @@ final class LineageTable private (
                 deleteWhen: Option[Column] = None,
                 notMatchedBySourceDelete: Option[Column] = None,
                 notMatchedBySourceUpdate:
-                  Option[(Option[Column], Map[String, Column])] = None):
+                  Option[(Option[Column], Map[String, Column])] = None,
+                updateWhen: Option[Column] = None):
       LineageTable = {
     require(updateCols.nonEmpty && updateCols.forall(c =>
       dataCols.contains(c) && c != keyCol),
@@ -306,6 +307,14 @@ final class LineageTable private (
     val src = source.select(dataCols.map(col): _*)
       .withColumn("_mdel",
         coalesce(deleteWhen.getOrElse(lit(false)).cast("boolean"), lit(false)))
+      // matched-UPDATE gate (r13 — ordered WHEN MATCHED arms): a matched
+      // row passing neither gate appends NOTHING (the target row stays
+      // the live version — SQL MERGE's "no arm matched" semantics).
+      // Absent = always update (every pre-r13 caller). Evaluates on the
+      // source row pre-join, like deleteWhen; deleteWhen wins when both
+      // hold (callers with ordered-arm semantics pass disjoint gates).
+      .withColumn("_mupd",
+        coalesce(updateWhen.getOrElse(lit(true)).cast("boolean"), lit(false)))
     // Source keys must be unique (one row per key per op — the snapshot
     // window's tie rule demands it): the check rides the aggregation the
     // candidate-key distinct already pays, erroring DISTRIBUTED on the
@@ -344,6 +353,9 @@ final class LineageTable private (
         .as(c)
     }
     val stamped = joined
+      // matched rows passing neither gate drop out: no new version row,
+      // the target record is untouched by this merge
+      .where(!matched || col("_mdel") || col("_mupd"))
       .select(vals :+ (matched && col("_mdel")).cast("int").as(DEL): _*)
       .withColumn(VER, lit(opSeq + 1))
     val delta = stamped.select(lineage.columns.map(col): _*)

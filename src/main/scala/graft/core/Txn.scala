@@ -32,9 +32,10 @@ final class Txn private (private val ops: Vector[LineageTable => LineageTable]) 
                 deleteWhen: Option[org.apache.spark.sql.Column] = None,
                 notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
                 notMatchedBySourceUpdate: Option[(Option[org.apache.spark.sql.Column],
-                  Map[String, org.apache.spark.sql.Column])] = None): Txn =
+                  Map[String, org.apache.spark.sql.Column])] = None,
+                updateWhen: Option[org.apache.spark.sql.Column] = None): Txn =
     add(_.mergeInto(source, updateCols, deleteWhen, notMatchedBySourceDelete,
-      notMatchedBySourceUpdate))
+      notMatchedBySourceUpdate, updateWhen))
 
   /** Sequential composition: this transaction's ops, then `other`'s —
     * how a multi-statement SQL transaction accumulates per-table work

@@ -886,6 +886,30 @@ object CoreQueries {
       g.table("graft_merge_tgt3").snapshot.where(col("k") % 5 === 0)
     },
 
+    // MERGE with ORDERED conditional WHEN MATCHED arms (r13 — Delta's
+    // first-match-wins clause-order semantics): an UPDATE arm, a DELETE
+    // arm, and a second UPDATE arm, each with its own AND condition. A
+    // matched row takes the FIRST arm whose condition holds (an even
+    // custkey that is also %5 UPDATES — the earlier arm shadows the
+    // delete), and a row passing NO arm stays UNCHANGED (the engine's
+    // updateWhen gate drops it from the delta — no new version row).
+    // Desugared on the driver to disjoint prefix-negated gates over ONE
+    // engine merge: still a single `_ver` commit, still |source|-priced.
+    "ls_merge_arms" -> { (s, d) =>
+      mergeSourceView(s, d)
+      val g = new graft.sql.GraftSql(s)
+        .register("graft_merge_tgt4", ordersLineage(s, d))
+      g.sql("""MERGE INTO graft_merge_tgt4 t USING graft_merge_src s
+              |ON t.k = s.k
+              |WHEN MATCHED AND s.custkey % 2 = 0
+              |  THEN UPDATE SET status = s.status, totalprice = s.totalprice
+              |WHEN MATCHED AND s.custkey % 5 = 0 THEN DELETE
+              |WHEN MATCHED AND s.custkey % 3 = 0
+              |  THEN UPDATE SET status = s.status, totalprice = s.totalprice
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      g.table("graft_merge_tgt4").snapshot.where(col("k") % 5 === 0)
+    },
+
     // DESCRIBE HISTORY: the commit log as a table read — zero data files
     // opened at any table size (the log lives in _graft.json). This is
     // how a user discovers what asOfTimestamp can address.
@@ -2388,6 +2412,38 @@ object CoreQueries {
          |  SELECT s.k, s.custkey, s.status, s.totalprice
          |  FROM src s LEFT JOIN snap t ON s.k = t.k WHERE t.k IS NULL),
          |merged AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+         |SELECT k, custkey, status, totalprice FROM merged
+         |WHERE k % 5 = 0""".stripMargin,
+
+    // ordered arms, first-match-wins: update when even OR (odd,
+    // non-%5, %3); delete when odd AND %5; otherwise unchanged
+    "ls_merge_arms" ->
+      s"""$fixture,
+         |src AS (
+         |  SELECT k, custkey, 'M' AS status, totalprice + 1000.0 AS totalprice
+         |  FROM base WHERE k % 10 = 0
+         |  UNION ALL
+         |  SELECT k + 3000000 AS k, custkey, 'N' AS status, totalprice
+         |  FROM base WHERE k % 1000 = 0),
+         |upd AS (
+         |  SELECT t.k, t.custkey,
+         |         CASE WHEN s.k IS NOT NULL AND (s.custkey % 2 = 0 OR
+         |                (s.custkey % 2 <> 0 AND s.custkey % 5 <> 0
+         |                 AND s.custkey % 3 = 0))
+         |              THEN s.status ELSE t.status END AS status,
+         |         CASE WHEN s.k IS NOT NULL AND (s.custkey % 2 = 0 OR
+         |                (s.custkey % 2 <> 0 AND s.custkey % 5 <> 0
+         |                 AND s.custkey % 3 = 0))
+         |              THEN s.totalprice ELSE t.totalprice END AS totalprice,
+         |         CASE WHEN s.k IS NOT NULL AND s.custkey % 2 <> 0
+         |                AND s.custkey % 5 = 0
+         |              THEN 1 ELSE 0 END AS dd
+         |  FROM snap t LEFT JOIN src s ON t.k = s.k),
+         |ins AS (
+         |  SELECT s.k, s.custkey, s.status, s.totalprice, 0 AS dd
+         |  FROM src s LEFT JOIN snap t ON s.k = t.k WHERE t.k IS NULL),
+         |merged AS (SELECT * FROM upd WHERE dd = 0
+         |           UNION ALL SELECT * FROM ins)
          |SELECT k, custkey, status, totalprice FROM merged
          |WHERE k % 5 = 0""".stripMargin,
 

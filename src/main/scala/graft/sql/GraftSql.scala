@@ -1661,51 +1661,96 @@ class GraftSql(val spark: SparkSession) {
     }
     require(onOk, s"graft SQL MERGE: ON must equate the key column " +
       s"'${t.keyCol}' of target and source, got ${m.mergeCondition.sql}")
-    // matched actions: one optional UPDATE (unconditional; SET c = s.c or
-    // SET *) + one optional `AND cond THEN DELETE` — the engine's arms
+    // matched actions. Legacy shape: one optional unconditional UPDATE
+    // (SET c = s.c or SET *) + one optional `AND cond THEN DELETE`,
+    // order-insensitive, delete-gate-first. Ordered shape (r13, any
+    // CONDITIONAL update arm present): N WHEN MATCHED arms with Delta's
+    // first-match-wins clause-order semantics — only the last arm may
+    // omit its AND condition; a matched row passing no arm stays
+    // UNCHANGED (the engine's updateWhen gate). All conditions evaluate
+    // on the SOURCE row pre-join (the engine contract), and all UPDATE
+    // arms must SET the same columns — the assignments are same-name
+    // source copies, so the per-arm CASE collapses to one gate.
+    def updColsOf(assigns: Seq[Assignment]): Seq[String] = assigns.map { a =>
+      val tgt = a.key match {
+        case attr: UnresolvedAttribute => attr.nameParts.last
+        case other => throw new IllegalArgumentException(
+          s"graft SQL MERGE: UPDATE SET target must be a column, got $other")
+      }
+      val srcOk = lastName(a.value).contains(tgt)
+      require(srcOk, "graft SQL MERGE: UPDATE SET must copy the " +
+        s"source column of the same name (got ${a.key.sql} = ${a.value.sql}); " +
+        "compute derived values in the USING subquery")
+      tgt
+    }
+    // evaluated on the SOURCE row pre-join (the engine's gate contract)
+    // — a gate over TARGET columns can't be expressed here, and silently
+    // rebinding `t.col` to a same-named source column would invert the
+    // user's intent, so reject it loud
+    def requireSourceOnly(c: Expression, what: String): Unit = {
+      val tgtAlias = aliasOf(m.targetTable)
+      c.foreach {
+        case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            tgtAlias.contains(a.nameParts.head) =>
+          throw new IllegalArgumentException("graft SQL MERGE: the " +
+            s"$what must gate on SOURCE columns (got " +
+            s"${a.name} — the engine's matched gates evaluate on the " +
+            "source row pre-join; put target-state conditions in the " +
+            "USING subquery by joining the snapshot view)")
+        case _ => ()
+      }
+    }
     var updateCols = Seq.empty[String]
     var deleteWhen: Option[Column] = None
-    m.matchedActions.foreach {
-      case UpdateAction(None, assigns, _) =>
-        updateCols = assigns.map { a =>
-          val tgt = a.key match {
-            case attr: UnresolvedAttribute => attr.nameParts.last
-            case other => throw new IllegalArgumentException(
-              s"graft SQL MERGE: UPDATE SET target must be a column, got $other")
-          }
-          val srcOk = lastName(a.value).contains(tgt)
-          require(srcOk, "graft SQL MERGE: UPDATE SET must copy the " +
-            s"source column of the same name (got ${a.key.sql} = ${a.value.sql}); " +
-            "compute derived values in the USING subquery")
-          tgt
+    var updateWhen: Option[Column] = None
+    val hasConditionalUpdate = m.matchedActions.exists {
+      case UpdateAction(Some(_), _, _) | UpdateStarAction(Some(_)) => true
+      case _ => false
+    }
+    if (hasConditionalUpdate) {
+      // ordered first-match-wins arms
+      val arms: Seq[(Option[Expression], Boolean, Seq[String])] =
+        m.matchedActions.map {
+          case UpdateAction(c, assigns, _) => (c, false, updColsOf(assigns))
+          case UpdateStarAction(c) =>
+            (c, false, t.dataCols.filterNot(_ == t.keyCol))
+          case DeleteAction(c) => (c, true, Seq.empty[String])
+          case other => throw new IllegalArgumentException(
+            s"graft SQL MERGE: unsupported WHEN MATCHED action $other")
         }
+      arms.init.foreach { case (c, _, _) => require(c.isDefined,
+        "graft SQL MERGE: only the LAST WHEN MATCHED arm may omit its " +
+          "AND condition — an earlier unconditional arm makes every " +
+          "later arm unreachable") }
+      arms.foreach { case (c, isDel, _) => c.foreach(requireSourceOnly(_,
+        if (isDel) "DELETE condition" else "UPDATE condition")) }
+      val updColSets = arms.collect { case (_, false, cs) => cs.toSet }
+      require(updColSets.distinct.size <= 1, "graft SQL MERGE: every " +
+        "WHEN MATCHED UPDATE arm must SET the same columns (got " +
+        updColSets.distinct.map(_.mkString("{", ",", "}")).mkString(" vs ") +
+        ") — the engine applies one column set per merge; compute " +
+        "per-arm values in the USING subquery")
+      // NULL conditions read as "arm did not match" at every position
+      def g(c: Option[Expression]): Column =
+        org.apache.spark.sql.functions.coalesce(
+          c.map(rebased).getOrElse(lit(true)).cast("boolean"), lit(false))
+      def firstMatch(i: Int): Column =
+        (0 until i).map(j => !g(arms(j)._1)).foldLeft(g(arms(i)._1))(_ && _)
+      deleteWhen = arms.zipWithIndex
+        .collect { case ((_, true, _), i) => firstMatch(i) }
+        .reduceOption(_ || _)
+      updateWhen = Some(arms.zipWithIndex
+        .collect { case ((_, false, _), i) => firstMatch(i) }
+        .reduceOption(_ || _).getOrElse(lit(false)))
+      updateCols = arms.collectFirst { case (_, false, cs) => cs }
+        .getOrElse(Seq.empty)
+    } else m.matchedActions.foreach {
+      case UpdateAction(None, assigns, _) => updateCols = updColsOf(assigns)
       case UpdateStarAction(None) =>
         updateCols = t.dataCols.filterNot(_ == t.keyCol)
       case DeleteAction(cond) =>
-        // evaluated on the SOURCE row pre-join (the engine's deleteWhen
-        // contract) — a gate over TARGET columns can't be expressed
-        // here, and silently rebinding `t.col` to a same-named source
-        // column would invert the user's intent, so reject it loud
-        cond.foreach { c =>
-          val tgtAlias = aliasOf(m.targetTable)
-          c.foreach {
-            case a: UnresolvedAttribute if a.nameParts.length > 1 &&
-                tgtAlias.contains(a.nameParts.head) =>
-              throw new IllegalArgumentException("graft SQL MERGE: the " +
-                s"DELETE condition must gate on SOURCE columns (got " +
-                s"${a.name} — the engine's deleteWhen evaluates on the " +
-                "source row pre-join; put target-state conditions in the " +
-                "USING subquery by joining the snapshot view)")
-            case _ => ()
-          }
-        }
+        cond.foreach(requireSourceOnly(_, "DELETE condition"))
         deleteWhen = Some(cond.map(rebased).getOrElse(lit(true)))
-      case UpdateAction(Some(c), _, _) =>
-        throw new IllegalArgumentException("graft SQL MERGE: conditional " +
-          s"UPDATE (AND ${c.sql}) is not supported — pre-filter the USING subquery")
-      case UpdateStarAction(Some(c)) =>
-        throw new IllegalArgumentException("graft SQL MERGE: conditional " +
-          s"UPDATE (AND ${c.sql}) is not supported — pre-filter the USING subquery")
       case other => throw new IllegalArgumentException(
         s"graft SQL MERGE: unsupported WHEN MATCHED action $other")
     }
@@ -1785,7 +1830,7 @@ class GraftSql(val spark: SparkSession) {
       else t.dataCols.filterNot(_ == t.keyCol)
     val src = Bridge.ofRows(spark, m.sourceTable)
     apply(name, Txn.empty.mergeInto(src, effectiveUpdate, deleteWhen,
-      bySourceDelete, bySourceUpdate))
+      bySourceDelete, bySourceUpdate, updateWhen))
   }
 
   /** `ALTER TABLE t ADD CONSTRAINT c CHECK (expr)` — Spark 4's own

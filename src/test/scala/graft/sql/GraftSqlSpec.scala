@@ -85,6 +85,64 @@ class GraftSqlSpec extends SparkSpec {
     assert(vers === 2, "merge must take exactly one _ver")
   }
 
+  test("MERGE ordered WHEN MATCHED arms: first-match-wins, no-arm rows " +
+      "stay unchanged (r13)") {
+    val g = fixture()
+    // k=1 (custkey 10): arm1 even → UPDATE, shadowing the %5 DELETE arm.
+    // k=2 (custkey 20): arm1 even → UPDATE.
+    // k=3 (custkey 30): even → UPDATE (30 is also %5 and %3 — order wins).
+    // Re-key the fixture for odd custkeys: add rows 4 (35: odd, %5 →
+    // DELETE via arm2), 5 (21: odd, non-%5, %3 → UPDATE via arm3),
+    // 6 (11: odd, no arm → UNCHANGED, source price ignored).
+    g.sql("INSERT INTO t VALUES (4, 35, 'D', 400.0), (5, 21, 'E', 500.0)," +
+      " (6, 11, 'F', 600.0)")
+    g.sql("""MERGE INTO t USING (
+            |  SELECT 1 AS k, 10 AS custkey, 'X' AS status, 1.0 AS totalprice
+            |  UNION ALL SELECT 4, 35, 'X', 4.0
+            |  UNION ALL SELECT 5, 21, 'X', 5.0
+            |  UNION ALL SELECT 6, 11, 'X', 6.0
+            |  UNION ALL SELECT 9, 90, 'I', 900.0) s
+            |ON t.k = s.k
+            |WHEN MATCHED AND s.custkey % 2 = 0
+            |  THEN UPDATE SET status = s.status, totalprice = s.totalprice
+            |WHEN MATCHED AND s.custkey % 5 = 0 THEN DELETE
+            |WHEN MATCHED AND s.custkey % 3 = 0
+            |  THEN UPDATE SET status = s.status, totalprice = s.totalprice
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows(g) === Seq((1L, 10L, "X", 1.0), (2L, 20L, "B", 200.0),
+      (3L, 30L, "C", 300.0), (5L, 21L, "X", 5.0), (6L, 11L, "F", 600.0),
+      (9L, 90L, "I", 900.0)))
+    // the unchanged row (k=6) appended NO new version — its lineage is
+    // exactly the insert that created it
+    assert(g.table("t").lineage.where($"k" === 6L).count() === 1,
+      "a matched row passing no arm must not re-stamp")
+    // an unconditional arm anywhere but last rejects loud — Spark's own
+    // parser enforces it (NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION); the
+    // binder keeps its own guard as defense for hand-built plans
+    val e1 = intercept[Exception] {
+      g.sql("""MERGE INTO t USING (SELECT 1 AS k, 10 AS custkey,
+              |'x' AS status, 1.0 AS totalprice) s ON t.k = s.k
+              |WHEN MATCHED THEN DELETE
+              |WHEN MATCHED AND s.custkey % 2 = 0
+              |  THEN UPDATE SET status = s.status, totalprice = s.totalprice
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e1.getMessage.contains("LAST WHEN MATCHED arm") ||
+      e1.getMessage.toLowerCase.contains("omit the condition"),
+      e1.getMessage)
+    // UPDATE arms with different SET columns reject loud
+    val e2 = intercept[IllegalArgumentException] {
+      g.sql("""MERGE INTO t USING (SELECT 1 AS k, 10 AS custkey,
+              |'x' AS status, 1.0 AS totalprice) s ON t.k = s.k
+              |WHEN MATCHED AND s.custkey % 2 = 0
+              |  THEN UPDATE SET status = s.status
+              |WHEN MATCHED AND s.custkey % 3 = 0
+              |  THEN UPDATE SET totalprice = s.totalprice
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e2.getMessage.contains("same columns"))
+  }
+
   test("MERGE WHEN NOT MATCHED BY SOURCE tombstones vanished rows (r12)") {
     val g = fixture()
     // the sync-job form: source is the full upstream state; rows absent
