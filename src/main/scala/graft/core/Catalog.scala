@@ -1884,8 +1884,17 @@ final class Catalog(spark: SparkSession, warehouse: String,
       val pcs = meta.partCols.indices.map(i =>
         if (meta.funcs(i).startsWith("bucket_")) dirValueExpr(meta, i)
         else col(meta.partCols(i)))
-      val cs = pcs :+ col(meta.index.getOrElse(meta.key))
-      df.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*)
+      if (meta.zorderCols.size >= 2)
+        // partition by directory, Z-ORDER within each (r13): rows
+        // cluster by (partitions..., morton), so each directory's files
+        // cover bounded boxes over the zorder columns — probes prune the
+        // partition level AND row-group-prune inside it from one layout
+        graft.ops.Layout.zorderWithin(df, pcs, meta.zorderCols,
+          math.min(16, 63 / meta.zorderCols.size), 0)
+      else {
+        val cs = pcs :+ col(meta.index.getOrElse(meta.key))
+        df.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*)
+      }
     } else if (meta.zorderCols.size >= 2)
       // bits derive from the column count (n·bits must fit a long's 63
       // non-sign bits), so ANY accepted column set lays out successfully
@@ -1914,9 +1923,18 @@ final class Catalog(spark: SparkSession, warehouse: String,
   def zorderTable(name: String, columns: Seq[String]): LineageTable =
     lock(name).synchronized { withCommitMarker(name) {
       val t = getTable(name)
-      require(readMeta(name).partCol.isEmpty,
-        s"zorderTable: '$name' is partitioned — the directory layout is " +
-          "the physical order (rows sort by key within partitions)")
+      // partitioned tables Z-order WITHIN their directories (r13) — the
+      // standard lakehouse layout (partition by day + ZORDER BY inside);
+      // a partition column in the clustering set is already pruned a
+      // whole level above row groups, so it rejects loud
+      readMeta(name).partCols.intersect(columns) match {
+        case Seq() => ()
+        case dup => throw new IllegalArgumentException(
+          s"zorderTable: ${dup.mkString(", ")} is a partition column of " +
+            s"'$name' — the directory level already prunes it; Z-order " +
+            "by non-partition columns (they cluster within each " +
+            "partition directory)")
+      }
       require(columns.size >= 2,
         s"zorderTable: need >= 2 columns, got ${columns.mkString(",")} " +
           "(use createIndex for a single column)")

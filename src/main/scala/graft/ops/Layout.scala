@@ -100,7 +100,20 @@ object Layout {
     * are routine lakehouse practice; selectivity per column dilutes as
     * N grows, the usual guidance to stop near 4). */
   def zorder(df: DataFrame, cols: Seq[String],
-             bits: Int, partitions: Int): DataFrame = {
+             bits: Int, partitions: Int): DataFrame =
+    zorderWithin(df, Seq.empty, cols, bits, partitions)
+
+  /** Z-order WITHIN a directory prefix (r13 — partition by day, Z-order
+    * within each partition, the Delta `OPTIMIZE ZORDER BY` layout on a
+    * partitioned table): rows cluster by (`prefix`..., morton code), so
+    * each write task holds contiguous runs per partition directory AND
+    * every file inside a directory covers a bounded N-dimensional box
+    * over `cols`. Stats scale globally (one broadcast agg, not a
+    * per-partition join) — within any single directory the z-range is a
+    * sub-interval, so the box bound per file holds there too. Empty
+    * `prefix` is exactly [[zorder]]. */
+  def zorderWithin(df: DataFrame, prefix: Seq[Column], cols: Seq[String],
+                   bits: Int, partitions: Int): DataFrame = {
     val nParts = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val stats = df.agg(
@@ -115,10 +128,11 @@ object Layout {
       when(hi === lo, lit(0L)).otherwise(
         floor((col(c).cast("double") - lo) / (hi - lo) * top).cast("long"))
     }
+    val keys = prefix :+ col("_z")
     df.crossJoin(broadcast(stats))
       .withColumn("_z", morton(cols.map(scaled), bits))
-      .repartitionByRange(nParts, col("_z"))
-      .sortWithinPartitions(col("_z"))
+      .repartitionByRange(nParts, keys: _*)
+      .sortWithinPartitions(keys: _*)
       .drop(cols.flatMap(c => Seq(s"_min_$c", s"_max_$c")) :+ "_z": _*)
   }
 

@@ -193,6 +193,32 @@ object CoreQueries {
   private val zorderTableCache =
     scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
 
+  /** Partition-by-status + Z-order-within fixture (r13 — the standard
+    * lakehouse layout: partition by a low-cardinality column, ZORDER BY
+    * inside each directory). A post-layout UPDATE exercises the tail. */
+  def zorderPartFixture(spark: SparkSession, sfDir: String): (Catalog, String) =
+    zorderPartCache.getOrElseUpdate(sfDir, {
+      val wh = graft.sources.TextSources.scratchDir(spark, "graft_zp_wh_")
+      val cat = new Catalog(spark, wh, autoCompact = false)
+      cat.createTable("orders_zp", "k", baseOrders(spark, sfDir),
+        partitionBy = Some("status"))
+      cat.zorderTable("orders_zp", Seq("custkey", "totalprice"))
+      cat.commit("orders_zp", graft.core.Txn.empty
+        .update(col("k") % 101 === 0,
+          Map("totalprice" -> (col("totalprice") + lit(5.0)))))
+      // vacuum to a single-version clustered base (the OPTIMIZE +
+      // VACUUM flow): with one live version per record, the snapshot is
+      // the window-free base scan and data predicates push straight to
+      // it, where the per-file boxes row-group-prune — retained history
+      // keeps them above the reconstruction window instead (sound: a
+      // mutable column's latest value needs every version)
+      cat.vacuum("orders_zp")
+      (cat, "orders_zp")
+    })
+
+  private val zorderPartCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Catalog, String)]
+
   /**
    * Schema-evolution fixture (built once per sf dir): orders committed,
    * updated, then ALTERed with a `priority` column (Catalog.addColumn — a
@@ -1444,6 +1470,21 @@ object CoreQueries {
         .where(col("custkey").between(10L, 60L) &&
                col("totalprice").between(50000.0, 200000.0))
         .select(col("k"), col("custkey"), col("status"), col("totalprice"))
+    },
+
+    "idx_zorder_part" -> { (s, d) =>
+      // Z-order WITHIN partitions (r13): status directories prune at
+      // planning (the SQL router substitutes the partitionSnapshot
+      // scan), and inside the surviving directory every file covers a
+      // bounded (custkey, totalprice) box, so the 2-d range probe
+      // row-group-prunes too — BOTH pruning levels from one layout.
+      // Results are layout-independent (replay oracle); PlanAuditSpec
+      // pins both filters.
+      val (cat, t) = zorderPartFixture(s, d)
+      val g = new graft.sql.GraftSql(s).register("orders_zp", cat, t)
+      g.sql("""SELECT k, custkey, status, totalprice FROM orders_zp
+              |WHERE status = 'O' AND custkey BETWEEN 10 AND 60
+              |  AND totalprice BETWEEN 50000.0 AND 200000.0""".stripMargin)
     },
 
     "src_csv" -> { (s, d) =>
@@ -2900,6 +2941,20 @@ object CoreQueries {
         |FROM orders
         |WHERE o_custkey BETWEEN 10 AND 60
         |  AND o_totalprice BETWEEN 50000.0 AND 200000.0""".stripMargin,
+
+    // layout is never semantics: the partitioned + z-ordered probe is a
+    // plain filtered replay (with the post-layout update applied)
+    "idx_zorder_part" ->
+      """WITH live AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status,
+        |         o_totalprice +
+        |           CASE WHEN o_orderkey % 101 = 0 THEN 5.0 ELSE 0.0 END
+        |           AS totalprice
+        |  FROM orders)
+        |SELECT k, custkey, status, totalprice FROM live
+        |WHERE status = 'O' AND custkey BETWEEN 10 AND 60
+        |  AND totalprice BETWEEN 50000.0 AND 200000.0""".stripMargin,
 
     "src_csv" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n,

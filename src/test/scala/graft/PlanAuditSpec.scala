@@ -298,6 +298,28 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a bucket-set _pd filter ($set):\n$plan")
   }
 
+  test("idx_zorder_part: the probe prunes the partition DIRECTORY and " +
+      "pushes the zorder-column ranges to the clustered scan (r13)") {
+    val q = SparkEntry.queries("idx_zorder_part")(spark, sfDir)
+    q.collect()
+    val plan = executedPlan(q)
+    // level 1: the status directory pruned at planning
+    assert("PartitionFilters: \\[[^\\]]*_pd[^\\]]*= pO".r
+      .findFirstIn(plan).isDefined, s"expected a _pd partition filter:\n$plan")
+    // level 2: the z-ordered column ranges reached the parquet scan,
+    // where the within-directory box-bounded files row-group-prune.
+    // The printed PushedFilters string truncates at 100 chars, so read
+    // the scan node's metadata map directly.
+    val pushed = q.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString("; ")
+    assert(pushed.contains("GreaterThanOrEqual(custkey,10)"),
+      s"zorder filter not pushed: $pushed")
+    assert(pushed.contains("LessThanOrEqual(totalprice,200000.0)"),
+      s"second zorder filter not pushed: $pushed")
+  }
+
   test("q_partition_time_route_ts: TIMESTAMP-literal bounds route to the " +
       "pruned day slice like the integral spelling (r13)") {
     val q = SparkEntry.queries("q_partition_time_route_ts")(spark, sfDir)

@@ -165,8 +165,12 @@ class PartitionSpec extends SparkSpec {
     cat.createTable("t", "k", rows, partitionBy = Some("cat"))
     assert(intercept[IllegalArgumentException](
       cat.cloneTable("t", "t2")).getMessage.contains("partitioned"))
+    // Z-order WITHIN partitions is allowed (r13) — but clustering BY the
+    // partition column itself rejects: the directory level already
+    // prunes it
     assert(intercept[IllegalArgumentException](
-      cat.zorderTable("t", Seq("cat", "v"))).getMessage.contains("partitioned"))
+      cat.zorderTable("t", Seq("cat", "v"))).getMessage
+      .contains("partition column"))
     assert(intercept[IllegalArgumentException](
       cat.dropColumn("t", "cat")).getMessage.contains("partition"))
     assert(intercept[IllegalArgumentException](
@@ -175,6 +179,48 @@ class PartitionSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       cat.createTable("t3", "k", rows, partitionBy = Some("k")))
       .getMessage.contains("key"))
+  }
+
+  test("Z-order WITHIN partitions: layout lands, survives maintenance, " +
+      "and both pruning levels fire (r13)") {
+    val (cat, wh) = fresh()
+    import spark.implicits._
+    // 3 partitions × 40 rows with two numeric dims to cluster
+    val data = (0 until 120).map(i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3), (i * 7 % 120).toLong,
+        (i * 13 % 120).toLong)).toDF("k", "cat", "x", "y")
+    cat.createTable("t", "k", data, partitionBy = Some("cat"))
+    cat.zorderTable("t", Seq("x", "y"))
+    assert(cat.zorderColsOf("t") === Seq("x", "y"))
+    // the partition directories survive the zorder rewrite
+    val dirs = new java.io.File(s"$wh/t/base").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("_pd=pa", "_pd=pb", "_pd=pc"))
+    // semantics unchanged by layout
+    assert(cat.getTable("t").snapshot.count() === 120L)
+    assert(cat.getTable("t").snapshot
+      .where(col("cat") === "b" && col("x") < 30 && col("y") < 30)
+      .collect().map(_.getLong(0)).toSet ===
+      data.where(col("cat") === "b" && col("x") < 30 && col("y") < 30)
+        .collect().map(_.getLong(0)).toSet)
+    // a probe through partitionSnapshot prunes the DIRECTORY level and
+    // pushes the zorder-column range to the (clustered) base scan
+    val probe = cat.partitionSnapshot("t", "b")
+      .where(col("x").between(0, 20) && col("y").between(0, 20))
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(x,0\\)".r
+      .findFirstIn(plan).isDefined, s"zorder-column filter not pushed:\n$plan")
+    // the clustering survives a vacuum re-stamp (layoutOrdered chokepoint)
+    cat.commit("t", Txn.empty.update(col("k") === 5L, Map("y" -> lit(0L))))
+    cat.vacuum("t")
+    assert(cat.zorderColsOf("t") === Seq("x", "y"))
+    assert(new java.io.File(s"$wh/t/base").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq ===
+      Seq("_pd=pa", "_pd=pb", "_pd=pc"))
+    assert(cat.getTable("t").snapshot.where(col("k") === 5L)
+      .head().getLong(3) === 0L)
   }
 
   test("reopen from disk: partition metadata and pruning survive") {
