@@ -62,6 +62,29 @@ object RecallProbe {
       println(f"SKEW   c=$c%-3d maxBucket seeded=$sMax (x$sSkew%.1f of mean)  " +
         f"trained=$tMax (x$tSkew%.1f of mean)")
     }
+
+    // kNN-graph entry-point strategies (r13): lowest-id vs degree-ranked
+    // seeds at EQUAL beam/hops budget over the same stored graph — the
+    // evidence behind createKnnIndex persisting `_knn/seeds`
+    val graph = graft.ops.KnnGraph
+      .nnDescent(corpus, 5, 3, descentK = 15).localCheckpoint()
+    val adj = graft.ops.KnnGraph.symmetrize(graph).localCheckpoint()
+    import spark.implicits._
+    val degSeeds = adj.groupBy(col("p").as("vec_id"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("vec_id").asc).limit(64)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+      .zipWithIndex.map { case (v, i) => (v, i.toLong) }.toSeq
+      .toDF("vec_id", "rnk")
+    for ((beam, hops) <- Seq((5, 3), (8, 3), (16, 4))) {
+      val rLow = recall(graft.ops.KnnGraph.beamSearch(
+        corpus, adj, queries, k, beam, hops, entries = 4))
+      val rDeg = recall(graft.ops.KnnGraph.beamSearch(
+        corpus, adj, queries, k, beam, hops, entries = 4,
+        seedsOverride = Some(degSeeds)))
+      println(f"SEEDS beam=$beam%-2d hops=$hops  " +
+        f"lowestId=$rLow%.3f  degreeRanked=$rDeg%.3f")
+    }
     spark.stop()
   }
 }

@@ -389,8 +389,23 @@ final class LineageTable private (
       case None => delta
       case Some((cond, restamp)) =>
         val srcKeys = src.select(col(keyCol).as("_match_key")).distinct()
-        val gone = restamp(snapshotMeta
-          .join(srcKeys, col(keyCol) <=> col("_match_key"), "left_anti")
+        // two-phase gone set (r13): the single fat window previously
+        // moved |target| FULL-WIDTH rows through its shuffle just to
+        // find what vanished. Phase 1 windows a slim (key, _ver, _del)
+        // projection of the lineage to the live key set and anti-joins
+        // the source — |target| ~24-byte rows; phase 2 windows only the
+        // gone candidates at full width — |gone| rows, and the sync-job
+        // contract makes |gone| ≪ |target|. Column pruning cannot do
+        // this alone: the restamp needs every column, so the fat
+        // window's shuffle width was load-bearing.
+        val goneKeys = asOfMetaOver(
+            lineage.select(col(keyCol), col(VER), col(DEL)), 0)
+          .select(col(keyCol).as("_gone_key"))
+          .join(srcKeys, col("_gone_key") <=> col("_match_key"), "left_anti")
+        val goneLive = asOfMetaOver(
+          lineage.join(goneKeys, col(keyCol) <=> col("_gone_key"),
+            "left_semi"), 0)
+        val gone = restamp(goneLive
           .where(coalesce(cond.getOrElse(lit(true)).cast("boolean"),
             lit(false))))
         delta.unionByName(gone.select(lineage.columns.map(col): _*))

@@ -67,16 +67,21 @@ object KnnGraph {
     val dk = if (descentK <= 0) k else descentK
     require(dk >= k, s"nnDescent: descentK=$dk must be >= k=$k")
     val e = emb.select(col("vec_id"), col("embedding"))
-    // one metadata read: N, and the distinct-id check ranking needs
-    // (duplicate ids would make the within-bucket row_number order —
-    // and therefore the whole result — nondeterministic)
-    val st = e.agg(count(lit(1)), count_distinct(col("vec_id"))).collect()(0)
+    // one metadata read: N, the distinct-id check (duplicate ids would
+    // make the within-bucket row_number order — and therefore the whole
+    // result — nondeterministic), and the max dimension for the corpus
+    // size estimate (max over non-null sizes: a null or ragged
+    // embedding can only make the estimate conservative, never throw)
+    val st = e.agg(count(lit(1)), count_distinct(col("vec_id")),
+      max(org.apache.spark.sql.functions.size(col("embedding")))).collect()(0)
     val n = st.getLong(0)
     require(n > dk,
       s"nnDescent: descentK=$dk needs more than descentK corpus points, got $n")
     require(st.getLong(1) == n,
       s"nnDescent: vec_id must be distinct (got ${st.getLong(1)} distinct " +
         s"ids over $n rows)")
+    require(!st.isNullAt(2) && st.getInt(2) > 0,
+      "nnDescent: embedding must be a non-empty array<float> column")
     val nBuckets = math.max(1L, n / (4L * dk))
     // md5-hash bucketing, not id % nBuckets: strided re-keys (every
     // scale corpus) share factors with the bucket count and would
@@ -105,26 +110,50 @@ object KnnGraph {
           col("vec_id").as("p"), col("rn"))
         .join(rhs, Seq("b", "rn"))
         .select(col("p"), col("q")))
-    // Scoring-join strategy (r12, the 1000x ENOSPC fix): the candidate
-    // pairs dominate every round (≤ (2dk)²N rows), and a sort-merge
-    // scoring join would shuffle each pair TWICE with a vector payload
-    // attached — at 5M 64-dim vectors that is hundreds of GB of shuffle
-    // for 16-byte logical pairs. When the corpus itself fits a
-    // broadcast (≤2 GB estimated — 64-dim float corpora to ~8M
-    // vectors), pin it broadcast on BOTH scoring joins: the pairs then
-    // never shuffle for scoring at all, and the only fact-scale
-    // exchanges left are the pair-key distinct and the top-k window
-    // (24-byte rows). Beyond the broadcast regime the hint drops away
-    // and the shuffle join remains the honest cost. Join strategy only
-    // — results are bit-identical either way.
-    val dim = e.select(org.apache.spark.sql.functions
-      .size(col("embedding"))).head.getInt(0)
-    val eScore = if (n * (4L * dim + 24L) <= (2L << 30)) broadcast(e) else e
+    // Scoring-join strategy (r12 broadcast, r13 block-local): the
+    // candidate pairs dominate every round (≤ (2dk)²N rows), and a
+    // sort-merge scoring join would shuffle each pair TWICE with a
+    // vector payload attached — at 5M 64-dim vectors that is hundreds
+    // of GB of shuffle for 16-byte logical pairs (the r12a ENOSPC).
+    // Two scale regimes, both shipping the CORPUS to the pairs instead:
+    //  - corpus ≤ spark.graft.knn.broadcastBytes (default 512 MB — the
+    //    in-memory HashedRelation is several times the raw estimate, so
+    //    the cap stays well under executor memory): pin it broadcast on
+    //    BOTH scoring joins; the pairs never shuffle for scoring at all.
+    //  - beyond that: GRID-partitioned block scoring ([[blockScore]]) —
+    //    pairs hash into (block(p), block(q)) cells, each corpus block
+    //    (≤ spark.graft.knn.blockBytes) replicates to its row/column of
+    //    cells, and a streaming per-cell hash join scores map-side. The
+    //    pairs still shuffle only their 16-byte keys; total exchange is
+    //    2·B·|corpus| + |pairs| — linear in N at fixed block size,
+    //    never |pairs|·|vector|.
+    // Join strategy only — results are bit-identical across all paths
+    // (KnnGraphSpec pins broadcast ≡ block). spark.graft.knn.scoring =
+    // auto|broadcast|block forces a path for A/B measurement.
+    val dim = st.getInt(2)
+    val conf = e.sparkSession.conf
+    val bytesEst = n * (4L * dim + 24L)
+    val bcastCap = conf.get("spark.graft.knn.broadcastBytes",
+      (512L << 20).toString).toLong
+    val blockBytes = conf.get("spark.graft.knn.blockBytes",
+      (256L << 20).toString).toLong
+    val useBroadcast = conf.get("spark.graft.knn.scoring", "auto") match {
+      case "broadcast" => true
+      case "block" => false
+      case _ => bytesEst <= bcastCap
+    }
+    val scoreFn: DataFrame => DataFrame =
+      if (useBroadcast) { val eb = broadcast(e); pairs => score(eb, pairs) }
+      else {
+        val b = math.max(2L, (bytesEst + blockBytes - 1) / blockBytes)
+          .min(1024L).toInt
+        pairs => blockScore(e, pairs, b)
+      }
     val w = Window.partitionBy(col("p"))
       .orderBy(col("dot").desc, col("q").asc)
     // (p, q, dot), ≤ dk per p — the cross links can push a point past
     // dk, so the init trims through the same total order the rounds use
-    var edges = score(eScore, init)
+    var edges = scoreFn(init)
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= dk).drop("rnk")
       .localCheckpoint()
@@ -136,7 +165,7 @@ object KnnGraph {
           col("x.p") === col("y.p") && col("x.q") < col("y.q"))
         .select(col("x.q").as("p"), col("y.q").as("q"))
         .distinct()
-      val scored = score(eScore, cand)
+      val scored = scoreFn(cand)
       val next = edges
         .unionByName(scored)
         .unionByName(scored.select(col("q").as("p"), col("p").as("q"),
@@ -198,7 +227,13 @@ object KnnGraph {
    * Returns (qid, vec_id, dot, rnk) — k rows per query.
    */
   def beamSearch(emb: DataFrame, adj: DataFrame, queries: DataFrame,
-                 k: Int, beam: Int, hops: Int, entries: Int): DataFrame = {
+                 k: Int, beam: Int, hops: Int, entries: Int,
+                 /** Entry-point override — (vec_id, rnk) rows (e.g.
+                   * degree-ranked at build, [[graft.core.Catalog
+                   * .createKnnIndex]]'s `_knn/seeds` sidecar); the
+                   * `entries` best ranks start the search. None = the
+                   * `entries` lowest node ids. */
+                 seedsOverride: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 0 && entries >= 1,
       s"beamSearch: k=$k, beam=$beam, hops=$hops, entries=$entries " +
         "must all be positive")
@@ -206,8 +241,10 @@ object KnnGraph {
     val q = queries.select(col("qid"), col("qe"))
     // every graph node appears as a source in the symmetrized
     // adjacency, so the p-projection is exactly the node set
-    val seeds = adj.select(col("p").as("vec_id")).distinct()
-      .orderBy(col("vec_id")).limit(entries)
+    val seeds = seedsOverride
+      .map(_.orderBy(col("rnk")).limit(entries).select(col("vec_id")))
+      .getOrElse(adj.select(col("p").as("vec_id")).distinct()
+        .orderBy(col("vec_id")).limit(entries))
     def scoreIds(ids: DataFrame): DataFrame = ids
       .join(e, "vec_id")
       .join(q, "qid")
@@ -244,6 +281,79 @@ object KnnGraph {
       .join(e.select(col("vec_id").as("q"), col("embedding").as("qe")), "q")
       .select(col("p"), col("q"),
         Similarity.dot(col("pe"), col("qe")).as("dot"))
+
+  /**
+   * GRID-partitioned pair scoring (r13) — the beyond-broadcast regime
+   * of the NN-Descent build. The fragment-replicate join classic: the
+   * corpus splits into B hash blocks of ≤ blockBytes each; a pair
+   * (p, q) belongs to cell (block(p), block(q)); each corpus row
+   * replicates to its B row-cells (as the p side) and B column-cells
+   * (as the q side); everything exchanges ONCE keyed by cell; and a
+   * per-cell streaming hash join scores map-side — the two fragments
+   * (≤ 2·blockBytes) load into memory, the cell's pairs stream through.
+   *
+   * Exchange totals: 2·B·|corpus| bytes of vectors + the pairs' 24-byte
+   * keys — at 8M×64-dim and B=9 that is ~40 GB, vs hundreds of GB for
+   * the pair-carries-vector sort-merge this replaces (the r12a ENOSPC).
+   * Everything is Dataset-typed (UnsafeRow exchanges — no RDD/Kryo
+   * path), the local sort puts both fragments ahead of their cell's
+   * pairs, and 4·B² hash partitions keep cell collisions (and so peak
+   * task memory) low. The dot replicates [[graft.functions.DotProduct]]
+   * bit-for-bit: float→double widening, IEEE multiply, left fold from
+   * 0.0, length mismatch → null.
+   */
+  private def blockScore(e: DataFrame, pairs: DataFrame, b: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    def blk(c: org.apache.spark.sql.Column) =
+      pmod(graft.functions.Md5HighBits.hash60(c.cast("string")), lit(b.toLong))
+    val reps = explode(sequence(lit(0L), lit(b - 1L)))
+    val corpusP = e.withColumn("_j", reps)
+      .select((blk(col("vec_id")) * b + col("_j")).as("cell"),
+        lit(0).as("kind"), col("vec_id").as("a"), lit(0L).as("bb"),
+        col("embedding").as("emb"))
+    val corpusQ = e.withColumn("_j", reps)
+      .select((col("_j") * b + blk(col("vec_id"))).as("cell"),
+        lit(1).as("kind"), col("vec_id").as("a"), lit(0L).as("bb"),
+        col("embedding").as("emb"))
+    val pairCells = pairs
+      .select((blk(col("p")) * b + blk(col("q"))).as("cell"),
+        lit(2).as("kind"), col("p").as("a"), col("q").as("bb"),
+        lit(null).cast("array<float>").as("emb"))
+    val nP = math.max(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, 4 * b * b)
+    corpusP.unionByName(corpusQ).unionByName(pairCells)
+      .repartition(nP, col("cell"))
+      .sortWithinPartitions(col("cell"), col("kind"))
+      .as[(Long, Int, Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        // cells arrive contiguously (local sort): per cell, load the two
+        // fragments (kind 0 then 1), stream the pairs (kind 2)
+        var cur = Long.MinValue
+        val pm = new scala.collection.mutable.LongMap[Array[Float]]()
+        val qm = new scala.collection.mutable.LongMap[Array[Float]]()
+        it.flatMap { case (cell, kind, a, bb, emb) =>
+          if (cell != cur) { cur = cell; pm.clear(); qm.clear() }
+          kind match {
+            case 0 => pm(a) = emb; Iterator.empty
+            case 1 => qm(a) = emb; Iterator.empty
+            case _ =>
+              val pe = pm(a)
+              val qe = qm(bb)
+              if (pe.length != qe.length) Iterator.single((a, bb, null: java.lang.Double))
+              else {
+                var s = 0.0
+                var i = 0
+                while (i < pe.length) {
+                  s += pe(i).toDouble * qe(i).toDouble; i += 1
+                }
+                Iterator.single((a, bb, java.lang.Double.valueOf(s)))
+              }
+          }
+        }
+      }
+      .toDF("p", "q", "dot")
+  }
 
   private def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {

@@ -101,6 +101,29 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("block-local scoring ≡ broadcast scoring, bit for bit (r13)") {
+    // the beyond-broadcast grid path is a join STRATEGY, never a
+    // semantics change: force each path on the same corpus and compare
+    // the full ranked output — dots are deterministic doubles, so
+    // equality is exact. b lands at the floor of 2 blocks (4 cells) on
+    // this tiny corpus; KnnGraph caps b at 1024 at the other end.
+    val c = corpus(91L, 150, 8)
+    def forced(mode: String) = {
+      spark.conf.set("spark.graft.knn.scoring", mode)
+      try run(c, 4, 2, descentK = 8).sortBy(r => (r._1, r._4)).toSeq
+      finally spark.conf.unset("spark.graft.knn.scoring")
+    }
+    val viaBroadcast = forced("broadcast")
+    val viaBlock = forced("block")
+    assert(viaBlock === viaBroadcast)
+    // and both are the literal replay
+    val exp = replay(c, 4, 2, descentK = 8)
+    viaBlock.groupBy(_._1).foreach { case (p, rows) =>
+      assert(rows.sortBy(_._4).map(r => (r._2, r._3)) === exp(p),
+        s"neighbor list of $p")
+    }
+  }
+
   test("exploration degree > k: descends at descentK, outputs top-k") {
     val c = corpus(31L, 100, 6)
     val got = run(c, 3, 2, descentK = 9)
