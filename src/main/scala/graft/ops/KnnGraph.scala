@@ -116,10 +116,13 @@ object KnnGraph {
     // vector payload attached — at 5M 64-dim vectors that is hundreds
     // of GB of shuffle for 16-byte logical pairs (the r12a ENOSPC).
     // Two scale regimes, both shipping the CORPUS to the pairs instead:
-    //  - corpus ≤ spark.graft.knn.broadcastBytes (default 512 MB — the
-    //    in-memory HashedRelation is several times the raw estimate, so
-    //    the cap stays well under executor memory): pin it broadcast on
-    //    BOTH scoring joins; the pairs never shuffle for scoring at all.
+    //  - corpus ≤ spark.graft.knn.broadcastBytes (default scales with
+    //    the JVM: min(2 GB, maxMemory/8) — the in-memory HashedRelation
+    //    is several times the raw estimate, so raw ≤ mem/8 keeps the
+    //    relation comfortably inside the heap; small-executor clusters
+    //    shrink the cap automatically instead of OOMing): pin it
+    //    broadcast on BOTH scoring joins; the pairs never shuffle for
+    //    scoring at all.
     //  - beyond that: GRID-partitioned block scoring ([[blockScore]]) —
     //    pairs hash into (block(p), block(q)) cells, each corpus block
     //    (≤ spark.graft.knn.blockBytes) replicates to its row/column of
@@ -134,7 +137,7 @@ object KnnGraph {
     val conf = e.sparkSession.conf
     val bytesEst = n * (4L * dim + 24L)
     val bcastCap = conf.get("spark.graft.knn.broadcastBytes",
-      (512L << 20).toString).toLong
+      math.min(2L << 30, Runtime.getRuntime.maxMemory / 8).toString).toLong
     val blockBytes = conf.get("spark.graft.knn.blockBytes",
       (256L << 20).toString).toLong
     val useBroadcast = conf.get("spark.graft.knn.scoring", "auto") match {
