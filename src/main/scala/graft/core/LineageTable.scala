@@ -285,11 +285,22 @@ final class LineageTable private (
                 notMatchedBySourceDelete: Option[Column] = None,
                 notMatchedBySourceUpdate:
                   Option[(Option[Column], Map[String, Column])] = None,
-                updateWhen: Option[Column] = None):
+                updateWhen: Option[Column] = None,
+                /** Per-COLUMN update gates (r13 — ordered arms that SET
+                  * different columns): column c copies from the source
+                  * only when its gate holds on the source row; ungated
+                  * updateCols columns copy whenever the row updates.
+                  * Gates evaluate on the source row pre-join, like
+                  * deleteWhen/updateWhen; keys must be updateCols
+                  * members. */
+                updateColGates: Map[String, Column] = Map.empty):
       LineageTable = {
     require(updateCols.nonEmpty && updateCols.forall(c =>
       dataCols.contains(c) && c != keyCol),
       s"updateCols must be non-key data columns, got ${updateCols.mkString(",")}")
+    require(updateColGates.keySet.subsetOf(updateCols.toSet),
+      "mergeInto: updateColGates keys must be updateCols members, got " +
+        (updateColGates.keySet -- updateCols.toSet).mkString(","))
     require(notMatchedBySourceDelete.isEmpty ||
         notMatchedBySourceUpdate.isEmpty,
       "mergeInto: at most ONE not-matched-by-source action (the engine " +
@@ -315,6 +326,11 @@ final class LineageTable private (
       // hold (callers with ordered-arm semantics pass disjoint gates).
       .withColumn("_mupd",
         coalesce(updateWhen.getOrElse(lit(true)).cast("boolean"), lit(false)))
+      // per-column gates ride the source row the same way (NULL = don't
+      // copy this column)
+      .transform(df => updateColGates.foldLeft(df) { case (d, (c, g)) =>
+        d.withColumn(s"_mg_$c",
+          coalesce(g.cast("boolean"), lit(false))) })
     // Source keys must be unique (one row per key per op — the snapshot
     // window's tie rule demands it): the check rides the aggregation the
     // candidate-key distinct already pays, erroring DISTRIBUTED on the
@@ -348,7 +364,12 @@ final class LineageTable private (
     val vals = dataCols.map { c =>
       when(matched && col("_mdel"), col(s"_t_$c"))
         .when(matched,
-          if (updateCols.contains(c) || c == keyCol) col(c) else col(s"_t_$c"))
+          if (c == keyCol) col(c)
+          else if (updateColGates.contains(c))
+            // gated column: copy only when ITS arm fired; else carry
+            when(col(s"_mg_$c"), col(c)).otherwise(col(s"_t_$c"))
+          else if (updateCols.contains(c)) col(c)
+          else col(s"_t_$c"))
         .otherwise(col(c))
         .as(c)
     }

@@ -33,9 +33,11 @@ final class Txn private (private val ops: Vector[LineageTable => LineageTable]) 
                 notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
                 notMatchedBySourceUpdate: Option[(Option[org.apache.spark.sql.Column],
                   Map[String, org.apache.spark.sql.Column])] = None,
-                updateWhen: Option[org.apache.spark.sql.Column] = None): Txn =
+                updateWhen: Option[org.apache.spark.sql.Column] = None,
+                updateColGates: Map[String, org.apache.spark.sql.Column] =
+                  Map.empty): Txn =
     add(_.mergeInto(source, updateCols, deleteWhen, notMatchedBySourceDelete,
-      notMatchedBySourceUpdate, updateWhen))
+      notMatchedBySourceUpdate, updateWhen, updateColGates))
 
   /** Sequential composition: this transaction's ops, then `other`'s —
     * how a multi-statement SQL transaction accumulates per-table work

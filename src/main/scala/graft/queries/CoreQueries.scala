@@ -936,6 +936,26 @@ object CoreQueries {
       g.table("graft_merge_tgt4").snapshot.where(col("k") % 5 === 0)
     },
 
+    // Ordered arms that SET DIFFERENT columns (r13 per-column update
+    // gates): a matched row taking an arm copies exactly THAT arm's
+    // columns from the source and carries the rest — even custkeys
+    // re-status, odd %3 custkeys re-price, everything else unchanged.
+    // Still one engine merge, one `_ver` stamp: each gated column rides
+    // its own disjoint prefix-negated gate on the source row.
+    "ls_merge_arms_cols" -> { (s, d) =>
+      mergeSourceView(s, d)
+      val g = new graft.sql.GraftSql(s)
+        .register("graft_merge_tgt5", ordersLineage(s, d))
+      g.sql("""MERGE INTO graft_merge_tgt5 t USING graft_merge_src s
+              |ON t.k = s.k
+              |WHEN MATCHED AND s.custkey % 2 = 0
+              |  THEN UPDATE SET status = s.status
+              |WHEN MATCHED AND s.custkey % 3 = 0
+              |  THEN UPDATE SET totalprice = s.totalprice
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      g.table("graft_merge_tgt5").snapshot.where(col("k") % 5 === 0)
+    },
+
     // DESCRIBE HISTORY: the commit log as a table read — zero data files
     // opened at any table size (the log lives in _graft.json). This is
     // how a user discovers what asOfTimestamp can address.
@@ -2485,6 +2505,31 @@ object CoreQueries {
          |  FROM src s LEFT JOIN snap t ON s.k = t.k WHERE t.k IS NULL),
          |merged AS (SELECT * FROM upd WHERE dd = 0
          |           UNION ALL SELECT * FROM ins)
+         |SELECT k, custkey, status, totalprice FROM merged
+         |WHERE k % 5 = 0""".stripMargin,
+
+    // per-column gates: even custkeys take the status arm only, odd %3
+    // custkeys take the price arm only, everything else is unchanged
+    "ls_merge_arms_cols" ->
+      s"""$fixture,
+         |src AS (
+         |  SELECT k, custkey, 'M' AS status, totalprice + 1000.0 AS totalprice
+         |  FROM base WHERE k % 10 = 0
+         |  UNION ALL
+         |  SELECT k + 3000000 AS k, custkey, 'N' AS status, totalprice
+         |  FROM base WHERE k % 1000 = 0),
+         |upd AS (
+         |  SELECT t.k, t.custkey,
+         |         CASE WHEN s.k IS NOT NULL AND s.custkey % 2 = 0
+         |              THEN s.status ELSE t.status END AS status,
+         |         CASE WHEN s.k IS NOT NULL AND s.custkey % 2 <> 0
+         |                AND s.custkey % 3 = 0
+         |              THEN s.totalprice ELSE t.totalprice END AS totalprice
+         |  FROM snap t LEFT JOIN src s ON t.k = s.k),
+         |ins AS (
+         |  SELECT s.k, s.custkey, s.status, s.totalprice
+         |  FROM src s LEFT JOIN snap t ON s.k = t.k WHERE t.k IS NULL),
+         |merged AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
          |SELECT k, custkey, status, totalprice FROM merged
          |WHERE k % 5 = 0""".stripMargin,
 

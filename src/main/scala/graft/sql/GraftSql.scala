@@ -1703,6 +1703,7 @@ class GraftSql(val spark: SparkSession) {
     var updateCols = Seq.empty[String]
     var deleteWhen: Option[Column] = None
     var updateWhen: Option[Column] = None
+    var updateColGates = Map.empty[String, Column]
     val hasConditionalUpdate = m.matchedActions.exists {
       case UpdateAction(Some(_), _, _) | UpdateStarAction(Some(_)) => true
       case _ => false
@@ -1724,12 +1725,6 @@ class GraftSql(val spark: SparkSession) {
           "later arm unreachable") }
       arms.foreach { case (c, isDel, _) => c.foreach(requireSourceOnly(_,
         if (isDel) "DELETE condition" else "UPDATE condition")) }
-      val updColSets = arms.collect { case (_, false, cs) => cs.toSet }
-      require(updColSets.distinct.size <= 1, "graft SQL MERGE: every " +
-        "WHEN MATCHED UPDATE arm must SET the same columns (got " +
-        updColSets.distinct.map(_.mkString("{", ",", "}")).mkString(" vs ") +
-        ") — the engine applies one column set per merge; compute " +
-        "per-arm values in the USING subquery")
       // NULL conditions read as "arm did not match" at every position
       def g(c: Option[Expression]): Column =
         org.apache.spark.sql.functions.coalesce(
@@ -1742,8 +1737,19 @@ class GraftSql(val spark: SparkSession) {
       updateWhen = Some(arms.zipWithIndex
         .collect { case ((_, false, _), i) => firstMatch(i) }
         .reduceOption(_ || _).getOrElse(lit(false)))
-      updateCols = arms.collectFirst { case (_, false, cs) => cs }
-        .getOrElse(Seq.empty)
+      // union of the arms' SET columns, first-seen order; when the arms
+      // SET DIFFERENT columns, each column additionally gates on the OR
+      // of the arms that set it (per-column gates, r13) — a row taking
+      // arm i copies exactly arm i's columns and carries the rest
+      val updColSets = arms.collect { case (_, false, cs) => cs }
+      updateCols = updColSets.flatten.distinct
+      if (updColSets.map(_.toSet).distinct.size > 1)
+        updateColGates = updateCols.map { c =>
+          c -> arms.zipWithIndex
+            .collect { case ((_, false, cs), i) if cs.contains(c) =>
+              firstMatch(i) }
+            .reduce(_ || _)
+        }.toMap
     } else m.matchedActions.foreach {
       case UpdateAction(None, assigns, _) => updateCols = updColsOf(assigns)
       case UpdateStarAction(None) =>
@@ -1830,7 +1836,7 @@ class GraftSql(val spark: SparkSession) {
       else t.dataCols.filterNot(_ == t.keyCol)
     val src = Bridge.ofRows(spark, m.sourceTable)
     apply(name, Txn.empty.mergeInto(src, effectiveUpdate, deleteWhen,
-      bySourceDelete, bySourceUpdate, updateWhen))
+      bySourceDelete, bySourceUpdate, updateWhen, updateColGates))
   }
 
   /** `ALTER TABLE t ADD CONSTRAINT c CHECK (expr)` — Spark 4's own

@@ -130,17 +130,19 @@ class GraftSqlSpec extends SparkSpec {
     assert(e1.getMessage.contains("LAST WHEN MATCHED arm") ||
       e1.getMessage.toLowerCase.contains("omit the condition"),
       e1.getMessage)
-    // UPDATE arms with different SET columns reject loud
-    val e2 = intercept[IllegalArgumentException] {
-      g.sql("""MERGE INTO t USING (SELECT 1 AS k, 10 AS custkey,
-              |'x' AS status, 1.0 AS totalprice) s ON t.k = s.k
-              |WHEN MATCHED AND s.custkey % 2 = 0
-              |  THEN UPDATE SET status = s.status
-              |WHEN MATCHED AND s.custkey % 3 = 0
-              |  THEN UPDATE SET totalprice = s.totalprice
-              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    }
-    assert(e2.getMessage.contains("same columns"))
+    // arms may SET DIFFERENT columns (r13 per-column gates): the row
+    // taking an arm copies exactly that arm's columns, carries the rest
+    g.sql("""MERGE INTO t USING (
+            |  SELECT 2 AS k, 20 AS custkey, 'P' AS status, 7.0 AS totalprice
+            |  UNION ALL SELECT 9, 91, 'Q', 8.0) s ON t.k = s.k
+            |WHEN MATCHED AND s.custkey % 2 = 0
+            |  THEN UPDATE SET status = s.status
+            |WHEN MATCHED THEN UPDATE SET totalprice = s.totalprice
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // k=2 (even): status arm fired, totalprice CARRIED; k=9 (odd):
+    // totalprice arm fired, status (and untouched custkey) carried
+    assert(rows(g).filter(r => r._1 == 2L || r._1 == 9L) ===
+      Seq((2L, 20L, "P", 200.0), (9L, 90L, "I", 8.0)))
   }
 
   test("MERGE WHEN NOT MATCHED BY SOURCE tombstones vanished rows (r12)") {
