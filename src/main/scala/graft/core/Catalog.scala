@@ -2330,7 +2330,17 @@ final class Catalog(spark: SparkSession, warehouse: String,
       require(t.dataCols.contains(column), s"no such column: $column")
       val corpus = t.snapshot
         .select(col(meta.key).as("vec_id"), col(column).as("embedding"))
-      val g = graft.ops.KnnGraph.nnDescent(corpus, k, rounds, descentK)
+      // store the FULL descent lists (r14): the descent already paid
+      // for descentK edges per node; trimming to k before persisting
+      // threw away the graph density that serving recall rides on
+      // (measured at sf0.1, beam16/hops4: recall@10 0.52 on the
+      // k-trimmed graph vs 0.86+ on the dense one, same beam budget —
+      // the HNSW M-vs-k distinction: stored degree is a BUILD quality
+      // knob, the caller's k at search time is the answer size).
+      // meta's k records the STORED degree — refresh appends new nodes
+      // at the same degree.
+      val deg = math.max(k, if (descentK <= 0) k else descentK)
+      val g = graft.ops.KnnGraph.nnDescent(corpus, deg, rounds, descentK)
       g.write.mode(SaveMode.Overwrite)
         .parquet(new Path(knnDir(name), "graph").toString)
       // symmetrize ONCE at build (from the just-written files, not the
@@ -2341,8 +2351,33 @@ final class Catalog(spark: SparkSession, warehouse: String,
           spark.read.parquet(new Path(knnDir(name), "graph").toString))
         .write.mode(SaveMode.Overwrite)
         .parquet(new Path(knnDir(name), "adj").toString)
+      // `_knn/seeds` (r14): per-QUERY beam entry points. One Lloyd
+      // round of 16 centroids (quantized-exact, deterministic — the
+      // ann_ivf_trained recipe) and, per centroid, the 16 lowest-id
+      // members ranked. knnSearch routes each query to its nearest
+      // centroid and starts the beam at that centroid's members —
+      // query-DEPENDENT entry points, the variant the r13 experiment
+      // identified after global degree-ranked seeds lost (fixed seeds
+      // waste the beam budget on corpus regions far from the query).
+      // Skipped when the deterministic seed rule (vec_id < 16) finds no
+      // rows (sparse/offset key spaces) — serving then falls back to
+      // the legacy lowest-id entry points. Refresh keeps seeds as
+      // built: new nodes are reachable THROUGH the appended adj edges,
+      // entry points only steer.
+      val cents = graft.ops.Similarity.trainedCentroids(corpus, 16, iters = 1)
+      val cs = graft.ops.Similarity.collectCentroids(cents)
+      if (cs.nonEmpty) {
+        val wm = Window.partitionBy(col("cid")).orderBy(col("vec_id").asc)
+        graft.ops.Similarity.assignWith(corpus, cs)
+          .withColumn("rnk", row_number().over(wm).cast("bigint"))
+          .where(col("rnk") <= 16)
+          .select(col("cid"), col("vec_id"), col("rnk"))
+          .join(cents.select(col("cid"), col("ce")), Seq("cid"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(new Path(knnDir(name), "seeds").toString)
+      }
       import spark.implicits._
-      Seq((column, k, meta.opSeq, meta.epoch))
+      Seq((column, deg, meta.opSeq, meta.epoch))
         .toDF("emb_col", "k", "built_seq", "built_epoch")
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(new Path(knnDir(name), "meta").toString)
@@ -2416,6 +2451,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
         // nearest neighbor in the live snapshot) and re-rank to k
         val wq = Window.partitionBy(col("qid"))
           .orderBy(col("dot").desc, col("vec_id").asc)
+        // localCheckpoint: the brute-force executes ONCE and the adj
+        // and graph appends below see the SAME materialized edges
         val newEdges = graft.ops.Similarity.bruteTopK(live,
             fresh.select(col("vec_id").as("qid"), col("embedding").as("qe")),
             k + 1)
@@ -2424,14 +2461,22 @@ final class Catalog(spark: SparkSession, warehouse: String,
           .where(col("rnk") <= k)
           .select(col("qid").as("vec_id"), col("vec_id").as("nbr_id"),
             col("dot"), col("rnk"))
-        newEdges.write.mode(SaveMode.Append)
-          .parquet(new Path(knnDir(name), "graph").toString)
+          .localCheckpoint()
         // keep the durable adjacency symmetrized: append BOTH directions
         // of the new edges. No cross-batch dedupe needed — every fresh
         // vec_id is anti-joined against the stored graph above, so
         // neither direction of a (new, old) or (new, new) pair can
         // already exist; within-batch mirror collisions (new1↔new2 each
         // finding the other) dedupe here.
+        // ORDER MATTERS for crash consistency: adj commits BEFORE the
+        // graph. knnSearch serves exclusively from adj while refresh
+        // derives freshness from the graph — writing the graph first
+        // left a crash window where edges existed in the graph (so the
+        // next refresh skipped those ids) but never reached adj,
+        // making the vectors permanently unreachable. With adj first, a
+        // crash between the writes re-runs the refresh from the same
+        // builtSeq and merely re-appends duplicate adj rows, which
+        // beamSearch's per-frontier dedupe tolerates.
         val adjPath = new Path(knnDir(name), "adj")
         val deltaAdj = graft.ops.KnnGraph.symmetrize(newEdges)
         if (pathExists(adjPath))
@@ -2439,7 +2484,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
         else // legacy sidecar built before `_knn/adj`: materialize full
           graft.ops.KnnGraph.symmetrize(spark.read
               .parquet(new Path(knnDir(name), "graph").toString))
+            .unionByName(deltaAdj)
             .write.mode(SaveMode.Overwrite).parquet(adjPath.toString)
+        newEdges.write.mode(SaveMode.Append)
+          .parquet(new Path(knnDir(name), "graph").toString)
         import spark.implicits._
         Seq((column, k, meta.opSeq, meta.epoch))
           .toDF("emb_col", "k", "built_seq", "built_epoch")
@@ -2453,7 +2501,16 @@ final class Catalog(spark: SparkSession, warehouse: String,
     * deletions since the build never surface. */
   def knnSearch(name: String, queries: org.apache.spark.sql.DataFrame,
                 k: Int, beam: Int = 5, hops: Int = 3,
-                entries: Int = 4): org.apache.spark.sql.DataFrame = {
+                entries: Int = 4,
+                /** How many nearest centroids to take entry points from
+                  * (r14, `_knn/seeds` serving): each contributes its
+                  * `entries` lowest-id members. Measured at sf0.1
+                  * (RecallProbe DENSEVAR): entries=16/probes=2 lifts
+                  * recall@10 to 0.904 at beam16/hops4 vs 0.808 for
+                  * global lowest-id seeds at the SAME beam budget.
+                  * Ignored (with everything else seed-related) on
+                  * legacy sidecars without `_knn/seeds`. */
+                probes: Int = 1): org.apache.spark.sql.DataFrame = {
     val idx = knnIndex(name)
     require(idx.isDefined, s"knnSearch($name): no kNN index — " +
       "createKnnIndex first")
@@ -2468,8 +2525,30 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val adj =
       if (pathExists(adjPath)) spark.read.parquet(adjPath.toString)
       else graft.ops.KnnGraph.symmetrize(graph)
+    // per-query entry points from the `_knn/seeds` sidecar (r14): route
+    // each query to its nearest trained centroid (driver-small C×D
+    // collect + the codegen'd NearestCentroids argmax — map-only over
+    // the query batch) and start the beam at that centroid's `entries`
+    // lowest-id members. Legacy sidecars without seeds keep the global
+    // lowest-id entry points.
+    val seedsPath = new Path(knnDir(name), "seeds")
+    val perQuerySeeds =
+      if (!pathExists(seedsPath)) None
+      else {
+        val sd = spark.read.parquet(seedsPath.toString)
+        val cs = graft.ops.Similarity.collectCentroids(
+          sd.select(col("cid"), col("ce")).distinct())
+        val routed = graft.ops.Similarity.probeWith(
+            queries.select(col("qid"), col("qe").as("embedding")), cs,
+            probes)
+          .select(col("qid"), col("cid"))
+        Some(routed.join(
+            broadcast(sd.where(col("rnk") <= entries)
+              .select(col("cid"), col("vec_id"))), Seq("cid"))
+          .select(col("qid"), col("vec_id")))
+      }
     graft.ops.KnnGraph.beamSearch(live, adj, queries, k, beam, hops,
-      entries)
+      entries, perQuerySeeds = perQuerySeeds)
   }
 
   /**

@@ -231,12 +231,21 @@ object KnnGraph {
    */
   def beamSearch(emb: DataFrame, adj: DataFrame, queries: DataFrame,
                  k: Int, beam: Int, hops: Int, entries: Int,
-                 /** Entry-point override — (vec_id, rnk) rows (e.g.
-                   * degree-ranked at build, [[graft.core.Catalog
-                   * .createKnnIndex]]'s `_knn/seeds` sidecar); the
-                   * `entries` best ranks start the search. None = the
-                   * `entries` lowest node ids. */
-                 seedsOverride: Option[DataFrame] = None): DataFrame = {
+                 /** GLOBAL entry-point override — (vec_id, rnk) rows
+                   * (e.g. the degree-ranked experiment, RecallProbe);
+                   * the `entries` best ranks start EVERY query. None =
+                   * the `entries` lowest node ids. Measured r13:
+                   * degree-ranked seeds LOSE at small beams — the
+                   * production lever is `perQuerySeeds`. */
+                 seedsOverride: Option[DataFrame] = None,
+                 /** PER-QUERY entry points — (qid, vec_id) rows (r14:
+                   * [[graft.core.Catalog.knnSearch]] routes each query
+                   * to its nearest trained centroid's lowest-id members
+                   * from the `_knn/seeds` sidecar). Wins over
+                   * seedsOverride. Seeds change RECALL, never validity
+                   * (KnnIndexSpec pins it): every hop still scores
+                   * against the live corpus with the same total order. */
+                 perQuerySeeds: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 0 && entries >= 1,
       s"beamSearch: k=$k, beam=$beam, hops=$hops, entries=$entries " +
         "must all be positive")
@@ -255,7 +264,10 @@ object KnnGraph {
         Similarity.dot(col("qe"), col("embedding")).as("dot"))
     val byQ = Window.partitionBy(col("qid"))
       .orderBy(col("dot").desc, col("vec_id").asc)
-    val s0 = scoreIds(q.select(col("qid")).distinct().crossJoin(seeds))
+    val seedPairs = perQuerySeeds
+      .map(_.select(col("qid"), col("vec_id")).distinct())
+      .getOrElse(q.select(col("qid")).distinct().crossJoin(seeds))
+    val s0 = scoreIds(seedPairs)
     var visited = s0.select(col("qid"), col("vec_id"))
     var frontier = s0.withColumn("_r", row_number().over(byQ))
       .where(col("_r") <= beam).drop("_r")
@@ -343,7 +355,12 @@ object KnnGraph {
             case _ =>
               val pe = pm(a)
               val qe = qm(bb)
-              if (pe.length != qe.length) Iterator.single((a, bb, null: java.lang.Double))
+              // null embeddings yield a null dot — mirroring
+              // DotProduct.nullSafeEval, so the block path stays
+              // bit-identical to the broadcast path (whose null rows
+              // rank last and are trimmed) instead of NPE'ing the job
+              if (pe == null || qe == null || pe.length != qe.length)
+                Iterator.single((a, bb, null: java.lang.Double))
               else {
                 var s = 0.0
                 var i = 0

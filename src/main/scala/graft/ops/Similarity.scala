@@ -431,7 +431,7 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
 
-  private def probeWith(df: DataFrame, cs: Seq[(Long, Array[Float])],
+  private[graft] def probeWith(df: DataFrame, cs: Seq[(Long, Array[Float])],
                         nProbe: Int): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     df.withColumn("cid",

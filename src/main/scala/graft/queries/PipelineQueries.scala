@@ -2911,17 +2911,57 @@ object PipelineQueries {
            |           PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS r
            |         FROM sc$h) WHERE r <= 5)""".stripMargin
       s"""WITH $knnGraphCtes,
+         |-- the stored graph keeps the FULL descentK=15 lists (r14):
+         |-- k3 is already the converged top-15 per node
          |kg AS MATERIALIZED (SELECT p, q, dot FROM (
          |         SELECT p, q, dot, row_number() OVER (
          |           PARTITION BY p ORDER BY dot DESC, q ASC) AS rnk
-         |         FROM k3) WHERE rnk <= 5),
+         |         FROM k3) WHERE rnk <= 15),
          |qt AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
          |       WHERE vec_id < 5),
          |adj AS (SELECT p, q AS c FROM kg UNION SELECT q, p FROM kg),
-         |seeds AS (SELECT DISTINCT p AS vec_id FROM kg ORDER BY p LIMIT 4),
-         |sc0 AS (SELECT qt.qid, s.vec_id,
+         |-- per-query entry points (r14 `_knn/seeds`): one Lloyd round of
+         |-- 16 centroids (the ann_ivf_trained replay, quantized-exact),
+         |-- each query routes to its nearest centroid and starts at that
+         |-- centroid's 4 lowest-id members
+         |cseed AS (SELECT vec_id AS cid, embedding AS ce
+         |          FROM embeddings WHERE vec_id < 16),
+         |ca1 AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT emb.vec_id, emb.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+         |      ${knnDotSql("c.ce", "emb.embedding")} DESC, c.cid ASC) AS crn
+         |  FROM embeddings emb, cseed c) WHERE crn = 1),
+         |ccomp AS (
+         |  SELECT cid, i AS dim,
+         |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS fq
+         |  FROM ca1, LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS i)),
+         |cmean AS (
+         |  SELECT cid, dim,
+         |    CAST(CAST(SUM(fq) AS DOUBLE) / COUNT(*) / 1e6 AS FLOAT) AS mv
+         |  FROM ccomp GROUP BY cid, dim),
+         |cml AS (SELECT cid, list(mv ORDER BY dim) AS mce
+         |        FROM cmean GROUP BY cid),
+         |cents AS (SELECT s.cid, COALESCE(m.mce, s.ce) AS ce
+         |          FROM cseed s LEFT JOIN cml m ON s.cid = m.cid),
+         |cassign AS (SELECT vec_id, cid FROM (
+         |  SELECT emb.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+         |      ${knnDotSql("c.ce", "emb.embedding")} DESC, c.cid ASC) AS crn
+         |  FROM embeddings emb, cents c) WHERE crn = 1),
+         |members AS (SELECT cid, vec_id,
+         |    row_number() OVER (PARTITION BY cid ORDER BY vec_id ASC) AS mrnk
+         |  FROM cassign),
+         |qroute AS (SELECT qid, qcid FROM (
+         |  SELECT qt.qid, c.cid AS qcid,
+         |    row_number() OVER (PARTITION BY qt.qid ORDER BY
+         |      ${knnDotSql("c.ce", "qt.qe")} DESC, c.cid ASC) AS crn
+         |  FROM qt, cents c) WHERE crn = 1),
+         |qseeds AS (SELECT r.qid, m.vec_id FROM qroute r
+         |           JOIN members m ON m.cid = r.qcid WHERE m.mrnk <= 4),
+         |sc0 AS (SELECT qs.qid, qs.vec_id,
          |    ${knnDotSql("qt.qe", "e.v")} AS dot
-         |  FROM qt CROSS JOIN seeds s JOIN e ON e.id = s.vec_id),
+         |  FROM qseeds qs JOIN qt ON qt.qid = qs.qid
+         |  JOIN e ON e.id = qs.vec_id),
          |f0 AS (SELECT qid, vec_id, dot FROM (
          |         SELECT qid, vec_id, dot, row_number() OVER (
          |           PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS r

@@ -29,10 +29,13 @@ class KnnIndexSpec extends SparkSpec {
 
     val cat2 = new Catalog(spark, wh)
     val Some((embCol, k, builtSeq, graph)) = cat2.knnIndex("e")
-    assert(embCol === "embedding" && k === 5)
+    // meta k records the STORED degree (r14: the full descent lists
+    // persist — deg = max(k, descentK))
+    assert(embCol === "embedding" && k === 10)
     assert(builtSeq === cat2.getTable("e").opSeq)
-    // the stored graph IS the deterministic NN-Descent result
-    val direct = KnnGraph.nnDescent(embeddings, 5, 2, descentK = 10)
+    // the stored graph IS the deterministic NN-Descent result at the
+    // stored degree
+    val direct = KnnGraph.nnDescent(embeddings, 10, 2, descentK = 10)
     assert(graph.orderBy("vec_id", "rnk").collect().map(_.toSeq).toSeq ===
       direct.orderBy("vec_id", "rnk").collect().map(_.toSeq).toSeq)
     // the build-time `_knn/adj` sidecar IS symmetrize(graph): the set
@@ -43,16 +46,63 @@ class KnnIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     val readAdj = KnnGraph.symmetrize(graph).collect().map(_.toSeq).toSet
     assert(storedAdj === readAdj)
-    // served read ≡ direct beam search over the same graph + live corpus
+    // served read ≡ direct beam search over the same graph + live
+    // corpus, starting at the SAME stored per-query entry points (r14
+    // `_knn/seeds`: nearest-centroid routing → that centroid's lowest-id
+    // members) — the sidecar steers, the search semantics are identical
+    val seeds = spark.read.parquet(s"$wh/e/_knn/seeds")
+    val cs = Similarity.collectCentroids(
+      seeds.select(col("cid"), col("ce")).distinct())
+    val perQ = Similarity.assignWith(
+        queries.select(col("qid"), col("qe").as("embedding")), cs)
+      .select(col("qid"), col("cid"))
+      .join(seeds.where(col("rnk") <= 4).select(col("cid"), col("vec_id")),
+        Seq("cid"))
+      .select(col("qid"), col("vec_id"))
     val served = cat2.knnSearch("e", queries, k = 5, beam = 5, hops = 3)
     val inline = KnnGraph.beamSearch(embeddings, KnnGraph.symmetrize(graph),
-      queries, k = 5, beam = 5, hops = 3, entries = 4)
+      queries, k = 5, beam = 5, hops = 3, entries = 4,
+      perQuerySeeds = Some(perQ))
     assert(served.orderBy("qid", "rnk").collect().map(_.toSeq).toSeq ===
       inline.orderBy("qid", "rnk").collect().map(_.toSeq).toSeq)
     // 5 ranked rows per query, rank 1 is the query itself (it is in
     // the corpus and reachable from itself through the graph)
     val byQ = served.collect().groupBy(_.getLong(0))
     assert(byQ.size === 3 && byQ.values.forall(_.length === 5))
+  }
+
+  test("entry points steer RECALL, never validity (r14 seeds): both " +
+      "seeding strategies return k exact-dot rows per query") {
+    val wh = Files.createTempDirectory("graft_knnseed_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("e", "vec_id", embeddings)
+    cat.createKnnIndex("e", "embedding", k = 5, rounds = 2, descentK = 10)
+    val graph = cat.knnIndex("e").get._4
+    val adj = KnnGraph.symmetrize(graph)
+    val viaCentroid = cat.knnSearch("e", queries, k = 5, beam = 5, hops = 3)
+    val viaLowestId = KnnGraph.beamSearch(embeddings, adj, queries,
+      k = 5, beam = 5, hops = 3, entries = 4)
+    for (df <- Seq(viaCentroid, viaLowestId)) {
+      val rows = df.collect()
+      val byQ = rows.groupBy(_.getLong(0))
+      assert(byQ.size === 3 && byQ.values.forall(_.length === 5),
+        "k ranked rows per query regardless of seeding")
+      // every (qid, vec_id, dot) is the EXACT dot of that pair — seeds
+      // can change which vectors surface, never the scored values
+      val exact = Similarity.bruteTopK(embeddings, queries, 1000)
+        .select(col("qid"), col("vec_id"), col("dot")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      rows.foreach { r =>
+        assert(exact((r.getLong(0), r.getLong(1))) === r.getDouble(2),
+          s"dot mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+      }
+      // ranks are the (dot desc, id asc) total order
+      byQ.values.foreach { qs =>
+        val sorted = qs.sortBy(_.getLong(3))
+        assert(sorted.map(r => (-r.getDouble(2), r.getLong(1))).toSeq ===
+          sorted.map(r => (-r.getDouble(2), r.getLong(1))).sorted.toSeq)
+      }
+    }
   }
 
   test("beam-search recall vs brute force is measured, not assumed") {
@@ -78,11 +128,13 @@ class KnnIndexSpec extends SparkSpec {
     println(s"[knn-search] recall@5 beam8/hops3=$r8 beam16/hops4=$r16")
     // the beam/hop budget is the recall knob (the HNSW ef contract):
     // more search work must buy recall, and the wide setting must land
-    // high. Floors pinned under the measured values (0.64 / 0.84 on
-    // this corpus) to catch regressions loudly without flaking.
+    // high. Floors pinned under the measured values (0.96 / 1.0 on this
+    // corpus with the r14 dense-stored graph + centroid seeds; was
+    // 0.64 / 0.84 on the k-trimmed graph with global lowest-id seeds)
+    // to catch regressions loudly without flaking.
     assert(r16 >= r8 - 1e-9, s"wider beam lost recall: $r8 -> $r16")
-    assert(r8 >= 0.55, s"recall@5 beam8 = $r8")
-    assert(r16 >= 0.8, s"recall@5 beam16 = $r16")
+    assert(r8 >= 0.9, s"recall@5 beam8 = $r8")
+    assert(r16 >= 0.95, s"recall@5 beam16 = $r16")
   }
 
   test("refresh attaches additions at delta cost; new nodes reachable") {
@@ -100,8 +152,9 @@ class KnnIndexSpec extends SparkSpec {
     cat.refreshKnnIndex("e")
     val Some((_, _, builtSeq, graph)) = cat.knnIndex("e")
     assert(builtSeq === cat.getTable("e").opSeq)
-    // delta cost: k rows per new vector appended, old lists untouched
-    assert(graph.count() === before + 3 * 5)
+    // delta cost: stored-degree rows per new vector appended, old
+    // lists untouched (deg = max(k=5, descentK=10) = 10)
+    assert(graph.count() === before + 3 * 10)
     // refresh keeps the durable adjacency symmetrized: appending both
     // edge directions lands the same SET as symmetrizing the whole
     // refreshed graph at read would
@@ -119,7 +172,7 @@ class KnnIndexSpec extends SparkSpec {
       "each new vector must surface for its own query after refresh")
     // refresh is idempotent at head
     cat.refreshKnnIndex("e")
-    assert(cat.knnIndex("e").get._4.count() === before + 3 * 5)
+    assert(cat.knnIndex("e").get._4.count() === before + 3 * 10)
   }
 
   test("deletions never surface (live-scoring join); epoch bump refuses") {

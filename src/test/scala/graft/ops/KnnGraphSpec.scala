@@ -124,6 +124,35 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("null embeddings: block path ≡ broadcast path (r14 ADVICE — the " +
+      "kind-2 branch must yield null dots, not NPE)") {
+    // a null corpus embedding flows to blockScore as a null fragment
+    // value: pre-r14 `pe.length` threw and killed the whole build in
+    // exactly the beyond-broadcast regime; DotProduct.nullSafeEval (the
+    // broadcast path) yields a null dot for the same input. Force both
+    // paths on the same corpus and compare the full output.
+    val c = corpus(77L, 120, 8)
+    val rows = c.map { case (id, e) =>
+      (id, if (id == 57L) null else e) }
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    def forced(mode: String) = {
+      spark.conf.set("spark.graft.knn.scoring", mode)
+      try KnnGraph.nnDescent(df, 4, 2, 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getLong(3)))
+        .sortBy(r => (r._1, r._4)).toSeq
+      finally spark.conf.unset("spark.graft.knn.scoring")
+    }
+    val viaBroadcast = forced("broadcast")
+    val viaBlock = forced("block")
+    assert(viaBlock === viaBroadcast)
+    // the null row never ranks as a NEIGHBOR of a healthy point (its
+    // dots are null and trim last behind 4 real candidates)
+    assert(!viaBlock.exists(r => r._1 != 57L && r._2 == 57L),
+      "null-embedding row ranked as a neighbor")
+  }
+
   test("exploration degree > k: descends at descentK, outputs top-k") {
     val c = corpus(31L, 100, 6)
     val got = run(c, 3, 2, descentK = 9)
