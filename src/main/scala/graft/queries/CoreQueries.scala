@@ -2214,6 +2214,27 @@ object CoreQueries {
         .select(col("k"), col("custkey"), col("status"), col("totalprice"))
     },
 
+    // UPDATE ... FROM (r14, GraftSql.runUpdateFrom): the Postgres/T-SQL
+    // join-update, desugared onto the engine merge — here the canonical
+    // "update the fact from an aggregate of itself" shape: per-customer
+    // order counts join back and both SET expressions read the joined
+    // source. Unmatched target rows (custkeys below the HAVING bar)
+    // append NOTHING; a multi-match source would reject loud (the
+    // Delta cardinality rule — pinned in GraftSqlSpec). One statement,
+    // one `_ver` commit, |matched|-priced like every merge.
+    "sql_update_join" -> { (s, d) =>
+      val g = new graft.sql.GraftSql(s)
+        .register("graft_updjoin", ordersLineage(s, d))
+      g.sql("""UPDATE graft_updjoin t
+              |SET totalprice = totalprice + s.cnt,
+              |    status = concat(t.status, '*')
+              |FROM (SELECT custkey AS ck, COUNT(*) AS cnt
+              |      FROM graft_updjoin GROUP BY custkey
+              |      HAVING COUNT(*) >= 8) s
+              |WHERE t.custkey = s.ck""".stripMargin)
+      g.table("graft_updjoin").snapshot.where(col("k") % 5 === 0)
+    },
+
     // ANALYZE TABLE as a queryable surface (Catalog.analyzeTable → the
     // stats NdvBroadcastRule plans joins from): per-column KMV NDV + live
     // row count over the post-transaction warehouse state, ONE scan for
@@ -3367,6 +3388,21 @@ object CoreQueries {
         |SELECT 'big' AS src, status, COUNT(*) AS n,
         |       CAST(SUM(custkey) AS BIGINT) AS ck
         |FROM big GROUP BY status""".stripMargin,
+
+    // the join-update replayed as a CTE stage: aggregate the snapshot,
+    // LEFT JOIN it back, matched rows take the SET expressions
+    "sql_update_join" ->
+      s"""$fixture,
+         |src AS (SELECT custkey AS ck, COUNT(*) AS cnt
+         |        FROM snap GROUP BY custkey HAVING COUNT(*) >= 8),
+         |upd AS (SELECT t.k, t.custkey,
+         |          CASE WHEN s.ck IS NOT NULL THEN t.status || '*'
+         |               ELSE t.status END AS status,
+         |          CASE WHEN s.ck IS NOT NULL THEN t.totalprice + s.cnt
+         |               ELSE t.totalprice END AS totalprice
+         |        FROM snap t LEFT JOIN src s ON t.custkey = s.ck)
+         |SELECT k, custkey, status, totalprice FROM upd
+         |WHERE k % 5 = 0""".stripMargin,
 
     "sql_dml" ->
       """WITH base AS (

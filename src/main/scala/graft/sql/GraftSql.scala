@@ -243,7 +243,161 @@ class GraftSql(val spark: SparkSession) {
     case None => sqlParsed(statement)
   }
 
-  private def sqlParsed(statement: String): DataFrame = Bridge.parsePlan(spark, statement) match {
+  private def sqlParsed(statement: String): DataFrame = {
+    // UPDATE ... FROM is not in Spark's grammar: when the parser rejects
+    // an UPDATE statement, try the join-update desugar before giving up
+    val plan =
+      try Bridge.parsePlan(spark, statement)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          return runUpdateFrom(statement).getOrElse(throw e)
+      }
+    sqlPlanned(statement, plan)
+  }
+
+  /**
+   * `UPDATE t [AS a] SET c = expr, ... FROM src [AS s] WHERE cond` —
+   * the Postgres/T-SQL join-update, desugared onto the engine merge
+   * (the first DML shape a Delta user types that MERGE-only front doors
+   * reject). Spark's grammar has no FROM clause on UPDATE, so the front
+   * door rewrites the TEXT into one source SELECT — every target column,
+   * with the SET expressions substituted — inner-joined to the source on
+   * the WHERE condition, and feeds it to the same [[Txn.mergeInto]] the
+   * MERGE path uses:
+   *   - only matched target rows appear in the merge source (inner
+   *     join against the snapshot view), so nothing inserts and
+   *     unmatched target rows are untouched — UPDATE semantics exactly;
+   *   - SET expressions may reference BOTH sides (the whole point of
+   *     the join-update) because they evaluate inside the source
+   *     SELECT, where both sides are in scope;
+   *   - a target row matching MORE THAN ONE source row rejects loud —
+   *     the Delta cardinality rule — via the engine's distributed
+   *     duplicate-source-key raise_error (no extra pass: the check
+   *     rides the merge's own candidate-key aggregation).
+   * The one-statement-one-commit contract holds: the rewrite is one
+   * merge, one `_ver` stamp, and inside BEGIN..COMMIT it stashes like
+   * every other DML.
+   */
+  private def runUpdateFrom(statement: String): Option[DataFrame] = {
+    // head regex pins target + optional alias; FROM and WHERE are then
+    // located at TOP LEVEL (a subquery source carries its own FROM/WHERE
+    // inside parentheses — a flat regex would split there)
+    val head = """(?is)^\s*UPDATE\s+(\w+)(?:\s+AS\s+(\w+)|\s+(?!SET\b)(\w+))?\s+SET\s""".r
+    head.findFirstMatchIn(statement) match {
+      case Some(m) if isRegistered(m.group(1)) =>
+        val tName = m.group(1)
+        val rest = statement.substring(m.end).stripSuffix(";")
+        val iFrom = topLevelKeyword(rest, "FROM")
+        if (iFrom < 0) return None
+        val afterFrom = rest.substring(iFrom + 4)
+        val iWhere = topLevelKeyword(afterFrom, "WHERE")
+        if (iWhere < 0) return None
+        val sets = rest.substring(0, iFrom)
+        val fromText = afterFrom.substring(0, iWhere)
+        val cond = afterFrom.substring(iWhere + 5)
+        val t = table(tName)
+        val tAlias = Option(m.group(2)).orElse(Option(m.group(3)))
+          .getOrElse(tName)
+        // split the SET list on TOP-LEVEL commas (commas inside
+        // parentheses or string literals belong to the expressions)
+        val assigns = splitTopLevel(sets, ',').map { s0 =>
+          val s = s0.trim
+          val i = topLevelIndexOf(s, '=')
+          require(i > 0, s"graft SQL UPDATE FROM: malformed assignment '$s'")
+          val tgt = s.substring(0, i).trim.split("\\.").last
+            .stripPrefix("`").stripSuffix("`")
+          require(t.dataCols.contains(tgt) && tgt != t.keyCol,
+            s"graft SQL UPDATE FROM: SET target must be a non-key data " +
+              s"column of '$tName', got '$tgt'")
+          tgt -> s.substring(i + 1).trim
+        }
+        require(assigns.map(_._1).distinct.size == assigns.size,
+          "graft SQL UPDATE FROM: a column is SET twice")
+        // one source row per matched target row: every data column, SET
+        // expressions substituted in place (both sides in scope)
+        val selects = t.dataCols.map { c =>
+          assigns.find(_._1 == c)
+            .map { case (_, e) => s"($e) AS `$c`" }
+            .getOrElse(s"`$tAlias`.`$c` AS `$c`")
+        }
+        val src = spark.sql(s"SELECT ${selects.mkString(", ")} " +
+          s"FROM `$tName` AS `$tAlias` JOIN $fromText ON ($cond)")
+        // Delta cardinality rule, checked EAGERLY: a session table's
+        // merge is lazy (nothing executes until the next snapshot
+        // read), so relying on the engine's distributed raise_error
+        // alone would defer the rejection to an arbitrary later read —
+        // and leave the table poisoned. One |source|-priced count here
+        // keeps the statement all-or-nothing; the engine's own guard
+        // still rides the merge for the durable path.
+        val dup = src.groupBy(col(t.keyCol)).count()
+          .where(col("count") > 1).limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          s"graft SQL UPDATE FROM: target row with key " +
+            s"'${dup.head.get(0)}' matched more than one source row — " +
+            "aggregate or deduplicate the FROM source so each target " +
+            "row matches at most once (the Delta cardinality rule)")
+        Some(apply(tName, Txn.empty.mergeInto(src, assigns.map(_._1))))
+      case _ => None
+    }
+  }
+
+  /** Split on a top-level separator: parenthesis depth 0, outside
+    * single-quoted strings and backtick identifiers. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var inTick = false; var start = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else if (inTick) { if (ch == '`') inTick = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '`' => inTick = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case c if c == sep && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  private def topLevelIndexOf(s: String, ch: Char): Int = {
+    val parts = splitTopLevel(s, ch)
+    if (parts.size < 2) -1 else parts.head.length
+  }
+
+  /** First index of a word-bounded keyword at parenthesis depth 0,
+    * outside string literals and backtick identifiers; -1 if absent. */
+  private def topLevelKeyword(s: String, kw: String): Int = {
+    var depth = 0; var inStr = false; var inTick = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else if (inTick) { if (ch == '`') inTick = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '`' => inTick = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+              (i + kw.length >= s.length ||
+                !Character.isLetterOrDigit(s.charAt(i + kw.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def sqlPlanned(statement: String, plan: LogicalPlan): DataFrame = plan match {
     case m: MergeIntoTable if targetOf(m.targetTable).exists(isRegistered) =>
       runMerge(targetOf(m.targetTable).get, m)
     case u: UpdateTable if targetOf(u.table).exists(isRegistered) =>
@@ -651,7 +805,22 @@ class GraftSql(val spark: SparkSession) {
               a.nameParts.init.last.equalsIgnoreCase(alias))
         def nanosLit(l: Literal): Option[Literal] = (l.value, l.dataType) match {
           case (us: Long, TimestampType) =>
-            Some(Literal(math.multiplyExact(us, 1000L)))
+            // the parser read the literal's wall-clock text in the
+            // SESSION timezone; the days(ts) canonical nanos use the
+            // UTC wall-clock convention (wallClockMillis). Re-read the
+            // instant's session-TZ wall clock as UTC so
+            // `ts >= TIMESTAMP '2024-01-13'` and `ts >= '2024-01-13'`
+            // route to the SAME day slice in any session timezone.
+            val zone = java.time.ZoneId.of(
+              spark.sessionState.conf.sessionLocalTimeZone)
+            val ldt = java.time.Instant.ofEpochSecond(
+                Math.floorDiv(us, 1000000L),
+                Math.floorMod(us, 1000000L) * 1000L)
+              .atZone(zone).toLocalDateTime
+            val utcUs = math.addExact(math.multiplyExact(
+              ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+              ldt.getNano / 1000L)
+            Some(Literal(math.multiplyExact(utcUs, 1000L)))
           case (s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
             // non-instant strings (e.g. a numeric string meant for the
             // BIGINT coercion path) pass through untouched

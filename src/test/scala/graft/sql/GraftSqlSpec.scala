@@ -1434,4 +1434,73 @@ class GraftSqlSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ===
       Set(("A", 1L, 101.0), ("B", 1L, 200.0), ("C", 1L, 300.0)))
   }
+
+  test("UPDATE ... FROM joins the source and updates matched rows only " +
+      "(r14): desugars onto the engine merge") {
+    val g = fixture()
+    Seq((10L, 5.0), (30L, 7.0)).toDF("ck", "bump")
+      .createOrReplaceTempView("bumps")
+    g.sql("UPDATE t SET totalprice = totalprice + b.bump " +
+      "FROM bumps b WHERE t.custkey = b.ck")
+    assert(rows(g) === Seq((1L, 10L, "A", 105.0), (2L, 20L, "B", 200.0),
+      (3L, 30L, "C", 307.0)))
+    // one _ver stamp for the whole statement
+    assert(g.table("t").snapshot.count() === 3L)
+    // alias-free spelling and a subquery source both work
+    g.sql("UPDATE t SET status = concat(t.status, '+') " +
+      "FROM (SELECT ck FROM bumps WHERE bump > 6.0) s WHERE t.custkey = s.ck")
+    assert(rows(g).map(_._3) === Seq("A", "B", "C+"))
+  }
+
+  test("UPDATE ... FROM rejects a multi-match source loud (Delta " +
+      "cardinality rule) and a keyed SET target") {
+    val g = fixture()
+    Seq((10L, 1.0), (10L, 2.0)).toDF("ck", "bump")
+      .createOrReplaceTempView("dup_bumps")
+    val e = intercept[Exception](g.sql(
+      "UPDATE t SET totalprice = totalprice + d.bump " +
+        "FROM dup_bumps d WHERE t.custkey = d.ck"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("matched more than one source row")),
+      s"expected the cardinality rejection, got $e")
+    // target untouched after the rejected statement
+    assert(rows(g) === Seq((1L, 10L, "A", 100.0), (2L, 20L, "B", 200.0),
+      (3L, 30L, "C", 300.0)))
+    intercept[IllegalArgumentException](g.sql(
+      "UPDATE t SET k = 99 FROM dup_bumps d WHERE t.custkey = d.ck"))
+  }
+
+  test("TIMESTAMP literals route like bare strings in a NON-UTC session " +
+      "(r14 ADVICE): both are UTC wall-clock instants") {
+    // the parser reads TIMESTAMP '...' in the SESSION timezone while the
+    // bare-string path (wallClockMillis) always meant UTC — pre-r14 the
+    // two spellings routed to DIFFERENT day slices in any non-UTC
+    // session. Pin equality under America/Los_Angeles (UTC-8).
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val wh = Files.createTempDirectory("graft_tzroute_").toString
+      val cat = new Catalog(spark, wh, autoCompact = false)
+      val day0 = 1704067200L * 1000000000L // 2024-01-01T00:00Z in nanos
+      val df = (0 until 48).map { h =>
+        (h.toLong, day0 + h.toLong * 3600L * 1000000000L, h.toLong)
+      }.toDF("k", "ts", "v")
+      cat.createTable("tzev", "k", df,
+        partitionBy = Seq("ts"), partitionFuncs = Seq("days"))
+      val g = new GraftSql(spark).register("tzev", cat, "tzev")
+      def ks(sql: String): Seq[Long] =
+        g.sql(sql).collect().map(_.getLong(0)).sorted.toSeq
+      val viaTs = ks(
+        "SELECT k FROM tzev WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' " +
+          "AND ts < TIMESTAMP '2024-01-03 00:00:00'")
+      val viaStr = ks(
+        "SELECT k FROM tzev WHERE ts >= '2024-01-02 00:00:00' " +
+          "AND ts < '2024-01-03 00:00:00'")
+      assert(viaTs === viaStr, "TIMESTAMP vs bare-string routing diverged")
+      // and both mean the UTC day boundary: hours 24..47
+      assert(viaTs === (24L until 48L).toSeq)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
