@@ -96,10 +96,29 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "."),
         "BENCH_DETAIL.json").getAbsolutePath)
+    val detailLine =
+      s"""{"total_steady":${r3(total)},"total_cold":${r3(coldTotal)},"queries":$detail,"sf":"$sfDir"}"""
     val pw = new java.io.PrintWriter(detailPath)
-    try pw.println(s"""{"total_steady":${r3(total)},"total_cold":${r3(coldTotal)},"queries":$detail,"sf":"$sfDir"}""")
+    try pw.println(detailLine)
     finally pw.close()
     System.err.println(s"bench detail written to $detailPath")
+    // Driver-run benches (no ad-hoc SPARK_GRAFT_BENCH_DETAIL override)
+    // ALSO snapshot a per-round detail file: BENCH_r13.json recorded
+    // `parsed: null` because the driver's bounded stdout tail truncated
+    // the 263-query line — the round's full record must not depend on
+    // that tail. The round number is inferred as max(BENCH_r*.json) + 1
+    // (the driver writes BENCH_r{N}.json AFTER this run).
+    if (sys.env.get("SPARK_GRAFT_BENCH_DETAIL").isEmpty) {
+      val repo = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "."))
+      val re = "BENCH_r(\\d+)\\.json".r
+      val round = Option(repo.list()).map(_.toSeq).getOrElse(Seq.empty)
+        .collect { case re(n) => n.toInt }.maxOption.getOrElse(0) + 1
+      val perRound = new java.io.File(repo, f"BENCH_r$round%02d_detail.json")
+      val pw2 = new java.io.PrintWriter(perRound)
+      try pw2.println(detailLine)
+      finally pw2.close()
+      System.err.println(s"per-round bench detail written to $perRound")
+    }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","cold_total":${r3(coldTotal)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
