@@ -2235,6 +2235,23 @@ object CoreQueries {
       g.table("graft_updjoin").snapshot.where(col("k") % 5 === 0)
     },
 
+    // DELETE ... USING (r14, GraftSql.runDeleteUsing — the Postgres
+    // join-delete, sql_update_join's companion): target rows matched by
+    // the join tombstone in ONE `_ver` commit through the engine merge's
+    // delete arm. Multi-match is collapsed by DISTINCT over the
+    // key-unique snapshot rows (Postgres DELETE permits it — no
+    // cardinality rule, unlike UPDATE). Here: drop every order of the
+    // heaviest customers (an aggregate-of-self USING source).
+    "sql_delete_join" -> { (s, d) =>
+      val g = new graft.sql.GraftSql(s)
+        .register("graft_deljoin", ordersLineage(s, d))
+      g.sql("""DELETE FROM graft_deljoin t
+              |USING (SELECT custkey AS ck FROM graft_deljoin
+              |       GROUP BY custkey HAVING COUNT(*) >= 14) s
+              |WHERE t.custkey = s.ck""".stripMargin)
+      g.table("graft_deljoin").snapshot.where(col("k") % 5 === 0)
+    },
+
     // ANALYZE TABLE as a queryable surface (Catalog.analyzeTable → the
     // stats NdvBroadcastRule plans joins from): per-column KMV NDV + live
     // row count over the post-transaction warehouse state, ONE scan for
@@ -3388,6 +3405,16 @@ object CoreQueries {
         |SELECT 'big' AS src, status, COUNT(*) AS n,
         |       CAST(SUM(custkey) AS BIGINT) AS ck
         |FROM big GROUP BY status""".stripMargin,
+
+    // the join-delete replayed as an anti-join: rows of the heavy
+    // custkeys vanish, everything else survives
+    "sql_delete_join" ->
+      s"""$fixture,
+         |big AS (SELECT custkey AS ck FROM snap
+         |        GROUP BY custkey HAVING COUNT(*) >= 14)
+         |SELECT k, custkey, status, totalprice FROM snap t
+         |WHERE NOT EXISTS (SELECT 1 FROM big WHERE big.ck = t.custkey)
+         |  AND k % 5 = 0""".stripMargin,
 
     // the join-update replayed as a CTE stage: aggregate the snapshot,
     // LEFT JOIN it back, matched rows take the SET expressions

@@ -250,7 +250,8 @@ class GraftSql(val spark: SparkSession) {
       try Bridge.parsePlan(spark, statement)
       catch {
         case e: org.apache.spark.sql.catalyst.parser.ParseException =>
-          return runUpdateFrom(statement).getOrElse(throw e)
+          return runUpdateFrom(statement)
+            .orElse(runDeleteUsing(statement)).getOrElse(throw e)
       }
     sqlPlanned(statement, plan)
   }
@@ -337,6 +338,40 @@ class GraftSql(val spark: SparkSession) {
             "aggregate or deduplicate the FROM source so each target " +
             "row matches at most once (the Delta cardinality rule)")
         Some(apply(tName, Txn.empty.mergeInto(src, assigns.map(_._1))))
+      case _ => None
+    }
+  }
+
+  /**
+   * `DELETE FROM t [AS a] USING src [AS s] WHERE cond` — the Postgres
+   * join-delete, [[runUpdateFrom]]'s companion on the same engine-merge
+   * desugar: the merge source is the DISTINCT target rows the join
+   * matches (the snapshot is key-unique, so DISTINCT collapses
+   * multi-match — which Postgres DELETE permits, unlike the UPDATE
+   * cardinality rule) and every matched row takes the delete arm. One
+   * statement, one `_ver` tombstone stamp, |matched|-priced; unmatched
+   * target rows never appear in the source, nothing inserts.
+   */
+  private def runDeleteUsing(statement: String): Option[DataFrame] = {
+    val head = """(?is)^\s*DELETE\s+FROM\s+(\w+)(?:\s+AS\s+(\w+)|\s+(?!USING\b)(\w+))?\s+USING\s""".r
+    head.findFirstMatchIn(statement) match {
+      case Some(m) if isRegistered(m.group(1)) =>
+        val tName = m.group(1)
+        val rest = statement.substring(m.end).stripSuffix(";")
+        val iWhere = topLevelKeyword(rest, "WHERE")
+        if (iWhere < 0) return None
+        val fromText = rest.substring(0, iWhere)
+        val cond = rest.substring(iWhere + 5)
+        val t = table(tName)
+        val tAlias = Option(m.group(2)).orElse(Option(m.group(3)))
+          .getOrElse(tName)
+        val selects = t.dataCols
+          .map(c => s"`$tAlias`.`$c` AS `$c`").mkString(", ")
+        val src = spark.sql(s"SELECT DISTINCT $selects " +
+          s"FROM `$tName` AS `$tAlias` JOIN $fromText ON ($cond)")
+        Some(apply(tName, Txn.empty.mergeInto(src,
+          t.dataCols.filterNot(_ == t.keyCol),
+          deleteWhen = Some(lit(true)))))
       case _ => None
     }
   }

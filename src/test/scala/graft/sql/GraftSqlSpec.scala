@@ -1472,6 +1472,36 @@ class GraftSqlSpec extends SparkSpec {
       "UPDATE t SET k = 99 FROM dup_bumps d WHERE t.custkey = d.ck"))
   }
 
+  test("DELETE ... USING tombstones joined rows; multi-match collapses " +
+      "(r14): the Postgres join-delete") {
+    val g = fixture()
+    // duplicate source rows for ck=10 — DELETE permits multi-match
+    Seq((10L, "x"), (10L, "y"), (30L, "z")).toDF("ck", "why")
+      .createOrReplaceTempView("kill_list")
+    g.sql("DELETE FROM t USING kill_list d WHERE t.custkey = d.ck")
+    assert(rows(g) === Seq((2L, 20L, "B", 200.0)))
+    // one _ver stamp; the deleted states remain versioned history
+    assert(g.table("t").asOfRelative(-1).count() === 3L)
+  }
+
+  test("UPDATE ... FROM inside BEGIN..COMMIT stashes like other DML " +
+      "(r14): both-or-neither with the rest of the transaction") {
+    val (g, _) = durableFixture()
+    Seq((10L, 5.0)).toDF("ck", "bump").createOrReplaceTempView("txn_bumps")
+    g.sql("BEGIN")
+    g.sql("UPDATE t SET totalprice = totalprice + b.bump " +
+      "FROM txn_bumps b WHERE t.custkey = b.ck")
+    g.sql("DELETE FROM t WHERE k = 3")
+    g.sql("COMMIT")
+    assert(rows(g) === Seq((1L, 10L, "A", 105.0), (2L, 20L, "B", 200.0)))
+    // and a ROLLBACK discards the join-update with everything else
+    g.sql("BEGIN")
+    g.sql("UPDATE t SET totalprice = totalprice + b.bump " +
+      "FROM txn_bumps b WHERE t.custkey = b.ck")
+    g.sql("ROLLBACK")
+    assert(rows(g) === Seq((1L, 10L, "A", 105.0), (2L, 20L, "B", 200.0)))
+  }
+
   test("TIMESTAMP literals route like bare strings in a NON-UTC session " +
       "(r14 ADVICE): both are UTC wall-clock instants") {
     // the parser reads TIMESTAMP '...' in the SESSION timezone while the
