@@ -11,15 +11,19 @@ import org.apache.spark.sql.functions._
  * planted-dup corpus). Dimensions (region/nation/customer/supplier/part)
  * are copied once — exactly how a real fact-vs-dim warehouse scales.
  *
- * Usage: runMain graft.ScaleData <srcSfDir> <outDir> <factor>
+ * Usage: runMain graft.ScaleData <srcSfDir> <outDir> <factor> [tables]
  * The output dir serves as a drop-in SPARK_GRAFT_SF_DIR for Bench — the
  * evidence behind "would this plan survive 100×" is a measured run, not
- * a guess (see SURVEY.md §5a).
+ * a guess (see SURVEY.md §5a). The optional 4th arg is a comma-separated
+ * table subset (e.g. "embeddings,documents") for targeted extreme-SF
+ * ledgers where regenerating the full warehouse would dominate the run.
  */
 object ScaleData {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
+    val wanted: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -94,27 +98,33 @@ object ScaleData {
     val custStride = 1_000_000L
     val userStride = 1_000_000L
     val docStride = 300_000L
-    val nEvents = table("events").count()
+    lazy val nEvents = table("events").count()
 
-    val jobs = Seq(
-      ("orders", replicate(table("orders"),
+    // thunked per table so a subset run never touches the others' inputs
+    val jobs = Seq[(String, () => DataFrame)](
+      ("orders", () => replicate(table("orders"),
         Map("o_orderkey" -> orderStride, "o_custkey" -> custStride))),
-      ("lineitem", replicate(table("lineitem"),
+      ("lineitem", () => replicate(table("lineitem"),
         Map("l_orderkey" -> orderStride))),
-      ("customer", replicate(table("customer"), Map("c_custkey" -> custStride))),
-      ("events", replicate(table("events"),
+      ("customer", () => replicate(table("customer"), Map("c_custkey" -> custStride))),
+      ("events", () => replicate(table("events"),
         Map("event_id" -> nEvents, "user_id" -> userStride))),
-      ("documents", replicate(table("documents"), Map("doc_id" -> docStride), permText)),
-      ("embeddings", replicate(table("embeddings"), Map("vec_id" -> docStride), permVec)),
-      ("region", table("region")),
-      ("nation", table("nation")),
-      ("supplier", table("supplier")),
-      ("part", table("part")))
+      ("documents", () => replicate(table("documents"), Map("doc_id" -> docStride), permText)),
+      ("embeddings", () => replicate(table("embeddings"), Map("vec_id" -> docStride), permVec)),
+      ("region", () => table("region")),
+      ("nation", () => table("nation")),
+      ("supplier", () => table("supplier")),
+      ("part", () => table("part")))
 
-    jobs.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scale] $name written")
+    wanted.foreach { w =>
+      val unknown = w -- jobs.map(_._1).toSet
+      require(unknown.isEmpty, s"ScaleData: unknown tables ${unknown.mkString(",")}")
     }
+    jobs.filter { case (name, _) => wanted.forall(_.contains(name)) }
+      .foreach { case (name, df) =>
+        df().write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[scale] $name written")
+      }
     spark.stop()
   }
 }

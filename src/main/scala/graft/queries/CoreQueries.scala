@@ -2252,6 +2252,26 @@ object CoreQueries {
       g.table("graft_deljoin").snapshot.where(col("k") % 5 === 0)
     },
 
+    // QUALIFY (r14, GraftSql.runQualify — the window-filter clause of
+    // DuckDB/Snowflake/BigQuery, absent from Spark's grammar): top-3
+    // orders per customer, filtered ON the ranking column the select
+    // list already computes. The desugar projects the predicate as one
+    // extra boolean column (alias `rn` substituted by its definition —
+    // Catalyst dedupes the identical window spec, so the filter costs
+    // no second Window pass) and the trailing ORDER BY/LIMIT run after
+    // the filter — the clause's exact evaluation order. The oracle is
+    // the SAME statement: DuckDB speaks QUALIFY natively.
+    "sql_qualify" -> { (s, d) =>
+      val g = new graft.sql.GraftSql(s)
+      Tables(s, d, "orders").createOrReplaceTempView("graft_qualify_orders")
+      g.sql("""SELECT o_custkey, o_orderkey, o_totalprice,
+              |  CAST(row_number() OVER (PARTITION BY o_custkey
+              |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+              |FROM graft_qualify_orders
+              |QUALIFY rn <= 3
+              |ORDER BY o_custkey, rn LIMIT 500""".stripMargin)
+    },
+
     // ANALYZE TABLE as a queryable surface (Catalog.analyzeTable → the
     // stats NdvBroadcastRule plans joins from): per-column KMV NDV + live
     // row count over the post-transaction warehouse state, ONE scan for
@@ -3430,6 +3450,16 @@ object CoreQueries {
          |        FROM snap t LEFT JOIN src s ON t.custkey = s.ck)
          |SELECT k, custkey, status, totalprice FROM upd
          |WHERE k % 5 = 0""".stripMargin,
+
+    // DuckDB speaks QUALIFY natively — the oracle is the same statement
+    // over the raw table
+    "sql_qualify" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |FROM orders
+        |QUALIFY rn <= 3
+        |ORDER BY o_custkey, rn LIMIT 500""".stripMargin,
 
     "sql_dml" ->
       """WITH base AS (

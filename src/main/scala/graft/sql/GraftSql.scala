@@ -244,6 +244,14 @@ class GraftSql(val spark: SparkSession) {
   }
 
   private def sqlParsed(statement: String): DataFrame = {
+    // QUALIFY is not in Spark's grammar either — and its failure mode is
+    // worse than a ParseException (the keyword can parse as a table
+    // alias and fail later with a misleading error), so the desugar is
+    // probed FIRST on a cheap top-level keyword scan
+    runQualify(statement) match {
+      case Some(df) => return df
+      case None => ()
+    }
     // UPDATE ... FROM is not in Spark's grammar: when the parser rejects
     // an UPDATE statement, try the join-update desugar before giving up
     val plan =
@@ -376,6 +384,82 @@ class GraftSql(val spark: SparkSession) {
     }
   }
 
+  /**
+   * `SELECT ... QUALIFY <pred> [ORDER BY ...] [LIMIT ...]` — the
+   * window-filter clause (DuckDB/Snowflake/BigQuery/Teradata), absent
+   * from Spark's grammar. Desugared in TEXT onto plain Spark SQL with
+   * the clause's exact evaluation order (after windows and HAVING,
+   * before ORDER BY/LIMIT):
+   *   - the predicate becomes one extra projected boolean column of the
+   *     statement-without-QUALIFY (windows in the predicate evaluate in
+   *     the same Window operator as the select list's own — Catalyst
+   *     dedupes identical window specs, so `rn <= 3` costs nothing
+   *     beyond the `rn` the user already computes);
+   *   - select-list aliases referenced by the predicate are substituted
+   *     by their definitions (Spark's lateral column alias resolution
+   *     refuses window expressions, so `QUALIFY rn <= 3` cannot lean on
+   *     it);
+   *   - the outer query filters on the flag and carries the trailing
+   *     ORDER BY/LIMIT.
+   * All clause locations are TOP-LEVEL scans ([[topLevelKeyword]]) — a
+   * subquery's own QUALIFY/ORDER/FROM inside parentheses never splits
+   * the outer statement. SELECT DISTINCT rejects loud: the flag column
+   * would change the distinct key set, and the clause's semantics over
+   * DISTINCT differ across dialects — not worth a silent guess.
+   */
+  private def runQualify(statement: String): Option[DataFrame] = {
+    val s0 = statement.stripSuffix(";")
+    if (!"""(?is)^\s*(SELECT|WITH)\b""".r.pattern.matcher(s0).find())
+      return None
+    val iQ = topLevelKeyword(s0, "QUALIFY")
+    if (iQ < 0) return None
+    val head = s0.substring(0, iQ)
+    val tail = s0.substring(iQ + "QUALIFY".length)
+    val cut = Seq(topLevelKeyword(tail, "ORDER"),
+        topLevelKeyword(tail, "LIMIT"))
+      .filter(_ >= 0).minOption.getOrElse(tail.length)
+    val pred0 = tail.substring(0, cut).trim
+    require(pred0.nonEmpty, "graft SQL QUALIFY: empty predicate")
+    val suffix = tail.substring(cut)
+    // the outermost select list spans the top-level SELECT keyword to
+    // the top-level FROM (CTE bodies and subqueries are parenthesized)
+    val iSel = topLevelKeyword(head, "SELECT")
+    require(iSel >= 0, "graft SQL QUALIFY: no top-level SELECT")
+    val selEnd = iSel + "SELECT".length
+    require(!"""(?is)^\s*DISTINCT\b""".r.pattern.matcher(
+        head.substring(selEnd)).find(),
+      "graft SQL QUALIFY: QUALIFY with SELECT DISTINCT is not supported " +
+        "— filter in an outer query instead")
+    val iFrom = topLevelKeyword(head.substring(selEnd), "FROM")
+    require(iFrom >= 0, "graft SQL QUALIFY: no top-level FROM")
+    val selectList = head.substring(selEnd, selEnd + iFrom)
+    // alias → definition, for substitution in the predicate; only the
+    // explicit `expr AS alias` form defines one (a trailing `AS x`
+    // inside parentheses — CAST(y AS INT) — fails the word-only match)
+    val aliasRe = """(?is)^(.*\S)\s+AS\s+`?(\w+)`?\s*$""".r
+    val aliases: Map[String, String] = splitTopLevel(selectList, ',')
+      .flatMap { item =>
+        aliasRe.findFirstMatchIn(item.trim)
+          .map(m => m.group(2).toLowerCase -> m.group(1).trim)
+      }.toMap
+    val pred =
+      if (aliases.isEmpty) pred0
+      else {
+        val pat = ("(?i)\\b(" + aliases.keys
+          .map(java.util.regex.Pattern.quote).mkString("|") + ")\\b").r
+        pat.replaceAllIn(pred0, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            aliases.get(m.group(1).toLowerCase)
+              .map(d => s"($d)").getOrElse(m.group(1))))
+      }
+    val inner = head.substring(0, selEnd + iFrom) +
+      s", ($pred) AS __qualify " + head.substring(selEnd + iFrom)
+    spark.sql(inner).createOrReplaceTempView("__graft_qualify_src")
+    Some(spark
+      .sql(s"SELECT * FROM __graft_qualify_src WHERE __qualify $suffix")
+      .drop("__qualify"))
+  }
+
   /** Split on a top-level separator: parenthesis depth 0, outside
     * single-quoted strings and backtick identifiers. */
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
@@ -421,10 +505,13 @@ class GraftSql(val spark: SparkSession) {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
+          // '_' is an identifier character: `graft_qualify_orders` or
+          // `order_items` must never read as the QUALIFY/ORDER keyword
+          def ident(c: Char) = Character.isLetterOrDigit(c) || c == '_'
           if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
-              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+              (i == 0 || !ident(s.charAt(i - 1))) &&
               (i + kw.length >= s.length ||
-                !Character.isLetterOrDigit(s.charAt(i + kw.length))))
+                !ident(s.charAt(i + kw.length))))
             return i
       }
       i += 1

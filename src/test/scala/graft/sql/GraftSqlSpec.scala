@@ -1533,4 +1533,48 @@ class GraftSqlSpec extends SparkSpec {
       assert(viaTs === (24L until 48L).toSeq)
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
+
+  test("QUALIFY filters on a select-list window alias (r14): top-1 per " +
+      "group, trailing ORDER BY/LIMIT run after the filter") {
+    val g = new GraftSql(spark)
+    Seq((1L, "a", 10.0), (2L, "a", 30.0), (3L, "a", 20.0),
+        (4L, "b", 5.0), (5L, "b", 7.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView("qlf_t")
+    val top1 = g.sql(
+      """SELECT grp, id, v,
+        |  CAST(row_number() OVER (PARTITION BY grp
+        |    ORDER BY v DESC, id) AS BIGINT) AS rn
+        |FROM qlf_t QUALIFY rn = 1 ORDER BY grp""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top1 === Seq(("a", 2L), ("b", 5L)))
+    // predicate may also be a bare window expression (no alias) — and a
+    // top-level LIMIT applies after the filter
+    val lim = g.sql(
+      """SELECT grp, id FROM qlf_t
+        |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC, id) <= 2
+        |ORDER BY grp, id LIMIT 3""".stripMargin)
+      .collect().map(_.getLong(1)).toSeq
+    assert(lim === Seq(2L, 3L, 4L))
+  }
+
+  test("QUALIFY: subquery clauses never split the outer statement; " +
+      "DISTINCT rejects loud") {
+    val g = new GraftSql(spark)
+    Seq((1L, "a", 10.0), (2L, "a", 30.0), (3L, "b", 20.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView("qlf_s")
+    // the inner derived table has its own ORDER/LIMIT inside parens —
+    // the top-level scan must find only the outer QUALIFY
+    val r = g.sql(
+      """SELECT grp, id,
+        |  CAST(rank() OVER (PARTITION BY grp ORDER BY v DESC) AS BIGINT) AS rk
+        |FROM (SELECT * FROM qlf_s ORDER BY id LIMIT 3) s
+        |QUALIFY rk = 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(r === Seq(("a", 2L), ("b", 3L)))
+    val ex = intercept[IllegalArgumentException] {
+      g.sql("SELECT DISTINCT grp FROM qlf_s QUALIFY " +
+        "row_number() OVER (ORDER BY grp) = 1")
+    }
+    assert(ex.getMessage.contains("DISTINCT"))
+  }
 }
