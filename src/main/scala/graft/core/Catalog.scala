@@ -2510,7 +2510,15 @@ final class Catalog(spark: SparkSession, warehouse: String,
                   * global lowest-id seeds at the SAME beam budget.
                   * Ignored (with everything else seed-related) on
                   * legacy sidecars without `_knn/seeds`. */
-                probes: Int = 1): org.apache.spark.sql.DataFrame = {
+                probes: Int = 1,
+                /** Attribute filter over the table's LIVE row (r14
+                  * filtered search — `WHERE label = 3` vector search):
+                  * evaluated against the snapshot, restricting the
+                  * answer top-k to matching rows. Traversal stays
+                  * unfiltered (see [[graft.ops.KnnGraph.beamSearch]]'s
+                  * admit doc) — under a selective filter, buy recall
+                  * with a wider beam. */
+                filter: Option[org.apache.spark.sql.Column] = None): org.apache.spark.sql.DataFrame = {
     val idx = knnIndex(name)
     require(idx.isDefined, s"knnSearch($name): no kNN index — " +
       "createKnnIndex first")
@@ -2547,8 +2555,10 @@ final class Catalog(spark: SparkSession, warehouse: String,
               .select(col("cid"), col("vec_id"))), Seq("cid"))
           .select(col("qid"), col("vec_id")))
       }
+    val admit = filter.map(f => getTable(name).snapshot.where(f)
+      .select(col(meta.key).as("vec_id")))
     graft.ops.KnnGraph.beamSearch(live, adj, queries, k, beam, hops,
-      entries, perQuerySeeds = perQuerySeeds)
+      entries, perQuerySeeds = perQuerySeeds, admit = admit)
   }
 
   /**

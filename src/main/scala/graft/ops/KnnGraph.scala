@@ -245,7 +245,16 @@ object KnnGraph {
                    * seedsOverride. Seeds change RECALL, never validity
                    * (KnnIndexSpec pins it): every hop still scores
                    * against the live corpus with the same total order. */
-                 perQuerySeeds: Option[DataFrame] = None): DataFrame = {
+                 perQuerySeeds: Option[DataFrame] = None,
+                 /** ADMISSION set (r14 filtered search) — (vec_id) rows;
+                   * the answer top-k admits only these. Traversal stays
+                   * UNFILTERED (the standard filtered-HNSW rule:
+                   * non-matching nodes still guide the beam through the
+                   * graph — filtering the frontier would disconnect it
+                   * under selective predicates and collapse recall).
+                   * Recall under a selective filter is bought with a
+                   * wider beam, the same ef knob as always. */
+                 admit: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 0 && entries >= 1,
       s"beamSearch: k=$k, beam=$beam, hops=$hops, entries=$entries " +
         "must all be positive")
@@ -283,7 +292,11 @@ object KnnGraph {
       frontier = scored.withColumn("_r", row_number().over(byQ))
         .where(col("_r") <= beam).drop("_r")
     }
-    all.withColumn("rnk", row_number().over(byQ).cast("bigint"))
+    val admitted = admit
+      .map(a => all.join(a.select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi"))
+      .getOrElse(all)
+    admitted.withColumn("rnk", row_number().over(byQ).cast("bigint"))
       .where(col("rnk") <= k)
       .select(col("qid"), col("vec_id"), col("dot"), col("rnk"))
   }

@@ -95,8 +95,12 @@ object PipelineQueries {
     knnIdxCache.getOrElseUpdate(d, {
       val wh = graft.sources.TextSources.scratchDir(s, "graft_knnidx_wh_")
       val cat = new graft.core.Catalog(s, wh, autoCompact = false)
+      // label rides along as a plain attribute column (r14 filtered
+      // search); the build projects (key, embedding) so the graph and
+      // every unfiltered read are bit-identical with or without it
       cat.createTable("emb_kg", "vec_id",
-        Tables(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+        Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label")))
       cat.createKnnIndex("emb_kg", "embedding", k = 5, rounds = 3,
         descentK = 15)
       wh
@@ -160,6 +164,101 @@ object PipelineQueries {
        |${round("k0", 1)},
        |${round("k1", 2)},
        |${round("k2", 3)}""".stripMargin
+  }
+
+  /** The graph-SERVED read replay, shared by the ann_knn_search and
+    * ann_knn_filtered oracles: the same graph-build CTE chain
+    * ([[knnGraphCtes]], MATERIALIZED so DuckDB replays the build once),
+    * per-query centroid seeds, then the beam search unrolled hop by hop
+    * at width `beam`. `admitJoin` is an extra JOIN clause on the final
+    * ranking's FROM — the r14 admission filter; traversal CTEs are
+    * IDENTICAL filtered or not (the engine's filtered-HNSW rule,
+    * replayed). */
+  private def knnServeOracle(beam: Int, admitJoin: String): String = {
+    def hop(h: Int, frontier: String, visited: String): String =
+      s"""hc$h AS (SELECT DISTINCT f.qid, a.c AS vec_id
+         |        FROM $frontier f JOIN adj a ON a.p = f.vec_id
+         |        WHERE NOT EXISTS (SELECT 1 FROM $visited v
+         |          WHERE v.qid = f.qid AND v.vec_id = a.c)),
+         |sc$h AS (SELECT hc$h.qid, hc$h.vec_id,
+         |    ${knnDotSql("qt.qe", "e.v")} AS dot
+         |  FROM hc$h JOIN qt ON qt.qid = hc$h.qid
+         |  JOIN e ON e.id = hc$h.vec_id),
+         |f$h AS (SELECT qid, vec_id, dot FROM (
+         |         SELECT qid, vec_id, dot, row_number() OVER (
+         |           PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS r
+         |         FROM sc$h) WHERE r <= $beam)""".stripMargin
+    s"""WITH $knnGraphCtes,
+       |-- the stored graph keeps the FULL descentK=15 lists (r14):
+       |-- k3 is already the converged top-15 per node
+       |kg AS MATERIALIZED (SELECT p, q, dot FROM (
+       |         SELECT p, q, dot, row_number() OVER (
+       |           PARTITION BY p ORDER BY dot DESC, q ASC) AS rnk
+       |         FROM k3) WHERE rnk <= 15),
+       |qt AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |       WHERE vec_id < 5),
+       |adj AS (SELECT p, q AS c FROM kg UNION SELECT q, p FROM kg),
+       |-- per-query entry points (r14 `_knn/seeds`): one Lloyd round of
+       |-- 16 centroids (the ann_ivf_trained replay, quantized-exact),
+       |-- each query routes to its nearest centroid and starts at that
+       |-- centroid's 4 lowest-id members
+       |cseed AS (SELECT vec_id AS cid, embedding AS ce
+       |          FROM embeddings WHERE vec_id < 16),
+       |ca1 AS (SELECT vec_id, embedding, cid FROM (
+       |  SELECT emb.vec_id, emb.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+       |      ${knnDotSql("c.ce", "emb.embedding")} DESC, c.cid ASC) AS crn
+       |  FROM embeddings emb, cseed c) WHERE crn = 1),
+       |ccomp AS (
+       |  SELECT cid, i AS dim,
+       |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS fq
+       |  FROM ca1, LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS i)),
+       |cmean AS (
+       |  SELECT cid, dim,
+       |    CAST(CAST(SUM(fq) AS DOUBLE) / COUNT(*) / 1e6 AS FLOAT) AS mv
+       |  FROM ccomp GROUP BY cid, dim),
+       |cml AS (SELECT cid, list(mv ORDER BY dim) AS mce
+       |        FROM cmean GROUP BY cid),
+       |cents AS (SELECT s.cid, COALESCE(m.mce, s.ce) AS ce
+       |          FROM cseed s LEFT JOIN cml m ON s.cid = m.cid),
+       |cassign AS (SELECT vec_id, cid FROM (
+       |  SELECT emb.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+       |      ${knnDotSql("c.ce", "emb.embedding")} DESC, c.cid ASC) AS crn
+       |  FROM embeddings emb, cents c) WHERE crn = 1),
+       |members AS (SELECT cid, vec_id,
+       |    row_number() OVER (PARTITION BY cid ORDER BY vec_id ASC) AS mrnk
+       |  FROM cassign),
+       |qroute AS (SELECT qid, qcid FROM (
+       |  SELECT qt.qid, c.cid AS qcid,
+       |    row_number() OVER (PARTITION BY qt.qid ORDER BY
+       |      ${knnDotSql("c.ce", "qt.qe")} DESC, c.cid ASC) AS crn
+       |  FROM qt, cents c) WHERE crn = 1),
+       |qseeds AS (SELECT r.qid, m.vec_id FROM qroute r
+       |           JOIN members m ON m.cid = r.qcid WHERE m.mrnk <= 4),
+       |sc0 AS (SELECT qs.qid, qs.vec_id,
+       |    ${knnDotSql("qt.qe", "e.v")} AS dot
+       |  FROM qseeds qs JOIN qt ON qt.qid = qs.qid
+       |  JOIN e ON e.id = qs.vec_id),
+       |f0 AS (SELECT qid, vec_id, dot FROM (
+       |         SELECT qid, vec_id, dot, row_number() OVER (
+       |           PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS r
+       |         FROM sc0) WHERE r <= $beam),
+       |${hop(1, "f0", "sc0")},
+       |v1 AS (SELECT qid, vec_id FROM sc0
+       |       UNION ALL SELECT qid, vec_id FROM sc1),
+       |${hop(2, "f1", "v1")},
+       |v2 AS (SELECT qid, vec_id FROM v1
+       |       UNION ALL SELECT qid, vec_id FROM sc2),
+       |${hop(3, "f2", "v2")},
+       |allsc AS (SELECT * FROM sc0 UNION ALL SELECT * FROM sc1
+       |          UNION ALL SELECT * FROM sc2 UNION ALL SELECT * FROM sc3)
+       |SELECT qid, vec_id, dot, rnk FROM (
+       |  SELECT allsc.qid, allsc.vec_id, allsc.dot,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY allsc.qid
+       |      ORDER BY allsc.dot DESC, allsc.vec_id ASC) AS BIGINT) AS rnk
+       |  FROM allsc$admitJoin) WHERE rnk <= 5""".stripMargin
   }
 
   /** Warehouse for ann_ivfpq_refresh: the IVF-PQ index is built over a
@@ -659,6 +758,23 @@ object PipelineQueries {
       val cat = new graft.core.Catalog(s, wh)
       cat.knnSearch("emb_kg", annQueries(s, d).drop("qlabel"),
         k = 5, beam = 5, hops = 3, entries = 4)
+    },
+
+    // FILTERED graph serving (r14, the `WHERE label = 1` vector search
+    // every retrieval stack needs): traversal is UNFILTERED — the beam
+    // walks the same graph through non-matching nodes (filtering the
+    // frontier disconnects the graph under selective predicates, the
+    // standard filtered-HNSW rule) — and the predicate gates ADMISSION
+    // to the answer top-k against the live snapshot. ~10% selectivity
+    // here; the beam is widened 5→8 to keep admitted candidates
+    // plentiful (the ef-for-recall trade, now per filter). Same durable
+    // index, zero extra sidecars.
+    "ann_knn_filtered" -> { (s, d) =>
+      val wh = knnIdxWarehouse(s, d)
+      val cat = new graft.core.Catalog(s, wh)
+      cat.knnSearch("emb_kg", annQueries(s, d).drop("qlabel"),
+        k = 5, beam = 8, hops = 3, entries = 4,
+        filter = Some(col("label") === 1))
     },
 
     "text_stats" -> { (s, d) =>
@@ -2891,96 +3007,20 @@ object PipelineQueries {
          |  FROM k3) WHERE rnk <= 5""".stripMargin
     },
 
-    // graph-SERVED read: the same graph-build replay, then the beam
-    // search unrolled hop by hop — seeds are the 4 lowest graph ids,
-    // each hop expands the current beam through the symmetrized
-    // adjacency, anti-joins everything already scored, scores with the
-    // fixed-order dot, and the answer is the top-5 of all scored
-    "ann_knn_search" -> {
-      def hop(h: Int, frontier: String, visited: String): String =
-        s"""hc$h AS (SELECT DISTINCT f.qid, a.c AS vec_id
-           |        FROM $frontier f JOIN adj a ON a.p = f.vec_id
-           |        WHERE NOT EXISTS (SELECT 1 FROM $visited v
-           |          WHERE v.qid = f.qid AND v.vec_id = a.c)),
-           |sc$h AS (SELECT hc$h.qid, hc$h.vec_id,
-           |    ${knnDotSql("qt.qe", "e.v")} AS dot
-           |  FROM hc$h JOIN qt ON qt.qid = hc$h.qid
-           |  JOIN e ON e.id = hc$h.vec_id),
-           |f$h AS (SELECT qid, vec_id, dot FROM (
-           |         SELECT qid, vec_id, dot, row_number() OVER (
-           |           PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS r
-           |         FROM sc$h) WHERE r <= 5)""".stripMargin
-      s"""WITH $knnGraphCtes,
-         |-- the stored graph keeps the FULL descentK=15 lists (r14):
-         |-- k3 is already the converged top-15 per node
-         |kg AS MATERIALIZED (SELECT p, q, dot FROM (
-         |         SELECT p, q, dot, row_number() OVER (
-         |           PARTITION BY p ORDER BY dot DESC, q ASC) AS rnk
-         |         FROM k3) WHERE rnk <= 15),
-         |qt AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-         |       WHERE vec_id < 5),
-         |adj AS (SELECT p, q AS c FROM kg UNION SELECT q, p FROM kg),
-         |-- per-query entry points (r14 `_knn/seeds`): one Lloyd round of
-         |-- 16 centroids (the ann_ivf_trained replay, quantized-exact),
-         |-- each query routes to its nearest centroid and starts at that
-         |-- centroid's 4 lowest-id members
-         |cseed AS (SELECT vec_id AS cid, embedding AS ce
-         |          FROM embeddings WHERE vec_id < 16),
-         |ca1 AS (SELECT vec_id, embedding, cid FROM (
-         |  SELECT emb.vec_id, emb.embedding, c.cid,
-         |    row_number() OVER (PARTITION BY emb.vec_id ORDER BY
-         |      ${knnDotSql("c.ce", "emb.embedding")} DESC, c.cid ASC) AS crn
-         |  FROM embeddings emb, cseed c) WHERE crn = 1),
-         |ccomp AS (
-         |  SELECT cid, i AS dim,
-         |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS fq
-         |  FROM ca1, LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS i)),
-         |cmean AS (
-         |  SELECT cid, dim,
-         |    CAST(CAST(SUM(fq) AS DOUBLE) / COUNT(*) / 1e6 AS FLOAT) AS mv
-         |  FROM ccomp GROUP BY cid, dim),
-         |cml AS (SELECT cid, list(mv ORDER BY dim) AS mce
-         |        FROM cmean GROUP BY cid),
-         |cents AS (SELECT s.cid, COALESCE(m.mce, s.ce) AS ce
-         |          FROM cseed s LEFT JOIN cml m ON s.cid = m.cid),
-         |cassign AS (SELECT vec_id, cid FROM (
-         |  SELECT emb.vec_id, c.cid,
-         |    row_number() OVER (PARTITION BY emb.vec_id ORDER BY
-         |      ${knnDotSql("c.ce", "emb.embedding")} DESC, c.cid ASC) AS crn
-         |  FROM embeddings emb, cents c) WHERE crn = 1),
-         |members AS (SELECT cid, vec_id,
-         |    row_number() OVER (PARTITION BY cid ORDER BY vec_id ASC) AS mrnk
-         |  FROM cassign),
-         |qroute AS (SELECT qid, qcid FROM (
-         |  SELECT qt.qid, c.cid AS qcid,
-         |    row_number() OVER (PARTITION BY qt.qid ORDER BY
-         |      ${knnDotSql("c.ce", "qt.qe")} DESC, c.cid ASC) AS crn
-         |  FROM qt, cents c) WHERE crn = 1),
-         |qseeds AS (SELECT r.qid, m.vec_id FROM qroute r
-         |           JOIN members m ON m.cid = r.qcid WHERE m.mrnk <= 4),
-         |sc0 AS (SELECT qs.qid, qs.vec_id,
-         |    ${knnDotSql("qt.qe", "e.v")} AS dot
-         |  FROM qseeds qs JOIN qt ON qt.qid = qs.qid
-         |  JOIN e ON e.id = qs.vec_id),
-         |f0 AS (SELECT qid, vec_id, dot FROM (
-         |         SELECT qid, vec_id, dot, row_number() OVER (
-         |           PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS r
-         |         FROM sc0) WHERE r <= 5),
-         |${hop(1, "f0", "sc0")},
-         |v1 AS (SELECT qid, vec_id FROM sc0
-         |       UNION ALL SELECT qid, vec_id FROM sc1),
-         |${hop(2, "f1", "v1")},
-         |v2 AS (SELECT qid, vec_id FROM v1
-         |       UNION ALL SELECT qid, vec_id FROM sc2),
-         |${hop(3, "f2", "v2")},
-         |allsc AS (SELECT * FROM sc0 UNION ALL SELECT * FROM sc1
-         |          UNION ALL SELECT * FROM sc2 UNION ALL SELECT * FROM sc3)
-         |SELECT qid, vec_id, dot, rnk FROM (
-         |  SELECT qid, vec_id, dot,
-         |    CAST(row_number() OVER (
-         |      PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
-         |  FROM allsc) WHERE rnk <= 5""".stripMargin
-    },
+    // graph-SERVED read: the shared beam-search replay at the engine's
+    // beam width ([[knnServeOracle]]) — seeds are the per-query
+    // centroid-routed entry points, each hop expands the current beam
+    // through the symmetrized adjacency, anti-joins everything already
+    // scored, scores with the fixed-order dot, and the answer is the
+    // top-5 of all scored
+    "ann_knn_search" -> knnServeOracle(beam = 5, admitJoin = ""),
+
+    // the r14 ADMISSION filter: traversal CTEs identical (same graph,
+    // same hops, beam 8 to match the engine's widened ef-for-recall
+    // setting), and the final ranking admits only label-1 rows
+    "ann_knn_filtered" -> knnServeOracle(beam = 8, admitJoin =
+      " JOIN embeddings lb ON lb.vec_id = allsc.vec_id AND lb.label = 1"),
+
 
     // prefix-dot shortlist (first 16 dims), exact full-dim re-rank —
     // both stages replayed with the fixed-order fold

@@ -175,6 +175,42 @@ class KnnIndexSpec extends SparkSpec {
     assert(cat.knnIndex("e").get._4.count() === before + 3 * 10)
   }
 
+  test("filtered search admits at the ANSWER only (r14): traversal is " +
+      "unfiltered, results are the post-filtered scored set") {
+    val wh = Files.createTempDirectory("graft_knnflt_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    val withLabel = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    cat.createTable("e", "vec_id", withLabel)
+    cat.createKnnIndex("e", "embedding", k = 5, rounds = 2, descentK = 10)
+    val filtered = cat.knnSearch("e", queries, k = 5, beam = 8, hops = 3,
+      filter = Some(col("label") === 1)).collect()
+    // every admitted row passes the predicate
+    val lab1 = withLabel.where(col("label") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(filtered.nonEmpty && filtered.forall(r => lab1(r.getLong(1))))
+    // admission-only semantics: the filtered answer IS the top-5 of the
+    // unfiltered search's full scored set restricted to the predicate —
+    // k=10000 captures everything the same (beam, hops, seeds) scored
+    val allScored = cat.knnSearch("e", queries, k = 10000, beam = 8,
+      hops = 3).collect()
+    val expect = allScored.filter(r => lab1(r.getLong(1)))
+      .groupBy(_.getLong(0)).view.mapValues {
+        _.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(5)
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }.toMap
+    val got = filtered.groupBy(_.getLong(0)).view.mapValues {
+      _.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    }.toMap
+    assert(got === expect,
+      "filtered result diverged from post-filter of the scored set")
+    // ranks are consecutive from 1 within each query
+    filtered.groupBy(_.getLong(0)).values.foreach { qs =>
+      assert(qs.map(_.getLong(3)).sorted.toSeq ===
+        (1L to qs.length).toSeq)
+    }
+  }
+
   test("deletions never surface (live-scoring join); epoch bump refuses") {
     val wh = Files.createTempDirectory("graft_knndel_").toString
     val cat = new Catalog(spark, wh, autoCompact = false)
