@@ -1213,6 +1213,68 @@ final class Catalog(spark: SparkSession, warehouse: String,
 
   /** Roll a committed transaction record forward (idempotent), then
     * drop the record file. */
+  /**
+   * COPY INTO (r14) — idempotent FILE-granularity bulk ingest, the
+   * Delta/Snowflake `COPY INTO` shape a 100 TB ingestion pipeline
+   * stands on: point it at a landing directory after every upstream
+   * drop and each file's rows load EXACTLY ONCE, no matter how many
+   * times the command runs, retries, or crashes mid-way.
+   *
+   * Mechanics: the loaded-file set is itself a lineage table
+   * (`<name>__copyfiles`, keyed by file path) in this catalog, and one
+   * [[commitMulti]] lands the data rows AND their manifest entries at a
+   * single commit point — both-or-neither under any crash, so a re-run
+   * either sees the files recorded (skips them) or sees none of their
+   * rows (reloads them). No bespoke recovery: the multi-table staged
+   * protocol already owns that. The manifest bootstrap (first copy)
+   * creates the manifest EMPTY before any data commits — a crash
+   * between create and commit retries cleanly.
+   *
+   * Scale: the listing is a driver-side metadata op (O(files), as any
+   * file-discovery is); new-file selection anti-joins the listed paths
+   * against the manifest snapshot in Spark (the manifest may be
+   * millions of rows — it never collects); the data read plans ONLY
+   * the new files. Columns are aligned to the target by NAME and cast
+   * to its types — a missing column fails loud at analysis.
+   *
+   * Returns the number of files loaded (0 = everything already known).
+   */
+  def copyInto(name: String, path: String, format: String = "parquet",
+               options: Map[String, String] = Map.empty): Long = {
+    val t = getTable(checked(name))
+    val manifest = name + "__copyfiles"
+    // discovery: glob, one level of directory expansion, hidden files
+    // skipped (the Spark source convention)
+    val hits = Option(fs.globStatus(new Path(path))).getOrElse(Array.empty)
+    val listed = hits.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }.map(_.getPath.toString)
+      .filterNot { f =>
+        val n = new Path(f).getName
+        n.startsWith("_") || n.startsWith(".")
+      }.sorted
+    if (listed.isEmpty) return 0L
+    import spark.implicits._
+    val listedDf = listed.toSeq.toDF("file")
+    if (!tableNames.contains(manifest))
+      createTable(manifest, "file", listedDf.limit(0))
+    val newFiles = listedDf
+      .join(getTable(manifest).snapshot.select(col("file")),
+        Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).sorted
+    if (newFiles.isEmpty) return 0L
+    val target = t.snapshot.schema
+    val rows = spark.read.format(format).options(options)
+      .load(newFiles.toIndexedSeq: _*)
+      .select(t.dataCols.map(c =>
+        col(c).cast(target(c).dataType).as(c)): _*)
+    commitMulti(Map(
+      name -> Txn.empty.insert(rows),
+      manifest -> Txn.empty.insert(newFiles.toSeq.toDF("file"))))
+    newFiles.length.toLong
+  }
+
   private def applyTxnRecord(id: String, names: Seq[String],
                              expected: Seq[Long], next: Seq[Long]): Unit = {
     applyTxnBody(id, names, expected, next)

@@ -2252,6 +2252,34 @@ object CoreQueries {
       g.table("graft_deljoin").snapshot.where(col("k") % 5 === 0)
     },
 
+    // COPY INTO (r14, Catalog.copyInto + the CALL front door): idempotent
+    // FILE-granularity bulk ingest — the landing-directory pattern a
+    // 100 TB pipeline ingests through. Three calls: new files load, a
+    // re-scan of the whole landing dir loads ONLY the unseen drop, and a
+    // third call is a pure no-op. The loaded-file manifest is itself a
+    // lineage table committed with the data rows at ONE commitMulti
+    // point — both-or-neither under any crash, so a double-load (which
+    // would duplicate keys and break the row count) is structurally
+    // impossible, not just untested.
+    "cat_copy_into" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_copyinto_")
+      val landing =
+        graft.sources.TextSources.scratchDir(s, "graft_copyinto_land_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      val base = baseOrders(s, d)
+      cat.createTable("cpi_t", "k", base.where(col("k") % 7 === 0))
+      base.where(col("k") % 7 =!= 0 && col("k") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$landing/p1")
+      val g = new graft.sql.GraftSql(s).register("cpi_t", cat, "cpi_t")
+      g.sql(s"CALL copy_into('cpi_t', '$landing/p1')")
+      base.where(col("k") % 7 =!= 0 && col("k") % 4 === 1)
+        .write.mode("overwrite").parquet(s"$landing/p2")
+      g.sql(s"CALL copy_into('cpi_t', '$landing/*')")
+      g.sql(s"CALL copy_into('cpi_t', '$landing/*')")
+      cat.getTable("cpi_t").snapshot.where(col("k") % 5 === 0)
+        .select(col("k"), col("custkey"), col("status"), col("totalprice"))
+    },
+
     // QUALIFY (r14, GraftSql.runQualify — the window-filter clause of
     // DuckDB/Snowflake/BigQuery, absent from Spark's grammar): top-3
     // orders per customer, filtered ON the ranking column the select
@@ -3450,6 +3478,17 @@ object CoreQueries {
          |        FROM snap t LEFT JOIN src s ON t.custkey = s.ck)
          |SELECT k, custkey, status, totalprice FROM upd
          |WHERE k % 5 = 0""".stripMargin,
+
+    // exactly-once replay: the table is the base slice plus each landing
+    // drop ONCE — a double-load would double these rows and break both
+    // the row count and the hash
+    "cat_copy_into" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders)
+        |SELECT k, custkey, status, totalprice FROM base
+        |WHERE (k % 7 = 0 OR k % 2 = 0 OR k % 4 = 1) AND k % 5 = 0""".stripMargin,
 
     // DuckDB speaks QUALIFY natively — the oracle is the same statement
     // over the raw table

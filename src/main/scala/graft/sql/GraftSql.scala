@@ -1526,7 +1526,7 @@ class GraftSql(val spark: SparkSession) {
 
   private val procedures = Set("optimize", "compact", "vacuum", "purge",
     "analyze", "refresh_mview", "create_mview", "create_join_mview",
-    "clone", "create_bloom",
+    "clone", "create_bloom", "copy_into",
     "create_index", "zorder", "history", "restore", "create_vector_index",
     "drop_vector_index", "create_ivfpq_index", "drop_ivfpq_index",
     "refresh_ivfpq_index")
@@ -1563,6 +1563,7 @@ class GraftSql(val spark: SparkSession) {
   private val procParams: Map[String, Seq[String]] = Map(
     "optimize" -> Seq("tbl"), "compact" -> Seq("tbl"),
     "vacuum" -> Seq("tbl", "keep", "retain"),
+    "copy_into" -> Seq("tbl", "path", "format"),
     "purge" -> Seq("tbl", "predicate"),
     "refresh_mview" -> Seq("view"),
     "create_mview" -> Seq("view", "src", "group_col", "sum_col",
@@ -1675,6 +1676,16 @@ class GraftSql(val spark: SparkSession) {
         if (keepOpt.isDefined) cat.vacuum(t, int(1))
         else cat.vacuumOlderThan(t, wallClockMillis(str(2)))
         refreshView(str(0)); done
+      case "copy_into" =>
+        // CALL copy_into('t', '/landing/dir', 'parquet') — idempotent
+        // file-granularity bulk ingest (Catalog.copyInto): each file's
+        // rows land exactly once across any number of calls/retries
+        arityAtLeast(2); val (cat, t) = durableOf(str(0))
+        val fmt = if (argv.lift(2).flatten.isDefined) str(2) else "parquet"
+        val n = cat.copyInto(t, str(1), fmt)
+        refreshView(str(0))
+        import spark.implicits._
+        Seq(n).toDF("files_loaded")
       case "purge" =>
         arity(2); val (cat, t) = durableOf(str(0))
         cat.purge(t, rebased(Bridge.parseExpression(spark, str(1))))
