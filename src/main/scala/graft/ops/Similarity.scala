@@ -137,6 +137,38 @@ object Similarity {
   }
 
   /**
+   * RADIUS (threshold) similarity search over the IVF probe (r14) —
+   * "every corpus vector with dot ≥ θ", the range-search companion to
+   * top-k that near-dup mining and recall-first retrieval ask for
+   * (a fixed k either truncates dense neighborhoods or pads sparse
+   * ones; the threshold is the semantic contract). Same approximation
+   * contract as [[ivfProbePrebuilt]]: candidates come from each
+   * query's `nProbe` nearest buckets (map-only assignment, the
+   * centroid set is a driver-small collect, the routed queries
+   * broadcast), then the exact fixed-order dot admits against θ — the
+   * output is exact-scored over the probed candidate set. Unbounded
+   * answer sets are the caller's θ choice; the plan stays
+   * O(|probed buckets|) per query, never a corpus scan.
+   */
+  def ivfRadius(corpus: DataFrame, queries: DataFrame, theta: Double,
+                nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cs = collectCentroids(seedCentroids(corpus, nCentroids))
+    val bucketed = assignWith(corpus, cs)
+    val routed = probeWith(
+        queries.select(col("qid").as("vec_id"), col("qe").as("embedding")),
+        cs, nProbe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              col("cid").as("qcid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    bucketed.join(broadcast(routed), col("cid") === col("qcid"))
+      .select(col("qid"), col("vec_id"),
+        dot(col("qe"), col("embedding")).as("dot"))
+      .where(col("dot") >= theta)
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+  }
+
+  /**
    * PRODUCT-QUANTIZED approximate top-k (the IVF-PQ memory half,
    * Jégou et al., "Product Quantization for Nearest Neighbor Search"):
    * vectors split into `m` subspaces, each quantized against its own

@@ -554,6 +554,16 @@ object PipelineQueries {
         annQueries(s, d).drop("qlabel"), 5, nProbe = 2)
     },
 
+    // RADIUS search (r14, Similarity.ivfRadius): every probed candidate
+    // with dot ≥ 0.3 — the threshold contract near-dup mining wants
+    // where top-k truncates dense neighborhoods. Same probe plan as
+    // ann_ivf_probe2; the θ admission replaces the ranking cut (ranks
+    // remain for a stable output order)
+    "ann_radius" -> { (s, d) =>
+      Similarity.ivfRadius(Tables(s, d, "embeddings"),
+        annQueries(s, d).drop("qlabel"), theta = 0.3, nProbe = 2)
+    },
+
     // PRODUCT-QUANTIZED ANN (r9, Similarity.pqTopK — the IVF-PQ memory
     // half): 64-dim vectors as 4 subspace codes against 8-entry
     // codebooks; queries score by asymmetric lookup-table sums over the
@@ -2957,6 +2967,50 @@ object PipelineQueries {
         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
         |       FROM dots)
         |SELECT qid, cid, vec_id, dot, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
+    // the probe2 replay with the θ admission replacing the top-k cut
+    // (SQL WHERE evaluates before the window — same as the engine's
+    // filter-then-rank)
+    "ann_radius" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+        |               FROM embeddings WHERE vec_id < 16),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |adots AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(c.ce) + 1),
+        |          i -> CAST(c.ce[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS cdot
+        |  FROM embeddings e, cents c),
+        |assign AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |         ORDER BY cdot DESC, cid ASC) AS crn FROM adots) WHERE crn = 1),
+        |qdots AS (
+        |  SELECT q.qid, c.cid,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(c.ce) + 1),
+        |          i -> CAST(c.ce[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS cdot
+        |  FROM q, cents c),
+        |qroute AS (SELECT qid, cid AS qcid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |         ORDER BY cdot DESC, cid ASC) AS crn FROM qdots) WHERE crn <= 2),
+        |dots AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(1, len(q.qe) + 1),
+        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS dot
+        |  FROM q JOIN qroute r ON q.qid = r.qid
+        |  JOIN assign a ON a.cid = r.qcid
+        |  JOIN embeddings e ON e.vec_id = a.vec_id)
+        |SELECT qid, vec_id, dot,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+        |FROM dots WHERE dot >= 0.3""".stripMargin,
 
     "ann_ivf" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel

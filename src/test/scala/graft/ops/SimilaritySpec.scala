@@ -49,6 +49,36 @@ class SimilaritySpec extends SparkSpec {
       "multi-probe must strictly improve recall on the planted neighbor")
   }
 
+  test("radius search admits exactly at θ over the probed buckets (r14)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.8f, 0.6f)),
+      (2L, Seq(0.5f, 0.0f)),
+      (3L, Seq(0.9f, 0.44f)),
+      (4L, Seq(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1.0f, 0.1f))).toDF("qid", "qe")
+    // full probe depth = exact threshold semantics: every vector with
+    // dot ≥ θ, nothing else (dots: v0=1.0 v1=0.86 v2=0.5 v3=0.944
+    // v4=0.19)
+    val full = Similarity.ivfRadius(corpus, q, theta = 0.6,
+      nCentroids = 2, nProbe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full === Set(0L, 1L, 3L))
+    // nProbe=1 keeps the threshold exact over the PROBED set only —
+    // bucket 1's v1/v3 are invisible, never mis-scored
+    val p1 = Similarity.ivfRadius(corpus, q, theta = 0.6,
+      nCentroids = 2, nProbe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(p1 === Set(0L))
+    // ranks order admitted rows 1..n per query
+    val ranked = Similarity.ivfRadius(corpus, q, theta = 0.6,
+      nCentroids = 2, nProbe = 2)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(ranked.map(_._2).toSeq === Seq(1L, 2L, 3L))
+    assert(ranked.head._1 === 0L)
+  }
+
   test("Lloyd training flattens bucket occupancy; recall stays exact") {
     import spark.implicits._
     // Two natural clusters, but BOTH seed centroids (= the first two
