@@ -2280,6 +2280,36 @@ object CoreQueries {
         .select(col("k"), col("custkey"), col("status"), col("totalprice"))
     },
 
+    // WITH RECURSIVE (r14): Spark 4's native recursive CTE (SPARK-24497)
+    // through the front door — 2-hop BFS with path multiplicity over a
+    // co-purchase edge list derived from lineitem. The working-table
+    // semantics (each step sees ONLY the previous iteration, UNION ALL
+    // accumulates the bag) must agree with DuckDB's standard recursion —
+    // the oracle is the SAME statement verbatim, so any divergence in
+    // iteration semantics, bag counting, or termination hash-fails.
+    // Scale shape: every iteration is one distributed join of the
+    // previous frontier against the edge list — the BFS pattern, depth
+    // bounded by the d < 2 predicate, never a driver loop.
+    "sql_recursive" -> { (s, d) =>
+      val g = new graft.sql.GraftSql(s)
+      Tables(s, d, "lineitem")
+        .createOrReplaceTempView("graft_rec_lineitem")
+      g.sql("""WITH RECURSIVE edges AS (
+              |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+              |  FROM graft_rec_lineitem a JOIN graft_rec_lineitem b
+              |    ON a.l_orderkey = b.l_orderkey
+              |   AND a.l_partkey <> b.l_partkey
+              |  WHERE a.l_orderkey % 10 = 0),
+              |hop(part, d) AS (
+              |  SELECT p1, 0 FROM (SELECT min(p1) AS p1 FROM edges)
+              |  UNION ALL
+              |  SELECT e.p2, h.d + 1 FROM hop h
+              |  JOIN edges e ON e.p1 = h.part WHERE h.d < 2)
+              |SELECT part, CAST(min(d) AS BIGINT) AS dist,
+              |       CAST(count(*) AS BIGINT) AS paths
+              |FROM hop GROUP BY part ORDER BY part""".stripMargin)
+    },
+
     // QUALIFY (r14, GraftSql.runQualify — the window-filter clause of
     // DuckDB/Snowflake/BigQuery, absent from Spark's grammar): top-3
     // orders per customer, filtered ON the ranking column the select
@@ -3489,6 +3519,24 @@ object CoreQueries {
         |  FROM orders)
         |SELECT k, custkey, status, totalprice FROM base
         |WHERE (k % 7 = 0 OR k % 2 = 0 OR k % 4 = 1) AND k % 5 = 0""".stripMargin,
+
+    // DuckDB's standard recursion replays the statement verbatim —
+    // identical working-table semantics is the claim under test
+    "sql_recursive" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_orderkey % 10 = 0),
+        |hop(part, d) AS (
+        |  SELECT p1, 0 FROM (SELECT min(p1) AS p1 FROM edges)
+        |  UNION ALL
+        |  SELECT e.p2, h.d + 1 FROM hop h
+        |  JOIN edges e ON e.p1 = h.part WHERE h.d < 2)
+        |SELECT part, CAST(min(d) AS BIGINT) AS dist,
+        |       CAST(count(*) AS BIGINT) AS paths
+        |FROM hop GROUP BY part ORDER BY part""".stripMargin,
 
     // DuckDB speaks QUALIFY natively — the oracle is the same statement
     // over the raw table
