@@ -622,6 +622,28 @@ object OlapQueries {
     // off the scale path (a naive engine re-runs the subquery per row).
     // Exact decimal avg on both sides so the 1.5× threshold compares
     // identical doubles (the ls_avg_range determinism rule).
+    // LATERAL correlated subquery (r14 — the SQL-standard CROSS APPLY):
+    // top-3 orders per customer via a per-row ORDER BY .. LIMIT
+    // subquery. Catalyst DECORRELATES it (DomainJoin rewrite → join +
+    // per-key rank), so the plan is one shuffle join + window, never a
+    // per-row nested loop — exactly the top-n-per-group shape, spelled
+    // the lateral way. Oracle is the same statement: DuckDB's lateral
+    // semantics must agree row-for-row, including the deterministic
+    // (price DESC, orderkey) cut.
+    "q_lateral" -> { (s, d) =>
+      val ov = "graft_lat_orders_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val cv = "graft_lat_cust_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables(s, d, "orders").createOrReplaceTempView(ov)
+      Tables(s, d, "customer").createOrReplaceTempView(cv)
+      s.sql(
+        s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+           |FROM $cv c, LATERAL (
+           |  SELECT o_orderkey, o_totalprice FROM $ov
+           |  WHERE o_custkey = c.c_custkey AND o_totalprice > 250000.0
+           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+           |WHERE c.c_custkey % 3 = 0""".stripMargin)
+    },
+
     "q_scalar_subquery" -> { (s, d) =>
       val view = "graft_orders_" + d.replaceAll("[^A-Za-z0-9]", "_")
       Tables(s, d, "orders").createOrReplaceTempView(view)
@@ -2677,6 +2699,16 @@ object OlapQueries {
         |FROM r GROUP BY 1""".stripMargin,
 
     // same correlated text the engine runs — DuckDB decorrelates it too
+    // the same statement verbatim — DuckDB's lateral semantics must
+    // agree row-for-row, including the deterministic cut
+    "q_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey AND o_totalprice > 250000.0
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+        |WHERE c.c_custkey % 3 = 0""".stripMargin,
+
     "q_scalar_subquery" ->
       """SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
         |       o.o_totalprice AS totalprice
