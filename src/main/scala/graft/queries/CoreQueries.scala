@@ -2252,6 +2252,32 @@ object CoreQueries {
       g.table("graft_deljoin").snapshot.where(col("k") % 5 === 0)
     },
 
+    // MERGE WITH SCHEMA EVOLUTION (r14, Spark 4's own MERGE syntax flag
+    // wired to the engine's ADD COLUMN): the source carries a column the
+    // target lacks — evolution adds it through the same metadata path
+    // the DDL uses (pre-evolve rows and versions read NULL), then the
+    // ordinary merge runs over the evolved column set, SET * / INSERT *
+    // picking the new column up. Matched rows get the source channel;
+    // unmatched keep NULL — the Delta mergeSchema contract.
+    "ls_merge_evolve" -> { (s, d) =>
+      val wh = graft.sources.TextSources.scratchDir(s, "graft_mergeevo_")
+      val cat = new Catalog(s, wh, autoCompact = false)
+      cat.createTable("mev_t", "k", baseOrders(s, d))
+      val g = new graft.sql.GraftSql(s).register("mev_t", cat, "mev_t")
+      baseOrders(s, d).where(col("k") % 4 === 0)
+        .withColumn("channel",
+          concat(lit("ch"), (col("k") % 3).cast("string")))
+        .withColumn("totalprice", col("totalprice") + 5.0)
+        .createOrReplaceTempView("graft_mev_src")
+      g.sql("""MERGE WITH SCHEMA EVOLUTION INTO mev_t t
+              |USING graft_mev_src s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      cat.getTable("mev_t").snapshot.where(col("k") % 5 === 0)
+        .select(col("k"), col("custkey"), col("status"),
+          col("totalprice"), col("channel"))
+    },
+
     // COPY INTO (r14, Catalog.copyInto + the CALL front door): idempotent
     // FILE-granularity bulk ingest — the landing-directory pattern a
     // 100 TB pipeline ingests through. Three calls: new files load, a
@@ -3508,6 +3534,26 @@ object CoreQueries {
          |        FROM snap t LEFT JOIN src s ON t.custkey = s.ck)
          |SELECT k, custkey, status, totalprice FROM upd
          |WHERE k % 5 = 0""".stripMargin,
+
+    // the evolved merge replayed as a LEFT JOIN: matched rows take the
+    // source values (totalprice bumped, channel set), unmatched read
+    // NULL for the evolved column
+    "ls_merge_evolve" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |src AS (SELECT k, custkey, status,
+        |          totalprice + 5.0 AS totalprice,
+        |          'ch' || CAST(k % 3 AS VARCHAR) AS channel
+        |        FROM base WHERE k % 4 = 0)
+        |SELECT b.k, b.custkey,
+        |  CASE WHEN s.k IS NOT NULL THEN s.status ELSE b.status END AS status,
+        |  CASE WHEN s.k IS NOT NULL THEN s.totalprice
+        |       ELSE b.totalprice END AS totalprice,
+        |  s.channel AS channel
+        |FROM base b LEFT JOIN src s ON b.k = s.k
+        |WHERE b.k % 5 = 0""".stripMargin,
 
     // exactly-once replay: the table is the base slice plus each landing
     // drop ONCE — a double-load would double these rows and break both

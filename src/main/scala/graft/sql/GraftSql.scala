@@ -1944,8 +1944,23 @@ class GraftSql(val spark: SparkSession) {
   }
 
   private def runMerge(name: String, m: MergeIntoTable): DataFrame = {
-    require(!m.withSchemaEvolution,
-      "graft SQL MERGE: WITH SCHEMA EVOLUTION is not supported")
+    // MERGE WITH SCHEMA EVOLUTION (r14 — the Delta mergeSchema shape):
+    // source-only columns are ADDED to the target before the merge
+    // through the same ADD COLUMN path the DDL uses (durable tables
+    // only — schema lives in catalog metadata); every pre-evolve row
+    // and version reads NULL for them, then the merge proceeds over the
+    // evolved column set, so SET * / INSERT * pick the new columns up.
+    if (m.withSchemaEvolution) {
+      val (cat, tbl) = durable.getOrElse(name,
+        throw new IllegalArgumentException("graft SQL MERGE WITH SCHEMA " +
+          s"EVOLUTION: '$name' is an in-session table — evolution needs " +
+          "catalog metadata; register(name, catalog, table)"))
+      val have = table(name).dataCols.toSet
+      Bridge.ofRows(spark, m.sourceTable).schema.fields
+        .filterNot(f => have.contains(f.name))
+        .foreach(f => cat.addColumn(tbl, f.name, f.dataType.simpleString))
+      refreshView(name)
+    }
     val t = table(name)
     // ON must equate the primary key across the two sides — the engine's
     // merge contract (key-matched upsert; arbitrary join conditions would

@@ -1534,6 +1534,40 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns (r14): " +
+      "pre-evolve rows read NULL; session tables reject loud") {
+    val wh = Files.createTempDirectory("graft_mev_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    cat.createTable("t", "k",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val g = new GraftSql(spark).register("t", cat, "t")
+    Seq((2L, "B", 7L), (3L, "c", 9L)).toDF("k", "v", "extra")
+      .createOrReplaceTempView("mev_spec_src")
+    g.sql("""MERGE WITH SCHEMA EVOLUTION INTO t USING mev_spec_src s
+            |ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = cat.getTable("t").snapshot.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got === Seq((1L, "a", -1L), (2L, "B", 7L), (3L, "c", 9L)))
+    // idempotent re-merge: the column already exists, nothing re-adds
+    g.sql("""MERGE WITH SCHEMA EVOLUTION INTO t USING mev_spec_src s
+            |ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(cat.getTable("t").snapshot.columns.count(_ == "extra") === 1)
+    // in-session tables have no catalog metadata to evolve — loud
+    val gs = fixture()
+    val ex = intercept[IllegalArgumentException] {
+      gs.sql("""MERGE WITH SCHEMA EVOLUTION INTO t USING mev_spec_src s
+               |ON t.k = s.k
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(ex.getMessage.contains("in-session"))
+  }
+
   test("QUALIFY filters on a select-list window alias (r14): top-1 per " +
       "group, trailing ORDER BY/LIMIT run after the filter") {
     val g = new GraftSql(spark)
