@@ -1002,4 +1002,18 @@ class PlanAuditSpec extends SparkSpec {
     val p = executedPlan(SparkEntry.queries("q_triangles")(spark, sfDir))
     assert(p.contains("ReusedExchange"), p)
   }
+
+  test("q_lateral decorrelates: hash join + WindowGroupLimit, filter " +
+      "pushed to the scan — never a per-row nested loop (r14)") {
+    val p = executedPlan(SparkEntry.queries("q_lateral")(spark, sfDir))
+    // the correlated ORDER BY .. LIMIT subquery must rewrite to the
+    // top-n-per-group shape: rank-limit pushdown before the full window
+    assert(p.contains("WindowGroupLimit"), p)
+    // joined, not looped — a BroadcastNestedLoopJoin/CartesianProduct
+    // here is the O(|customer|·|orders|) cliff at scale
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // the lateral body's price predicate reaches the orders scan
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(o_totalprice".r
+      .findFirstIn(p).isDefined, p)
+  }
 }
