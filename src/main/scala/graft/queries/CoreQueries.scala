@@ -2252,6 +2252,25 @@ object CoreQueries {
       g.table("graft_deljoin").snapshot.where(col("k") % 5 === 0)
     },
 
+    // COPY TO (r14, the export half of the ingest story): the table's
+    // post-DML SNAPSHOT lands as status-partitioned parquet — the
+    // lakehouse handoff layout for consumers outside the engine — and
+    // the §2 result is the READ-BACK of those files. A wrong export
+    // (missing partition dir, stale snapshot, partition-column type
+    // drift on read-back) hash-fails against the snapshot replay.
+    "cat_copy_to" -> { (s, d) =>
+      val out = graft.sources.TextSources.scratchDir(s, "graft_copyto_")
+      val g = new graft.sql.GraftSql(s)
+        .register("cpt_t", LineageTable.fromBase("k", baseOrders(s, d)))
+      g.sql("UPDATE cpt_t SET status = 'X' WHERE k % 11 = 0")
+      g.sql("DELETE FROM cpt_t WHERE k % 13 = 0")
+      g.sql(s"CALL copy_to('cpt_t', '$out/orders_export', " +
+        "'parquet', 'status')")
+      s.read.parquet(s"$out/orders_export")
+        .where(col("k") % 5 === 0)
+        .select(col("k"), col("custkey"), col("status"), col("totalprice"))
+    },
+
     // MERGE WITH SCHEMA EVOLUTION (r14, Spark 4's own MERGE syntax flag
     // wired to the engine's ADD COLUMN): the source carries a column the
     // target lacks — evolution adds it through the same metadata path
@@ -3534,6 +3553,19 @@ object CoreQueries {
          |        FROM snap t LEFT JOIN src s ON t.custkey = s.ck)
          |SELECT k, custkey, status, totalprice FROM upd
          |WHERE k % 5 = 0""".stripMargin,
+
+    // the export read-back replays as the post-DML snapshot
+    "cat_copy_to" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS custkey,
+        |         o_orderstatus AS status, o_totalprice AS totalprice
+        |  FROM orders),
+        |s1 AS (SELECT k, custkey,
+        |         CASE WHEN k % 11 = 0 THEN 'X' ELSE status END AS status,
+        |         totalprice
+        |       FROM base WHERE k % 13 <> 0)
+        |SELECT k, custkey, status, totalprice FROM s1
+        |WHERE k % 5 = 0""".stripMargin,
 
     // the evolved merge replayed as a LEFT JOIN: matched rows take the
     // source values (totalprice bumped, channel set), unmatched read

@@ -1526,7 +1526,7 @@ class GraftSql(val spark: SparkSession) {
 
   private val procedures = Set("optimize", "compact", "vacuum", "purge",
     "analyze", "refresh_mview", "create_mview", "create_join_mview",
-    "clone", "create_bloom", "copy_into",
+    "clone", "create_bloom", "copy_into", "copy_to",
     "create_index", "zorder", "history", "restore", "create_vector_index",
     "drop_vector_index", "create_ivfpq_index", "drop_ivfpq_index",
     "refresh_ivfpq_index")
@@ -1571,7 +1571,9 @@ class GraftSql(val spark: SparkSession) {
     "create_join_mview" ->
       Seq("view", "fact", "dim", "fk", "group_col", "sum_col"),
     "clone" -> Seq("src", "dst"),
-    "create_bloom" -> Seq("tbl", "col"), "create_index" -> Seq("tbl", "col"),
+    "copy_to" -> Seq("tbl", "path", "format", "partition_by"),
+    "create_bloom" -> Seq("tbl", "col"),
+    "create_index" -> Seq("tbl", "col"),
     "zorder" -> Seq("tbl", "cols"),
     "history" -> Seq("tbl"), "restore" -> Seq("tbl", "rel"),
     "create_vector_index" -> Seq("tbl", "col", "centroids", "iters"),
@@ -1676,6 +1678,25 @@ class GraftSql(val spark: SparkSession) {
         if (keepOpt.isDefined) cat.vacuum(t, int(1))
         else cat.vacuumOlderThan(t, wallClockMillis(str(2)))
         refreshView(str(0)); done
+      case "copy_to" =>
+        // CALL copy_to('t', '/export/dir', 'parquet', 'status') — the
+        // export half of the ingest story: the table's SNAPSHOT (not
+        // lineage — exports are for consumers outside the engine) lands
+        // as overwrite-mode files, optionally directory-partitioned by
+        // one column (the lakehouse handoff layout). Works for session
+        // AND durable tables — reads need no catalog metadata.
+        arityAtLeast(2)
+        val src = table(str(0)).snapshot
+        val fmt = if (argv.lift(2).flatten.isDefined) str(2) else "parquet"
+        val w0 = src.write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).format(fmt)
+        val w = if (argv.lift(3).flatten.isDefined) w0.partitionBy(str(3))
+                else w0
+        w.save(str(1))
+        import spark.implicits._
+        // one extra count pass, documented: the export is the expensive
+        // part and already ran; the row count is the receipt
+        Seq(src.count()).toDF("rows_exported")
       case "copy_into" =>
         // CALL copy_into('t', '/landing/dir', 'parquet') — idempotent
         // file-granularity bulk ingest (Catalog.copyInto): each file's
