@@ -1960,6 +1960,40 @@ object OlapQueries {
     // replay (SURVEY §4; a float EWMA recursion would drift with
     // partitioning). One key-partitioned window, lag-only frame —
     // state per row is 4 longs regardless of history length.
+    // CHANGE-POINT detection (r14) — CUSUM single mean-shift per
+    // event_type, the first step of binary segmentation: the point t
+    // maximizing |S_t| where S_t = Σ_{i≤t}(v_i − mean). Computed in
+    // EXACT integer arithmetic — cents-quantized values, mean cleared
+    // by scaling (n·cum_t − t·total, all BIGINT, no division, no IEEE
+    // anywhere) — so the argmax is order-free deterministic; ties break
+    // to the earliest position. Plan: one hash exchange on event_type
+    // feeding a sorted running sum + the whole-partition aggregates in
+    // the same Window pass, then a 1-row-per-group rank — two window
+    // passes over |events|, no self-join. Long headroom: |score| ≤
+    // n·|total| — fine through ~1e9 cents-rows per group; beyond that,
+    // segment first (binary segmentation does anyway).
+    "q_changepoint" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val g = Window.partitionBy(col("event_type"))
+      val pick = Window.partitionBy(col("event_type"))
+        .orderBy(col("score").desc, col("cp_pos").asc)
+      Tables(s, d, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          Exact.cents(col("value")).as("vc"))
+        .select(col("event_type"),
+          sum(col("vc")).over(wcum).as("cum"),
+          row_number().over(w).cast("long").as("cp_pos"),
+          count(lit(1)).over(g).as("n"),
+          sum(col("vc")).over(g).as("total"))
+        .withColumn("score",
+          abs(col("n") * col("cum") - col("cp_pos") * col("total")))
+        .withColumn("r", row_number().over(pick))
+        .where(col("r") === 1)
+        .select(col("event_type"), col("cp_pos"), col("score"))
+    },
+
     "q_ema" -> { (s, d) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
@@ -3595,6 +3629,29 @@ object OlapQueries {
 
     // binary-weight EWMA replayed with the same integer shifts (// is
     // truncate-toward-zero like Spark's div; all terms non-negative)
+    // the same exact-integer CUSUM: every quantity BIGINT, the argmax
+    // tie-broken to the earliest position — bit-identical by
+    // construction, no IEEE anywhere
+    "q_changepoint" ->
+      """WITH e AS (SELECT event_type, ts, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS vc
+        |           FROM events),
+        |s AS (SELECT event_type,
+        |        SUM(vc) OVER (PARTITION BY event_type
+        |          ORDER BY ts ASC, event_id ASC
+        |          ROWS UNBOUNDED PRECEDING) AS cum,
+        |        CAST(row_number() OVER (PARTITION BY event_type
+        |          ORDER BY ts ASC, event_id ASC) AS BIGINT) AS cp_pos,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |        SUM(vc) OVER (PARTITION BY event_type) AS total
+        |      FROM e)
+        |SELECT event_type, cp_pos, score FROM (
+        |  SELECT event_type, cp_pos,
+        |    CAST(abs(n * cum - cp_pos * total) AS BIGINT) AS score,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * cum - cp_pos * total) DESC, cp_pos ASC) AS r
+        |  FROM s) WHERE r = 1""".stripMargin,
+
     "q_ema" ->
       """WITH e AS (SELECT user_id, event_id,
         |             CAST(round(value * 100) AS BIGINT) AS vc,
