@@ -2303,9 +2303,13 @@ object CoreQueries {
     // re-scan of the whole landing dir loads ONLY the unseen drop, and a
     // third call is a pure no-op. The loaded-file manifest is itself a
     // lineage table committed with the data rows at ONE commitMulti
-    // point — both-or-neither under any crash, so a double-load (which
-    // would duplicate keys and break the row count) is structurally
-    // impossible, not just untested.
+    // point — both-or-neither under any crash. (Precision note: the
+    // lineage model makes a same-content re-load VALUE-idempotent
+    // anyway — latest-version-per-key collapses re-appended rows — so
+    // this oracle verifies the drops land exactly; the skip behavior
+    // itself is pinned by CopyIntoSpec's files_loaded receipts, and
+    // the manifest's real wins are unwasted re-reads and unpolluted
+    // version history.)
     "cat_copy_into" -> { (s, d) =>
       val wh = graft.sources.TextSources.scratchDir(s, "graft_copyinto_")
       val landing =
