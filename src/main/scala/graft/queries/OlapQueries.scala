@@ -1994,6 +1994,39 @@ object OlapQueries {
         .select(col("event_type"), col("cp_pos"), col("score"))
     },
 
+    // streaming twin (r14): the CUSUM's sufficient statistic (per-type
+    // n, Σvc — exact longs) STREAMS through a map-combined aggregate;
+    // the ordered cumulative pass then reads the facts once with the
+    // |types|-row stats broadcast back (zero fact shuffle beyond the
+    // one ordered exchange) — the aggregate→broadcast-back shape every
+    // stream analytic here uses. Same integer algebra, same oracle as
+    // q_changepoint: the streamed statistic must land bit-identical.
+    "stream_changepoint" -> { (s, d) =>
+      import graft.streaming.StreamOps
+      val statsPlan = StreamOps.fileSource(s, d, "events")
+        .select(col("event_type"), Exact.cents(col("value")).as("vc"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("total"))
+      val stats = StreamOps.drainComplete(s, statsPlan)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pick = Window.partitionBy(col("event_type"))
+        .orderBy(col("score").desc, col("cp_pos").asc)
+      Tables(s, d, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          Exact.cents(col("value")).as("vc"))
+        .select(col("event_type"),
+          sum(col("vc")).over(wcum).as("cum"),
+          row_number().over(w).cast("long").as("cp_pos"))
+        .join(broadcast(stats), "event_type")
+        .withColumn("score",
+          abs(col("n") * col("cum") - col("cp_pos") * col("total")))
+        .withColumn("r", row_number().over(pick))
+        .where(col("r") === 1)
+        .select(col("event_type"), col("cp_pos"), col("score"))
+    },
+
     "q_ema" -> { (s, d) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
@@ -3633,6 +3666,28 @@ object OlapQueries {
     // tie-broken to the earliest position — bit-identical by
     // construction, no IEEE anywhere
     "q_changepoint" ->
+      """WITH e AS (SELECT event_type, ts, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS vc
+        |           FROM events),
+        |s AS (SELECT event_type,
+        |        SUM(vc) OVER (PARTITION BY event_type
+        |          ORDER BY ts ASC, event_id ASC
+        |          ROWS UNBOUNDED PRECEDING) AS cum,
+        |        CAST(row_number() OVER (PARTITION BY event_type
+        |          ORDER BY ts ASC, event_id ASC) AS BIGINT) AS cp_pos,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |        SUM(vc) OVER (PARTITION BY event_type) AS total
+        |      FROM e)
+        |SELECT event_type, cp_pos, score FROM (
+        |  SELECT event_type, cp_pos,
+        |    CAST(abs(n * cum - cp_pos * total) AS BIGINT) AS score,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * cum - cp_pos * total) DESC, cp_pos ASC) AS r
+        |  FROM s) WHERE r = 1""".stripMargin,
+
+    // identical algebra — the streamed statistic must land
+    // bit-identical to the batch whole-partition aggregates
+    "stream_changepoint" ->
       """WITH e AS (SELECT event_type, ts, event_id,
         |             CAST(round(value * 100) AS BIGINT) AS vc
         |           FROM events),
