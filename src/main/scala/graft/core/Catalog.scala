@@ -2580,7 +2580,11 @@ final class Catalog(spark: SparkSession, warehouse: String,
                   * unfiltered (see [[graft.ops.KnnGraph.beamSearch]]'s
                   * admit doc) — under a selective filter, buy recall
                   * with a wider beam. */
-                filter: Option[org.apache.spark.sql.Column] = None): org.apache.spark.sql.DataFrame = {
+                filter: Option[org.apache.spark.sql.Column] = None,
+                /** RADIUS serving (r14): admit only dot ≥ θ; `k` stays
+                  * the output cap. See [[graft.ops.KnnGraph.beamSearch]]
+                  * minDot. */
+                minDot: Option[Double] = None): org.apache.spark.sql.DataFrame = {
     val idx = knnIndex(name)
     require(idx.isDefined, s"knnSearch($name): no kNN index — " +
       "createKnnIndex first")
@@ -2620,7 +2624,8 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val admit = filter.map(f => getTable(name).snapshot.where(f)
       .select(col(meta.key).as("vec_id")))
     graft.ops.KnnGraph.beamSearch(live, adj, queries, k, beam, hops,
-      entries, perQuerySeeds = perQuerySeeds, admit = admit)
+      entries, perQuerySeeds = perQuerySeeds, admit = admit,
+      minDot = minDot)
   }
 
   /**

@@ -254,7 +254,15 @@ object KnnGraph {
                    * under selective predicates and collapse recall).
                    * Recall under a selective filter is bought with a
                    * wider beam, the same ef knob as always. */
-                 admit: Option[DataFrame] = None): DataFrame = {
+                 admit: Option[DataFrame] = None,
+                 /** RADIUS admission (r14): only scored candidates with
+                   * dot ≥ θ enter the answer (ranked 1..n after the
+                   * cut; `k` stays as the output safety cap). Same
+                   * approximation contract as the beam itself — the
+                   * answer is exact-scored over what the beam explored;
+                   * widen beam/hops to push the explored frontier past
+                   * the radius. */
+                 minDot: Option[Double] = None): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 0 && entries >= 1,
       s"beamSearch: k=$k, beam=$beam, hops=$hops, entries=$entries " +
         "must all be positive")
@@ -296,7 +304,10 @@ object KnnGraph {
       .map(a => all.join(a.select(col("vec_id")).distinct(),
         Seq("vec_id"), "left_semi"))
       .getOrElse(all)
-    admitted.withColumn("rnk", row_number().over(byQ).cast("bigint"))
+    val thresholded = minDot
+      .map(t => admitted.where(col("dot") >= t))
+      .getOrElse(admitted)
+    thresholded.withColumn("rnk", row_number().over(byQ).cast("bigint"))
       .where(col("rnk") <= k)
       .select(col("qid"), col("vec_id"), col("dot"), col("rnk"))
   }

@@ -171,10 +171,13 @@ object PipelineQueries {
     * ([[knnGraphCtes]], MATERIALIZED so DuckDB replays the build once),
     * per-query centroid seeds, then the beam search unrolled hop by hop
     * at width `beam`. `admitJoin` is an extra JOIN clause on the final
-    * ranking's FROM — the r14 admission filter; traversal CTEs are
-    * IDENTICAL filtered or not (the engine's filtered-HNSW rule,
-    * replayed). */
-  private def knnServeOracle(beam: Int, admitJoin: String): String = {
+    * ranking's FROM — the r14 admission filter; `scoreWhere` an extra
+    * WHERE on the scored rows BEFORE ranking (the r14 radius θ); `k`
+    * the final rank cut. Traversal CTEs are IDENTICAL in every variant
+    * (the engine's filtered-HNSW rule, replayed). */
+  private def knnServeOracle(beam: Int, admitJoin: String,
+                             scoreWhere: String = "",
+                             k: Int = 5): String = {
     def hop(h: Int, frontier: String, visited: String): String =
       s"""hc$h AS (SELECT DISTINCT f.qid, a.c AS vec_id
          |        FROM $frontier f JOIN adj a ON a.p = f.vec_id
@@ -258,7 +261,7 @@ object PipelineQueries {
        |    CAST(row_number() OVER (
        |      PARTITION BY allsc.qid
        |      ORDER BY allsc.dot DESC, allsc.vec_id ASC) AS BIGINT) AS rnk
-       |  FROM allsc$admitJoin) WHERE rnk <= 5""".stripMargin
+       |  FROM allsc$admitJoin$scoreWhere) WHERE rnk <= $k""".stripMargin
   }
 
   /** Warehouse for ann_ivfpq_refresh: the IVF-PQ index is built over a
@@ -785,6 +788,19 @@ object PipelineQueries {
       cat.knnSearch("emb_kg", annQueries(s, d).drop("qlabel"),
         k = 5, beam = 8, hops = 3, entries = 4,
         filter = Some(col("label") === 1))
+    },
+
+    // graph-served RADIUS (r14, ann_radius' companion on the beam
+    // path): everything the beam explored with dot ≥ θ, ranked — the
+    // answer is exact-scored over the explored frontier; widen
+    // beam/hops to push the frontier past the radius. k stays as an
+    // output safety cap (100 ≫ any θ=0.3 neighborhood here).
+    "ann_knn_radius" -> { (s, d) =>
+      val wh = knnIdxWarehouse(s, d)
+      val cat = new graft.core.Catalog(s, wh)
+      cat.knnSearch("emb_kg", annQueries(s, d).drop("qlabel"),
+        k = 100, beam = 8, hops = 3, entries = 4,
+        minDot = Some(0.3))
     },
 
     "text_stats" -> { (s, d) =>
@@ -3074,6 +3090,11 @@ object PipelineQueries {
     // setting), and the final ranking admits only label-1 rows
     "ann_knn_filtered" -> knnServeOracle(beam = 8, admitJoin =
       " JOIN embeddings lb ON lb.vec_id = allsc.vec_id AND lb.label = 1"),
+
+    // the θ admission before ranking, rank cut at the safety cap —
+    // traversal CTEs identical to the other serve replays
+    "ann_knn_radius" -> knnServeOracle(beam = 8, admitJoin = "",
+      scoreWhere = " WHERE allsc.dot >= 0.3", k = 100),
 
 
     // prefix-dot shortlist (first 16 dims), exact full-dim re-rank —
