@@ -1003,6 +1003,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p)
   }
 
+  test("ann_radius: routed queries broadcast onto the bucketed corpus " +
+      "— no corpus-wide shuffle join (r14)") {
+    val p = executedPlan(SparkEntry.queries("ann_radius")(spark, sfDir))
+    // the |queries|·nProbe routed side must be the broadcast build side;
+    // a sort-merge or nested-loop here means the corpus (embedding
+    // payloads included) shuffles per batch — the at-scale cliff
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("NestedLoop"), p)
+  }
+
   test("q_lateral decorrelates: hash join + WindowGroupLimit, filter " +
       "pushed to the scan — never a per-row nested loop (r14)") {
     val p = executedPlan(SparkEntry.queries("q_lateral")(spark, sfDir))
