@@ -2329,6 +2329,27 @@ object CoreQueries {
         .select(col("k"), col("custkey"), col("status"), col("totalprice"))
     },
 
+    // ASOF JOIN (r14, GraftSql.runAsofJoin — the DuckDB/kdb syntax in
+    // the front door): each event joined to the SAME USER's latest
+    // strictly-earlier event. The desugar rewrites to a correlated
+    // LATERAL ORDER BY..LIMIT 1, which Catalyst decorrelates to the
+    // join + WindowGroupLimit plan (the q_lateral shape) — one shuffle,
+    // never a per-row loop. INNER semantics: a user's first event has
+    // no prior and drops, exactly DuckDB's default. The oracle is the
+    // SAME statement — DuckDB speaks ASOF JOIN natively. (ts stays out
+    // of the projection: the engine reads it as canonical nanos, the
+    // oracle as TIMESTAMP — same ORDER, different print.)
+    "sql_asof_join" -> { (s, d) =>
+      val g = new graft.sql.GraftSql(s)
+      Tables(s, d, "events")
+        .createOrReplaceTempView("graft_asofj_events")
+      g.sql("""SELECT a.event_id, b.event_id AS prior_id,
+              |       b.value AS prior_value
+              |FROM graft_asofj_events a ASOF JOIN graft_asofj_events b
+              |  ON a.user_id = b.user_id AND a.ts > b.ts
+              |WHERE a.event_id % 37 = 0""".stripMargin)
+    },
+
     // WITH RECURSIVE (r14): Spark 4's native recursive CTE (SPARK-24497)
     // through the front door — 2-hop BFS with path multiplicity over a
     // co-purchase edge list derived from lineitem. The working-table
@@ -3601,6 +3622,15 @@ object CoreQueries {
         |  FROM orders)
         |SELECT k, custkey, status, totalprice FROM base
         |WHERE (k % 7 = 0 OR k % 2 = 0 OR k % 4 = 1) AND k % 5 = 0""".stripMargin,
+
+    // DuckDB's native ASOF JOIN replays the statement — the desugar's
+    // latest-strictly-earlier pick must agree row-for-row
+    "sql_asof_join" ->
+      """SELECT a.event_id, b.event_id AS prior_id,
+        |       b.value AS prior_value
+        |FROM events a ASOF JOIN events b
+        |  ON a.user_id = b.user_id AND a.ts > b.ts
+        |WHERE a.event_id % 37 = 0""".stripMargin,
 
     // DuckDB's standard recursion replays the statement verbatim —
     // identical working-table semantics is the claim under test

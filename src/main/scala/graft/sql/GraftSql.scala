@@ -252,6 +252,10 @@ class GraftSql(val spark: SparkSession) {
       case Some(df) => return df
       case None => ()
     }
+    runAsofJoin(statement) match {
+      case Some(df) => return df
+      case None => ()
+    }
     // UPDATE ... FROM is not in Spark's grammar: when the parser rejects
     // an UPDATE statement, try the join-update desugar before giving up
     val plan =
@@ -458,6 +462,71 @@ class GraftSql(val spark: SparkSession) {
     Some(spark
       .sql(s"SELECT * FROM __graft_qualify_src WHERE __qualify $suffix")
       .drop("__qualify"))
+  }
+
+  /**
+   * `FROM a ASOF JOIN b ON a.k = b.k AND a.ts > b.ts` — the
+   * DuckDB/kdb as-of join in the front door (Spark's grammar has no
+   * ASOF). Desugared onto a correlated LATERAL `ORDER BY .. LIMIT 1`
+   * subquery — Catalyst DECORRELATES that to the join + per-key rank
+   * plan (the q_lateral shape), so the executed plan is one shuffle
+   * join + WindowGroupLimit, never a per-row loop. Semantics matched
+   * to DuckDB's default: INNER (a left row with no match drops), the
+   * picked row is the extreme of the b-side inequality expression —
+   * latest-at-or-before for a backward join (`a.ts >= b.ts`), earliest
+   * -at-or-after for forward (`a.ts <= b.ts`); strict variants the
+   * same. Supported form: plain table/view names with aliases, ON a
+   * conjunction of equalities plus EXACTLY one inequality (both
+   * dialects' contract); anything else rejects loud. Ties on the
+   * b-side expression are unspecified in DuckDB too — fixtures must be
+   * tie-free.
+   */
+  private def runAsofJoin(statement: String): Option[DataFrame] = {
+    val s0 = statement.stripSuffix(";")
+    if (!"""(?is)^\s*(SELECT|WITH)\b""".r.pattern.matcher(s0).find())
+      return None
+    if (topLevelKeyword(s0, "ASOF") < 0) return None
+    val head = """(?is)\bFROM\s+(\w+)\s+(?:AS\s+)?(\w+)\s+ASOF\s+JOIN\s+(\w+)\s+(?:AS\s+)?(\w+)\s+ON\s""".r
+    val m = head.findFirstMatchIn(s0).getOrElse(
+      throw new IllegalArgumentException("graft SQL ASOF JOIN: supported " +
+        "form is FROM <table> <alias> ASOF JOIN <table> <alias> ON " +
+        "<equalities AND one inequality>"))
+    val (t2, a2) = (m.group(3), m.group(4))
+    val rest = s0.substring(m.end)
+    val onEnd = Seq("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+        "QUALIFY", "UNION")
+      .map(k => topLevelKeyword(rest, k)).filter(_ >= 0)
+      .minOption.getOrElse(rest.length)
+    val cond = rest.substring(0, onEnd).trim
+    val afterOn = rest.substring(onEnd)
+    def conjuncts(s: String): Seq[String] = {
+      val i = topLevelKeyword(s, "AND")
+      if (i < 0) Seq(s.trim)
+      else s.substring(0, i).trim +: conjuncts(s.substring(i + 3))
+    }
+    val cs = conjuncts(cond)
+    val ineqRe = """(?s)^(.*?)(>=|<=|>|<)(.*)$""".r
+    val (ineqs, _) = cs.partition(c => ineqRe.findFirstMatchIn(c).isDefined)
+    require(ineqs.size == 1, "graft SQL ASOF JOIN: the ON condition " +
+      s"needs exactly ONE inequality (got ${ineqs.size}) — equalities " +
+      "pick the key, the inequality picks the as-of direction")
+    val im = ineqRe.findFirstMatchIn(ineqs.head).get
+    val (lhs, op, rhs) = (im.group(1).trim, im.group(2), im.group(3).trim)
+    def bRef(s: String) =
+      s"""(?i)\\b${java.util.regex.Pattern.quote(a2)}\\.""".r
+        .findFirstIn(s).isDefined
+    val (bExpr, backward) =
+      if (bRef(rhs) && !bRef(lhs)) (rhs, op == ">" || op == ">=")
+      else if (bRef(lhs) && !bRef(rhs)) (lhs, op == "<" || op == "<=")
+      else throw new IllegalArgumentException("graft SQL ASOF JOIN: the " +
+        "inequality must compare a left-side expression to a " +
+        s"'$a2'-side expression")
+    val dir = if (backward) "DESC" else "ASC"
+    val rewritten = s0.substring(0, m.start) +
+      s"FROM `${m.group(1)}` `${m.group(2)}`, LATERAL (" +
+      s"SELECT * FROM `$t2` `$a2` WHERE ${cs.mkString(" AND ")} " +
+      s"ORDER BY $bExpr $dir LIMIT 1) `$a2` " + afterOn
+    Some(spark.sql(rewritten))
   }
 
   /** Split on a top-level separator: parenthesis depth 0, outside

@@ -1568,6 +1568,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(ex.getMessage.contains("in-session"))
   }
 
+  test("ASOF JOIN desugars to latest-at-or-before / earliest-at-or-after " +
+      "(r14); INNER semantics; two inequalities reject loud") {
+    val g = new GraftSql(spark)
+    Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 15L, 150.0))
+      .toDF("k", "t", "v").createOrReplaceTempView("asof_r")
+    Seq((1L, 18L), (1L, 5L), (2L, 99L)).toDF("k", "t")
+      .createOrReplaceTempView("asof_l")
+    val back = g.sql("""SELECT l.k, l.t, r.t AS rt, r.v
+                       |FROM asof_l l ASOF JOIN asof_r r
+                       |  ON l.k = r.k AND l.t >= r.t""".stripMargin)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toSet
+    // (1,5) has nothing at-or-before — INNER semantics drop it
+    assert(back === Set((1L, 18L, 10L, 100.0), (2L, 99L, 15L, 150.0)))
+    val fwd = g.sql("""SELECT l.k, l.t, r.t AS rt
+                      |FROM asof_l l ASOF JOIN asof_r r
+                      |  ON l.k = r.k AND l.t <= r.t""".stripMargin)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(fwd === Set((1L, 18L, 20L), (1L, 5L, 10L)))
+    val ex = intercept[IllegalArgumentException] {
+      g.sql("SELECT * FROM asof_l l ASOF JOIN asof_r r " +
+        "ON l.k = r.k AND l.t >= r.t AND l.t < r.t")
+    }
+    assert(ex.getMessage.contains("ONE inequality"))
+  }
+
   test("QUALIFY filters on a select-list window alias (r14): top-1 per " +
       "group, trailing ORDER BY/LIMIT run after the filter") {
     val g = new GraftSql(spark)
