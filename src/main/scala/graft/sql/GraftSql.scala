@@ -485,7 +485,20 @@ class GraftSql(val spark: SparkSession) {
     val s0 = statement.stripSuffix(";")
     if (!"""(?is)^\s*(SELECT|WITH)\b""".r.pattern.matcher(s0).find())
       return None
-    if (topLevelKeyword(s0, "ASOF") < 0) return None
+    // probe for the two-word ASOF JOIN sequence, not the bare word —
+    // `'v0' AS asof` is a legal column alias (the r14 full sweep caught
+    // exactly that collision in sql_asof's time-travel statement)
+    var iA = topLevelKeyword(s0, "ASOF")
+    var isJoin = false
+    while (iA >= 0 && !isJoin) {
+      if ("""(?is)^\s+JOIN\b""".r.pattern
+          .matcher(s0.substring(iA + "ASOF".length)).find()) isJoin = true
+      else {
+        val nxt = topLevelKeyword(s0.substring(iA + "ASOF".length), "ASOF")
+        iA = if (nxt < 0) -1 else iA + "ASOF".length + nxt
+      }
+    }
+    if (!isJoin) return None
     val head = """(?is)\bFROM\s+(\w+)\s+(?:AS\s+)?(\w+)\s+ASOF\s+JOIN\s+(\w+)\s+(?:AS\s+)?(\w+)\s+ON\s""".r
     val m = head.findFirstMatchIn(s0).getOrElse(
       throw new IllegalArgumentException("graft SQL ASOF JOIN: supported " +

@@ -1592,6 +1592,12 @@ class GraftSqlSpec extends SparkSpec {
         "ON l.k = r.k AND l.t >= r.t AND l.t < r.t")
     }
     assert(ex.getMessage.contains("ONE inequality"))
+    // a column alias literally named `asof` must pass through untouched
+    // — the r14 full sweep caught the probe swallowing sql_asof's
+    // time-travel statement over exactly this
+    val alias = g.sql("SELECT 'x' AS asof, k FROM asof_l WHERE k = 2")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(alias === Seq(("x", 2L)))
   }
 
   test("QUALIFY filters on a select-list window alias (r14): top-1 per " +
