@@ -85,6 +85,19 @@ final class LineageTable private (
     // relative version IS the lineage. The _del filter is kept (pushed to
     // the scan, free) as a guard; compacted bases hold live rows only.
     if (compactedOnly) return rows.where(col(DEL) === 0)
+    // Latest-version fast path (r14): at relativeVersion 0 the clamp
+    // `least(1, _cnt)` is identically 1 (every key partition has ≥ 1 row),
+    // so the per-key count window is dead code — and dropping it leaves a
+    // LONE rank-like window under a `_rn = 1` filter, the exact shape
+    // Spark's InferWindowGroupLimit rewrites into a map-side partial
+    // top-1-per-key (WindowGroupLimit) BELOW the exchange: the snapshot
+    // shuffle then carries ~one row per key per map partition instead of
+    // every version, and the count's whole-partition frame is gone.
+    if (relativeVersion == 0)
+      return rankedNewestFirst(rows)
+        .where(col("_rn") === 1)
+        .where(col(DEL) === 0)
+        .drop("_rn")
     // Version addressing is relative to latest, clamped at base — the
     // reference's select_version falls back to the oldest record when the
     // lineage is shorter than |relative_version| (lstore/query.py:118).
@@ -95,16 +108,20 @@ final class LineageTable private (
   }
 
   /** The ONE version-ranking definition every relative read shares
-    * ([[asOfMetaOver]], [[restore]], [[diffRelative]]): `_rn` = 1-newest
-    * rank by `_ver` desc, `_cnt` = versions per key — both over the same
-    * key partitioning, one shuffle. A future tie-break change lands here
+    * ([[asOfMetaOver]] — both arms, [[restore]], [[diffRelative]]): `_rn`
+    * = 1-newest rank by `_ver` desc. A future tie-break change lands here
     * once or the reads silently diverge. */
-  private def rankedWithCount(rows: DataFrame): DataFrame = {
-    val byKey = Window.partitionBy(col(keyCol))
-    rows
-      .withColumn("_rn", row_number().over(byKey.orderBy(col(VER).desc)))
-      .withColumn("_cnt", count(lit(1)).over(byKey))
-  }
+  private def rankedNewestFirst(rows: DataFrame): DataFrame =
+    rows.withColumn("_rn", row_number().over(
+      Window.partitionBy(col(keyCol)).orderBy(col(VER).desc)))
+
+  /** [[rankedNewestFirst]] plus `_cnt` = versions per key (same key
+    * partitioning — one shuffle) for the deep-version clamp. Only the
+    * relative-version arms that actually clamp pay the count's
+    * whole-partition frame. */
+  private def rankedWithCount(rows: DataFrame): DataFrame =
+    rankedNewestFirst(rows)
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(col(keyCol))))
 
   /** The base-clamped rank a relative version addresses (per record). */
   private def clampedRank(relativeVersion: Int): Column =

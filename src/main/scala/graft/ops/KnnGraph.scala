@@ -284,7 +284,16 @@ object KnnGraph {
     val seedPairs = perQuerySeeds
       .map(_.select(col("qid"), col("vec_id")).distinct())
       .getOrElse(q.select(col("qid")).distinct().crossJoin(seeds))
-    val s0 = scoreIds(seedPairs)
+    // Each hop's scored batch has THREE consumers (visited, all, next
+    // frontier), and each hop's plan nests the previous hop's — left
+    // lazy, the logical plan duplicates every earlier hop's join work
+    // multiplicatively with depth (ReusedExchange recovers only the
+    // exchange-shaped parts at runtime). localCheckpoint per hop — the
+    // Components/nnDescent fixpoint idiom — executes each hop exactly
+    // once and keeps the serving plan flat; values are untouched, the
+    // hop-unrolled SQL oracle still hash-matches (r14, measured:
+    // ann_knn_search steady 5.3s → see OPTIMIZATION_r14.md).
+    val s0 = scoreIds(seedPairs).localCheckpoint()
     var visited = s0.select(col("qid"), col("vec_id"))
     var frontier = s0.withColumn("_r", row_number().over(byQ))
       .where(col("_r") <= beam).drop("_r")
@@ -294,7 +303,7 @@ object KnnGraph {
         .join(adj, frontier("vec_id") === adj("p"))
         .select(col("qid"), col("c").as("vec_id")).distinct()
         .join(visited, Seq("qid", "vec_id"), "left_anti")
-      val scored = scoreIds(cand)
+      val scored = scoreIds(cand).localCheckpoint()
       visited = visited.unionByName(scored.select(col("qid"), col("vec_id")))
       all = all.unionByName(scored)
       frontier = scored.withColumn("_r", row_number().over(byQ))

@@ -535,10 +535,46 @@ class GraftSql(val spark: SparkSession) {
         "inequality must compare a left-side expression to a " +
         s"'$a2'-side expression")
     val dir = if (backward) "DESC" else "ASC"
+    // Desugar to the engine's own asof shape (q_asof_join /
+    // OlapQueries.rankValue): a DISTINCT domain over the LEFT columns
+    // the ON references, EQUI-joined to the right side (the equalities
+    // become hash-join keys; the one inequality rides as the join
+    // filter), one row_number()=1 pick per domain tuple, then an equi
+    // JOIN-BACK to the left table. The r14.0 correlated-LATERAL
+    // spelling handed Catalyst's decorrelation only the INEQUALITY for
+    // its domain join — a BroadcastNestedLoopJoin of |distinct ts| ×
+    // |right| (~5·10⁹ rows at sf0.1, 28 GB of sort spill, unfinishable;
+    // plans/r14/sql_asof_join_before.txt) — while this spelling keeps
+    // every equality in an Exchange-keyed join, so the pair explosion
+    // is bounded per key group, the shape that scales. The pick rule
+    // (ORDER BY <right expr> DESC/ASC, first row) is unchanged.
+    val a1 = m.group(2)
+    // left columns the ON condition references, in first-use order
+    val leftRefRe = s"""(?i)\\b${java.util.regex.Pattern.quote(a1)}\\.(\\w+)""".r
+    val leftCols = leftRefRe.findAllMatchIn(cond).map(_.group(1))
+      .toSeq.distinct
+    require(leftCols.nonEmpty, "graft SQL ASOF JOIN: the ON condition " +
+      s"references no '$a1'-side columns")
+    val domCols = leftCols.zipWithIndex
+      .map { case (c, i) => s"`$a1`.`$c` AS __asof_k$i" }.mkString(", ")
+    // rewrite a.<col> -> __dl.__asof_k<i> inside the ON condition
+    val condDl = leftCols.zipWithIndex.foldLeft(cond) { case (s, (c, i)) =>
+      s.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(a1)}\\.$c\\b",
+        s"__dl.__asof_k$i")
+    }
+    val joinBack = leftCols.zipWithIndex
+      .map { case (c, i) => s"`$a1`.`$c` = `$a2`.__asof_k$i" }
+      .mkString(" AND ")
+    val partBy = leftCols.indices.map(i => s"__dl.__asof_k$i").mkString(", ")
     val rewritten = s0.substring(0, m.start) +
-      s"FROM `${m.group(1)}` `${m.group(2)}`, LATERAL (" +
-      s"SELECT * FROM `$t2` `$a2` WHERE ${cs.mkString(" AND ")} " +
-      s"ORDER BY $bExpr $dir LIMIT 1) `$a2` " + afterOn
+      s"FROM `${m.group(1)}` `$a1` JOIN (" +
+      s"SELECT * FROM (" +
+      s"SELECT __dl.*, `$a2`.*, row_number() OVER (" +
+      s"PARTITION BY $partBy ORDER BY $bExpr $dir) AS __asof_rn " +
+      s"FROM (SELECT DISTINCT $domCols FROM `${m.group(1)}` `$a1`) __dl " +
+      s"JOIN `$t2` `$a2` ON $condDl" +
+      s") WHERE __asof_rn = 1" +
+      s") `$a2` ON $joinBack " + afterOn
     Some(spark.sql(rewritten))
   }
 
