@@ -87,17 +87,23 @@ final class LineageTable private (
     if (compactedOnly) return rows.where(col(DEL) === 0)
     // Latest-version fast path (r14): at relativeVersion 0 the clamp
     // `least(1, _cnt)` is identically 1 (every key partition has ≥ 1 row),
-    // so the per-key count window is dead code — and dropping it leaves a
-    // LONE rank-like window under a `_rn = 1` filter, the exact shape
-    // Spark's InferWindowGroupLimit rewrites into a map-side partial
-    // top-1-per-key (WindowGroupLimit) BELOW the exchange: the snapshot
-    // shuffle then carries ~one row per key per map partition instead of
-    // every version, and the count's whole-partition frame is gone.
+    // so the rank+count pair — TWO WindowExec passes (the specs differ:
+    // rank orders by _ver, count is unordered) — reduces to max(_ver) per
+    // key: (key, _ver) is unique per key (each op stamps a key at most
+    // once), so `_ver = max(_ver) over key` IS rank 1. ONE unordered-frame
+    // window pass, sorted by the key alone (no _ver comparator), no count.
+    // NOT spelled as a row_number()=1 filter: that lone-rank shape makes
+    // InferWindowGroupLimit insert a map-side partial top-1 whose full
+    // local sort MEASURED ×2.5–4.6 SLOWER at 100× (ls_delete 3.7→16.9s,
+    // snap100 A/B in OPTIMIZATION_r14.md) — shuffle bytes were never the
+    // local bottleneck, the extra sort is pure cost at version depth ~2.
     if (relativeVersion == 0)
-      return rankedNewestFirst(rows)
-        .where(col("_rn") === 1)
+      return rows
+        .withColumn("_mx",
+          max(col(VER)).over(Window.partitionBy(col(keyCol))))
+        .where(col(VER) === col("_mx"))
         .where(col(DEL) === 0)
-        .drop("_rn")
+        .drop("_mx")
     // Version addressing is relative to latest, clamped at base — the
     // reference's select_version falls back to the oldest record when the
     // lineage is shorter than |relative_version| (lstore/query.py:118).
