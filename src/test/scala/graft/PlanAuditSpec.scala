@@ -1027,4 +1027,44 @@ class PlanAuditSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*GreaterThan\\(o_totalprice".r
       .findFirstIn(p).isDefined, p)
   }
+
+  test("sql_asof_join desugars to equi joins — never a nested-loop " +
+      "domain join (r14 optimization round)") {
+    // the r14.0 correlated-LATERAL desugar decorrelated into a
+    // BroadcastNestedLoopJoin over |distinct ts| × |events| (~5·10⁹ rows
+    // at sf0.1, 28 GB of sort spill, unfinishable) because only the
+    // inequality reached the domain join. The rewritten desugar keys
+    // every join on the ON equalities; this pin is the regression guard.
+    val p = executedPlan(SparkEntry.queries("sql_asof_join")(spark, sfDir))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // the equalities must be real join keys (hash or sort-merge), and the
+    // backward pick stays a rank-1 cut (WindowGroupLimit pushdown)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("snapshot latest read is ONE window pass — no count pass, no " +
+      "rank-rewrite map sort (r14 optimization round)") {
+    val wh = Files.createTempDirectory("graft_audit_snap1_").toString
+    val cat = new Catalog(spark, wh, autoCompact = false)
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    cat.createTable("t", "k", rows)
+    cat.commit("t", graft.core.Txn.empty
+      .update(col("k") % 2 === 0, Map("price" -> (col("price") + 1.0))))
+    val p = executedPlan(cat.getTable("t").snapshot)
+    // exactly one WindowExec: the max(_ver)-per-key pick. Two would mean
+    // the dead count pass is back; a WindowGroupLimit would mean the
+    // rank-filter spelling crept back in and re-enabled the
+    // InferWindowGroupLimit map-side sort measured ×2.5–4.6 slower at
+    // 100× (OPTIMIZATION_r14.md §2).
+    val windows = "(?m)^\\s*[+:]?-* ?Window ".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly 1 Window pass:\n$p")
+    assert(!p.contains("WindowGroupLimit"), p)
+    // deep relative reads keep the counted clamp — and stay correct
+    val prev = cat.getTable("t").asOfRelative(-1)
+    assert(prev.where(col("k") === 2L).select(col("price")).collect()
+      .head.getDouble(0) === rows.where(col("k") === 2L)
+      .select(col("price")).collect().head.getDouble(0))
+  }
 }
