@@ -56,9 +56,30 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
     }
+    // I/O-STALL SENTINEL (r15): this host's I/O path degrades
+    // intermittently (same-code rows swing ±30%, fsync-bound rows up to
+    // ×4–10 between same-day runs), which has repeatedly made single-row
+    // regressions unadjudicable. Before each query, time one small
+    // write+fsync; a query row measured during an I/O episode then
+    // carries a visibly inflated sentinel next to it in the detail JSON,
+    // so a reader can annotate affected rows mechanically. Additions-only:
+    // the stdout contract line is untouched.
+    val sentinelDir = java.nio.file.Files.createTempDirectory("graft_bench_io_")
+    def ioSentinelMs(): Double = {
+      val f = sentinelDir.resolve("probe.bin")
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try { ch.write(java.nio.ByteBuffer.wrap(new Array[Byte](4096))); ch.force(true) }
+      finally ch.close()
+      (System.nanoTime() - t0) / 1e6
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val sentinel = ioSentinelMs()
       val (cold, steady) =
         try { val c = once(fn); (c, once(fn)) }
         catch { case e: Throwable =>
@@ -75,7 +96,7 @@ object Bench {
       // 3s query to 29s later in the run. (Fixture caches are strongly
       // referenced and survive; only garbage is collected.)
       System.gc()
-      name -> ((cold, steady))
+      name -> ((cold, steady, sentinel))
     }
     // Locale.ROOT: under a comma-decimal default locale (de_DE etc.)
     // f"%.3f" would emit "1,234" and the JSON line would not parse.
@@ -85,12 +106,13 @@ object Bench {
     // per query, ~3.3 KB) overflowed it and BENCH_r02 recorded parsed:null.
     // Keep the driver line compact (steady-only, 3 decimals, ~2 KB) and put
     // the full cold/steady detail in BENCH_DETAIL.json instead.
-    val qs = results.map { case (k, (_, s)) => s""""$k":${r3(s)}""" }
+    val qs = results.map { case (k, (_, s, _)) => s""""$k":${r3(s)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._2).sum
     val coldTotal = results.map(_._2._1).sum
-    val detail = results.map { case (k, (c, s)) =>
-      s""""$k":{"cold":${r3(c)},"steady":${r3(s)}}""" }.mkString("{", ",", "}")
+    val detail = results.map { case (k, (c, s, io)) =>
+      s""""$k":{"cold":${r3(c)},"steady":${r3(s)},"io_sentinel_ms":${r3(io)}}""" }
+      .mkString("{", ",", "}")
     // Resolve the detail path explicitly: a bare relative path lands in
     // whatever cwd Bench was launched from and silently overwrites.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",

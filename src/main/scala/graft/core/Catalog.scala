@@ -568,7 +568,7 @@ final class Catalog(spark: SparkSession, warehouse: String,
               baseW.schema.fields ++ extra)).parquet(tailDir.toString)
           } else if (evolved)
             spark.read.option("mergeSchema", "true").parquet(tailDir.toString)
-          else spark.read.parquet(tailDir.toString)
+          else scanGraftDir(tailDir)
         val tail = tailFilter.fold(tail0)(tail0.where)
         baseW.unionByName(tail,
           allowMissingColumns = evolved || meta.widenCols.nonEmpty)
@@ -593,10 +593,25 @@ final class Catalog(spark: SparkSession, warehouse: String,
     // one live version: snapshot ≡ base scan (no window/shuffle) — the
     // property that makes an indexed layout answer secondary probes by
     // pruning alone.
+    // PROVABLY-EMPTY detection for the partition guard (declared-schema
+    // CREATE, nothing committed yet): base is the flat schema-bearing
+    // empty file [[writeBaseData]] wrote — all-zero footers, no `_pd=`
+    // subdirs. One driver-side footer read, gated to never-committed
+    // partitioned tables only, lets the FIRST bulk INSERT skip the
+    // guard's distinct + join (vacuous over no rows).
+    val knownEmpty = meta.partCols.nonEmpty && !hasTail &&
+      meta.opSeq == 0 && {
+        val b = new Path(tailDir.getParent, "base")
+        isDir(b) && fs.listStatus(b).forall(s =>
+          s.isFile && (!s.getPath.getName.endsWith(".parquet") ||
+            graft.sources.ParquetMeta
+              .footerRowCount(hconf, s.getPath.toString) == 0L))
+      }
     LineageTable.fromPersisted(meta.key, meta.columns, lineage, meta.opSeq,
       tailEmpty = !hasTail && !meta.multiVer,
       partGuard = meta.partCols.indices
-        .map(i => (meta.partCols(i), dirValueExpr(meta, i))))
+        .map(i => (meta.partCols(i), dirValueExpr(meta, i))),
+      knownEmpty = knownEmpty)
   }
 
   /**
@@ -653,9 +668,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
     require(!hasManifest(name),
       s"partitionSnapshot: '$name' is a shallow clone — fold it first")
     val dirOf = meta.partCols.zip(pdColNames(meta)).toMap
-    val r0 = if (isEvolved(meta))
-      spark.read.option("mergeSchema", "true") else spark.read
-    val raw = r0.parquet(baseDir(name).toString)
+    val raw = if (isEvolved(meta))
+      spark.read.option("mergeSchema", "true").parquet(baseDir(name).toString)
+    else scanGraftDir(baseDir(name), pdColNames(meta))
     // a `_pd*` column is absent only for a base written before the table
     // was partitioned — impossible today (partitioning is create-only),
     // but fall back to the pushed data filter rather than miscount
@@ -699,9 +714,9 @@ final class Catalog(spark: SparkSession, warehouse: String,
     val c = meta.partCols(i)
     val dc = pdColNames(meta)(i)
     val (dLo, dHi) = (loNanos / dayNanos, hiNanos / dayNanos)
-    val r0 = if (isEvolved(meta))
-      spark.read.option("mergeSchema", "true") else spark.read
-    val raw = r0.parquet(baseDir(name).toString)
+    val raw = if (isEvolved(meta))
+      spark.read.option("mergeSchema", "true").parquet(baseDir(name).toString)
+    else scanGraftDir(baseDir(name), pdColNames(meta))
     val exact = col(c) >= lit(loNanos) && col(c) < lit(hiNanos)
     val prunedBase =
       (if (raw.columns.contains(dc))
@@ -798,6 +813,57 @@ final class Catalog(spark: SparkSession, warehouse: String,
   private def hasManifest(name: String): Boolean =
     pathExists(cloneManifestPath(name))
 
+  /** First parquet data file under `p`, recursing into partition
+    * directories (`_pd*=`) — the one footer [[scanGraftDir]] takes the
+    * schema from. */
+  private def firstParquetUnder(p: Path): Option[String] = {
+    if (!isDir(p)) return None
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+        return Some(s.getPath.toString)
+    }
+    None
+  }
+
+  /**
+   * Parquet scan of a graft-written directory with the schema SUPPLIED
+   * from one footer's Spark row-metadata (a driver-side read of a few
+   * KB, [[graft.sources.ParquetMeta.footerSparkSchema]]) instead of a
+   * schema-inference Spark job. Why it matters (guide §1 measure-first):
+   * every `spark.read.parquet(dir)` launches a 1-task footer-read job
+   * (~25ms + ~40ms driver gap at local sf0.1), and `getTable` runs TWO
+   * of them (base + tail) — measured as 24 of sql_partition's 51 jobs,
+   * the dominant share of the per-commit floor on every multi-statement
+   * transcript. Sound because graft data files are uniform per directory
+   * (written wholesale through [[lineageWriter]]); the EVOLVED/WIDENED
+   * paths keep their mergeSchema / explicit-widened reads — callers gate
+   * on that. `pdCols` re-attaches the `_pd*` directory keys (STRING —
+   * the "p"-prefixed canonical form, exactly what inference produced)
+   * when the directory actually has partition subdirs; a flat base (the
+   * empty-CREATE fallback) must NOT declare them, or the pruned read
+   * would see an all-null `_pd` instead of falling back to the data
+   * filter. Falls back to inference when no footer carries the key.
+   */
+  private def scanGraftDir(dirPath: Path,
+                           pdCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val pdHere = pdCols.nonEmpty && isDir(dirPath) &&
+      fs.listStatus(dirPath).exists(s => s.isDirectory &&
+        s.getPath.getName.startsWith(pdCols.head + "="))
+    firstParquetUnder(dirPath)
+      .flatMap(f => graft.sources.ParquetMeta.footerSparkSchema(hconf, f)) match {
+      case Some(s) =>
+        val full =
+          if (pdHere) org.apache.spark.sql.types.StructType(s.fields ++
+            pdCols.map(c => org.apache.spark.sql.types.StructField(
+              c, org.apache.spark.sql.types.StringType)))
+          else s
+        spark.read.schema(full).parquet(dirPath.toString)
+      case None => spark.read.parquet(dirPath.toString)
+    }
+  }
+
   /** Flat listing of the parquet files under `p` (empty when absent). */
   private def parquetFiles(p: Path): Seq[String] =
     if (!isDir(p)) Nil
@@ -814,16 +880,25 @@ final class Catalog(spark: SparkSession, warehouse: String,
     if (hasManifest(name)) {
       val files = readString(cloneManifestPath(name))
         .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      val r = if (isEvolved(meta))
-        spark.read.option("mergeSchema", "true") else spark.read
-      r.parquet(files: _*)
+      if (isEvolved(meta))
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
+      else files.headOption
+        .flatMap(f => graft.sources.ParquetMeta.footerSparkSchema(hconf, f))
+        match {
+          // same no-inference-job read as [[scanGraftDir]]; a clone's
+          // manifest mixes base+tail files of ONE un-evolved table, so
+          // one footer's schema covers all of them
+          case Some(s) => spark.read.schema(s).parquet(files: _*)
+          case None => spark.read.parquet(files: _*)
+        }
     } else {
       // a partitioned base restores `_pd*` from the directory names — a
       // storage artifact, not a table column (the real partition column
       // lives IN the files); the pruned read path filters on it BEFORE
       // this drop ([[partitionSnapshot]]). Unpartitioned tables drop
       // nothing: a (pre-r12 legacy) data column named `_pd` must survive.
-      val raw = spark.read.parquet(baseDir(name).toString)
+      val raw = scanGraftDir(baseDir(name),
+        if (meta.partCols.isEmpty) Nil else pdColNames(meta))
       if (meta.partCols.isEmpty) raw else raw.drop(pdColNames(meta): _*)
     }
 
@@ -1589,8 +1664,30 @@ final class Catalog(spark: SparkSession, warehouse: String,
                    preserveHistory: Boolean = false): Boolean = {
     val tailPath = new Path(dir(name), "tail")
     if (!isDir(tailPath) || !hasParquet(tailPath)) return false
-    val baseRows = baseFrame(name, readMeta(name)).count()
-    val tailRows = spark.read.parquet(tailPath.toString).count()
+    // footer row counts DRIVER-SIDE when the file count is small: the
+    // per-commit trigger previously ran TWO Spark count jobs (each a
+    // task dispatch + scheduler round-trip for pure footer metadata) —
+    // part of the measured per-commit job storm. Past the bound the
+    // distributed count wins (a 100 TB base is many footers); a clone
+    // manifest keeps the scan path too (its files live outside dir()).
+    def footerRows(p: Path): Option[Long] = {
+      val it = fs.listFiles(p, true)
+      var files = List.empty[String]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+          files ::= s.getPath.toString
+      }
+      if (files.size > 64) None
+      else Some(files.map(f => graft.sources.ParquetMeta
+        .footerRowCount(hconf, f)).sum)
+    }
+    val baseRows =
+      if (hasManifest(name)) baseFrame(name, readMeta(name)).count()
+      else footerRows(baseDir(name))
+        .getOrElse(baseFrame(name, readMeta(name)).count())
+    val tailRows = footerRows(tailPath)
+      .getOrElse(spark.read.parquet(tailPath.toString).count())
     val due = baseRows == 0 || tailRows.toDouble / baseRows > maxTailRatio
     if (due) {
       if (preserveHistory) foldTail(name)

@@ -64,7 +64,18 @@ final class LineageTable private (
       * DERIVED partition tuple never changes: UPDATE may not assign any
       * source column, and every appended row is guarded against moving
       * an existing key across directories ([[withAppend]]). */
-    private val partGuard: Seq[(String, Column)] = Nil) {
+    private val partGuard: Seq[(String, Column)] = Nil,
+    /** True when the lineage is PROVABLY empty (a freshly created,
+      * never-committed table whose base footers all count zero —
+      * [[Catalog.assembleTable]] establishes it driver-side): the
+      * partition-immutability guard joins appended rows against the
+      * EXISTING distinct (key → partition) pairs, which is vacuous over
+      * no rows — skipping it removes a distinct + join (two AQE shuffle
+      * stages) from the first INSERT into every partitioned table, the
+      * CREATE-then-load shape of every bulk ingest. Any append clears
+      * the flag, so later ops in the same txn still guard against the
+      * keys the first op added. */
+    private val knownEmpty: Boolean = false) {
 
   import LineageTable.{DEL, VER}
 
@@ -692,7 +703,7 @@ final class LineageTable private (
     new LineageTable(keyCol, dataCols,
       lineage.localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER), opSeq,
-      delta, compactedOnly, partGuard)
+      delta, compactedOnly, partGuard, knownEmpty)
 
   /** Chain an op: append its rows to the lineage AND to the pending delta.
     *
@@ -710,6 +721,10 @@ final class LineageTable private (
   private def withAppend(rows: DataFrame): LineageTable = {
     val guarded = partGuard match {
       case Seq() => rows
+      // no existing keys ⇒ no key can move partitions: the guard join is
+      // vacuous, skip its distinct + join (the flag is cleared below, so
+      // a second op in the same txn guards against the first op's keys)
+      case _ if knownEmpty => rows
       case ps =>
         // the guard compares the TUPLE of DERIVED directory values (r12
         // multi-column + transforms — for days(ts) two timestamps in the
@@ -736,7 +751,7 @@ final class LineageTable private (
     }
     new LineageTable(keyCol, dataCols, lineage.unionByName(guarded), opSeq + 1,
       Some(delta.fold(guarded)(_.unionByName(guarded))),
-      compactedOnly = false, partGuard)
+      compactedOnly = false, partGuard, knownEmpty = false)
   }
 }
 
@@ -749,9 +764,10 @@ object LineageTable {
   private[core] def fromPersisted(keyCol: String, dataCols: Seq[String],
                                   lineage: DataFrame, maxVer: Long,
                                   tailEmpty: Boolean,
-                                  partGuard: Seq[(String, Column)] = Nil): LineageTable =
+                                  partGuard: Seq[(String, Column)] = Nil,
+                                  knownEmpty: Boolean = false): LineageTable =
     new LineageTable(keyCol, dataCols, lineage, maxVer, delta = None,
-      compactedOnly = tailEmpty, partGuard)
+      compactedOnly = tailEmpty, partGuard, knownEmpty = knownEmpty)
 
   /** Bootstrap a lineage table from plain rows (all base, version 0). */
   def fromBase(keyCol: String, rows: DataFrame): LineageTable = {

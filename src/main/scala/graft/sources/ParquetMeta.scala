@@ -73,6 +73,26 @@ object ParquetMeta {
     else Seq(p.toString)
   }
 
+  /**
+   * Spark schema of one parquet file, from the footer's
+   * `org.apache.spark.sql.parquet.row.metadata` key — written by every
+   * Spark parquet writer, so every graft-written file carries it. ONE
+   * driver-side footer read (a few KB) where `spark.read.parquet`'s
+   * schema inference launches a whole Spark job (readParquetFootersIn-
+   * Parallel: task dispatch + scheduler latency per table read). None
+   * when the key is absent or unparsable (a non-Spark writer) — callers
+   * fall back to inference.
+   */
+  def footerSparkSchema(conf: Configuration, file: String): Option[StructType] = {
+    val in = HadoopInputFile.fromPath(new Path(file), conf)
+    val r = ParquetFileReader.open(in)
+    try Option(r.getFooter.getFileMetaData.getKeyValueMetaData
+        .get("org.apache.spark.sql.parquet.row.metadata"))
+      .flatMap(j => scala.util.Try(org.apache.spark.sql.types.DataType
+        .fromJson(j).asInstanceOf[StructType]).toOption)
+    finally r.close()
+  }
+
   /** Exact row count of one parquet file, from its footer (no data pages). */
   def footerRowCount(conf: Configuration, file: String): Long = {
     val in = HadoopInputFile.fromPath(new Path(file), conf)
