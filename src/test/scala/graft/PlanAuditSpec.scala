@@ -995,10 +995,11 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q_triangles dedupes its repeated pair-join subtrees via ReusedExchange") {
     // `e` (the lineitem pair self-join) feeds deg/ed/edges and `ori`
-    // feeds three join sides: without exchange reuse the most expensive
-    // stage would run 3× (an explicit checkpoint benched SLOWER than
-    // reuse at sf0.1 — 5.8s vs 5.5s — so reuse IS the design and this
-    // pin is what keeps it from silently regressing)
+    // feeds the adjacency build plus two join sides (r15 intersect
+    // form): without exchange reuse the most expensive stage would run
+    // 3× (an explicit checkpoint benched SLOWER than reuse at sf0.1 —
+    // 5.8s vs 5.5s — so reuse IS the design and this pin is what keeps
+    // it from silently regressing)
     val p = executedPlan(SparkEntry.queries("q_triangles")(spark, sfDir))
     assert(p.contains("ReusedExchange"), p)
   }
