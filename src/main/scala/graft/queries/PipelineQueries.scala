@@ -1552,18 +1552,39 @@ object PipelineQueries {
         .select(col("vec_id"), expr(
           "transform(embedding, x -> " +
             "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("qv"))
-      val pairs = e.select(explode(expr(
+      // r15: the upper-triangle products explode as ONE flat primitive
+      // long array per vector — the r9 shape built 2080 struct<i,j,p>
+      // rows per vector (an object allocation each), and at 32 threads
+      // the GC pressure made the whole query ANTI-SCALE (faster on 8
+      // cores than 32 — the driver's 8v32 ratio 0.73). The (i, j) pair
+      // is recovered from the triangular POSITION after the |D²|-group
+      // aggregate, on ≤ D(D+1)/2 rows instead of per product: pos(i,j)
+      // = i·D − i(i−1)/2 + (j−i), exact integer arithmetic, joined from
+      // a broadcast |pairs|-row mapping built off the slim dim table.
+      // Same sums, same groups, same output rows. Assumes a uniform
+      // embedding width (position → (i,j) is per-corpus): the dims
+      // table this derives D from would itself be ill-defined for a
+      // ragged corpus — a covariance matrix needs one D.
+      val prods = e.select(posexplode(expr(
           "flatten(transform(qv, (x, i) -> " +
-            "transform(slice(qv, i + 1, size(qv) - i), (y, k) -> " +
-            "struct(CAST(i AS BIGINT) AS i, CAST(i + k AS BIGINT) AS j, " +
-            "x * y AS p))))")).as("t"))
-        .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
-      val spq = pairs.groupBy(col("i"), col("j"))
+            "transform(slice(qv, i + 1, size(qv) - i), (y, k) -> x * y)))"))
+          .as(Seq("pos", "p")))
+        .select(col("pos").cast("long").as("pos"), col("p"))
+      val byPos = prods.groupBy(col("pos"))
         .agg(sum(col("p").cast("decimal(38,0)")).as("spq"))
       val sums = e.select(posexplode(col("qv")).as(Seq("pos", "q")))
         .select(col("pos").cast("long").as("dim"), col("q"))
         .groupBy(col("dim"))
         .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      val dcount = sums.agg(count(lit(1)).as("dd"))
+      val mapping = sums.select(col("dim").as("i"))
+        .crossJoin(sums.select(col("dim").as("j")))
+        .where(col("j") >= col("i"))
+        .crossJoin(broadcast(dcount))
+        .select(expr("i * dd - (i * (i - 1)) div 2 + (j - i)").as("pos"),
+          col("i"), col("j"))
+      val spq = byPos.join(broadcast(mapping), "pos")
+        .select(col("i"), col("j"), col("spq"))
       spq
         .join(broadcast(sums.select(col("dim").as("i"),
           col("sq").as("si"), col("n"))), "i")
