@@ -269,7 +269,9 @@ final class LineageTable private (
       df.withColumn(c, e.cast(df.schema(c).dataType)) }
       .withColumn(VER, lit(opSeq + 1))
       .withColumn(DEL, lit(0))
-    withAppend(updated.select(lineage.columns.map(col): _*))
+    // partition columns unassignable here (required above) — rows keep
+    // their snapshot partition, guard elided
+    withAppend(updated.select(lineage.columns.map(col): _*), guard = false)
   }
 
   /** Tombstone matching records (reference: Query.delete, lstore/query.py:27). */
@@ -277,7 +279,8 @@ final class LineageTable private (
     val tomb = snapshotMeta.where(predicate)
       .withColumn(VER, lit(opSeq + 1))
       .withColumn(DEL, lit(1))
-    withAppend(tomb.select(lineage.columns.map(col): _*))
+    // tombstones copy snapshot rows — partition unchanged, guard elided
+    withAppend(tomb.select(lineage.columns.map(col): _*), guard = false)
   }
 
   /** Increment one column of matching records (reference: Query.increment). */
@@ -496,7 +499,9 @@ final class LineageTable private (
       .where(col("_rn") === target && target > lit(1))
       .withColumn(VER, lit(opSeq + 1))
       .drop("_rn", "_cnt")
-    withAppend(changed.select(lineage.columns.map(col): _*))
+    // re-stamped historical versions of existing keys — a key's
+    // partition is immutable across its versions, guard elided
+    withAppend(changed.select(lineage.columns.map(col): _*), guard = false)
   }
 
   /**
@@ -718,9 +723,24 @@ final class LineageTable private (
     * write-path price of upsert-by-key into a partitioned layout; update/
     * delete/merge-matched rows inherit their partition from the snapshot
     * and pass structurally. */
-  private def withAppend(rows: DataFrame): LineageTable = {
+  private def withAppend(rows: DataFrame): LineageTable =
+    withAppend(rows, guard = true)
+
+  /** [[withAppend]] with the partition guard ELIDED for ops whose rows
+    * inherit their partition from the snapshot BY CONSTRUCTION and so
+    * can never move a key across directories: [[update]] (assigning a
+    * partition column is rejected up front), [[delete]] (tombstones copy
+    * the snapshot row), [[restore]] (re-stamps a historical version of
+    * the same key — partitions are immutable per key, so every version
+    * shares one). For those the guard join is provably vacuous; paying
+    * its distinct + join (two AQE shuffle stages over the whole key set)
+    * per tombstone batch was pure cost. [[insert]] and [[mergeInto]]
+    * keep the guard: their rows carry caller-supplied partition values
+    * (merge's BY SOURCE UPDATE arm may even assign one). */
+  private def withAppend(rows: DataFrame, guard: Boolean): LineageTable = {
     val guarded = partGuard match {
       case Seq() => rows
+      case _ if !guard => rows
       // no existing keys ⇒ no key can move partitions: the guard join is
       // vacuous, skip its distinct + join (the flag is cleared below, so
       // a second op in the same txn guards against the first op's keys)
