@@ -129,8 +129,11 @@ object Bench {
     // `parsed: null` because the driver's bounded stdout tail truncated
     // the 263-query line — the round's full record must not depend on
     // that tail. The round number is inferred as max(BENCH_r*.json) + 1
-    // (the driver writes BENCH_r{N}.json AFTER this run).
-    if (sys.env.get("SPARK_GRAFT_BENCH_DETAIL").isEmpty) {
+    // (the driver writes BENCH_r{N}.json AFTER this run). Only the
+    // 32-core official config snapshots: the driver's post-bench 8-core
+    // scaling run previously inferred round+1 and wrote a stray
+    // mislabeled file (the r14 BENCH_r15_detail.json artifact).
+    if (sys.env.get("SPARK_GRAFT_BENCH_DETAIL").isEmpty && cpus == "32") {
       val repo = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "."))
       val re = "BENCH_r(\\d+)\\.json".r
       val round = Option(repo.list()).map(_.toSeq).getOrElse(Seq.empty)

@@ -916,12 +916,14 @@ class PlanAuditSpec extends SparkSpec {
   test("emb_cov: map-side pair expansion; shuffles carry only dim groups") {
     val plan = executedPlan(SparkEntry.queries("emb_cov")(spark, sfDir))
     // the upper-triangle products explode map-side (Generate below the
-    // partial aggregate); the only hash exchanges key on the (i, j) /
-    // dim groups — the corpus is never exchanged
+    // partial aggregate); the only hash exchanges key on the triangular
+    // position / dim groups (r15: `pos` replaced the per-pair (i, j)
+    // struct — same |D²| groups, primitive array expansion) — the
+    // corpus is never exchanged
     assert(plan.contains("Generate"), plan)
     val hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)#".r
       .findAllMatchIn(plan).map(_.group(1)).toSet
-    assert(hashEx.subsetOf(Set("i", "j", "dim")), s"got $hashEx:\n$plan")
+    assert(hashEx.subsetOf(Set("pos", "i", "j", "dim")), s"got $hashEx:\n$plan")
     assert(plan.contains("partial_sum"), plan)
   }
 
